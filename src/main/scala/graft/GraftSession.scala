@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Canonical session factory. Local-mode knobs mirror what a cluster
-  * deployment would set per-executor:
+/** Canonical session factory — the ONLY place session config lives.
+  * Verify.main and Bench.main both route through here so local and
+  * driver runs use identical settings.
+  *
+  * Local-mode knobs mirror what a cluster deployment would set
+  * per-executor:
   *
   *  - `shuffle.partitions` = cores (not 200): at sf0.1 a 32-way shuffle
   *    keeps every partition comfortably in memory; on a 1000-executor
@@ -13,9 +17,19 @@ import org.apache.spark.sql.SparkSession
   *    splitting are the 100 TB safety net for skewed keys.
   *  - UTC session timezone: required for DuckDB-oracle parity on
   *    timestamp columns.
+  *
+  * Note: `getOrCreate()` reuses any pre-existing session in the JVM
+  * (master/static configs are then ignored). That is intentional for
+  * the test suite (one shared session across specs); entrypoints run
+  * in fresh JVMs (`fork := true`) so they always get these settings.
   */
 object GraftSession {
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+  /** Core count: SPARK_GRAFT_CPUS (driver contract) > availableProcessors. */
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def local(cores: Int = defaultCores): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates the named query catalogs; names embed the
+  * SURVEY.md §2 operator ids they cover (e.g. "a5_f1_classify_keys"
+  * covers A5 and F1). Every SQL-expressible query has a DuckDB oracle
+  * in `oracleSql`; heuristic/hash-based pipeline operators (MinHash,
+  * SimHash, LSH) are declared without oracles and are instead
+  * cross-checked in the ScalaTest suite (e.g. LSH recall vs exact
+  * brute force).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * reference's top-amenities pipeline (readme.md:246-249) shape. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("o1_o2_top_groups")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RelationalQueries.defs ++
+      graft.queries.PipelineQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.RelationalQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Scale posture (the 100 TB design point): NOTHING here is all-pairs.
+  * Every near-dup variant is banded/bucketed — candidate pairs come
+  * from an equi-join on (band, band-hash) buckets, so the shuffle is
+  * keyed and the comparison count is |bucket|² summed over buckets, not
+  * n². Pathological buckets (a boilerplate shingle shared by millions
+  * of docs) are capped with `maxBucket`; at cluster scale the same knob
+  * is the salting/AQE-skew-split point.
+  *
+  * All hashing is `xxhash64` (codegen'd, seed-able via extra literal
+  * args), so signatures are computable executor-side with no model
+  * state to ship.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact-duplicate statistics after whitespace/case normalization:
+    * one hash-aggregate pass, no shuffle of document text (only 32-byte
+    * hashes move). */
+  def exactStats(docs: DataFrame, text: Column): DataFrame =
+    docs.select(sha2(T.normalizeForDedup(text), 256).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+
+  /** Keep one representative per normalized-text hash (min doc id). */
+  def dropExactDups(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(T.normalizeForDedup(text), 256))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** Word k-shingles of the whitespace-token stream (distinct). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = T.tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature: `n` permutations approximated by `n` seeded
+    * xxhash64 functions; sig[s] = min over shingles of hash(shingle, s).
+    * Runtime loop via HOFs — the generated code stays small for any n. */
+  def minhashSignature(shingleArr: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      s => array_min(transform(shingleArr, sh => xxhash64(sh, s))))
+
+  /** LSH bands: split an n-length signature into `bands` bands of
+    * n/bands rows; band hash = xxhash64 over the band's joined values.
+    * Output: array of (band, bandHash) structs. */
+  def lshBands(sig: Column, n: Int, bands: Int): Column = {
+    val r = n / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws("_",
+          transform(slice(sig, b * lit(r) + lit(1), lit(r)), v => v.cast("string")))).as("bh")))
+  }
+
+  /** Candidate pairs from banded MinHash-LSH. Never all-pairs: explode
+    * bands → self-equi-join on (band, bandHash) → id1 < id2 → distinct.
+    *
+    * @param maxBucket drop degenerate buckets larger than this (at 100 TB
+    *        these are boilerplate clusters that would quadratically blow
+    *        up a single key; real pipelines route them to a separate
+    *        exact-dup pass, which [[exactStats]] covers).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, text: Column,
+                        shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignature(shingles(text, shingleK), numHashes)
+    val banded = docs
+      .select(col(idCol).as("doc"), explode(lshBands(sig, numHashes, bands)).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val pruned = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    pruned.as("l").join(pruned.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("id1"), col("r.doc").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two precomputed distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** Full MinHash-LSH near-dup pass: candidates → verify with exact
+    * Jaccard on shingle sets → pairs with jaccard >= threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, shingleK: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, col(textCol), shingleK, numHashes, bands)
+    val sh = docs.select(col(idCol).as("sid"), shingles(col(textCol), shingleK).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("sid", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("sid", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** SimHash fingerprint over whitespace tokens, `bits` sign-bits packed
+    * into a Long (bits <= 48 so the 2^i packing stays exact in double).
+    * Bit i = sign( Σ_tok ±1 ), with the ±1 drawn from xxhash64(tok, i).
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = T.tokens(text)
+    val bitVals = transform(sequence(lit(0), lit(bits - 1)), i =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(pmod(xxhash64(t, i), lit(2)) === 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitVals, sequence(lit(0), lit(bits - 1)), (v, i) =>
+        when(v >= 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two packed fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the fingerprint into `bands` byte
+    * slices (pigeonhole: hamming <= bands-1 guarantees >= 1 identical
+    * band), bucket-join on any equal band, verify with full hamming.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 32, bands: Int = 4,
+                      maxHamming: Int = 3): DataFrame = {
+    val r = bits / bands
+    val withSig = docs.select(col(idCol).as("doc"), simhash(col(textCol), bits).as("sig"))
+    // band value = (sig >> (band*r)) & (2^r - 1); shift amount must be a
+    // literal per Spark's shiftrightunsigned, so unroll the small loop.
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bh"))
+    }
+    val exploded = withSig
+      .select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+    exploded.as("l").join(exploded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("id1"), col("r.doc").as("id2"),
+        col("l.sig").as("sig1"), col("r.sig").as("sig2"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sig1"), col("sig2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding near-dup (cosine)
+  // -------------------------------------------------------------------
+
+  /** Embedding-cosine near-dups via hyperplane-LSH buckets: vectors in
+    * the same signature bucket are compared exactly; cosine >= threshold
+    * survives. Bucketing keys the shuffle — no n² pass.
+    */
+  def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double = 0.99, bits: Int = 12): DataFrame = {
+    val sig = embs.select(col(idCol).as("doc"), col(vecCol).as("vec"),
+      V.hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
+    sig.as("l").join(sig.as("r"),
+        col("l.sig") === col("r.sig") && col("l.doc") < col("r.doc"))
+      .withColumn("cosine", V.cosineSimilarity(col("l.vec"), col("r.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.doc").as("id1"), col("r.doc").as("id2"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}

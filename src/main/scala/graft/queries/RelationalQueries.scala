@@ -1,0 +1,611 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GeoFunctions => G, TextFunctions => T}
+
+/** The relational operator surface from SURVEY.md §2, one named query
+  * per inventory id, each paired with DuckDB oracle SQL over the same
+  * parquet tables.
+  *
+  * Conventions (driver compare = sort columns by name, hash values):
+  *  - every result has a total deterministic order (explicit tie-breaks);
+  *  - every aggregate/computed column is aliased identically here and
+  *    in the oracle;
+  *  - large floating sums use the "cents" pattern — round each term to
+  *    an integer unit, sum exactly as BIGINT — so partial-aggregation
+  *    order can never flip a rounded digit;
+  *  - Spark `sum(int)` is BIGINT, DuckDB's is HUGEINT → oracles cast.
+  *
+  * Scale notes are on each query: which side broadcasts, what pushes
+  * down, where the shuffle is.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact-money sum: per-row round to cents (identical double op both
+    * sides), then integer sum (associative, order-independent). */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100, 0).cast("long")
+
+  val defs: Map[String, Q] = Map(
+
+    // O1+O2+A4+P8 — flagship: the reference's top-20 amenities pipeline
+    // (readme.md:246-249) on events. Plan: partial hash agg → shuffle →
+    // final agg → TakeOrderedAndProject (no full sort).
+    "o1_o2_top_groups" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("event_type")).limit(20)
+    }),
+
+    // P1 — equality filter; predicate pushed to parquet scan.
+    "p1_eq_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P2 — $exists analogue: isNull/isNotNull coverage counts in one pass.
+    "p2_exists_predicate" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        sum(when(col("props").isNotNull, 1).otherwise(0)).as("with_props"),
+        sum(when(col("props").isNull, 1).otherwise(0)).as("without_props"))
+    }),
+
+    // P3 — regex predicate (the reference's ^99 zip filters, readme.md:137).
+    "p3_regex_predicate" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_name").rlike("00$"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // P4 — membership ($in, readme.md:396).
+    "p4_membership" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // P5 — conjunctive compound filter (readme.md:397-398).
+    "p5_compound_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A" && col("l_quantity") > 25 && col("l_discount") < 0.05)
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+    }),
+
+    // P6 — projection with rename (readme.md:198-199).
+    "p6_project_rename" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_name").as("name"), round(col("c_acctbal"), 2).as("balance"),
+          col("c_mktsegment").as("segment"))
+        .orderBy("name").limit(100)
+    }),
+
+    // P7 — find_one analogue, made deterministic by key order.
+    "p7_first_match" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey").limit(1)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    }),
+
+    // P8 — match-before-group; Catalyst pushes the filter below the agg.
+    "p8_match_then_group" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("value") > 10)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // A1 — counts.
+    "a1_count" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // A2 — global distinct cardinalities (the 315-users query,
+    // readme.md:129-130). countDistinct, not collect_set: at 100 TB the
+    // set doesn't come to the driver.
+    "a2_count_distinct" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // A3 — distinct values.
+    "a3_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    }),
+
+    // A4 — grouped count (top-users shape, readme.md:161).
+    "a4_grouped_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A5+F1 — the 3-regex CASE-WHEN classifier (tags.py:21-38) as a
+    // single hash-agg pass.
+    "a5_f1_classify_keys" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(T.keyType(col("p_name")).as("key_class"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("key_class")
+    }),
+
+    // A6 — group-to-set (audit.py:33-44): deterministic via sorted set +
+    // string join (matches string_agg DISTINCT ... ORDER BY).
+    "a6_group_to_set" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A7 — describe() (readme.md:178-192): count/mean/std/min/quartiles/max.
+    // Exact `percentile` (not approx) so the oracle's quantile_cont matches.
+    "a7_summary_stats" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .agg(
+          count(col("c_acctbal")).as("cnt"),
+          round(avg(col("c_acctbal")), 2).as("mean"),
+          round(stddev(col("c_acctbal")), 2).as("std"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(expr("percentile(c_acctbal, 0.25)"), 2).as("p25"),
+          round(expr("percentile(c_acctbal, 0.5)"), 2).as("p50"),
+          round(expr("percentile(c_acctbal, 0.75)"), 2).as("p75"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+    }),
+
+    // A8 — two-key grouped count (readme.md:404).
+    "a8_two_key_group" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // A9 — conditional matrix agg: ONE pass instead of the reference's
+    // N×2 query loop (readme.md:528-539).
+    "a9_conditional_matrix" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_linestatus") === "O", 1).otherwise(0)).as("n_open"),
+          sum(when(col("l_linestatus") === "F", 1).otherwise(0)).as("n_finished"),
+          sum(when(col("l_quantity") > 25, cents(col("l_extendedprice"))).otherwise(0L)).as("rev_heavy_cents"))
+        .orderBy("l_returnflag")
+    }),
+
+    // O3 — top-10 users by contributions (readme.md:161-167): the
+    // idiomatic form is orderBy+limit → TakeOrderedAndProject.
+    "o3_top_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("contributions"))
+        .orderBy(desc("contributions"), asc("user_id")).limit(10)
+    }),
+
+    // O4+F9+F13 — $near analogue (readme.md:392-398): haversine distance
+    // (codegen'd built-in composition), radius filter, nearest-first.
+    // Synthetic lat/lon derived deterministically from `value`.
+    "o4_f13_near_distance" -> ((s, dir) => {
+      val lat = lit(47.0) + col("value") / 100.0
+      val lon = lit(-117.0) - col("value") / 50.0
+      val d = G.haversineMeters(lit(47.1), lit(-117.2), lat, lon)
+      t(s, dir, "events")
+        .withColumn("dist_m", d)
+        .filter(col("dist_m") <= 10000.0)
+        .select(col("event_id"), round(col("dist_m"), 1).as("dist_m"))
+        .orderBy("dist_m", "event_id")
+    }),
+
+    // U1+J1 — union of filtered scans with a discriminator (readme.md:396-403).
+    "u1_j1_union_discriminator" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "AUTOMOBILE").withColumn("grp", lit("A"))
+      val b = c.filter(col("c_mktsegment") === "BUILDING").withColumn("grp", lit("B"))
+      a.unionByName(b)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        .orderBy("grp")
+    }),
+
+    // U2 — intersect (readme.md:541).
+    "u2_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey")
+        .intersect(c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey"))
+        .orderBy("c_nationkey")
+    }),
+
+    // U3 — except.
+    "u3_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    // J2 — the big equi-join: orders⋈lineitem on orderkey. Both sides
+    // large → sort-merge/shuffled hash; AQE may still broadcast at small
+    // SF. Aggregated to priority level.
+    "j2_join_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // J2b — star-schema join with explicitly broadcast dims: the shape
+    // that matters at 100 TB (fact stays put; dims ship to executors).
+    "j2b_broadcast_dims" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        .orderBy("r_name")
+    }),
+
+    // J2c+F11 — ordered reassembly: the relation→way→node pattern
+    // (readme.md:488-494): order-preserving collect_list after grouping,
+    // sorted by an explicit position column (survives shuffles, unlike
+    // implicit input order).
+    "j2c_ordered_reassembly" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+            x => x.getField("l_partkey").cast("string"))).as("parts"))
+        .orderBy("l_orderkey")
+    }),
+
+    // J3 — anti-join (audit.py:36-38's not-in-expected as left_anti).
+    "j3_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J3b — semi-join companion (EXISTS).
+    "j3b_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+    }),
+
+    // W1 — windowed rank (beyond the reference; SURVEY §2.5): top-3
+    // customers per segment. Deterministic tie-break by key.
+    "w1_rank_in_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    // F2 — regex last-token extraction (audit.py:18).
+    "f2_last_token" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(T.streetType(col("p_name")).as("last_token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("last_token")
+    }),
+
+    // F3 — whitespace split + join (data.py:110-118).
+    "f3_split_concat" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          concat_ws(" ", slice(T.tokens(col("text")), 1, 3)).as("first3"))
+        .orderBy("doc_id")
+    }),
+
+    // F4 — street normalization (update_name, data.py:110-118) over
+    // synthetic streets exercising every mapping path; oracle asserts
+    // the expected literal suffix, not a re-implementation.
+    "f4_street_normalize" -> ((s, dir) => {
+      val suffixes = Seq("St.", "Rd", "Ave", "Blvd.", "Street")
+      val suffix = element_at(typedLit(suffixes), (pmod(col("p_partkey"), lit(5)) + 1).cast("int"))
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit(" "), suffix).as("street"))
+        .select(col("p_partkey"), col("street"),
+          T.normalizeStreet(col("street")).as("street_clean"))
+        .orderBy("p_partkey")
+    }),
+
+    // F5+F6 — prefix test + strip + cast (data.py:144,157).
+    "f5_f6_prefix_strip" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("source").startsWith("src"))
+        .groupBy(substring(col("source"), 4, 10).cast("long").as("src_num"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy("src_num")
+    }),
+
+    // F7+M1 — case-normalization repair (readme.md:80,91): dirty a third
+    // of the rows, repair with a predicate-matched rewrite, verify by
+    // grouping on the repaired value.
+    "f7_m1_case_repair" -> ((s, dir) => {
+      val dirty = when(pmod(col("c_custkey"), lit(3)) === 0, lower(col("c_mktsegment")))
+        .otherwise(col("c_mktsegment"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), dirty.as("segment_dirty"))
+        .select(col("c_custkey"),
+          when(col("segment_dirty").rlike("^[a-z]"), upper(col("segment_dirty")))
+            .otherwise(col("segment_dirty")).as("segment"))
+        .groupBy("segment").agg(count(lit(1)).as("cnt"))
+        .orderBy("segment")
+    }),
+
+    // F8+M3 — capture-group extraction (readme.md:94-103) as one
+    // vectorized pass, never a read-extract-write loop.
+    "f8_m3_capture_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k_val", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), min(col("k_val")).as("min_k"),
+          max(col("k_val")).as("max_k"), sum(col("k_val")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // M2 — $set+$unset field move (readme.md:58): value lands in the
+    // right column, source nulls out.
+    "m2_field_move" -> ((s, dir) => {
+      val raw = when(pmod(col("c_custkey"), lit(11)) === 0, lit("WA"))
+        .otherwise(concat(lit("99"), lpad(pmod(col("c_custkey"), lit(1000)), 3, "0")))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), raw.as("postcode_raw"))
+        .select(col("c_custkey"),
+          when(col("postcode_raw") === "WA", null).otherwise(col("postcode_raw")).as("postcode"),
+          when(col("postcode_raw") === "WA", "WA").otherwise(null).as("state"))
+        .orderBy("c_custkey")
+    }),
+
+    // F10+M4 — geometry migration (readme.md:374-377): [lat,lon] array →
+    // (lon,lat), as a single scan rewrite (the reference's row-at-a-time
+    // loop is "quite slow"; this is one codegen'd pass).
+    "f10_m4_geometry_migration" -> ((s, dir) => {
+      val pos = array(lit(47.0) + col("value") / 100.0, lit(-117.0) - col("value") / 50.0)
+      t(s, dir, "events")
+        .select(col("event_id"), pos.as("pos"))
+        .select(col("event_id"),
+          round(element_at(col("pos"), 2), 6).as("lon"),
+          round(element_at(col("pos"), 1), 6).as("lat"))
+        .orderBy("event_id")
+    }),
+
+    // Streaming shape, batch-verified: tumbling 1h windows (SURVEY §2.10).
+    "st1_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("total_cents"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("total_cents"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // Sliding 1h-by-30m windows; each event lands in two windows.
+    "st2_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    })
+  )
+
+  /** DuckDB oracle SQL, same column names + order as the Spark side. */
+  val oracles: Map[String, String] = Map(
+    "o1_o2_top_groups" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 20""",
+    "p1_eq_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""",
+    "p2_exists_predicate" ->
+      """SELECT CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_props,
+                CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_props
+         FROM events""",
+    "p3_regex_predicate" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE regexp_matches(c_name, '00$') ORDER BY c_custkey""",
+    "p4_membership" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "p5_compound_filter" ->
+      """SELECT count(*) AS cnt,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+         FROM lineitem
+         WHERE l_returnflag = 'A' AND l_quantity > 25 AND l_discount < 0.05""",
+    "p6_project_rename" ->
+      """SELECT c_name AS name, round(c_acctbal, 2) AS balance, c_mktsegment AS segment
+         FROM customer ORDER BY name LIMIT 100""",
+    "p7_first_match" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+         WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 1""",
+    "p8_match_then_group" ->
+      """SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value
+         FROM events WHERE value > 10
+         GROUP BY event_type ORDER BY event_type""",
+    "a1_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "a2_count_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types
+         FROM events""",
+    "a3_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "a4_grouped_count" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a5_f1_classify_keys" ->
+      """SELECT CASE
+           WHEN regexp_matches(p_name, '[=\+/&<>;''"\?%#$@,\. \t\r\n]') THEN 'problemchars'
+           WHEN regexp_matches(p_name, '^([a-z]|_)*:([a-z]|_)*$') THEN 'lower_colon'
+           WHEN regexp_matches(p_name, '^([a-z]|_)*$') THEN 'lower'
+           ELSE 'other' END AS key_class, count(*) AS cnt
+         FROM part GROUP BY key_class ORDER BY key_class""",
+    "a6_group_to_set" ->
+      """SELECT l_returnflag,
+                array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a7_summary_stats" ->
+      """SELECT count(c_acctbal) AS cnt, round(avg(c_acctbal), 2) AS mean,
+                round(stddev(c_acctbal), 2) AS std, round(min(c_acctbal), 2) AS min_bal,
+                round(quantile_cont(c_acctbal, 0.25), 2) AS p25,
+                round(quantile_cont(c_acctbal, 0.5), 2) AS p50,
+                round(quantile_cont(c_acctbal, 0.75), 2) AS p75,
+                round(max(c_acctbal), 2) AS max_bal
+         FROM customer""",
+    "a8_two_key_group" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "a9_conditional_matrix" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+                CAST(sum(CASE WHEN l_quantity > 25 THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_heavy_cents
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "o3_top_users" ->
+      """SELECT user_id, count(*) AS contributions FROM events
+         GROUP BY user_id ORDER BY contributions DESC, user_id LIMIT 10""",
+    "o4_f13_near_distance" ->
+      """SELECT event_id, round(dist_m, 1) AS dist_m FROM (
+           SELECT event_id,
+                  2 * 6371008.8 * asin(sqrt(
+                    pow(sin(radians((47.0 + value / 100.0) - 47.1) / 2), 2) +
+                    cos(radians(47.1)) * cos(radians(47.0 + value / 100.0)) *
+                    pow(sin(radians((-117.0 - value / 50.0) - (-117.2)) / 2), 2))) AS dist_m
+           FROM events)
+         WHERE dist_m <= 10000.0 ORDER BY dist_m, event_id""",
+    "u1_j1_union_discriminator" ->
+      """SELECT grp, count(*) AS cnt, round(avg(c_acctbal), 2) AS avg_bal FROM (
+           SELECT 'A' AS grp, c_acctbal FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+           UNION ALL
+           SELECT 'B' AS grp, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING')
+         GROUP BY grp ORDER BY grp""",
+    "u2_intersect" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         INTERSECT
+         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         ORDER BY c_nationkey""",
+    "u3_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "j2_join_group" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "j2b_broadcast_dims" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "j2c_ordered_reassembly" ->
+      """SELECT l_orderkey,
+                string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber) AS parts
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "j3b_semi_join" ->
+      """SELECT count(*) AS n_customers_with_orders FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "w1_rank_in_group" ->
+      """SELECT c_mktsegment, rn, c_custkey, bal FROM (
+           SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "f2_last_token" ->
+      """SELECT regexp_split_to_array(trim(p_name), '\s+')[-1] AS last_token, count(*) AS cnt
+         FROM part GROUP BY last_token ORDER BY last_token""",
+    "f3_split_concat" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                array_to_string(regexp_split_to_array(trim(text), '\s+')[1:3], ' ') AS first3
+         FROM documents ORDER BY doc_id""",
+    "f4_street_normalize" ->
+      """SELECT p_partkey,
+                p_name || ' ' || CASE CAST(p_partkey % 5 AS INTEGER)
+                  WHEN 0 THEN 'St.' WHEN 1 THEN 'Rd' WHEN 2 THEN 'Ave'
+                  WHEN 3 THEN 'Blvd.' ELSE 'Street' END AS street,
+                p_name || ' ' || CASE CAST(p_partkey % 5 AS INTEGER)
+                  WHEN 0 THEN 'Street' WHEN 1 THEN 'Road' WHEN 2 THEN 'Avenue'
+                  WHEN 3 THEN 'Boulevard' ELSE 'Street' END AS street_clean
+         FROM part ORDER BY p_partkey""",
+    "f5_f6_prefix_strip" ->
+      """SELECT CAST(substr(source, 4) AS BIGINT) AS src_num, count(*) AS cnt,
+                round(avg(n_chars), 2) AS avg_chars
+         FROM documents WHERE source LIKE 'src%'
+         GROUP BY src_num ORDER BY src_num""",
+    "f7_m1_case_repair" ->
+      """SELECT segment, count(*) AS cnt FROM (
+           SELECT CASE WHEN regexp_matches(segment_dirty, '^[a-z]')
+                       THEN upper(segment_dirty) ELSE segment_dirty END AS segment
+           FROM (SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                             ELSE c_mktsegment END AS segment_dirty FROM customer))
+         GROUP BY segment ORDER BY segment""",
+    "f8_m3_capture_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+                min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+                max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
+                CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "m2_field_move" ->
+      """SELECT c_custkey,
+                CASE WHEN postcode_raw = 'WA' THEN NULL ELSE postcode_raw END AS postcode,
+                CASE WHEN postcode_raw = 'WA' THEN 'WA' ELSE NULL END AS state
+         FROM (SELECT c_custkey,
+                      CASE WHEN c_custkey % 11 = 0 THEN 'WA'
+                           ELSE '99' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') END AS postcode_raw
+               FROM customer)
+         ORDER BY c_custkey""",
+    "f10_m4_geometry_migration" ->
+      """SELECT event_id,
+                round([47.0 + value / 100.0, -117.0 - value / 50.0][2], 6) AS lon,
+                round([47.0 + value / 100.0, -117.0 - value / 50.0][1], 6) AS lat
+         FROM events ORDER BY event_id""",
+    "st1_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS cnt,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "st2_sliding_window" ->
+      """SELECT ws, event_type, count(*) AS cnt FROM (
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type
+           FROM events)
+         GROUP BY ws, event_type ORDER BY ws, event_type"""
+  ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+}
