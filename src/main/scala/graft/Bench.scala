@@ -1,30 +1,57 @@
 package graft
 
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * prints ONE JSON line {"metric":…,"queries":{…}}.
   *
   * Each query is materialized with a noop-format write so the measured
   * plan is the REAL plan — a bare `.count()` would let Catalyst prune
   * every column and skip expression evaluation entirely
-  * (VERDICT r1 "What's wrong"). Failures are recorded as -1 so a
-  * throwing query can never flatter the total.
+  * (VERDICT r1 "What's wrong").
+  *
+  * Failure accounting: a throwing query records -1, a query that blows
+  * its per-query budget records -2 (its jobs are cancelled via job
+  * group so one pathological query can never eat the whole bench run —
+  * BENCH_r02 died rc=124 exactly that way). Negative values are
+  * excluded from `total` and counted in `n_failed`.
   */
 object Bench {
+  val PerQueryBudget: FiniteDuration =
+    sys.env.get("SPARK_GRAFT_QUERY_BUDGET_S").map(_.toInt.seconds).getOrElse(90.seconds)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sc = spark.sparkContext
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
+    // Optional name filter (dev loop): SPARK_GRAFT_BENCH_ONLY=dd3,dd5
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch {
+      def elapsed: Double = (System.nanoTime() - t0) / 1e9
+      val fut = Future {
+        sc.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally sc.clearJobGroup()
+      }
+      val v =
+        try { Await.result(fut, PerQueryBudget); elapsed }
+        catch {
+          case _: TimeoutException =>
+            sc.cancelJobGroup(name)
+            System.err.println(f"[bench] $name TIMEOUT after $elapsed%.1fs")
+            -2.0
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (v >= 0) System.err.println(f"[bench] $name ok in $v%.2fs")
+      name -> v
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

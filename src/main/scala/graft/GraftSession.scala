@@ -37,6 +37,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The testdata writer stores `events.ts` as parquet
+      // TIMESTAMP(NANOS), which Spark refuses to read by default
+      // ([PARQUET_TYPE_ILLEGAL]). Read nanos as LongType; Tables
+      // converts back to a proper TimestampType losslessly (the data
+      // is microsecond-aligned).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader over the driver-provided testdata layout
   * (`<sfDir>/<name>.parquet`, see TESTDATA.md).
@@ -19,6 +21,15 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS); with
+    // spark.sql.legacy.parquet.nanosAsLong it arrives as LongType
+    // nanos-since-epoch. Convert to TimestampType via integer division
+    // (`div`, not `/` — a double round-trip would lose precision at
+    // ~1.7e18). The testdata is µs-aligned so this is exact and
+    // matches DuckDB's native TIMESTAMP_NS read bit-for-bit.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 }

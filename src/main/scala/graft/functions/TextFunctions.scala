@@ -156,12 +156,14 @@ object TextFunctions {
   def sortedTokenFingerprint(text: Column): Column =
     sha2(concat_ws(" ", sort_array(tokens(text))), 256)
 
-  /** Polynomial rolling hash over tokens (base-31, mod 2^64 via Long
-    * overflow) — an order-SENSITIVE fingerprint, computed with
-    * `aggregate` over the token array (no UDF). */
+  /** Rolling (chained) hash over tokens — an order-SENSITIVE
+    * fingerprint, computed with `aggregate` over the token array (no
+    * UDF). Each step hashes (accumulator, token) together, so token
+    * order changes the result. An xxhash64 chain instead of the classic
+    * base-31 polynomial: the polynomial's deliberate Long overflow
+    * throws under Spark 4's default ANSI mode. */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Normalized text for exact dedup: lowercase, collapse whitespace,
     * trim. */

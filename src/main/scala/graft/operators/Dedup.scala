@@ -57,24 +57,57 @@ object Dedup {
 
   /** MinHash signature: `n` permutations approximated by `n` seeded
     * xxhash64 functions; sig[s] = min over shingles of hash(shingle, s).
-    * Runtime loop via HOFs — the generated code stays small for any n. */
+    *
+    * Single-pass form: ONE `aggregate` traversal of the shingle array,
+    * folding an n-length running-minimum vector. The naive nested form
+    * (`transform(0..n-1, s => array_min(transform(shingles, ...)))`)
+    * references the shingle-array expression inside the outer lambda,
+    * and after Catalyst collapses projections that means the whole
+    * shingle CONSTRUCTION re-evaluates n times per row — a 64×
+    * slowdown observed at sf0.1 (BENCH r2/r3 dd3 timeouts). */
   def minhashSignature(shingleArr: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      s => array_min(transform(shingleArr, sh => xxhash64(sh, s))))
+    aggregate(shingleArr,
+      array_repeat(lit(Long.MaxValue), n),
+      (acc, sh) => zip_with(acc,
+        transform(sequence(lit(0), lit(n - 1)), s => xxhash64(sh, s)),
+        (a, h) => least(a, h)))
 
   /** LSH bands: split an n-length signature into `bands` bands of
     * n/bands rows; band hash = xxhash64 over the band's joined values.
-    * Output: array of (band, bandHash) structs. */
-  def lshBands(sig: Column, n: Int, bands: Int): Column = {
+    * Output: one (band, bandHash) struct column per band — lexically
+    * unrolled, NOT a `transform` lambda, so `sig` stays a multiply-
+    * referenced column attribute that CollapseProject refuses to inline
+    * (a lambda would hide the fan-out and re-evaluate the signature
+    * once per band). */
+  def lshBandCols(sig: Column, n: Int, bands: Int): Seq[Column] = {
     val r = n / bands
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
         xxhash64(concat_ws("_",
-          transform(slice(sig, b * lit(r) + lit(1), lit(r)), v => v.cast("string")))).as("bh")))
+          transform(slice(sig, b * r + 1, r), v => v.cast("string")))).as("bh"))
+    }
+  }
+
+  /** All unordered (ascending) element pairs within each bucket row,
+    * generated INSIDE the aggregated bucket — pairs = explode of a
+    * nested-transform expression over the collected (sorted, capped)
+    * bucket array. This replaces a bucket self-join: one shuffle total,
+    * the expensive upstream expressions (signatures) evaluate exactly
+    * once per row instead of once per join side, and the quadratic work
+    * is bounded by maxBucket² per bucket. `bucketCol` must be an array
+    * column; emits `_pair` = 2-element array. */
+  private def bucketPairs(buckets: DataFrame, bucketCol: String): DataFrame = {
+    val arr = col(bucketCol)
+    val n = size(arr)
+    buckets.select(explode(flatten(
+      transform(sequence(lit(1), n - 1), i =>
+        transform(slice(arr, i + 1, n - i), x =>
+          array(element_at(arr, i), x))))).as("_pair"))
   }
 
   /** Candidate pairs from banded MinHash-LSH. Never all-pairs: explode
-    * bands → self-equi-join on (band, bandHash) → id1 < id2 → distinct.
+    * bands → group per (band, bandHash) bucket → in-bucket pair
+    * generation → distinct.
     *
     * @param maxBucket drop degenerate buckets larger than this (at 100 TB
     *        these are boilerplate clusters that would quadratically blow
@@ -84,19 +117,20 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, text: Column,
                         shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignature(shingles(text, shingleK), numHashes)
-    val banded = docs
-      .select(col(idCol).as("doc"), explode(lshBands(sig, numHashes, bands)).as("b"))
+    // sig lands as a named column FIRST; the band columns then hold 16
+    // real references to it, which keeps the expensive signature from
+    // being inlined+re-evaluated per band (see lshBandCols scaladoc).
+    val withSig = docs.select(col(idCol).as("doc"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
+    val banded = withSig
+      .select(col("doc"),
+        explode(array(lshBandCols(col("sig"), numHashes, bands): _*)).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val pruned = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    pruned.as("l").join(pruned.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("id1"), col("r.doc").as("id2"))
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+    bucketPairs(buckets, "docs")
+      .select(col("_pair")(0).as("id1"), col("_pair")(1).as("id2"))
       .distinct()
   }
 
@@ -143,13 +177,15 @@ object Dedup {
   /** Hamming distance between two packed fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the fingerprint into `bands` byte
-    * slices (pigeonhole: hamming <= bands-1 guarantees >= 1 identical
-    * band), bucket-join on any equal band, verify with full hamming.
+  /** SimHash near-dup pairs: band the fingerprint into `bands` slices
+    * (pigeonhole: hamming <= bands-1 guarantees >= 1 identical band),
+    * group per (band, slice) bucket, generate in-bucket (doc, sig)
+    * pairs, verify with full hamming. Same single-shuffle shape as
+    * [[minhashCandidates]] — the signature computes once per doc.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       bits: Int = 32, bands: Int = 4,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val r = bits / bands
     val withSig = docs.select(col(idCol).as("doc"), simhash(col(textCol), bits).as("sig"))
     // band value = (sig >> (band*r)) & (2^r - 1); shift amount must be a
@@ -158,14 +194,17 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bh"))
     }
-    val exploded = withSig
-      .select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-    exploded.as("l").join(exploded.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("id1"), col("r.doc").as("id2"),
-        col("l.sig").as("sig1"), col("r.sig").as("sig2"))
+    val banded = withSig
+      .select(struct(col("doc"), col("sig")).as("ds"), explode(array(bandCols: _*)).as("b"))
+      .select(col("ds"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_set(col("ds"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    bucketPairs(buckets, "ds")
+      .select(col("_pair")(0).getField("doc").as("id1"),
+        col("_pair")(1).getField("doc").as("id2"),
+        col("_pair")(0).getField("sig").as("sig1"),
+        col("_pair")(1).getField("sig").as("sig2"))
       .distinct()
       .withColumn("hamming", hamming(col("sig1"), col("sig2")))
       .filter(col("hamming") <= maxHamming)
@@ -181,14 +220,20 @@ object Dedup {
     * survives. Bucketing keys the shuffle — no n² pass.
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-                        threshold: Double = 0.99, bits: Int = 12): DataFrame = {
-    val sig = embs.select(col(idCol).as("doc"), col(vecCol).as("vec"),
+                        threshold: Double = 0.99, bits: Int = 12,
+                        maxBucket: Int = 1000): DataFrame = {
+    val withSig = embs.select(
+      struct(col(idCol).as("doc"), col(vecCol).as("vec")).as("dv"),
       V.hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
-    sig.as("l").join(sig.as("r"),
-        col("l.sig") === col("r.sig") && col("l.doc") < col("r.doc"))
-      .withColumn("cosine", V.cosineSimilarity(col("l.vec"), col("r.vec")))
+    val buckets = withSig.groupBy("sig")
+      .agg(sort_array(collect_list(col("dv"))).as("dv"))
+      .filter(size(col("dv")).between(2, maxBucket))
+    bucketPairs(buckets, "dv")
+      .select(col("_pair")(0).getField("doc").as("id1"),
+        col("_pair")(1).getField("doc").as("id2"),
+        V.cosineSimilarity(col("_pair")(0).getField("vec"),
+          col("_pair")(1).getField("vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("l.doc").as("id1"), col("r.doc").as("id2"),
-        round(col("cosine"), 4).as("cosine"))
+      .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }
 }

@@ -531,7 +531,7 @@ object RelationalQueries {
          GROUP BY r_name ORDER BY r_name""",
     "j2c_ordered_reassembly" ->
       """SELECT l_orderkey,
-                string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber) AS parts
+                string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "j3_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -1,0 +1,252 @@
+package graft.sources
+
+import java.io.StringReader
+import java.sql.Timestamp
+import java.time.Instant
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OSM XML ingest (SURVEY.md §2.1 S1-S3): the reference's streaming
+  * `ET.iterparse` ETL (/root/reference/ProjectCodeUsed/data.py:188-201)
+  * re-expressed as a Spark source producing a typed
+  * `Dataset[OsmElement]` with the fixed schema of SURVEY.md §1.4.
+  *
+  * Execution shape: files parallelize across the cluster
+  * (`wholeTextFiles`); within a file, StAX pulls events incrementally —
+  * the same constant-memory discipline as the reference's iterparse,
+  * but N files wide. At the 100 TB design point OSM data arrives as
+  * many sharded extracts (or PBF, whose decoder would slot into the
+  * same per-file flatMap), so per-file parallelism is the natural
+  * split; a single monolithic planet.xml should be sharded on ingest —
+  * that split is a one-time framing pass, not something to redo per
+  * query. Everything downstream of this source is columnar parquet.
+  *
+  * Shaping semantics mirror `shape_element`
+  * (ProjectCodeUsed/data.py:120-185):
+  *  - only `node` and `way` become rows; relations drop (:173).
+  *  - lat/lon → `pos` struct, Double (:124-127).
+  *  - version/changeset/timestamp/user/uid → `created` struct (:129-134),
+  *    timestamp parsed to a real TimestampType.
+  *  - `<nd ref>` → `node_refs`, document order preserved (:141-143).
+  *  - `addr:` tags → `address` struct (:153-168): keys with problem
+  *    chars or a second colon drop; street is normalized iff
+  *    `cleanStreets` (the ProjectCodeUsed variant cleans, the
+  *    Lesson6Quizes variant does not — data.py:163-165 vs :147-148).
+  *  - all other tags land in the `tags` map; hot keys the reference
+  *    queries touch (amenity, natural, place, name, population) are
+  *    also promoted to top-level columns so parquet column pruning
+  *    works (SURVEY.md §1.4).
+  */
+object OsmSource {
+
+  case class OsmPos(lat: Double, lon: Double)
+  case class OsmCreated(version: String, changeset: String,
+                        timestamp: Timestamp, user: String, uid: String)
+  case class OsmAddress(street: String, housenumber: String,
+                        postcode: String, city: String, state: String)
+  case class OsmElement(
+      id: String,
+      `type`: String,
+      visible: String,
+      pos: OsmPos,
+      created: OsmCreated,
+      address: OsmAddress,
+      node_refs: Seq[String],
+      tags: Map[String, String],
+      amenity: String,
+      natural: String,
+      place: String,
+      name: String,
+      population: String)
+
+  /** The reference's tag-key filters (ProjectCodeUsed/data.py:89-91). */
+  private val problemChars = "[=\\+/&<>;'\"\\?%#$@,\\. \t\r\n]".r
+  private val lowerColon = "^([a-z]|_)*:([a-z]|_)*$".r
+
+  private val addressFields = Set("street", "housenumber", "postcode", "city", "state")
+  private val promotedKeys = Seq("amenity", "natural", "place", "name", "population")
+
+  /** S2 — element-type histogram (mapparser.py:16-21): count of every
+    * XML tag name in the file(s), as a DataFrame. */
+  def tagHistogram(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, xml) => tagNames(xml) }
+      .toDF("xml_tag")
+      .groupBy("xml_tag").agg(count(lit(1)).as("cnt"))
+      .orderBy("xml_tag")
+  }
+
+  /** S1 — parse OSM XML file(s) into the canonical typed Dataset.
+    * @param cleanStreets apply street normalization at ingest (the
+    *        ProjectCodeUsed behavior); pass false for the raw
+    *        Lesson6Quizes shaping. */
+  def elements(spark: SparkSession, path: String,
+               cleanStreets: Boolean = true): Dataset[OsmElement] = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, xml) => parseElements(xml, cleanStreets) }
+      .toDS()
+  }
+
+  /** S3 — JSON-lines sink (process_map's `file_in + ".json"` output,
+    * data.py:188-201). Distributed write; one JSON object per line. */
+  def writeJsonLines(ds: Dataset[OsmElement], path: String): Unit =
+    ds.write.mode("overwrite").json(path)
+
+  /** Parquet sink — the engine's canonical storage (S4's mongoimport
+    * analogue). Partitioned by element type so node-only / way-only
+    * queries prune at the directory level. */
+  def writeParquet(ds: Dataset[OsmElement], path: String): Unit =
+    ds.write.mode("overwrite").partitionBy("type").parquet(path)
+
+  // -------------------------------------------------------------------
+  // StAX parsing (executor-side, constant memory per file)
+  // -------------------------------------------------------------------
+
+  private def newReader(xml: String): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new StringReader(xml))
+  }
+
+  /** All element names in document order (for the S2 histogram). */
+  private[sources] def tagNames(xml: String): Iterator[String] = {
+    val r = newReader(xml)
+    new Iterator[String] {
+      private var nextName: String = advance()
+      private def advance(): String = {
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT)
+            return r.getLocalName
+        }
+        null
+      }
+      def hasNext: Boolean = nextName != null
+      def next(): String = { val n = nextName; nextName = advance(); n }
+    }
+  }
+
+  /** Incremental pull-parse: yields one shaped OsmElement per
+    * `<node>`/`<way>`; relations and everything else skip. */
+  private[sources] def parseElements(xml: String, cleanStreets: Boolean): Iterator[OsmElement] = {
+    val r = newReader(xml)
+    new Iterator[OsmElement] {
+      private var nextEl: OsmElement = advance()
+      private def advance(): OsmElement = {
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT) {
+            val tag = r.getLocalName
+            if (tag == "node" || tag == "way") return parseOne(r, tag)
+          }
+        }
+        null
+      }
+      def hasNext: Boolean = nextEl != null
+      def next(): OsmElement = { val e = nextEl; nextEl = advance(); e }
+
+      /** Reads attributes of the current start element, then consumes
+        * children until the matching end element. */
+      private def parseOne(r: XMLStreamReader, tag: String): OsmElement = {
+        val attrs = (0 until r.getAttributeCount)
+          .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+
+        val pos =
+          if (attrs.contains("lat") && attrs.contains("lon"))
+            OsmPos(attrs("lat").toDouble, attrs("lon").toDouble)
+          else null
+        val created =
+          if (Seq("version", "changeset", "timestamp", "user", "uid").exists(attrs.contains))
+            OsmCreated(
+              attrs.getOrElse("version", null), attrs.getOrElse("changeset", null),
+              attrs.get("timestamp").map(t => Timestamp.from(Instant.parse(t))).orNull,
+              attrs.getOrElse("user", null), attrs.getOrElse("uid", null))
+          else null
+
+        var nodeRefs = List.empty[String]
+        var address = Map.empty[String, String]
+        var tags = Map.empty[String, String]
+        var depth = 1
+        while (r.hasNext && depth > 0) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              depth += 1
+              r.getLocalName match {
+                case "nd" =>
+                  val ref = attrValue(r, "ref")
+                  if (ref != null) nodeRefs ::= ref
+                case "tag" =>
+                  val k = attrValue(r, "k")
+                  val v = attrValue(r, "v")
+                  if (k != null && v != null) {
+                    if (k.startsWith("addr:")) {
+                      val key = k.substring(5)
+                      // drop problemchars / second-colon keys (data.py:158-162)
+                      if (problemChars.findFirstIn(key).isEmpty &&
+                          lowerColon.findFirstMatchIn(key).isEmpty) {
+                        val value =
+                          if (key == "street" && cleanStreets) updateName(v)
+                          else v
+                        if (addressFields.contains(key)) address += key -> value
+                        else tags += k -> value // fixed-schema overflow
+                      }
+                    } else tags += k -> v
+                  }
+                case _ =>
+              }
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+        }
+
+        val addr =
+          if (address.nonEmpty)
+            OsmAddress(address.getOrElse("street", null),
+              address.getOrElse("housenumber", null),
+              address.getOrElse("postcode", null),
+              address.getOrElse("city", null),
+              address.getOrElse("state", null))
+          else null
+
+        OsmElement(
+          id = attrs.getOrElse("id", null),
+          `type` = tag,
+          visible = attrs.getOrElse("visible", null),
+          pos = pos,
+          created = created,
+          address = addr,
+          node_refs = if (tag == "way" && nodeRefs.nonEmpty) nodeRefs.reverse else null,
+          tags = tags,
+          amenity = tags.getOrElse("amenity", null),
+          natural = tags.getOrElse("natural", null),
+          place = tags.getOrElse("place", null),
+          name = tags.getOrElse("name", null),
+          population = tags.getOrElse("population", null))
+      }
+
+      private def attrValue(r: XMLStreamReader, name: String): String = {
+        var i = 0
+        while (i < r.getAttributeCount) {
+          if (r.getAttributeLocalName(i) == name) return r.getAttributeValue(i)
+          i += 1
+        }
+        null
+      }
+    }
+  }
+
+  /** `update_name` (ProjectCodeUsed/data.py:110-118) — driver/executor
+    * Scala twin of TextFunctions.normalizeStreet (same mapping, same
+    * last-token rule); used during ingest shaping where we're already
+    * row-at-a-time inside the parser. */
+  private[sources] def updateName(name: String): String = {
+    val parts = name.trim.split("\\s+")
+    graft.functions.TextFunctions.streetMapping.get(parts.last) match {
+      case Some(rep) => (parts.init :+ rep).mkString(" ")
+      case None => name
+    }
+  }
+}

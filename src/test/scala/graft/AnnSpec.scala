@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+import graft.functions.{VectorFunctions => V}
+
+/** ANN recall tests: LSH and IVF results measured against the exact
+  * brute-force baseline on the real sf0.001 embeddings table — the
+  * correctness gate for the oracle-less ann2/ann3 queries.
+  */
+class AnnSpec extends SparkSpec {
+  private val dim = 64
+
+  private lazy val embs = Tables(spark, sf, "embeddings").cache()
+  private lazy val query =
+    embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+  private lazy val exactTop20: Seq[Long] =
+    Ann.bruteForceTopK(embs, "vec_id", "embedding", query, "qv", 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("brute-force top-k: self is the top hit with sim 1.0") {
+    val top = Ann.bruteForceTopK(embs, "vec_id", "embedding", query, "qv", 5)
+      .collect()
+    top.head.getLong(0) shouldBe 0L
+    top.head.getDouble(1) shouldBe 1.0 +- 1e-9
+    // descending similarity
+    top.map(_.getDouble(1)).toSeq shouldBe top.map(_.getDouble(1)).sortBy(-_).toSeq
+  }
+
+  // The testdata embeddings are near-uniform random (top-10 "neighbors"
+  // of a query have cosine ≈ 0.3, i.e. ~72° away), so recall targets
+  // must follow hyperplane-LSH math: P(bit agrees) = 1 - θ/π ≈ 0.61 per
+  // bit. With bits=2 and multiprobe radius 1 (≥1 of 2 bits agreeing
+  // suffices) the per-neighbor hit probability is ≈ 0.85. On real
+  // clustered embeddings (θ small) the same operator's recall → 1.
+  test("LSH top-k: recall tracks the hyperplane-LSH math; self always found") {
+    val got = Ann.lshTopK(embs, "vec_id", "embedding", dim, query, "qv", 10, bits = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val truth = exactTop20.take(10).toSet
+    val recall = got.map(_._1).toSet.intersect(truth).size.toDouble / truth.size
+    withClue(s"got=${got.map(_._1).toSeq} truth=$truth: ") { recall should be >= 0.6 }
+    // identical signature → the query always retrieves itself, sim 1.0
+    got.head._1 shouldBe 0L
+    got.head._2 shouldBe 1.0 +- 1e-9
+    // no fabricated similarities: every returned sim equals brute force
+    val exactSims = Ann.bruteForceTopK(embs, "vec_id", "embedding", query, "qv",
+      embs.count().toInt).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => s shouldBe exactSims(id) +- 1e-9 }
+  }
+
+  test("IVF top-k: k results, all from probed cells, sims exact") {
+    val got = Ann.ivfTopK(embs, "vec_id", "embedding", "label", dim,
+      query, "qv", 10, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    got.length shouldBe 10
+    // every returned sim equals the exact brute-force value for that id
+    val exactSims = Ann.bruteForceTopK(embs, "vec_id", "embedding", query, "qv",
+      embs.count().toInt).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => s shouldBe exactSims(id) +- 1e-9 }
+    // results are confined to nProbe cells (the pruning contract)
+    val cells = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.map { case (id, _) => cells(id) }.toSet.size should be <= 2
+  }
+
+  test("cosine/dot/norm building blocks") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),
+      (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .select(V.dot(col("a"), col("b")).as("dot"),
+        V.norm(col("a")).as("na"),
+        V.cosineSimilarity(col("a"), col("b")).as("cos"))
+      .collect()
+    df(0).getDouble(0) shouldBe 0.0 +- 1e-9
+    df(0).getDouble(2) shouldBe 0.0 +- 1e-9
+    df(1).getDouble(2) shouldBe 1.0 +- 1e-9
+    df(2).getDouble(1) shouldBe 5.0 +- 1e-9
+  }
+}

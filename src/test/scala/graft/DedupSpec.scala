@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.{TextFunctions => T}
+
+/** Dedup operator tests on planted fixtures: exact-dup counting,
+  * MinHash-LSH recall against exact Jaccard ground truth, SimHash
+  * near-dup detection. These are the oracle-less operators' correctness
+  * gate (PipelineQueries scaladoc).
+  */
+class DedupSpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "in the warm sun near the old stone wall by the river bank today"
+
+  /** Corpus: 3 exact-dup groups, 4 near-dup pairs (1-2 word edits), and
+    * unrelated filler docs. */
+  private lazy val corpus = {
+    import spark.implicits._
+    val nearDup = base.replace("today", "tonight")
+    val nearDup2 = base.replace("quick", "fast").replace("lazy", "idle")
+    val far = "completely different text about spark catalyst optimizer " +
+      "rules and tungsten codegen with whole stage compilation for joins"
+    val farDup = far.replace("joins", "aggregations")
+    val filler = (0 until 30).map(i =>
+      s"unique filler document number $i with some entirely distinct words " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+    (Seq(
+      1L -> base, 2L -> base, // exact dup
+      3L -> nearDup, 4L -> nearDup2, // near dups of base
+      5L -> far, 6L -> farDup, // near-dup pair
+      7L -> (base + " "), 8L -> base.toUpperCase // normalize-equal dups
+    ) ++ filler.zipWithIndex.map { case (t, i) => (100L + i) -> t })
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup counts normalize-equal docs as dups") {
+    val r = Dedup.exactStats(corpus, col("text")).collect()(0)
+    r.getAs[Long]("n_docs") shouldBe 38
+    // {1,2,7,8} normalize to one text → 3 dups
+    r.getAs[Long]("n_dups") shouldBe 3
+    val kept = Dedup.dropExactDups(corpus, "doc_id", col("text"))
+    kept.count() shouldBe 35
+    // min-id representative survives
+    kept.filter(col("doc_id") === 1).count() shouldBe 1
+    kept.filter(col("doc_id").isin(2, 7, 8)).count() shouldBe 0
+  }
+
+  test("MinHash-LSH finds every true near-dup pair (recall vs exact Jaccard)") {
+    // ground truth: all-pairs exact Jaccard (fine at test scale)
+    val sh = corpus.select(col("doc_id").as("gid"),
+      Dedup.shingles(col("text"), 3).as("gsh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.gid") < col("b.gid"))
+      .withColumn("j", Dedup.jaccard(col("a.gsh"), col("b.gsh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.gid").as("id1"), col("b.gid").as("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    truth should not be empty // the fixture plants real near-dups
+
+    val found = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // verification step uses exact Jaccard → no false positives possible
+    found.subsetOf(truth) shouldBe true
+    // banded LSH (64 hashes / 16 bands) catches everything at j>=0.5
+    // on this fixture; recall is the whole point of the banding choice
+    found shouldBe truth
+  }
+
+  test("SimHash: identical docs collide; near-dups within hamming 3; far docs beyond") {
+    import spark.implicits._
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) shouldBe sigs(2L) // identical text → identical fingerprint
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) should be <= 3 // one-word edit
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(5L)) should be > 8  // unrelated
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs.exists { case (a, b) => (a <= 8 && b >= 100) } shouldBe false // no cross-cluster junk
+  }
+
+  test("embedding near-dup finds planted high-cosine pairs only") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(j => math.sin(seed * 31 + j).toFloat)
+    val rows = Seq(
+      (1L, vec(1)), (2L, vec(1)), // identical
+      (3L, vec(1).updated(0, vec(1)(0) + 0.01f)), // tiny perturbation
+      (4L, vec(7)), (5L, vec(13))) // unrelated
+    val embs = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(embs, "vec_id", "embedding", dim,
+      threshold = 0.999, bits = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs.exists { case (a, b) => b >= 4L } shouldBe false
+  }
+}

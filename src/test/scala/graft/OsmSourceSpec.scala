@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.OsmSource
+
+/** S1-S3 golden tests, reproducing every assert from the reference's
+  * quiz modules on the reconstructed fixtures (OsmFixture, FIXTURES.md).
+  */
+class OsmSourceSpec extends SparkSpec {
+
+  test("S2 tag histogram matches mapparser.py:28-35 golden dict") {
+    val p = OsmFixture.write("example.osm", OsmFixture.xml)
+    val hist = OsmSource.tagHistogram(spark, p.toString)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    hist shouldBe Map(
+      "osm" -> 1L, "bounds" -> 1L, "node" -> 20L, "way" -> 1L,
+      "relation" -> 1L, "nd" -> 4L, "member" -> 3L, "tag" -> 7L)
+  }
+
+  test("users.py:26-30 — exactly 6 distinct users") {
+    val p = OsmFixture.write("example.osm", OsmFixture.xml)
+    val n = OsmSource.elements(spark, p.toString)
+      .select(col("created.user")).distinct().count()
+    n shouldBe 6L // relations drop, but all 6 users appear on nodes/ways
+  }
+
+  test("tags.py:50-55 — key classification counts on the tags fixture") {
+    import spark.implicits._
+    val xml = OsmFixture.tagsXml
+    val tagKeys = "k=\"([^\"]*)\"".r.findAllMatchIn(xml).map(_.group(1)).toSeq
+    val counts = tagKeys.toDF("k")
+      .groupBy(graft.functions.TextFunctions.keyType(col("k")).as("cls"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts shouldBe Map("lower" -> 5L, "other" -> 1L, "problemchars" -> 1L)
+  }
+
+  test("audit.py:67-79 — 3 unexpected street types; update_name fixes them") {
+    val p = OsmFixture.write("example.osm", OsmFixture.xml)
+    import graft.functions.{TextFunctions => T}
+    val raw = OsmSource.elements(spark, p.toString, cleanStreets = false)
+      .filter(col("address.street").isNotNull)
+      .select(col("address.street").as("street"))
+    val unexpected = raw.filter(T.isUnexpectedStreetType(col("street")))
+      .select(T.streetType(col("street")).as("st")).distinct().collect().map(_.getString(0))
+    unexpected.toSet shouldBe Set("St.", "Rd.", "Ave")
+
+    val fixed = raw.select(col("street"), T.normalizeStreet(col("street")).as("better"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixed("West Lexington St.") shouldBe "West Lexington Street"
+    fixed("Baldwin Rd.") shouldBe "Baldwin Road"
+    fixed("North Mozart Ave") shouldBe "North Mozart Avenue"
+  }
+
+  test("data.py:183-210 — golden shaped rows (first node, last way)") {
+    val p = OsmFixture.write("data.osm", OsmFixture.dataXml)
+    val els = OsmSource.elements(spark, p.toString, cleanStreets = false).collect()
+
+    els.length shouldBe 2 // the relation dropped (data.py:173)
+
+    val first = els.head
+    first.id shouldBe "261114295"
+    first.`type` shouldBe "node"
+    first.visible shouldBe "true"
+    first.pos.lat shouldBe 41.9730791 +- 1e-9
+    first.pos.lon shouldBe -87.6866303 +- 1e-9
+    first.created.changeset shouldBe "11129782"
+    first.created.user shouldBe "bbmiller"
+    first.created.version shouldBe "7"
+    first.created.uid shouldBe "451048"
+    first.created.timestamp.toInstant.toString shouldBe "2012-03-28T18:31:23Z"
+
+    val last = els.last
+    last.`type` shouldBe "way"
+    last.address.street shouldBe "West Lexington St." // raw (lesson variant)
+    last.address.housenumber shouldBe "1412"
+    // order preserved, first == last (closed ring) — data.py:204-210
+    last.node_refs shouldBe Seq("2199822281", "2199822390", "2199822392",
+      "2199822369", "2199822370", "2199822284", "2199822281")
+    // addr:street:name / addr:street:prefix dropped (second colon)
+    last.tags.keys.exists(_.startsWith("addr:street:")) shouldBe false
+    last.tags.get("building") shouldBe Some("yes")
+  }
+
+  test("ProjectCodeUsed shaping cleans streets in flight (data.py:163-165)") {
+    val p = OsmFixture.write("data.osm", OsmFixture.dataXml)
+    val way = OsmSource.elements(spark, p.toString, cleanStreets = true)
+      .filter(col("type") === "way").collect().head
+    way.address.street shouldBe "West Lexington Street"
+  }
+
+  test("S3 JSON-lines + parquet sinks round-trip") {
+    val p = OsmFixture.write("example.osm", OsmFixture.xml)
+    val els = OsmSource.elements(spark, p.toString)
+    val out = java.nio.file.Files.createTempDirectory("osm-sink").toString
+    OsmSource.writeJsonLines(els, s"$out/json")
+    OsmSource.writeParquet(els, s"$out/parquet")
+    spark.read.json(s"$out/json").count() shouldBe 21 // 20 nodes + 1 way
+    val back = spark.read.parquet(s"$out/parquet")
+    back.count() shouldBe 21
+    // partitioned by type → node-only scan prunes to the node directory
+    back.filter(col("type") === "node").count() shouldBe 20
+  }
+}

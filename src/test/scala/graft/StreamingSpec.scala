@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming (SURVEY §2.10, the north-star extension):
+  * a real readStream → watermark → tumbling window → writeStream
+  * pipeline driven through MemoryStream, including late-data handling.
+  * The batch twins of these plans are the oracle-checked
+  * st1/st2 queries; this spec pins the streaming semantics
+  * (watermark drops, incremental emission) that batch can't.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("tumbling-window count over a stream with watermark drops late data") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val windowed = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
+    val q = windowed.writeStream
+      .format("memory").queryName("st_windows")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: two events in hour 10, one in hour 11
+      input.addData((t("2024-01-01 10:05:00"), "click"),
+        (t("2024-01-01 10:45:00"), "click"),
+        (t("2024-01-01 11:05:00"), "view"))
+      q.processAllAvailable()
+      // batch 2: advance watermark past hour 10 (event at 12:30 →
+      // watermark 12:20), closing the hour-10 window
+      input.addData((t("2024-01-01 12:30:00"), "view"))
+      q.processAllAvailable()
+      // batch 3: a LATE event for hour 10 — behind the watermark, dropped
+      input.addData((t("2024-01-01 10:50:00"), "click"))
+      q.processAllAvailable()
+      // batch 4: advance watermark to flush everything still open
+      input.addData((t("2024-01-01 23:00:00"), "flush"))
+      q.processAllAvailable()
+
+      val rows = spark.table("st_windows")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      // hour-10 window emitted with cnt=2: the late event did NOT count
+      rows should contain(("2024-01-01 10:00:00.0", "click", 2L))
+      rows should contain(("2024-01-01 11:00:00.0", "view", 1L))
+      rows should contain(("2024-01-01 12:00:00.0", "view", 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: dropDuplicates within watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "doc_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("doc_id")
+
+    val q = deduped.writeStream
+      .format("memory").queryName("st_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:01:00"), 1L),
+        (t("2024-01-01 10:02:00"), 2L))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:03:00"), 1L), (t("2024-01-01 10:04:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("st_dedup").collect().map(_.getLong(1)).sorted.toSeq
+      ids shouldBe Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+}

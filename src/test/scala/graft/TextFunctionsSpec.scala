@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Column-expression twins of the reference's cleaning kernel, pinned
+  * to the reference's own asserts plus ScalaCheck-generated properties
+  * (SURVEY.md §5 strategy items a+b; generators driven directly — the
+  * scalatest/scalacheck bridge artifact isn't in the offline cache).
+  */
+class TextFunctionsSpec extends SparkSpec {
+
+  private def normalize(names: String*): Map[String, String] = {
+    import spark.implicits._
+    names.toDF("name")
+      .select(col("name"), T.normalizeStreet(col("name")).as("fixed"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("update_name golden asserts (audit.py:73-79, data.py mapping)") {
+    val m = normalize(
+      "West Lexington St.", "Baldwin Rd.", "North Lincoln Ave",
+      "Martin Luther King Jr Blvd", "South Wabash Blvd.",
+      "North Arthur", "Wellesley", "E Main",
+      "North Lincoln Avenue", "Mozart Street")
+    m("West Lexington St.") shouldBe "West Lexington Street"
+    m("Baldwin Rd.") shouldBe "Baldwin Road"
+    m("North Lincoln Ave") shouldBe "North Lincoln Avenue"
+    m("Martin Luther King Jr Blvd") shouldBe "Martin Luther King Jr Boulevard"
+    m("South Wabash Blvd.") shouldBe "South Wabash Boulevard"
+    // the three whole-suffix one-offs (ProjectCodeUsed/data.py:105-107)
+    m("North Arthur") shouldBe "North Arthur St"
+    m("Wellesley") shouldBe "Wellesley Avenue"
+    m("E Main") shouldBe "E Main Avenue"
+    // names already expected are untouched
+    m("North Lincoln Avenue") shouldBe "North Lincoln Avenue"
+    m("Mozart Street") shouldBe "Mozart Street"
+  }
+
+  test("normalizeStreet property: only the last token ever changes") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Gen.oneOf(
+      "North", "South", "Lincoln", "St", "St.", "Ave", "Rd", "Street", "x1")
+    val nameGen = Gen.nonEmptyListOf(words).map(_.mkString(" "))
+    val names = (0 until 100).flatMap(i =>
+      nameGen(Gen.Parameters.default, Seed(i.toLong))).distinct
+    val fixed = names.toDF("n")
+      .select(col("n"), T.normalizeStreet(col("n")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    names.foreach { name =>
+      val (pIn, pOut) = (name.split("\\s+"), fixed(name).split("\\s+"))
+      withClue(s"input '$name': ") {
+        // prefix (all but last input token) is preserved verbatim
+        pOut.take(pIn.length - 1).toSeq shouldBe pIn.dropRight(1).toSeq
+        val expectTail = T.streetMapping.getOrElse(pIn.last, pIn.last)
+        pOut.drop(pIn.length - 1).mkString(" ") shouldBe expectTail
+      }
+    }
+  }
+
+  test("keyType matches tags.py:21-38 classifier on edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      "amenity" -> "lower", "addr:street" -> "lower_colon",
+      "PHONE" -> "other", "addr.street" -> "problemchars",
+      "a b" -> "problemchars", "snake_case" -> "lower",
+      "" -> "lower", // ^([a-z]|_)*$ matches empty — same as Python
+      "UPPER:case" -> "other")
+    val got = cases.map(_._1).toDF("k")
+      .select(col("k"), T.keyType(col("k")).as("cls"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (k, want) => got(k) shouldBe want }
+  }
+
+  test("merged-field splitter (readme.md:94-103)") {
+    import spark.implicits._
+    val r = Seq("Spokane, WA 99218", "WA 99021", "plain text")
+      .toDF("v")
+      .select(T.mergedCity(col("v")).as("city"),
+        T.mergedState(col("v")).as("state"),
+        T.mergedPostcode(col("v")).as("post"))
+      .collect()
+    (r(0).getString(0), r(0).getString(1), r(0).getString(2)) shouldBe (("Spokane", "WA", "99218"))
+    (r(1).getString(1), r(1).getString(2)) shouldBe (("WA", "99021"))
+    r(2).getString(1) shouldBe "" // no capture
+  }
+
+  test("token counters, fingerprints: order sensitivity contract") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "fox brown quick the").toDF("t")
+      .select(
+        T.tokenCount(col("t")).as("n"),
+        T.bpeishTokenCount(col("t")).as("nb"),
+        T.sortedTokenFingerprint(col("t")).as("fp"),
+        T.rollingHash(col("t")).as("rh"))
+      .collect()
+    df(0).getInt(0) shouldBe 4
+    df(0).getInt(1) shouldBe 4
+    // same bag of words → same sorted fingerprint, different rolling hash
+    df(0).getString(2) shouldBe df(1).getString(2)
+    df(0).getLong(3) should not be df(1).getLong(3)
+  }
+
+  test("languageId predicts the dominant stopword language") {
+    import spark.implicits._
+    val r = Seq(
+      "the cat sat on the mat and it is warm",
+      "el gato es grande y la casa es de madera",
+      "qwerty zzz xxx").toDF("t")
+      .select(T.languageId(col("t"))).collect().map(_.getString(0))
+    r(0) shouldBe "en"
+    r(1) shouldBe "es"
+    r(2) shouldBe "und"
+  }
+}
