@@ -13,6 +13,10 @@ import org.apache.spark.sql.types.LongType
   * `PushedFilters`/`ReadSchema` for whatever the query actually touches).
   * At 100 TB the same call reads a partitioned directory tree instead of
   * a single file — nothing else in the library changes.
+  *
+  * Note: `documents` and `embeddings` exist in every sf dir even though
+  * TESTDATA.md's table list omits them (verified on disk; they back the
+  * dedup/ANN/text-analysis queries).
   */
 object Tables {
   val names: Seq[String] = Seq(

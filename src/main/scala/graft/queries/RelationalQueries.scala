@@ -397,22 +397,71 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
-    // Streaming shape, batch-verified: tumbling 1h windows (SURVEY §2.10).
+    // Streaming shape, batch-verified: tumbling 1h windows (SURVEY
+    // §2.10) via the SAME transform the streaming pipeline uses
+    // (graft.streaming.Windows; incremental semantics in StreamingSpec).
     "st1_tumbling_window" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("total_cents"))
+      graft.streaming.Windows.tumbling(
+          t(s, dir, "events"), col("ts"), "1 hour", col("event_type"),
+          Seq(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("total_cents")))
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("total_cents"))
         .orderBy("ws", "event_type")
     }),
 
     // Sliding 1h-by-30m windows; each event lands in two windows.
     "st2_sliding_window" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
+      graft.streaming.Windows.sliding(
+          t(s, dir, "events"), col("ts"), "1 hour", "30 minutes", col("event_type"),
+          Seq(count(lit(1)).as("cnt")))
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
+    }),
+
+    // A2 (literal form) — global distinct-SET via collect_set, made
+    // deterministic with sort + join (the 315-users set, readme.md:129).
+    // countDistinct (a2) is the 100 TB-cardinality variant; this is the
+    // small-set variant the reference actually materializes.
+    "a2b_distinct_set" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // F14 — $geoWithin as the pushdown-friendly box rewrite
+    // (readme.md:500-522): synthetic lat/lon grid from event_id, two
+    // boxes split at lon=-117.045 (off the 0.01 grid so no point sits
+    // on the boundary), and the reference's conservation invariant
+    // (readme.md:522: WA + ID == total) checked IN the result.
+    "f14_geowithin_box" -> ((s, dir) => {
+      val lat = lit(46.0) + pmod(col("event_id"), lit(300)) / 100.0
+      val lon = lit(-120.0) + pmod(col("event_id") * 7, lit(400)) / 100.0
+      t(s, dir, "events")
+        .agg(
+          sum(when(G.inBox(lon, lat, -120.0, 46.0, -117.045, 49.0), 1).otherwise(0)).as("n_wa"),
+          sum(when(G.inBox(lon, lat, -117.045, 46.0, -116.0, 49.0), 1).otherwise(0)).as("n_id"),
+          count(lit(1)).as("n_total"))
+        .withColumn("conserved", col("n_wa") + col("n_id") === col("n_total"))
+    }),
+
+    // F14b — the same split through the general ray-casting PIP UDF
+    // (arbitrary polygons; no DuckDB oracle — UDFs don't translate).
+    // GeoQueriesSpec pins f14b == f14 row-for-row; the in-result
+    // `conserved` flag must be true here too.
+    "f14b_pip_conservation" -> ((s, dir) => {
+      val waRing = Array((-120.0, 46.0), (-117.045, 46.0), (-117.045, 49.0),
+        (-120.0, 49.0), (-120.0, 46.0))
+      val idRing = Array((-117.045, 46.0), (-116.0, 46.0), (-116.0, 49.0),
+        (-117.045, 49.0), (-117.045, 46.0))
+      val inWa = G.pointInPolygon(waRing)
+      val inId = G.pointInPolygon(idRing)
+      val lat = lit(46.0) + pmod(col("event_id"), lit(300)) / 100.0
+      val lon = lit(-120.0) + pmod(col("event_id") * 7, lit(400)) / 100.0
+      t(s, dir, "events")
+        .agg(
+          sum(when(inWa(lon, lat), 1).otherwise(0)).as("n_wa"),
+          sum(when(inId(lon, lat), 1).otherwise(0)).as("n_id"),
+          count(lit(1)).as("n_total"))
+        .withColumn("conserved", col("n_wa") + col("n_id") === col("n_total"))
     })
   )
 
@@ -606,6 +655,18 @@ object RelationalQueries {
            UNION ALL
            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type
            FROM events)
-         GROUP BY ws, event_type ORDER BY ws, event_type"""
+         GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "a2b_distinct_set" ->
+      """SELECT array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+                count(DISTINCT event_type) AS n_types FROM events""",
+    "f14_geowithin_box" ->
+      """SELECT n_wa, n_id, n_total, (n_wa + n_id = n_total) AS conserved FROM (
+           SELECT CAST(sum(CASE WHEN lon >= -120.0 AND lon <= -117.045
+                                 AND lat >= 46.0 AND lat <= 49.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wa,
+                  CAST(sum(CASE WHEN lon >= -117.045 AND lon <= -116.0
+                                 AND lat >= 46.0 AND lat <= 49.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
+                  count(*) AS n_total
+           FROM (SELECT 46.0 + (event_id % 300) / 100.0 AS lat,
+                        -120.0 + (event_id * 7 % 400) / 100.0 AS lon FROM events))"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time window transforms (SURVEY §2.10 — the north-star
+  * streaming extension; the reference itself has no streaming).
+  *
+  * Each transform is `DataFrame => DataFrame` and works UNCHANGED on a
+  * batch frame or a streaming frame — that's the point of Structured
+  * Streaming's unified model: the oracle-checked batch twins
+  * (st1/st2 in RelationalQueries) and the incremental watermark
+  * pipeline (StreamingSpec) share this exact code path.
+  *
+  * Scale: windowed grouped counts are partial-aggregated map-side
+  * before the shuffle; state in streaming mode is bounded by the
+  * watermark horizon × key cardinality.
+  */
+object Windows {
+
+  /** Tumbling event-time windows keyed by (window, key). */
+  def tumbling(df: DataFrame, ts: Column, width: String, key: Column,
+               aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, width), key).agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding event-time windows (width, slide) keyed by (window, key). */
+  def sliding(df: DataFrame, ts: Column, width: String, slide: String,
+              key: Column, aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, width, slide), key).agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming variant: watermarked tumbling counts, Append-safe (the
+    * window closes `late` after its end; later data drops). */
+  def streamingTumblingCounts(df: DataFrame, tsCol: String, width: String,
+                              late: String, key: Column): DataFrame =
+    df.withWatermark(tsCol, late)
+      .groupBy(window(col(tsCol), width), key)
+      .agg(count(lit(1)).as("cnt"))
+}

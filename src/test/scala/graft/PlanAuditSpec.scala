@@ -1,0 +1,77 @@
+package graft
+
+/** Machine-checked scale posture: the physical plans the 100 TB design
+  * depends on, asserted as plan-shape invariants rather than eyeballed
+  * `.explain` output. If a refactor silently drops a pushdown or turns
+  * a broadcast join into a shuffle, this spec fails.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p1: equality predicate is pushed to the parquet scan") {
+    val p = plan("p1_eq_filter")
+    p should include("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+  }
+
+  test("p1/p6: column pruning — the scan reads only referenced columns") {
+    val p = plan("p6_project_rename")
+    p should include("ReadSchema")
+    // customer has 5 columns; the query touches exactly these 3
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("c_name")
+    readSchema should include("c_acctbal")
+    readSchema should include("c_mktsegment")
+    readSchema should not include "c_custkey"
+    readSchema should not include "c_nationkey"
+  }
+
+  test("o1+o2: sort+limit fuses to TakeOrderedAndProject (top-k, no full sort)") {
+    plan("o1_o2_top_groups") should include("TakeOrderedAndProject")
+    plan("o3_top_users") should include("TakeOrderedAndProject")
+  }
+
+  test("j2b: dimension joins are broadcast, fact side never shuffles for the join") {
+    val p = plan("j2b_broadcast_dims")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("j3: anti/semi joins use hash strategies, not cartesian") {
+    plan("j3_anti_join") should not include "Cartesian"
+    plan("j3b_semi_join") should not include "Cartesian"
+  }
+
+  test("a4: grouped count partial-aggregates before the shuffle") {
+    val p = plan("a4_grouped_count")
+    // partial & final HashAggregate pair around the exchange
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    p should include("Exchange hashpartitioning")
+  }
+
+  test("dd3: LSH candidate generation contains no cartesian product and no full sort-merge self-join") {
+    val p = plan("dd3_minhash_lsh")
+    p should not include "CartesianProduct"
+  }
+
+  test("ann1: brute-force top-k is a broadcast + TakeOrderedAndProject, never a shuffle of vectors") {
+    val p = plan("ann1_brute_topk")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin") // 1-row query side broadcast
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // under AQE the codegen stages only materialize in the FINAL plan,
+    // so execute first, then inspect
+    val df = SparkEntry.queries("j2_join_group")(spark, sf)
+    df.collect()
+    // codegen'd stages carry the `*(n)` marker in the plan string
+    val finalPlan = df.queryExecution.executedPlan.toString
+    finalPlan should include("isFinalPlan=true")
+    "\\*\\(\\d+\\)".r.findAllIn(finalPlan).size should be >= 3
+    // both scan sides pushed their join-key null filters + pruned columns
+    finalPlan should include("PushedFilters: [IsNotNull(o_orderkey)]")
+    finalPlan should include("PushedFilters: [IsNotNull(l_orderkey)]")
+  }
+}
