@@ -43,6 +43,9 @@ object GraftSession {
       // converts back to a proper TimestampType losslessly (the data
       // is microsecond-aligned).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Catalyst extensions: box-PIP→range-predicate optimizer rule +
+      // the SQL-callable graft_pip function (graft.plans).
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -95,4 +95,19 @@ object GeoFunctions {
       }
       inside
     }
+
+  /** Native-Expression PIP (graft.plans.PointInPolygonExpr): codegen'd,
+    * optimizer-visible — with GraftExtensions installed, an
+    * axis-aligned ring rewrites to scan-pushable range predicates
+    * (PipExpressionSpec pins the PushedFilters). Prefer this over the
+    * UDF form; the UDF stays as the API-parity/fallback variant. */
+  def pointInPolygonNative(lon: Column, lat: Column,
+                           ring: Array[(Double, Double)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.PointInPolygonExpr(
+        ColumnBridge.expression(lon.cast("double")),
+        ColumnBridge.expression(lat.cast("double")),
+        ring.map(_._1).toIndexedSeq, ring.map(_._2).toIndexedSeq))
+  }
 }

@@ -66,13 +66,14 @@ object Ann {
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, cellCol: String,
               dim: Int, query: DataFrame, queryVecCol: String, k: Int,
               nProbe: Int = 2): DataFrame = {
-    // centroids: elementwise mean per cell, via posexplode + re-assemble
+    // centroids: elementwise mean per cell via the typed VectorAvg
+    // Aggregator — ONE partial-aggregated pass; the posexplode
+    // alternative would shuffle dim× the rows and need two aggs to
+    // reassemble order (VectorAgg scaladoc).
+    val vecAvg = org.apache.spark.sql.functions.udaf(new VectorAvg(dim))
     val cent = embs
-      .select(col(cellCol).as("_cell"), posexplode(col(vecCol)).as(Seq("_i", "_v")))
-      .groupBy("_cell", "_i").agg(avg("_v").as("_m"))
-      .groupBy("_cell")
-      .agg(transform(array_sort(collect_list(struct(col("_i"), col("_m")))),
-        x => x.getField("_m")).as("_centroid"))
+      .groupBy(col(cellCol).as("_cell"))
+      .agg(vecAvg(col(vecCol)).as("_centroid"))
     val q = broadcast(query.select(col(queryVecCol).as("_qvec")))
     val nearCells = cent.crossJoin(q)
       .withColumn("_csim", V.cosineSimilarity(col("_centroid"), col("_qvec")))

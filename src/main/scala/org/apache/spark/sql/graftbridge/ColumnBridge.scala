@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the converters
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
+  * extension libraries shipping custom Catalyst expressions expose
+  * them through a shim in the sql package — the same pattern the
+  * public geo/lakehouse Spark extensions use. This is the ONLY file
+  * outside the graft namespace.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
