@@ -46,6 +46,8 @@ object GraftSession {
       // Catalyst extensions: box-PIP→range-predicate optimizer rule +
       // the SQL-callable graft_pip function (graft.plans).
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // keep catalog tables (bucketed-join demos) out of the repo tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -140,20 +140,29 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** Full MinHash-LSH near-dup pass: candidates → verify with exact
-    * Jaccard on shingle sets → pairs with jaccard >= threshold. */
-  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.7, shingleK: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  /** All LSH candidate pairs with their exact Jaccard — the shared
+    * tail for candidate statistics and thresholded near-dup extraction
+    * (one pipeline, so callers never run the signature pass twice). */
+  def minhashScoredCandidates(docs: DataFrame, idCol: String, textCol: String,
+                              shingleK: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(docs, idCol, col(textCol), shingleK, numHashes, bands)
     val sh = docs.select(col(idCol).as("sid"), shingles(col(textCol), shingleK).as("sh"))
     cands
       .join(sh.withColumnRenamed("sid", "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(sh.withColumnRenamed("sid", "id2").withColumnRenamed("sh", "sh2"), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pass: candidates → verify with exact
+    * Jaccard on shingle sets → pairs with jaccard >= threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, shingleK: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashScoredCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   // -------------------------------------------------------------------
   // SimHash

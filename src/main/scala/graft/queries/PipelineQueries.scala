@@ -37,13 +37,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash-LSH near-dup stats: banded candidates → exact-Jaccard verify.
+    // MinHash-LSH near-dup stats: banded candidates → exact-Jaccard
+    // verify — candidate count and verified count from ONE pipeline
+    // (the signature pass runs once).
     "dd3_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cands = Dedup.minhashCandidates(docs, "doc_id", col("text"))
-      val dups = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
-      cands.agg(count(lit(1)).as("n_candidate_pairs"))
-        .crossJoin(dups.agg(count(lit(1)).as("n_near_dups")))
+      Dedup.minhashScoredCandidates(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          sum(when(col("jaccard") >= 0.7, 1).otherwise(0)).as("n_near_dups"))
     }),
 
     // SimHash near-dup stats: banded hamming buckets.
@@ -184,6 +185,27 @@ object PipelineQueries {
                 round(length(regexp_replace(text, '\s+', '', 'g')) /
                       CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE), 4) AS mean_tok_len
          FROM documents ORDER BY doc_id""",
+    "tx1_langid" ->
+      """WITH scored AS (
+           SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+         ), ratios AS (
+           SELECT lang,
+             len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], lower(t)))) / CAST(greatest(len(toks),1) AS DOUBLE) AS s_de,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(t)))) / CAST(greatest(len(toks),1) AS DOUBLE) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','una','es','por'], lower(t)))) / CAST(greatest(len(toks),1) AS DOUBLE) AS s_es,
+             len(list_filter(toks, t -> list_contains(['le','la','de','et','un','une','est','que','pour','dans'], lower(t)))) / CAST(greatest(len(toks),1) AS DOUBLE) AS s_fr,
+             len(list_filter(toks, t -> list_contains(['的','是','了','在','和','有','我','他','这','中'], lower(t)))) / CAST(greatest(len(toks),1) AS DOUBLE) AS s_zh
+           FROM scored
+         ), best AS (
+           SELECT lang,
+             list_sort([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+                        {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+                        {'score': s_zh, 'lang': 'zh'}])[-1] AS b
+           FROM ratios
+         )
+         SELECT lang, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS predicted,
+                count(*) AS cnt
+         FROM best GROUP BY lang, predicted ORDER BY lang, predicted""",
     "tx3_token_count" ->
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: schema/partitioning/batch-shape are real, the
+  * codec is a clearly-marked deterministic stub (container has no
+  * image/audio libs — builder-prompt contract).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.syntheticMedia(Tables(spark, sf, "documents"), "doc_id", "text")
+
+  test("decode is deterministic and metadata-complete") {
+    val a = Multimodal.decode(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decode(media).collect().sortBy(_.media_id)
+    a.map(_.checksum).toSeq shouldBe b.map(_.checksum).toSeq
+    a.foreach { d =>
+      d.width should (be >= 32 and be < 640)
+      d.height should (be >= 32 and be < 480)
+      d.n_bytes should be > 0L
+    }
+    // kinds partition the corpus deterministically by id
+    a.map(_.kind).toSet shouldBe Set("image", "audio", "video")
+  }
+
+  test("resize clamps to the bounding box and preserves aspect-ish scaling") {
+    val resized = Multimodal.resize(Multimodal.decode(media), 100, 100).collect()
+    resized.foreach { d =>
+      d.width should be <= 100
+      d.height should be <= 100
+      d.width should be >= 1
+      d.height should be >= 1
+    }
+  }
+
+  test("frame sampling is a flatMap: video rows only, stride everyN") {
+    val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
+    frames should not be empty
+    val videos = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    frames.map(_.frame_idx).foreach(i => i % 10 shouldBe 0)
+    frames.map(_.media_id).toSet.subsetOf(videos) shouldBe true
+    // every video yields at least ceil(30/10) frames (min nFrames = 30)
+    frames.groupBy(_.media_id).values.foreach(_.length should be >= 3)
+  }
+
+  test("payload never shuffles: decode is a narrow map, downstream carries metadata only") {
+    val decoded = Multimodal.decode(media).toDF()
+    // decode's output schema is pure metadata — the binary payload is
+    // consumed inside the per-partition map and never leaves it
+    decoded.columns.toSet shouldBe
+      Set("media_id", "kind", "width", "height", "n_bytes", "checksum")
+    // the decode stage plan itself contains no shuffle
+    decoded.queryExecution.optimizedPlan.toString should not include "Repartition"
+    // the aggregation shuffles on the metadata key, above the map
+    val df = decoded.groupBy("kind").count()
+    df.collect()
+    df.queryExecution.executedPlan.toString should include("Exchange hashpartitioning(kind")
+  }
+}

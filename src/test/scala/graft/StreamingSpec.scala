@@ -59,6 +59,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: new files are picked up incrementally") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1 lands before the stream starts
+    Seq((t("2024-01-01 10:05:00"), "click"), (t("2024-01-01 10:10:00"), "view"))
+      .toDF("ts", "event_type").write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream
+      .schema("ts timestamp, event_type string")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val q = stream.writeStream
+      .format("memory").queryName("st_files")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.table("st_files").count() shouldBe 2L
+      // batch 2 arrives while the stream runs — incremental pickup
+      Seq((t("2024-01-01 10:20:00"), "click"))
+        .toDF("ts", "event_type").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val clicks = spark.table("st_files")
+        .filter(col("event_type") === "click").select("cnt").collect()(0).getLong(0)
+      clicks shouldBe 2L // state carried across micro-batches
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicates within watermark") {
     val session = spark
     import session.implicits._
