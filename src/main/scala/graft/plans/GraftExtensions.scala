@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BoxPipRewrite)
     ext.injectFunction(GraftExtensions.pipDescriptor)
+    ext.injectFunction(GraftExtensions.haversineDescriptor)
   }
 }
 
@@ -68,6 +69,21 @@ object GraftExtensions {
     case other =>
       throw new IllegalArgumentException(s"$what must be a literal, got $other")
   }
+
+  /** `graft_haversine(lat1, lon1, lat2, lon2)` → meters. The built-in
+    * trig composition from GeoFunctions, exposed to SQL by converting
+    * the argument expressions through the Column bridge — one
+    * definition of the formula, two call surfaces. */
+  val haversineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_haversine"),
+    new ExpressionInfo(graft.functions.GeoFunctions.getClass.getName, "graft_haversine"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4, "usage: graft_haversine(lat1, lon1, lat2, lon2)")
+      import org.apache.spark.sql.graftbridge.ColumnBridge._
+      val Seq(lat1, lon1, lat2, lon2) =
+        args.map(a => column(Cast(a, DoubleType)))
+      toCatalyst(graft.functions.GeoFunctions.haversineMeters(lat1, lon1, lat2, lon2))
+    })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_pip"),

@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converts a Column's node tree to a catalyst Expression.
+    * `expression` wraps lazily in a `ColumnNodeExpression` that the
+    * analyzer converts during plan resolution — fine when the result
+    * flows back through the DataFrame API, but Unevaluable when
+    * returned from a SQL FunctionBuilder (the analyzer embeds it
+    * as-is). Function builders must use this eager form. */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
