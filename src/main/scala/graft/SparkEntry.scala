@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.OsmQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.OsmQueries.oracles
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.{OsmFixtureData, OsmSource}
+
+/** The source/sink operator surface from SURVEY.md §2.1 (S1-S4, S6) as
+  * driver-checkable queries. S1-S4 run the OSM XML ingest end-to-end on
+  * the reconstructed deterministic golden fixture, so their oracles are
+  * literal VALUES rows — exact hash-checked correctness, not just
+  * rows>0. S6 exercises the "geo index" analogue on the shared testdata
+  * (range-partitioned + sorted parquet layout, then a pruned read) with
+  * a plain SQL oracle.
+  *
+  * Side-effect discipline: each query writes only under /tmp (fixture
+  * file, sink outputs), `mode(overwrite)`, re-entrant across Verify /
+  * Bench reruns.
+  */
+object OsmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Fixture on disk for wholeTextFiles ingest. */
+  private def fixturePath(): String =
+    OsmFixtureData.write(Path.of("/tmp/graft-osm-fixture"), "example.osm",
+      OsmFixtureData.xml).toString
+
+  val defs: Map[String, Q] = Map(
+
+    // S1+S5 — streaming XML scan → typed Dataset (data.py:188-201),
+    // projected to the stable identity columns. Raw (uncleaned) shaping:
+    // the Lesson6Quizes variant.
+    "s1_osm_ingest" -> ((s, _) => {
+      OsmSource.elements(s, fixturePath(), cleanStreets = false).toDF()
+        .select(col("id"), col("type").as("el_type"),
+          col("created.user").as("osm_user"),
+          col("address.street").as("street"),
+          when(col("node_refs").isNull, 0L)
+            .otherwise(size(col("node_refs")).cast("long")).as("n_refs"))
+        .orderBy("id")
+    }),
+
+    // S2 — element-type histogram (mapparser.py:16-21); the golden
+    // counts from the reference's assert (mapparser.py:28-35).
+    "s2_tag_histogram" -> ((s, _) => {
+      OsmSource.tagHistogram(s, fixturePath())
+    }),
+
+    // S3 — JSON-lines sink (process_map's output, data.py:195-200):
+    // write, read back through schema inference, aggregate.
+    "s3_jsonl_sink" -> ((s, _) => {
+      val ds = OsmSource.elements(s, fixturePath(), cleanStreets = true)
+      val out = "/tmp/graft-osm-out/jsonl"
+      OsmSource.writeJsonLines(ds, out)
+      s.read.json(out)
+        .groupBy(col("type").as("el_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("created.user")).as("n_users"))
+        .orderBy("el_type")
+    }),
+
+    // S4 — bulk load (the mongoimport analogue): parquet sink
+    // partitioned by element type, read back, street repair visible
+    // (ProjectCodeUsed cleaning ran at ingest).
+    "s4_parquet_load" -> ((s, _) => {
+      val ds = OsmSource.elements(s, fixturePath(), cleanStreets = true)
+      val out = "/tmp/graft-osm-out/parquet"
+      OsmSource.writeParquet(ds, out)
+      s.read.parquet(out)
+        .filter(col("address.street").isNotNull)
+        .select(col("id"), col("address.street").as("street"))
+        .orderBy("id")
+    }),
+
+    // S6 — geo-index analogue (readme.md:382-384): the 2dsphere index
+    // becomes a range-partitioned, sorted-within-partition parquet
+    // layout; a range predicate on the read side then prunes both
+    // files (min/max footer stats) and row groups. Keyed on ts here —
+    // the same layout applies to a (lon, lat) sort for geo pruning.
+    "s6_range_pruning" -> ((s, dir) => {
+      val out = "/tmp/graft-osm-out/events_ranged"
+      t(s, dir, "events")
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_osm_ingest" ->
+      """SELECT * FROM (VALUES
+           ('1683602133','node','mpinnau','Baldwin Rd.',CAST(0 AS BIGINT)),
+           ('1683602134','node','mpinnau','North Mozart Ave',0),
+           ('209809850','way','Umbugbene','West Lexington St.',4),
+           ('2199822281','node','Umbugbene',NULL,0),
+           ('2199822369','node','TomH',NULL,0),
+           ('2199822370','node','TomH',NULL,0),
+           ('2199822390','node','Umbugbene',NULL,0),
+           ('2199822392','node','Umbugbene',NULL,0),
+           ('261114295','node','bbmiller',NULL,0),
+           ('261114296','node','bbmiller',NULL,0),
+           ('261114299','node','bbmiller',NULL,0),
+           ('261146436','node','bbmiller',NULL,0),
+           ('261147304','node','bbmiller',NULL,0),
+           ('261224274','node','uboot',NULL,0),
+           ('293816175','node','bbmiller',NULL,0),
+           ('305896090','node','Umbugbene',NULL,0),
+           ('317636971','node','Umbugbene',NULL,0),
+           ('317636974','node','Umbugbene',NULL,0),
+           ('317637398','node','Zol87',NULL,0),
+           ('317637399','node','Zol87',NULL,0),
+           ('365214872','node','bbmiller',NULL,0)
+         ) AS t(id, el_type, osm_user, street, n_refs) ORDER BY id""",
+    "s2_tag_histogram" ->
+      """SELECT * FROM (VALUES
+           ('bounds',CAST(1 AS BIGINT)), ('member',3), ('nd',4), ('node',20),
+           ('osm',1), ('relation',1), ('tag',7), ('way',1)
+         ) AS t(xml_tag, cnt) ORDER BY xml_tag""",
+    "s3_jsonl_sink" ->
+      """SELECT * FROM (VALUES
+           ('node',CAST(20 AS BIGINT),CAST(6 AS BIGINT)), ('way',1,1)
+         ) AS t(el_type, cnt, n_users) ORDER BY el_type""",
+    "s4_parquet_load" ->
+      """SELECT * FROM (VALUES
+           ('1683602133','Baldwin Road'),
+           ('1683602134','North Mozart Avenue'),
+           ('209809850','West Lexington Street')
+         ) AS t(id, street) ORDER BY id""",
+    "s6_range_pruning" ->
+      """SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-11 00:00:00'"""
+  ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+}

@@ -371,6 +371,32 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // F9 — unit arithmetic (readme.md:393): miles → meters as literal
+    // multiplication, constant-folded by Catalyst.
+    "f9_unit_arithmetic" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_quantity")).distinct()
+        .select(col("l_quantity").cast("long").as("miles"),
+          round(col("l_quantity") * G.MetersPerMile, 3).as("meters"))
+        .orderBy("miles")
+    }),
+
+    // F11+F12 — nested struct construction (F12: data.py:119-134's
+    // created/address dicts) + order-preserving array reassembly (F11:
+    // node_refs accumulation, data.py:141-143). Position-sorted
+    // collect_list survives shuffle order; j2c is the joined variant.
+    "f11_f12_array_struct_build" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("item", struct(col("l_linenumber"), col("l_partkey")))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("item"))).as("items"))
+        .select(col("l_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          element_at(col("items"), 1).getField("l_partkey").as("first_partkey"),
+          element_at(col("items"), -1).getField("l_partkey").as("last_partkey"))
+        .orderBy("l_orderkey")
+    }),
+
     // M2 — $set+$unset field move (readme.md:58): value lands in the
     // right column, source nulls out.
     "m2_field_move" -> ((s, dir) => {
@@ -540,6 +566,15 @@ object RelationalQueries {
                 CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
                 CAST(sum(CASE WHEN l_quantity > 25 THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_heavy_cents
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "f9_unit_arithmetic" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS miles,
+                round(l_quantity * 1609.344, 3) AS meters
+         FROM (SELECT DISTINCT l_quantity FROM lineitem) ORDER BY miles""",
+    "f11_f12_array_struct_build" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+                (array_agg(l_partkey ORDER BY l_linenumber, l_partkey))[1] AS first_partkey,
+                (array_agg(l_partkey ORDER BY l_linenumber, l_partkey))[-1] AS last_partkey
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "o3_top_users" ->
       """SELECT user_id, count(*) AS contributions FROM events
          GROUP BY user_id ORDER BY contributions DESC, user_id LIMIT 10""",
