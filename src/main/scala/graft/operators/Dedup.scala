@@ -72,6 +72,37 @@ object Dedup {
         transform(sequence(lit(0), lit(n - 1)), s => xxhash64(sh, s)),
         (a, h) => least(a, h)))
 
+  /** Columnar MinHash signature: one row per doc, one LongType column
+    * `h0..h{n-1}` per hash function — via explode + codegen'd
+    * hash-aggregate instead of the array-fold form.
+    *
+    * Why this beats [[minhashSignature]] for the pipeline: higher-order
+    * functions (`aggregate`/`transform`) evaluate INTERPRETED, outside
+    * whole-stage codegen, allocating three n-length arrays per shingle.
+    * `explode` + n×`min(xxhash64)` stays codegen'd end-to-end, and
+    * map-side partial aggregation means the shuffle carries one
+    * n-long vector per doc per partition. Identical values:
+    * sig[s] = min over shingles of xxhash64(shingle, s).
+    */
+  def minhashSignatureWide(docs: DataFrame, idCol: String, text: Column,
+                           shingleK: Int, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(shingles(text, shingleK)).as("sh"))
+      .groupBy("doc")
+      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
+        (1 until n).map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s")): _*)
+
+  /** LSH band-bucket columns over a wide signature (h0..h{n-1}):
+    * band hash = xxhash64 of the band's joined values — the exact
+    * band hash [[lshBandCols]] computes on the array form. */
+  private def lshBandColsWide(n: Int, bands: Int): Seq[Column] = {
+    val r = n / bands
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          (b * r until (b + 1) * r).map(i => col(s"h$i").cast("string")): _*)).as("bh"))
+    }
+  }
+
   /** LSH bands: split an n-length signature into `bands` bands of
     * n/bands rows; band hash = xxhash64 over the band's joined values.
     * Output: one (band, bandHash) struct column per band — lexically
@@ -117,14 +148,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, text: Column,
                         shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
-    // sig lands as a named column FIRST; the band columns then hold 16
-    // real references to it, which keeps the expensive signature from
-    // being inlined+re-evaluated per band (see lshBandCols scaladoc).
-    val withSig = docs.select(col(idCol).as("doc"),
-      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
+    // Wide (columnar) signature: codegen'd end-to-end; the groupBy(doc)
+    // aggregation boundary also guarantees each h column computes once,
+    // however many band columns reference it.
+    val withSig = minhashSignatureWide(docs, idCol, text, shingleK, numHashes)
     val banded = withSig
       .select(col("doc"),
-        explode(array(lshBandCols(col("sig"), numHashes, bands): _*)).as("b"))
+        explode(array(lshBandColsWide(numHashes, bands): _*)).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
     val buckets = banded.groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
@@ -183,6 +213,27 @@ object Dedup {
       lit(0L), (acc, v) => acc + v)
   }
 
+  /** Columnar SimHash: one row per doc with the packed `sig` Long —
+    * explode tokens → codegen'd hash-agg of `bits` signed counters →
+    * pack. Identical values to [[simhash]] (same per-token ±1 draws,
+    * same bit packing), but the doubly-nested interpreted HOF
+    * (bits × tokens lambda evals per row) becomes whole-stage codegen
+    * with map-side partial aggregation. */
+  def simhashWide(docs: DataFrame, idCol: String, textCol: String,
+                  bits: Int = 32): DataFrame = {
+    val counters = docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy("doc")
+      .agg(
+        sum(when(pmod(xxhash64(col("tok"), lit(0)), lit(2)) === 0, 1L).otherwise(-1L)).as("b0"),
+        (1 until bits).map(i =>
+          sum(when(pmod(xxhash64(col("tok"), lit(i)), lit(2)) === 0, 1L).otherwise(-1L)).as(s"b$i")): _*)
+    counters.select(col("doc"),
+      (0 until bits).map(i =>
+          when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+  }
+
   /** Hamming distance between two packed fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -196,7 +247,7 @@ object Dedup {
                       bits: Int = 32, bands: Int = 4,
                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val r = bits / bands
-    val withSig = docs.select(col(idCol).as("doc"), simhash(col(textCol), bits).as("sig"))
+    val withSig = simhashWide(docs, idCol, textCol, bits)
     // band value = (sig >> (band*r)) & (2^r - 1); shift amount must be a
     // literal per Spark's shiftrightunsigned, so unroll the small loop.
     val bandCols = (0 until bands).map { b =>

@@ -50,7 +50,7 @@ object PipelineQueries {
     // SimHash near-dup stats: banded hamming buckets.
     "dd4_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sigs = docs.select(Dedup.simhash(col("text")).as("sig"))
+      val sigs = Dedup.simhashWide(docs, "doc_id", "text")
       val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       sigs.agg(count(lit(1)).as("n_docs"), countDistinct(col("sig")).as("n_distinct_sig"))
         .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs")))
