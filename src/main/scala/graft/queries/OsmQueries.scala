@@ -77,6 +77,23 @@ object OsmQueries {
         .orderBy("id")
     }),
 
+    // J2d — the reference's described-but-unimplemented way→node
+    // dereference (readme.md:488-494) ON OSM DATA: posexplode keeps
+    // each ref's position, the equi-join scrambles row order, and the
+    // explicit seq restores ring order — the order-preserving
+    // reassembly the reference worried about, survives any shuffle.
+    "j2d_osm_way_deref" -> ((s, _) => {
+      val docs = OsmSource.elements(s, fixturePath(), cleanStreets = true).toDF()
+      val nodes = docs.filter(col("type") === "node")
+        .select(col("id").as("nid"), col("pos.lat").as("lat"), col("pos.lon").as("lon"))
+      val refs = docs.filter(col("type") === "way")
+        .select(col("id").as("way_id"), posexplode(col("node_refs")))
+      refs.join(nodes, col("col") === col("nid"))
+        .select(col("way_id"), (col("pos") + 1).cast("long").as("seq"),
+          col("lon"), col("lat"))
+        .orderBy("way_id", "seq")
+    }),
+
     // S6 — geo-index analogue (readme.md:382-384): the 2dsphere index
     // becomes a range-partitioned, sorted-within-partition parquet
     // layout; a range predicate on the read side then prunes both
@@ -137,6 +154,13 @@ object OsmQueries {
            ('1683602134','North Mozart Avenue'),
            ('209809850','West Lexington Street')
          ) AS t(id, street) ORDER BY id""",
+    "j2d_osm_way_deref" ->
+      """SELECT * FROM (VALUES
+           ('209809850', CAST(1 AS BIGINT), CAST(-87.6976913 AS DOUBLE), CAST(41.9707220 AS DOUBLE)),
+           ('209809850', 2, -87.6976914, 41.9707230),
+           ('209809850', 3, -87.6976915, 41.9707240),
+           ('209809850', 4, -87.6976916, 41.9707250)
+         ) AS t(way_id, seq, lon, lat) ORDER BY way_id, seq""",
     "s6_range_pruning" ->
       """SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
