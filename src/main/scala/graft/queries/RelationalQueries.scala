@@ -443,6 +443,21 @@ object RelationalQueries {
         .orderBy("ws", "event_type")
     }),
 
+    // Session windows (st3): per-user sessions with a 30-minute gap —
+    // the third event-time window shape, same unified transform. The
+    // oracle is the classic gaps-and-islands rewrite, pinning Spark's
+    // session semantics (new session iff ts - prev >= gap).
+    "st3_session_window" -> ((s, dir) => {
+      graft.streaming.Windows.session(
+          t(s, dir, "events"), col("ts"), "30 minutes", col("user_id"),
+          Seq(count(lit(1)).as("n_events")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
     // A2 (literal form) — global distinct-SET via collect_set, made
     // deterministic with sort + join (the 315-users set, readme.md:129).
     // countDistinct (a2) is the 100 TB-cardinality variant; this is the
@@ -691,6 +706,23 @@ object RelationalQueries {
            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type
            FROM events)
          GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "st3_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+           FROM events
+         ), sess AS (
+           SELECT user_id,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked
+         ), per AS (
+           SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid
+         )
+         SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+                max(n) AS max_session_events
+         FROM per GROUP BY user_id ORDER BY user_id""",
     "a2b_distinct_set" ->
       """SELECT array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
                 count(DISTINCT event_type) AS n_types FROM events""",

@@ -28,6 +28,14 @@ object Windows {
               key: Column, aggs: Seq[Column]): DataFrame =
     df.groupBy(window(ts, width, slide), key).agg(aggs.head, aggs.tail: _*)
 
+  /** Session windows: per-key sessions that extend while consecutive
+    * events arrive within `gap` (strictly less than) of each other.
+    * Batch/streaming unified like the fixed windows; in streaming mode
+    * Spark merges session state under the watermark. */
+  def session(df: DataFrame, ts: Column, gap: String, key: Column,
+              aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(ts, gap), key).agg(aggs.head, aggs.tail: _*)
+
   /** Streaming variant: watermarked tumbling counts, Append-safe (the
     * window closes `late` after its end; later data drops). */
   def streamingTumblingCounts(df: DataFrame, tsCol: String, width: String,

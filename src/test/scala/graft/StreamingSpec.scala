@@ -92,6 +92,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom state: mapGroupsWithState running count across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, Long)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          (key, next)
+      }
+
+    val q = counted.toDF("user", "cnt").writeStream
+      .format("memory").queryName("st_state")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      input.addData(("a", 3L), ("c", 1L))
+      q.processAllAvailable()
+      // latest Update-mode emission per key reflects accumulated state
+      val latest = spark.table("st_state")
+        .groupBy("user").agg(max("cnt").as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      latest shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
+    } finally q.stop()
+  }
+
+  test("session windows merge across micro-batches under a watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = graft.streaming.Windows.session(
+        input.toDF().toDF("ts", "user").withWatermark("ts", "10 minutes"),
+        col("ts"), "30 minutes", col("user"), Seq(count(lit(1)).as("n")))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user"), col("n"))
+
+    val q = sessions.writeStream
+      .format("memory").queryName("st_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // two events 20 min apart → ONE session (gap < 30m); the second
+      // batch extends it, the third closes it via watermark advance
+      input.addData((t("2024-01-01 10:00:00"), "u1"))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:20:00"), "u1"))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 14:00:00"), "u1")) // watermark → 13:50
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 23:00:00"), "u1")) // flush
+      q.processAllAvailable()
+
+      val rows = spark.table("st_sessions")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getString(2), r.getLong(3))).toSet
+      // merged session: start 10:00, end 10:20+30m=10:50, TWO events
+      rows should contain(("2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0", "u1", 2L))
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicates within watermark") {
     val session = spark
     import session.implicits._
