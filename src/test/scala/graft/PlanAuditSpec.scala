@@ -61,6 +61,13 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin") // 1-row query side broadcast
   }
 
+  test("s6: the ts range predicate reaches the range-partitioned scan") {
+    val p = plan("s6_range_pruning")
+    p should include("PushedFilters")
+    p should include("GreaterThanOrEqual(ts")
+    p should include("LessThan(ts")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
