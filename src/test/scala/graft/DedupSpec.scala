@@ -85,6 +85,24 @@ class DedupSpec extends SparkSpec {
     pairs.exists { case (a, b) => (a <= 8 && b >= 100) } shouldBe false // no cross-cluster junk
   }
 
+  test("columnar signatures equal the array-fold reference forms value-for-value") {
+    // MinHash: wide h0..h7 columns == fold-form sig array elements
+    val n = 8
+    val wide = Dedup.minhashSignatureWide(corpus, "doc_id", col("text"), 3, n)
+    val fold = corpus.select(col("doc_id").as("doc"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), n).as("sig"))
+    val mismatch = wide.join(fold, "doc")
+      .filter((0 until n).map(i => col(s"h$i") =!= element_at(col("sig"), i + 1))
+        .reduce(_ || _))
+    mismatch.count() shouldBe 0
+
+    // SimHash: wide packed sig == scalar-expression sig
+    val wideS = Dedup.simhashWide(corpus, "doc_id", "text")
+      .withColumnRenamed("sig", "sig_w")
+    val foldS = corpus.select(col("doc_id").as("doc"), Dedup.simhash(col("text")).as("sig_f"))
+    wideS.join(foldS, "doc").filter(col("sig_w") =!= col("sig_f")).count() shouldBe 0
+  }
+
   test("embedding near-dup finds planted high-cosine pairs only") {
     import spark.implicits._
     val dim = 8
