@@ -102,6 +102,80 @@ object OsmSource {
   def writeParquet(ds: Dataset[OsmElement], path: String): Unit =
     ds.write.mode("overwrite").partitionBy("type").parquet(path)
 
+  /** One-time framing pass for a MONOLITHIC OSM file (planet.xml
+    * arrives as one huge document; `wholeTextFiles` parallelism is
+    * per-file): stream the document with StAX — constant memory, the
+    * reference's iterparse discipline (ProjectCodeUsed/data.py:193) —
+    * and re-emit complete top-level elements into `elementsPerShard`-
+    * sized `<osm>`-wrapped shard files. [[elements]]/[[tagHistogram]]
+    * then fan out over the `part-NNNNN.osm` shard glob with one task
+    * per shard. Run
+    * once at landing time; every downstream pass is parallel.
+    *
+    * @return number of shards written */
+  def shardXml(inPath: String, outDir: String, elementsPerShard: Int): Int = {
+    import java.nio.file.{Files, Path}
+    import javax.xml.stream.XMLOutputFactory
+    val topLevel = Set("node", "way", "relation")
+    val in = new java.io.FileInputStream(inPath)
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = f.createXMLStreamReader(in)
+    val of = XMLOutputFactory.newInstance()
+    Files.createDirectories(Path.of(outDir))
+    var shard = -1
+    var inShard = 0
+    var osw: java.io.Writer = null
+    var w: javax.xml.stream.XMLStreamWriter = null
+    def rotate(): Unit = {
+      if (w != null) { w.writeEndElement(); w.writeEndDocument(); w.close(); osw.close() }
+      shard += 1; inShard = 0
+      osw = Files.newBufferedWriter(Path.of(outDir, f"part-$shard%05d.osm"))
+      w = of.createXMLStreamWriter(osw)
+      w.writeStartDocument(); w.writeStartElement("osm")
+    }
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            topLevel.contains(r.getLocalName)) {
+          // main loop only ever sees TOP-LEVEL starts: copySubtree
+          // consumes each element's entire subtree (children are
+          // nd/tag/member, never node/way/relation)
+          if (w == null || inShard >= elementsPerShard) rotate()
+          copySubtree(r, w)
+          inShard += 1
+        }
+      }
+      if (w != null) { w.writeEndElement(); w.writeEndDocument(); w.close(); osw.close() }
+    } finally { r.close(); in.close() }
+    shard + 1
+  }
+
+  /** Copies the element the reader is positioned on (START_ELEMENT),
+    * subtree included, to the writer; leaves the reader on the matching
+    * END_ELEMENT. OSM elements carry no meaningful text content, so
+    * character events drop. */
+  private def copySubtree(r: XMLStreamReader, w: javax.xml.stream.XMLStreamWriter): Unit = {
+    var depth = 0
+    var done = false
+    while (!done) {
+      r.getEventType match {
+        case XMLStreamConstants.START_ELEMENT =>
+          w.writeStartElement(r.getLocalName)
+          (0 until r.getAttributeCount).foreach(i =>
+            w.writeAttribute(r.getAttributeLocalName(i), r.getAttributeValue(i)))
+          depth += 1
+        case XMLStreamConstants.END_ELEMENT =>
+          w.writeEndElement()
+          depth -= 1
+          if (depth == 0) done = true
+        case _ => // whitespace/comments: drop
+      }
+      if (!done) r.next()
+    }
+  }
+
   // -------------------------------------------------------------------
   // StAX parsing (executor-side, constant memory per file)
   // -------------------------------------------------------------------

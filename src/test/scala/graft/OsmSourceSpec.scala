@@ -88,6 +88,21 @@ class OsmSourceSpec extends SparkSpec {
     way.address.street shouldBe "West Lexington Street"
   }
 
+  test("shardXml: monolithic file → parallel shards, ingest-identical") {
+    val p = OsmFixture.write("example.osm", OsmFixture.xml)
+    val shardDir = java.nio.file.Files.createTempDirectory("osm-shards").toString
+    val n = OsmSource.shardXml(p.toString, shardDir, elementsPerShard = 5)
+    // 20 nodes + 1 way + 1 relation = 22 top-level elements → 5 shards of ≤5
+    n shouldBe 5
+    val whole = OsmSource.elements(spark, p.toString, cleanStreets = false)
+      .collect().map(e => (e.id, e.`type`, e.node_refs)).toSet
+    val sharded = OsmSource.elements(spark, s"$shardDir/*.osm", cleanStreets = false)
+      .collect().map(e => (e.id, e.`type`, e.node_refs)).toSet
+    sharded shouldBe whole
+    // each shard parses independently (one task per shard downstream)
+    spark.sparkContext.wholeTextFiles(s"$shardDir/*.osm").count() shouldBe 5
+  }
+
   test("S3 JSON-lines + parquet sinks round-trip") {
     val p = OsmFixture.write("example.osm", OsmFixture.xml)
     val els = OsmSource.elements(spark, p.toString)
