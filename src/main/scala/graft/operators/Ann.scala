@@ -58,6 +58,85 @@ object Ann {
       .limit(k)
   }
 
+  /** Nearest-cell assignment against a small in-plan centroid set:
+    * argmax over cells of cosine(vec, centroid), built as an
+    * `array_max` over (sim, idx) structs — pure column expression, so
+    * assignment runs executor-side with the centroids inlined as
+    * literals (the broadcast-variable pattern, without a UDF). */
+  def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    // argmax over cells of cosine(vec, c) == argmax of dot(vec, ĉ):
+    // ‖vec‖ is constant across cells, so normalize the centroids ONCE
+    // driver-side and drop all norm evaluation from the per-row path
+    // (3× fewer HOF traversals per cell).
+    val units = cents.map(unit)
+    array_max(array(units.zipWithIndex.map { case (c, i) =>
+      struct(V.dot(vec, typedLit(c)).as("s"), lit(i).as("i"))
+    }: _*)).getField("i")
+  }
+
+  private def unit(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.map(v => v * v).sum)
+    if (n > 0) c.map(_ / n) else c
+  }
+
+  /** Lloyd's k-means over the embedding column: init = first `nCells`
+    * vectors in id order (deterministic), then `iters` rounds of
+    * executor-side assignment (centroids ship TO the data as plan
+    * literals) + one partial-aggregated VectorAvg pass per round.
+    *
+    * The centroid set (nCells × dim doubles) is the ONLY driver-
+    * resident state — the standard k-means contract at any scale; the
+    * vectors themselves never leave the executors.
+    */
+  def trainIvfCells(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    nCells: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    val vecAvg = org.apache.spark.sql.functions.udaf(new VectorAvg(dim))
+    // init: stride-sample across the id order, not the first nCells —
+    // adjacent ids often share a cluster, and nCells co-located seeds
+    // make Lloyd split one cluster while merging others
+    import org.apache.spark.sql.expressions.Window
+    val cnt = embs.count()
+    val stride = math.max(1L, cnt / nCells)
+    var cents: Seq[Seq[Double]] = embs
+      .withColumn("_rn", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .filter(pmod(col("_rn"), lit(stride)) === 0)
+      .orderBy("_rn").limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue()).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      cents = embs
+        .groupBy(nearestCell(col(vecCol), cents).as("_cell"))
+        .agg(vecAvg(col(vecCol)).as("_centroid"))
+        .orderBy("_cell")
+        .select("_centroid").collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+    }
+    cents
+  }
+
+  /** IVF with TRAINED centroids: probe the `nProbe` cells whose
+    * centroids are nearest the query, score only their members. The
+    * cell id is a pure expression of the vector, so on a cell-
+    * partitioned table the probe prunes the scan itself. */
+  def ivfTopKTrained(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     query: DataFrame, queryVecCol: String, k: Int,
+                     nCells: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
+    val withCell = embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+    val unitCents = cents.map(unit)
+    val probes = query
+      .select(col(queryVecCol).as("_qvec"),
+        explode(slice(reverse(array_sort(array(unitCents.zipWithIndex.map { case (c, i) =>
+          struct(V.dot(col(queryVecCol), typedLit(c)).as("s"), lit(i).as("i"))
+        }: _*))), 1, nProbe)).as("_p"))
+      .select(col("_qvec"), col("_p.i").as("_probe_cell"))
+    withCell.join(broadcast(probes), col("_cell") === col("_probe_cell"))
+      .withColumn("sim", V.cosineSimilarity(col(vecCol), col("_qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style coarse quantization using label/partition assignment:
     * group vectors by an existing coarse key (e.g. a cluster id column),
     * compute per-cell centroids, then restrict search to the nProbe

@@ -100,6 +100,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
     }),
 
+    // IVF with TRAINED centroids (Lloyd's k-means, executor-side
+    // assignment): the real coarse-quantization scale path. Recall vs
+    // brute force gated in AnnSpec.
+    "ann4_ivf_kmeans" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Ann.ivfTopKTrained(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
+          nCells = 8, nProbe = 2)
+        .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
+    }),
+
     // Language ID heuristic: predicted vs labeled distribution.
     "tx1_langid" -> ((s, dir) => {
       t(s, dir, "documents")

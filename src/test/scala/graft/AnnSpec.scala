@@ -64,6 +64,47 @@ class AnnSpec extends SparkSpec {
     got.map { case (id, _) => cells(id) }.toSet.size should be <= 2
   }
 
+  test("trained IVF: k-means cells partition planted clusters; query finds its cluster") {
+    import spark.implicits._
+    // 3 well-separated direction clusters + the query in cluster 0 —
+    // the shape where coarse quantization must not lose neighbors
+    val dimS = 8
+    def base(c: Int): Seq[Float] =
+      (0 until dimS).map(j => if (j == c) 10.0f else 0.0f)
+    def jitter(c: Int, s: Int): Seq[Float] =
+      base(c).zipWithIndex.map { case (v, j) => v + 0.1f * ((s * 7 + j) % 5) }
+    val rows = for (c <- 0 until 3; s <- 0 until 20)
+      yield ((c * 100 + s).toLong, jitter(c, s))
+    val embsS = rows.toDF("vec_id", "embedding")
+    val q = embsS.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+    val got = Ann.ivfTopKTrained(embsS, "vec_id", "embedding", dimS, q, "qv", 10,
+        nCells = 3, nProbe = 1, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    got.length shouldBe 10
+    got.head._1 shouldBe 0L
+    got.head._2 shouldBe 1.0 +- 1e-9
+    // with 1 probe on cleanly-clustered data, ALL results come from the
+    // query's own cluster — coarse quantization learned the structure
+    got.foreach { case (id, _) => id should be < 100L }
+    // exact agreement with brute force restricted to that cluster
+    val truth = Ann.bruteForceTopK(embsS, "vec_id", "embedding", q, "qv", 10)
+      .collect().map(_.getLong(0)).toSeq
+    got.map(_._1).toSeq shouldBe truth
+  }
+
+  test("trained IVF on real embeddings: self found, sims exact") {
+    val got = Ann.ivfTopKTrained(embs, "vec_id", "embedding", dim,
+        query, "qv", 10, nCells = 8, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    got.length shouldBe 10
+    got.head._1 shouldBe 0L
+    got.head._2 shouldBe 1.0 +- 1e-9
+    val exactSims = Ann.bruteForceTopK(embs, "vec_id", "embedding", query, "qv",
+      embs.count().toInt).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => s shouldBe exactSims(id) +- 1e-9 }
+  }
+
   test("cosine/dot/norm building blocks") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
