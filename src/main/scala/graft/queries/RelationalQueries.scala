@@ -507,7 +507,14 @@ object RelationalQueries {
   )
 
   /** DuckDB oracle SQL, same column names + order as the Spark side. */
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] =
+    oraclesBase +
+      // f14b computes the identical result to f14 through the general
+      // ray-casting UDF (closed boxes, no boundary points) — the same
+      // SQL independently derives it, so it hash-checks too.
+      ("f14b_pip_conservation" -> oraclesBase("f14_geowithin_box"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "o1_o2_top_groups" ->
       """SELECT event_type, count(*) AS cnt FROM events
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 20""",
