@@ -91,31 +91,17 @@ object Dedup {
       .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
         (1 until n).map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s")): _*)
 
-  /** LSH band-bucket columns over a wide signature (h0..h{n-1}):
-    * band hash = xxhash64 of the band's joined values — the exact
-    * band hash [[lshBandCols]] computes on the array form. */
+  /** LSH band-bucket columns over a wide signature (h0..h{n-1}): band
+    * hash = xxhash64 over the band's "_"-joined values. Lexically
+    * unrolled (not a `transform` lambda) so the h columns stay
+    * multiply-referenced attributes CollapseProject won't inline and
+    * re-evaluate per band. */
   private def lshBandColsWide(n: Int, bands: Int): Seq[Column] = {
     val r = n / bands
     (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws("_",
           (b * r until (b + 1) * r).map(i => col(s"h$i").cast("string")): _*)).as("bh"))
-    }
-  }
-
-  /** LSH bands: split an n-length signature into `bands` bands of
-    * n/bands rows; band hash = xxhash64 over the band's joined values.
-    * Output: one (band, bandHash) struct column per band — lexically
-    * unrolled, NOT a `transform` lambda, so `sig` stays a multiply-
-    * referenced column attribute that CollapseProject refuses to inline
-    * (a lambda would hide the fan-out and re-evaluate the signature
-    * once per band). */
-  def lshBandCols(sig: Column, n: Int, bands: Int): Seq[Column] = {
-    val r = n / bands
-    (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws("_",
-          transform(slice(sig, b * r + 1, r), v => v.cast("string")))).as("bh"))
     }
   }
 
