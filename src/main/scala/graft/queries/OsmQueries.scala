@@ -94,6 +94,20 @@ object OsmQueries {
         .orderBy("way_id", "seq")
     }),
 
+    // P2 (map form) — $exists over the open-ended tags MAP
+    // (readme.md:135,139,246): map_contains_key on tag keys, checked
+    // equal to the promoted-column isNotNull counts (the §1.4 dual
+    // representation — same answer from either surface).
+    "p2b_map_exists" -> ((s, _) => {
+      OsmSource.elements(s, fixturePath(), cleanStreets = false).toDF()
+        .agg(
+          sum(when(map_contains_key(col("tags"), "amenity"), 1L).otherwise(0L)).as("amenity_in_map"),
+          sum(when(col("amenity").isNotNull, 1L).otherwise(0L)).as("amenity_promoted"),
+          sum(when(map_contains_key(col("tags"), "place"), 1L).otherwise(0L)).as("place_in_map"),
+          sum(when(map_contains_key(col("tags"), "population"), 1L).otherwise(0L)).as("population_in_map"),
+          sum(when(col("name").isNull, 1L).otherwise(0L)).as("no_name"))
+    }),
+
     // S6 — geo-index analogue (readme.md:382-384): the 2dsphere index
     // becomes a range-partitioned, sorted-within-partition parquet
     // layout; a range predicate on the read side then prunes both
@@ -161,6 +175,10 @@ object OsmQueries {
            ('209809850', 3, -87.6976915, 41.9707240),
            ('209809850', 4, -87.6976916, 41.9707250)
          ) AS t(way_id, seq, lon, lat) ORDER BY way_id, seq""",
+    "p2b_map_exists" ->
+      """SELECT CAST(1 AS BIGINT) AS amenity_in_map, CAST(1 AS BIGINT) AS amenity_promoted,
+                CAST(1 AS BIGINT) AS place_in_map, CAST(0 AS BIGINT) AS population_in_map,
+                CAST(20 AS BIGINT) AS no_name""",
     "s6_range_pruning" ->
       """SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
