@@ -166,6 +166,23 @@ object RelationalQueries {
           round(max(col("c_acctbal")), 2).as("max_bal"))
     }),
 
+    // A7b — the reference's EXACT describe() shape (readme.md:178-192):
+    // summary statistics over a grouped COUNT (contributions per user),
+    // i.e. an aggregate of an aggregate — two hash-agg levels.
+    "a7b_describe_contributions" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("contributions"))
+        .agg(
+          count(col("contributions")).as("cnt"),
+          round(avg(col("contributions")), 3).as("mean"),
+          round(stddev(col("contributions")), 3).as("std"),
+          min(col("contributions")).as("min_c"),
+          round(expr("percentile(contributions, 0.25)"), 3).as("p25"),
+          round(expr("percentile(contributions, 0.5)"), 3).as("p50"),
+          round(expr("percentile(contributions, 0.75)"), 3).as("p75"),
+          max(col("contributions")).as("max_c"))
+    }),
+
     // A8 — two-key grouped count (readme.md:404).
     "a8_two_key_group" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -577,6 +594,14 @@ object RelationalQueries {
                 round(quantile_cont(c_acctbal, 0.75), 2) AS p75,
                 round(max(c_acctbal), 2) AS max_bal
          FROM customer""",
+    "a7b_describe_contributions" ->
+      """SELECT count(contributions) AS cnt, round(avg(contributions), 3) AS mean,
+                round(stddev(contributions), 3) AS std, min(contributions) AS min_c,
+                round(quantile_cont(contributions, 0.25), 3) AS p25,
+                round(quantile_cont(contributions, 0.5), 3) AS p50,
+                round(quantile_cont(contributions, 0.75), 3) AS p75,
+                max(contributions) AS max_c
+         FROM (SELECT user_id, count(*) AS contributions FROM events GROUP BY user_id)""",
     "a8_two_key_group" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
