@@ -146,6 +146,20 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), countDistinct(col("rh")).as("n_distinct_rh"))
     }),
 
+    // Composed training-data prep — the operators composing as plain
+    // DataFrame transforms: quality gate (token count + punct density)
+    // → exact dedup (min-id representative per normalized hash) →
+    // corpus stats. Fully oracle-checked end to end.
+    "pl1_training_prep" -> ((s, dir) => {
+      val gated = t(s, dir, "documents").filter(
+        T.tokenCount(col("text")).between(5, 1000) &&
+          T.punctRatio(col("text")) < 0.2)
+      Dedup.dropExactDups(gated, "doc_id", col("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     // Multimodal plumbing: synthetic binary payloads → batched decode →
     // resize → metadata aggregation. Payload never shuffles.
     "mm1_decode_stats" -> ((s, dir) => {
@@ -187,6 +201,23 @@ object PipelineQueries {
            FROM embeddings)
          SELECT vec_id, round(sim_raw, 4) AS sim FROM scored
          ORDER BY sim_raw DESC, vec_id LIMIT 10""",
+    "pl1_training_prep" ->
+      """WITH gated AS (
+           SELECT doc_id, lang, text,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS toks
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 1000
+             AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+                 CAST(greatest(length(text), 1) AS DOUBLE) < 0.2
+         ), d AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             ORDER BY doc_id) AS rn
+           FROM gated
+         )
+         SELECT count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+                count(DISTINCT lang) AS n_langs
+         FROM d WHERE rn = 1""",
     "tx2_quality" ->
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
