@@ -94,6 +94,30 @@ object OsmQueries {
         .orderBy("way_id", "seq")
     }),
 
+    // M1-M4+F4+F7+F8 composed — the reference's full in-DB repair
+    // sequence (readme.md:42-103) in reference order over dirty rows
+    // covering every rule: merged-field split, postcode→state move,
+    // TIGER cross-ref, state/city case & spelling fixes, street
+    // normalization. One codegen'd pass after projection collapse.
+    "m1_m4_repairs_composed" -> ((s, _) => {
+      val dirty: Seq[(String, String, String, String, String)] = Seq(
+        ("1", "Spokane, WA 99218", null, null, "Main St."),
+        ("2", "WA", null, "spokane", null),
+        ("3", "189872421:189872425", "wa", "Coeur d Alene", null),
+        ("4", "99021", "ID", "Post Falls, ID", null),
+        ("5", null, null, null, "Baldwin Rd."))
+      import s.implicits._
+      val df = dirty.toDF("id", "postcode", "state", "city", "street")
+        .select(col("id"), struct(col("street"),
+          lit(null).cast("string").as("housenumber"),
+          col("postcode"), col("city"), col("state")).as("address"))
+      graft.operators.Repairs.clean(df)
+        .select(col("id"), col("address.postcode").as("postcode"),
+          col("address.state").as("state"), col("address.city").as("city"),
+          col("address.street").as("street"))
+        .orderBy("id")
+    }),
+
     // P2 (map form) — $exists over the open-ended tags MAP
     // (readme.md:135,139,246): map_contains_key on tag keys, checked
     // equal to the promoted-column isNotNull counts (the §1.4 dual
@@ -175,6 +199,14 @@ object OsmQueries {
            ('209809850', 3, -87.6976915, 41.9707240),
            ('209809850', 4, -87.6976916, 41.9707250)
          ) AS t(way_id, seq, lon, lat) ORDER BY way_id, seq""",
+    "m1_m4_repairs_composed" ->
+      """SELECT * FROM (VALUES
+           ('1', '99218', 'WA', 'Spokane', 'Main Street'),
+           ('2', NULL, 'WA', 'Spokane', NULL),
+           ('3', '99224', 'WA', 'Coeur d''Alene', NULL),
+           ('4', '99021', 'ID', 'Post Falls', NULL),
+           ('5', NULL, NULL, NULL, 'Baldwin Road')
+         ) AS t(id, postcode, state, city, street) ORDER BY id""",
     "p2b_map_exists" ->
       """SELECT CAST(1 AS BIGINT) AS amenity_in_map, CAST(1 AS BIGINT) AS amenity_promoted,
                 CAST(1 AS BIGINT) AS place_in_map, CAST(0 AS BIGINT) AS population_in_map,
