@@ -133,11 +133,24 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, text: Column,
                         shingleK: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+                        bands: Int = 16, maxBucket: Int = 1000): DataFrame =
+    candidatesFromShingles(
+      docs.select(col(idCol).as("sid"), shingles(text, shingleK).as("sh")),
+      numHashes, bands, maxBucket)
+
+  /** Candidate generation over a prepared (sid, sh) shingle table —
+    * the shared core of [[minhashCandidates]] (inline shingling) and
+    * [[minhashScoredCandidates]] (materialized shingle table). */
+  private def candidatesFromShingles(sh: DataFrame, numHashes: Int,
+                                     bands: Int, maxBucket: Int): DataFrame = {
     // Wide (columnar) signature: codegen'd end-to-end; the groupBy(doc)
     // aggregation boundary also guarantees each h column computes once,
     // however many band columns reference it.
-    val withSig = minhashSignatureWide(docs, idCol, text, shingleK, numHashes)
+    val withSig = sh
+      .select(col("sid").as("doc"), explode(col("sh")).as("_s"))
+      .groupBy("doc")
+      .agg(min(xxhash64(col("_s"), lit(0))).as("h0"),
+        (1 until numHashes).map(s => min(xxhash64(col("_s"), lit(s))).as(s"h$s")): _*)
     val banded = withSig
       .select(col("doc"),
         explode(array(lshBandColsWide(numHashes, bands): _*)).as("b"))
@@ -158,15 +171,23 @@ object Dedup {
 
   /** All LSH candidate pairs with their exact Jaccard — the shared
     * tail for candidate statistics and thresholded near-dup extraction
-    * (one pipeline, so callers never run the signature pass twice). */
+    * (one pipeline, so callers never run the signature pass twice).
+    *
+    * The shingle table is computed ONCE and persisted: the signature
+    * pass and both verify-join sides read it, so the interpreted
+    * shingle construction doesn't re-run three times. This is also the
+    * real-pipeline shape at 100 TB — the shingle/signature table is a
+    * materialized intermediate (checkpointed there, MEMORY_AND_DISK
+    * here; a few KB per doc, LRU-evicted when cold). */
   def minhashScoredCandidates(docs: DataFrame, idCol: String, textCol: String,
                               shingleK: Int = 3, numHashes: Int = 64,
                               bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, col(textCol), shingleK, numHashes, bands)
     val sh = docs.select(col(idCol).as("sid"), shingles(col(textCol), shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromShingles(sh, numHashes, bands, maxBucket = 1000)
     cands
-      .join(sh.withColumnRenamed("sid", "id1").withColumnRenamed("sh", "sh1"), "id1")
-      .join(sh.withColumnRenamed("sid", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .join(sh.select(col("sid").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("sid").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .select(col("id1"), col("id2"), col("jaccard"))
   }
