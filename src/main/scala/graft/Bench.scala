@@ -50,6 +50,18 @@ object Bench {
         catch {
           case _: TimeoutException =>
             sc.cancelJobGroup(name)
+            // the abandoned thread may submit FURTHER jobs in the
+            // group after this cancel (e.g. a driver-side training
+            // loop between jobs) — keep cancelling until it exits so
+            // stragglers can't overlap the next query's measurement
+            val watchdog = new Thread(() => {
+              while (!fut.isCompleted) {
+                sc.cancelJobGroup(name)
+                Thread.sleep(2000)
+              }
+            }, s"bench-cancel-$name")
+            watchdog.setDaemon(true)
+            watchdog.start()
             System.err.println(f"[bench] $name TIMEOUT after $elapsed%.1fs")
             -2.0
           case e: Throwable =>

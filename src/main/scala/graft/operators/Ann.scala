@@ -91,16 +91,16 @@ object Ann {
   def trainIvfCells(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                     nCells: Int, iters: Int = 3): Seq[Seq[Double]] = {
     val vecAvg = org.apache.spark.sql.functions.udaf(new VectorAvg(dim))
-    // init: stride-sample across the id order, not the first nCells —
+    // init: stride-sample across the id RANGE, not the first nCells —
     // adjacent ids often share a cluster, and nCells co-located seeds
-    // make Lloyd split one cluster while merging others
-    import org.apache.spark.sql.expressions.Window
+    // make Lloyd split one cluster while merging others. id-mod filter
+    // + orderBy.limit = scan + TakeOrderedAndProject: no global window
+    // funneling the table through one partition.
     val cnt = embs.count()
     val stride = math.max(1L, cnt / nCells)
     var cents: Seq[Seq[Double]] = embs
-      .withColumn("_rn", row_number().over(Window.orderBy(col(idCol))) - 1)
-      .filter(pmod(col("_rn"), lit(stride)) === 0)
-      .orderBy("_rn").limit(nCells)
+      .filter(pmod(col(idCol).cast("long"), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue()).toSeq).toSeq
     for (_ <- 0 until iters) {

@@ -86,10 +86,16 @@ object Dedup {
     */
   def minhashSignatureWide(docs: DataFrame, idCol: String, text: Column,
                            shingleK: Int, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc"), explode(shingles(text, shingleK)).as("sh"))
+    wideSignature(
+      docs.select(col(idCol).as("sid"), shingles(text, shingleK).as("sh")), n)
+
+  /** The one definition of the wide-signature aggregation, over a
+    * prepared (sid, sh) shingle table. */
+  private def wideSignature(sh: DataFrame, n: Int): DataFrame =
+    sh.select(col("sid").as("doc"), explode(col("sh")).as("_s"))
       .groupBy("doc")
-      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
-        (1 until n).map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s")): _*)
+      .agg(min(xxhash64(col("_s"), lit(0))).as("h0"),
+        (1 until n).map(s => min(xxhash64(col("_s"), lit(s))).as(s"h$s")): _*)
 
   /** LSH band-bucket columns over a wide signature (h0..h{n-1}): band
     * hash = xxhash64 over the band's "_"-joined values. Lexically
@@ -146,11 +152,7 @@ object Dedup {
     // Wide (columnar) signature: codegen'd end-to-end; the groupBy(doc)
     // aggregation boundary also guarantees each h column computes once,
     // however many band columns reference it.
-    val withSig = sh
-      .select(col("sid").as("doc"), explode(col("sh")).as("_s"))
-      .groupBy("doc")
-      .agg(min(xxhash64(col("_s"), lit(0))).as("h0"),
-        (1 until numHashes).map(s => min(xxhash64(col("_s"), lit(s))).as(s"h$s")): _*)
+    val withSig = wideSignature(sh, numHashes)
     val banded = withSig
       .select(col("doc"),
         explode(array(lshBandColsWide(numHashes, bands): _*)).as("b"))
@@ -229,7 +231,10 @@ object Dedup {
   def simhashWide(docs: DataFrame, idCol: String, textCol: String,
                   bits: Int = 32): DataFrame = {
     val counters = docs
-      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
+      // NULL text coalesces to "" so explode never drops the doc (a
+      // NULL would otherwise silently vanish from the signature table)
+      .select(col(idCol).as("doc"),
+        explode(T.tokens(coalesce(col(textCol), lit("")))).as("tok"))
       .groupBy("doc")
       .agg(
         sum(when(pmod(xxhash64(col("tok"), lit(0)), lit(2)) === 0, 1L).otherwise(-1L)).as("b0"),

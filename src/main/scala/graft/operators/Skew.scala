@@ -28,6 +28,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit each UNMATCHED small-side row once
+    // per salt (the small side is replicated); only joins that preserve
+    // the big side's row identity keep the result-identical contract
+    require(!Set("right", "rightouter", "full", "outer", "fullouter")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType " +
+        "(the replicated small side would duplicate unmatched rows)")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
     // generators can't nest inside other expressions — explode bare,

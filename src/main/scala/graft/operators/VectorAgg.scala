@@ -23,8 +23,12 @@ class VectorAvg(dim: Int) extends Aggregator[Array[Float], VectorAvg.Buf, Array[
   override def zero: Buf = Buf(new Array[Double](dim), 0L)
 
   override def reduce(b: Buf, v: Array[Float]): Buf = {
+    // fail fast on malformed rows — zero-padding a short vector would
+    // silently drag centroid components toward 0
+    require(v.length == dim,
+      s"VectorAvg(dim=$dim) fed a vector of length ${v.length}")
     var i = 0
-    while (i < dim && i < v.length) { b.sums(i) += v(i); i += 1 }
+    while (i < dim) { b.sums(i) += v(i); i += 1 }
     b.copy(n = b.n + 1)
   }
 

@@ -22,16 +22,25 @@ import org.apache.spark.sql.types.DoubleType
   * is precisely the predicate emitted here.
   */
 object BoxPipRewrite extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case p @ PointInPolygonExpr(lon, lat, _, _) if p.boxBounds.isDefined =>
-        val (x0, x1, y0, y1) = p.boxBounds.get
-        And(
-          And(GreaterThanOrEqual(lon, Literal(x0, DoubleType)),
-            LessThanOrEqual(lon, Literal(x1, DoubleType))),
-          And(GreaterThanOrEqual(lat, Literal(y0, DoubleType)),
-            LessThanOrEqual(lat, Literal(y1, DoubleType))))
-    }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // Filter context ONLY: there `false` and `null` both drop the row,
+    // so the three-valued AND the ranges produce on a null coordinate
+    // is equivalent to the null-intolerant original. In a projection
+    // the rewrite would turn null into false — so it doesn't fire
+    // there. Children must be deterministic: the rewrite references
+    // each coordinate twice.
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      f.transformExpressions {
+        case p @ PointInPolygonExpr(lon, lat, _, _)
+            if p.boxBounds.isDefined && lon.deterministic && lat.deterministic =>
+          val (x0, x1, y0, y1) = p.boxBounds.get
+          And(
+            And(GreaterThanOrEqual(lon, Literal(x0, DoubleType)),
+              LessThanOrEqual(lon, Literal(x1, DoubleType))),
+            And(GreaterThanOrEqual(lat, Literal(y0, DoubleType)),
+              LessThanOrEqual(lat, Literal(y1, DoubleType))))
+      }
+  }
 }
 
 /** Session extensions installer: `spark.sql.extensions =

@@ -61,7 +61,7 @@ class ScalePostureSpec extends SparkSpec {
         // neither join input re-shuffles: bucket layout satisfies the
         // join's distribution requirement
         val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
-          .takeWhile(_ => true).split("HashAggregate").head
+          .split("HashAggregate").head
         joinSection should not include "Exchange hashpartitioning(o_orderkey"
         joinSection should not include "Exchange hashpartitioning(l_orderkey"
       }
