@@ -38,6 +38,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
+      // SPARK_GRAFT_EXPLAIN=<names>: dump the formatted plan before
+      // timing (dev loop for plan-shape iteration).
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_.split(",").exists(name.startsWith)))
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => System.err.println(s"[bench] explain $name: $e") }
       val t0 = System.nanoTime()
       def elapsed: Double = (System.nanoTime() - t0) / 1e9
       val fut = Future {

@@ -187,7 +187,13 @@ object Dedup {
     val sh = docs.select(col(idCol).as("sid"), shingles(col(textCol), shingleK).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatesFromShingles(sh, numHashes, bands, maxBucket = 1000)
-    cands
+    // broadcast the CANDIDATE side, not the shingle table: pairs are
+    // the post-LSH survivors (orders of magnitude fewer than docs);
+    // without the hint Spark broadcasts the full shingle table —
+    // harmless at test SF, exactly backwards at 100 TB (and if cands
+    // ever outgrew the broadcast limit, AQE's sort-merge fallback on
+    // the UNhinted join keys is the right degradation)
+    broadcast(cands)
       .join(sh.select(col("sid").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("sid").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
