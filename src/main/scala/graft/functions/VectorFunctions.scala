@@ -47,11 +47,12 @@ object VectorFunctions {
     * which is what makes the bucket join work at scale.
     *
     * sign bit i = sign( Σ_j hash01(i,j) · v_j ), hash01 ∈ {-1, +1}.
+    *
+    * Interpreted-HOF form, kept as the value spec for
+    * [[hyperplaneSignatureUnrolled]] (pinned equal in VectorFunctionsSpec);
+    * the unrolled form is what the operators use on hot paths.
     */
   def hyperplaneSignature(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
-    // Nested HOFs (runtime loops) rather than bits×dim unrolled
-    // expression nodes — keeps the generated code small enough for
-    // whole-stage codegen at any (bits, dim).
     val projs = transform(sequence(lit(0), lit(bits - 1)), i =>
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, j) =>
         acc + when(pmod(xxhash64(lit(seed), i, j), lit(2)) === 0, lit(1.0))
@@ -62,5 +63,53 @@ object VectorFunctions {
       zip_with(projs, sequence(lit(0), lit(bits - 1)), (p, i) =>
         when(p >= 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
+  }
+
+  /** [[hyperplaneSignature]] with the bits×dim loop unrolled at plan
+    * time. Each ±1 coefficient is a `when(xxhash64(seed,i,j)%2==0,…)`
+    * subtree whose children are ALL literals, so Catalyst's
+    * ConstantFolding collapses it before execution — the per-row work
+    * that survives is Σ_j ±vec[j] per bit: whole-stage-codegen'd
+    * multiply-adds, no interpreted HOF loop, no per-element allocation.
+    * Still a pure scalar expression (unlike an explode+agg rewrite, it
+    * adds no shuffle and no join-back, and stays usable inside a scan
+    * filter for bucket pruning).
+    *
+    * Value-identical to the HOF form: same hash draws, and the unrolled
+    * left-to-right `reduce(_ + _)` reproduces the HOF fold's double
+    * addition order exactly ((0.0+t₀)+t₁… ≡ (t₀+t₁)… in IEEE754).
+    */
+  def hyperplaneSignatureUnrolled(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+    val bitCols = (0 until bits).map { i =>
+      val proj = (0 until dim).map { j =>
+        when(pmod(xxhash64(lit(seed), lit(i), lit(j)), lit(2)) === 0, lit(1.0))
+          .otherwise(lit(-1.0)) * element_at(vec, lit(j + 1)).cast("double")
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Dim-aware unrolled twins of [[dot]]/[[norm]]/[[cosineSimilarity]]:
+    * when the vector width is statically known (it always is for an
+    * embedding column), the HOF loop unrolls to `dim` codegen'd
+    * multiply-adds — no interpreted eval, no 3×dim scratch arrays per
+    * row. Same left-fold addition order as the HOF forms, so results
+    * are bit-identical and the DuckDB oracles keep matching.
+    */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(j =>
+      element_at(a, lit(j + 1)).cast("double") *
+        element_at(b, lit(j + 1)).cast("double")).reduce(_ + _)
+
+  def normUnrolled(a: Column, dim: Int): Column =
+    sqrt((0 until dim).map { j =>
+      val v = element_at(a, lit(j + 1)).cast("double")
+      v * v
+    }.reduce(_ + _))
+
+  def cosineSimilarityUnrolled(a: Column, b: Column, dim: Int): Column = {
+    val d = normUnrolled(a, dim) * normUnrolled(b, dim)
+    when(d > 0, dotUnrolled(a, b, dim) / d).otherwise(lit(0.0))
   }
 }

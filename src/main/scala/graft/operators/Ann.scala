@@ -20,16 +20,24 @@ import graft.functions.{VectorFunctions => V}
 object Ann {
 
   /** Exact cosine top-k against a single query vector, supplied as a
-    * one-row DataFrame (id, vec). */
+    * one-row DataFrame (id, vec). Pass `dim` when the embedding width
+    * is statically known (it always is for a real embedding column) to
+    * get the unrolled codegen'd cosine instead of the interpreted HOF
+    * form — identical values, no per-row scratch arrays. */
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
-                     query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+                     query: DataFrame, queryVecCol: String, k: Int,
+                     dim: Int = -1): DataFrame = {
     val q = broadcast(query.select(col(queryVecCol).as("_qvec")))
     embs.crossJoin(q)
-      .withColumn("sim", V.cosineSimilarity(col(vecCol), col("_qvec")))
+      .withColumn("sim", cosine(col(vecCol), col("_qvec"), dim))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  /** Unrolled cosine when dim is known; HOF fallback otherwise. */
+  private def cosine(a: Column, b: Column, dim: Int): Column =
+    if (dim > 0) V.cosineSimilarityUnrolled(a, b, dim) else V.cosineSimilarity(a, b)
 
   /** LSH-bucketed ANN: score only vectors whose signature matches the
     * query signature or any single-bit flip of it (multiprobe radius 1).
@@ -40,18 +48,18 @@ object Ann {
               query: DataFrame, queryVecCol: String, k: Int,
               bits: Int = 8): DataFrame = {
     val withSig = embs.withColumn("_sig",
-      V.hyperplaneSignature(col(vecCol), bits, dim))
+      V.hyperplaneSignatureUnrolled(col(vecCol), bits, dim))
     // query side: signature + radius-1 multiprobes, exploded to rows
     val probes = query
       .select(col(queryVecCol).as("_qvec"),
-        V.hyperplaneSignature(col(queryVecCol), bits, dim).as("_qsig"))
+        V.hyperplaneSignatureUnrolled(col(queryVecCol), bits, dim).as("_qsig"))
       .select(col("_qvec"), explode(concat(
         array(col("_qsig")),
         transform(sequence(lit(0), lit(bits - 1)), i =>
           col("_qsig").bitwiseXOR(
             pow(lit(2.0), i).cast("long"))))).as("_probe"))
     withSig.join(broadcast(probes), col("_sig") === col("_probe"))
-      .withColumn("sim", V.cosineSimilarity(col(vecCol), col("_qvec")))
+      .withColumn("sim", V.cosineSimilarityUnrolled(col(vecCol), col("_qvec"), dim))
       .select(col(idCol), col("sim"))
       .dropDuplicates(idCol)
       .orderBy(desc("sim"), col(idCol))
@@ -66,11 +74,13 @@ object Ann {
   def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
     // argmax over cells of cosine(vec, c) == argmax of dot(vec, ĉ):
     // ‖vec‖ is constant across cells, so normalize the centroids ONCE
-    // driver-side and drop all norm evaluation from the per-row path
-    // (3× fewer HOF traversals per cell).
+    // driver-side and drop all norm evaluation from the per-row path.
+    // dotUnrolled + a literal centroid constant-folds each element_at
+    // into a plain literal coefficient — the per-row work is nCells×dim
+    // codegen'd multiply-adds, no interpreted HOF loop at all.
     val units = cents.map(unit)
     array_max(array(units.zipWithIndex.map { case (c, i) =>
-      struct(V.dot(vec, typedLit(c)).as("s"), lit(i).as("i"))
+      struct(V.dotUnrolled(vec, typedLit(c), c.length).as("s"), lit(i).as("i"))
     }: _*)).getField("i")
   }
 
@@ -114,28 +124,41 @@ object Ann {
     cents
   }
 
-  /** IVF with TRAINED centroids: probe the `nProbe` cells whose
-    * centroids are nearest the query, score only their members. The
-    * cell id is a pure expression of the vector, so on a cell-
-    * partitioned table the probe prunes the scan itself. */
-  def ivfTopKTrained(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     query: DataFrame, queryVecCol: String, k: Int,
-                     nCells: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
-    val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
+  /** IVF SEARCH against an already-trained centroid set: probe the
+    * `nProbe` cells whose centroids are nearest the query, score only
+    * their members. The cell id is a pure expression of the vector, so
+    * on a cell-partitioned table the probe prunes the scan itself.
+    *
+    * Train/search are split deliberately: at scale, training
+    * ([[trainIvfCells]]) is a build step whose centroids persist with
+    * the index layout; a query must never re-run Lloyd iterations.
+    * [[ivfTopKTrained]] composes the two for the demo path. */
+  def ivfSearch(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                query: DataFrame, queryVecCol: String, k: Int,
+                cents: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
     val withCell = embs.withColumn("_cell", nearestCell(col(vecCol), cents))
     val unitCents = cents.map(unit)
     val probes = query
       .select(col(queryVecCol).as("_qvec"),
         explode(slice(reverse(array_sort(array(unitCents.zipWithIndex.map { case (c, i) =>
-          struct(V.dot(col(queryVecCol), typedLit(c)).as("s"), lit(i).as("i"))
+          struct(V.dotUnrolled(col(queryVecCol), typedLit(c), c.length).as("s"), lit(i).as("i"))
         }: _*))), 1, nProbe)).as("_p"))
       .select(col("_qvec"), col("_p.i").as("_probe_cell"))
     withCell.join(broadcast(probes), col("_cell") === col("_probe_cell"))
-      .withColumn("sim", V.cosineSimilarity(col(vecCol), col("_qvec")))
+      .withColumn("sim", V.cosineSimilarityUnrolled(col(vecCol), col("_qvec"), dim))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  /** Train + search in one call (demo/test path — benchmarks and real
+    * deployments call [[trainIvfCells]] once and [[ivfSearch]] per
+    * query). */
+  def ivfTopKTrained(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     query: DataFrame, queryVecCol: String, k: Int,
+                     nCells: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame =
+    ivfSearch(embs, idCol, vecCol, dim, query, queryVecCol, k,
+      trainIvfCells(embs, idCol, vecCol, dim, nCells, iters), nProbe)
 
   /** IVF-style coarse quantization using label/partition assignment:
     * group vectors by an existing coarse key (e.g. a cluster id column),
@@ -155,12 +178,12 @@ object Ann {
       .agg(vecAvg(col(vecCol)).as("_centroid"))
     val q = broadcast(query.select(col(queryVecCol).as("_qvec")))
     val nearCells = cent.crossJoin(q)
-      .withColumn("_csim", V.cosineSimilarity(col("_centroid"), col("_qvec")))
+      .withColumn("_csim", V.cosineSimilarityUnrolled(col("_centroid"), col("_qvec"), dim))
       .orderBy(desc("_csim")).limit(nProbe)
       .select("_cell")
     embs.join(broadcast(nearCells), col(cellCol) === col("_cell"))
       .crossJoin(q)
-      .withColumn("sim", V.cosineSimilarity(col(vecCol), col("_qvec")))
+      .withColumn("sim", V.cosineSimilarityUnrolled(col(vecCol), col("_qvec"), dim))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)

@@ -144,26 +144,59 @@ object Dedup {
       docs.select(col(idCol).as("sid"), shingles(text, shingleK).as("sh")),
       numHashes, bands, maxBucket)
 
-  /** Candidate generation over a prepared (sid, sh) shingle table —
-    * the shared core of [[minhashCandidates]] (inline shingling) and
-    * [[minhashScoredCandidates]] (materialized shingle table). */
-  private def candidatesFromShingles(sh: DataFrame, numHashes: Int,
-                                     bands: Int, maxBucket: Int): DataFrame = {
+  /** Banded bucket table over a prepared (sid, sh) shingle table:
+    * (band, bh, docs) with docs sorted — UNcapped, so both candidate
+    * generation and drop accounting derive from the same table. */
+  private def minhashBuckets(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     // Wide (columnar) signature: codegen'd end-to-end; the groupBy(doc)
     // aggregation boundary also guarantees each h column computes once,
     // however many band columns reference it.
     val withSig = wideSignature(sh, numHashes)
-    val banded = withSig
+    withSig
       .select(col("doc"),
         explode(array(lshBandColsWide(numHashes, bands): _*)).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val buckets = banded.groupBy("band", "bh")
+      .groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    bucketPairs(buckets, "docs")
+  }
+
+  /** Candidate pairs from an UNcapped bucket table ([[minhashBuckets]]
+    * shape: any (band, bh, <array>) table). */
+  private def candidatesFromBuckets(buckets: DataFrame, bucketCol: String,
+                                    maxBucket: Int): DataFrame =
+    bucketPairs(buckets.filter(size(col(bucketCol)).between(2, maxBucket)), bucketCol)
       .select(col("_pair")(0).as("id1"), col("_pair")(1).as("id2"))
       .distinct()
-  }
+
+  /** Drop accounting for the `maxBucket` cap — the candidate loss the
+    * cap introduces, measured instead of silent: one agg over the
+    * filtered-OUT side of the bucket table. `n_docs_in_dropped_buckets`
+    * is the distinct members of over-cap buckets (an upper bound on
+    * docs whose near-dups the banded pass can miss; a doc also present
+    * in a surviving bucket can still pair there). At 100 TB this row is
+    * the pipeline's own recall-hole gauge: route the over-cap keys to
+    * the exact pass ([[exactStats]] catches byte-identical boilerplate,
+    * which is what mega-buckets overwhelmingly are) or raise the cap.
+    *
+    * `bucketCol` may be an array of ids or of structs with a `doc`
+    * field ([[simhashNearDups]]' (doc, sig) buckets); `keyCols` are the
+    * bucket-identity columns ((band, bh) for the banded variants, (sig)
+    * for [[embeddingNearDups]]). */
+  def lshDropStats(buckets: DataFrame, bucketCol: String, maxBucket: Int,
+                   keyCols: Seq[String] = Seq("band", "bh")): DataFrame =
+    buckets.filter(size(col(bucketCol)) > maxBucket)
+      .select(struct(keyCols.map(col): _*).as("_k"), explode(col(bucketCol)).as("_d"))
+      .agg(
+        count_distinct(col("_k")).as("n_dropped_buckets"),
+        count_distinct(col("_d")).as("n_docs_in_dropped_buckets"),
+        count(lit(1)).as("n_dropped_doc_slots"))
+
+  /** Candidate generation over a prepared (sid, sh) shingle table —
+    * the shared core of [[minhashCandidates]] (inline shingling) and
+    * [[minhashScoredCandidates]] (materialized shingle table). */
+  private def candidatesFromShingles(sh: DataFrame, numHashes: Int,
+                                     bands: Int, maxBucket: Int): DataFrame =
+    candidatesFromBuckets(minhashBuckets(sh, numHashes, bands), "docs", maxBucket)
 
   /** Exact Jaccard similarity of two precomputed distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -171,22 +204,56 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
+  /** The MinHash pipeline's shared intermediates, handed to
+    * [[withMinhashPipeline]]'s callback while the shingle table is
+    * persisted. `scored` = candidate pairs with exact Jaccard;
+    * `buckets` = the UNcapped banded bucket table (for
+    * [[lshDropStats]] drop accounting). */
+  final case class MinhashPipeline(scored: DataFrame, buckets: DataFrame, maxBucket: Int) {
+    def dropStats: DataFrame = lshDropStats(buckets, "docs", maxBucket)
+  }
+
+  /** Scoped MinHash-LSH pipeline: persists the shingle table once (the
+    * signature pass, both verify-join sides, and the drop-stats agg all
+    * read it), runs `use`, and ALWAYS unpersists on the way out — no
+    * storage blocks outlive the call (DedupSpec pins this via
+    * getPersistentRDDs). The caller must materialize everything it
+    * needs inside `use`; DataFrames that escape will silently recompute
+    * from scratch.
+    *
+    * This is also the real-pipeline shape at 100 TB — the shingle
+    * table is a materialized intermediate (checkpointed there,
+    * MEMORY_AND_DISK here; a few KB per doc, LRU-evicted when cold),
+    * released as soon as the pass that needs it completes. */
+  def withMinhashPipeline[T](docs: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int = 3, numHashes: Int = 64,
+                             bands: Int = 16, maxBucket: Int = 1000)
+                            (use: MinhashPipeline => T): T = {
+    val sh = docs.select(col(idCol).as("sid"), shingles(col(textCol), shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(MinhashPipeline(scoredFromShingles(sh, numHashes, bands, maxBucket),
+      minhashBuckets(sh, numHashes, bands), maxBucket))
+    finally sh.unpersist(blocking = false)
+  }
+
   /** All LSH candidate pairs with their exact Jaccard — the shared
     * tail for candidate statistics and thresholded near-dup extraction
     * (one pipeline, so callers never run the signature pass twice).
     *
-    * The shingle table is computed ONCE and persisted: the signature
-    * pass and both verify-join sides read it, so the interpreted
-    * shingle construction doesn't re-run three times. This is also the
-    * real-pipeline shape at 100 TB — the shingle/signature table is a
-    * materialized intermediate (checkpointed there, MEMORY_AND_DISK
-    * here; a few KB per doc, LRU-evicted when cold). */
+    * Lazy/unpersisted form: the shingle construction re-evaluates on
+    * each of its three consumers. Prefer [[withMinhashPipeline]] when
+    * the result is consumed eagerly — it persists the shingle table
+    * for the duration of the call and releases it after. */
   def minhashScoredCandidates(docs: DataFrame, idCol: String, textCol: String,
                               shingleK: Int = 3, numHashes: Int = 64,
                               bands: Int = 16): DataFrame = {
     val sh = docs.select(col(idCol).as("sid"), shingles(col(textCol), shingleK).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatesFromShingles(sh, numHashes, bands, maxBucket = 1000)
+    scoredFromShingles(sh, numHashes, bands, maxBucket = 1000)
+  }
+
+  private def scoredFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
+                                 maxBucket: Int): DataFrame = {
+    val cands = candidatesFromShingles(sh, numHashes, bands, maxBucket)
     // broadcast the CANDIDATE side, not the shingle table: pairs are
     // the post-LSH survivors (orders of magnitude fewer than docs);
     // without the hint Spark broadcasts the full shingle table —
@@ -255,6 +322,26 @@ object Dedup {
   /** Hamming distance between two packed fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** UNcapped SimHash band-bucket table: (band, bh, ds) where ds is the
+    * sorted array of (doc, sig) structs sharing that band slice — the
+    * shared input of [[simhashNearDups]] and [[lshDropStats]]. */
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 32, bands: Int = 4): DataFrame = {
+    val r = bits / bands
+    val withSig = simhashWide(docs, idCol, textCol, bits)
+    // band value = (sig >> (band*r)) & (2^r - 1); shift amount must be a
+    // literal per Spark's shiftrightunsigned, so unroll the small loop.
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bh"))
+    }
+    withSig
+      .select(struct(col("doc"), col("sig")).as("ds"), explode(array(bandCols: _*)).as("b"))
+      .select(col("ds"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_set(col("ds"))).as("ds"))
+  }
+
   /** SimHash near-dup pairs: band the fingerprint into `bands` slices
     * (pigeonhole: hamming <= bands-1 guarantees >= 1 identical band),
     * group per (band, slice) bucket, generate in-bucket (doc, sig)
@@ -264,19 +351,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       bits: Int = 32, bands: Int = 4,
                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val r = bits / bands
-    val withSig = simhashWide(docs, idCol, textCol, bits)
-    // band value = (sig >> (band*r)) & (2^r - 1); shift amount must be a
-    // literal per Spark's shiftrightunsigned, so unroll the small loop.
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bh"))
-    }
-    val banded = withSig
-      .select(struct(col("doc"), col("sig")).as("ds"), explode(array(bandCols: _*)).as("b"))
-      .select(col("ds"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val buckets = banded.groupBy("band", "bh")
-      .agg(sort_array(collect_set(col("ds"))).as("ds"))
+    val buckets = simhashBuckets(docs, idCol, textCol, bits, bands)
       .filter(size(col("ds")).between(2, maxBucket))
     bucketPairs(buckets, "ds")
       .select(col("_pair")(0).getField("doc").as("id1"),
@@ -293,6 +368,20 @@ object Dedup {
   // Embedding near-dup (cosine)
   // -------------------------------------------------------------------
 
+  /** UNcapped hyperplane-signature bucket table: (sig, dv) with dv the
+    * sorted (doc, vec) structs sharing the signature — shared input of
+    * [[embeddingNearDups]] and [[lshDropStats]] (keyCols = Seq("sig")).
+    * The signature is the constant-folded unrolled form
+    * ([[V.hyperplaneSignatureUnrolled]]): pure codegen'd multiply-adds,
+    * computable in a scan filter for bucket pruning. */
+  def embeddingBuckets(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       bits: Int = 12): DataFrame =
+    embs.select(
+      struct(col(idCol).as("doc"), col(vecCol).as("vec")).as("dv"),
+      V.hyperplaneSignatureUnrolled(col(vecCol), bits, dim).as("sig"))
+      .groupBy("sig")
+      .agg(sort_array(collect_list(col("dv"))).as("dv"))
+
   /** Embedding-cosine near-dups via hyperplane-LSH buckets: vectors in
     * the same signature bucket are compared exactly; cosine >= threshold
     * survives. Bucketing keys the shuffle — no n² pass.
@@ -300,17 +389,13 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double = 0.99, bits: Int = 12,
                         maxBucket: Int = 1000): DataFrame = {
-    val withSig = embs.select(
-      struct(col(idCol).as("doc"), col(vecCol).as("vec")).as("dv"),
-      V.hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
-    val buckets = withSig.groupBy("sig")
-      .agg(sort_array(collect_list(col("dv"))).as("dv"))
+    val buckets = embeddingBuckets(embs, idCol, vecCol, dim, bits)
       .filter(size(col("dv")).between(2, maxBucket))
     bucketPairs(buckets, "dv")
       .select(col("_pair")(0).getField("doc").as("id1"),
         col("_pair")(1).getField("doc").as("id2"),
-        V.cosineSimilarity(col("_pair")(0).getField("vec"),
-          col("_pair")(1).getField("vec")).as("cosine"))
+        V.cosineSimilarityUnrolled(col("_pair")(0).getField("vec"),
+          col("_pair")(1).getField("vec"), dim).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }

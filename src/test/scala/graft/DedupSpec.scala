@@ -103,6 +103,56 @@ class DedupSpec extends SparkSpec {
     wideS.join(foldS, "doc").filter(col("sig_w") =!= col("sig_f")).count() shouldBe 0
   }
 
+  test("unrolled vector forms equal the HOF forms value-for-value") {
+    import graft.functions.{VectorFunctions => V}
+    // real embeddings: signature, dot, cosine must be bit-identical
+    val embs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+    val self = embs.select(
+      V.hyperplaneSignature(col("e"), 12, 64).as("s_hof"),
+      V.hyperplaneSignatureUnrolled(col("e"), 12, 64).as("s_unr"),
+      V.dot(col("e"), col("e")).as("d_hof"),
+      V.dotUnrolled(col("e"), col("e"), 64).as("d_unr"),
+      V.cosineSimilarity(col("e"), col("e")).as("c_hof"),
+      V.cosineSimilarityUnrolled(col("e"), col("e"), 64).as("c_unr"))
+    self.filter(col("s_hof") =!= col("s_unr") ||
+        col("d_hof") =!= col("d_unr") ||
+        col("c_hof") =!= col("c_unr"))
+      .count() shouldBe 0
+  }
+
+  test("lshDropStats reports over-cap buckets instead of losing them silently") {
+    import spark.implicits._
+    // 10 byte-identical docs: one signature, so EVERY band's bucket
+    // holds all 10 — over a cap of 5 they all drop, and the stats row
+    // must say exactly that.
+    val docs = ((0 until 10).map(i => i.toLong -> base) :+
+      (100L -> "a completely unrelated loner document with its own words"))
+      .toDF("doc_id", "text")
+    Dedup.withMinhashPipeline(docs, "doc_id", "text", maxBucket = 5) { p =>
+      val s = p.dropStats.collect()(0)
+      s.getAs[Long]("n_dropped_buckets") shouldBe 16
+      s.getAs[Long]("n_docs_in_dropped_buckets") shouldBe 10
+      s.getAs[Long]("n_dropped_doc_slots") shouldBe 160
+      // the capped pass then finds no candidates (the loner has no pair)
+      p.scored.count() shouldBe 0L
+    }
+    // and with a roomy cap the same corpus yields all 45 clone pairs
+    Dedup.withMinhashPipeline(docs, "doc_id", "text", maxBucket = 1000) { p =>
+      p.scored.filter(col("jaccard") >= 0.99).count() shouldBe 45L
+      p.dropStats.collect()(0).getAs[Long]("n_dropped_buckets") shouldBe 0
+    }
+  }
+
+  test("withMinhashPipeline leaves no persisted blocks behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.withMinhashPipeline(corpus, "doc_id", "text") { p =>
+      p.scored.count()
+      spark.sparkContext.getPersistentRDDs.size should be > before.size
+    }
+    spark.sparkContext.getPersistentRDDs.keySet shouldBe before
+  }
+
   test("embedding near-dup finds planted high-cosine pairs only") {
     import spark.implicits._
     val dim = 8
