@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * Shaping semantics mirror `shape_element`
   * (ProjectCodeUsed/data.py:120-185):
-  *  - only `node` and `way` become rows; relations drop (:173).
+  *  - only `node` and `way` become rows; relations drop (:173) unless
+  *    the caller opts in via `includeRelations` (the two-hop
+  *    relation→way→node dereference needs them).
   *  - lat/lon → `pos` struct, Double (:124-127).
   *  - version/changeset/timestamp/user/uid → `created` struct (:129-134),
   *    timestamp parsed to a real TimestampType.
@@ -46,6 +48,8 @@ object OsmSource {
                         timestamp: Timestamp, user: String, uid: String)
   case class OsmAddress(street: String, housenumber: String,
                         postcode: String, city: String, state: String)
+  /** A `<member>` of a `<relation>` (type = node|way|relation). */
+  case class OsmMember(member_type: String, ref: String, role: String)
   case class OsmElement(
       id: String,
       `type`: String,
@@ -54,6 +58,7 @@ object OsmSource {
       created: OsmCreated,
       address: OsmAddress,
       node_refs: Seq[String],
+      members: Seq[OsmMember],
       tags: Map[String, String],
       amenity: String,
       natural: String,
@@ -82,12 +87,19 @@ object OsmSource {
   /** S1 — parse OSM XML file(s) into the canonical typed Dataset.
     * @param cleanStreets apply street normalization at ingest (the
     *        ProjectCodeUsed behavior); pass false for the raw
-    *        Lesson6Quizes shaping. */
+    *        Lesson6Quizes shaping.
+    * @param includeRelations also emit `<relation>` rows (type =
+    *        "relation", members populated). Default false — the
+    *        reference DROPS relations (data.py:173), and its golden
+    *        shaping contracts are pinned on that behavior; the
+    *        relation→way→node dereference (readme.md:488-494's future
+    *        work) opts in. */
   def elements(spark: SparkSession, path: String,
-               cleanStreets: Boolean = true): Dataset[OsmElement] = {
+               cleanStreets: Boolean = true,
+               includeRelations: Boolean = false): Dataset[OsmElement] = {
     import spark.implicits._
     spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, xml) => parseElements(xml, cleanStreets) }
+      .flatMap { case (_, xml) => parseElements(xml, cleanStreets, includeRelations) }
       .toDS()
   }
 
@@ -101,6 +113,119 @@ object OsmSource {
     * queries prune at the directory level. */
   def writeParquet(ds: Dataset[OsmElement], path: String): Unit =
     ds.write.mode("overwrite").partitionBy("type").parquet(path)
+
+  /** Split-PARALLEL ingest of a monolithic OSM XML file — the
+    * scale-path alternative to [[shardXml]]'s driver-side framing pass:
+    * the file is divided into byte ranges driver-side (metadata only);
+    * each task opens the file through the Hadoop FileSystem API, seeks
+    * to its range, aligns forward to the first top-level element START
+    * inside the range, and parses until the first top-level start
+    * at/after the range end. Every element is parsed exactly once — by
+    * the split containing its start byte — so a single planet.xml
+    * parallelizes cluster-wide on first touch, no landing rewrite.
+    *
+    * Alignment is a byte-level scan for `<node` / `<way` / `<relation`
+    * followed by a delimiter: in well-formed XML a raw '<' cannot
+    * appear inside attribute values (it must be escaped as &lt;), and
+    * OSM's nested children are only nd/tag/member, so the name match
+    * alone identifies top level. (Caveat, documented not defended: an
+    * XML comment containing literal "<node " would confuse the
+    * aligner; OSM planet dumps contain no comments.)
+    */
+  def elementsSplit(spark: SparkSession, path: String,
+                    splitBytes: Long = 64L * 1024 * 1024,
+                    cleanStreets: Boolean = true,
+                    includeRelations: Boolean = false): Dataset[OsmElement] = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val uri = new java.net.URI(path)
+    val len = FileSystem.get(uri, spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new HPath(path)).getLen
+    val starts = 0L until len by math.max(1L, splitBytes)
+    val ranges = starts.map(s => (s, math.min(s + splitBytes, len))).toSeq
+    spark.sparkContext
+      .parallelize(ranges, ranges.size)
+      .flatMap { case (s, e) => parseRange(path, s, e, cleanStreets, includeRelations) }
+      .toDS()
+  }
+
+  private val topLevelNames = Seq("node", "way", "relation")
+
+  /** Is `buf(pos)` the '<' of a top-level element start tag? */
+  private def isTopLevelStart(buf: Array[Byte], pos: Int, end: Int): Boolean = {
+    if (buf(pos) != '<') return false
+    topLevelNames.exists { n =>
+      val after = pos + 1 + n.length
+      after <= end && {
+        var i = 0
+        var ok = true
+        while (ok && i < n.length) { ok = buf(pos + 1 + i) == n(i).toByte; i += 1 }
+        ok && (after == end || buf(after) == ' ' || buf(after) == '\t' ||
+          buf(after) == '\n' || buf(after) == '\r' || buf(after) == '/' || buf(after) == '>')
+      }
+    }
+  }
+
+  /** Executor-side range parse (see [[elementsSplit]]): reads
+    * [start, end) plus the read-ahead needed to complete the last
+    * owned element, returns the shaped elements whose start byte falls
+    * in the range. */
+  private[sources] def parseRange(path: String, start: Long, end: Long,
+                                  cleanStreets: Boolean,
+                                  includeRelations: Boolean): Iterator[OsmElement] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val in = fs.open(new HPath(path))
+    try {
+      in.seek(start)
+      val base = (end - start).toInt
+      val bos = new java.io.ByteArrayOutputStream(base + 1024)
+      val chunk = new Array[Byte](1 << 20)
+      // read the range itself
+      var remaining = base
+      var eof = false
+      while (remaining > 0 && !eof) {
+        val n = in.read(chunk, 0, math.min(chunk.length, remaining))
+        if (n < 0) eof = true else { bos.write(chunk, 0, n); remaining -= n }
+      }
+      // read ahead until the first top-level start at/after the range
+      // end (elements are small — ways cap at ~2k nd refs — so this
+      // tail is a few KB in practice, bounded by one element's size)
+      var tailStart = -1
+      while (tailStart < 0 && !eof) {
+        val searchFrom = math.max(base, bos.size() - chunk.length - 16)
+        val n = in.read(chunk)
+        if (n < 0) eof = true
+        else {
+          bos.write(chunk, 0, n)
+          val buf = bos.toByteArray
+          var p = searchFrom
+          while (tailStart < 0 && p < buf.length) {
+            if (isTopLevelStart(buf, p, buf.length)) tailStart = p
+            else p += 1
+          }
+        }
+      }
+      val buf = bos.toByteArray
+      val stop = if (tailStart >= 0) tailStart else buf.length
+      // first top-level start INSIDE the range — this split's first element
+      var first = -1
+      var p = 0
+      while (first < 0 && p < math.min(base, stop)) {
+        if (isTopLevelStart(buf, p, buf.length)) first = p
+        else p += 1
+      }
+      if (first < 0) Iterator.empty
+      else {
+        var frag = new String(buf, first, stop - first, java.nio.charset.StandardCharsets.UTF_8)
+        // final split: trim the document's own root close tag
+        val rootClose = frag.lastIndexOf("</osm>")
+        if (tailStart < 0 && rootClose >= 0) frag = frag.substring(0, rootClose)
+        parseElements(s"<osm>$frag</osm>", cleanStreets, includeRelations)
+      }
+    } finally in.close()
+  }
 
   /** One-time framing pass for a MONOLITHIC OSM file (planet.xml
     * arrives as one huge document; `wholeTextFiles` parallelism is
@@ -205,8 +330,10 @@ object OsmSource {
   }
 
   /** Incremental pull-parse: yields one shaped OsmElement per
-    * `<node>`/`<way>`; relations and everything else skip. */
-  private[sources] def parseElements(xml: String, cleanStreets: Boolean): Iterator[OsmElement] = {
+    * `<node>`/`<way>` (and `<relation>` when `includeRelations`);
+    * everything else skips. */
+  private[sources] def parseElements(xml: String, cleanStreets: Boolean,
+                                     includeRelations: Boolean = false): Iterator[OsmElement] = {
     val r = newReader(xml)
     new Iterator[OsmElement] {
       private var nextEl: OsmElement = advance()
@@ -214,7 +341,8 @@ object OsmSource {
         while (r.hasNext) {
           if (r.next() == XMLStreamConstants.START_ELEMENT) {
             val tag = r.getLocalName
-            if (tag == "node" || tag == "way") return parseOne(r, tag)
+            if (tag == "node" || tag == "way" ||
+                (includeRelations && tag == "relation")) return parseOne(r, tag)
           }
         }
         null
@@ -241,6 +369,7 @@ object OsmSource {
           else null
 
         var nodeRefs = List.empty[String]
+        var members = List.empty[OsmMember]
         var address = Map.empty[String, String]
         var tags = Map.empty[String, String]
         var depth = 1
@@ -252,6 +381,11 @@ object OsmSource {
                 case "nd" =>
                   val ref = attrValue(r, "ref")
                   if (ref != null) nodeRefs ::= ref
+                case "member" =>
+                  val ref = attrValue(r, "ref")
+                  if (ref != null)
+                    members ::= OsmMember(attrValue(r, "type"), ref,
+                      attrValue(r, "role"))
                 case "tag" =>
                   val k = attrValue(r, "k")
                   val v = attrValue(r, "v")
@@ -293,6 +427,7 @@ object OsmSource {
           created = created,
           address = addr,
           node_refs = if (tag == "way" && nodeRefs.nonEmpty) nodeRefs.reverse else null,
+          members = if (tag == "relation" && members.nonEmpty) members.reverse else null,
           tags = tags,
           amenity = tags.getOrElse("amenity", null),
           natural = tags.getOrElse("natural", null),

@@ -45,6 +45,23 @@ class MultimodalSpec extends SparkSpec {
     frames.groupBy(_.media_id).values.foreach(_.length should be >= 3)
   }
 
+  test("real PNG decode: ImageIO returns the true planted dimensions") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha"), (3L, "beta"), (6L, "gamma"),
+      (1L, "an audio payload"), (2L, "a video payload"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.syntheticMediaWithImages(docs, "doc_id", "text")
+    val d = Multimodal.decode(m).collect().map(x => x.media_id -> x).toMap
+    // width = 16 + id mod 16, height = 20 + 2*(id mod 8) — decoded from
+    // the actual PNG header, not derived from the payload hash
+    d(0L).width shouldBe 16; d(0L).height shouldBe 20
+    d(3L).width shouldBe 19; d(3L).height shouldBe 26
+    d(6L).width shouldBe 22; d(6L).height shouldBe 32
+    d(1L).kind shouldBe "audio" // non-image rows keep the stub path
+    // round-trip: makePng is deterministic (same bytes, same checksum)
+    Multimodal.makePng(16, 20, 0L).toSeq shouldBe Multimodal.makePng(16, 20, 0L).toSeq
+  }
+
   test("payload never shuffles: decode is a narrow map, downstream carries metadata only") {
     val decoded = Multimodal.decode(media).toDF()
     // decode's output schema is pure metadata — the binary payload is

@@ -103,6 +103,54 @@ class OsmSourceSpec extends SparkSpec {
     spark.sparkContext.wholeTextFiles(s"$shardDir/*.osm").count() shouldBe 5
   }
 
+  test("relations parse on opt-in: members in document order; default still drops") {
+    val p = OsmFixture.write("example.osm", OsmFixture.xml)
+    // default: the reference's drop rule (data.py:173) is preserved
+    OsmSource.elements(spark, p.toString)
+      .filter(col("type") === "relation").count() shouldBe 0
+    val rel = OsmSource.elements(spark, p.toString, includeRelations = true)
+      .filter(col("type") === "relation").collect()
+    rel.length shouldBe 1
+    rel.head.id shouldBe "2634203"
+    rel.head.members.map(m => (m.member_type, m.ref, m.role)) shouldBe Seq(
+      ("way", "209809850", "outer"),
+      ("node", "261114295", ""),
+      ("node", "261114296", ""))
+    rel.head.node_refs shouldBe null
+  }
+
+  test("elementsSplit: byte-range-parallel monolith ingest equals whole-file parse") {
+    // a monolith big enough for many splits: the fixture's 20 nodes
+    // cloned with unique ids + the way + relation
+    val body = new StringBuilder
+    body ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n"
+    for (i <- 0 until 400)
+      body ++= s""" <node id="${9000000 + i}" visible="true" version="1" changeset="1" timestamp="2013-01-01T00:00:00Z" user="u${i % 7}" uid="${i % 7}" lat="${41.9 + i * 1e-4}" lon="${-87.7 + i * 1e-4}">
+  <tag k="name" v="n√$i"/>
+ </node>
+"""
+    body ++= """ <way id="7000001" visible="true" version="1" changeset="1" timestamp="2013-01-01T00:00:00Z" user="w" uid="9">
+  <nd ref="9000000"/>
+  <nd ref="9000001"/>
+  <tag k="highway" v="residential"/>
+ </way>
+ <relation id="8000001" visible="true" version="1" changeset="1" timestamp="2013-01-01T00:00:00Z" user="r" uid="10">
+  <member type="way" ref="7000001" role="outer"/>
+ </relation>
+</osm>
+"""
+    val p = OsmFixture.write("monolith.osm", body.toString)
+    val whole = OsmSource.elements(spark, p.toString, cleanStreets = false,
+      includeRelations = true)
+      .collect().map(e => (e.id, e.`type`, e.node_refs, e.name)).sortBy(_._1).toSeq
+    // 4 KB splits → ~dozens of ranges, elements spanning boundaries
+    val split = OsmSource.elementsSplit(spark, p.toString, splitBytes = 4096,
+      cleanStreets = false, includeRelations = true)
+      .collect().map(e => (e.id, e.`type`, e.node_refs, e.name)).sortBy(_._1).toSeq
+    split.length shouldBe 402
+    split shouldBe whole
+  }
+
   test("S3 JSON-lines + parquet sinks round-trip") {
     val p = OsmFixture.write("example.osm", OsmFixture.xml)
     val els = OsmSource.elements(spark, p.toString)
