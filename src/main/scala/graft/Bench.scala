@@ -3,8 +3,11 @@ package graft
 import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
 import scala.concurrent.duration._
 
-/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * prints ONE JSON line {"metric":…,"queries":{…}}.
+/** Benchmark main: runs every SparkEntry query PLUS the bench-only
+  * sf-scale pipelines (ScaleWorkloads, `sx*` keys — the LSH/ANN/
+  * multimodal operators whose declared queries pin correctness on
+  * planted fixtures) on SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric":…,"queries":{…}}.
   *
   * Each query is materialized with a noop-format write so the measured
   * plan is the REAL plan — a bare `.count()` would let Catalyst prune
@@ -35,7 +38,8 @@ object Bench {
 
     // Optional name filter (dev loop): SPARK_GRAFT_BENCH_ONLY=dd3,dd5
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = (SparkEntry.queries ++ graft.queries.ScaleWorkloads.defs)
+      .toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
       // SPARK_GRAFT_EXPLAIN=<names>: dump the formatted plan before

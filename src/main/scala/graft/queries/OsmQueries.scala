@@ -94,6 +94,41 @@ object OsmQueries {
         .orderBy("way_id", "seq")
     }),
 
+    // J2e — the COMPLETE relation→way→node two-hop dereference the
+    // reference describes as future work (readme.md:488-494): relation
+    // members (opt-in parse) → way members resolved to ways → node_refs
+    // posexploded → node positions, ring order restored by seq.
+    "j2e_relation_deref" -> ((s, _) => {
+      val els = OsmSource.elements(s, fixturePath(), cleanStreets = true,
+        includeRelations = true).toDF()
+      val rels = els.filter(col("type") === "relation")
+        .select(col("id").as("relation_id"), explode(col("members")).as("m"))
+        .filter(col("m.member_type") === "way")
+        .select(col("relation_id"), col("m.ref").as("way_ref"), col("m.role").as("role"))
+      val ways = els.filter(col("type") === "way")
+        .select(col("id").as("way_id"), posexplode(col("node_refs")))
+      val nodes = els.filter(col("type") === "node")
+        .select(col("id").as("nid"), col("pos.lat").as("lat"), col("pos.lon").as("lon"))
+      rels.join(ways, col("way_ref") === col("way_id"))
+        .join(nodes, col("col") === col("nid"))
+        .select(col("relation_id"), col("role"), col("way_id"),
+          (col("pos") + 1).cast("long").as("seq"), col("lon"), col("lat"))
+        .orderBy("relation_id", "way_id", "seq")
+    }),
+
+    // S7 — split-PARALLEL monolith ingest (OsmSource.elementsSplit):
+    // the fixture parsed as byte ranges (1 KB splits → elements span
+    // range boundaries) must produce exactly the whole-file shaping,
+    // relations included.
+    "s7_split_ingest" -> ((s, _) => {
+      OsmSource.elementsSplit(s, fixturePath(), splitBytes = 1024,
+          cleanStreets = false, includeRelations = true).toDF()
+        .groupBy(col("type").as("el_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("created.user")).as("n_users"))
+        .orderBy("el_type")
+    }),
+
     // M1-M4+F4+F7+F8 composed — the reference's full in-DB repair
     // sequence (readme.md:42-103) in reference order over dirty rows
     // covering every rule: merged-field split, postcode→state move,
@@ -199,6 +234,19 @@ object OsmQueries {
            ('209809850', 3, -87.6976915, 41.9707240),
            ('209809850', 4, -87.6976916, 41.9707250)
          ) AS t(way_id, seq, lon, lat) ORDER BY way_id, seq""",
+    "j2e_relation_deref" ->
+      """SELECT * FROM (VALUES
+           ('2634203', 'outer', '209809850', CAST(1 AS BIGINT), CAST(-87.6976913 AS DOUBLE), CAST(41.9707220 AS DOUBLE)),
+           ('2634203', 'outer', '209809850', 2, -87.6976914, 41.9707230),
+           ('2634203', 'outer', '209809850', 3, -87.6976915, 41.9707240),
+           ('2634203', 'outer', '209809850', 4, -87.6976916, 41.9707250)
+         ) AS t(relation_id, role, way_id, seq, lon, lat) ORDER BY relation_id, way_id, seq""",
+    "s7_split_ingest" ->
+      """SELECT * FROM (VALUES
+           ('node', CAST(20 AS BIGINT), CAST(6 AS BIGINT)),
+           ('relation', 1, 1),
+           ('way', 1, 1)
+         ) AS t(el_type, cnt, n_users) ORDER BY el_type""",
     "m1_m4_repairs_composed" ->
       """SELECT * FROM (VALUES
            ('1', '99218', 'WA', 'Spokane', 'Main Street'),

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Planted deterministic fixtures for the hash-heuristic pipeline
+  * operators (MinHash/SimHash/hyperplane-LSH, rolling hash,
+  * multimodal) — the corpora behind their VALUES oracles.
+  *
+  * The design rule: every cluster's EXACT ground truth is computable
+  * by hand, so the pinned oracle rows are independently checkable
+  * rather than self-fulfilling. Word counts and edit positions are
+  * chosen so the 3-shingle Jaccard values are exact small fractions:
+  *
+  *  - docs 1/2/3 ("cluster A"): 30 distinct words; doc2 edits the LAST
+  *    word (kills 1 shingle → j(1,2) = 27/29 = 0.931); doc3 edits word
+  *    10 (kills 3 shingles → j(1,3) = 25/31 ≈ 0.8065; j(2,3) = 24/32
+  *    = 0.75). All ≥ 0.7 → three near-dup pairs.
+  *  - docs 4/5 ("cluster B"): byte-identical → j = 1.0, SimHash
+  *    hamming = 0, rolling hash equal.
+  *  - docs 6/7 ("cluster C"): 40 words, 4 isolated edits → j = 26/50
+  *    = 0.52 — inside a 0.5 threshold, outside 0.7.
+  *  - doc 8: a word-level PERMUTATION of doc 4 — same token bag
+  *    (sorted-token fingerprint equal) but different order (rolling
+  *    hash differs): the order-sensitivity witness.
+  *  - docs 100+ : unique-vocabulary fillers (no cross shingles).
+  */
+object PlantedFixtures {
+
+  private val aWords = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+    "kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four").split(" ").toSeq
+
+  private val a1 = aWords.mkString(" ")
+  private val a2 = (aWords.init :+ "edited").mkString(" ")
+  private val a3 = aWords.updated(9, "changed").mkString(" ")
+
+  private val bText = "pack my box with five dozen liquor jugs while the " +
+    "quick onyx goblin jumps over a lazy dwarf tonight"
+  // permutation of bText's tokens (same bag, different order)
+  private val bPerm = bText.split(" ").sorted.mkString(" ")
+
+  private val cWords = ("c01 c02 c03 c04 c05 c06 c07 c08 c09 c10 " +
+    "c11 c12 c13 c14 c15 c16 c17 c18 c19 c20 " +
+    "c21 c22 c23 c24 c25 c26 c27 c28 c29 c30 " +
+    "c31 c32 c33 c34 c35 c36 c37 c38 c39 c40").split(" ").toSeq
+  private val c1 = cWords.mkString(" ")
+  private val c2 = cWords.updated(4, "x1").updated(14, "x2")
+    .updated(24, "x3").updated(34, "x4").mkString(" ")
+
+  /** (doc_id, text) corpus — see object scaladoc for the planted truth. */
+  def docs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (Seq(
+      1L -> a1, 2L -> a2, 3L -> a3,
+      4L -> bText, 5L -> bText,
+      6L -> c1, 7L -> c2,
+      8L -> bPerm) ++
+      (0 until 12).map(i => (100L + i) ->
+        s"filler f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f f${i}g f${i}h f${i}i f${i}j"))
+      .toDF("doc_id", "text")
+  }
+
+  /** Embedding fixture, dim 8 (vec_id, embedding: Array[Float], label).
+    *
+    *  - ids 0/1/2 (label 0): positive scalar multiples of (2,1,0…) —
+    *    pairwise cosine exactly 1.0, hyperplane signatures IDENTICAL
+    *    by construction (signs of Σ±v_j are scale-invariant), so LSH
+    *    bucketing can never separate them.
+    *  - ids 3/4 (label 1): (0,0,9,10,0…) vs (0,0,10,9,0…) — cosine
+    *    180/181 ≈ 0.9945: the near-dup that must survive a 0.95 gate.
+    *  - ids 5/6 (label 2): cosine 1/√2 ≈ 0.7071 — below the gate.
+    *  - ids 7-11 (label 3): scattered fillers, all pairwise cosines
+    *    far from 1 (hand-checked ≤ 0.64 against every cluster).
+    */
+  val EmbFixtureDim = 8
+
+  def embs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (0L, v(2, 1, 0, 0, 0, 0, 0, 0), 0),
+      (1L, v(4, 2, 0, 0, 0, 0, 0, 0), 0),
+      (2L, v(6, 3, 0, 0, 0, 0, 0, 0), 0),
+      (3L, v(0, 0, 9, 10, 0, 0, 0, 0), 1),
+      (4L, v(0, 0, 10, 9, 0, 0, 0, 0), 1),
+      (5L, v(0, 0, 0, 0, 1, 1, 0, 0), 2),
+      (6L, v(0, 0, 0, 0, 1, 0, 0, 0), 2),
+      (7L, v(0, 0, 0, 0, 0, 0, 1, 0), 3),
+      (8L, v(0, 0, 0, 0, 0, 0, 0, 1), 3),
+      (9L, v(1, 0, 0, 0, 0, 0, 0, 1), 3),
+      (10L, v(0, 1, 1, 0, 0, 0, 0, 0), 3),
+      (11L, v(1, 1, 1, 1, 1, 1, 1, 1), 3))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  /** Media fixture for the multimodal queries: ids 0-8, kind = id mod 3
+    * (0→image, 1→audio, 2→video). Image payloads are REAL PNGs with
+    * width 16+id, height 20+2·id (ids 0/3/6 → 16×20, 19×26, 22×32);
+    * audio/video payloads are utf8 text whose LENGTHS are pinned
+    * (video ids 2/5/8 → 20/45/100 bytes → stub frame counts 50/75/130
+    * → 5/8/13 sampled frames at stride 10). */
+  def mediaDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    def text(n: Int): String = ("x" * (n - 1)) + "y"
+    Seq(
+      (0L, "png"), (3L, "png"), (6L, "png"),
+      (1L, text(10)), (4L, text(15)), (7L, text(25)),
+      (2L, text(20)), (5L, text(45)), (8L, text(100)))
+      .toDF("doc_id", "text")
+  }
+}

@@ -121,6 +121,23 @@ object RelationalQueries {
         countDistinct(col("event_type")).as("n_types"))
     }),
 
+    // A2c — the 100 TB variant of A2: approx_count_distinct (HLL++).
+    // The sketch value itself is implementation-specific, so the
+    // DECLARED output is (exact count, sketch-within-bound): the exact
+    // count hash-checks against DuckDB, and the boolean pins that
+    // Spark's HLL landed within 3× its configured 5% rsd of the truth —
+    // checkable without cross-engine sketch equality. At scale the
+    // sketch is the one that runs (fixed-size state, no distinct
+    // shuffle); SURVEY §2.4's scale note, closed as a declared query.
+    "a2c_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("_n_approx"))
+        .select(col("n_exact"),
+          (abs(col("_n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.15).as("approx_within_bound"))
+    }),
+
     // A3 — distinct values.
     "a3_distinct" -> ((s, dir) => {
       t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
@@ -569,6 +586,9 @@ object RelationalQueries {
       "SELECT count(*) AS n_rows FROM lineitem",
     "a2_count_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types
+         FROM events""",
+    "a2c_approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_exact, true AS approx_within_bound
          FROM events""",
     "a3_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",

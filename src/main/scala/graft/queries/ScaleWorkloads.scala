@@ -1,0 +1,130 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** BENCH-ONLY sf-scale pipelines (keys prefixed `sx`): the
+  * hash-heuristic operators whose DECLARED queries now run on planted
+  * fixtures ([[PipelineQueries]]) still need their 100 TB-shape timing
+  * measured on the real sf tables every round — these entries keep
+  * that signal in BENCH_rN.json without entering the DuckDB
+  * correctness gate (they are not part of SparkEntry.queries; their
+  * correctness is the fixture queries + ScalaTest recall gates).
+  */
+object ScaleWorkloads {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EmbDim = PipelineQueries.EmbDim
+
+  /** Per-sfDir trained IVF centroids, so sx5 benches SEARCH only —
+    * at scale, training is a build step whose output persists with the
+    * index layout (Ann.ivfSearch scaladoc). Keyed by dir; trained once
+    * per JVM. */
+  private val ivfCents = TrieMap.empty[String, Seq[Seq[Double]]]
+
+  def trainedCents(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    ivfCents.getOrElseUpdate(dir,
+      Ann.trainIvfCells(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        EmbDim, nCells = 8, iters = 3))
+
+  val defs: Map[String, Q] = Map(
+
+    // Full MinHash-LSH near-dup pass over sf documents, scoped persist:
+    // candidate stats + drop accounting materialized inside the scope.
+    "sx1_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.withMinhashPipeline(Tables(s, dir, "documents"), "doc_id", "text") { p =>
+        val stats = p.scored.agg(count(lit(1)).as("n_candidate_pairs"),
+          sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_near_dups"))
+          .collect()(0)
+        val drops = p.dropStats.collect()(0)
+        Seq((stats.getLong(0), stats.getLong(1), drops.getLong(0)))
+          .toDF("n_candidate_pairs", "n_near_dups", "n_dropped_buckets")
+      }
+    }),
+
+    "sx2_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .agg(count(lit(1)).as("n_near_pairs"))
+    }),
+
+    "sx3_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDups(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          EmbDim, threshold = 0.95)
+        .agg(count(lit(1)).as("n_neardup_pairs"),
+          coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))
+    }),
+
+    "sx4_ann_lsh" -> ((s, dir) => {
+      val embs = Tables(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10, bits = 8)
+        .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
+    }),
+
+    // IVF search with pre-trained centroids — the ann4 r3 complaint
+    // (in-query Lloyd training) split out: this times search alone.
+    "sx5_ann_ivf_search" -> ((s, dir) => {
+      val embs = Tables(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
+          trainedCents(s, dir), nProbe = 2)
+        .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
+    }),
+
+    "sx6_rolling_hash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(T.rollingHash(col("text")).as("rh"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("rh")).as("n_distinct_rh"))
+    }),
+
+    "sx7_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(Tables(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resize(Multimodal.decode(media), 256, 256)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("cnt"), avg(col("width")).as("avg_w"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy("kind")
+    }),
+
+    "sx8_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(Tables(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyN = 10)
+        .groupBy()
+        .agg(count(lit(1)).as("n_frames"), countDistinct(col("media_id")).as("n_videos"))
+    }),
+
+    // Split-parallel monolith ingest at a bench-visible size: shard the
+    // OSM fixture ×200 into one monolithic file once, then parse it
+    // byte-range-parallel.
+    "sx9_monolith_ingest" -> ((s, _) => {
+      val path = ScaleWorkloads.monolithPath()
+      graft.sources.OsmSource.elementsSplit(s, path, splitBytes = 256 * 1024,
+          cleanStreets = true, includeRelations = true)
+        .groupBy("type").count().orderBy("type")
+    })
+  )
+
+  /** A ~2 MB monolithic OSM file built once per JVM from the fixture
+    * body (unique ids per clone so dedup-free). */
+  private lazy val monolithFile: String = {
+    val base = graft.sources.OsmFixtureData.xml
+    val body = base.substring(base.indexOf("<bounds"), base.lastIndexOf("</osm>"))
+    val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n")
+    for (i <- 0 until 200)
+      sb ++= body.replaceAll("id=\"", s"id=\"$i").replaceAll("ref=\"", s"ref=\"$i")
+    sb ++= "</osm>\n"
+    val p = java.nio.file.Path.of("/tmp/graft-osm-fixture/monolith-bench.osm")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, sb.toString)
+    p.toString
+  }
+
+  def monolithPath(): String = monolithFile
+}
