@@ -112,4 +112,27 @@ object VectorFunctions {
     val d = normUnrolled(a, dim) * normUnrolled(b, dim)
     when(d > 0, dotUnrolled(a, b, dim) / d).otherwise(lit(0.0))
   }
+
+  // -------------------------------------------------------------------
+  // Native-Expression forms — the hot-path defaults
+  // -------------------------------------------------------------------
+  // The unrolled Column forms above are exact but codegen into one
+  // giant Java method at large bits×dim — past HotSpot's huge-method
+  // JIT cliff they run SLOWER than the interpreted HOFs (measured 2.7×
+  // at 12×64, sf0.1). The graft.plans.VectorExprs expressions emit a
+  // compact doGenCode LOOP over a reference-object coefficient matrix:
+  // JIT-friendly, plan size O(1) in (bits, dim), bit-identical values
+  // (pinned in DedupSpec).
+
+  def hyperplaneSignatureNative(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.HyperplaneSignatureExpr(
+      ColumnBridge.expression(vec), bits, dim, seed))
+  }
+
+  def cosineSimilarityNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineSimilarityExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

@@ -20,9 +20,9 @@ import graft.functions.{VectorFunctions => V}
 object Ann {
 
   /** Exact cosine top-k against a single query vector, supplied as a
-    * one-row DataFrame (id, vec). Pass `dim` when the embedding width
-    * is statically known (it always is for a real embedding column) to
-    * get the unrolled codegen'd cosine instead of the interpreted HOF
+    * one-row DataFrame (id, vec). Pass `dim` > 0 (the embedding width
+    * is always statically known for a real embedding column) to use
+    * the native loop-expression cosine instead of the interpreted HOF
     * form — identical values, no per-row scratch arrays. */
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
                      query: DataFrame, queryVecCol: String, k: Int,
@@ -35,9 +35,10 @@ object Ann {
       .limit(k)
   }
 
-  /** Unrolled cosine when dim is known; HOF fallback otherwise. */
+  /** Native loop-expression cosine when dim is known (bit-identical
+    * to the HOF form; see VectorExprs); HOF fallback otherwise. */
   private def cosine(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0) V.cosineSimilarityUnrolled(a, b, dim) else V.cosineSimilarity(a, b)
+    if (dim > 0) V.cosineSimilarityNative(a, b) else V.cosineSimilarity(a, b)
 
   /** LSH-bucketed ANN: score only vectors whose signature matches the
     * query signature or any single-bit flip of it (multiprobe radius 1).
@@ -48,18 +49,18 @@ object Ann {
               query: DataFrame, queryVecCol: String, k: Int,
               bits: Int = 8): DataFrame = {
     val withSig = embs.withColumn("_sig",
-      V.hyperplaneSignatureUnrolled(col(vecCol), bits, dim))
+      V.hyperplaneSignatureNative(col(vecCol), bits, dim))
     // query side: signature + radius-1 multiprobes, exploded to rows
     val probes = query
       .select(col(queryVecCol).as("_qvec"),
-        V.hyperplaneSignatureUnrolled(col(queryVecCol), bits, dim).as("_qsig"))
+        V.hyperplaneSignatureNative(col(queryVecCol), bits, dim).as("_qsig"))
       .select(col("_qvec"), explode(concat(
         array(col("_qsig")),
         transform(sequence(lit(0), lit(bits - 1)), i =>
           col("_qsig").bitwiseXOR(
             pow(lit(2.0), i).cast("long"))))).as("_probe"))
     withSig.join(broadcast(probes), col("_sig") === col("_probe"))
-      .withColumn("sim", V.cosineSimilarityUnrolled(col(vecCol), col("_qvec"), dim))
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
       .select(col(idCol), col("sim"))
       .dropDuplicates(idCol)
       .orderBy(desc("sim"), col(idCol))
@@ -145,7 +146,7 @@ object Ann {
         }: _*))), 1, nProbe)).as("_p"))
       .select(col("_qvec"), col("_p.i").as("_probe_cell"))
     withCell.join(broadcast(probes), col("_cell") === col("_probe_cell"))
-      .withColumn("sim", V.cosineSimilarityUnrolled(col(vecCol), col("_qvec"), dim))
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
@@ -178,12 +179,12 @@ object Ann {
       .agg(vecAvg(col(vecCol)).as("_centroid"))
     val q = broadcast(query.select(col(queryVecCol).as("_qvec")))
     val nearCells = cent.crossJoin(q)
-      .withColumn("_csim", V.cosineSimilarityUnrolled(col("_centroid"), col("_qvec"), dim))
+      .withColumn("_csim", V.cosineSimilarityNative(col("_centroid"), col("_qvec")))
       .orderBy(desc("_csim")).limit(nProbe)
       .select("_cell")
     embs.join(broadcast(nearCells), col(cellCol) === col("_cell"))
       .crossJoin(q)
-      .withColumn("sim", V.cosineSimilarityUnrolled(col(vecCol), col("_qvec"), dim))
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)

@@ -371,14 +371,15 @@ object Dedup {
   /** UNcapped hyperplane-signature bucket table: (sig, dv) with dv the
     * sorted (doc, vec) structs sharing the signature — shared input of
     * [[embeddingNearDups]] and [[lshDropStats]] (keyCols = Seq("sig")).
-    * The signature is the constant-folded unrolled form
-    * ([[V.hyperplaneSignatureUnrolled]]): pure codegen'd multiply-adds,
-    * computable in a scan filter for bucket pruning. */
+    * The signature is the native loop expression
+    * ([[V.hyperplaneSignatureNative]]): compact JIT-friendly codegen,
+    * still a pure scalar computable in a scan filter for bucket
+    * pruning. */
   def embeddingBuckets(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                        bits: Int = 12): DataFrame =
     embs.select(
       struct(col(idCol).as("doc"), col(vecCol).as("vec")).as("dv"),
-      V.hyperplaneSignatureUnrolled(col(vecCol), bits, dim).as("sig"))
+      V.hyperplaneSignatureNative(col(vecCol), bits, dim).as("sig"))
       .groupBy("sig")
       .agg(sort_array(collect_list(col("dv"))).as("dv"))
 
@@ -394,8 +395,8 @@ object Dedup {
     bucketPairs(buckets, "dv")
       .select(col("_pair")(0).getField("doc").as("id1"),
         col("_pair")(1).getField("doc").as("id2"),
-        V.cosineSimilarityUnrolled(col("_pair")(0).getField("vec"),
-          col("_pair")(1).getField("vec"), dim).as("cosine"))
+        V.cosineSimilarityNative(col("_pair")(0).getField("vec"),
+          col("_pair")(1).getField("vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }

@@ -1,0 +1,212 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector-math expressions for the embedding hot paths.
+  *
+  * Why not the constant-folded unrolled Column forms
+  * (VectorFunctions.*Unrolled): at bits×dim = 768 terms the folded
+  * expression codegens into ONE giant Java method body that HotSpot
+  * refuses to JIT (-XX:DontCompileHugeMethods' 8 KB bytecode cliff) —
+  * measured 2.7× SLOWER than even the interpreted HOF fold at sf0.1.
+  * A `doGenCode` LOOP over a reference-object coefficient matrix stays
+  * a few hundred bytecodes: JIT-compiled, whole-stage-codegen-resident,
+  * and O(1) plan size no matter the (bits, dim).
+  *
+  * Value parity: both expressions accumulate in ascending element
+  * order — bit-identical to the HOF folds (and so to the DuckDB
+  * oracles); pinned in DedupSpec/AnnSpec.
+  */
+object VectorExprs {
+
+  /** The ±1 hyperplane coefficient h_i[j], replicating the Column-form
+    * draw xxhash64(lit(seed), lit(i), lit(j)) exactly: Spark's
+    * XxHash64 expression chains child hashes from its 42L default
+    * seed. */
+  def hyperplaneSigns(bits: Int, dim: Int, seed: Long): Array[Double] = {
+    val out = new Array[Double](bits * dim)
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < dim) {
+        var h = 42L
+        h = XxHash64Function.hash(seed, LongType, h)
+        h = XxHash64Function.hash(i, IntegerType, h)
+        h = XxHash64Function.hash(j, IntegerType, h)
+        out(i * dim + j) = if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0 else -1.0
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private[plans] def elementType(t: DataType): Option[DataType] = t match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+}
+
+/** Signed-random-projection LSH signature as a single loop expression:
+  * bit i of the result = sign( Σ_j h_i[j]·vec[j] ), coefficients from
+  * [[VectorExprs.hyperplaneSigns]]. Null vector, short vector, or null
+  * element → null. */
+case class HyperplaneSignatureExpr(child: Expression, bits: Int, dim: Int,
+                                   seed: Long = 42L)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.elementType(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${child.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  @transient private lazy val signs: Array[Double] =
+    VectorExprs.hyperplaneSigns(bits, dim, seed)
+  @transient private lazy val isFloat: Boolean =
+    VectorExprs.elementType(child.dataType).contains(FloatType)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      var s = 0.0
+      var j = 0
+      val base = i * dim
+      while (j < dim) {
+        if (arr.isNullAt(j)) return null
+        val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        s += signs(base + j) * x
+        j += 1
+      }
+      if (s >= 0.0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val bad = ctx.freshName("bad")
+      s"""
+         |long $sig = 0L;
+         |boolean $bad = $arr.numElements() < $dim;
+         |for (int $i = 0; $i < $bits && !$bad; $i++) {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($arr.isNullAt($j)) { $bad = true; break; }
+         |    $s += $signsRef[$i * $dim + $j] * (double) $arr.$getter($j);
+         |  }
+         |  if (!$bad && $s >= 0.0) $sig |= (1L << $i);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sig; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** cos(a, b) = a·b / (‖a‖‖b‖), 0.0 for zero vectors, as one fused
+  * ascending loop (dot and both norms accumulate in element order, so
+  * the result is bit-identical to the HOF zip_with/aggregate form and
+  * its DuckDB oracle). Null input, length mismatch, or null element →
+  * null. */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (VectorExprs.elementType(left.dataType), VectorExprs.elementType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double>, array<float|double>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override def nullable: Boolean = true
+
+  @transient private lazy val leftFloat: Boolean =
+    VectorExprs.elementType(left.dataType).contains(FloatType)
+  @transient private lazy val rightFloat: Boolean =
+    VectorExprs.elementType(right.dataType).contains(FloatType)
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var j = 0
+    while (j < n) {
+      if (a.isNullAt(j) || b.isNullAt(j)) return null
+      val x = if (leftFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      val y = if (rightFloat) b.getFloat(j).toDouble else b.getDouble(j)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      j += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (leftFloat) "getFloat" else "getDouble"
+    val rGet = if (rightFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $b.numElements() != $n;
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $j = 0; $j < $n && !$bad; $j++) {
+         |  if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; break; }
+         |  double $x = (double) $a.$lGet($j);
+         |  double $y = (double) $b.$rGet($j);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = $d > 0 ? $dot / $d : 0.0;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -105,7 +105,7 @@ object PipelineQueries {
     "ann1_brute_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10)
+      Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10, dim = EmbDim)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
     }),

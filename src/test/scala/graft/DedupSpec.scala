@@ -111,13 +111,23 @@ class DedupSpec extends SparkSpec {
     val self = embs.select(
       V.hyperplaneSignature(col("e"), 12, 64).as("s_hof"),
       V.hyperplaneSignatureUnrolled(col("e"), 12, 64).as("s_unr"),
+      V.hyperplaneSignatureNative(col("e"), 12, 64).as("s_nat"),
       V.dot(col("e"), col("e")).as("d_hof"),
       V.dotUnrolled(col("e"), col("e"), 64).as("d_unr"),
       V.cosineSimilarity(col("e"), col("e")).as("c_hof"),
-      V.cosineSimilarityUnrolled(col("e"), col("e"), 64).as("c_unr"))
+      V.cosineSimilarityUnrolled(col("e"), col("e"), 64).as("c_unr"),
+      V.cosineSimilarityNative(col("e"), col("e")).as("c_nat"))
     self.filter(col("s_hof") =!= col("s_unr") ||
+        col("s_hof") =!= col("s_nat") ||
         col("d_hof") =!= col("d_unr") ||
-        col("c_hof") =!= col("c_unr"))
+        col("c_hof") =!= col("c_unr") ||
+        col("c_hof") =!= col("c_nat"))
+      .count() shouldBe 0
+    // cross-vector cosine parity too (self-cosine can't see asymmetry)
+    val cross = embs.limit(200).crossJoin(
+      embs.select(col("e").as("e2")).limit(7))
+    cross.filter(V.cosineSimilarity(col("e"), col("e2")) =!=
+        V.cosineSimilarityNative(col("e"), col("e2")))
       .count() shouldBe 0
   }
 
