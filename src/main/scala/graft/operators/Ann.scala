@@ -76,13 +76,14 @@ object Ann {
     // argmax over cells of cosine(vec, c) == argmax of dot(vec, ĉ):
     // ‖vec‖ is constant across cells, so normalize the centroids ONCE
     // driver-side and drop all norm evaluation from the per-row path.
-    // dotUnrolled + a literal centroid constant-folds each element_at
-    // into a plain literal coefficient — the per-row work is nCells×dim
-    // codegen'd multiply-adds, no interpreted HOF loop at all.
-    val units = cents.map(unit)
-    array_max(array(units.zipWithIndex.map { case (c, i) =>
-      struct(V.dotUnrolled(vec, typedLit(c), c.length).as("s"), lit(i).as("i"))
-    }: _*)).getField("i")
+    // NearestCellExpr ships the normalized matrix as a codegen
+    // reference object and emits one nCells×dim loop — at 8 cells ×
+    // 64 dims the literal-unrolled Column form was a 512-term
+    // expression past HotSpot's huge-method JIT cliff (VectorExprs
+    // scaladoc); the loop stays compact at ANY index size.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.NearestCellExpr(
+      ColumnBridge.expression(vec), cents.map(unit(_).toArray).toArray))
   }
 
   private def unit(c: Seq[Double]): Seq[Double] = {

@@ -128,6 +128,91 @@ case class HyperplaneSignatureExpr(child: Expression, bits: Int, dim: Int,
     copy(child = newChild)
 }
 
+/** IVF cell assignment: argmax over rows of `cents` of dot(cents(i),
+  * vec) — the centroid matrix (pre-normalized by the caller) ships as
+  * a codegen reference object, so the per-row work is one nCells×dim
+  * loop regardless of how many cells the index has. Tie-break matches
+  * the Column form it replaces (array_max over (s, i) structs):
+  * equal dot → larger index wins. Null vector / short vector / null
+  * element → null. NaN dots never win (the struct form would rank NaN
+  * greatest; training data contains no NaNs — documented, not
+  * defended). */
+case class NearestCellExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+    "cents must be a non-empty rectangular matrix")
+
+  private val dim = cents(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.elementType(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${child.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+  override def nullable: Boolean = true
+
+  @transient private lazy val flat: Array[Double] = cents.flatten
+  @transient private lazy val isFloat: Boolean =
+    VectorExprs.elementType(child.dataType).contains(FloatType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    var best = -1
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        if (arr.isNullAt(j)) return null
+        val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        s += flat(i * dim + j) * x
+        j += 1
+      }
+      if (s >= bestS) { best = i; bestS = s }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", flat, "double[]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    val n = cents.length
+    nullSafeCodeGen(ctx, ev, arr => {
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $best = -1;
+         |double $bestS = Double.NEGATIVE_INFINITY;
+         |boolean $bad = $arr.numElements() < $dim;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($arr.isNullAt($j)) { $bad = true; break; }
+         |    $s += $centsRef[$i * $dim + $j] * (double) $arr.$getter($j);
+         |  }
+         |  if (!$bad && $s >= $bestS) { $best = $i; $bestS = $s; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** cos(a, b) = a·b / (‖a‖‖b‖), 0.0 for zero vectors, as one fused
   * ascending loop (dot and both norms accumulate in element order, so
   * the result is bit-identical to the HOF zip_with/aggregate form and
