@@ -47,8 +47,18 @@ object Dedup {
   // MinHash + LSH
   // -------------------------------------------------------------------
 
-  /** Word k-shingles of the whitespace-token stream (distinct). */
+  /** Word k-shingles of the whitespace-token stream (distinct) —
+    * native one-pass expression (plans.ShinglesExpr); the Column-chain
+    * reference form is [[shinglesSpec]], pinned value-equal in
+    * DedupSpec. */
   def shingles(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ShinglesExpr(ColumnBridge.expression(text), k))
+  }
+
+  /** The Column-form value spec for [[shingles]] (interpreted HOF
+    * chain; kept as the executable semantics reference). */
+  def shinglesSpec(text: Column, k: Int): Column = {
     val toks = T.tokens(text)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
@@ -229,11 +239,20 @@ object Dedup {
                              shingleK: Int = 3, numHashes: Int = 64,
                              bands: Int = 16, maxBucket: Int = 1000)
                             (use: MinhashPipeline => T): T = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs.select(col(idCol).as("sid"), shingles(col(textCol), shingleK).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try use(MinhashPipeline(scoredFromShingles(sh, numHashes, bands, maxBucket),
-      minhashBuckets(sh, numHashes, bands), maxBucket))
-    finally sh.unpersist(blocking = false)
+      .persist(lvl)
+    // the bucket table is persisted too: candidates AND drop stats read
+    // it, and without the cache each consumer re-runs the whole
+    // signature aggregation (it's bands rows per distinct signature —
+    // tiny next to the shingle table)
+    val buckets = minhashBuckets(sh, numHashes, bands).persist(lvl)
+    try use(MinhashPipeline(
+      scoredFromBuckets(sh, buckets, maxBucket), buckets, maxBucket))
+    finally {
+      buckets.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+    }
   }
 
   /** All LSH candidate pairs with their exact Jaccard — the shared
@@ -252,8 +271,14 @@ object Dedup {
   }
 
   private def scoredFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
-                                 maxBucket: Int): DataFrame = {
-    val cands = candidatesFromShingles(sh, numHashes, bands, maxBucket)
+                                 maxBucket: Int): DataFrame =
+    scoredFromBuckets(sh, minhashBuckets(sh, numHashes, bands), maxBucket)
+
+  /** Exact-Jaccard verify join over candidates derived from an
+    * existing bucket table. */
+  private def scoredFromBuckets(sh: DataFrame, buckets: DataFrame,
+                                maxBucket: Int): DataFrame = {
+    val cands = candidatesFromBuckets(buckets, "docs", maxBucket)
     // broadcast the CANDIDATE side, not the shingle table: pairs are
     // the post-LSH survivors (orders of magnitude fewer than docs);
     // without the hint Spark broadcasts the full shingle table —

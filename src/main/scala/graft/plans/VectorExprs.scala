@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector-math expressions for the embedding hot paths.
   *
@@ -122,6 +123,79 @@ case class HyperplaneSignatureExpr(child: Expression, bits: Int, dim: Int,
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sig; }
        """.stripMargin
     })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word k-shingles of a text column in ONE pass — the native
+  * form of the Column chain
+  * `array_distinct(transform(sequence(…), i => concat_ws(" ",
+  * slice(split(trim(text), "\s+"), i, k))))`, which evaluates
+  * interpreted and allocates a token-array slice + join per shingle
+  * (measured 2.7 s for 5 000 docs at sf0.1 — the dominant cost of the
+  * MinHash pipeline).
+  *
+  * Value parity with the Column form, pinned in DedupSpec:
+  *  - trim strips ASCII spaces only (Spark `trim` semantics, NOT
+  *    Java String.trim);
+  *  - tokenization is the same Java regex `\s+` split Spark's
+  *    `split` uses (including its leading-empty-token behavior);
+  *  - docs shorter than k tokens yield ONE whole-text shingle
+  *    (sequence caps at 1, slice returns the remainder);
+  *  - dedup preserves first-occurrence order (array_distinct
+  *    semantics).
+  *
+  * CodegenFallback: the per-row work is real string processing — a
+  * tight JVM loop, nothing for Janino to improve — and shingling runs
+  * once per doc into a materialized table, so breaking the projection
+  * out of whole-stage codegen costs one boxed row pass. */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // Spark trim: ASCII ' ' only
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    val toks = s.substring(from, to).split("\\s+", -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length <= k) {
+      out.add(toks.mkString(" "))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

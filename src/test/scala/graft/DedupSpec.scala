@@ -131,6 +131,24 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("native shingles equal the Column-form spec, edge cases included") {
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "plain three word shingles here",
+      2L -> "  leading and trailing  spaces  ",
+      3L -> "short doc",          // < k tokens → one whole-text shingle
+      4L -> "exactly three words", // == k tokens
+      5L -> "",                    // empty → one "" shingle
+      6L -> "rep rep rep rep rep", // dedup kicks in
+      7L -> "tab\tseparated\ttokens and\nnewlines",
+      8L -> "unicode wörter müssen auch gehen ünd zwar exakt")
+      .toDF("doc_id", "text")
+    val cmp = (edge union corpus)
+      .select(Dedup.shingles(col("text"), 3).as("nat"),
+        Dedup.shinglesSpec(col("text"), 3).as("spec"))
+    cmp.filter(col("nat") =!= col("spec")).count() shouldBe 0
+  }
+
   test("lshDropStats reports over-cap buckets instead of losing them silently") {
     import spark.implicits._
     // 10 byte-identical docs: one signature, so EVERY band's bucket
