@@ -61,6 +61,37 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin") // 1-row query side broadcast
   }
 
+  test("vector hot paths use the native loop expressions, not giant unrolled trees") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.{Ann, Dedup}
+    val embs = Tables(spark, sf, "embeddings")
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // signature + cosine appear as single named expressions in the plan
+    // (a 768-term folded tree would blow past HotSpot's huge-method JIT
+    // cliff — VectorExprs scaladoc; the unrolled forms measured 2.7×
+    // slower than even the interpreted HOFs)
+    val dd6 = Dedup.embeddingNearDups(embs, "vec_id", "embedding", 64)
+      .queryExecution.optimizedPlan.toString
+    dd6 should include("graft_hyperplane_sig")
+    dd6 should include("graft_cosine")
+    val ivf = Ann.ivfSearch(embs, "vec_id", "embedding", 64, q, "qv", 10,
+      graft.queries.ScaleWorkloads.trainedCents(spark, sf))
+      .queryExecution.optimizedPlan.toString
+    ivf should include("graft_nearest_cell")
+    // and the expressions stay INSIDE whole-stage codegen
+    val df = embs.select(V.hyperplaneSignatureNative(col("embedding"), 12, 64).as("s"))
+      .agg(sum(col("s")))
+    df.collect()
+    "\\*\\(\\d+\\)".r.findAllIn(df.queryExecution.executedPlan.toString).size should be >= 1
+  }
+
+  test("elementsSplit parallelizes a monolith: one task per byte range") {
+    val p = graft.queries.ScaleWorkloads.monolithPath()
+    val ds = graft.sources.OsmSource.elementsSplit(spark, p, splitBytes = 64 * 1024)
+    ds.rdd.getNumPartitions should be >= 8 // ~2 MB / 64 KB ranges
+  }
+
   test("s6: the ts range predicate reaches the range-partitioned scan") {
     val p = plan("s6_range_pruning")
     p should include("PushedFilters")
