@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BoxPipRewrite)
     ext.injectFunction(GraftExtensions.pipDescriptor)
     ext.injectFunction(GraftExtensions.haversineDescriptor)
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
   }
 }
 
@@ -92,6 +94,30 @@ object GraftExtensions {
       val Seq(lat1, lon1, lat2, lon2) =
         args.map(a => column(Cast(a, DoubleType)))
       toCatalyst(graft.functions.GeoFunctions.haversineMeters(lat1, lon1, lat2, lon2))
+    })
+
+  /** `graft_cosine(vecA, vecB)` → double: the native fused-loop cosine
+    * ([[CosineSimilarityExpr]]) from SQL. */
+  val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: graft_cosine(vec_a, vec_b)")
+      CosineSimilarityExpr(args(0), args(1))
+    })
+
+  /** `graft_hyperplane_sig(vec, bits, dim[, seed])` → long: the native
+    * LSH signature ([[HyperplaneSignatureExpr]]) from SQL — bits/dim/
+    * seed must be literals (they parameterize the generated loop). */
+  val hyperplaneSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hyperplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSignatureExpr].getName, "graft_hyperplane_sig"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3 || args.length == 4,
+        "usage: graft_hyperplane_sig(vec, bits, dim[, seed])")
+      def litInt(e: Expression, what: String): Int = litDouble(e, what).toInt
+      HyperplaneSignatureExpr(args(0), litInt(args(1), "bits"), litInt(args(2), "dim"),
+        if (args.length == 4) litDouble(args(3), "seed").toLong else 42L)
     })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -129,6 +129,19 @@ object OsmQueries {
         .orderBy("el_type")
     }),
 
+    // S8 — the same ingest through the DataSourceV2 TableProvider
+    // (spark.read.format — the idiomatic split-aware source form):
+    // street cleaning at ingest visible through the scan, relation
+    // dropped by default.
+    "s8_dsv2_scan" -> ((s, _) => {
+      s.read.format("graft.sources.OsmXmlSource")
+        .option("splitBytes", "2048")
+        .load(fixturePath())
+        .filter(col("address.street").isNotNull)
+        .select(col("id"), col("address.street").as("street"))
+        .orderBy("id")
+    }),
+
     // M1-M4+F4+F7+F8 composed — the reference's full in-DB repair
     // sequence (readme.md:42-103) in reference order over dirty rows
     // covering every rule: merged-field split, postcode→state move,
@@ -247,6 +260,12 @@ object OsmQueries {
            ('relation', 1, 1),
            ('way', 1, 1)
          ) AS t(el_type, cnt, n_users) ORDER BY el_type""",
+    "s8_dsv2_scan" ->
+      """SELECT * FROM (VALUES
+           ('1683602133','Baldwin Road'),
+           ('1683602134','North Mozart Avenue'),
+           ('209809850','West Lexington Street')
+         ) AS t(id, street) ORDER BY id""",
     "m1_m4_repairs_composed" ->
       """SELECT * FROM (VALUES
            ('1', '99218', 'WA', 'Spokane', 'Main Street'),

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 TableProvider for OSM XML — the idiomatic Spark form of
+  * [[OsmSource.elementsSplit]] (SURVEY §4.3's "optional polish", VERDICT
+  * r3 Missing #4):
+  *
+  * {{{
+  *   spark.read.format("graft.sources.OsmXmlSource")
+  *     .option("splitBytes", "67108864")     // default 64 MiB
+  *     .option("cleanStreets", "true")       // street normalization at ingest
+  *     .option("includeRelations", "false")  // reference drop rule by default
+  *     .load("/data/planet.xml")             // file, directory, or glob
+  * }}}
+  *
+  * Split planning is DRIVER-side metadata only (file listing + byte
+  * ranges); each InputPartition aligns itself to element boundaries
+  * executor-side via [[OsmSource.parseRange]] — a monolithic planet.xml
+  * parallelizes across the cluster on first touch, and many files fan
+  * out file×range wide. Schema is the fixed [[OsmSource.OsmElement]]
+  * shape, so everything downstream (including the golden shaping
+  * semantics) is shared with the RDD-based source.
+  *
+  * Column pruning/filter pushdown are NOT implemented: XML has no
+  * columnar projection to exploit — the parse cost IS the scan cost —
+  * and pruning happens one hop later at the parquet landing table.
+  */
+class OsmXmlSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmXmlSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new OsmXmlTable(new CaseInsensitiveStringMap(properties))
+}
+
+object OsmXmlSource {
+  val schema: StructType = Encoders.product[OsmSource.OsmElement].schema
+
+  private[sources] def encoder: ExpressionEncoder[OsmSource.OsmElement] =
+    ExpressionEncoder(Encoders.product[OsmSource.OsmElement]
+      .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[OsmSource.OsmElement]])
+}
+
+private[sources] class OsmXmlTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"osmxml(${options.get("path")})"
+  override def schema(): StructType = OsmXmlSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // getTable properties include the load() path; prefer the runtime map
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new OsmScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class OsmScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+
+  private val path = Option(options.get("path"))
+    .orElse(Option(options.get("paths")))
+    .getOrElse(throw new IllegalArgumentException("osmxml: path is required"))
+  private val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
+    .getOrElse(64L * 1024 * 1024)
+  private val cleanStreets = Option(options.get("cleanStreets")).forall(_.toBoolean)
+  private val includeRelations = Option(options.get("includeRelations")).exists(_.toBoolean)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = OsmXmlSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"osmxml path=$path splitBytes=$splitBytes"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val statuses = fs.globStatus(new HPath(path)) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case arr => arr.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+      }
+    }
+    statuses.flatMap { st =>
+      val len = st.getLen
+      (0L until len by math.max(1L, splitBytes)).map { s =>
+        OsmRangePartition(st.getPath.toString, s, math.min(s + splitBytes, len),
+          cleanStreets, includeRelations): InputPartition
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new OsmReaderFactory
+}
+
+private[sources] case class OsmRangePartition(path: String, start: Long, end: Long,
+                                              cleanStreets: Boolean,
+                                              includeRelations: Boolean)
+    extends InputPartition
+
+private[sources] class OsmReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OsmRangePartition]
+    new PartitionReader[InternalRow] {
+      private val iter =
+        OsmSource.parseRange(p.path, p.start, p.end, p.cleanStreets, p.includeRelations)
+      private val toRow = OsmXmlSource.encoder.createSerializer()
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!iter.hasNext) return false
+        // the serializer reuses its buffer; DSv2 consumers may hold rows
+        current = toRow(iter.next()).copy()
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -105,6 +105,20 @@ class AnnSpec extends SparkSpec {
     got.foreach { case (id, s) => s shouldBe exactSims(id) +- 1e-9 }
   }
 
+  test("graft_cosine / graft_hyperplane_sig are SQL-callable") {
+    import spark.implicits._
+    Seq((Seq(3.0f, 4.0f), Seq(6.0f, 8.0f))).toDF("a", "b")
+      .createOrReplaceTempView("graft_vec_test")
+    val r = spark.sql(
+      "SELECT graft_cosine(a, b) AS c, graft_hyperplane_sig(a, 4, 2) AS s FROM graft_vec_test")
+      .collect()(0)
+    r.getDouble(0) shouldBe 1.0 +- 1e-12
+    val dsl = Seq(Seq(3.0f, 4.0f)).toDF("a")
+      .select(V.hyperplaneSignatureNative(col("a"), 4, 2).as("s"))
+      .collect()(0).getLong(0)
+    r.getLong(1) shouldBe dsl
+  }
+
   test("cosine/dot/norm building blocks") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
