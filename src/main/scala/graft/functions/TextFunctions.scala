@@ -119,9 +119,19 @@ object TextFunctions {
   }
 
   /** Language-ID: argmax over per-language stopword ratios; "und"
-    * (undetermined) when no list scores > 0. Pure column expression —
-    * builds a (score, lang) struct array and takes the max. */
+    * (undetermined) when no list scores > 0. Native one-pass expression
+    * (plans.LanguageIdExpr) — the Column form ([[languageIdSpec]])
+    * re-tokenizes the text once per language through interpreted HOFs;
+    * value parity pinned in TextFunctionsSpec. */
   def languageId(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.LanguageIdExpr(
+      ColumnBridge.expression(text), stopwords.view.mapValues(_.toSeq).toMap))
+  }
+
+  /** Column-form value spec for [[languageId]]: builds a (score, lang)
+    * struct array and takes the max. */
+  def languageIdSpec(text: Column): Column = {
     val scored = stopwords.keys.toSeq.sorted.map { lang =>
       struct(stopwordRatio(text, lang).as("score"), lit(lang).as("lang"))
     }

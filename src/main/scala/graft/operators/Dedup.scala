@@ -122,14 +122,22 @@ object Dedup {
   }
 
   /** All unordered (ascending) element pairs within each bucket row,
-    * generated INSIDE the aggregated bucket — pairs = explode of a
-    * nested-transform expression over the collected (sorted, capped)
-    * bucket array. This replaces a bucket self-join: one shuffle total,
-    * the expensive upstream expressions (signatures) evaluate exactly
-    * once per row instead of once per join side, and the quadratic work
-    * is bounded by maxBucket² per bucket. `bucketCol` must be an array
-    * column; emits `_pair` = 2-element array. */
+    * generated INSIDE the aggregated bucket — explode of the native
+    * pair expression (plans.ArrayPairsExpr; value-parity with the
+    * Column form pinned in DedupSpec). This replaces a bucket
+    * self-join: one shuffle total, the expensive upstream expressions
+    * (signatures) evaluate exactly once per row instead of once per
+    * join side, and the quadratic work is bounded by maxBucket² per
+    * bucket. `bucketCol` must be an array column; emits `_pair` =
+    * 2-element array. */
   private def bucketPairs(buckets: DataFrame, bucketCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    buckets.select(explode(ColumnBridge.column(graft.plans.ArrayPairsExpr(
+      ColumnBridge.expression(col(bucketCol))))).as("_pair"))
+  }
+
+  /** Column-form value spec for [[bucketPairs]]' pair expression. */
+  private[graft] def bucketPairsSpec(buckets: DataFrame, bucketCol: String): DataFrame = {
     val arr = col(bucketCol)
     val n = size(arr)
     buckets.select(explode(flatten(
@@ -381,12 +389,13 @@ object Dedup {
     bucketPairs(buckets, "ds")
       .select(col("_pair")(0).getField("doc").as("id1"),
         col("_pair")(1).getField("doc").as("id2"),
-        col("_pair")(0).getField("sig").as("sig1"),
-        col("_pair")(1).getField("sig").as("sig2"))
-      .distinct()
-      .withColumn("hamming", hamming(col("sig1"), col("sig2")))
+        hamming(col("_pair")(0).getField("sig"),
+          col("_pair")(1).getField("sig")).as("hamming"))
+      // verify BEFORE the dedup shuffle: hamming is a per-row bit_count
+      // on values already in hand, so the distinct exchange carries
+      // only true near-dups instead of every banded collision
       .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+      .distinct()
   }
 
   // -------------------------------------------------------------------

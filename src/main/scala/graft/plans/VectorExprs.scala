@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
@@ -196,6 +197,123 @@ case class ShinglesExpr(child: Expression, k: Int)
     var i = 0
     while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All unordered ascending element pairs of an array —
+  * [[graft.operators.Dedup]]'s in-bucket candidate generation, natively:
+  * the Column form (`explode(flatten(transform(sequence…, transform(
+  * slice…)))`) walks interpreted lambda trees per PAIR (~10 µs each;
+  * ~2 s for the 195k banded SimHash pairs at sf0.1). One native loop
+  * allocates exactly the output. Pair order matches the Column form:
+  * (i, j) with i ascending, then j ascending. Elements are defensively
+  * copied (bucket arrays may be unsafe-backed). */
+case class ArrayPairsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array, got ${other.simpleString}")
+  }
+
+  @transient private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(elemType, containsNull = false), containsNull = false)
+  override def prettyName: String = "graft_array_pairs"
+  override def nullable: Boolean = child.nullable
+
+  private def copyElem(arr: ArrayData, i: Int): Any = arr.get(i, elemType) match {
+    case r: InternalRow => r.copy()
+    case a: ArrayData => a.copy()
+    case s: UTF8String => s.clone()
+    case v => v
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[AnyRef](if (n < 2) 0 else n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = copyElem(arr, i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new GenericArrayData(Array[Any](a, copyElem(arr, j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Stopword-overlap language ID in ONE tokenization pass — the native
+  * form of TextFunctions.languageId, which tokenizes the text once PER
+  * LANGUAGE through interpreted `filter`/`array_contains` HOFs.
+  * Semantics replicated exactly (pinned in TextFunctionsSpec):
+  * score(lang) = |{t : lower(t) ∈ stopwords(lang)}| / max(n, 1);
+  * winner = argmax with ties to the lexicographically LARGEST language
+  * code (array_max over (score, lang) structs); "und" when no score
+  * is positive. */
+case class LanguageIdExpr(child: Expression, stopwords: Map[String, Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val langs: Array[String] = stopwords.keys.toArray.sorted
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    langs.map { l =>
+      val s = new java.util.HashSet[String]()
+      stopwords(l).foreach(w => s.add(w))
+      s
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    val toks = s.substring(from, to).split("\\s+", -1)
+    val counts = new Array[Int](langs.length)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t).toLowerCase(java.util.Locale.ROOT)
+      var l = 0
+      while (l < langs.length) {
+        if (sets(l).contains(w)) counts(l) += 1
+        l += 1
+      }
+      t += 1
+    }
+    val denom = math.max(toks.length, 1).toDouble
+    var best = 0
+    var bestScore = counts(0) / denom
+    var l = 1
+    while (l < langs.length) {
+      val sc = counts(l) / denom
+      if (sc >= bestScore) { best = l; bestScore = sc } // ties → larger lang code
+      l += 1
+    }
+    UTF8String.fromString(if (bestScore > 0) langs(best) else "und")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

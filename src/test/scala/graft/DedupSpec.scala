@@ -149,6 +149,30 @@ class DedupSpec extends SparkSpec {
     cmp.filter(col("nat") =!= col("spec")).count() shouldBe 0
   }
 
+  test("native bucket pairs equal the Column-form spec (order included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def native(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(ColumnBridge.column(graft.plans.ArrayPairsExpr(
+        ColumnBridge.expression(col("docs"))))).as("_pair"))
+    // parity on the sizes the pipeline feeds it (buckets are filtered
+    // to >= 2 members; the HOF spec form's sequence(1, n-1) would go
+    // DESCENDING below that)
+    val buckets = Seq(Seq(1L, 2L, 3L, 4L), Seq(7L, 9L)).toDF("docs")
+    native(buckets).collect().map(_.toString).toSeq shouldBe
+      Dedup.bucketPairsSpec(buckets, "docs").collect().map(_.toString).toSeq
+    // native degrades gracefully on degenerate buckets: no pairs
+    native(Seq(Seq(5L), Seq.empty[Long]).toDF("docs")).count() shouldBe 0
+    // struct elements survive the defensive copy
+    val sb = Seq(Seq((1L, 10L), (2L, 20L), (3L, 30L))).toDF("ds")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val pairs = sb.select(explode(ColumnBridge.column(graft.plans.ArrayPairsExpr(
+      ColumnBridge.expression(col("ds"))))).as("_pair"))
+      .select(col("_pair")(0).getField("_1").as("a"), col("_pair")(1).getField("_1").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pairs shouldBe Seq((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+
   test("lshDropStats reports over-cap buckets instead of losing them silently") {
     import spark.implicits._
     // 10 byte-identical docs: one signature, so EVERY band's bucket

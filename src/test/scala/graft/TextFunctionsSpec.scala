@@ -10,6 +10,17 @@ import graft.functions.{TextFunctions => T}
   */
 class TextFunctionsSpec extends SparkSpec {
 
+  test("native languageId equals the Column-form spec on real docs and edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").select(col("text"))
+      .union(Seq("", "   ", "the la de und 的", "THE THE THE", "el la le der die",
+        "xyzzy plugh nothing matches here").toDF("text"))
+    docs.filter(graft.functions.TextFunctions.languageId(col("text")) =!=
+        graft.functions.TextFunctions.languageIdSpec(col("text")))
+      .count() shouldBe 0
+  }
+
   private def normalize(names: String*): Map[String, String] = {
     import spark.implicits._
     names.toDF("name")
