@@ -107,20 +107,6 @@ object Dedup {
       .agg(min(xxhash64(col("_s"), lit(0))).as("h0"),
         (1 until n).map(s => min(xxhash64(col("_s"), lit(s))).as(s"h$s")): _*)
 
-  /** LSH band-bucket columns over a wide signature (h0..h{n-1}): band
-    * hash = xxhash64 over the band's "_"-joined values. Lexically
-    * unrolled (not a `transform` lambda) so the h columns stay
-    * multiply-referenced attributes CollapseProject won't inline and
-    * re-evaluate per band. */
-  private def lshBandColsWide(n: Int, bands: Int): Seq[Column] = {
-    val r = n / bands
-    (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws("_",
-          (b * r until (b + 1) * r).map(i => col(s"h$i").cast("string")): _*)).as("bh"))
-    }
-  }
-
   /** All unordered (ascending) element pairs within each bucket row,
     * generated INSIDE the aggregated bucket — explode of the native
     * pair expression (plans.ArrayPairsExpr; value-parity with the
@@ -162,17 +148,38 @@ object Dedup {
       docs.select(col(idCol).as("sid"), shingles(text, shingleK).as("sh")),
       numHashes, bands, maxBucket)
 
+  /** Full signature as ONE per-row array (plans.MinHashSignatureExpr):
+    * value-identical to [[minhashSignatureWide]]'s columns, but the
+    * shingle string hashes once (not numHashes times) and there is NO
+    * aggregation shuffle — the signature is a scalar map. */
+  def minhashSignatureArray(shingleArr: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.MinHashSignatureExpr(
+      ColumnBridge.expression(shingleArr), n))
+  }
+
   /** Banded bucket table over a prepared (sid, sh) shingle table:
     * (band, bh, docs) with docs sorted — UNcapped, so both candidate
-    * generation and drop accounting derive from the same table. */
+    * generation and drop accounting derive from the same table.
+    *
+    * The signature is the one-pass array expression; band hashes are
+    * built from `element_at` lanes, producing byte-identical (band, bh)
+    * keys to the old wide-column aggregation form (same long→string
+    * casts into the same "_"-joined xxhash64). `sig` is referenced by
+    * every band column, so CollapseProject cannot inline and
+    * re-evaluate it per band (the r2 HOF-collapse lesson). The only
+    * shuffle in candidate generation is this bucketing groupBy. */
   private def minhashBuckets(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    // Wide (columnar) signature: codegen'd end-to-end; the groupBy(doc)
-    // aggregation boundary also guarantees each h column computes once,
-    // however many band columns reference it.
-    val withSig = wideSignature(sh, numHashes)
-    withSig
-      .select(col("doc"),
-        explode(array(lshBandColsWide(numHashes, bands): _*)).as("b"))
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          (b * r until (b + 1) * r).map(i =>
+            element_at(col("sig"), i + 1).cast("string")): _*)).as("bh"))
+    }
+    sh.select(col("sid").as("doc"),
+        minhashSignatureArray(col("sh"), numHashes).as("sig"))
+      .select(col("doc"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
       .groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
@@ -355,13 +362,24 @@ object Dedup {
   /** Hamming distance between two packed fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Per-row one-pass SimHash (plans.SimHashExpr): value-identical to
+    * [[simhashWide]]'s packed sig, no explode/agg shuffle, each token
+    * hashed once. NULL text coalesces to "" like the wide form. */
+  def simhashScalar(docs: DataFrame, idCol: String, textCol: String,
+                    bits: Int = 32): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs.select(col(idCol).as("doc"),
+      ColumnBridge.column(graft.plans.SimHashExpr(
+        ColumnBridge.expression(T.tokens(coalesce(col(textCol), lit("")))), bits)).as("sig"))
+  }
+
   /** UNcapped SimHash band-bucket table: (band, bh, ds) where ds is the
     * sorted array of (doc, sig) structs sharing that band slice — the
     * shared input of [[simhashNearDups]] and [[lshDropStats]]. */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
                      bits: Int = 32, bands: Int = 4): DataFrame = {
     val r = bits / bands
-    val withSig = simhashWide(docs, idCol, textCol, bits)
+    val withSig = simhashScalar(docs, idCol, textCol, bits)
     // band value = (sig >> (band*r)) & (2^r - 1); shift amount must be a
     // literal per Spark's shiftrightunsigned, so unroll the small loop.
     val bandCols = (0 until bands).map { b =>

@@ -203,6 +203,120 @@ case class ShinglesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Full MinHash signature in ONE pass over the shingle array:
+  * sig[s] = min over shingles of xxhash64(shingle, s), value-identical
+  * to the explode + n×`min(xxhash64)` aggregation (Dedup.wideSignature)
+  * but with two structural wins:
+  *
+  *  1. **The string hashes once, not n times.** Spark's
+  *     `xxhash64(shingle, s)` chains child hashes — the shingle's bytes
+  *     hash with the constant seed 42 FIRST, and the seed index s is a
+  *     cheap `hashInt` continuation. The aggregation form re-walks the
+  *     string bytes for every one of the n columns; here the base hash
+  *     computes once per shingle and each of the n lanes costs a few ns.
+  *  2. **No shuffle.** The signature becomes a per-row scalar map —
+  *     the explode + groupBy(doc) aggregation boundary (and its
+  *     map-side combine machinery per exploded row) disappears; the
+  *     pipeline's only shuffle is the band bucketing itself.
+  *
+  * Null shingle array → null; null elements → skipped (explode drops
+  * them in the aggregation form). Empty array → all-Long.MaxValue lanes
+  * (the aggregation form would drop the doc entirely — callers feed
+  * shingle arrays that are never empty: even "" yields one shingle). */
+case class MinHashSignatureExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = Array.fill(n)(Long.MaxValue)
+    val num = arr.numElements()
+    var i = 0
+    while (i < num) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = XxHash64Function.hash(s, StringType, 42L)
+        var lane = 0
+        while (lane < n) {
+          val h = XxHash64Function.hash(lane, IntegerType, base)
+          if (h < m(lane)) m(lane) = h
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(m)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash fingerprint in ONE pass over the token array: bit i of the
+  * packed Long = sign( Σ_tok ±1 ) with the ±1 drawn from
+  * xxhash64(tok, i) parity — value-identical to the explode +
+  * bits×`sum(when(pmod(xxhash64…)))` aggregation (Dedup.simhashWide),
+  * with the same two wins as [[MinHashSignatureExpr]]: each token's
+  * bytes hash once (the per-bit draw is a `hashInt` continuation) and
+  * the signature is a per-row scalar — no explode, no groupBy shuffle.
+  * Null token array → null; null elements skipped. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Long](bits)
+    val num = arr.numElements()
+    var i = 0
+    while (i < num) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = XxHash64Function.hash(s, StringType, 42L)
+        var b = 0
+        while (b < bits) {
+          val h = XxHash64Function.hash(b, IntegerType, base)
+          counts(b) += (if (java.lang.Math.floorMod(h, 2L) == 0L) 1L else -1L)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All unordered ascending element pairs of an array —
   * [[graft.operators.Dedup]]'s in-bucket candidate generation, natively:
   * the Column form (`explode(flatten(transform(sequence…, transform(

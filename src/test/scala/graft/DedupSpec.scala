@@ -101,6 +101,17 @@ class DedupSpec extends SparkSpec {
       .withColumnRenamed("sig", "sig_w")
     val foldS = corpus.select(col("doc_id").as("doc"), Dedup.simhash(col("text")).as("sig_f"))
     wideS.join(foldS, "doc").filter(col("sig_w") =!= col("sig_f")).count() shouldBe 0
+
+    // native one-pass forms == the aggregation forms, draw for draw
+    val natM = corpus.select(col("doc_id").as("doc"),
+      Dedup.minhashSignatureArray(Dedup.shingles(col("text"), 3), n).as("siga"))
+    natM.join(fold, "doc")
+      .filter((0 until n).map(i =>
+        element_at(col("siga"), i + 1) =!= element_at(col("sig"), i + 1)).reduce(_ || _))
+      .count() shouldBe 0
+    val natS = Dedup.simhashScalar(corpus, "doc_id", "text")
+      .withColumnRenamed("sig", "sig_n")
+    natS.join(foldS, "doc").filter(col("sig_n") =!= col("sig_f")).count() shouldBe 0
   }
 
   test("unrolled vector forms equal the HOF forms value-for-value") {
