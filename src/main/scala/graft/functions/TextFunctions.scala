@@ -125,8 +125,12 @@ object TextFunctions {
     * value parity pinned in TextFunctionsSpec. */
   def languageId(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // coalesce first: the Column spec form maps NULL text to 'und'
+    // (null scores → best.score > 0 is null → otherwise branch), and a
+    // bare UnaryExpression would null-propagate instead
     ColumnBridge.column(graft.plans.LanguageIdExpr(
-      ColumnBridge.expression(text), stopwords.view.mapValues(_.toSeq).toMap))
+      ColumnBridge.expression(coalesce(text, lit(""))),
+      stopwords.view.mapValues(_.toSeq).toMap))
   }
 
   /** Column-form value spec for [[languageId]]: builds a (score, lang)

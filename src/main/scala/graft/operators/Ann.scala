@@ -20,25 +20,18 @@ import graft.functions.{VectorFunctions => V}
 object Ann {
 
   /** Exact cosine top-k against a single query vector, supplied as a
-    * one-row DataFrame (id, vec). Pass `dim` > 0 (the embedding width
-    * is always statically known for a real embedding column) to use
-    * the native loop-expression cosine instead of the interpreted HOF
-    * form — identical values, no per-row scratch arrays. */
+    * one-row DataFrame (id, vec). Cosine is the native loop expression
+    * — bit-identical to the HOF form (DedupSpec pins it), no per-row
+    * scratch arrays. */
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
-                     query: DataFrame, queryVecCol: String, k: Int,
-                     dim: Int = -1): DataFrame = {
+                     query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
     val q = broadcast(query.select(col(queryVecCol).as("_qvec")))
     embs.crossJoin(q)
-      .withColumn("sim", cosine(col(vecCol), col("_qvec"), dim))
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
-
-  /** Native loop-expression cosine when dim is known (bit-identical
-    * to the HOF form; see VectorExprs); HOF fallback otherwise. */
-  private def cosine(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0) V.cosineSimilarityNative(a, b) else V.cosineSimilarity(a, b)
 
   /** LSH-bucketed ANN: score only vectors whose signature matches the
     * query signature or any single-bit flip of it (multiprobe radius 1).

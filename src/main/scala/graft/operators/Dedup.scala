@@ -179,6 +179,10 @@ object Dedup {
     }
     sh.select(col("sid").as("doc"),
         minhashSignatureArray(col("sh"), numHashes).as("sig"))
+      // null text → null shingles → null sig: drop, as the old
+      // explode-based aggregation did implicitly (otherwise every
+      // null-text doc collides into one hash("") bucket per band)
+      .filter(col("sig").isNotNull)
       .select(col("doc"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
       .groupBy("band", "bh")

@@ -60,7 +60,10 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): (Int, Int, Long) = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: the JDK readers throw runtime
+      // exceptions on some malformed headers, and a corrupt image must
+      // degrade to the stub, not kill the partition
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) decodeStub(payload)
     else (img.getWidth, img.getHeight, payloadChecksum(payload))
   }

@@ -105,7 +105,7 @@ object PipelineQueries {
     "ann1_brute_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10, dim = EmbDim)
+      Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
     }),
@@ -220,9 +220,12 @@ object PipelineQueries {
       val media = Multimodal.syntheticMediaWithImages(
         PlantedFixtures.mediaDocs(s), "doc_id", "text")
       val decoded = Multimodal.resize(Multimodal.decode(media), 18, 18)
+      // total_pixels, not total PNG bytes: encoder output size is a JDK
+      // implementation detail; decoded dimensions are the contract
       decoded.groupBy("kind")
         .agg(count(lit(1)).as("cnt"), avg(col("width")).as("avg_w"),
-          avg(col("height")).as("avg_h"), sum(col("n_bytes")).as("total_bytes"))
+          avg(col("height")).as("avg_h"),
+          sum(col("width").cast("long") * col("height")).as("total_pixels"))
         .orderBy("kind")
     }),
 
@@ -304,10 +307,10 @@ object PipelineQueries {
                 true AS reorder_fp_equal""",
     "mm1_decode_stats" ->
       """SELECT * FROM (VALUES
-           ('audio', CAST(3 AS BIGINT), CAST(15.0 AS DOUBLE), 41/3.0, CAST(50 AS BIGINT)),
-           ('image', 3, 13.0, 18.0, 2946),
-           ('video', 3, 47/3.0, 29/3.0, 165)
-         ) AS t(kind, cnt, avg_w, avg_h, total_bytes) ORDER BY kind""",
+           ('audio', CAST(3 AS BIGINT), CAST(15.0 AS DOUBLE), 41/3.0, CAST(576 AS BIGINT)),
+           ('image', 3, 13.0, 18.0, 702),
+           ('video', 3, 47/3.0, 29/3.0, 396)
+         ) AS t(kind, cnt, avg_w, avg_h, total_pixels) ORDER BY kind""",
     "mm2_frame_sample" ->
       """SELECT CAST(26 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_videos""",
     // ---- SQL-expressible oracles over the shared sf tables ----

@@ -118,7 +118,8 @@ object ScaleWorkloads {
     val body = base.substring(base.indexOf("<bounds"), base.lastIndexOf("</osm>"))
     val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n")
     for (i <- 0 until 200)
-      sb ++= body.replaceAll("id=\"", s"id=\"$i").replaceAll("ref=\"", s"ref=\"$i")
+      // negative lookbehind: `uid="` must NOT match the id rewrite
+      sb ++= body.replaceAll("(?<!u)id=\"", s"id=\"$i").replaceAll("ref=\"", s"ref=\"$i")
     sb ++= "</osm>\n"
     val p = java.nio.file.Path.of("/tmp/graft-osm-fixture/monolith-bench.osm")
     java.nio.file.Files.createDirectories(p.getParent)

@@ -138,29 +138,57 @@ object OsmSource {
                     includeRelations: Boolean = false): Dataset[OsmElement] = {
     import spark.implicits._
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    // each task buffers its range in memory, so splits are capped well
+    // under Int.MaxValue (a >2 GiB range would also be a terrible task
+    // granularity) — the (end-start).toInt below is then exact
+    require(splitBytes > 0 && splitBytes <= MaxSplitBytes,
+      s"splitBytes must be in (0, $MaxSplitBytes]")
     val uri = new java.net.URI(path)
     val len = FileSystem.get(uri, spark.sparkContext.hadoopConfiguration)
       .getFileStatus(new HPath(path)).getLen
-    val starts = 0L until len by math.max(1L, splitBytes)
+    val starts = 0L until len by splitBytes
     val ranges = starts.map(s => (s, math.min(s + splitBytes, len))).toSeq
+    // ship the session's Hadoop settings (credentials, fs impls) to the
+    // executor-side file opens — a bare `new Configuration()` there
+    // would drop every spark.hadoop.* override
+    val confProps = hadoopConfProps(spark)
     spark.sparkContext
       .parallelize(ranges, ranges.size)
-      .flatMap { case (s, e) => parseRange(path, s, e, cleanStreets, includeRelations) }
+      .flatMap { case (s, e) =>
+        parseRange(path, s, e, cleanStreets, includeRelations, confProps) }
       .toDS()
+  }
+
+  private[sources] val MaxSplitBytes: Long = 512L * 1024 * 1024
+
+  private[sources] def hadoopConfProps(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.toArray
+  }
+
+  private[sources] def confFromProps(props: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    props.foreach { case (k, v) => conf.set(k, v) }
+    conf
   }
 
   private val topLevelNames = Seq("node", "way", "relation")
 
-  /** Is `buf(pos)` the '<' of a top-level element start tag? */
+  /** Is `buf(pos)` the '<' of a top-level element start tag? STRICT:
+    * the delimiter byte after the name must be visible in [pos, end) —
+    * a candidate truncated at a scan-window edge therefore defers to
+    * the next (overlapped) window instead of matching early. */
   private def isTopLevelStart(buf: Array[Byte], pos: Int, end: Int): Boolean = {
     if (buf(pos) != '<') return false
     topLevelNames.exists { n =>
       val after = pos + 1 + n.length
-      after <= end && {
+      after < end && {
         var i = 0
         var ok = true
         while (ok && i < n.length) { ok = buf(pos + 1 + i) == n(i).toByte; i += 1 }
-        ok && (after == end || buf(after) == ' ' || buf(after) == '\t' ||
+        ok && (buf(after) == ' ' || buf(after) == '\t' ||
           buf(after) == '\n' || buf(after) == '\r' || buf(after) == '/' || buf(after) == '>')
       }
     }
@@ -169,17 +197,18 @@ object OsmSource {
   /** Executor-side range parse (see [[elementsSplit]]): reads
     * [start, end) plus the read-ahead needed to complete the last
     * owned element, returns the shaped elements whose start byte falls
-    * in the range. */
+    * in the range. Tail alignment scans each newly read chunk with a
+    * 16-byte overlap window — no per-chunk copy of the whole buffer. */
   private[sources] def parseRange(path: String, start: Long, end: Long,
                                   cleanStreets: Boolean,
-                                  includeRelations: Boolean): Iterator[OsmElement] = {
+                                  includeRelations: Boolean,
+                                  confProps: Array[(String, String)] = Array.empty): Iterator[OsmElement] = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val fs = FileSystem.get(new java.net.URI(path), confFromProps(confProps))
     val in = fs.open(new HPath(path))
     try {
       in.seek(start)
-      val base = (end - start).toInt
+      val base = math.toIntExact(end - start) // elementsSplit caps splitBytes
       val bos = new java.io.ByteArrayOutputStream(base + 1024)
       val chunk = new Array[Byte](1 << 20)
       // read the range itself
@@ -191,24 +220,38 @@ object OsmSource {
       }
       // read ahead until the first top-level start at/after the range
       // end (elements are small — ways cap at ~2k nd refs — so this
-      // tail is a few KB in practice, bounded by one element's size)
-      var tailStart = -1
+      // tail is a few KB in practice, bounded by one element's size).
+      // Scan window = 16-byte overlap + new chunk, so a tag spanning a
+      // chunk boundary is re-scanned; matches needing bytes beyond the
+      // window defer to the next round.
+      val Overlap = 16
+      var tailStart = -1L
+      var overlap = Array.emptyByteArray
       while (tailStart < 0 && !eof) {
-        val searchFrom = math.max(base, bos.size() - chunk.length - 16)
+        val sizeBefore = bos.size()
         val n = in.read(chunk)
         if (n < 0) eof = true
         else {
           bos.write(chunk, 0, n)
-          val buf = bos.toByteArray
-          var p = searchFrom
-          while (tailStart < 0 && p < buf.length) {
-            if (isTopLevelStart(buf, p, buf.length)) tailStart = p
+          val window = new Array[Byte](overlap.length + n)
+          System.arraycopy(overlap, 0, window, 0, overlap.length)
+          System.arraycopy(chunk, 0, window, overlap.length, n)
+          val windowStartAbs = sizeBefore.toLong - overlap.length
+          // scan the FULL window: a complete tag is accepted where it
+          // stands; a tag truncated at the window edge fails
+          // isTopLevelStart's bounds check here and is re-scanned via
+          // the overlap bytes next round
+          var p = 0
+          while (tailStart < 0 && p < window.length) {
+            if (windowStartAbs + p >= base && isTopLevelStart(window, p, window.length))
+              tailStart = windowStartAbs + p
             else p += 1
           }
+          overlap = window.takeRight(math.min(Overlap - 1, window.length))
         }
       }
       val buf = bos.toByteArray
-      val stop = if (tailStart >= 0) tailStart else buf.length
+      val stop = if (tailStart >= 0) tailStart.toInt else buf.length
       // first top-level start INSIDE the range — this split's first element
       var first = -1
       var p = 0

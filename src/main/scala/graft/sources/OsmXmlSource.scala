@@ -50,6 +50,40 @@ class OsmXmlSource extends TableProvider {
 object OsmXmlSource {
   val schema: StructType = Encoders.product[OsmSource.OsmElement].schema
 
+  /** Minimal parser for the `paths` option's JSON string array
+    * (`["p1","p2"]`, standard JSON string escapes). */
+  private[sources] def parseJsonStringArray(json: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.clear() }
+      } else c match {
+        case '"' => inStr = false; out += sb.toString
+        case '\\' if i + 1 < json.length =>
+          i += 1
+          json.charAt(i) match {
+            case 'u' if i + 4 < json.length =>
+              sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case other => sb += other // covers \" \\ \/
+          }
+        case other => sb += other
+      }
+      i += 1
+    }
+    require(out.nonEmpty, s"osmxml: no paths in $json")
+    out.toSeq
+  }
+
   private[sources] def encoder: ExpressionEncoder[OsmSource.OsmElement] =
     ExpressionEncoder(Encoders.product[OsmSource.OsmElement]
       .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[OsmSource.OsmElement]])
@@ -73,11 +107,16 @@ private[sources] class OsmXmlTable(options: CaseInsensitiveStringMap)
 private[sources] class OsmScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch {
 
-  private val path = Option(options.get("path"))
-    .orElse(Option(options.get("paths")))
-    .getOrElse(throw new IllegalArgumentException("osmxml: path is required"))
+  /** load(p) arrives as `path`; load(p1, p2, …) arrives as `paths`, a
+    * JSON-encoded string array. */
+  private val paths: Seq[String] =
+    Option(options.get("path")).map(Seq(_))
+      .orElse(Option(options.get("paths")).map(OsmXmlSource.parseJsonStringArray))
+      .getOrElse(throw new IllegalArgumentException("osmxml: path is required"))
   private val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
     .getOrElse(64L * 1024 * 1024)
+  require(splitBytes > 0 && splitBytes <= OsmSource.MaxSplitBytes,
+    s"osmxml: splitBytes must be in (0, ${OsmSource.MaxSplitBytes}]")
   private val cleanStreets = Option(options.get("cleanStreets")).forall(_.toBoolean)
   private val includeRelations = Option(options.get("includeRelations")).exists(_.toBoolean)
 
@@ -85,23 +124,30 @@ private[sources] class OsmScanBuilder(options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = OsmXmlSource.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"osmxml path=$path splitBytes=$splitBytes"
+    s"osmxml paths=${paths.mkString(",")} splitBytes=$splitBytes"
 
   override def planInputPartitions(): Array[InputPartition] = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = FileSystem.get(new java.net.URI(path), conf)
-    val statuses = fs.globStatus(new HPath(path)) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case arr => arr.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+    // driver-side planning uses the active session's Hadoop conf; the
+    // same props ship to executors inside each partition
+    val spark = org.apache.spark.sql.SparkSession.active
+    val confProps = OsmSource.hadoopConfProps(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.toArray.flatMap { path =>
+      val fs = FileSystem.get(new java.net.URI(path), conf)
+      val statuses = fs.globStatus(new HPath(path)) match {
+        case null | Array() =>
+          throw new java.io.FileNotFoundException(s"osmxml: path does not exist: $path")
+        case arr => arr.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+        }
       }
-    }
-    statuses.flatMap { st =>
-      val len = st.getLen
-      (0L until len by math.max(1L, splitBytes)).map { s =>
-        OsmRangePartition(st.getPath.toString, s, math.min(s + splitBytes, len),
-          cleanStreets, includeRelations): InputPartition
+      statuses.flatMap { st =>
+        val len = st.getLen
+        (0L until len by splitBytes).map { s =>
+          OsmRangePartition(st.getPath.toString, s, math.min(s + splitBytes, len),
+            cleanStreets, includeRelations, confProps): InputPartition
+        }
       }
     }
   }
@@ -111,15 +157,16 @@ private[sources] class OsmScanBuilder(options: CaseInsensitiveStringMap)
 
 private[sources] case class OsmRangePartition(path: String, start: Long, end: Long,
                                               cleanStreets: Boolean,
-                                              includeRelations: Boolean)
+                                              includeRelations: Boolean,
+                                              confProps: Array[(String, String)])
     extends InputPartition
 
 private[sources] class OsmReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OsmRangePartition]
     new PartitionReader[InternalRow] {
-      private val iter =
-        OsmSource.parseRange(p.path, p.start, p.end, p.cleanStreets, p.includeRelations)
+      private val iter = OsmSource.parseRange(p.path, p.start, p.end,
+        p.cleanStreets, p.includeRelations, p.confProps)
       private val toRow = OsmXmlSource.encoder.createSerializer()
       private var current: InternalRow = _
       override def next(): Boolean = {
