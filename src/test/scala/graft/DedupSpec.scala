@@ -207,6 +207,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("null-text docs drop from MinHash banding instead of colliding in one bucket") {
+    import spark.implicits._
+    val docs = ((0 until 20).map(i => (i.toLong, null: String)) :+
+      (100L, base) :+ (101L, base))
+      .toDF("doc_id", "text")
+    Dedup.withMinhashPipeline(docs, "doc_id", "text") { p =>
+      // only the one real dup pair; the 20 null docs contribute nothing
+      p.scored.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+        Seq((100L, 101L))
+      p.dropStats.collect()(0).getAs[Long]("n_dropped_buckets") shouldBe 0
+    }
+  }
+
   test("withMinhashPipeline leaves no persisted blocks behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.withMinhashPipeline(corpus, "doc_id", "text") { p =>

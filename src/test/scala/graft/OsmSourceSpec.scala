@@ -175,6 +175,19 @@ class OsmSourceSpec extends SparkSpec {
     dsv2.rdd.getNumPartitions should be >= 2
   }
 
+  test("DSv2 source: multi-path load and missing-path error") {
+    val p1 = OsmFixture.write("example.osm", OsmFixture.xml)
+    val p2 = OsmFixture.write("tags.osm", OsmFixture.tagsXml)
+    val both = spark.read.format("graft.sources.OsmXmlSource")
+      .load(p1.toString, p2.toString)
+    both.count() shouldBe 23 // 21 (ex-relation) + 2 tags-fixture nodes
+    val err = intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft.sources.OsmXmlSource")
+        .load("/tmp/does-not-exist-osm.xml").count()
+    }
+    err.getMessage should include("does not exist")
+  }
+
   test("S3 JSON-lines + parquet sinks round-trip") {
     val p = OsmFixture.write("example.osm", OsmFixture.xml)
     val els = OsmSource.elements(spark, p.toString)
