@@ -35,9 +35,12 @@ object Bench {
     // alphabetical victim was a1_count, inflated ~3x).
     try Tables(spark, sfDir, "nation").write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Pre-train IVF centroids so sx5_ann_ivf_search times SEARCH only —
-    // training is a build step, not query work (Ann.ivfSearch scaladoc).
+    // Pre-train IVF centroids / pre-build the persisted index so
+    // sx5/sx10 time SEARCH only — training and index build are build
+    // steps, not query work (Ann.ivfSearch/buildIvfIndex scaladoc).
     try graft.queries.ScaleWorkloads.trainedCents(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.queries.ScaleWorkloads.indexPath(spark, sfDir)
     catch { case _: Throwable => () }
 
     // Optional name filter (dev loop): SPARK_GRAFT_BENCH_ONLY=dd3,dd5

@@ -146,6 +146,54 @@ object Ann {
       .limit(k)
   }
 
+  /** Build a PERSISTED IVF index: train centroids, then write the
+    * vectors cell-PARTITIONED (parquet `partitionBy(_cell)`) with the
+    * centroid matrix alongside. This is the real 100 TB shape:
+    * [[searchIvfIndex]]'s probe filter becomes a PARTITION filter, so
+    * the scan itself reads only the nProbe probed cell directories —
+    * index-build cost paid once, per-query I/O proportional to probed
+    * cells, not table size. */
+  def buildIvfIndex(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    nCells: Int, outPath: String, iters: Int = 3): Seq[Seq[Double]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
+    embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$outPath/vectors")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
+    cents
+  }
+
+  /** Search a [[buildIvfIndex]] index: pick the nProbe cells whose
+    * centroids are nearest the query DRIVER-side (centroids are the
+    * only driver state — nCells×dim doubles), then push `_cell IN
+    * (probes)` as a PARTITION filter: only those directories are read.
+    * `queryVec` is the raw query vector (driver-side, one vector — the
+    * single-query entry point; batch queries broadcast instead). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     idCol: String, vecCol: String, queryVec: Seq[Double],
+                     k: Int, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    val qUnit = unit(queryVec)
+    val probeCells = cents.map(unit).zipWithIndex
+      .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, -i) } // ties: larger index, matching nearestCell
+      .take(nProbe).map(_._2)
+    val q = broadcast(Seq(Tuple1(queryVec.map(_.toFloat))).toDF("_qvec"))
+    spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("_cell").isin(probeCells: _*)) // partition-prunes the scan
+      .crossJoin(q)
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Train + search in one call (demo/test path — benchmarks and real
     * deployments call [[trainIvfCells]] once and [[ivfSearch]] per
     * query). */

@@ -146,6 +146,24 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // PERSISTED IVF index: build (train + cell-partitioned parquet
+    // write) then search with a driver-side probe that becomes a
+    // PARTITION filter — the scan reads only the probed cell
+    // directories (pinned in PlanAuditSpec). Same planted clusters as
+    // ann4, same expected top-5.
+    "ann5_ivf_index" -> ((s, _) => {
+      val embs = PlantedFixtures.embs(s)
+      val idx = "/tmp/graft-ann-index/fixture"
+      Ann.buildIvfIndex(embs, "vec_id", "embedding",
+        PlantedFixtures.EmbFixtureDim, nCells = 3, outPath = idx)
+      val qv = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      Ann.searchIvfIndex(s, idx, "vec_id", "embedding", qv, k = 5, nProbe = 2)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     // Language ID heuristic: predicted vs labeled distribution.
     "tx1_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -294,6 +312,14 @@ object PipelineQueries {
            (11, 0.4743)
          ) AS t(vec_id, sim) ORDER BY sim DESC, vec_id""",
     "ann4_ivf_kmeans" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)),
+           (1, 1.0),
+           (2, 1.0),
+           (9, 0.6325),
+           (11, 0.4743)
+         ) AS t(vec_id, sim) ORDER BY sim DESC, vec_id""",
+    "ann5_ivf_index" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)),
            (1, 1.0),

@@ -86,6 +86,25 @@ class PlanAuditSpec extends SparkSpec {
     "\\*\\(\\d+\\)".r.findAllIn(df.queryExecution.executedPlan.toString).size should be >= 1
   }
 
+  test("persisted IVF index search partition-prunes to the probed cells") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ann
+    val embs = Tables(spark, sf, "embeddings")
+    val idx = "/tmp/graft-ann-index/planaudit"
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", 64, nCells = 8, outPath = idx)
+    val qv = embs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val search = Ann.searchIvfIndex(spark, idx, "vec_id", "embedding", qv, 10, nProbe = 2)
+    search.collect()
+    val p = search.queryExecution.executedPlan.toString
+    // the probe filter reaches the scan as a PARTITION filter — only
+    // the probed cell directories are read, the rest never open
+    p should include("PartitionFilters: [_cell")
+    "PartitionFilters: \\[_cell#\\d+ IN \\(".r.findFirstIn(p).isDefined shouldBe true
+    // and the self-hit comes back exact
+    search.collect().head.getLong(0) shouldBe 0L
+  }
+
   test("elementsSplit parallelizes a monolith: one task per byte range") {
     val p = graft.queries.ScaleWorkloads.monolithPath()
     val ds = graft.sources.OsmSource.elementsSplit(spark, p, splitBytes = 64 * 1024)
