@@ -43,4 +43,32 @@ object Windows {
     df.withWatermark(tsCol, late)
       .groupBy(window(col(tsCol), width), key)
       .agg(count(lit(1)).as("cnt"))
+
+  /** Streaming signature dedup — the pipeline dedup operator AT INGEST:
+    * each document gets its normalized-content hash and its SimHash
+    * fingerprint (both pure scalar expressions, so they evaluate inside
+    * the streaming micro-batch with no extra state), then
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * signature. `exact = true` dedups on the normalized sha256 (exact
+    * content dedup); `false` dedups on the SimHash fingerprint, which
+    * also collapses hamming-0 near-dups (reordered/bag-identical
+    * docs). State is bounded by the watermark horizon — the standard
+    * streaming-dedup contract; the batch twin of the same predicate is
+    * Dedup.dropExactDups / simhashNearDups.
+    */
+  def streamingDedup(df: DataFrame, tsCol: String, textCol: String,
+                     late: String, exact: Boolean = true,
+                     bits: Int = 32): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig =
+      if (exact) sha2(T.normalizeForDedup(col(textCol)), 256).as("_dedup_sig")
+      else ColumnBridge.column(graft.plans.SimHashExpr(
+        ColumnBridge.expression(T.tokens(coalesce(col(textCol), lit("")))), bits))
+        .cast("string").as("_dedup_sig")
+    df.withColumn("_dedup_sig", sig)
+      .withWatermark(tsCol, late)
+      .dropDuplicatesWithinWatermark("_dedup_sig")
+      .drop("_dedup_sig")
+  }
 }

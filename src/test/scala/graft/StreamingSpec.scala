@@ -187,4 +187,47 @@ class StreamingSpec extends SparkSpec {
       ids shouldBe Seq(1L, 2L, 3L)
     } finally q.stop()
   }
+
+  test("streaming content dedup: exact and signature modes suppress dups at ingest") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(s: String) = Timestamp.valueOf(s)
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val perm = base.split(" ").sorted.mkString(" ") // same bag, reordered
+
+    // exact mode: whitespace/case-normalized content hash
+    val in1 = MemoryStream[(Timestamp, Long, String)]
+    val q1 = graft.streaming.Windows.streamingDedup(
+        in1.toDF().toDF("ts", "doc_id", "text"), "ts", "text", late = "1 hour")
+      .writeStream.format("memory").queryName("st_dedup_exact")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in1.addData(
+        (t("2024-01-01 10:00:00"), 1L, base),
+        (t("2024-01-01 10:01:00"), 2L, base.toUpperCase + "  "), // normalize-equal
+        (t("2024-01-01 10:02:00"), 3L, perm))                    // different content
+      q1.processAllAvailable()
+      spark.table("st_dedup_exact").collect().map(_.getLong(1)).sorted.toSeq shouldBe
+        Seq(1L, 3L)
+    } finally q1.stop()
+
+    // signature mode: SimHash collapses bag-identical reorderings too
+    val in2 = MemoryStream[(Timestamp, Long, String)]
+    val q2 = graft.streaming.Windows.streamingDedup(
+        in2.toDF().toDF("ts", "doc_id", "text"), "ts", "text",
+        late = "1 hour", exact = false)
+      .writeStream.format("memory").queryName("st_dedup_sig")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData(
+        (t("2024-01-01 10:00:00"), 1L, base),
+        (t("2024-01-01 10:01:00"), 2L, perm), // same token bag → same simhash
+        (t("2024-01-01 10:02:00"), 3L, "completely different words in this doc"))
+      q2.processAllAvailable()
+      spark.table("st_dedup_sig").collect().map(_.getLong(1)).sorted.toSeq shouldBe
+        Seq(1L, 3L)
+    } finally q2.stop()
+  }
 }
