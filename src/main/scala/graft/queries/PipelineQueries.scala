@@ -229,6 +229,20 @@ object PipelineQueries {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    // Composed NEAR-dup training prep: MinHash-LSH near-dup pairs →
+    // drop the larger id of every pair (the cheap keep-first policy; a
+    // full transitive-closure dedup would union-find the pair graph) →
+    // corpus stats. Ground truth by hand: pairs (1,2),(1,3),(2,3),(4,5)
+    // → removed {2,3,5} → 17 of 20 docs survive.
+    "pl2_neardup_prep" -> ((s, _) => {
+      val docs = PlantedFixtures.docs(s)
+      val dupTails = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+        .select(col("id2").as("doc_id")).distinct()
+      val kept = docs.join(dupTails, Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_docs_kept"),
+        (lit(20) - count(lit(1))).as("n_removed"))
+    }),
+
     // Multimodal: REAL PNG payloads for image rows (decoded through
     // javax.imageio to their true planted dimensions: 16×20, 19×26,
     // 22×32 → resized into an 18×18 box → 14×18, 13×18, 12×18, so
@@ -319,6 +333,8 @@ object PipelineQueries {
            (9, 0.6325),
            (11, 0.4743)
          ) AS t(vec_id, sim) ORDER BY sim DESC, vec_id""",
+    "pl2_neardup_prep" ->
+      """SELECT CAST(17 AS BIGINT) AS n_docs_kept, CAST(3 AS BIGINT) AS n_removed""",
     "ann5_ivf_index" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)),

@@ -339,6 +339,22 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // W2 — frame window: per-user 3-row moving average + lag delta over
+    // the event stream (the other half of the window surface next to
+    // w1's rank). Keys shuffle once; both window functions share the
+    // same (partition, order) spec so ONE sort serves both.
+    "w2_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .filter(col("user_id") <= 10)
+        .select(col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4).as("mavg3"),
+          round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 4)
+            .as("delta_prev"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // F2 — regex last-token extraction (audit.py:18).
     "f2_last_token" -> ((s, dir) => {
       t(s, dir, "part")
@@ -691,6 +707,13 @@ object RelationalQueries {
     "j3b_semi_join" ->
       """SELECT count(*) AS n_customers_with_orders FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "w2_moving_avg" ->
+      """SELECT user_id, event_id,
+                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+                round(value - coalesce(lag(value, 1) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id), 0.0), 4) AS delta_prev
+         FROM events WHERE user_id <= 10 ORDER BY user_id, event_id""",
     "w1_rank_in_group" ->
       """SELECT c_mktsegment, rn, c_custkey, bal FROM (
            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
