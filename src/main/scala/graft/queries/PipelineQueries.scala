@@ -192,6 +192,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Composite quality score per doc — the cheap web-corpus pre-filter
+    // (length + punctuation density + token-shape). Oracle mirrors the
+    // exact arithmetic in SQL.
+    "tx5_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling-hash document fingerprint — order-SENSITIVITY pinned on
     // the planted corpus: docs 4/5 are byte-identical (equal rolling
     // hash), doc 8 is a token PERMUTATION of doc 4 (different rolling
@@ -423,6 +432,15 @@ object PipelineQueries {
          SELECT lang, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS predicted,
                 count(*) AS cnt
          FROM best GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "tx5_quality_score" ->
+      """SELECT doc_id,
+                round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
+                      greatest(1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+                                      CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 0.0) * 0.3 +
+                      (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) /
+                                 CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE)
+                                 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3, 4) AS quality
+         FROM documents ORDER BY doc_id""",
     "tx3_token_count" ->
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

@@ -339,6 +339,22 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // J2f — the skew toolbox's salted join, oracle-checked against the
+    // plain SQL join it must be result-identical to: the big side's hot
+    // keys spread over 16 salt sub-keys, the small side replicates per
+    // salt (Skew.saltedJoin; partition-size identity pinned in
+    // ScalePostureSpec on planted 90%-hot-key data).
+    "j2f_salted_join" -> ((s, dir) => {
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+          t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+          "custkey", salts = 16)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // W2 — frame window: per-user 3-row moving average + lag delta over
     // the event stream (the other half of the window surface next to
     // w1's rank). Keys shuffle once; both window functions share the
@@ -707,6 +723,11 @@ object RelationalQueries {
     "j3b_semi_join" ->
       """SELECT count(*) AS n_customers_with_orders FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "j2f_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "w2_moving_avg" ->
       """SELECT user_id, event_id,
                 round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
