@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   *
   * `queries` aggregates the named query catalogs; names embed the
   * SURVEY.md §2 operator ids they cover (e.g. "a5_f1_classify_keys"
-  * covers A5 and F1). Every SQL-expressible query has a DuckDB oracle
-  * in `oracleSql`; heuristic/hash-based pipeline operators (MinHash,
-  * SimHash, LSH) are declared without oracles and are instead
-  * cross-checked in the ScalaTest suite (e.g. LSH recall vs exact
-  * brute force).
+  * covers A5 and F1). EVERY query has a DuckDB oracle in `oracleSql`:
+  * SQL-expressible queries get the equivalent SQL over the shared
+  * parquet tables; heuristic/hash-based pipeline operators (MinHash,
+  * SimHash, LSH, multimodal) run on planted deterministic fixtures
+  * ([[graft.queries.PlantedFixtures]]) with hand-derived literal
+  * VALUES oracles, and their statistical properties (LSH recall vs
+  * exact brute force) are additionally gated in ScalaTest. The same
+  * operators' sf-scale timing is benched via
+  * [[graft.queries.ScaleWorkloads]] (Bench-only `sx*` entries).
   */
 object SparkEntry {
 
