@@ -227,6 +227,64 @@ object Dedup {
                                      bands: Int, maxBucket: Int): DataFrame =
     candidatesFromBuckets(minhashBuckets(sh, numHashes, bands), "docs", maxBucket)
 
+  /** Connected components over a near-dup PAIR table (id1, id2) —
+    * transitive dup-cluster closure: every doc gets the MINIMUM id
+    * reachable through any chain of pairs as its component label (so
+    * component = dup cluster, label = the kept representative).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes min(own label, neighbors' labels) via ONE groupBy over the
+    * (undirected) edge list; the driver loop stops when a round changes
+    * nothing. Rounds needed = graph diameter (near-dup clusters are
+    * shallow — a handful); each round is a keyed shuffle, no
+    * driver-side data. At planetary scale the same loop runs with the
+    * label table checkpointed per round (lineage truncation), and the
+    * large-star/small-star optimization halves round count — the shape
+    * here is the standard building block.
+    *
+    * Returns (doc_id, component) for every id present in `pairs`;
+    * singleton docs (no pairs) are their own components and need no row.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions: (src, dst)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.groupBy(col("src").as("doc_id"))
+        .agg(least(min(col("dst")), col("src")).as("component"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // neighbor-min pass: my new label = min(my label, min over
+        // neighbors of THEIR labels)
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc_id", "dst")
+            .withColumnRenamed("component", "_dst_comp"), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("_dst_comp")).as("_nmin"))
+        val next = labels.join(neighborMin, "doc_id")
+          .select(col("doc_id"),
+            least(col("component"), col("_nmin")).as("component"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.withColumnRenamed("component", "_old"), "doc_id")
+          .filter(col("component") =!= col("_old")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        iter += 1
+      }
+      // break lineage before the caches release: localCheckpoint
+      // materializes the final labels into executor storage (cleaned by
+      // the ContextCleaner once unreferenced), so the returned DF
+      // neither recomputes the iteration nor pins the edge cache
+      val out = labels.localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      out
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Exact Jaccard similarity of two precomputed distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, 0.0)

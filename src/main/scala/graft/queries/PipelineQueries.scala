@@ -252,6 +252,20 @@ object PipelineQueries {
         (lit(20) - count(lit(1))).as("n_removed"))
     }),
 
+    // TRANSITIVE dup clustering: near-dup pairs → connected components
+    // (iterative min-label propagation) → cluster roster. Hand truth on
+    // the planted corpus: pairs (1,2),(1,3),(2,3),(4,5) form components
+    // {1,2,3} (label 1) and {4,5} (label 4).
+    "pl3_neardup_components" -> ((s, _) => {
+      val pairs = Dedup.minhashNearDups(PlantedFixtures.docs(s), "doc_id", "text",
+        threshold = 0.7)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+        .orderBy("component")
+    }),
+
     // Multimodal: REAL PNG payloads for image rows (decoded through
     // javax.imageio to their true planted dimensions: 16×20, 19×26,
     // 22×32 → resized into an 18×18 box → 14×18, 13×18, 12×18, so
@@ -344,6 +358,11 @@ object PipelineQueries {
          ) AS t(vec_id, sim) ORDER BY sim DESC, vec_id""",
     "pl2_neardup_prep" ->
       """SELECT CAST(17 AS BIGINT) AS n_docs_kept, CAST(3 AS BIGINT) AS n_removed""",
+    "pl3_neardup_components" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(3 AS BIGINT), '1,2,3'),
+           (4, 2, '4,5')
+         ) AS t(component, cluster_size, members) ORDER BY component""",
     "ann5_ivf_index" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)),

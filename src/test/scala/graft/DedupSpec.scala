@@ -207,6 +207,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains close transitively, min id labels the cluster") {
+    import spark.implicits._
+    // chain 10-11-12-13 (diameter 3: needs >1 propagation round),
+    // triangle 20-21-22, isolated pair 30-31
+    val pairs = Seq((11L, 10L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp shouldBe Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+  }
+
   test("null-text docs drop from MinHash banding instead of colliding in one bucket") {
     import spark.implicits._
     val docs = ((0 until 20).map(i => (i.toLong, null: String)) :+
