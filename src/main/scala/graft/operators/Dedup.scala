@@ -500,18 +500,66 @@ object Dedup {
   /** Embedding-cosine near-dups via hyperplane-LSH buckets: vectors in
     * the same signature bucket are compared exactly; cosine >= threshold
     * survives. Bucketing keys the shuffle — no n² pass.
+    *
+    * SINGLE-table form: recall for a pair at angle θ is (1-θ/π)^bits —
+    * one unlucky hyperplane loses the pair. [[embeddingNearDupsMulti]]
+    * is the standard completion for recall-critical pipelines.
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double = 0.99, bits: Int = 12,
                         maxBucket: Int = 1000): DataFrame = {
     val buckets = embeddingBuckets(embs, idCol, vecCol, dim, bits)
       .filter(size(col("dv")).between(2, maxBucket))
+    verifiedPairsFromBuckets(buckets, threshold)
+  }
+
+  private def verifiedPairsFromBuckets(buckets: DataFrame, threshold: Double): DataFrame =
     bucketPairs(buckets, "dv")
       .select(col("_pair")(0).getField("doc").as("id1"),
         col("_pair")(1).getField("doc").as("id2"),
         V.cosineSimilarityNative(col("_pair")(0).getField("vec"),
           col("_pair")(1).getField("vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+
+  /** MULTI-table hyperplane LSH near-dups: `tables` INDEPENDENT
+    * signature tables (distinct hash seeds), candidates = union of
+    * in-bucket pairs across tables, then one exact-cosine verify. For
+    * a pair with per-bit agreement p = 1-θ/π, recall rises from
+    * p^bits (single table) to 1-(1-p^bits)^tables — the knob that
+    * makes recall a CHOICE instead of a bet on one draw, at `tables`×
+    * the signature and shuffle cost. Verify-before-distinct keeps the
+    * dedup exchange to true near-dups.
+    *
+    * Each table's signature is the same native expression with seed
+    * 42+t, so everything stays scalar/scan-computable; the per-table
+    * bucket explode is a UNION (one job, tables× the banding rows),
+    * not `tables` sequential passes.
+    *
+    * Caveat (measured in DedupSpec): the ±1 Rademacher draws are
+    * adversarial for vectors living in FEW coordinates — a pair
+    * differing in 2 coords is separated by each bit with probability
+    * ½ regardless of its cosine. Dense embeddings follow the usual
+    * 1-θ/π per-bit agreement; for sparse/axis-aligned data, lower
+    * `bits` or raise `tables`.
+    */
+  def embeddingNearDupsMulti(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                             threshold: Double = 0.99, bits: Int = 12,
+                             tables: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(tables >= 1, "tables must be >= 1")
+    val dv = struct(col(idCol).as("doc"), col(vecCol).as("vec")).as("dv")
+    val sigCols = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        ColumnBridge.column(graft.plans.HyperplaneSignatureExpr(
+          ColumnBridge.expression(col(vecCol)), bits, dim, seed = 42L + t)).as("sig"))
+    }
+    val buckets = embs
+      .select(dv, explode(array(sigCols: _*)).as("ts"))
+      .groupBy(col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .agg(sort_array(collect_list(col("dv"))).as("dv"))
+      .filter(size(col("dv")).between(2, maxBucket))
+    verifiedPairsFromBuckets(buckets, threshold)
   }
 }

@@ -242,6 +242,29 @@ class DedupSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.keySet shouldBe before
   }
 
+  test("multi-table LSH recovers the near-dup a single unlucky table misses") {
+    val embs = graft.queries.PlantedFixtures.embs(spark)
+    val dim = graft.queries.PlantedFixtures.EmbFixtureDim
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixture's 0.9945 pair (3,4) lives in TWO coordinates, the
+    // adversarial case for ±1 (Rademacher) hyperplanes: each bit
+    // separates it with probability ½ (coefficients a=b never split,
+    // a=-b always do), so a single 4-bit table holds it with p=1/16 —
+    // and the default-seed table indeed loses it (why dd6 runs bits=2)
+    val single = pairs(Dedup.embeddingNearDups(embs, "vec_id", "embedding", dim,
+      threshold = 0.95, bits = 4))
+    single should not contain ((3L, 4L))
+    // independent tables make recall a CHOICE: the pair needs ONE lucky
+    // table (12 × p=1/16 → 54% a priori; deterministic draws land it),
+    // the guaranteed scalar-multiple cluster stays, and single ⊆ multi
+    val multi = pairs(Dedup.embeddingNearDupsMulti(embs, "vec_id", "embedding", dim,
+      threshold = 0.95, bits = 4, tables = 12))
+    single.subsetOf(multi) shouldBe true
+    multi should contain((3L, 4L))
+    multi should contain((0L, 1L))
+  }
+
   test("embedding near-dup finds planted high-cosine pairs only") {
     import spark.implicits._
     val dim = 8
