@@ -82,6 +82,16 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
+    // MULTI-table hyperplane LSH: 12 independent 4-bit tables recover
+    // the two-coordinate 0.9945 pair that a single Rademacher table
+    // separates with per-bit probability ½ (the DedupSpec-measured
+    // sparse-vector caveat) — recall as a knob, not a bet.
+    "dd8_multi_table_lsh" -> ((s, _) => {
+      Dedup.embeddingNearDupsMulti(PlantedFixtures.embs(s), "vec_id", "embedding",
+          PlantedFixtures.EmbFixtureDim, threshold = 0.95, bits = 4, tables = 12)
+        .orderBy("id1", "id2")
+    }),
+
     // The maxBucket cap's drop accounting (VERDICT r3 "what's wrong"
     // #1): 10 byte-identical docs share one signature, so every one of
     // the 16 band buckets holds all 10 — over a cap of 5 they all drop,
@@ -322,6 +332,13 @@ object PipelineQueries {
            (6, 7, 0.52)
          ) AS t(id1, id2, jaccard) ORDER BY id1, id2""",
     "dd6_embedding_neardup" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+           (0, 2, 1.0),
+           (1, 2, 1.0),
+           (3, 4, 0.9945)
+         ) AS t(id1, id2, cosine) ORDER BY id1, id2""",
+    "dd8_multi_table_lsh" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
            (0, 2, 1.0),

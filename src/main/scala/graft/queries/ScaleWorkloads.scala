@@ -73,6 +73,13 @@ object ScaleWorkloads {
           coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))
     }),
 
+    "sx11_multi_table_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDupsMulti(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          EmbDim, threshold = 0.95, tables = 4)
+        .agg(count(lit(1)).as("n_neardup_pairs"),
+          coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))
+    }),
+
     "sx4_ann_lsh" -> ((s, dir) => {
       val embs = Tables(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
