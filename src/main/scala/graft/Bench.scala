@@ -91,7 +91,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    // quality gauges (ANN recall@10 at sf scale) ride the same JSON
+    // line: timing says "fast", gauges say "still finding the right
+    // neighbors" — a failed gauge computation records -1, not a crash
+    val gauges =
+      try graft.queries.ScaleWorkloads.gauges(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] gauges FAILED: ${e.getMessage}")
+        Map("gauge_error" -> -1.0)
+      }
+    val gs = gauges.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gauges":$gs,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,6 +35,12 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan (coalesce tiny shuffles, convert joins) INSIDE
+      // plans that feed/read the DataFrame cache — off by default, which
+      // leaves iterative cached loops (connectedComponents) running
+      // every round's shuffles at the static partition count however
+      // small the frontier gets
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The testdata writer stores `events.ts` as parquet

@@ -158,7 +158,13 @@ object Ann {
     val spark = embs.sparkSession
     import spark.implicits._
     val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
+    // repartition on the partition key BEFORE partitionBy: without it
+    // every input partition writes its own file into every cell
+    // directory (numPartitions × nCells files — a metadata bomb in the
+    // very index meant to accelerate reads); with it each cell's rows
+    // land in one task → one file per cell
     embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+      .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$outPath/vectors")
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")

@@ -234,55 +234,130 @@ object Dedup {
     *
     * Algorithm: iterative min-label propagation. Each round every node
     * takes min(own label, neighbors' labels) via ONE groupBy over the
-    * (undirected) edge list; the driver loop stops when a round changes
-    * nothing. Rounds needed = graph diameter (near-dup clusters are
-    * shallow — a handful); each round is a keyed shuffle, no
-    * driver-side data. At planetary scale the same loop runs with the
-    * label table checkpointed per round (lineage truncation), and the
-    * large-star/small-star optimization halves round count — the shape
-    * here is the standard building block.
+    * (undirected) edge list. Rounds needed = graph diameter (near-dup
+    * clusters are shallow — a handful); each round is a keyed shuffle,
+    * no driver-side data.
+    *
+    * Convergence is detected INSIDE the label pass: the new-label
+    * projection carries a `_chg` flag (did `_nmin` beat the old
+    * label?), and the one action per round — `max(_chg)` over the
+    * freshly persisted table — both materializes the round's labels
+    * and answers "did anything move?". No separate old-vs-new join, no
+    * second job (the r4 finding: the compare join + count() doubled
+    * stage count per round). Lineage is truncated by a localCheckpoint
+    * every [[CcCheckpointEvery]] rounds so deep graphs never stack an
+    * unbounded plan.
+    *
+    * If the loop hits `maxIter` with changes still flowing, the labels
+    * are NOT component ids yet — returning them would be silently
+    * wrong (a >maxIter-diameter chain gets split clusters). We throw
+    * instead; callers with genuinely deep graphs raise `maxIter`
+    * (rounds = diameter, and near-dup clusters of diameter >20 mean
+    * the threshold, not the closure, is the problem).
     *
     * Returns (doc_id, component) for every id present in `pairs`;
     * singleton docs (no pairs) are their own components and need no row.
     */
+  private val CcCheckpointEvery = 5
+
+  /** Rows per shuffle partition the CC loop aims for — ~32 MB of
+    * (long, long) edges. The loop re-keys the same small-ish tables
+    * `diameter` times, so partition count is sized to the EDGE table
+    * (one count on the already-persisted cache), not inherited from
+    * the session default: a 4k-edge dup graph runs its rounds in 1
+    * partition (per-round cost = one task, not 32 empty ones), while a
+    * planetary edge list keeps the session's parallelism. */
+  private val CcRowsPerPartition = 2L * 1000 * 1000
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected edge list, both directions: (src, dst)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    // frontier-sized parallelism for the loop's shuffles, restored on
+    // exit; the count doubles as the edge-cache materialization the
+    // first round would otherwise pay
+    val oldShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val loopParts = math.max(1L, math.min(oldShuffleParts.toLong,
+      edges.count() / CcRowsPerPartition + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // a single-partition loop has nothing for AQE to adapt — its
+    // per-stage re-planning is pure driver overhead paid `rounds`
+    // times; big graphs keep it (skew-join splitting matters there)
+    if (loopParts == 1L) spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var labels = edges.groupBy(col("src").as("doc_id"))
         .agg(least(min(col("dst")), col("src")).as("component"))
-      var changed = 1L
+        .persist(lvl) // round 1 reads it twice (neighbor-min + rejoin)
+      var pinned = labels // currently persisted table backing `labels`
+      var converged = false
       var iter = 0
-      while (changed > 0 && iter < maxIter) {
+      while (!converged && iter < maxIter) {
         // neighbor-min pass: my new label = min(my label, min over
-        // neighbors of THEIR labels)
+        // neighbors of THEIR labels); `_chg` rides along so the same
+        // pass answers convergence
         val neighborMin = edges
           .join(labels.withColumnRenamed("doc_id", "dst")
             .withColumnRenamed("component", "_dst_comp"), "dst")
           .groupBy(col("src").as("doc_id"))
           .agg(min(col("_dst_comp")).as("_nmin"))
-        val next = labels.join(neighborMin, "doc_id")
+        // shortcut (pointer-jump) against the PREVIOUS round's cached
+        // labels: the stepped label `_c1` is itself a node id, so its
+        // old label is a same-component id at least as small — one
+        // extra keyed join per round cuts round count ~3× on chains
+        // (label distance advances ~3 hops/round instead of 1) without
+        // re-materializing mid-round state
+        val stepped = labels.join(neighborMin, "doc_id")
+          .select(col("doc_id"), col("component"),
+            least(col("component"), col("_nmin")).as("_c1"))
+        val next = stepped
+          .join(labels.select(col("doc_id").as("_jd"), col("component").as("_jc")),
+            col("_c1") === col("_jd"), "left")
           .select(col("doc_id"),
-            least(col("component"), col("_nmin")).as("component"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.withColumnRenamed("component", "_old"), "doc_id")
-          .filter(col("component") =!= col("_old")).count()
-        labels.unpersist(blocking = false)
-        labels = next
+            least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("component"),
+            (least(col("_c1"), coalesce(col("_jc"), col("_c1"))) < col("component"))
+              .cast("int").as("_chg"))
+          .persist(lvl)
+        // the round's ONE action: materializes `next` into the cache
+        // and reduces the changed flag off it (coalesce: empty pair
+        // table → null max → converged)
+        val t0 = System.nanoTime()
+        converged = next.agg(coalesce(max(col("_chg")), lit(0)))
+          .first().getInt(0) == 0
+        if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+          System.err.println(f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
+        pinned.unpersist(blocking = false)
+        labels = next.drop("_chg") // projection over the cached table
+        pinned = next
         iter += 1
+        if (!converged && iter % CcCheckpointEvery == 0) {
+          // truncate lineage: deep graphs would otherwise stack
+          // join-upon-cached-join plans `iter` levels deep
+          labels = labels.localCheckpoint(true)
+          pinned.unpersist(blocking = false)
+          pinned = labels
+        }
       }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "labels would be partial (split clusters). Raise maxIter past the " +
+          "pair graph's diameter.")
       // break lineage before the caches release: localCheckpoint
       // materializes the final labels into executor storage (cleaned by
       // the ContextCleaner once unreferenced), so the returned DF
       // neither recomputes the iteration nor pins the edge cache
       val out = labels.localCheckpoint(true)
-      labels.unpersist(blocking = false)
+      pinned.unpersist(blocking = false)
       out
-    } finally edges.unpersist(blocking = false)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldShuffleParts)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      edges.unpersist(blocking = false)
+    }
   }
 
   /** Exact Jaccard similarity of two precomputed distinct-shingle arrays. */
@@ -370,13 +445,26 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pass: candidates → verify with exact
-    * Jaccard on shingle sets → pairs with jaccard >= threshold. */
+    * Jaccard on shingle sets → pairs with jaccard >= threshold.
+    *
+    * EAGER: runs through [[withMinhashPipeline]] (the shingle table —
+    * the pass's dominant cost — is persisted once and read by the
+    * signature pass and both verify-join sides, instead of
+    * re-shingling 3× as the bare lazy plan would) and the tiny
+    * surviving pair table is localCheckpoint-materialized before the
+    * scope releases its caches. This mirrors the real pipeline shape:
+    * near-dup pairs are a materialized intermediate (the input of
+    * keep-first filtering / [[connectedComponents]]), not a plan to
+    * re-derive per consumer. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, shingleK: Int = 3,
                       numHashes: Int = 64, bands: Int = 16): DataFrame =
-    minhashScoredCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+    withMinhashPipeline(docs, idCol, textCol, shingleK, numHashes, bands) { p =>
+      p.scored
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint(true)
+    }
 
   // -------------------------------------------------------------------
   // SimHash
@@ -537,6 +625,14 @@ object Dedup {
     * bucket explode is a UNION (one job, tables× the banding rows),
     * not `tables` sequential passes.
     *
+    * Unlike the single-table path (verify-before-distinct, keeping the
+    * dedup exchange to true near-dups), the multi-table union dedupes
+    * the candidate (id1, id2) KEY set before verification: a pair
+    * colliding in all `tables` tables would otherwise pay the exact
+    * cosine `tables`× (r4 finding). The keys-only distinct exchange is
+    * tiny; vectors rejoin once per surviving pair via broadcast of the
+    * candidate set (the minhash verify-join shape).
+    *
     * Caveat (measured in DedupSpec): the ±1 Rademacher draws are
     * adversarial for vectors living in FEW coordinates — a pair
     * differing in 2 coords is separated by each bit with probability
@@ -560,6 +656,17 @@ object Dedup {
       .groupBy(col("ts.t").as("t"), col("ts.sig").as("sig"))
       .agg(sort_array(collect_list(col("dv"))).as("dv"))
       .filter(size(col("dv")).between(2, maxBucket))
-    verifiedPairsFromBuckets(buckets, threshold)
+    // keys-only distinct across the table union, then ONE exact-cosine
+    // verify per unique pair
+    val cands = bucketPairs(buckets, "dv")
+      .select(col("_pair")(0).getField("doc").as("id1"),
+        col("_pair")(1).getField("doc").as("id2"))
+      .distinct()
+    broadcast(cands)
+      .join(embs.select(col(idCol).as("id1"), col(vecCol).as("vec1")), "id1")
+      .join(embs.select(col(idCol).as("id2"), col(vecCol).as("vec2")), "id2")
+      .withColumn("cosine", V.cosineSimilarityNative(col("vec1"), col("vec2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }
 }

@@ -337,8 +337,15 @@ case class ArrayPairsExpr(child: Expression)
   @transient private lazy val elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
 
+  // inner containsNull follows the CHILD's element nullability:
+  // copyElem passes null elements through, so declaring a hard
+  // non-null inner array over a nullable child would hand consumers a
+  // schema the data can violate
   override def dataType: DataType =
-    ArrayType(ArrayType(elemType, containsNull = false), containsNull = false)
+    ArrayType(
+      ArrayType(elemType,
+        containsNull = child.dataType.asInstanceOf[ArrayType].containsNull),
+      containsNull = false)
   override def prettyName: String = "graft_array_pairs"
   override def nullable: Boolean = child.nullable
 

@@ -103,10 +103,11 @@ object PipelineQueries {
         "identical boilerplate text repeated verbatim across the corpus") :+
         (100L -> "a singular unrelated document standing alone"))
         .toDF("doc_id", "text")
+      // localCheckpoint (not collect): the stats row must materialize
+      // while the pipeline scope holds its caches, but it stays a
+      // DataFrame — no driver-side value round-trip
       Dedup.withMinhashPipeline(docs, "doc_id", "text", maxBucket = 5) { p =>
-        val r = p.dropStats.collect()(0)
-        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
-          .toDF("n_dropped_buckets", "n_docs_in_dropped_buckets", "n_dropped_doc_slots")
+        p.dropStats.localCheckpoint(true)
       }
     }),
 

@@ -44,19 +44,42 @@ object ScaleWorkloads {
       out
     })
 
+  /** Bench-visible QUALITY gauges (name → scalar), reported per round
+    * in the BENCH json under `"gauges"`: recall@10 of each approximate
+    * ANN path against the exact brute-force ranking on the sf
+    * embeddings. The fixture recall tests (AnnSpec) pin 12 vectors;
+    * these run at sf scale, so a silently-bad `bits`/`nProbe` default
+    * shows up as a dropped gauge instead of hiding behind green
+    * correctness. Driver-side state is 3×10 result ids — gauge math,
+    * not a data path. */
+  def gauges(s: SparkSession, dir: String): Map[String, Double] = {
+    val embs = Tables(s, dir, "embeddings")
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10))
+    val lsh = ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
+      bits = 8))
+    val ivf = ids(Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
+      trainedCents(s, dir), nProbe = 2))
+    Map(
+      "lsh_recall_at_10" -> (exact & lsh).size / 10.0,
+      "ivf_recall_at_10" -> (exact & ivf).size / 10.0)
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Full MinHash-LSH near-dup pass over sf documents, scoped persist:
     // candidate stats + drop accounting materialized inside the scope.
     "sx1_minhash_lsh" -> ((s, dir) => {
-      import s.implicits._
+      // both 1-row aggs materialize inside the pipeline scope via
+      // localCheckpoint (not collect): the result stays a DataFrame
+      // plan and the pipeline's jobs remain visible to whoever times it
       Dedup.withMinhashPipeline(Tables(s, dir, "documents"), "doc_id", "text") { p =>
-        val stats = p.scored.agg(count(lit(1)).as("n_candidate_pairs"),
-          sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_near_dups"))
-          .collect()(0)
-        val drops = p.dropStats.collect()(0)
-        Seq((stats.getLong(0), stats.getLong(1), drops.getLong(0)))
-          .toDF("n_candidate_pairs", "n_near_dups", "n_dropped_buckets")
+        p.scored.agg(count(lit(1)).as("n_candidate_pairs"),
+            sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_near_dups"))
+          .crossJoin(p.dropStats.select(col("n_dropped_buckets")))
+          .localCheckpoint(true)
       }
     }),
 
@@ -78,6 +101,21 @@ object ScaleWorkloads {
           EmbDim, threshold = 0.95, tables = 4)
         .agg(count(lit(1)).as("n_neardup_pairs"),
           coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))
+    }),
+
+    // Connected components at sf scale on synthetic chain pairs over
+    // the real doc_id key space: consecutive ids chained within groups
+    // of 8 (diameter 7 — the loop genuinely multi-rounds, unlike the
+    // planted pl3 fixture's depth-2 clusters). 5000 docs @ sf0.1 →
+    // 4375 edges, 625 components of size 8; deterministic at any SF
+    // with dense ids.
+    "sx12_connected_components" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val pairs = ids.filter(col("doc_id") % 8 =!= 0)
+        .select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"))
+      Dedup.connectedComponents(pairs, maxIter = 12)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
     }),
 
     "sx4_ann_lsh" -> ((s, dir) => {

@@ -143,9 +143,12 @@ object OsmSource {
     // granularity) — the (end-start).toInt below is then exact
     require(splitBytes > 0 && splitBytes <= MaxSplitBytes,
       s"splitBytes must be in (0, $MaxSplitBytes]")
-    val uri = new java.net.URI(path)
-    val len = FileSystem.get(uri, spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(new HPath(path)).getLen
+    // Path(path).getFileSystem, not FileSystem.get(new URI(path)):
+    // raw path strings with spaces/special chars are valid Hadoop
+    // paths but malformed URIs (URISyntaxException)
+    val hPath = new HPath(path)
+    val len = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(hPath).getLen
     val starts = 0L until len by splitBytes
     val ranges = starts.map(s => (s, math.min(s + splitBytes, len))).toSeq
     // ship the session's Hadoop settings (credentials, fs impls) to the
@@ -203,9 +206,12 @@ object OsmSource {
                                   cleanStreets: Boolean,
                                   includeRelations: Boolean,
                                   confProps: Array[(String, String)] = Array.empty): Iterator[OsmElement] = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val fs = FileSystem.get(new java.net.URI(path), confFromProps(confProps))
-    val in = fs.open(new HPath(path))
+    import org.apache.hadoop.fs.{Path => HPath}
+    // getFileSystem off the Path itself — java.net.URI(path) throws on
+    // paths needing escaping (spaces etc.)
+    val hPath = new HPath(path)
+    val fs = hPath.getFileSystem(confFromProps(confProps))
+    val in = fs.open(hPath)
     try {
       in.seek(start)
       val base = math.toIntExact(end - start) // elementsSplit caps splitBytes

@@ -134,8 +134,11 @@ private[sources] class OsmScanBuilder(options: CaseInsensitiveStringMap)
     val confProps = OsmSource.hadoopConfProps(spark)
     val conf = spark.sparkContext.hadoopConfiguration
     paths.toArray.flatMap { path =>
-      val fs = FileSystem.get(new java.net.URI(path), conf)
-      val statuses = fs.globStatus(new HPath(path)) match {
+      // getFileSystem off the Path — java.net.URI(path) throws on
+      // paths needing escaping (spaces etc.)
+      val hPath = new HPath(path)
+      val fs = hPath.getFileSystem(conf)
+      val statuses = fs.globStatus(hPath) match {
         case null | Array() =>
           throw new java.io.FileNotFoundException(s"osmxml: path does not exist: $path")
         case arr => arr.flatMap { st =>

@@ -61,8 +61,13 @@ object Windows {
                      bits: Int = 32): DataFrame = {
     import graft.functions.{TextFunctions => T}
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // both branches coalesce null text to "" so null-text rows dedup
+    // against each other deterministically — an un-coalesced null sig
+    // would make dropDuplicatesWithinWatermark (null-safe equality)
+    // silently swallow every null-text row after the first
     val sig =
-      if (exact) sha2(T.normalizeForDedup(col(textCol)), 256).as("_dedup_sig")
+      if (exact) sha2(T.normalizeForDedup(coalesce(col(textCol), lit(""))), 256)
+        .as("_dedup_sig")
       else ColumnBridge.column(graft.plans.SimHashExpr(
         ColumnBridge.expression(T.tokens(coalesce(col(textCol), lit("")))), bits))
         .cast("string").as("_dedup_sig")

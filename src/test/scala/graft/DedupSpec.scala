@@ -220,6 +220,40 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
   }
 
+  test("connected components: non-convergence at maxIter throws instead of returning split labels") {
+    import spark.implicits._
+    // a 6-chain has diameter 5: maxIter=2 leaves labels mid-flight, and
+    // silently returning them would split the single true cluster
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    ex.getMessage should include("did not converge")
+    // with enough rounds the same chain closes to one component
+    Dedup.connectedComponents(chain, maxIter = 10)
+      .collect().map(_.getLong(1)).toSet shouldBe Set(0L)
+  }
+
+  test("connected components: empty pair table converges to empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    Dedup.connectedComponents(empty).count() shouldBe 0L
+  }
+
+  test("multi-table LSH with one table matches the single-table path (verify-order parity)") {
+    val embs = graft.queries.PlantedFixtures.embs(spark)
+    val dim = graft.queries.PlantedFixtures.EmbFixtureDim
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // tables=1 uses seed 42+0 = the single-table default draw, so the
+    // distinct-keys-then-verify rewrite must reproduce the
+    // verify-then-distinct path exactly: same pairs, same cosines
+    rows(Dedup.embeddingNearDupsMulti(embs, "vec_id", "embedding", dim,
+      threshold = 0.95, bits = 4, tables = 1)) shouldBe
+      rows(Dedup.embeddingNearDups(embs, "vec_id", "embedding", dim,
+        threshold = 0.95, bits = 4))
+  }
+
   test("null-text docs drop from MinHash banding instead of colliding in one bucket") {
     import spark.implicits._
     val docs = ((0 until 20).map(i => (i.toLong, null: String)) :+
