@@ -34,25 +34,41 @@ object Ann {
   }
 
   /** LSH-bucketed ANN: score only vectors whose signature matches the
-    * query signature or any single-bit flip of it (multiprobe radius 1).
-    * Recall is tunable via `bits` (fewer bits → bigger buckets → higher
-    * recall, more work). Cross-checked against brute force in AnnSpec.
+    * query signature or any single-bit flip of it (multiprobe radius
+    * 1). Recall is tunable via `bits` (fewer bits → bigger buckets →
+    * higher recall, more work) and `tables` (independent signature
+    * draws, seeds 42+t — recall 1-(1-r)^tables for per-table recall r,
+    * at `tables`× the candidate cost). Size `bits` to the corpus:
+    * 2^bits ≈ n / target-bucket-size (≈80), so a 5k-vector table wants
+    * ~6 bits while 1B vectors want ~24 — recall comes from `tables`,
+    * candidate volume stays bounded. The per-round bench gauge
+    * (`lsh_recall_at_10` in BENCH json) measures the multi-table
+    * default against brute force at sf scale; AnnSpec pins the fixture.
     */
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
               query: DataFrame, queryVecCol: String, k: Int,
-              bits: Int = 8): DataFrame = {
-    val withSig = embs.withColumn("_sig",
-      V.hyperplaneSignatureNative(col(vecCol), bits, dim))
-    // query side: signature + radius-1 multiprobes, exploded to rows
+              bits: Int = 8, tables: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(tables >= 1, "tables must be >= 1")
+    def sigArr(vec: Column) = array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        ColumnBridge.column(graft.plans.HyperplaneSignatureExpr(
+          ColumnBridge.expression(vec), bits, dim, seed = 42L + t)).as("sig"))
+    }: _*)
+    val withSig = embs
+      .select(col(idCol), col(vecCol), explode(sigArr(col(vecCol))).as("_ts"))
+    // query side: per-table signature + radius-1 multiprobes, exploded
+    // to (table, probe) rows; the data side joins on BOTH so probes
+    // never cross tables
     val probes = query
-      .select(col(queryVecCol).as("_qvec"),
-        V.hyperplaneSignatureNative(col(queryVecCol), bits, dim).as("_qsig"))
-      .select(col("_qvec"), explode(concat(
-        array(col("_qsig")),
+      .select(col(queryVecCol).as("_qvec"), explode(sigArr(col(queryVecCol))).as("_qs"))
+      .select(col("_qvec"), col("_qs.t").as("_pt"), explode(concat(
+        array(col("_qs.sig")),
         transform(sequence(lit(0), lit(bits - 1)), i =>
-          col("_qsig").bitwiseXOR(
+          col("_qs.sig").bitwiseXOR(
             pow(lit(2.0), i).cast("long"))))).as("_probe"))
-    withSig.join(broadcast(probes), col("_sig") === col("_probe"))
+    withSig.join(broadcast(probes),
+        col("_ts.t") === col("_pt") && col("_ts.sig") === col("_probe"))
       .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
       .select(col(idCol), col("sim"))
       .dropDuplicates(idCol)

@@ -509,6 +509,49 @@ object RelationalQueries {
         .orderBy("ws", "event_type")
     }),
 
+    // st4: streaming-batch PARITY through the hash gate. The same
+    // events arrive via a real file-source STREAM (readStream →
+    // watermark → tumbling count → memory sink, complete mode) and the
+    // materialized sink table must hash-match the batch SQL oracle.
+    // st1-st3 verify the window TRANSFORMS in batch mode; this runs
+    // the streaming ENGINE itself end-to-end — micro-batch planning,
+    // stateful agg store, sink commit — against the same oracle.
+    // Eager by necessity: the stream must drain before the result
+    // exists (processAllAvailable, then the sink table is static).
+    "st4_streaming_parity" -> ((s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val qn = "graft_st4_sink"
+      s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+      // the file-stream source requires a DIRECTORY to monitor; the
+      // testdata table is a single file, so stage a symlink dir (zero
+      // copy, same filesystem) — at scale the input IS a directory and
+      // this staging disappears
+      val streamDir = {
+        import java.nio.file.{Files, Paths}
+        val d = Paths.get(s"/tmp/graft-st4-src/${Integer.toHexString(dir.hashCode)}")
+        Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+        d.toString
+      }
+      val stream0 = s.readStream.schema(raw.schema).parquet(streamDir)
+      // same nanos→timestamp normalization Tables applies to the batch read
+      val stream =
+        if (raw.schema("ts").dataType == LongType)
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else stream0
+      val counts = graft.streaming.Windows.streamingTumblingCounts(
+        stream, "ts", "1 hour", "1 hour", col("event_type"))
+      val q = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    }),
+
     // Session windows (st3): per-user sessions with a 30-minute gap —
     // the third event-time window shape, same unified transform. The
     // oracle is the classic gaps-and-islands rewrite, pinning Spark's
@@ -794,6 +837,9 @@ object RelationalQueries {
     "st1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS cnt,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "st4_streaming_parity" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS cnt
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
     "st2_sliding_window" ->
       """SELECT ws, event_type, count(*) AS cnt FROM (

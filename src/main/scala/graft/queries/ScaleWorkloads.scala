@@ -57,13 +57,26 @@ object ScaleWorkloads {
     val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     def ids(df: DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val n = embs.count().toDouble
     val exact = ids(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10))
-    val lsh = ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
+    val lsh1 = ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
       bits = 8))
+    // the recall-bearing config (sx4): bits sized to the corpus
+    // (2^bits ≈ n/80 buckets), independent tables for the rest. The
+    // scan-fraction gauge keeps the tradeoff honest — recall bought by
+    // probing most of a tiny corpus must show up as a high fraction.
+    val tuned = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv",
+      n.toInt, bits = 6, tables = 8)
+    val tunedIds = ids(tuned)
     val ivf = ids(Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
       trainedCents(s, dir), nProbe = 2))
     Map(
-      "lsh_recall_at_10" -> (exact & lsh).size / 10.0,
+      "lsh_recall_at_10" -> (exact & lsh1).size / 10.0,
+      "lsh_tuned_recall_at_10" ->
+        (exact & ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv",
+          10, bits = 6, tables = 8))).size / 10.0,
+      "lsh_tuned_scan_frac" ->
+        math.rint(tunedIds.size / n * 1000) / 1000,
       "ivf_recall_at_10" -> (exact & ivf).size / 10.0)
   }
 
@@ -121,7 +134,10 @@ object ScaleWorkloads {
     "sx4_ann_lsh" -> ((s, dir) => {
       val embs = Tables(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10, bits = 8)
+      // the recall-bearing config (lsh_tuned_recall_at_10 gauge ≈0.9):
+      // bench tracks ITS cost, not the cheaper low-recall single table
+      Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10, bits = 6,
+          tables = 8)
         .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
     }),
 

@@ -104,9 +104,27 @@ object OsmSource {
   }
 
   /** S3 — JSON-lines sink (process_map's `file_in + ".json"` output,
-    * data.py:188-201). Distributed write; one JSON object per line. */
-  def writeJsonLines(ds: Dataset[OsmElement], path: String): Unit =
-    ds.write.mode("overwrite").json(path)
+    * data.py:188-201). Distributed write; one JSON object per line.
+    *
+    * `pretty = true` mirrors the reference's `process_map(file_in,
+    * pretty)` branch (data.py:198-199, `json.dumps(el, indent=2)`):
+    * each element renders as an indented multi-line object, elements
+    * separated by a newline — same 2-space indent, `": "` key
+    * separator, and per-item lines as Python's encoder, with null
+    * fields omitted (shape_element builds its dicts conditionally) and
+    * map keys sorted for determinism. Still a distributed text write;
+    * the reference itself warns pretty mode is for small files
+    * (data.py:203-205), so the compact default stays the scale path. */
+  def writeJsonLines(ds: Dataset[OsmElement], path: String,
+                     pretty: Boolean = false): Unit =
+    if (!pretty) ds.write.mode("overwrite").json(path)
+    else {
+      val spark = ds.sparkSession
+      import spark.implicits._
+      val schema = ds.schema
+      ds.toDF().map(row => PrettyJson.render(row, schema))
+        .write.mode("overwrite").text(path)
+    }
 
   /** Parquet sink — the engine's canonical storage (S4's mongoimport
     * analogue). Partitioned by element type so node-only / way-only
@@ -507,4 +525,66 @@ object OsmSource {
       case None => name
     }
   }
+}
+
+/** Python-`json.dumps(indent=2)`-compatible renderer for
+  * [[OsmSource.writeJsonLines]]' pretty mode (reference
+  * ProjectCodeUsed/data.py:198-199 and the documented element shape at
+  * data.py:13-34): 2-space indent, `": "` key separator, one item per
+  * line, `{}`/`[]` for empty containers. Schema-driven and recursive,
+  * so it renders any Row shape; null fields are omitted (the
+  * reference's shape_element only sets present keys), map entries are
+  * key-sorted for deterministic output, and timestamps render in the
+  * raw OSM form (`2013-08-03T16:43:42Z`, UTC). */
+private[graft] object PrettyJson {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+
+  def render(row: Row, schema: StructType): String = struct(row, schema, 0)
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def value(v: Any, dt: DataType, level: Int): String = (v, dt) match {
+    case (null, _) => "null"
+    case (r: Row, st: StructType) => struct(r, st, level)
+    case (s: scala.collection.Seq[_], at: ArrayType) =>
+      wrap(s.map(value(_, at.elementType, level + 1)).toSeq, "[", "]", level)
+    case (m: scala.collection.Map[_, _], mt: MapType) =>
+      val items = m.toSeq
+        .collect { case (k, mv) if mv != null => (k.toString, mv) }
+        .sortBy(_._1)
+        .map { case (k, mv) =>
+          "\"" + esc(k) + "\": " + value(mv, mt.valueType, level + 1) }
+      wrap(items, "{", "}", level)
+    case (t: Timestamp, _) => "\"" + TsFmt.format(t.toInstant) + "\""
+    case (s: String, _) => "\"" + esc(s) + "\""
+    case (b: Boolean, _) => b.toString
+    case (other, _) => other.toString
+  }
+
+  private def struct(r: Row, st: StructType, level: Int): String = {
+    val items = st.fields.zipWithIndex.toSeq
+      .collect { case (f, i) if !r.isNullAt(i) =>
+        "\"" + esc(f.name) + "\": " + value(r.get(i), f.dataType, level + 1) }
+    wrap(items, "{", "}", level)
+  }
+
+  private def wrap(items: Seq[String], open: String, close: String,
+                   level: Int): String =
+    if (items.isEmpty) open + close
+    else {
+      val ind = "  " * (level + 1)
+      open + "\n" + items.map(ind + _).mkString(",\n") + "\n" + "  " * level + close
+    }
 }

@@ -175,6 +175,27 @@ class OsmSourceSpec extends SparkSpec {
     dsv2.rdd.getNumPartitions should be >= 2
   }
 
+  test("DSv2 source: projection prunes the scan to the selected top-level columns") {
+    import org.apache.spark.sql.functions.col
+    val p = OsmFixture.write("example.osm", OsmFixture.xml)
+    val df = spark.read.format("graft.sources.OsmXmlSource").load(p.toString)
+      .select(col("id"), col("amenity"))
+      .filter(col("amenity") === "restaurant")
+    val rows = df.collect()
+    rows.map(_.getString(1)).toSet shouldBe Set("restaurant")
+    // the pushed read schema reaches the BatchScan node: only the two
+    // projected columns survive, the other 12 never serialize
+    val scanDesc = df.queryExecution.executedPlan.toString
+    scanDesc should include("ReadSchema: [id,amenity]")
+    (scanDesc should not).include("ReadSchema: [id,type")
+    // nested projection still answers through Catalyst's Project above
+    // the (top-level) pruned scan
+    val nested = spark.read.format("graft.sources.OsmXmlSource").load(p.toString)
+      .select(col("created.user").as("u")).distinct()
+    nested.collect().length shouldBe 6
+    nested.queryExecution.executedPlan.toString should include("ReadSchema: [created]")
+  }
+
   test("DSv2 source: multi-path load and missing-path error") {
     val p1 = OsmFixture.write("example.osm", OsmFixture.xml)
     val p2 = OsmFixture.write("tags.osm", OsmFixture.tagsXml)
@@ -199,5 +220,61 @@ class OsmSourceSpec extends SparkSpec {
     back.count() shouldBe 21
     // partitioned by type → node-only scan prunes to the node directory
     back.filter(col("type") === "node").count() shouldBe 20
+  }
+
+  test("S3 pretty mode renders the data.py:13-34 documented element shape") {
+    import spark.implicits._
+    import graft.sources.OsmSource._
+    // the reference's documented example element (data.py:13-34),
+    // reconstructed as a typed row
+    val el = OsmElement(
+      id = "2406124091", `type` = "node", visible = "true",
+      pos = OsmPos(41.9757030, -87.6921867),
+      created = OsmCreated("2", "17206049",
+        java.sql.Timestamp.from(java.time.Instant.parse("2013-08-03T16:43:42Z")),
+        "linuxUser16", "1219059"),
+      address = OsmAddress("North Lincoln Ave", "5157", "60625", null, null),
+      node_refs = null, members = null,
+      tags = Map("cuisine" -> "mexican", "phone" -> "1 (773)-271-5176"),
+      amenity = "restaurant", natural = null, place = null,
+      name = "La Cabana De Don Luis", population = null)
+    val ds = Seq(el).toDS()
+    val out = java.nio.file.Files.createTempDirectory("osm-pretty").toString
+    OsmSource.writeJsonLines(ds, s"$out/pretty", pretty = true)
+    val text = spark.read.text(s"$out/pretty").collect().map(_.getString(0))
+      .mkString("\n")
+    // golden: Python json.dumps(el, indent=2) over the same dict
+    // (schema field order, nulls omitted, 2-space indent, ": " sep)
+    text shouldBe
+      """{
+        |  "id": "2406124091",
+        |  "type": "node",
+        |  "visible": "true",
+        |  "pos": {
+        |    "lat": 41.975703,
+        |    "lon": -87.6921867
+        |  },
+        |  "created": {
+        |    "version": "2",
+        |    "changeset": "17206049",
+        |    "timestamp": "2013-08-03T16:43:42Z",
+        |    "user": "linuxUser16",
+        |    "uid": "1219059"
+        |  },
+        |  "address": {
+        |    "street": "North Lincoln Ave",
+        |    "housenumber": "5157",
+        |    "postcode": "60625"
+        |  },
+        |  "tags": {
+        |    "cuisine": "mexican",
+        |    "phone": "1 (773)-271-5176"
+        |  },
+        |  "amenity": "restaurant",
+        |  "name": "La Cabana De Don Luis"
+        |}""".stripMargin
+    // and the compact default still reads back as one object
+    OsmSource.writeJsonLines(ds, s"$out/compact")
+    spark.read.json(s"$out/compact").count() shouldBe 1
   }
 }

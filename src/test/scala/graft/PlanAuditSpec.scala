@@ -103,6 +103,15 @@ class PlanAuditSpec extends SparkSpec {
     "PartitionFilters: \\[_cell#\\d+ IN \\(".r.findFirstIn(p).isDefined shouldBe true
     // and the self-hit comes back exact
     search.collect().head.getLong(0) shouldBe 0L
+    // writer discipline: the build repartitions on _cell before
+    // partitionBy, so each cell directory holds exactly ONE data file
+    // (not one per input partition — the small-files metadata bomb)
+    val cellDirs = new java.io.File(s"$idx/vectors").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_cell="))
+    cellDirs.length shouldBe 8
+    cellDirs.foreach { d =>
+      d.listFiles.count(_.getName.endsWith(".parquet")) shouldBe 1
+    }
   }
 
   test("elementsSplit parallelizes a monolith: one task per byte range") {
