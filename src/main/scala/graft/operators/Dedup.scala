@@ -251,9 +251,9 @@ object Dedup {
     * If the loop hits `maxIter` with changes still flowing, the labels
     * are NOT component ids yet — returning them would be silently
     * wrong (a >maxIter-diameter chain gets split clusters). We throw
-    * instead; callers with genuinely deep graphs raise `maxIter`
-    * (rounds = diameter, and near-dup clusters of diameter >20 mean
-    * the threshold, not the closure, is the problem).
+    * instead; callers with genuinely deep graphs raise `maxIter` or
+    * switch to [[connectedComponentsStar]], whose round count does not
+    * depend on diameter at all.
     *
     * Returns (doc_id, component) for every id present in `pairs`;
     * singleton docs (no pairs) are their own components and need no row.
@@ -352,6 +352,134 @@ object Dedup {
       // neither recomputes the iteration nor pins the edge cache
       val out = labels.localCheckpoint(true)
       pinned.unpersist(blocking = false)
+      out
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldShuffleParts)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      edges.unpersist(blocking = false)
+    }
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the deep-graph companion to
+    * [[connectedComponents]]: rounds are O(log n) REGARDLESS of
+    * diameter, where min-label propagation needs `diameter` rounds. A
+    * 10k-link chain closes in ~10 alternations here and never finishes
+    * there. Prefer min-label for shallow near-dup graphs (cheaper per
+    * round: labels shuffle, not edges); prefer this when cluster depth
+    * is unknown or unbounded.
+    *
+    * Both operators rewrite the EDGE set toward a star forest whose
+    * roots are the component minima:
+    *  - large-star (center u over ALL neighbors, m = min(N(u) ∪ {u})):
+    *    every neighbor v > u re-points to m;
+    *  - small-star (center u over SMALLER neighbors only, i.e. each
+    *    edge keyed by its larger endpoint): those neighbors and u
+    *    itself re-point to their min.
+    * Each is ONE keyed shuffle — a window min over the center key — on
+    * the canonical (u < v) edge table; both preserve connectivity and
+    * strictly shrink a potential function, and the fixpoint (edge set
+    * unchanged) is exactly the star forest (v, component-min). Convergence is checked with an
+    * order-independent edge-set fingerprint — (count, XOR of row
+    * hashes) — read in the same action that materializes the round's
+    * edges, no extra compare join.
+    *
+    * Output contract matches [[connectedComponents]] exactly:
+    * (doc_id, component) for every id in `pairs`, component = minimum
+    * reachable id (equivalence pinned property-style in DedupSpec). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    def canonical(df: DataFrame): DataFrame =
+      df.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    // One star rewrite; `large` selects which operator. The per-center
+    // neighborhood min rides a WINDOW (one shuffle) instead of a
+    // groupBy + join-back (two shuffles of the same rows); `dedup`
+    // controls the canonicalizing distinct — the inner op of each
+    // alternation skips it (duplicate edges don't change any min; one
+    // distinct per alternation, on the final set, suffices).
+    def star(e: DataFrame, large: Boolean, dedup: Boolean): DataFrame = {
+      val byC = org.apache.spark.sql.expressions.Window.partitionBy("c")
+      val rewritten = if (large) {
+        // centers see ALL neighbors; only larger neighbors re-point
+        e.select(col("u").as("c"), col("v").as("n"))
+          .union(e.select(col("v").as("c"), col("u").as("n")))
+          .withColumn("m", least(min(col("n")).over(byC), col("c")))
+          .filter(col("n") > col("c"))
+          .select(col("n").as("a"), col("m").as("b"))
+      } else {
+        // centers keyed by the LARGER endpoint; smaller neighbors and
+        // the center itself re-point to the neighborhood min — both
+        // emissions in ONE pass over the windowed rows (a second
+        // reference would re-run the window shuffle)
+        e.select(col("v").as("c"), col("u").as("n"))
+          .withColumn("m", min(col("n")).over(byC))
+          .select(explode(array(
+            struct(col("n").as("a"), col("m").as("b")),
+            struct(col("c").as("a"), col("m").as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+      }
+      val canon = rewritten.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+      if (dedup) canon.distinct() else canon
+    }
+
+    // edge-set fingerprint, computed in the SAME action that
+    // materializes the persisted round: bit-xor is order-independent
+    // and overflow-free (ANSI-safe, unlike sum)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val oldShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    var edges = canonical(pairs.select(col("id1").as("a"), col("id2").as("b")))
+      .persist(lvl)
+    try {
+      val nEdges = edges.count()
+      val loopParts = math.max(1L,
+        math.min(oldShuffleParts.toLong, nEdges / CcRowsPerPartition + 1))
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      if (loopParts == 1L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      var fp = fingerprint(edges)
+      var converged = nEdges == 0L
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // localCheckpoint EVERY round, not every k: each star op
+        // references its input ~4 times (bidirectional union + join +
+        // mins), so an uncheckpointed round would grow the LOGICAL plan
+        // ~9× per alternation — Catalyst analysis (DeduplicateRelations)
+        // goes exponential long before execution is the problem. The
+        // checkpoint truncates the plan to a leaf; its job is also the
+        // round's materialization.
+        val next = star(star(edges, large = true, dedup = false),
+            large = false, dedup = true)
+          .localCheckpoint(true)
+        val nfp = fingerprint(next) // reads the checkpointed blocks
+        edges.unpersist(blocking = false)
+        edges = next
+        converged = nfp == fp
+        fp = nfp
+        iter += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within maxIter=$maxIter " +
+          "alternations — pathological for O(log n) convergence; raise maxIter.")
+      // fixpoint edge set IS the star forest: v → root u (= component
+      // min), roots label themselves
+      val labels = edges.select(col("v").as("doc_id"), col("u").as("component"))
+        .union(edges.select(col("u").as("doc_id"), col("u").as("component")).distinct())
+      val out = labels.localCheckpoint(true)
       out
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", oldShuffleParts)

@@ -277,6 +277,21 @@ object PipelineQueries {
         .orderBy("component")
     }),
 
+    // Same transitive closure via the LARGE-STAR/SMALL-STAR alternation
+    // (the O(log n)-round deep-graph algorithm) — identical cluster
+    // truth as pl3, pinning the two algorithms' output contract against
+    // one oracle; their equivalence on deeper/random graphs is
+    // property-tested in DedupSpec.
+    "pl4_star_components" -> ((s, _) => {
+      val pairs = Dedup.minhashNearDups(PlantedFixtures.docs(s), "doc_id", "text",
+        threshold = 0.7)
+      Dedup.connectedComponentsStar(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+        .orderBy("component")
+    }),
+
     // Multimodal: REAL PNG payloads for image rows (decoded through
     // javax.imageio to their true planted dimensions: 16×20, 19×26,
     // 22×32 → resized into an 18×18 box → 14×18, 13×18, 12×18, so
@@ -377,6 +392,11 @@ object PipelineQueries {
     "pl2_neardup_prep" ->
       """SELECT CAST(17 AS BIGINT) AS n_docs_kept, CAST(3 AS BIGINT) AS n_removed""",
     "pl3_neardup_components" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(3 AS BIGINT), '1,2,3'),
+           (4, 2, '4,5')
+         ) AS t(component, cluster_size, members) ORDER BY component""",
+    "pl4_star_components" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(3 AS BIGINT), '1,2,3'),
            (4, 2, '4,5')

@@ -131,6 +131,19 @@ object ScaleWorkloads {
           countDistinct(col("component")).as("n_components"))
     }),
 
+    // Deep-chain components via large-star/small-star: chains of 64
+    // (diameter 63) over the sf doc_id space — min-label propagation
+    // would need ~20+ shortcut rounds; the star alternation closes in
+    // O(log n) regardless. 5000 docs @ sf0.1 → 79 components.
+    "sx13_cc_star_deep" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val pairs = ids.filter(col("doc_id") % 64 =!= 0)
+        .select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"))
+      Dedup.connectedComponentsStar(pairs)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+    }),
+
     "sx4_ann_lsh" -> ((s, dir) => {
       val embs = Tables(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

@@ -238,6 +238,37 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     Dedup.connectedComponents(empty).count() shouldBe 0L
+    Dedup.connectedComponentsStar(empty).count() shouldBe 0L
+  }
+
+  test("large-star/small-star closes a deep chain min-label propagation cannot") {
+    import spark.implicits._
+    // a 401-node chain (diameter 400): min-label would need ~130+
+    // rounds even with the shortcut; the star alternation is O(log n)
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    comp.length shouldBe 401
+    comp.map(_._2).toSet shouldBe Set(0L)
+  }
+
+  test("large-star/small-star matches min-label propagation on a mixed graph") {
+    import spark.implicits._
+    // chains, a triangle, an isolated pair, plus pseudo-random extra
+    // edges (deterministic arithmetic, duplicates and both orders
+    // included) — the two algorithms must produce identical label maps
+    val base = Seq((11L, 10L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+    val rand = (0 until 60).map { i =>
+      val a = (i * 37 + 11) % 40 + 100L
+      val b = (i * 53 + 29) % 40 + 100L
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val pairs = (base ++ rand ++ rand.map(_.swap)).toDF("id1", "id2")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labelMap(Dedup.connectedComponentsStar(pairs)) shouldBe
+      labelMap(Dedup.connectedComponents(pairs))
   }
 
   test("multi-table LSH with one table matches the single-table path (verify-order parity)") {
