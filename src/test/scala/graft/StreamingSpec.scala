@@ -230,4 +230,29 @@ class StreamingSpec extends SparkSpec {
         Seq(1L, 3L)
     } finally q2.stop()
   }
+
+  test("streaming dedup: null-text rows get a deterministic signature in BOTH modes") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // exact mode coalesces null → "" (matching the simhash branch), so
+    // the two null-text rows dedup against EACH OTHER (and against ""),
+    // not via null-safe equality semantics that depend on sig nullability
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.Windows.streamingDedup(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "text", late = "1 hour")
+      .writeStream.format("memory").queryName("st_dedup_null")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (t("2024-01-01 10:00:00"), 1L, null),
+        (t("2024-01-01 10:01:00"), 2L, null),  // dups row 1 (both "")
+        (t("2024-01-01 10:02:00"), 3L, ""),    // dups row 1 too
+        (t("2024-01-01 10:03:00"), 4L, "real text survives"))
+      q.processAllAvailable()
+      spark.table("st_dedup_null").collect().map(_.getLong(1)).sorted.toSeq shouldBe
+        Seq(1L, 4L)
+    } finally q.stop()
+  }
 }
