@@ -241,6 +241,25 @@ class DedupSpec extends SparkSpec {
     Dedup.connectedComponentsStar(empty).count() shouldBe 0L
   }
 
+  test("connected components restores session shuffle/AQE conf, even when throwing") {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    Dedup.connectedComponents(Seq((1L, 2L)).toDF("id1", "id2")).count()
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe parts
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe aqe
+    // the non-convergence throw must not leak the loop's conf either
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(
+        (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2"), maxIter = 2)
+    }
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe parts
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe aqe
+    Dedup.connectedComponentsStar(Seq((1L, 2L)).toDF("id1", "id2")).count()
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe parts
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe aqe
+  }
+
   test("large-star/small-star closes a deep chain min-label propagation cannot") {
     import spark.implicits._
     // a 401-node chain (diameter 400): min-label would need ~130+
