@@ -43,6 +43,14 @@ object Bench {
     try graft.queries.ScaleWorkloads.indexPath(spark, sfDir)
     catch { case _: Throwable => () }
 
+    // Canonical session conf, re-asserted before every measurement: an
+    // abandoned timed-out query thread (e.g. a connected-components
+    // loop that scoped shuffle.partitions=1 for its frontier) could
+    // otherwise leak its loop conf into every subsequent measurement,
+    // or restore it mid-way through one.
+    val canonicalParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val canonicalAqe = spark.conf.get("spark.sql.adaptive.enabled")
+
     // Optional name filter (dev loop): SPARK_GRAFT_BENCH_ONLY=dd3,dd5
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = (SparkEntry.queries ++ graft.queries.ScaleWorkloads.defs)
@@ -54,6 +62,8 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_.split(",").exists(name.startsWith)))
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => System.err.println(s"[bench] explain $name: $e") }
+      spark.conf.set("spark.sql.shuffle.partitions", canonicalParts)
+      spark.conf.set("spark.sql.adaptive.enabled", canonicalAqe)
       val t0 = System.nanoTime()
       def elapsed: Double = (System.nanoTime() - t0) / 1e9
       val fut = Future {
@@ -93,13 +103,27 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     // quality gauges (ANN recall@10 at sf scale) ride the same JSON
     // line: timing says "fast", gauges say "still finding the right
-    // neighbors" — a failed gauge computation records -1, not a crash
-    val gauges =
-      try graft.queries.ScaleWorkloads.gauges(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] gauges FAILED: ${e.getMessage}")
-        Map("gauge_error" -> -1.0)
+    // neighbors". They run under the SAME job-group + budget discipline
+    // as the timed queries — a hung gauge must cost its budget and
+    // record an error, never stall the run past the harness deadline
+    // and lose every already-measured timing (the BENCH_r02 lesson).
+    val gauges = {
+      val fut = Future {
+        sc.setJobGroup("gauges", "gauges", interruptOnCancel = true)
+        try graft.queries.ScaleWorkloads.gauges(spark, sfDir)
+        finally sc.clearJobGroup()
       }
+      try Await.result(fut, PerQueryBudget)
+      catch {
+        case _: TimeoutException =>
+          sc.cancelJobGroup("gauges")
+          System.err.println("[bench] gauges TIMEOUT")
+          Map("gauge_error" -> -2.0)
+        case e: Throwable =>
+          System.err.println(s"[bench] gauges FAILED: ${e.getMessage}")
+          Map("gauge_error" -> -1.0)
+      }
+    }
     val gs = gauges.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gauges":$gs,"n_failed":$nFailed,"sf":"$sfDir"}""")

@@ -282,18 +282,19 @@ object Dedup {
     // first round would otherwise pay
     val oldShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val loopParts = math.max(1L, math.min(oldShuffleParts.toLong,
-      edges.count() / CcRowsPerPartition + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    // a single-partition loop has nothing for AQE to adapt — its
-    // per-stage re-planning is pure driver overhead paid `rounds`
-    // times; big graphs keep it (skew-join splitting matters there)
-    if (loopParts == 1L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var pinned: DataFrame = null // currently persisted table backing `labels`
     try {
+      val loopParts = math.max(1L, math.min(oldShuffleParts.toLong,
+        edges.count() / CcRowsPerPartition + 1))
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      // a single-partition loop has nothing for AQE to adapt — its
+      // per-stage re-planning is pure driver overhead paid `rounds`
+      // times; big graphs keep it (skew-join splitting matters there)
+      if (loopParts == 1L) spark.conf.set("spark.sql.adaptive.enabled", "false")
       var labels = edges.groupBy(col("src").as("doc_id"))
         .agg(least(min(col("dst")), col("src")).as("component"))
         .persist(lvl) // round 1 reads it twice (neighbor-min + rejoin)
-      var pinned = labels // currently persisted table backing `labels`
+      pinned = labels
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -350,12 +351,13 @@ object Dedup {
       // materializes the final labels into executor storage (cleaned by
       // the ContextCleaner once unreferenced), so the returned DF
       // neither recomputes the iteration nor pins the edge cache
-      val out = labels.localCheckpoint(true)
-      pinned.unpersist(blocking = false)
-      out
+      labels.localCheckpoint(true)
     } finally {
+      // finally owns every release so failure paths (non-convergence
+      // throw, cancelled jobs) can't leak the round cache or the conf
       spark.conf.set("spark.sql.shuffle.partitions", oldShuffleParts)
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      if (pinned != null) pinned.unpersist(blocking = false)
       edges.unpersist(blocking = false)
     }
   }
@@ -477,10 +479,19 @@ object Dedup {
           "alternations — pathological for O(log n) convergence; raise maxIter.")
       // fixpoint edge set IS the star forest: v → root u (= component
       // min), roots label themselves
-      val labels = edges.select(col("v").as("doc_id"), col("u").as("component"))
+      val forest = edges.select(col("v").as("doc_id"), col("u").as("component"))
         .union(edges.select(col("u").as("doc_id"), col("u").as("component")).distinct())
-      val out = labels.localCheckpoint(true)
-      out
+      // ids present in `pairs` but in NO canonical edge (nodes that
+      // appear only in self-pairs, which the u≠v filter drops) label
+      // themselves — output-contract parity with [[connectedComponents]],
+      // which emits a row for every id in `pairs`. One anti-join, once,
+      // after the loop.
+      val isolates = pairs.select(col("id1").as("doc_id"))
+        .union(pairs.select(col("id2").as("doc_id")))
+        .distinct()
+        .join(forest.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("component"))
+      forest.union(isolates).localCheckpoint(true)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", oldShuffleParts)
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)

@@ -529,7 +529,10 @@ object RelationalQueries {
       // this staging disappears
       val streamDir = {
         import java.nio.file.{Files, Paths}
-        val d = Paths.get(s"/tmp/graft-st4-src/${Integer.toHexString(dir.hashCode)}")
+        // keyed by the sanitized full path (not hashCode — a collision
+        // between two sf dirs would silently stream the wrong table)
+        val d = Paths.get(
+          s"/tmp/graft-st4-src/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
         Files.createDirectories(d)
         val link = d.resolve("events.parquet")
         if (!Files.exists(link))

@@ -65,18 +65,22 @@ object ScaleWorkloads {
     // (2^bits ≈ n/80 buckets), independent tables for the rest. The
     // scan-fraction gauge keeps the tradeoff honest — recall bought by
     // probing most of a tiny corpus must show up as a high fraction.
+    // ONE pipeline run (k=n ranking, persisted for the scope): the
+    // candidate count aggregates distributedly and only the top-10 ids
+    // come back to the driver.
     val tuned = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv",
       n.toInt, bits = 6, tables = 8)
-    val tunedIds = ids(tuned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (tunedTop10, tunedScanned) =
+      try (ids(tuned.orderBy(desc("sim"), col("vec_id")).limit(10)),
+        tuned.count().toDouble)
+      finally tuned.unpersist(blocking = false)
     val ivf = ids(Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
       trainedCents(s, dir), nProbe = 2))
     Map(
       "lsh_recall_at_10" -> (exact & lsh1).size / 10.0,
-      "lsh_tuned_recall_at_10" ->
-        (exact & ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv",
-          10, bits = 6, tables = 8))).size / 10.0,
-      "lsh_tuned_scan_frac" ->
-        math.rint(tunedIds.size / n * 1000) / 1000,
+      "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
+      "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
       "ivf_recall_at_10" -> (exact & ivf).size / 10.0)
   }
 

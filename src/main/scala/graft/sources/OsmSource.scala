@@ -535,7 +535,10 @@ object OsmSource {
   * so it renders any Row shape; null fields are omitted (the
   * reference's shape_element only sets present keys), map entries are
   * key-sorted for deterministic output, and timestamps render in the
-  * raw OSM form (`2013-08-03T16:43:42Z`, UTC). */
+  * raw OSM form (`2013-08-03T16:43:42Z`, UTC). Known divergence:
+  * extreme-magnitude doubles render Scala-style (`1.0E20`) where
+  * python writes `1e+20` — OSM lat/lon/measure values never reach
+  * E-notation. */
 private[graft] object PrettyJson {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types._
@@ -545,13 +548,19 @@ private[graft] object PrettyJson {
 
   def render(row: Row, schema: StructType): String = struct(row, schema, 0)
 
+  // python json.dumps default escaping: the named short escapes (incl.
+  // \b and \f), \uXXXX for other control chars, and ensure_ascii=True —
+  // every char above 0x7e escapes too (surrogate halves escape
+  // individually, same as python)
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
+    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
 

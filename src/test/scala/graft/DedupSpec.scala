@@ -273,11 +273,12 @@ class DedupSpec extends SparkSpec {
 
   test("large-star/small-star matches min-label propagation on a mixed graph") {
     import spark.implicits._
-    // chains, a triangle, an isolated pair, plus pseudo-random extra
-    // edges (deterministic arithmetic, duplicates and both orders
-    // included) — the two algorithms must produce identical label maps
+    // chains, a triangle, an isolated pair, a SELF-pair (a node that
+    // appears nowhere else — both algorithms must still label it), plus
+    // pseudo-random extra edges (deterministic arithmetic, duplicates
+    // and both orders included) — identical label maps required
     val base = Seq((11L, 10L), (11L, 12L), (12L, 13L),
-      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L), (40L, 40L))
     val rand = (0 until 60).map { i =>
       val a = (i * 37 + 11) % 40 + 100L
       val b = (i * 53 + 29) % 40 + 100L

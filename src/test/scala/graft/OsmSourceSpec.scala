@@ -273,6 +273,15 @@ class OsmSourceSpec extends SparkSpec {
         |  "amenity": "restaurant",
         |  "name": "La Cabana De Don Luis"
         |}""".stripMargin
+    // ensure_ascii parity: python's json.dumps default escapes every
+    // non-ASCII char as \uXXXX, and \b/\f use their short escapes
+    val el2 = el.copy(tags = Map("alt_name" -> "Straße Café",
+      "odd" -> "a\bb\fc"))
+    OsmSource.writeJsonLines(Seq(el2).toDS(), s"$out/pretty2", pretty = true)
+    val t2 = spark.read.text(s"$out/pretty2").collect().map(_.getString(0))
+      .mkString("\n")
+    t2 should include("\"alt_name\": \"Stra\\u00dfe Caf\\u00e9\"")
+    t2 should include("\"odd\": \"a\\bb\\fc\"")
     // and the compact default still reads back as one object
     OsmSource.writeJsonLines(ds, s"$out/compact")
     spark.read.json(s"$out/compact").count() shouldBe 1
