@@ -269,28 +269,42 @@ object Dedup {
     * planetary edge list keeps the session's parallelism. */
   private val CcRowsPerPartition = 2L * 1000 * 1000
 
+  /** The loop-scoped session for an iterative operator: a CLONE of the
+    * caller's session (same SparkContext, shared cache manager and
+    * extensions, OWN SQLConf) with shuffle parallelism sized to
+    * `nRows` and AQE dropped when the frontier fits one partition
+    * (per-stage re-planning is pure driver overhead paid `rounds`
+    * times; big graphs keep it — skew-join splitting matters there).
+    * Mutating a clone instead of the caller's session means no
+    * save/restore and NO RACE with concurrent work in the caller's
+    * session (e.g. a bench harness whose timed-out query thread is
+    * still running when the next measurement starts). */
+  private def loopSession(caller: org.apache.spark.sql.SparkSession,
+                          nRows: Long): org.apache.spark.sql.SparkSession = {
+    val s = caller.newSession()
+    val parts = math.max(1L,
+      math.min(caller.conf.get("spark.sql.shuffle.partitions").toLong,
+        nRows / CcRowsPerPartition + 1))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (parts == 1L) s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge.rebindSession
+    val caller = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // undirected edge list, both directions: (src, dst)
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    // undirected edge list, both directions: (src, dst) — built in the
+    // caller's session (full parallelism), counted once (the count
+    // doubles as the cache materialization round 1 would pay anyway),
+    // then the loop re-plans against a frontier-sized cloned session
+    val edges0 = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .persist(lvl)
-    // frontier-sized parallelism for the loop's shuffles, restored on
-    // exit; the count doubles as the edge-cache materialization the
-    // first round would otherwise pay
-    val oldShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
     var pinned: DataFrame = null // currently persisted table backing `labels`
     try {
-      val loopParts = math.max(1L, math.min(oldShuffleParts.toLong,
-        edges.count() / CcRowsPerPartition + 1))
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      // a single-partition loop has nothing for AQE to adapt — its
-      // per-stage re-planning is pure driver overhead paid `rounds`
-      // times; big graphs keep it (skew-join splitting matters there)
-      if (loopParts == 1L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges = rebindSession(edges0, loopSession(caller, edges0.count()))
       var labels = edges.groupBy(col("src").as("doc_id"))
         .agg(least(min(col("dst")), col("src")).as("component"))
         .persist(lvl) // round 1 reads it twice (neighbor-min + rejoin)
@@ -350,15 +364,15 @@ object Dedup {
       // break lineage before the caches release: localCheckpoint
       // materializes the final labels into executor storage (cleaned by
       // the ContextCleaner once unreferenced), so the returned DF
-      // neither recomputes the iteration nor pins the edge cache
-      labels.localCheckpoint(true)
+      // neither recomputes the iteration nor pins the edge cache —
+      // rebound to the CALLER's session so downstream composition runs
+      // under the caller's conf, not the loop clone's
+      rebindSession(labels.localCheckpoint(true), caller)
     } finally {
       // finally owns every release so failure paths (non-convergence
-      // throw, cancelled jobs) can't leak the round cache or the conf
-      spark.conf.set("spark.sql.shuffle.partitions", oldShuffleParts)
-      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      // throw, cancelled jobs) can't leak the round cache
       if (pinned != null) pinned.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      edges0.unpersist(blocking = false)
     }
   }
 
@@ -391,7 +405,8 @@ object Dedup {
     * (doc_id, component) for every id in `pairs`, component = minimum
     * reachable id (equivalence pinned property-style in DedupSpec). */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge.rebindSession
+    val caller = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
     def canonical(df: DataFrame): DataFrame =
@@ -442,16 +457,15 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    val oldShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    var edges = canonical(pairs.select(col("id1").as("a"), col("id2").as("b")))
+    val edges0 = canonical(pairs.select(col("id1").as("a"), col("id2").as("b")))
       .persist(lvl)
+    var edges: DataFrame = edges0
     try {
-      val nEdges = edges.count()
-      val loopParts = math.max(1L,
-        math.min(oldShuffleParts.toLong, nEdges / CcRowsPerPartition + 1))
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      if (loopParts == 1L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val nEdges = edges0.count()
+      // loop re-plans against a frontier-sized CLONED session — the
+      // caller's conf is never touched (see [[loopSession]])
+      val clone = loopSession(caller, nEdges)
+      edges = rebindSession(edges0, clone)
 
       var fp = fingerprint(edges)
       var converged = nEdges == 0L
@@ -485,17 +499,19 @@ object Dedup {
       // appear only in self-pairs, which the u≠v filter drops) label
       // themselves — output-contract parity with [[connectedComponents]],
       // which emits a row for every id in `pairs`. One anti-join, once,
-      // after the loop.
-      val isolates = pairs.select(col("id1").as("doc_id"))
-        .union(pairs.select(col("id2").as("doc_id")))
+      // after the loop; `pairs` rebinds into the loop session so the
+      // join doesn't mix sessions.
+      val isolates = rebindSession(pairs, edges.sparkSession)
+        .select(col("id1").as("doc_id"))
+        .union(rebindSession(pairs, edges.sparkSession)
+          .select(col("id2").as("doc_id")))
         .distinct()
         .join(forest.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("component"))
-      forest.union(isolates).localCheckpoint(true)
+      // rebound to the CALLER's session for downstream composition
+      rebindSession(forest.union(isolates).localCheckpoint(true), caller)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", oldShuffleParts)
-      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
-      edges.unpersist(blocking = false)
+      edges0.unpersist(blocking = false)
     }
   }
 

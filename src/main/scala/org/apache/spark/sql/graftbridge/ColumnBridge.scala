@@ -23,4 +23,16 @@ object ColumnBridge {
     * as-is). Function builders must use this eager form. */
   def toCatalyst(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Rebind a DataFrame's analyzed plan to another session of the SAME
+    * SparkContext (`Dataset.ofRows` is private[sql]). Iterative
+    * operators use this to run their loop under a CLONED session
+    * (`spark.newSession()`) whose SQLConf they own — frontier-sized
+    * shuffle partitions, AQE toggles — without mutating, or racing
+    * with concurrent users of, the caller's session. */
+  def rebindSession(df: org.apache.spark.sql.DataFrame,
+                    to: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
 }
