@@ -175,6 +175,20 @@ class OsmSourceSpec extends SparkSpec {
     dsv2.rdd.getNumPartitions should be >= 2
   }
 
+  test("split reader and DSv2 source handle paths containing spaces") {
+    // raw path strings with spaces are valid Hadoop paths but
+    // malformed java.net.URIs — the sources must route through
+    // Path.getFileSystem, never FileSystem.get(new URI(path))
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of("target", "fixtures", "dir with spaces"))
+    val p = dir.resolve("example 2.osm")
+    java.nio.file.Files.writeString(p, OsmFixture.xml)
+    OsmSource.elementsSplit(spark, p.toString, splitBytes = 1024)
+      .count() shouldBe 21
+    spark.read.format("graft.sources.OsmXmlSource")
+      .load(p.toString).count() shouldBe 21
+  }
+
   test("DSv2 source: projection prunes the scan to the selected top-level columns") {
     import org.apache.spark.sql.functions.col
     val p = OsmFixture.write("example.osm", OsmFixture.xml)
