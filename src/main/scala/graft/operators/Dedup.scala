@@ -269,25 +269,46 @@ object Dedup {
     * planetary edge list keeps the session's parallelism. */
   private val CcRowsPerPartition = 2L * 1000 * 1000
 
-  /** The loop-scoped session for an iterative operator: a CLONE of the
-    * caller's session (same SparkContext, shared cache manager and
-    * extensions, OWN SQLConf) with shuffle parallelism sized to
-    * `nRows` and AQE dropped when the frontier fits one partition
-    * (per-stage re-planning is pure driver overhead paid `rounds`
-    * times; big graphs keep it — skew-join splitting matters there).
-    * Mutating a clone instead of the caller's session means no
-    * save/restore and NO RACE with concurrent work in the caller's
-    * session (e.g. a bench harness whose timed-out query thread is
-    * still running when the next measurement starts). */
+  /** The loop-scoped session for an iterative operator: a true CLONE
+    * of the caller's session (same SparkContext, shared cache manager
+    * and extensions, COPIED SessionState — runtime conf like ANSI /
+    * timezone / legacy parquet flags carries over) with shuffle
+    * parallelism sized to `nRows` and AQE dropped when the frontier
+    * fits one partition (per-stage re-planning is pure driver overhead
+    * paid `rounds` times; big graphs keep it — skew-join splitting
+    * matters there). Mutating a clone instead of the caller's session
+    * means no save/restore and NO RACE with concurrent work in the
+    * caller's session (e.g. a bench harness whose timed-out query
+    * thread is still running when the next measurement starts).
+    *
+    * Clones are cached per (caller, partition-count) — weakly on the
+    * caller, so neither the cache nor the clone's listener-bus
+    * registration outlives the caller session — because every live
+    * session registers an execution listener on the shared bus and a
+    * clone-per-call loop would accumulate them between GCs. */
+  private val loopSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[Long, org.apache.spark.sql.SparkSession]]
+
   private def loopSession(caller: org.apache.spark.sql.SparkSession,
                           nRows: Long): org.apache.spark.sql.SparkSession = {
-    val s = caller.newSession()
     val parts = math.max(1L,
       math.min(caller.conf.get("spark.sql.shuffle.partitions").toLong,
         nRows / CcRowsPerPartition + 1))
-    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    if (parts == 1L) s.conf.set("spark.sql.adaptive.enabled", "false")
-    s
+    val perCaller = loopSessions.synchronized {
+      var m = loopSessions.get(caller)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        loopSessions.put(caller, m)
+      }
+      m
+    }
+    perCaller.getOrElseUpdate(parts, {
+      val s = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(caller)
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      if (parts == 1L) s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    })
   }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -501,10 +522,9 @@ object Dedup {
       // which emits a row for every id in `pairs`. One anti-join, once,
       // after the loop; `pairs` rebinds into the loop session so the
       // join doesn't mix sessions.
-      val isolates = rebindSession(pairs, edges.sparkSession)
-        .select(col("id1").as("doc_id"))
-        .union(rebindSession(pairs, edges.sparkSession)
-          .select(col("id2").as("doc_id")))
+      val p = rebindSession(pairs, edges.sparkSession)
+      val isolates = p.select(col("id1").as("doc_id"))
+        .union(p.select(col("id2").as("doc_id")))
         .distinct()
         .join(forest.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("component"))

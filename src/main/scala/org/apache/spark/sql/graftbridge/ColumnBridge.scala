@@ -26,13 +26,22 @@ object ColumnBridge {
 
   /** Rebind a DataFrame's analyzed plan to another session of the SAME
     * SparkContext (`Dataset.ofRows` is private[sql]). Iterative
-    * operators use this to run their loop under a CLONED session
-    * (`spark.newSession()`) whose SQLConf they own — frontier-sized
-    * shuffle partitions, AQE toggles — without mutating, or racing
-    * with concurrent users of, the caller's session. */
+    * operators use this to run their loop under a [[cloneSession]]
+    * whose SQLConf they own — frontier-sized shuffle partitions, AQE
+    * toggles — without mutating, or racing with concurrent users of,
+    * the caller's session. */
   def rebindSession(df: org.apache.spark.sql.DataFrame,
                     to: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.analyzed)
+
+  /** True session clone (`cloneSession()` is private[sql]): unlike
+    * `newSession()`, the clone COPIES the caller's full SessionState —
+    * including runtime `spark.conf.set` values that never reached the
+    * SparkContext conf — so a loop-scoped session inherits exactly the
+    * semantics (ANSI, timezone, legacy parquet flags…) its input plans
+    * were built under, then overrides only what it owns. */
+  def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

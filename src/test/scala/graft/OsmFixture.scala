@@ -10,10 +10,11 @@ object OsmFixture {
   val tagsXml: String = sources.OsmFixtureData.tagsXml
   val dataXml: String = sources.OsmFixtureData.dataXml
 
-  /** Write a fixture under the build's target dir; returns the path. */
+  /** Write a fixture under the build's target dir; returns the path.
+    * `name` may contain subdirectories (created as needed). */
   def write(name: String, content: String): Path = {
-    val dir = Files.createDirectories(Path.of("target", "fixtures"))
-    val p = dir.resolve(name)
+    val p = Path.of("target", "fixtures").resolve(name)
+    Files.createDirectories(p.getParent)
     Files.writeString(p, content)
     p
   }

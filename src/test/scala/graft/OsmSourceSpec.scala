@@ -179,10 +179,7 @@ class OsmSourceSpec extends SparkSpec {
     // raw path strings with spaces are valid Hadoop paths but
     // malformed java.net.URIs — the sources must route through
     // Path.getFileSystem, never FileSystem.get(new URI(path))
-    val dir = java.nio.file.Files.createDirectories(
-      java.nio.file.Path.of("target", "fixtures", "dir with spaces"))
-    val p = dir.resolve("example 2.osm")
-    java.nio.file.Files.writeString(p, OsmFixture.xml)
+    val p = OsmFixture.write("dir with spaces/example 2.osm", OsmFixture.xml)
     OsmSource.elementsSplit(spark, p.toString, splitBytes = 1024)
       .count() shouldBe 21
     spark.read.format("graft.sources.OsmXmlSource")
