@@ -169,25 +169,37 @@ object Dedup {
     * every band column, so CollapseProject cannot inline and
     * re-evaluate it per band (the r2 HOF-collapse lesson). The only
     * shuffle in candidate generation is this bucketing groupBy. */
-  private def minhashBuckets(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** The banded (band, bh) key construction over a signature array —
+    * ONE definition, shared by the batch bucketing and the incremental
+    * index path, so an incoming doc is guaranteed the byte-identical
+    * band hashes its corpus-side twin was indexed under. */
+  private def bandHashCols(sigCol: Column, numHashes: Int, bands: Int): Seq[Column] = {
     val r = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws("_",
           (b * r until (b + 1) * r).map(i =>
-            element_at(col("sig"), i + 1).cast("string")): _*)).as("bh"))
+            element_at(sigCol, i + 1).cast("string")): _*)).as("bh"))
     }
-    sh.select(col("sid").as("doc"),
+  }
+
+  /** Per-doc (band, bh) rows from a (doc, sh) shingle table — the
+    * shared head of [[minhashBuckets]] and the incremental probe. */
+  private def bandedDocRows(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sh.select(col("doc"),
         minhashSignatureArray(col("sh"), numHashes).as("sig"))
       // null text → null shingles → null sig: drop, as the old
       // explode-based aggregation did implicitly (otherwise every
       // null-text doc collides into one hash("") bucket per band)
       .filter(col("sig").isNotNull)
-      .select(col("doc"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc"),
+        explode(array(bandHashCols(col("sig"), numHashes, bands): _*)).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+  private def minhashBuckets(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandedDocRows(sh.select(col("sid").as("doc"), col("sh")), numHashes, bands)
       .groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
-  }
 
   /** Candidate pairs from an UNcapped bucket table ([[minhashBuckets]]
     * shape: any (band, bh, <array>) table). */
@@ -640,6 +652,80 @@ object Dedup {
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
         .localCheckpoint(true)
     }
+
+  /** Build a PERSISTED MinHash-LSH corpus index at `path` — the
+    * incremental-dedup shape for a standing corpus: signatures and
+    * shingles compute ONCE at build, and every future ingest batch
+    * dedups against the index ([[minhashNearDupsAgainstIndex]])
+    * without touching corpus text again. Layout:
+    *
+    *  - `buckets/`  — exploded (band, bh, doc) rows, the LSH probe
+    *    target (a plain keyed equi-join at read time);
+    *  - `shingles/` — (doc, sh), the exact-Jaccard verify side;
+    *  - `drop_stats/` — the one-row loss accounting for buckets over
+    *    `maxBucket`, excluded at BUILD time (boilerplate mega-clusters
+    *    would quadratically blow up every future batch; their ids
+    *    belong to an exact-dup pass instead) — measured, not silent.
+    *
+    * Singleton buckets ARE indexed (unlike the batch pass): an
+    * incoming doc must be able to match a corpus doc that had no
+    * in-corpus near-dup. */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, maxBucket: Int = 1000): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+      .persist(lvl)
+    try {
+      val buckets = minhashBuckets(
+        sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
+      try {
+        lshDropStats(buckets, "docs", maxBucket)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
+        buckets.filter(size(col("docs")) <= maxBucket)
+          .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
+          .repartition(col("band"), col("bh"))
+          .write.mode("overwrite").parquet(s"$path/buckets")
+        sh.write.mode("overwrite").parquet(s"$path/shingles")
+      } finally buckets.unpersist(blocking = false)
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Near-dups of an INCOMING batch against a [[buildMinhashIndex]]
+    * corpus — cross pairs only (batch-internal dups are
+    * [[minhashNearDups]]' job). The ingest-time dedup discipline at
+    * 100 TB: the corpus is touched only through the index (banded
+    * probe join + shingle verify join), never re-shingled; the
+    * incoming batch — orders of magnitude smaller than the corpus —
+    * broadcasts into both joins, so the corpus side streams with no
+    * shuffle. Returns (in_doc, corpus_doc, jaccard), eagerly
+    * materialized (the tiny output of an expensive pass — the
+    * [[minhashNearDups]] convention). */
+  def minhashNearDupsAgainstIndex(incoming: DataFrame, idCol: String,
+                                  textCol: String, indexPath: String,
+                                  threshold: Double = 0.7, shingleK: Int = 3,
+                                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val spark = incoming.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val inSh = incoming
+      .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+      .persist(lvl) // probe + verify both read it; released on exit
+    try {
+      val inBands = bandedDocRows(inSh, numHashes, bands)
+        .select(col("doc").as("in_doc"), col("band"), col("bh"))
+      val cands = broadcast(inBands)
+        .join(spark.read.parquet(s"$indexPath/buckets"), Seq("band", "bh"))
+        .select(col("in_doc"), col("doc")).distinct()
+      broadcast(cands)
+        .join(spark.read.parquet(s"$indexPath/shingles"), "doc")
+        .join(inSh.select(col("doc").as("in_doc"), col("sh").as("in_sh")), "in_doc")
+        .withColumn("jaccard", jaccard(col("in_sh"), col("sh")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("in_doc"), col("doc").as("corpus_doc"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint(true)
+    } finally inSh.unpersist(blocking = false)
+  }
 
   // -------------------------------------------------------------------
   // SimHash

@@ -53,6 +53,26 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
+    // INCREMENTAL dedup against a persisted corpus index — the
+    // ingest-time discipline: corpus = one representative per planted
+    // cluster (1, 4, 6) + fillers, indexed once; incoming batch =
+    // {2,3,5,7,8}. Cross pairs ≥ 0.7 by the hand-derived Jaccards:
+    // 2→1 (27/29 = 0.931), 3→1 (25/31 = 0.8065), 5→4 (1.0); the 0.52
+    // cluster-C pair and the permuted doc 8 stay out. Corpus text is
+    // never re-shingled — the batch probes the index's band buckets
+    // and verifies against its stored shingles.
+    "dd9_incremental_neardup" -> ((s, _) => {
+      val all = PlantedFixtures.docs(s)
+      val incomingIds = Seq(2L, 3L, 5L, 7L, 8L)
+      val idx = "/tmp/graft-minhash-index/dd9"
+      Dedup.buildMinhashIndex(
+        all.filter(!col("doc_id").isin(incomingIds: _*)), "doc_id", "text", idx)
+      Dedup.minhashNearDupsAgainstIndex(
+          all.filter(col("doc_id").isin(incomingIds: _*)), "doc_id", "text", idx,
+          threshold = 0.7)
+        .orderBy("in_doc", "corpus_doc")
+    }),
+
     // SimHash near-dup pairs on the same corpus: the identical pair
     // (4,5) MUST collide at hamming 0; one-word-edit cluster-A pairs
     // land within the pigeonhole band budget.
@@ -332,6 +352,12 @@ object PipelineQueries {
            (2, 3, 0.75),
            (4, 5, 1.0)
          ) AS t(id1, id2, jaccard) ORDER BY id1, id2""",
+    "dd9_incremental_neardup" ->
+      """SELECT * FROM (VALUES
+           (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0.931 AS DOUBLE)),
+           (3, 1, 0.8065),
+           (5, 4, 1.0)
+         ) AS t(in_doc, corpus_doc, jaccard) ORDER BY in_doc, corpus_doc""",
     "dd4_simhash" ->
       """SELECT * FROM (VALUES
            (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS INTEGER)),

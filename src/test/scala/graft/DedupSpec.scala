@@ -305,6 +305,31 @@ class DedupSpec extends SparkSpec {
         threshold = 0.95, bits = 4))
   }
 
+  test("incremental index dedup equals the cross-restriction of the batch pass") {
+    val all = graft.queries.PlantedFixtures.docs(spark)
+    val incomingIds = Set(2L, 3L, 5L, 7L, 8L)
+    val idx = "/tmp/graft-minhash-index/spec"
+    import org.apache.spark.sql.functions.col
+    Dedup.buildMinhashIndex(
+      all.filter(!col("doc_id").isin(incomingIds.toSeq: _*)), "doc_id", "text", idx)
+    val incremental = Dedup.minhashNearDupsAgainstIndex(
+        all.filter(col("doc_id").isin(incomingIds.toSeq: _*)), "doc_id", "text",
+        idx, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the batch pass over the FULL corpus, restricted to
+    // pairs with one side incoming and one side indexed
+    val batchCross = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (incomingIds(a) && !incomingIds(b)) Some((a, b, j))
+        else if (incomingIds(b) && !incomingIds(a)) Some((b, a, j))
+        else None
+      }.toSet
+    incremental shouldBe batchCross
+    // drop accounting persisted beside the index
+    spark.read.parquet(s"$idx/drop_stats").count() shouldBe 1L
+  }
+
   test("null-text docs drop from MinHash banding instead of colliding in one bucket") {
     import spark.implicits._
     val docs = ((0 until 20).map(i => (i.toLong, null: String)) :+
