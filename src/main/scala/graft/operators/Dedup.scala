@@ -691,6 +691,33 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** APPEND a (deduplicated) batch to a [[buildMinhashIndex]] corpus
+    * index — the write half of the standing ingest loop:
+    * probe ([[minhashNearDupsAgainstIndex]]) → drop dups → append the
+    * survivors → next batch sees them. Same band-hash construction as
+    * the build, parquet `append` mode on both tables.
+    *
+    * Caveat (documented, not silent): the `maxBucket` cap is enforced
+    * within this batch only — a bucket can grow past the cap ACROSS
+    * appends. At scale the ingest loop pairs this with a periodic
+    * compaction that rebuilds the index ([[buildMinhashIndex]]), which
+    * re-applies the global cap and refreshes `drop_stats/`. */
+  def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String, shingleK: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16, maxBucket: Int = 1000): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+      .persist(lvl)
+    try {
+      minhashBuckets(sh.select(col("doc").as("sid"), col("sh")), numHashes, bands)
+        .filter(size(col("docs")) <= maxBucket)
+        .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
+        .repartition(col("band"), col("bh"))
+        .write.mode("append").parquet(s"$path/buckets")
+      sh.write.mode("append").parquet(s"$path/shingles")
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Near-dups of an INCOMING batch against a [[buildMinhashIndex]]
     * corpus — cross pairs only (batch-internal dups are
     * [[minhashNearDups]]' job). The ingest-time dedup discipline at

@@ -330,6 +330,28 @@ class DedupSpec extends SparkSpec {
     spark.read.parquet(s"$idx/drop_stats").count() shouldBe 1L
   }
 
+  test("ingest loop: appended survivors are visible to the next batch's probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val idx = "/tmp/graft-minhash-index/loop"
+    val base = "the quick brown fox jumps over the lazy dog tonight again and again"
+    // corpus: one unrelated doc; batch1: a novel doc (no dup → survives)
+    Dedup.buildMinhashIndex(
+      Seq(1L -> "completely unrelated corpus seed document with its own words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch1 = Seq(10L -> base).toDF("doc_id", "text")
+    Dedup.minhashNearDupsAgainstIndex(batch1, "doc_id", "text", idx)
+      .count() shouldBe 0L
+    Dedup.appendToMinhashIndex(batch1, "doc_id", "text", idx)
+    // batch2 contains a near-dup of batch1's survivor: the probe must
+    // see the APPENDED doc, not just the original build
+    val batch2 = Seq(20L -> (base + " extra")).toDF("doc_id", "text")
+    val hits = Dedup.minhashNearDupsAgainstIndex(batch2, "doc_id", "text", idx,
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    hits.toSeq shouldBe Seq((20L, 10L))
+  }
+
   test("null-text docs drop from MinHash banding instead of colliding in one bucket") {
     import spark.implicits._
     val docs = ((0 until 20).map(i => (i.toLong, null: String)) :+
