@@ -881,6 +881,20 @@ object Dedup {
     * one unlucky hyperplane loses the pair. [[embeddingNearDupsMulti]]
     * is the standard completion for recall-critical pipelines.
     */
+  /** The multi-table hyperplane signature column set — ONE definition
+    * (seeds 42+t), shared by the batch pass and the incremental index
+    * so probes land in byte-identical buckets. */
+  private def hyperplaneSigCols(vecCol: Column, bits: Int, dim: Int,
+                                tables: Int): Seq[Column] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(tables >= 1, "tables must be >= 1")
+    (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        ColumnBridge.column(graft.plans.HyperplaneSignatureExpr(
+          ColumnBridge.expression(vecCol), bits, dim, seed = 42L + t)).as("sig"))
+    }
+  }
+
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double = 0.99, bits: Int = 12,
                         maxBucket: Int = 1000): DataFrame = {
@@ -931,14 +945,8 @@ object Dedup {
   def embeddingNearDupsMulti(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                              threshold: Double = 0.99, bits: Int = 12,
                              tables: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    require(tables >= 1, "tables must be >= 1")
     val dv = struct(col(idCol).as("doc"), col(vecCol).as("vec")).as("dv")
-    val sigCols = (0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        ColumnBridge.column(graft.plans.HyperplaneSignatureExpr(
-          ColumnBridge.expression(col(vecCol)), bits, dim, seed = 42L + t)).as("sig"))
-    }
+    val sigCols = hyperplaneSigCols(col(vecCol), bits, dim, tables)
     val buckets = embs
       .select(dv, explode(array(sigCols: _*)).as("ts"))
       .groupBy(col("ts.t").as("t"), col("ts.sig").as("sig"))
@@ -956,5 +964,64 @@ object Dedup {
       .withColumn("cosine", V.cosineSimilarityNative(col("vec1"), col("vec2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Build a PERSISTED hyperplane-LSH embedding index at `path` — the
+    * embedding twin of [[buildMinhashIndex]]: multi-table signatures
+    * compute once at build; every future batch dedups against the
+    * index without re-reading corpus vectors. Layout mirrors the
+    * minhash index: `buckets/` = exploded (t, sig, doc) rows (vectors
+    * NOT duplicated per table), `vectors/` = (doc, vec) for the
+    * exact-cosine verify, `drop_stats/` = over-cap loss accounting
+    * (keyed (t, sig)). Singleton buckets are indexed. */
+  def buildEmbeddingIndex(embs: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, path: String, bits: Int = 12,
+                          tables: Int = 4, maxBucket: Int = 1000): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rows = embs
+      .select(col(idCol).as("doc"),
+        explode(array(hyperplaneSigCols(col(vecCol), bits, dim, tables): _*)).as("ts"))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("doc"))
+    val buckets = rows.groupBy("t", "sig")
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .persist(lvl)
+    try {
+      lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
+      buckets.filter(size(col("docs")) <= maxBucket)
+        .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
+        .repartition(col("t"), col("sig"))
+        .write.mode("overwrite").parquet(s"$path/buckets")
+      embs.select(col(idCol).as("doc"), col(vecCol).as("vec"))
+        .write.mode("overwrite").parquet(s"$path/vectors")
+    } finally buckets.unpersist(blocking = false)
+  }
+
+  /** Near-dups of an INCOMING embedding batch against a
+    * [[buildEmbeddingIndex]] corpus — cross pairs only, the embedding
+    * twin of [[minhashNearDupsAgainstIndex]]: the batch's (t, sig)
+    * keys broadcast into the bucket probe, candidate keys broadcast
+    * into the vector verify, the corpus side streams both times.
+    * Returns (in_doc, corpus_doc, cosine), eagerly materialized. */
+  def embeddingNearDupsAgainstIndex(incoming: DataFrame, idCol: String,
+                                    vecCol: String, dim: Int, indexPath: String,
+                                    threshold: Double = 0.99, bits: Int = 12,
+                                    tables: Int = 4): DataFrame = {
+    val spark = incoming.sparkSession
+    val inSig = incoming
+      .select(col(idCol).as("in_doc"),
+        explode(array(hyperplaneSigCols(col(vecCol), bits, dim, tables): _*)).as("ts"))
+      .select(col("in_doc"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val cands = broadcast(inSig)
+      .join(spark.read.parquet(s"$indexPath/buckets"), Seq("t", "sig"))
+      .select(col("in_doc"), col("doc")).distinct()
+    broadcast(cands)
+      .join(spark.read.parquet(s"$indexPath/vectors"), "doc")
+      .join(incoming.select(col(idCol).as("in_doc"), col(vecCol).as("in_vec")), "in_doc")
+      .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("in_doc"), col("doc").as("corpus_doc"),
+        round(col("cosine"), 4).as("cosine"))
+      .localCheckpoint(true)
   }
 }

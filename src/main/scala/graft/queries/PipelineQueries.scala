@@ -112,6 +112,28 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
+    // INCREMENTAL embedding dedup against a persisted hyperplane-LSH
+    // index — dd9's embedding twin on the planted vectors: corpus =
+    // {0, 3, 5..11} indexed once; incoming = {1, 2, 4}. Cross pairs at
+    // 0.95 with dd8's recall config (bits=4, tables=12): 1→0 and 2→0
+    // (scalar multiples, cos 1.0, signature-identical in EVERY table)
+    // and 4→3 (the two-coordinate 0.9945 pair the multi-table draws
+    // recover — dd8's measured caveat). Pair (1,2) is batch-internal
+    // and correctly absent from a cross-only pass.
+    "dd10_incremental_embedding" -> ((s, _) => {
+      val all = PlantedFixtures.embs(s)
+      val incomingIds = Seq(1L, 2L, 4L)
+      val idx = "/tmp/graft-embedding-index/dd10"
+      Dedup.buildEmbeddingIndex(
+        all.filter(!col("vec_id").isin(incomingIds: _*)), "vec_id", "embedding",
+        PlantedFixtures.EmbFixtureDim, idx, bits = 4, tables = 12)
+      Dedup.embeddingNearDupsAgainstIndex(
+          all.filter(col("vec_id").isin(incomingIds: _*)), "vec_id", "embedding",
+          PlantedFixtures.EmbFixtureDim, idx, threshold = 0.95, bits = 4,
+          tables = 12)
+        .orderBy("in_doc", "corpus_doc")
+    }),
+
     // The maxBucket cap's drop accounting (VERDICT r3 "what's wrong"
     // #1): 10 byte-identical docs share one signature, so every one of
     // the 16 band buckets holds all 10 — over a cap of 5 they all drop,
@@ -358,6 +380,12 @@ object PipelineQueries {
            (3, 1, 0.8065),
            (5, 4, 1.0)
          ) AS t(in_doc, corpus_doc, jaccard) ORDER BY in_doc, corpus_doc""",
+    "dd10_incremental_embedding" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)),
+           (2, 0, 1.0),
+           (4, 3, 0.9945)
+         ) AS t(in_doc, corpus_doc, cosine) ORDER BY in_doc, corpus_doc""",
     "dd4_simhash" ->
       """SELECT * FROM (VALUES
            (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS INTEGER)),

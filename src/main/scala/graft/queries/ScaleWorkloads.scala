@@ -45,6 +45,19 @@ object ScaleWorkloads {
       out
     })
 
+  /** Persisted hyperplane-LSH embedding index (even vec_ids) per
+    * sfDir, built once per JVM — sx15 times the per-batch probe only. */
+  private val embIndexes = TrieMap.empty[String, String]
+
+  def embeddingIndexPath(s: SparkSession, dir: String): String =
+    embIndexes.getOrElseUpdate(dir, {
+      val out = s"/tmp/graft-embedding-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      Dedup.buildEmbeddingIndex(
+        Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", EmbDim, out)
+      out
+    })
+
   /** Persisted IVF index per sfDir, built once per JVM (the bench
     * then measures partition-pruned search only). */
   private val ivfIndexes = TrieMap.empty[String, String]
@@ -159,6 +172,17 @@ object ScaleWorkloads {
           "doc_id", "text", idx, threshold = 0.7)
         .agg(count(lit(1)).as("n_cross_pairs"),
           coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+    }),
+
+    // Incremental embedding dedup at sf scale — sx14's embedding twin:
+    // even vec_ids indexed once per JVM, odd vec_ids probe.
+    "sx15_incremental_embedding" -> ((s, dir) => {
+      val idx = ScaleWorkloads.embeddingIndexPath(s, dir)
+      Dedup.embeddingNearDupsAgainstIndex(
+          Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", EmbDim, idx, threshold = 0.95)
+        .agg(count(lit(1)).as("n_cross_pairs"),
+          coalesce(round(avg(col("cosine")), 4), lit(0.0)).as("avg_cosine"))
     }),
 
     // Deep-chain components via large-star/small-star: chains of 64

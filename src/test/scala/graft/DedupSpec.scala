@@ -330,6 +330,30 @@ class DedupSpec extends SparkSpec {
     spark.read.parquet(s"$idx/drop_stats").count() shouldBe 1L
   }
 
+  test("incremental embedding dedup equals the cross-restriction of the multi-table pass") {
+    import org.apache.spark.sql.functions.col
+    val all = graft.queries.PlantedFixtures.embs(spark)
+    val dim = graft.queries.PlantedFixtures.EmbFixtureDim
+    val incomingIds = Set(1L, 2L, 4L)
+    val idx = "/tmp/graft-embedding-index/spec"
+    Dedup.buildEmbeddingIndex(
+      all.filter(!col("vec_id").isin(incomingIds.toSeq: _*)), "vec_id",
+      "embedding", dim, idx, bits = 4, tables = 12)
+    val incremental = Dedup.embeddingNearDupsAgainstIndex(
+        all.filter(col("vec_id").isin(incomingIds.toSeq: _*)), "vec_id",
+        "embedding", dim, idx, threshold = 0.95, bits = 4, tables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchCross = Dedup.embeddingNearDupsMulti(all, "vec_id", "embedding", dim,
+        threshold = 0.95, bits = 4, tables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) =>
+        if (incomingIds(a) && !incomingIds(b)) Some((a, b, c))
+        else if (incomingIds(b) && !incomingIds(a)) Some((b, a, c))
+        else None
+      }.toSet
+    incremental shouldBe batchCross
+  }
+
   test("ingest loop: appended survivors are visible to the next batch's probe") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
