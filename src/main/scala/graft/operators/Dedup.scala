@@ -158,21 +158,15 @@ object Dedup {
       ColumnBridge.expression(shingleArr), n))
   }
 
-  /** Banded bucket table over a prepared (sid, sh) shingle table:
-    * (band, bh, docs) with docs sorted — UNcapped, so both candidate
-    * generation and drop accounting derive from the same table.
-    *
-    * The signature is the one-pass array expression; band hashes are
-    * built from `element_at` lanes, producing byte-identical (band, bh)
-    * keys to the old wide-column aggregation form (same long→string
-    * casts into the same "_"-joined xxhash64). `sig` is referenced by
-    * every band column, so CollapseProject cannot inline and
-    * re-evaluate it per band (the r2 HOF-collapse lesson). The only
-    * shuffle in candidate generation is this bucketing groupBy. */
   /** The banded (band, bh) key construction over a signature array —
     * ONE definition, shared by the batch bucketing and the incremental
     * index path, so an incoming doc is guaranteed the byte-identical
-    * band hashes its corpus-side twin was indexed under. */
+    * band hashes its corpus-side twin was indexed under. Band hashes
+    * are built from `element_at` lanes, producing byte-identical
+    * (band, bh) keys to the old wide-column aggregation form (same
+    * long→string casts into the same "_"-joined xxhash64); `sig` is
+    * referenced by every band column, so CollapseProject cannot inline
+    * and re-evaluate it per band (the r2 HOF-collapse lesson). */
   private def bandHashCols(sigCol: Column, numHashes: Int, bands: Int): Seq[Column] = {
     val r = numHashes / bands
     (0 until bands).map { b =>
@@ -196,6 +190,11 @@ object Dedup {
         explode(array(bandHashCols(col("sig"), numHashes, bands): _*)).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.bh").as("bh"))
 
+  /** Banded bucket table over a prepared (sid, sh) shingle table:
+    * (band, bh, docs) with docs sorted — UNcapped, so both candidate
+    * generation and drop accounting derive from the same table. The
+    * signature is the one-pass array expression; the only shuffle in
+    * candidate generation is this bucketing groupBy. */
   private def minhashBuckets(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
     bandedDocRows(sh.select(col("sid").as("doc"), col("sh")), numHashes, bands)
       .groupBy("band", "bh")
@@ -662,14 +661,40 @@ object Dedup {
     *  - `buckets/`  — exploded (band, bh, doc) rows, the LSH probe
     *    target (a plain keyed equi-join at read time);
     *  - `shingles/` — (doc, sh), the exact-Jaccard verify side;
-    *  - `drop_stats/` — the one-row loss accounting for buckets over
-    *    `maxBucket`, excluded at BUILD time (boilerplate mega-clusters
-    *    would quadratically blow up every future batch; their ids
-    *    belong to an exact-dup pass instead) — measured, not silent.
+    *  - `drop_stats/` — loss accounting for buckets over `maxBucket`,
+    *    excluded at BUILD time (boilerplate mega-clusters would
+    *    quadratically blow up every future batch; their ids belong to
+    *    an exact-dup pass instead) — measured, not silent; appends add
+    *    rows (readers SUM);
+    *  - `params/` — the build knobs, validated on every probe/append
+    *    (mismatched knobs compute keys that match nothing — an error,
+    *    never an empty result).
     *
     * Singleton buckets ARE indexed (unlike the batch pass): an
     * incoming doc must be able to match a corpus doc that had no
     * in-corpus near-dup. */
+  /** One-row build-parameter record stored beside each LSH index and
+    * VALIDATED at probe time: a probe whose knobs differ from the
+    * build's computes keys that match nothing and would silently
+    * ingest every duplicate — a mismatch must be an error, not an
+    * empty result. */
+  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+                               path: String, params: (String, Long)*): Unit =
+    spark.range(1)
+      .select(params.map { case (k, v) => lit(v).as(k) }: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+
+  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, params: (String, Long)*): Unit = {
+    val stored = spark.read.parquet(s"$path/params").collect()(0)
+    params.foreach { case (k, v) =>
+      val s = stored.getLong(stored.fieldIndex(k))
+      require(s == v,
+        s"index at $path was built with $k=$s but probed with $k=$v — " +
+          "keys would match nothing; probe with the build parameters")
+    }
+  }
+
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                         path: String, shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, maxBucket: Int = 1000): Unit = {
@@ -680,13 +705,15 @@ object Dedup {
       val buckets = minhashBuckets(
         sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
       try {
+        writeIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
+          "num_hashes" -> numHashes, "bands" -> bands, "max_bucket" -> maxBucket)
         lshDropStats(buckets, "docs", maxBucket)
           .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
+        sh.write.mode("overwrite").parquet(s"$path/shingles")
         buckets.filter(size(col("docs")) <= maxBucket)
           .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
           .repartition(col("band"), col("bh"))
           .write.mode("overwrite").parquet(s"$path/buckets")
-        sh.write.mode("overwrite").parquet(s"$path/shingles")
       } finally buckets.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
@@ -695,7 +722,13 @@ object Dedup {
     * index — the write half of the standing ingest loop:
     * probe ([[minhashNearDupsAgainstIndex]]) → drop dups → append the
     * survivors → next batch sees them. Same band-hash construction as
-    * the build, parquet `append` mode on both tables.
+    * the build (parameters validated against the stored `params/`),
+    * parquet `append` mode on every table: the batch's over-cap
+    * losses append a drop_stats row too (the gauge stays live —
+    * readers SUM the rows), and shingles land before buckets so an
+    * interrupted append degrades to "docs absent entirely" (clean
+    * retry) rather than bucket entries whose verify join silently
+    * drops them.
     *
     * Caveat (documented, not silent): the `maxBucket` cap is enforced
     * within this batch only — a bucket can grow past the cap ACROSS
@@ -705,16 +738,23 @@ object Dedup {
   def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                            path: String, shingleK: Int = 3, numHashes: Int = 64,
                            bands: Int = 16, maxBucket: Int = 1000): Unit = {
+    requireIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
+      "num_hashes" -> numHashes, "bands" -> bands, "max_bucket" -> maxBucket)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
       .persist(lvl)
     try {
-      minhashBuckets(sh.select(col("doc").as("sid"), col("sh")), numHashes, bands)
-        .filter(size(col("docs")) <= maxBucket)
-        .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
-        .repartition(col("band"), col("bh"))
-        .write.mode("append").parquet(s"$path/buckets")
-      sh.write.mode("append").parquet(s"$path/shingles")
+      val buckets = minhashBuckets(
+        sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
+      try {
+        lshDropStats(buckets, "docs", maxBucket)
+          .coalesce(1).write.mode("append").parquet(s"$path/drop_stats")
+        sh.write.mode("append").parquet(s"$path/shingles")
+        buckets.filter(size(col("docs")) <= maxBucket)
+          .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
+          .repartition(col("band"), col("bh"))
+          .write.mode("append").parquet(s"$path/buckets")
+      } finally buckets.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
 
@@ -733,6 +773,8 @@ object Dedup {
                                   threshold: Double = 0.7, shingleK: Int = 3,
                                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val spark = incoming.sparkSession
+    requireIndexParams(spark, indexPath, "shingle_k" -> shingleK,
+      "num_hashes" -> numHashes, "bands" -> bands)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val inSh = incoming
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
@@ -873,14 +915,6 @@ object Dedup {
       .groupBy("sig")
       .agg(sort_array(collect_list(col("dv"))).as("dv"))
 
-  /** Embedding-cosine near-dups via hyperplane-LSH buckets: vectors in
-    * the same signature bucket are compared exactly; cosine >= threshold
-    * survives. Bucketing keys the shuffle — no n² pass.
-    *
-    * SINGLE-table form: recall for a pair at angle θ is (1-θ/π)^bits —
-    * one unlucky hyperplane loses the pair. [[embeddingNearDupsMulti]]
-    * is the standard completion for recall-critical pipelines.
-    */
   /** The multi-table hyperplane signature column set — ONE definition
     * (seeds 42+t), shared by the batch pass and the incremental index
     * so probes land in byte-identical buckets. */
@@ -895,6 +929,14 @@ object Dedup {
     }
   }
 
+  /** Embedding-cosine near-dups via hyperplane-LSH buckets: vectors in
+    * the same signature bucket are compared exactly; cosine >= threshold
+    * survives. Bucketing keys the shuffle — no n² pass.
+    *
+    * SINGLE-table form: recall for a pair at angle θ is (1-θ/π)^bits —
+    * one unlucky hyperplane loses the pair. [[embeddingNearDupsMulti]]
+    * is the standard completion for recall-critical pipelines.
+    */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double = 0.99, bits: Int = 12,
                         maxBucket: Int = 1000): DataFrame = {
@@ -978,23 +1020,29 @@ object Dedup {
                           dim: Int, path: String, bits: Int = 12,
                           tables: Int = 4, maxBucket: Int = 1000): Unit = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rows = embs
-      .select(col(idCol).as("doc"),
-        explode(array(hyperplaneSigCols(col(vecCol), bits, dim, tables): _*)).as("ts"))
-      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("doc"))
-    val buckets = rows.groupBy("t", "sig")
-      .agg(sort_array(collect_set(col("doc"))).as("docs"))
-      .persist(lvl)
+    // one corpus scan: the persisted (doc, vec) projection feeds both
+    // the signature/bucket pass and the vectors/ write
+    val dv = embs.select(col(idCol).as("doc"), col(vecCol).as("vec")).persist(lvl)
     try {
-      lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
-      buckets.filter(size(col("docs")) <= maxBucket)
-        .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
-        .repartition(col("t"), col("sig"))
-        .write.mode("overwrite").parquet(s"$path/buckets")
-      embs.select(col(idCol).as("doc"), col(vecCol).as("vec"))
-        .write.mode("overwrite").parquet(s"$path/vectors")
-    } finally buckets.unpersist(blocking = false)
+      val buckets = dv
+        .select(col("doc"),
+          explode(array(hyperplaneSigCols(col("vec"), bits, dim, tables): _*)).as("ts"))
+        .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("doc"))
+        .groupBy("t", "sig")
+        .agg(sort_array(collect_set(col("doc"))).as("docs"))
+        .persist(lvl)
+      try {
+        writeIndexParams(embs.sparkSession, path, "bits" -> bits,
+          "tables" -> tables, "dim" -> dim, "max_bucket" -> maxBucket)
+        lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
+        dv.write.mode("overwrite").parquet(s"$path/vectors")
+        buckets.filter(size(col("docs")) <= maxBucket)
+          .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
+          .repartition(col("t"), col("sig"))
+          .write.mode("overwrite").parquet(s"$path/buckets")
+      } finally buckets.unpersist(blocking = false)
+    } finally dv.unpersist(blocking = false)
   }
 
   /** Near-dups of an INCOMING embedding batch against a
@@ -1008,20 +1056,30 @@ object Dedup {
                                     threshold: Double = 0.99, bits: Int = 12,
                                     tables: Int = 4): DataFrame = {
     val spark = incoming.sparkSession
-    val inSig = incoming
-      .select(col(idCol).as("in_doc"),
-        explode(array(hyperplaneSigCols(col(vecCol), bits, dim, tables): _*)).as("ts"))
-      .select(col("in_doc"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-    val cands = broadcast(inSig)
-      .join(spark.read.parquet(s"$indexPath/buckets"), Seq("t", "sig"))
-      .select(col("in_doc"), col("doc")).distinct()
-    broadcast(cands)
-      .join(spark.read.parquet(s"$indexPath/vectors"), "doc")
-      .join(incoming.select(col(idCol).as("in_doc"), col(vecCol).as("in_vec")), "in_doc")
-      .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
-      .filter(col("cosine") >= threshold)
-      .select(col("in_doc"), col("doc").as("corpus_doc"),
-        round(col("cosine"), 4).as("cosine"))
-      .localCheckpoint(true)
+    requireIndexParams(spark, indexPath, "bits" -> bits, "tables" -> tables,
+      "dim" -> dim)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the batch: the signature probe and the verify join both
+    // read it, and a re-evaluated non-deterministic source could
+    // otherwise verify a different vector than the one that bucketed
+    val inVec = incoming.select(col(idCol).as("in_doc"), col(vecCol).as("in_vec"))
+      .persist(lvl)
+    try {
+      val inSig = inVec
+        .select(col("in_doc"),
+          explode(array(hyperplaneSigCols(col("in_vec"), bits, dim, tables): _*)).as("ts"))
+        .select(col("in_doc"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      val cands = broadcast(inSig)
+        .join(spark.read.parquet(s"$indexPath/buckets"), Seq("t", "sig"))
+        .select(col("in_doc"), col("doc")).distinct()
+      broadcast(cands)
+        .join(spark.read.parquet(s"$indexPath/vectors"), "doc")
+        .join(inVec, "in_doc")
+        .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
+        .filter(col("cosine") >= threshold)
+        .select(col("in_doc"), col("doc").as("corpus_doc"),
+          round(col("cosine"), 4).as("cosine"))
+        .localCheckpoint(true)
+    } finally inVec.unpersist(blocking = false)
   }
 }

@@ -374,6 +374,14 @@ class DedupSpec extends SparkSpec {
         threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     hits.toSeq shouldBe Seq((20L, 10L))
+    // the drop-stats gauge stays live across appends: one row per write
+    spark.read.parquet(s"$idx/drop_stats").count() shouldBe 2L
+    // probing with knobs that differ from the build must ERROR, never
+    // silently return an empty (all-dups-ingested) result
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsAgainstIndex(batch2, "doc_id", "text", idx, bands = 8)
+    }
+    ex.getMessage should include("built with bands=16")
   }
 
   test("null-text docs drop from MinHash banding instead of colliding in one bucket") {
