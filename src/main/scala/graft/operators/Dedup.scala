@@ -664,20 +664,27 @@ object Dedup {
     *  - `drop_stats/` — loss accounting for buckets over `maxBucket`,
     *    excluded at BUILD time (boilerplate mega-clusters would
     *    quadratically blow up every future batch; their ids belong to
-    *    an exact-dup pass instead) — measured, not silent; appends add
-    *    rows (readers SUM);
+    *    an exact-dup pass instead) — measured, not silent. One row per
+    *    write (build + each append): `n_dropped_doc_slots` sums
+    *    exactly; the distinct-count columns are per-write gauges whose
+    *    sum is an UPPER bound (the same bucket over-cap in several
+    *    writes counts once per write) — a compaction rebuild resets
+    *    them to exact;
     *  - `params/` — the build knobs, validated on every probe/append
-    *    (mismatched knobs compute keys that match nothing — an error,
-    *    never an empty result).
+    *    (mismatched key knobs compute keys that match nothing — an
+    *    error, never an empty result). Written LAST: it is also the
+    *    build's commit marker.
     *
     * Singleton buckets ARE indexed (unlike the batch pass): an
     * incoming doc must be able to match a corpus doc that had no
     * in-corpus near-dup. */
   /** One-row build-parameter record stored beside each LSH index and
-    * VALIDATED at probe time: a probe whose knobs differ from the
+    * VALIDATED at probe time: a probe whose key knobs differ from the
     * build's computes keys that match nothing and would silently
     * ingest every duplicate — a mismatch must be an error, not an
-    * empty result. */
+    * empty result. Written LAST by the builds, so `params/` doubles as
+    * the build's commit marker: a half-built index (crash before the
+    * bucket write) fails validation loudly instead of probing empty. */
   private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
                                path: String, params: (String, Long)*): Unit =
     spark.range(1)
@@ -686,13 +693,33 @@ object Dedup {
 
   private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
                                  path: String, params: (String, Long)*): Unit = {
-    val stored = spark.read.parquet(s"$path/params").collect()(0)
+    val stored =
+      try spark.read.parquet(s"$path/params").collect()(0)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"no readable params/ under $path — not a completed graft LSH index " +
+            "(interrupted build, or a pre-params layout); rebuild it", e)
+      }
     params.foreach { case (k, v) =>
       val s = stored.getLong(stored.fieldIndex(k))
       require(s == v,
         s"index at $path was built with $k=$s but probed with $k=$v — " +
           "keys would match nothing; probe with the build parameters")
     }
+  }
+
+  /** The one write sequence for the minhash index tables — shared by
+    * build (overwrite) and append so the two paths cannot drift. */
+  private def writeMinhashIndexTables(sh: DataFrame, buckets: DataFrame,
+                                      path: String, maxBucket: Int,
+                                      mode: String): Unit = {
+    lshDropStats(buckets, "docs", maxBucket)
+      .coalesce(1).write.mode(mode).parquet(s"$path/drop_stats")
+    sh.write.mode(mode).parquet(s"$path/shingles")
+    buckets.filter(size(col("docs")) <= maxBucket)
+      .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
+      .repartition(col("band"), col("bh"))
+      .write.mode(mode).parquet(s"$path/buckets")
   }
 
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
@@ -705,15 +732,10 @@ object Dedup {
       val buckets = minhashBuckets(
         sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
       try {
+        writeMinhashIndexTables(sh, buckets, path, maxBucket, "overwrite")
+        // params LAST: the commit marker
         writeIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
           "num_hashes" -> numHashes, "bands" -> bands, "max_bucket" -> maxBucket)
-        lshDropStats(buckets, "docs", maxBucket)
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
-        sh.write.mode("overwrite").parquet(s"$path/shingles")
-        buckets.filter(size(col("docs")) <= maxBucket)
-          .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
-          .repartition(col("band"), col("bh"))
-          .write.mode("overwrite").parquet(s"$path/buckets")
       } finally buckets.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
@@ -721,40 +743,34 @@ object Dedup {
   /** APPEND a (deduplicated) batch to a [[buildMinhashIndex]] corpus
     * index — the write half of the standing ingest loop:
     * probe ([[minhashNearDupsAgainstIndex]]) → drop dups → append the
-    * survivors → next batch sees them. Same band-hash construction as
-    * the build (parameters validated against the stored `params/`),
-    * parquet `append` mode on every table: the batch's over-cap
-    * losses append a drop_stats row too (the gauge stays live —
-    * readers SUM the rows), and shingles land before buckets so an
-    * interrupted append degrades to "docs absent entirely" (clean
-    * retry) rather than bucket entries whose verify join silently
-    * drops them.
+    * survivors → next batch sees them. Key parameters (shingleK,
+    * numHashes, bands — the ones that shape bucket keys) are validated
+    * against the stored `params/`; `maxBucket` is NOT validated — it
+    * only caps this batch's bucket fanout, and raising it on later
+    * batches after reading `drop_stats/` is legitimate.
     *
-    * Caveat (documented, not silent): the `maxBucket` cap is enforced
-    * within this batch only — a bucket can grow past the cap ACROSS
-    * appends. At scale the ingest loop pairs this with a periodic
-    * compaction that rebuilds the index ([[buildMinhashIndex]]), which
-    * re-applies the global cap and refreshes `drop_stats/`. */
+    * Durability contract (documented, not pretended away): the append
+    * is NOT atomic across the three tables. An interrupted append
+    * leaves a partial batch; RETRYING re-appends rows that already
+    * landed. The probe tolerates duplicate index rows (its output
+    * dedups per (in_doc, corpus_doc)), so correctness survives, but
+    * `drop_stats/` rows from the partial attempt double-count — the
+    * periodic compaction ([[buildMinhashIndex]] rebuild) is the
+    * reconciliation point. That rebuild also re-applies the global
+    * `maxBucket` cap, which appends only enforce within their batch. */
   def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                            path: String, shingleK: Int = 3, numHashes: Int = 64,
                            bands: Int = 16, maxBucket: Int = 1000): Unit = {
     requireIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
-      "num_hashes" -> numHashes, "bands" -> bands, "max_bucket" -> maxBucket)
+      "num_hashes" -> numHashes, "bands" -> bands)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
       .persist(lvl)
     try {
       val buckets = minhashBuckets(
         sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
-      try {
-        lshDropStats(buckets, "docs", maxBucket)
-          .coalesce(1).write.mode("append").parquet(s"$path/drop_stats")
-        sh.write.mode("append").parquet(s"$path/shingles")
-        buckets.filter(size(col("docs")) <= maxBucket)
-          .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
-          .repartition(col("band"), col("bh"))
-          .write.mode("append").parquet(s"$path/buckets")
-      } finally buckets.unpersist(blocking = false)
+      try writeMinhashIndexTables(sh, buckets, path, maxBucket, "append")
+      finally buckets.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
 
@@ -792,6 +808,9 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("in_doc"), col("doc").as("corpus_doc"),
           round(col("jaccard"), 4).as("jaccard"))
+        // duplicate index rows (partial-append retry) must not produce
+        // duplicate output pairs; exchange is tiny (survivors only)
+        .dropDuplicates("in_doc", "corpus_doc")
         .localCheckpoint(true)
     } finally inSh.unpersist(blocking = false)
   }
@@ -1032,8 +1051,6 @@ object Dedup {
         .agg(sort_array(collect_set(col("doc"))).as("docs"))
         .persist(lvl)
       try {
-        writeIndexParams(embs.sparkSession, path, "bits" -> bits,
-          "tables" -> tables, "dim" -> dim, "max_bucket" -> maxBucket)
         lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig"))
           .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
         dv.write.mode("overwrite").parquet(s"$path/vectors")
@@ -1041,6 +1058,9 @@ object Dedup {
           .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
           .repartition(col("t"), col("sig"))
           .write.mode("overwrite").parquet(s"$path/buckets")
+        // params LAST: the commit marker
+        writeIndexParams(embs.sparkSession, path, "bits" -> bits,
+          "tables" -> tables, "dim" -> dim)
       } finally buckets.unpersist(blocking = false)
     } finally dv.unpersist(blocking = false)
   }
@@ -1079,6 +1099,8 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .select(col("in_doc"), col("doc").as("corpus_doc"),
           round(col("cosine"), 4).as("cosine"))
+        // duplicate index rows must not produce duplicate output pairs
+        .dropDuplicates("in_doc", "corpus_doc")
         .localCheckpoint(true)
     } finally inVec.unpersist(blocking = false)
   }
