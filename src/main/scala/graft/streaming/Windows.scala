@@ -76,4 +76,42 @@ object Windows {
       .dropDuplicatesWithinWatermark("_dedup_sig")
       .drop("_dedup_sig")
   }
+
+  /** Streaming ingest with CORPUS-level near-dup dedup — the full
+    * production loop: each micro-batch probes a persisted MinHash
+    * index ([[graft.operators.Dedup.buildMinhashIndex]]) for near-dups
+    * of ALREADY-INGESTED content, drops them, appends the survivors to
+    * the index, and hands the survivors to `sink`.
+    *
+    * `foreachBatch` is the right operator here, not a stateful
+    * streaming op: the dedup decision depends on mutable EXTERNAL
+    * state (the corpus index), and the state horizon is the whole
+    * corpus lifetime — unlike [[streamingDedup]], whose
+    * dropDuplicatesWithinWatermark state is bounded by the watermark
+    * and therefore can't see yesterday's documents. The two compose:
+    * run [[streamingDedup]] upstream for cheap in-stream suppression,
+    * this loop downstream for corpus-level closure.
+    *
+    * Batch-INTERNAL near-dups pass through (two near-identical docs in
+    * one micro-batch both survive if neither matches the corpus) —
+    * compose an in-batch pass upstream if that matters; the next batch
+    * will see both via the index either way. */
+  def streamingDedupAgainstIndex(stream: DataFrame, idCol: String,
+                                 textCol: String, indexPath: String,
+                                 threshold: Double = 0.7)
+                                (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val dups = Dedup.minhashNearDupsAgainstIndex(
+        batch, idCol, textCol, indexPath, threshold)
+      val survivors = batch.join(
+          dups.select(col("in_doc").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Dedup.appendToMinhashIndex(survivors, idCol, textCol, indexPath)
+        sink(survivors)
+      } finally survivors.unpersist(blocking = false)
+    }.start()
+  }
 }

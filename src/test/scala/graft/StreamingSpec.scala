@@ -231,6 +231,35 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming corpus dedup: micro-batches probe and grow the persisted index") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val idx = "/tmp/graft-minhash-index/streaming"
+    val base = "the quick brown fox jumps over the lazy dog tonight again and again"
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndex(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx) { survivors =>
+      sunk ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    try {
+      // batch 1: novel doc → survives, appended to the index
+      in.addData((10L, base))
+      q.processAllAvailable()
+      sunk.toSeq shouldBe Seq(10L)
+      // batch 2: a near-dup of batch 1's survivor (dropped — the index
+      // remembers doc 10 across batches) plus a novel doc (survives)
+      in.addData((20L, base + " extra"), (30L, "a different novel document"))
+      q.processAllAvailable()
+      sunk.sorted.toSeq shouldBe Seq(10L, 30L)
+    } finally q.stop()
+  }
+
   test("streaming dedup: null-text rows get a deterministic signature in BOTH modes") {
     val session = spark
     import session.implicits._
