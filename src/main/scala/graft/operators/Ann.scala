@@ -62,11 +62,13 @@ object Ann {
     // never cross tables
     val probes = query
       .select(col(queryVecCol).as("_qvec"), explode(sigArr(col(queryVecCol))).as("_qs"))
-      .select(col("_qvec"), col("_qs.t").as("_pt"), explode(concat(
-        array(col("_qs.sig")),
-        transform(sequence(lit(0), lit(bits - 1)), i =>
-          col("_qs.sig").bitwiseXOR(
-            pow(lit(2.0), i).cast("long"))))).as("_probe"))
+      // probe masks are driver-side literals (1L << i — exact at any
+      // bit width, unlike the former pow(2.0, i).cast which is only
+      // mantissa-exact to bit 52), so the whole probe array is a plain
+      // codegen'd array of XORs, no interpreted HOF
+      .select(col("_qvec"), col("_qs.t").as("_pt"), explode(array(
+        col("_qs.sig") +: (0 until bits).map(i =>
+          col("_qs.sig").bitwiseXOR(lit(1L << i))): _*)).as("_probe"))
     withSig.join(broadcast(probes),
         col("_ts.t") === col("_pt") && col("_ts.sig") === col("_probe"))
       .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
@@ -173,6 +175,10 @@ object Ann {
                     nCells: Int, outPath: String, iters: Int = 3): Seq[Seq[Double]] = {
     val spark = embs.sparkSession
     import spark.implicits._
+    // marker-first rebuild discipline (same as the LSH indexes): drop
+    // the old params/ before touching tables so an interrupted rebuild
+    // fails validation loudly instead of probing mixed old/new state
+    Dedup.clearIndexCommitMarker(spark, outPath)
     val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
     // repartition on the partition key BEFORE partitionBy: without it
     // every input partition writes its own file into every cell
@@ -185,6 +191,12 @@ object Ann {
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
+    // params LAST: the commit marker — a half-built index (crash after
+    // the vectors/ write, before here) must fail [[searchIvfIndex]]'s
+    // validation instead of silently probing a readable-but-stale
+    // vectors/ + centroids/ pair
+    Dedup.writeIndexParams(spark, outPath, "n_cells" -> nCells.toLong,
+      "dim" -> dim.toLong)
     cents
   }
 
@@ -198,9 +210,22 @@ object Ann {
                      idCol: String, vecCol: String, queryVec: Seq[Double],
                      k: Int, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
+    // validate against the stored build params (fail-loud commit-marker
+    // semantics, matching requireIndexParams on the LSH indexes): a
+    // params-less half-built index throws; a query vector whose dim
+    // differs from the build's would mis-probe silently — error instead
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("n_cells") && params.contains("dim"),
+      s"params/ under $indexPath is not an IVF index record")
+    require(params("dim") == queryVec.length.toLong,
+      s"IVF index at $indexPath was built with dim=${params("dim")} but " +
+        s"queried with a ${queryVec.length}-dim vector")
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).map(_._2).toSeq
+    require(cents.length.toLong == params("n_cells"),
+      s"IVF index at $indexPath stores ${cents.length} centroids but was " +
+        s"built with n_cells=${params("n_cells")} — mixed rebuild state; rebuild it")
     val qUnit = unit(queryVec)
     val probeCells = cents.map(unit).zipWithIndex
       .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }

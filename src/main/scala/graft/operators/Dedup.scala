@@ -314,12 +314,22 @@ object Dedup {
       }
       m
     }
-    perCaller.getOrElseUpdate(parts, {
-      val s = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(caller)
-      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      if (parts == 1L) s.conf.set("spark.sql.adaptive.enabled", "false")
-      s
-    })
+    val clone = perCaller.getOrElseUpdate(parts,
+      org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(caller))
+    // re-sync the caller's CURRENT runtime conf onto the (possibly
+    // cached) clone on every loop entry — a cached clone would
+    // otherwise freeze the conf as of its first use, silently ignoring
+    // later caller-side spark.conf.set changes (ANSI, timezone, legacy
+    // flags) and breaking the "inherits exactly the caller's
+    // semantics" contract. Driver-side map diff, trivial next to one
+    // loop round; the two loop-owned knobs are then overridden last.
+    caller.conf.getAll.foreach { case (key, v) =>
+      if (clone.conf.getOption(key) != Some(v) && clone.conf.isModifiable(key))
+        clone.conf.set(key, v)
+    }
+    clone.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (parts == 1L) clone.conf.set("spark.sql.adaptive.enabled", "false")
+    clone
   }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -685,46 +695,107 @@ object Dedup {
     * empty result. Written LAST by the builds, so `params/` doubles as
     * the build's commit marker: a half-built index (crash before the
     * bucket write) fails validation loudly instead of probing empty. */
-  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
-                               path: String, params: (String, Long)*): Unit =
+  private[operators] def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                          path: String, params: (String, Long)*): Unit =
     spark.range(1)
       .select(params.map { case (k, v) => lit(v).as(k) }: _*)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
 
-  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, params: (String, Long)*): Unit = {
-    val stored =
+  /** Delete `params/` (the commit marker) at the START of an in-place
+    * rebuild, restoring fail-loud marker semantics for compaction: the
+    * marker-written-LAST discipline only protects FRESH builds — on a
+    * rebuild at the same path the OLD marker (same knob values) would
+    * stay readable while the tables underneath are sequentially
+    * overwritten, so a crash mid-rebuild would leave a mixed old/new
+    * index that PASSES validation and probes silently inconsistent
+    * data. With the marker gone first, that crash leaves an index that
+    * [[requireIndexParams]] rejects loudly. Probes must pause during a
+    * rebuild either way (documented on the builds). */
+  private[operators] def clearIndexCommitMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** The stored build parameters of an index at `path`, as a name→value
+    * map — the read half of the params contract: consumers that should
+    * FOLLOW the index's knobs instead of asserting their own (e.g. the
+    * streaming ingest loop) read them here, so an index built with
+    * tuned parameters is usable without re-threading every knob. Throws
+    * (via the same fail-loud path as [[requireIndexParams]]) on a
+    * params-less / half-built index. */
+  def readIndexParams(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Map[String, Long] = {
+    val row =
       try spark.read.parquet(s"$path/params").collect()(0)
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(
-          s"no readable params/ under $path — not a completed graft LSH index " +
+          s"no readable params/ under $path — not a completed graft index " +
             "(interrupted build, or a pre-params layout); rebuild it", e)
       }
+    row.schema.fieldNames.map(f => f -> row.getLong(row.fieldIndex(f))).toMap
+  }
+
+  private[operators] def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                            path: String, params: (String, Long)*): Unit = {
+    val stored = readIndexParams(spark, path)
     params.foreach { case (k, v) =>
-      val s = stored.getLong(stored.fieldIndex(k))
+      val s = stored.getOrElse(k, throw new IllegalStateException(
+        s"params/ under $path has no field $k — not this index type's layout"))
       require(s == v,
         s"index at $path was built with $k=$s but probed with $k=$v — " +
           "keys would match nothing; probe with the build parameters")
     }
   }
 
+  /** Every index table is laid out as ONE parquet dataset partitioned
+    * by `batch_id` (the build is batch 0; each append is its own batch
+    * directory). The partition directory is the append's idempotency
+    * unit: writing a batch is an OVERWRITE of `<table>/batch_id=N`, so
+    * a retried batch REPLACES its own earlier (possibly partial) rows
+    * instead of stacking duplicates — at-least-once ingest loops stop
+    * bloating the index and double-counting `drop_stats/`. Readers see
+    * the plain union of all batch directories (batch_id is a partition
+    * column consumers simply don't select). */
+  private def writeIndexTable(df: DataFrame, tableDir: String,
+                              batch: Option[Long]): Unit = batch match {
+    case None =>
+      // fresh build: batch -1, RESERVED for the build — streaming
+      // micro-batch ids start at 0, so an ingest loop's first append
+      // must never be able to replace the corpus build's partition
+      df.withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(tableDir)
+    case Some(b) =>
+      // append/replace of one batch: overwrite ITS partition dir only
+      df.write.mode("overwrite").parquet(s"$tableDir/batch_id=$b")
+  }
+
   /** The one write sequence for the minhash index tables — shared by
-    * build (overwrite) and append so the two paths cannot drift. */
+    * build (batch = None → full overwrite as batch 0) and append
+    * (batch = Some(id) → replace that batch's directories) so the two
+    * paths cannot drift. */
   private def writeMinhashIndexTables(sh: DataFrame, buckets: DataFrame,
                                       path: String, maxBucket: Int,
-                                      mode: String): Unit = {
-    lshDropStats(buckets, "docs", maxBucket)
-      .coalesce(1).write.mode(mode).parquet(s"$path/drop_stats")
-    sh.write.mode(mode).parquet(s"$path/shingles")
-    buckets.filter(size(col("docs")) <= maxBucket)
-      .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
-      .repartition(col("band"), col("bh"))
-      .write.mode(mode).parquet(s"$path/buckets")
+                                      batch: Option[Long]): Unit = {
+    writeIndexTable(lshDropStats(buckets, "docs", maxBucket).coalesce(1),
+      s"$path/drop_stats", batch)
+    writeIndexTable(sh, s"$path/shingles", batch)
+    writeIndexTable(
+      buckets.filter(size(col("docs")) <= maxBucket)
+        .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
+        .repartition(col("band"), col("bh")),
+      s"$path/buckets", batch)
   }
 
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                         path: String, shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, maxBucket: Int = 1000): Unit = {
+    // drop the OLD commit marker before touching tables: an in-place
+    // rebuild (the documented compaction path) must fail validation if
+    // interrupted, not pass it on the stale marker (see
+    // [[clearIndexCommitMarker]]); probes pause during a rebuild
+    clearIndexCommitMarker(docs.sparkSession, path)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
       .persist(lvl)
@@ -732,13 +803,23 @@ object Dedup {
       val buckets = minhashBuckets(
         sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
       try {
-        writeMinhashIndexTables(sh, buckets, path, maxBucket, "overwrite")
+        writeMinhashIndexTables(sh, buckets, path, maxBucket, batch = None)
         // params LAST: the commit marker
         writeIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
           "num_hashes" -> numHashes, "bands" -> bands, "max_bucket" -> maxBucket)
       } finally buckets.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
+
+  /** Auto-assigned batch id for appends whose caller supplies none:
+    * unique per call (wall-clock nanos + a process counter), so legacy
+    * no-batch-id appends keep their old semantics — each call lands its
+    * own rows; RETRYING such a call appends a second copy (the probe
+    * tolerates duplicate index rows, but prefer an explicit batchId,
+    * which makes the retry a no-op replace). */
+  private val appendCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def autoBatchId(): Long =
+    System.currentTimeMillis() * 1000 + (appendCounter.incrementAndGet() % 1000)
 
   /** APPEND a (deduplicated) batch to a [[buildMinhashIndex]] corpus
     * index — the write half of the standing ingest loop:
@@ -749,18 +830,22 @@ object Dedup {
     * only caps this batch's bucket fanout, and raising it on later
     * batches after reading `drop_stats/` is legitimate.
     *
-    * Durability contract (documented, not pretended away): the append
-    * is NOT atomic across the three tables. An interrupted append
-    * leaves a partial batch; RETRYING re-appends rows that already
-    * landed. The probe tolerates duplicate index rows (its output
-    * dedups per (in_doc, corpus_doc)), so correctness survives, but
-    * `drop_stats/` rows from the partial attempt double-count — the
-    * periodic compaction ([[buildMinhashIndex]] rebuild) is the
-    * reconciliation point. That rebuild also re-applies the global
-    * `maxBucket` cap, which appends only enforce within their batch. */
+    * Idempotency contract: with an explicit `batchId` (what a
+    * foreachBatch ingest loop passes — its micro-batch id), the append
+    * is a REPLACE of that batch's partition directories, so an
+    * at-least-once retry of the same batch leaves index row counts and
+    * `drop_stats/` unchanged instead of stacking duplicates. The
+    * replace itself is still not atomic across the three tables — a
+    * crash mid-append leaves a partial batch — but the NEXT retry of
+    * the same batchId repairs it in place. Without a batchId each call
+    * gets a fresh auto id (legacy accumulate semantics). The periodic
+    * compaction ([[buildMinhashIndex]] rebuild) remains the global
+    * reconciliation point and re-applies the global `maxBucket` cap,
+    * which appends only enforce within their batch. */
   def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                            path: String, shingleK: Int = 3, numHashes: Int = 64,
-                           bands: Int = 16, maxBucket: Int = 1000): Unit = {
+                           bands: Int = 16, maxBucket: Int = 1000,
+                           batchId: Option[Long] = None): Unit = {
     requireIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
       "num_hashes" -> numHashes, "bands" -> bands)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -769,7 +854,8 @@ object Dedup {
     try {
       val buckets = minhashBuckets(
         sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
-      try writeMinhashIndexTables(sh, buckets, path, maxBucket, "append")
+      try writeMinhashIndexTables(sh, buckets, path, maxBucket,
+        batch = Some(batchId.getOrElse(autoBatchId())))
       finally buckets.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)
   }
@@ -783,7 +869,15 @@ object Dedup {
     * broadcasts into both joins, so the corpus side streams with no
     * shuffle. Returns (in_doc, corpus_doc, jaccard), eagerly
     * materialized (the tiny output of an expensive pass — the
-    * [[minhashNearDups]] convention). */
+    * [[minhashNearDups]] convention).
+    *
+    * SELF-matches (in_doc == corpus_doc) are excluded: ids are the
+    * corpus's unique keys, so an incoming doc whose own id is already
+    * indexed is a REPLAY of a batch that already appended (standard
+    * at-least-once redelivery), not a duplicate of other content —
+    * without the exclusion every replayed survivor would self-match at
+    * jaccard 1.0 and the ingest loop would silently drop the whole
+    * redelivered batch from the sink. */
   def minhashNearDupsAgainstIndex(incoming: DataFrame, idCol: String,
                                   textCol: String, indexPath: String,
                                   threshold: Double = 0.7, shingleK: Int = 3,
@@ -800,6 +894,7 @@ object Dedup {
         .select(col("doc").as("in_doc"), col("band"), col("bh"))
       val cands = broadcast(inBands)
         .join(spark.read.parquet(s"$indexPath/buckets"), Seq("band", "bh"))
+        .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
         .select(col("in_doc"), col("doc")).distinct()
       broadcast(cands)
         .join(spark.read.parquet(s"$indexPath/shingles"), "doc")
@@ -1035,33 +1130,69 @@ object Dedup {
     * NOT duplicated per table), `vectors/` = (doc, vec) for the
     * exact-cosine verify, `drop_stats/` = over-cap loss accounting
     * (keyed (t, sig)). Singleton buckets are indexed. */
+  /** The one write sequence for the embedding index tables — shared by
+    * build and append, mirroring [[writeMinhashIndexTables]]' batch
+    * partition-directory discipline. */
+  private def writeEmbeddingIndexTables(dv: DataFrame, buckets: DataFrame,
+                                        path: String, maxBucket: Int,
+                                        batch: Option[Long]): Unit = {
+    writeIndexTable(
+      lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig")).coalesce(1),
+      s"$path/drop_stats", batch)
+    writeIndexTable(dv, s"$path/vectors", batch)
+    writeIndexTable(
+      buckets.filter(size(col("docs")) <= maxBucket)
+        .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
+        .repartition(col("t"), col("sig")),
+      s"$path/buckets", batch)
+  }
+
   def buildEmbeddingIndex(embs: DataFrame, idCol: String, vecCol: String,
                           dim: Int, path: String, bits: Int = 12,
                           tables: Int = 4, maxBucket: Int = 1000): Unit = {
+    // marker-first rebuild discipline — see [[clearIndexCommitMarker]]
+    clearIndexCommitMarker(embs.sparkSession, path)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one corpus scan: the persisted (doc, vec) projection feeds both
     // the signature/bucket pass and the vectors/ write
     val dv = embs.select(col(idCol).as("doc"), col(vecCol).as("vec")).persist(lvl)
     try {
-      val buckets = dv
-        .select(col("doc"),
-          explode(array(hyperplaneSigCols(col("vec"), bits, dim, tables): _*)).as("ts"))
-        .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("doc"))
-        .groupBy("t", "sig")
-        .agg(sort_array(collect_set(col("doc"))).as("docs"))
-        .persist(lvl)
+      val buckets = embeddingIndexBuckets(dv, bits, dim, tables).persist(lvl)
       try {
-        lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/drop_stats")
-        dv.write.mode("overwrite").parquet(s"$path/vectors")
-        buckets.filter(size(col("docs")) <= maxBucket)
-          .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
-          .repartition(col("t"), col("sig"))
-          .write.mode("overwrite").parquet(s"$path/buckets")
+        writeEmbeddingIndexTables(dv, buckets, path, maxBucket, batch = None)
         // params LAST: the commit marker
         writeIndexParams(embs.sparkSession, path, "bits" -> bits,
           "tables" -> tables, "dim" -> dim)
       } finally buckets.unpersist(blocking = false)
+    } finally dv.unpersist(blocking = false)
+  }
+
+  private def embeddingIndexBuckets(dv: DataFrame, bits: Int, dim: Int,
+                                    tables: Int): DataFrame =
+    dv.select(col("doc"),
+        explode(array(hyperplaneSigCols(col("vec"), bits, dim, tables): _*)).as("ts"))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("doc"))
+      .groupBy("t", "sig")
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+
+  /** APPEND a (deduplicated) embedding batch to a
+    * [[buildEmbeddingIndex]] corpus index — the embedding twin of
+    * [[appendToMinhashIndex]], same idempotency contract: an explicit
+    * `batchId` makes the append a replace of that batch's partition
+    * directories, so at-least-once retries leave the index unchanged. */
+  def appendToEmbeddingIndex(embs: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, path: String, bits: Int = 12,
+                             tables: Int = 4, maxBucket: Int = 1000,
+                             batchId: Option[Long] = None): Unit = {
+    requireIndexParams(embs.sparkSession, path, "bits" -> bits,
+      "tables" -> tables, "dim" -> dim)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dv = embs.select(col(idCol).as("doc"), col(vecCol).as("vec")).persist(lvl)
+    try {
+      val buckets = embeddingIndexBuckets(dv, bits, dim, tables).persist(lvl)
+      try writeEmbeddingIndexTables(dv, buckets, path, maxBucket,
+        batch = Some(batchId.getOrElse(autoBatchId())))
+      finally buckets.unpersist(blocking = false)
     } finally dv.unpersist(blocking = false)
   }
 
@@ -1070,7 +1201,9 @@ object Dedup {
     * twin of [[minhashNearDupsAgainstIndex]]: the batch's (t, sig)
     * keys broadcast into the bucket probe, candidate keys broadcast
     * into the vector verify, the corpus side streams both times.
-    * Returns (in_doc, corpus_doc, cosine), eagerly materialized. */
+    * Returns (in_doc, corpus_doc, cosine), eagerly materialized.
+    * Self-matches (in_doc == corpus_doc) are excluded — the replayed-
+    * batch contract documented on [[minhashNearDupsAgainstIndex]]. */
   def embeddingNearDupsAgainstIndex(incoming: DataFrame, idCol: String,
                                     vecCol: String, dim: Int, indexPath: String,
                                     threshold: Double = 0.99, bits: Int = 12,
@@ -1091,6 +1224,7 @@ object Dedup {
         .select(col("in_doc"), col("ts.t").as("t"), col("ts.sig").as("sig"))
       val cands = broadcast(inSig)
         .join(spark.read.parquet(s"$indexPath/buckets"), Seq("t", "sig"))
+        .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
         .select(col("in_doc"), col("doc")).distinct()
       broadcast(cands)
         .join(spark.read.parquet(s"$indexPath/vectors"), "doc")

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: PNG/BMP/GIF payloads go through the
   * JDK-bundled `javax.imageio` ([[decodeImage]]) and yield true pixel
-  * dimensions. Audio/video kernels remain STUBS (this container has no
-  * media codecs): [[decodeStub]] derives deterministic fake dimensions
-  * from the payload bytes. Everything around the kernels — the schema,
-  * the batched per-partition execution shape, the partitioning
-  * behavior — is real and tested either way.
+  * dimensions. AUDIO decode is REAL for WAV/PCM: `javax.sound.sampled`
+  * ([[decodeWav]]) reads sample rate / channels / frame count off the
+  * container header, no external codecs. VIDEO is the one remaining
+  * STUB (no video codec ships with the JVM): [[decodeStub]] derives
+  * deterministic fake dimensions from the payload bytes, as does the
+  * audio fallback for compressed (non-WAV) payloads. Everything around
+  * the kernels — the schema, the batched per-partition execution
+  * shape, the partitioning behavior — is real and tested either way.
   *
   * Execution shape: `mapPartitions` over the typed Dataset, so the
   * decoder amortizes any per-batch init (model load, codec context)
@@ -27,6 +30,8 @@ object Multimodal {
   case class DecodedMedia(media_id: Long, kind: String, width: Int,
                           height: Int, n_bytes: Long, checksum: Long)
   case class Frame(media_id: Long, frame_idx: Int, frame_checksum: Long)
+  case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                       n_frames: Long, duration_ms: Long)
 
   /** Payload checksum (order-sensitive polynomial over bytes; shared by
     * the real and stub kernels so downstream joins don't care which
@@ -88,6 +93,72 @@ object Multimodal {
     bos.toByteArray
   }
 
+  def looksLikeWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+
+  /** Deterministic 16-bit PCM mono WAV generator (executor-safe,
+    * JDK-only — `javax.sound.sampled` writes WAVE containers without
+    * external codecs): `nFrames` samples at `sampleRate`, sample values
+    * from an LCG over `seed`. The audio twin of [[makePng]]: a planted
+    * fixture whose duration_ms = nFrames·1000/sampleRate is exact by
+    * construction. */
+  def makeWav(sampleRate: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    var st = seed
+    while (i < nFrames) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      val s = (st >>> 48).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode for WAV/PCM via the JDK's `javax.sound.sampled`
+    * (pure JVM — no codecs needed): true sample rate, channel count and
+    * frame length off the container header. Returns None for payloads
+    * the JDK can't read (compressed formats — the remaining stub
+    * territory along with video). */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      Some((f.getSampleRate.toInt, f.getChannels, ais.getFrameLength))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio decode stage: per-partition map over audio rows → typed
+    * audio metadata. WAV payloads decode for REAL ([[decodeWav]] —
+    * duration_ms is exact integer math over the header's frame count
+    * and rate); non-WAV payloads fall to a deterministic stub (16 kHz
+    * mono, one fake frame per payload byte), the same degrade-don't-die
+    * contract as [[decodeImage]]. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r.payload) match {
+          case Some((rate, ch, frames)) =>
+            AudioMeta(r.media_id, rate, ch, frames, frames * 1000L / rate)
+          case None =>
+            val fakeFrames = r.payload.length.toLong
+            AudioMeta(r.media_id, 16000, 1, fakeFrames, fakeFrames * 1000L / 16000)
+        }
+      }
+    }
+  }
+
   /** Wrap any table into a media table: payload = utf8 bytes of a text
     * column (the deterministic stand-in for real image bytes). */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
@@ -129,6 +200,30 @@ object Multimodal {
         r.copy(payload = makePng(16 + (r.media_id % 16).toInt,
           20 + 2 * (r.media_id % 8).toInt, r.media_id))
       else r
+    }
+  }
+
+  /** The audio sample-rate / frame-count ladder for [[syntheticMediaWithAv]],
+    * derived from the media id: rates cycle (8000, 11025, 16000) and
+    * frame counts (1200, 441, 320) are chosen so duration_ms is exact
+    * integer milliseconds (150, 40, 20). */
+  def wavParamsFor(mediaId: Long): (Int, Int) = {
+    val i = ((mediaId / 3) % 3).toInt
+    (Seq(8000, 11025, 16000)(i), Seq(1200, 441, 320)(i))
+  }
+
+  /** Synthetic media with REAL image AND audio payloads: images as in
+    * [[syntheticMediaWithImages]]; audio-kind rows carry a deterministic
+    * 16-bit PCM WAV ([[makeWav]], params from [[wavParamsFor]]). Video
+    * remains the only stubbed kind (no video codec ships with the JVM). */
+  def syntheticMediaWithAv(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    syntheticMediaWithImages(df, idCol, textCol).map { r =>
+      if (r.kind == "audio") {
+        val (rate, frames) = wavParamsFor(r.media_id)
+        r.copy(payload = makeWav(rate, frames, r.media_id))
+      } else r
     }
   }
 

@@ -27,7 +27,7 @@ object OsmQueries {
 
   /** Fixture on disk for wholeTextFiles ingest. */
   private def fixturePath(): String =
-    OsmFixtureData.write(Path.of("/tmp/graft-osm-fixture"), "example.osm",
+    OsmFixtureData.write(graft.TempDirs.dir("osm-fixture"), "example.osm",
       OsmFixtureData.xml).toString
 
   val defs: Map[String, Q] = Map(
@@ -55,7 +55,7 @@ object OsmQueries {
     // write, read back through schema inference, aggregate.
     "s3_jsonl_sink" -> ((s, _) => {
       val ds = OsmSource.elements(s, fixturePath(), cleanStreets = true)
-      val out = "/tmp/graft-osm-out/jsonl"
+      val out = graft.TempDirs.path("osm-out/jsonl")
       OsmSource.writeJsonLines(ds, out)
       s.read.json(out)
         .groupBy(col("type").as("el_type"))
@@ -69,7 +69,7 @@ object OsmQueries {
     // (ProjectCodeUsed cleaning ran at ingest).
     "s4_parquet_load" -> ((s, _) => {
       val ds = OsmSource.elements(s, fixturePath(), cleanStreets = true)
-      val out = "/tmp/graft-osm-out/parquet"
+      val out = graft.TempDirs.path("osm-out/parquet")
       OsmSource.writeParquet(ds, out)
       s.read.parquet(out)
         .filter(col("address.street").isNotNull)
@@ -186,7 +186,7 @@ object OsmQueries {
     // files (min/max footer stats) and row groups. Keyed on ts here —
     // the same layout applies to a (lon, lat) sort for geo pruning.
     "s6_range_pruning" -> ((s, dir) => {
-      val out = "/tmp/graft-osm-out/events_ranged"
+      val out = graft.TempDirs.path("osm-out/events_ranged")
       t(s, dir, "events")
         .repartitionByRange(8, col("ts"))
         .sortWithinPartitions("ts")

@@ -64,7 +64,7 @@ object PipelineQueries {
     "dd9_incremental_neardup" -> ((s, _) => {
       val all = PlantedFixtures.docs(s)
       val incomingIds = Seq(2L, 3L, 5L, 7L, 8L)
-      val idx = "/tmp/graft-minhash-index/dd9"
+      val idx = graft.TempDirs.path("minhash-index/dd9")
       Dedup.buildMinhashIndex(
         all.filter(!col("doc_id").isin(incomingIds: _*)), "doc_id", "text", idx)
       Dedup.minhashNearDupsAgainstIndex(
@@ -123,7 +123,7 @@ object PipelineQueries {
     "dd10_incremental_embedding" -> ((s, _) => {
       val all = PlantedFixtures.embs(s)
       val incomingIds = Seq(1L, 2L, 4L)
-      val idx = "/tmp/graft-embedding-index/dd10"
+      val idx = graft.TempDirs.path("embedding-index/dd10")
       Dedup.buildEmbeddingIndex(
         all.filter(!col("vec_id").isin(incomingIds: _*)), "vec_id", "embedding",
         PlantedFixtures.EmbFixtureDim, idx, bits = 4, tables = 12)
@@ -206,7 +206,7 @@ object PipelineQueries {
     // ann4, same expected top-5.
     "ann5_ivf_index" -> ((s, _) => {
       val embs = PlantedFixtures.embs(s)
-      val idx = "/tmp/graft-ann-index/fixture"
+      val idx = graft.TempDirs.path("ann-index/fixture")
       Ann.buildIvfIndex(embs, "vec_id", "embedding",
         PlantedFixtures.EmbFixtureDim, nCells = 3, outPath = idx)
       val qv = embs.filter(col("vec_id") === 0)
@@ -352,6 +352,17 @@ object PipelineQueries {
         .orderBy("kind")
     }),
 
+    // REAL audio decode (javax.sound.sampled over planted 16-bit PCM
+    // WAVs — pure JVM, no codecs): sample rate / channels / frame count
+    // read off the container header; duration_ms = frames·1000/rate is
+    // exact by construction (1200@8000 → 150 ms, 441@11025 → 40 ms,
+    // 320@16000 → 20 ms). With this, video is the only stubbed kind.
+    "mm3_wav_decode" -> ((s, _) => {
+      val media = Multimodal.syntheticMediaWithAv(
+        PlantedFixtures.mediaDocs(s), "doc_id", "text")
+      Multimodal.decodeAudio(media).toDF().orderBy("media_id")
+    }),
+
     // Frame sampling (1 row → n frames, flatMap/UDTF shape): video
     // payload lengths 20/45/100 → stub frame counts 50/75/130 →
     // 5+8+13 = 26 sampled frames at stride 10, all by hand.
@@ -475,6 +486,14 @@ object PipelineQueries {
          ) AS t(kind, cnt, avg_w, avg_h, total_pixels) ORDER BY kind""",
     "mm2_frame_sample" ->
       """SELECT CAST(26 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_videos""",
+    "mm3_wav_decode" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+            CAST(1200 AS BIGINT), CAST(150 AS BIGINT)),
+           (4, 11025, 1, 441, 40),
+           (7, 16000, 1, 320, 20)
+         ) AS t(media_id, sample_rate, channels, n_frames, duration_ms)
+         ORDER BY media_id""",
     // ---- SQL-expressible oracles over the shared sf tables ----
     "dd1_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,

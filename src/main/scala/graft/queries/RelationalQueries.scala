@@ -532,7 +532,7 @@ object RelationalQueries {
         // keyed by the sanitized full path (not hashCode — a collision
         // between two sf dirs would silently stream the wrong table)
         val d = Paths.get(
-          s"/tmp/graft-st4-src/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+          graft.TempDirs.path(s"st4-src/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"))
         Files.createDirectories(d)
         val link = d.resolve("events.parquet")
         if (!Files.exists(link))

@@ -38,7 +38,7 @@ object ScaleWorkloads {
 
   def minhashIndexPath(s: SparkSession, dir: String): String =
     minhashIndexes.getOrElseUpdate(dir, {
-      val out = s"/tmp/graft-minhash-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val out = graft.TempDirs.path(s"minhash-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
       Dedup.buildMinhashIndex(
         Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0),
         "doc_id", "text", out)
@@ -51,7 +51,7 @@ object ScaleWorkloads {
 
   def embeddingIndexPath(s: SparkSession, dir: String): String =
     embIndexes.getOrElseUpdate(dir, {
-      val out = s"/tmp/graft-embedding-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val out = graft.TempDirs.path(s"embedding-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
       Dedup.buildEmbeddingIndex(
         Tables(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", EmbDim, out)
@@ -64,7 +64,7 @@ object ScaleWorkloads {
 
   def indexPath(s: SparkSession, dir: String): String =
     ivfIndexes.getOrElseUpdate(dir, {
-      val out = s"/tmp/graft-ann-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val out = graft.TempDirs.path(s"ann-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
       Ann.buildIvfIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         EmbDim, nCells = 8, outPath = out)
       out
@@ -107,7 +107,37 @@ object ScaleWorkloads {
       "lsh_recall_at_10" -> (exact & lsh1).size / 10.0,
       "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
       "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
-      "ivf_recall_at_10" -> (exact & ivf).size / 10.0)
+      "ivf_recall_at_10" -> (exact & ivf).size / 10.0,
+      "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir))
+  }
+
+  /** Recall of the INCREMENTAL minhash probe (odd-id batch against the
+    * even-id corpus index) vs the ground truth: the full batch pass
+    * over corpus ∪ batch, restricted to cross (odd, even) pairs. The
+    * fixture test (DedupSpec) pins exact equality on 20 docs; this
+    * gauge keeps the equivalence measured at sf scale every round, so
+    * a drift in the index layout or probe path shows up as a dropped
+    * number instead of hiding behind a green point fixture. Both sides
+    * stay DataFrames until the two scalar counts; only counts reach
+    * the driver. */
+  private def minhashIncrementalRecall(s: SparkSession, dir: String): Double = {
+    val idx = minhashIndexPath(s, dir)
+    val docs = Tables(s, dir, "documents")
+    val incr = Dedup.minhashNearDupsAgainstIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx, threshold = 0.7)
+      .select(col("in_doc"), col("corpus_doc"))
+    // ground truth, oriented (odd → even) to match the probe's output
+    val ref = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .filter(col("id1") % 2 =!= col("id2") % 2)
+      .select(
+        when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2")).as("in_doc"),
+        when(col("id1") % 2 === 1, col("id2")).otherwise(col("id1")).as("corpus_doc"))
+    val nRef = ref.count().toDouble
+    if (nRef == 0) 1.0
+    else {
+      val hit = ref.join(incr, Seq("in_doc", "corpus_doc"), "left_semi").count()
+      math.rint(hit / nRef * 1000) / 1000
+    }
   }
 
   val defs: Map[String, Q] = Map(
@@ -273,7 +303,7 @@ object ScaleWorkloads {
       // negative lookbehind: `uid="` must NOT match the id rewrite
       sb ++= body.replaceAll("(?<!u)id=\"", s"id=\"$i").replaceAll("ref=\"", s"ref=\"$i")
     sb ++= "</osm>\n"
-    val p = java.nio.file.Path.of("/tmp/graft-osm-fixture/monolith-bench.osm")
+    val p = graft.TempDirs.dir("osm-fixture").resolve("monolith-bench.osm")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, sb.toString)
     p.toString

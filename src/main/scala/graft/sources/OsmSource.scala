@@ -550,8 +550,9 @@ private[graft] object PrettyJson {
 
   // python json.dumps default escaping: the named short escapes (incl.
   // \b and \f), \uXXXX for other control chars, and ensure_ascii=True —
-  // every char above 0x7e escapes too (surrogate halves escape
-  // individually, same as python)
+  // every NON-ASCII char (>= 0x80) escapes too (surrogate halves escape
+  // individually, same as python). ASCII DEL (0x7f) stays LITERAL:
+  // python's encoder only escapes c < 0x20 and c > 0x7f
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -560,7 +561,7 @@ private[graft] object PrettyJson {
     case '\t' => "\\t"
     case '\b' => "\\b"
     case '\f' => "\\f"
-    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+    case c if c < ' ' || c > '\u007f' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
 

@@ -80,8 +80,11 @@ object Windows {
   /** Streaming ingest with CORPUS-level near-dup dedup — the full
     * production loop: each micro-batch probes a persisted MinHash
     * index ([[graft.operators.Dedup.buildMinhashIndex]]) for near-dups
-    * of ALREADY-INGESTED content, drops them, appends the survivors to
-    * the index, and hands the survivors to `sink`.
+    * of ALREADY-INGESTED content, drops them, dedups the batch
+    * INTERNALLY (near-dup pairs → connected components → keep the
+    * min-id representative per cluster), appends the survivors to the
+    * index keyed by the micro-batch id, and hands the survivors to
+    * `sink`.
     *
     * `foreachBatch` is the right operator here, not a stateful
     * streaming op: the dedup decision depends on mutable EXTERNAL
@@ -92,26 +95,54 @@ object Windows {
     * run [[streamingDedup]] upstream for cheap in-stream suppression,
     * this loop downstream for corpus-level closure.
     *
-    * Batch-INTERNAL near-dups pass through (two near-identical docs in
-    * one micro-batch both survive if neither matches the corpus) —
-    * compose an in-batch pass upstream if that matters; the next batch
-    * will see both via the index either way. */
+    * Replay safety (at-least-once redelivery after a crash between the
+    * index append and the sink commit): the corpus probe excludes
+    * self-id matches — a redelivered doc whose own id is already
+    * indexed is a retry, not a duplicate — and the append is an
+    * idempotent REPLACE keyed by the micro-batch id, so the re-run
+    * re-lands the same rows instead of stacking a second copy. The
+    * sink itself sees the batch again (standard foreachBatch
+    * at-least-once; make the sink idempotent on (batchId, id) if
+    * exactly-once delivery matters downstream).
+    *
+    * The probe/append knobs (shingleK, numHashes, bands) are READ FROM
+    * the index's stored `params/` — an index built with tuned
+    * parameters streams as-is; only `threshold` (a verify-side filter,
+    * not a key parameter) is the caller's choice. */
   def streamingDedupAgainstIndex(stream: DataFrame, idCol: String,
                                  textCol: String, indexPath: String,
                                  threshold: Double = 0.7)
                                 (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val dups = Dedup.minhashNearDupsAgainstIndex(
-        batch, idCol, textCol, indexPath, threshold)
-      val survivors = batch.join(
-          dups.select(col("in_doc").as(idCol)).distinct(), Seq(idCol), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one params read at stream start, not per batch
+    val p = Dedup.readIndexParams(stream.sparkSession, indexPath)
+    val (k, nh, bands) = (p("shingle_k").toInt, p("num_hashes").toInt, p("bands").toInt)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        Dedup.appendToMinhashIndex(survivors, idCol, textCol, indexPath)
-        sink(survivors)
-      } finally survivors.unpersist(blocking = false)
+        // 1. corpus-level dedup: drop docs near-duplicating ALREADY-
+        //    ingested content (self-id matches excluded — replay)
+        val corpusDups = Dedup.minhashNearDupsAgainstIndex(
+          cached, idCol, textCol, indexPath, threshold, k, nh, bands)
+        val noCorpusDups = cached.join(
+          corpusDups.select(col("in_doc").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        // 2. batch-INTERNAL dedup: two near-identical docs arriving in
+        //    ONE micro-batch (neither in the corpus yet) collapse to
+        //    the min-id representative of their dup cluster
+        val inBatchPairs = Dedup.minhashNearDups(
+          noCorpusDups, idCol, textCol, threshold, k, nh, bands)
+        val dropped = Dedup.connectedComponents(inBatchPairs)
+          .filter(col("doc_id") =!= col("component")) // keep cluster min
+          .select(col("doc_id").as(idCol))
+        val survivors = noCorpusDups.join(dropped, Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Dedup.appendToMinhashIndex(survivors, idCol, textCol, indexPath,
+            k, nh, bands, batchId = Some(batchId))
+          sink(survivors)
+        } finally survivors.unpersist(blocking = false)
+      } finally cached.unpersist(blocking = false)
     }.start()
   }
 }

@@ -105,6 +105,34 @@ class AnnSpec extends SparkSpec {
     got.foreach { case (id, s) => s shouldBe exactSims(id) +- 1e-9 }
   }
 
+  test("persisted IVF index: params/ is the commit marker and gates search") {
+    import spark.implicits._
+    val all = graft.queries.PlantedFixtures.embs(spark)
+    val dimF = graft.queries.PlantedFixtures.EmbFixtureDim
+    val idx = graft.TempDirs.path("ann-index/durability")
+    Ann.buildIvfIndex(all, "vec_id", "embedding", dimF, nCells = 3, outPath = idx)
+    val qv = all.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    // committed index searches fine
+    Ann.searchIvfIndex(spark, idx, "vec_id", "embedding", qv, k = 3)
+      .count() shouldBe 3L
+    // dim mismatch must throw, not mis-probe silently
+    val exDim = intercept[IllegalArgumentException] {
+      Ann.searchIvfIndex(spark, idx, "vec_id", "embedding", qv :+ 0.0, k = 3)
+    }
+    exDim.getMessage should include("dim")
+    // half-built index (vectors/centroids readable, marker absent —
+    // the state a crash before the final params/ write leaves): the
+    // search must fail loudly, matching requireIndexParams semantics
+    val marker = new java.io.File(s"$idx/params")
+    marker.listFiles().foreach(_.delete())
+    marker.delete() shouldBe true
+    val exHalf = intercept[IllegalStateException] {
+      Ann.searchIvfIndex(spark, idx, "vec_id", "embedding", qv, k = 3)
+    }
+    exHalf.getMessage should include("no readable params/")
+  }
+
   test("graft_cosine / graft_hyperplane_sig are SQL-callable") {
     import spark.implicits._
     Seq((Seq(3.0f, 4.0f), Seq(6.0f, 8.0f))).toDF("a", "b")

@@ -308,7 +308,7 @@ class DedupSpec extends SparkSpec {
   test("incremental index dedup equals the cross-restriction of the batch pass") {
     val all = graft.queries.PlantedFixtures.docs(spark)
     val incomingIds = Set(2L, 3L, 5L, 7L, 8L)
-    val idx = "/tmp/graft-minhash-index/spec"
+    val idx = graft.TempDirs.path("minhash-index/spec")
     import org.apache.spark.sql.functions.col
     Dedup.buildMinhashIndex(
       all.filter(!col("doc_id").isin(incomingIds.toSeq: _*)), "doc_id", "text", idx)
@@ -335,7 +335,7 @@ class DedupSpec extends SparkSpec {
     val all = graft.queries.PlantedFixtures.embs(spark)
     val dim = graft.queries.PlantedFixtures.EmbFixtureDim
     val incomingIds = Set(1L, 2L, 4L)
-    val idx = "/tmp/graft-embedding-index/spec"
+    val idx = graft.TempDirs.path("embedding-index/spec")
     Dedup.buildEmbeddingIndex(
       all.filter(!col("vec_id").isin(incomingIds.toSeq: _*)), "vec_id",
       "embedding", dim, idx, bits = 4, tables = 12)
@@ -357,7 +357,7 @@ class DedupSpec extends SparkSpec {
   test("ingest loop: appended survivors are visible to the next batch's probe") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val idx = "/tmp/graft-minhash-index/loop"
+    val idx = graft.TempDirs.path("minhash-index/loop")
     val base = "the quick brown fox jumps over the lazy dog tonight again and again"
     // corpus: one unrelated doc; batch1: a novel doc (no dup → survives)
     Dedup.buildMinhashIndex(
@@ -382,6 +382,103 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashNearDupsAgainstIndex(batch2, "doc_id", "text", idx, bands = 8)
     }
     ex.getMessage should include("built with bands=16")
+  }
+
+  test("appendToMinhashIndex with a batchId is idempotent: a retried batch changes nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val idx = graft.TempDirs.path("minhash-index/idempotent")
+    Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch = Seq(10L -> base, 11L -> "another novel document body with fresh words")
+      .toDF("doc_id", "text")
+    Dedup.appendToMinhashIndex(batch, "doc_id", "text", idx, batchId = Some(7L))
+    def state() = (
+      spark.read.parquet(s"$idx/shingles").count(),
+      spark.read.parquet(s"$idx/buckets").count(),
+      spark.read.parquet(s"$idx/drop_stats").count(),
+      spark.read.parquet(s"$idx/drop_stats")
+        .agg(sum(col("n_dropped_doc_slots"))).first().getLong(0))
+    def probeHits() = Dedup.minhashNearDupsAgainstIndex(
+        Seq(20L -> (base + " extra")).toDF("doc_id", "text"), "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = state()
+    val hitsBefore = probeHits()
+    hitsBefore shouldBe Set((20L, 10L))
+    // the at-least-once retry: SAME batch, SAME id → a replace, not a
+    // second copy — index row counts, drop accounting, and probe
+    // results are all unchanged
+    Dedup.appendToMinhashIndex(batch, "doc_id", "text", idx, batchId = Some(7L))
+    state() shouldBe before
+    probeHits() shouldBe hitsBefore
+  }
+
+  test("replayed batch does not self-match: re-probing after its own append drops nothing") {
+    import spark.implicits._
+    val idx = graft.TempDirs.path("minhash-index/replay")
+    Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch = Seq(10L -> base).toDF("doc_id", "text")
+    Dedup.minhashNearDupsAgainstIndex(batch, "doc_id", "text", idx).count() shouldBe 0L
+    Dedup.appendToMinhashIndex(batch, "doc_id", "text", idx, batchId = Some(0L))
+    // the crash-between-append-and-sink replay: the batch's own indexed
+    // copy (same id) must read as a RETRY, not as a jaccard-1.0 dup
+    // that silently drops the whole redelivered batch
+    Dedup.minhashNearDupsAgainstIndex(batch, "doc_id", "text", idx).count() shouldBe 0L
+    // a genuinely different doc with near-identical content still hits
+    Dedup.minhashNearDupsAgainstIndex(
+        Seq(99L -> base).toDF("doc_id", "text"), "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((99L, 10L))
+  }
+
+  test("appendToEmbeddingIndex: appended vectors are probe-visible; batchId retry idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = graft.queries.PlantedFixtures.embs(spark)
+    val dim = graft.queries.PlantedFixtures.EmbFixtureDim
+    val idx = graft.TempDirs.path("embedding-index/append")
+    // corpus: everything except vectors 1 and 2 (the scalar multiples of 0)
+    Dedup.buildEmbeddingIndex(all.filter(!col("vec_id").isin(1L, 2L)),
+      "vec_id", "embedding", dim, idx, bits = 4, tables = 12)
+    val batch = all.filter(col("vec_id") === 1L)
+    Dedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dim, idx,
+      bits = 4, tables = 12, batchId = Some(3L))
+    def state() = (
+      spark.read.parquet(s"$idx/vectors").count(),
+      spark.read.parquet(s"$idx/buckets").count())
+    def probe() = Dedup.embeddingNearDupsAgainstIndex(
+        all.filter(col("vec_id") === 2L), "vec_id", "embedding", dim, idx,
+        threshold = 0.95, bits = 4, tables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = state()
+    // vector 2 (cos 1.0 with both 0 and 1) must see the APPENDED vector
+    // 1, not just the original build's vector 0
+    probe() shouldBe Set((2L, 0L), (2L, 1L))
+    Dedup.appendToEmbeddingIndex(batch, "vec_id", "embedding", dim, idx,
+      bits = 4, tables = 12, batchId = Some(3L))
+    state() shouldBe before
+    probe() shouldBe Set((2L, 0L), (2L, 1L))
+  }
+
+  test("interrupted in-place rebuild fails the probe loudly (marker cleared first)") {
+    import spark.implicits._
+    val idx = graft.TempDirs.path("minhash-index/rebuild-crash")
+    val docs = Seq(1L -> base).toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", idx)
+    // simulate a compaction rebuild crashing after the marker clear but
+    // before completion: buildMinhashIndex deletes params/ FIRST, so at
+    // every point before the final marker re-write the index reads as
+    // not-committed instead of mixed old/new. Reproduce that state by
+    // removing the marker the same way the rebuild's first step does.
+    val markerDir = new java.io.File(s"$idx/params")
+    markerDir.listFiles().foreach(_.delete())
+    markerDir.delete() shouldBe true
+    val ex = intercept[IllegalStateException] {
+      Dedup.minhashNearDupsAgainstIndex(docs, "doc_id", "text", idx)
+    }
+    ex.getMessage should include("no readable params/")
   }
 
   test("null-text docs drop from MinHash banding instead of colliding in one bucket") {

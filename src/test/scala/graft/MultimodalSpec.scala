@@ -62,6 +62,31 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.makePng(16, 20, 0L).toSeq shouldBe Multimodal.makePng(16, 20, 0L).toSeq
   }
 
+  test("real WAV decode: javax.sound.sampled returns the true planted audio params") {
+    // kernel round-trip: header fields come off the REAL container, and
+    // duration is exact integer math over them
+    val wav = Multimodal.makeWav(8000, 1200, seed = 1L)
+    Multimodal.looksLikeWav(wav) shouldBe true
+    Multimodal.decodeWav(wav) shouldBe Some((8000, 1, 1200L))
+    // determinism (same bytes for same seed — the makePng contract)
+    Multimodal.makeWav(8000, 1200, 1L).toSeq shouldBe Multimodal.makeWav(8000, 1200, 1L).toSeq
+    // full stage over the planted fixture: audio ids 1/4/7 at the
+    // (rate, frames) ladder → exact durations 150/40/20 ms
+    val metas = Multimodal.decodeAudio(Multimodal.syntheticMediaWithAv(
+        graft.queries.PlantedFixtures.mediaDocs(spark), "doc_id", "text"))
+      .collect().sortBy(_.media_id)
+    metas.map(m => (m.media_id, m.sample_rate, m.channels, m.n_frames, m.duration_ms))
+      .toSeq shouldBe Seq(
+        (1L, 8000, 1, 1200L, 150L),
+        (4L, 11025, 1, 441L, 40L),
+        (7L, 16000, 1, 320L, 20L))
+    // non-WAV audio payloads degrade to the documented stub
+    val stub = Multimodal.decodeAudio(Multimodal.syntheticMedia(
+        graft.queries.PlantedFixtures.mediaDocs(spark), "doc_id", "text"))
+      .collect().sortBy(_.media_id)
+    stub.foreach { m => m.sample_rate shouldBe 16000; m.channels shouldBe 1 }
+  }
+
   test("payload never shuffles: decode is a narrow map, downstream carries metadata only") {
     val decoded = Multimodal.decode(media).toDF()
     // decode's output schema is pure metadata — the binary payload is

@@ -285,14 +285,17 @@ class OsmSourceSpec extends SparkSpec {
         |  "name": "La Cabana De Don Luis"
         |}""".stripMargin
     // ensure_ascii parity: python's json.dumps default escapes every
-    // non-ASCII char as \uXXXX, and \b/\f use their short escapes
+    // non-ASCII char as \uXXXX, and \b/\f use their short escapes —
+    // while ASCII DEL (0x7f) stays LITERAL (python only escapes
+    // c < 0x20 and c > 0x7f)
     val el2 = el.copy(tags = Map("alt_name" -> "Straße Café",
-      "odd" -> "a\bb\fc"))
+      "odd" -> "a\bb\fc", "del" -> "x\u007fy"))
     OsmSource.writeJsonLines(Seq(el2).toDS(), s"$out/pretty2", pretty = true)
     val t2 = spark.read.text(s"$out/pretty2").collect().map(_.getString(0))
       .mkString("\n")
     t2 should include("\"alt_name\": \"Stra\\u00dfe Caf\\u00e9\"")
     t2 should include("\"odd\": \"a\\bb\\fc\"")
+    t2 should include("\"del\": \"x\u007fy\"")
     // and the compact default still reads back as one object
     OsmSource.writeJsonLines(ds, s"$out/compact")
     spark.read.json(s"$out/compact").count() shouldBe 1

@@ -90,7 +90,7 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.operators.Ann
     val embs = Tables(spark, sf, "embeddings")
-    val idx = "/tmp/graft-ann-index/planaudit"
+    val idx = graft.TempDirs.path("ann-index/planaudit")
     Ann.buildIvfIndex(embs, "vec_id", "embedding", 64, nCells = 8, outPath = idx)
     val qv = embs.filter(col("vec_id") === 0).select(col("embedding"))
       .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq

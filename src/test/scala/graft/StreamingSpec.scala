@@ -236,7 +236,7 @@ class StreamingSpec extends SparkSpec {
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
-    val idx = "/tmp/graft-minhash-index/streaming"
+    val idx = graft.TempDirs.path("minhash-index/streaming")
     val base = "the quick brown fox jumps over the lazy dog tonight again and again"
     graft.operators.Dedup.buildMinhashIndex(
       Seq(1L -> "unrelated corpus seed document with entirely distinct words")
@@ -257,6 +257,63 @@ class StreamingSpec extends SparkSpec {
       in.addData((20L, base + " extra"), (30L, "a different novel document"))
       q.processAllAvailable()
       sunk.sorted.toSeq shouldBe Seq(10L, 30L)
+    } finally q.stop()
+  }
+
+  test("streaming corpus dedup: two near-dup docs in ONE micro-batch collapse to the min id") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val idx = graft.TempDirs.path("minhash-index/streaming-inbatch")
+    val base = "the quick brown fox jumps over the lazy dog tonight again and again"
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndex(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx) { survivors =>
+      sunk ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    try {
+      // docs 10 and 11 are near-dups of EACH OTHER (neither matches the
+      // corpus yet): exactly the min id survives to the sink — the
+      // batch-internal pass the r6 loop documented as a pass-through
+      in.addData((11L, base + " extra"), (10L, base))
+      q.processAllAvailable()
+      sunk.sorted.toSeq shouldBe Seq(10L)
+      // and only the survivor entered the index: the next batch's
+      // near-dup matches doc 10, and a novel doc passes
+      in.addData((20L, base + " more"), (30L, "a different novel document"))
+      q.processAllAvailable()
+      sunk.sorted.toSeq shouldBe Seq(10L, 30L)
+    } finally q.stop()
+  }
+
+  test("streaming corpus dedup follows the index's stored (non-default) knobs") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // index built with NON-default key knobs: the stream must read them
+    // from params/ and keep working (r6 hardcoded the defaults and
+    // failed requireIndexParams on any tuned index)
+    val idx = graft.TempDirs.path("minhash-index/streaming-tuned")
+    val base = "the quick brown fox jumps over the lazy dog tonight again and again"
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> base).toDF("doc_id", "text"), "doc_id", "text", idx,
+      shingleK = 2, numHashes = 32, bands = 8)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndex(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx) { survivors =>
+      sunk ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    try {
+      in.addData((10L, base + " extra"), (20L, "novel content with its own words"))
+      q.processAllAvailable()
+      sunk.sorted.toSeq shouldBe Seq(20L) // 10 deduped against the tuned index
     } finally q.stop()
   }
 
