@@ -2,6 +2,7 @@ package graft
 
 import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
 import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every SparkEntry query PLUS the bench-only
   * sf-scale pipelines (ScaleWorkloads, `sx*` keys — the LSH/ANN/
@@ -32,12 +33,56 @@ import scala.concurrent.duration._
   * 0.40 s on the same commit the judge measured at 2.38 s). Min-of-N
   * reports the plan's actual cost; rep-1 values still bound warmup in
   * the stderr log.
+  *
+  * EVIDENCE (r7/r8 lesson): two consecutive rounds recorded 20-100×
+  * "regressions" on byte-identical code that no isolated rerun could
+  * reproduce — and the JSON held nothing to adjudicate them. Every
+  * query entry now carries its raw per-rep time array plus the
+  * process/JVM state around the measurement (GC-time delta, JIT
+  * compilation-time delta, persisted-storage footprint, /proc/loadavg,
+  * wall-clock offset), under `"evidence"`. Between queries the cache is
+  * cleared and orphaned persisted/localCheckpoint blocks are released,
+  * so query N's cost cannot depend on what 1..N-1 left in storage. The
+  * full JSON line is ALSO written to `target/bench.json` — the driver
+  * keeps only the tail of stdout, which loses half the query map
+  * (BENCH_r07/r08 `parsed: null`).
   */
 object Bench {
   val PerQueryBudget: FiniteDuration =
     sys.env.get("SPARK_GRAFT_QUERY_BUDGET_S").map(_.toInt.seconds).getOrElse(90.seconds)
   val Reps: Int =
     sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors. */
+  private def gcMillis(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+
+  /** Cumulative JIT compilation milliseconds (codegen storms — the
+    * prime phantom-regression suspect — show up here). */
+  private def jitMillis(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
+  }
+
+  /** 1-minute load average from /proc/loadavg (machine-level CPU
+    * contention — a co-scheduled process slows every task without any
+    * code regression). -1 when unreadable. */
+  private def loadAvg1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** One evidence record per query, rendered straight to JSON. */
+  private final case class Evidence(reps: Seq[Double], gcMs: Long, jitMs: Long,
+                                    rddBlocksBefore: Int, storageMbBefore: Long,
+                                    load1: Double, tOffsetS: Double) {
+    def json: String =
+      s"""{"reps":[${reps.map(t => f"$t%.4f").mkString(",")}],""" +
+        s""""gc_ms":$gcMs,"jit_ms":$jitMs,"rdds_cached":$rddBlocksBefore,""" +
+        s""""storage_mb":$storageMbBefore,"load1":$load1,""" +
+        f""""t_offset_s":$tOffsetS%.1f}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,6 +117,24 @@ object Bench {
 
     // Optional name filter (dev loop): SPARK_GRAFT_BENCH_ONLY=dd3,dd5
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val runStartNanos = System.nanoTime()
+
+    // Reset cross-query Spark state so query N's measurement cannot
+    // depend on what 1..N-1 left behind: drop every cached table and
+    // every still-persisted RDD (orphaned scope caches, spent
+    // localCheckpoint blocks — checkpointed results of PREVIOUS reps
+    // are unreferenced by now, and each rep rebuilds its DataFrame from
+    // `fn`, so nothing recomputes from a truncated lineage), then nudge
+    // a GC so the ContextCleaner's weak-ref queue actually drains
+    // (broadcast blocks and checkpoint files clean on GC, not on
+    // unpersist).
+    def clearSparkState(): Unit = {
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
+    val evidence = scala.collection.mutable.LinkedHashMap.empty[String, Evidence]
     val results = (SparkEntry.queries ++ graft.queries.ScaleWorkloads.defs)
       .toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
@@ -84,6 +147,7 @@ object Bench {
       def oneRep(rep: Int): Double = {
         spark.conf.set("spark.sql.shuffle.partitions", canonicalParts)
         spark.conf.set("spark.sql.adaptive.enabled", canonicalAqe)
+        clearSparkState() // every rep starts from empty storage
         val t0 = System.nanoTime()
         def elapsed: Double = (System.nanoTime() - t0) / 1e9
         val fut = Future {
@@ -116,12 +180,20 @@ object Bench {
       }
       // min over reps; a failing/timing-out rep short-circuits the
       // rest (a deterministic failure shouldn't cost reps × budget)
+      val gc0 = gcMillis(); val jit0 = jitMillis()
+      val storage0 = sc.getRDDStorageInfo
+      val tOffset = (System.nanoTime() - runStartNanos) / 1e9
+      val load0 = loadAvg1()
       val repTimes = scala.collection.mutable.ListBuffer.empty[Double]
       var rep = 0
       while (rep < Reps && (repTimes.isEmpty || repTimes.last >= 0)) {
         repTimes += oneRep(rep)
         rep += 1
       }
+      evidence(name) = Evidence(repTimes.toSeq,
+        gcMillis() - gc0, if (jit0 < 0) -1 else jitMillis() - jit0,
+        storage0.length, storage0.map(i => i.memSize + i.diskSize).sum >> 20,
+        load0, tOffset)
       val v = if (repTimes.exists(_ < 0)) repTimes.filter(_ < 0).head
               else repTimes.min
       if (v >= 0)
@@ -158,7 +230,23 @@ object Bench {
     }
     val gs = gauges.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gauges":$gs,"n_failed":$nFailed,"reps":$Reps,"sf":"$sfDir"}""")
+    val ev = evidence.map { case (k, e) => "\"" + k + "\":" + e.json }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gauges":$gs,""" +
+        s""""evidence":$ev,"n_failed":$nFailed,"reps":$Reps,"sf":"$sfDir"}"""
+    // file copy FIRST: the driver truncates stdout to its tail
+    // (BENCH_r07/r08 kept `parsed: null` + half the query map), so the
+    // repo-side record must not depend on the pipe
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+      System.err.println(s"[bench] full JSON written to ${out.toAbsolutePath}")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
+    println(line)
     spark.stop()
   }
 }
