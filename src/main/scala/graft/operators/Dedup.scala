@@ -860,6 +860,99 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Hadoop-FS delete + rename for the compaction swap. */
+  private def fsFor(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** COMPACT a batch-partitioned index in place: fold the build + all
+    * append partitions back into ONE fresh batch (-1), re-applying the
+    * GLOBAL `maxBucket` cap that appends could only enforce within
+    * their own batch, and resetting `drop_stats/` to exact. The input
+    * is the index's OWN `<dataTable>/` rows — at 100 TB nobody re-reads
+    * the corpus to compact an index; the stored shingles/vectors are
+    * the materialized intermediates precisely so maintenance never
+    * touches corpus text again.
+    *
+    * Crash discipline: the compacted tables are staged under
+    * `_compact_tmp/` while the live tables (and the commit marker) are
+    * still intact; only then is the marker dropped, the live tables
+    * swapped for the staged ones (cheap FS renames), and the marker
+    * rewritten. A crash before the marker drop leaves the old index
+    * fully live; a crash inside the swap window leaves a marker-less
+    * index that [[requireIndexParams]] rejects loudly — rerun the
+    * compaction to repair. Probes must pause for the swap window, same
+    * as an in-place rebuild.
+    *
+    * `dataTable`/`rebuild` parameterize the two index layouts: minhash
+    * (shingles/) and embedding (vectors/). */
+  private def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                           dataTable: String,
+                           rebuild: (DataFrame, String) => Unit): Unit = {
+    val fs = fsFor(spark, path)
+    val tmp = s"$path/_compact_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // one row per doc: a doc re-appended under several auto batch ids
+    // (legacy no-batchId retries) folds to one copy — compaction IS the
+    // reconciliation point for that documented accumulate semantics
+    val rows = spark.read.parquet(s"$path/$dataTable")
+      .select(col("doc"), col(if (dataTable == "shingles") "sh" else "vec"))
+      .dropDuplicates("doc")
+    rebuild(rows, tmp) // stage the fresh build; live tables untouched
+    clearIndexCommitMarker(spark, path) // probes now fail loudly
+    Seq(dataTable, "buckets", "drop_stats").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
+        new org.apache.hadoop.fs.Path(s"$path/$t"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Compact a [[buildMinhashIndex]] index in place from its own
+    * `shingles/` table — build + N appends become one batch, global
+    * `maxBucket` re-applied, probe results identical to a fresh build
+    * over the same docs (pinned in DedupSpec). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val p = readIndexParams(spark, path)
+    val (k, nh, bands) = (p("shingle_k").toInt, p("num_hashes").toInt, p("bands").toInt)
+    val cap = p.getOrElse("max_bucket", 1000L).toInt
+    compactIndex(spark, path, "shingles", (sh, tmp) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val shP = sh.persist(lvl)
+      try {
+        val buckets = minhashBuckets(
+          shP.select(col("doc").as("sid"), col("sh")), nh, bands).persist(lvl)
+        try writeMinhashIndexTables(shP, buckets, tmp, cap, batch = None)
+        finally buckets.unpersist(blocking = false)
+      } finally shP.unpersist(blocking = false)
+    })
+    // marker LAST — the index is live again
+    writeIndexParams(spark, path, "shingle_k" -> k, "num_hashes" -> nh,
+      "bands" -> bands, "max_bucket" -> cap)
+  }
+
+  /** Compact a [[buildEmbeddingIndex]] index in place from its own
+    * `vectors/` table — the embedding twin of [[compactMinhashIndex]]. */
+  def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val p = readIndexParams(spark, path)
+    val (bits, tables, dim) = (p("bits").toInt, p("tables").toInt, p("dim").toInt)
+    val cap = p.getOrElse("max_bucket", 1000L).toInt
+    compactIndex(spark, path, "vectors", (dv, tmp) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val dvP = dv.persist(lvl)
+      try {
+        val buckets = embeddingIndexBuckets(dvP, bits, dim, tables).persist(lvl)
+        try writeEmbeddingIndexTables(dvP, buckets, tmp, cap, batch = None)
+        finally buckets.unpersist(blocking = false)
+      } finally dvP.unpersist(blocking = false)
+    })
+    writeIndexParams(spark, path, "bits" -> bits, "tables" -> tables,
+      "dim" -> dim, "max_bucket" -> cap)
+  }
+
   /** Near-dups of an INCOMING batch against a [[buildMinhashIndex]]
     * corpus — cross pairs only (batch-internal dups are
     * [[minhashNearDups]]' job). The ingest-time dedup discipline at
@@ -881,10 +974,41 @@ object Dedup {
   def minhashNearDupsAgainstIndex(incoming: DataFrame, idCol: String,
                                   textCol: String, indexPath: String,
                                   threshold: Double = 0.7, shingleK: Int = 3,
-                                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                                  numHashes: Int = 64, bands: Int = 16,
+                                  maxBucket: Option[Int] = None): DataFrame =
+    minhashNearDupsAgainstIndexWithStats(incoming, idCol, textCol, indexPath,
+      threshold, shingleK, numHashes, bands, maxBucket).pairs
+
+  /** A probe's output pair table plus its GROWN-bucket drop accounting
+    * (one row: n_skipped_buckets, n_docs_in_skipped_buckets,
+    * max_bucket) — both eagerly materialized. */
+  final case class IndexProbeResult(pairs: DataFrame, probeDropStats: DataFrame)
+
+  /** [[minhashNearDupsAgainstIndex]] with the probe-side cap's drop
+    * accounting returned alongside the pairs.
+    *
+    * PROBE-SIDE maxBucket enforcement (the append-path completion of
+    * the build-time cap): each append caps buckets only WITHIN its own
+    * batch partition, so a hot (band, bh) key can grow past the cap
+    * across many small appends — and an uncapped probe of that key is
+    * exactly the quadratic blowup the cap exists to prevent, reachable
+    * in the steady-state ingest loop long before a compaction rebuild.
+    * The probe therefore sizes the buckets it is about to read
+    * ACROSS batch partitions — restricted to the incoming batch's own
+    * (band, bh) keys, a broadcast-pruned keyed count, never a full
+    * index pass — and skips over-cap keys, reporting what it skipped
+    * instead of silently degrading (the write-side `drop_stats/`
+    * convention). `maxBucket` defaults to the index's stored
+    * `max_bucket` build knob. */
+  def minhashNearDupsAgainstIndexWithStats(
+      incoming: DataFrame, idCol: String, textCol: String, indexPath: String,
+      threshold: Double = 0.7, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Option[Int] = None): IndexProbeResult = {
     val spark = incoming.sparkSession
     requireIndexParams(spark, indexPath, "shingle_k" -> shingleK,
       "num_hashes" -> numHashes, "bands" -> bands)
+    val cap = maxBucket.getOrElse(
+      readIndexParams(spark, indexPath).getOrElse("max_bucket", 1000L).toInt)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val inSh = incoming
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
@@ -892,21 +1016,43 @@ object Dedup {
     try {
       val inBands = bandedDocRows(inSh, numHashes, bands)
         .select(col("doc").as("in_doc"), col("band"), col("bh"))
-      val cands = broadcast(inBands)
-        .join(spark.read.parquet(s"$indexPath/buckets"), Seq("band", "bh"))
-        .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
-        .select(col("in_doc"), col("doc")).distinct()
-      broadcast(cands)
-        .join(spark.read.parquet(s"$indexPath/shingles"), "doc")
-        .join(inSh.select(col("doc").as("in_doc"), col("sh").as("in_sh")), "in_doc")
-        .withColumn("jaccard", jaccard(col("in_sh"), col("sh")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("in_doc"), col("doc").as("corpus_doc"),
-          round(col("jaccard"), 4).as("jaccard"))
-        // duplicate index rows (partial-append retry) must not produce
-        // duplicate output pairs; exchange is tiny (survivors only)
-        .dropDuplicates("in_doc", "corpus_doc")
-        .localCheckpoint(true)
+        .persist(lvl) // sizing pass + candidate probe both read it
+      try {
+        // grown-bucket guard: size ONLY the probed keys, summing the
+        // per-batch partition directories the appends wrote. The
+        // broadcast semi-join prunes the scan to probed keys; only
+        // (key, count) rows aggregate.
+        val probed = inBands.select(col("band"), col("bh")).distinct()
+        val grown = spark.read.parquet(s"$indexPath/buckets")
+          .join(broadcast(probed), Seq("band", "bh"), "left_semi")
+          .groupBy(col("band"), col("bh"))
+          .agg(countDistinct(col("doc")).as("_bsz"))
+          .filter(col("_bsz") > cap)
+          .localCheckpoint(true) // tiny: over-cap keys only
+        val probeDropStats = grown
+          .agg(count(lit(1)).as("n_skipped_buckets"),
+            coalesce(sum(col("_bsz")), lit(0L)).as("n_docs_in_skipped_buckets"),
+            lit(cap.toLong).as("max_bucket"))
+          .localCheckpoint(true)
+        val inOk = inBands.join(grown.select(col("band"), col("bh")),
+          Seq("band", "bh"), "left_anti")
+        val cands = broadcast(inOk)
+          .join(spark.read.parquet(s"$indexPath/buckets"), Seq("band", "bh"))
+          .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
+          .select(col("in_doc"), col("doc")).distinct()
+        val pairs = broadcast(cands)
+          .join(spark.read.parquet(s"$indexPath/shingles"), "doc")
+          .join(inSh.select(col("doc").as("in_doc"), col("sh").as("in_sh")), "in_doc")
+          .withColumn("jaccard", jaccard(col("in_sh"), col("sh")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("in_doc"), col("doc").as("corpus_doc"),
+            round(col("jaccard"), 4).as("jaccard"))
+          // duplicate index rows (partial-append retry) must not produce
+          // duplicate output pairs; exchange is tiny (survivors only)
+          .dropDuplicates("in_doc", "corpus_doc")
+          .localCheckpoint(true)
+        IndexProbeResult(pairs, probeDropStats)
+      } finally inBands.unpersist(blocking = false)
     } finally inSh.unpersist(blocking = false)
   }
 
@@ -1162,7 +1308,7 @@ object Dedup {
         writeEmbeddingIndexTables(dv, buckets, path, maxBucket, batch = None)
         // params LAST: the commit marker
         writeIndexParams(embs.sparkSession, path, "bits" -> bits,
-          "tables" -> tables, "dim" -> dim)
+          "tables" -> tables, "dim" -> dim, "max_bucket" -> maxBucket)
       } finally buckets.unpersist(blocking = false)
     } finally dv.unpersist(blocking = false)
   }
@@ -1207,10 +1353,26 @@ object Dedup {
   def embeddingNearDupsAgainstIndex(incoming: DataFrame, idCol: String,
                                     vecCol: String, dim: Int, indexPath: String,
                                     threshold: Double = 0.99, bits: Int = 12,
-                                    tables: Int = 4): DataFrame = {
+                                    tables: Int = 4,
+                                    maxBucket: Option[Int] = None): DataFrame =
+    embeddingNearDupsAgainstIndexWithStats(incoming, idCol, vecCol, dim,
+      indexPath, threshold, bits, tables, maxBucket).pairs
+
+  /** [[embeddingNearDupsAgainstIndex]] with grown-bucket drop
+    * accounting — the embedding twin of
+    * [[minhashNearDupsAgainstIndexWithStats]], keyed (t, sig): probed
+    * buckets are sized across batch partitions, over-cap keys skipped
+    * and reported. `maxBucket` defaults to the stored build knob
+    * (indexes built before the knob was stored fall back to 1000). */
+  def embeddingNearDupsAgainstIndexWithStats(
+      incoming: DataFrame, idCol: String, vecCol: String, dim: Int,
+      indexPath: String, threshold: Double = 0.99, bits: Int = 12,
+      tables: Int = 4, maxBucket: Option[Int] = None): IndexProbeResult = {
     val spark = incoming.sparkSession
     requireIndexParams(spark, indexPath, "bits" -> bits, "tables" -> tables,
       "dim" -> dim)
+    val cap = maxBucket.getOrElse(
+      readIndexParams(spark, indexPath).getOrElse("max_bucket", 1000L).toInt)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the batch: the signature probe and the verify join both
     // read it, and a re-evaluated non-deterministic source could
@@ -1222,20 +1384,40 @@ object Dedup {
         .select(col("in_doc"),
           explode(array(hyperplaneSigCols(col("in_vec"), bits, dim, tables): _*)).as("ts"))
         .select(col("in_doc"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-      val cands = broadcast(inSig)
-        .join(spark.read.parquet(s"$indexPath/buckets"), Seq("t", "sig"))
-        .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
-        .select(col("in_doc"), col("doc")).distinct()
-      broadcast(cands)
-        .join(spark.read.parquet(s"$indexPath/vectors"), "doc")
-        .join(inVec, "in_doc")
-        .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
-        .filter(col("cosine") >= threshold)
-        .select(col("in_doc"), col("doc").as("corpus_doc"),
-          round(col("cosine"), 4).as("cosine"))
-        // duplicate index rows must not produce duplicate output pairs
-        .dropDuplicates("in_doc", "corpus_doc")
-        .localCheckpoint(true)
+        .persist(lvl) // sizing pass + candidate probe both read it
+      try {
+        // grown-bucket guard across batch partitions (see the minhash
+        // twin's scaladoc): probed keys only, counts only, skip + report
+        val probed = inSig.select(col("t"), col("sig")).distinct()
+        val grown = spark.read.parquet(s"$indexPath/buckets")
+          .join(broadcast(probed), Seq("t", "sig"), "left_semi")
+          .groupBy(col("t"), col("sig"))
+          .agg(countDistinct(col("doc")).as("_bsz"))
+          .filter(col("_bsz") > cap)
+          .localCheckpoint(true) // tiny: over-cap keys only
+        val probeDropStats = grown
+          .agg(count(lit(1)).as("n_skipped_buckets"),
+            coalesce(sum(col("_bsz")), lit(0L)).as("n_docs_in_skipped_buckets"),
+            lit(cap.toLong).as("max_bucket"))
+          .localCheckpoint(true)
+        val inOk = inSig.join(grown.select(col("t"), col("sig")),
+          Seq("t", "sig"), "left_anti")
+        val cands = broadcast(inOk)
+          .join(spark.read.parquet(s"$indexPath/buckets"), Seq("t", "sig"))
+          .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
+          .select(col("in_doc"), col("doc")).distinct()
+        val pairs = broadcast(cands)
+          .join(spark.read.parquet(s"$indexPath/vectors"), "doc")
+          .join(inVec, "in_doc")
+          .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
+          .filter(col("cosine") >= threshold)
+          .select(col("in_doc"), col("doc").as("corpus_doc"),
+            round(col("cosine"), 4).as("cosine"))
+          // duplicate index rows must not produce duplicate output pairs
+          .dropDuplicates("in_doc", "corpus_doc")
+          .localCheckpoint(true)
+        IndexProbeResult(pairs, probeDropStats)
+      } finally inSig.unpersist(blocking = false)
     } finally inVec.unpersist(blocking = false)
   }
 }

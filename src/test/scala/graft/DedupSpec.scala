@@ -462,6 +462,148 @@ class DedupSpec extends SparkSpec {
     probe() shouldBe Set((2L, 0L), (2L, 1L))
   }
 
+  test("probe skips buckets grown over the cap by appends and reports them") {
+    import spark.implicits._
+    val idx = graft.TempDirs.path("minhash-index/grown-bucket")
+    // build with a TINY cap (2); corpus = one unrelated seed doc
+    Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx, maxBucket = 2)
+    // three appends of identical-text docs: each batch is under the cap
+    // on its own (1 doc), but the shared (band, bh) buckets accumulate
+    // 3 docs ACROSS batch partitions — past the cap no single append
+    // could see
+    Seq(10L, 11L, 12L).zipWithIndex.foreach { case (id, b) =>
+      Dedup.appendToMinhashIndex(Seq(id -> base).toDF("doc_id", "text"),
+        "doc_id", "text", idx, maxBucket = 2, batchId = Some(b.toLong))
+    }
+    // probe: doc 99 lands in the grown buckets (skipped — no pairs,
+    // reported); doc 98 near-dups the seed through healthy size-1
+    // buckets (the skip is per-key, not per-probe)
+    val probe = Dedup.minhashNearDupsAgainstIndexWithStats(
+      Seq(99L -> base,
+        98L -> "unrelated corpus seed document with entirely distinct words extra")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    probe.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((98L, 1L))
+    val stats = probe.probeDropStats.collect()(0)
+    // identical text → identical signature → one grown bucket per band
+    stats.getLong(0) shouldBe 16L // n_skipped_buckets (bands = 16)
+    stats.getLong(1) shouldBe 48L // n_docs_in_skipped_buckets (3 docs × 16)
+    stats.getLong(2) shouldBe 2L  // max_bucket (read from stored params)
+    // raising the cap at probe time un-skips them: the same probe finds
+    // all three accumulated dups (proves the skip was the cap, not loss)
+    Dedup.minhashNearDupsAgainstIndex(
+        Seq(99L -> base).toDF("doc_id", "text"), "doc_id", "text", idx,
+        maxBucket = Some(10))
+      .collect().map(_.getLong(1)).toSet shouldBe Set(10L, 11L, 12L)
+  }
+
+  test("embedding probe skips buckets grown over the cap across appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = graft.queries.PlantedFixtures.embs(spark)
+    val dim = graft.queries.PlantedFixtures.EmbFixtureDim
+    val idx = graft.TempDirs.path("embedding-index/grown-bucket")
+    // corpus: everything except 0's scalar multiples (1, 2); cap = 1
+    Dedup.buildEmbeddingIndex(all.filter(!col("vec_id").isin(1L, 2L)),
+      "vec_id", "embedding", dim, idx, bits = 4, tables = 12, maxBucket = 1)
+    // two appends: vectors 1 and 2 are colinear with 0, so 0's buckets
+    // grow to 3 distinct docs — over the cap — across batch partitions
+    Seq(1L, 2L).zipWithIndex.foreach { case (id, b) =>
+      Dedup.appendToEmbeddingIndex(all.filter(col("vec_id") === id),
+        "vec_id", "embedding", dim, idx, bits = 4, tables = 12,
+        maxBucket = 1, batchId = Some(b.toLong))
+    }
+    // vector 0's own direction now probes only grown buckets → skipped
+    val probe = Dedup.embeddingNearDupsAgainstIndexWithStats(
+      all.filter(col("vec_id") === 0L), "vec_id", "embedding", dim, idx,
+      threshold = 0.95, bits = 4, tables = 12)
+    probe.pairs.count() shouldBe 0L
+    val stats = probe.probeDropStats.collect()(0)
+    stats.getLong(0) should be > 0L  // buckets skipped
+    stats.getLong(2) shouldBe 1L     // cap from stored params
+    // with the cap raised, the colinear vectors are found again
+    Dedup.embeddingNearDupsAgainstIndex(
+        all.filter(col("vec_id") === 0L), "vec_id", "embedding", dim, idx,
+        threshold = 0.95, bits = 4, tables = 12, maxBucket = Some(10))
+      .collect().map(_.getLong(1)).toSet shouldBe Set(1L, 2L)
+  }
+
+  test("compactMinhashIndex: build + appends + compact ≡ one fresh build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = graft.queries.PlantedFixtures.docs(spark)
+    val corpus = all.filter(col("doc_id") <= 4)
+    val batches = Seq(
+      all.filter(col("doc_id").between(5, 8)),
+      all.filter(col("doc_id").between(100, 105)),
+      all.filter(col("doc_id") >= 106))
+    val grown = graft.TempDirs.path("minhash-index/compact-grown")
+    val fresh = graft.TempDirs.path("minhash-index/compact-fresh")
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", grown)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Dedup.appendToMinhashIndex(b, "doc_id", "text", grown, batchId = Some(i.toLong))
+    }
+    Dedup.buildMinhashIndex(all, "doc_id", "text", fresh)
+    Dedup.compactMinhashIndex(spark, grown)
+    // one batch partition per table (the fresh-build layout, batch -1)
+    Seq("shingles", "buckets", "drop_stats").foreach { t =>
+      spark.read.parquet(s"$grown/$t")
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq shouldBe Seq(-1L)
+    }
+    // identical probe output to the fresh build over the same docs —
+    // the probe text is planted doc 1's, so it near-dups the a1/a2/a3
+    // cluster (a non-trivial hit set on both indexes)
+    val a1Text = all.filter(col("doc_id") === 1L).select("text")
+      .collect()(0).getString(0)
+    val probeDocs = Seq(99L -> a1Text, 98L -> "novel words matching nothing")
+      .toDF("doc_id", "text")
+    def hits(idx: String) = Dedup.minhashNearDupsAgainstIndex(
+        probeDocs, "doc_id", "text", idx, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    hits(grown) shouldBe hits(fresh)
+    // bucket CONTENT matches the fresh build exactly (not just probes)
+    def buckets(idx: String) = spark.read.parquet(s"$idx/buckets")
+      .select("band", "bh", "doc").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    buckets(grown) shouldBe buckets(fresh)
+  }
+
+  test("compactEmbeddingIndex: build + appends + compact ≡ one fresh build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = graft.queries.PlantedFixtures.embs(spark)
+    val dim = graft.queries.PlantedFixtures.EmbFixtureDim
+    val grown = graft.TempDirs.path("embedding-index/compact-grown")
+    val fresh = graft.TempDirs.path("embedding-index/compact-fresh")
+    Dedup.buildEmbeddingIndex(all.filter(col("vec_id") < 4), "vec_id",
+      "embedding", dim, grown, bits = 4, tables = 12)
+    Seq(all.filter(col("vec_id").between(4, 6)), all.filter(col("vec_id") > 6))
+      .zipWithIndex.foreach { case (b, i) =>
+        Dedup.appendToEmbeddingIndex(b, "vec_id", "embedding", dim, grown,
+          bits = 4, tables = 12, batchId = Some(i.toLong))
+      }
+    Dedup.buildEmbeddingIndex(all, "vec_id", "embedding", dim, fresh,
+      bits = 4, tables = 12)
+    Dedup.compactEmbeddingIndex(spark, grown)
+    Seq("vectors", "buckets", "drop_stats").foreach { t =>
+      spark.read.parquet(s"$grown/$t")
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq shouldBe Seq(-1L)
+    }
+    def buckets(idx: String) = spark.read.parquet(s"$idx/buckets")
+      .select("t", "sig", "doc").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    buckets(grown) shouldBe buckets(fresh)
+    def probe(idx: String) = Dedup.embeddingNearDupsAgainstIndex(
+        all.filter(col("vec_id") === 0L), "vec_id", "embedding", dim, idx,
+        threshold = 0.95, bits = 4, tables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    probe(grown) shouldBe probe(fresh)
+  }
+
   test("interrupted in-place rebuild fails the probe loudly (marker cleared first)") {
     import spark.implicits._
     val idx = graft.TempDirs.path("minhash-index/rebuild-crash")
