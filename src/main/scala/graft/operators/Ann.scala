@@ -41,19 +41,33 @@ object Ann {
     * at `tables`× the candidate cost). Size `bits` to the corpus:
     * 2^bits ≈ n / target-bucket-size (≈80), so a 5k-vector table wants
     * ~6 bits while 1B vectors want ~24 — recall comes from `tables`,
-    * candidate volume stays bounded. The per-round bench gauge
-    * (`lsh_recall_at_10` in BENCH json) measures the multi-table
-    * default against brute force at sf scale; AnnSpec pins the fixture.
+    * candidate volume stays bounded.
+    *
+    * AUTO-SIZING (the default): leave `bits`/`tables` at 0 and the
+    * sizing rule is APPLIED, not just documented — bits =
+    * round(log2(n/80)) clamped to [1, 24] (one corpus count, the price
+    * of not knowing n; pass `bits` explicitly on a standing index to
+    * skip it) and tables = 8, the measured ≥0.9-recall configuration
+    * (`lsh_recall_at_10` gauge at sf scale). The r8 verdict's finding:
+    * the former bits=8/tables=1 default gauged 0.4 recall — an
+    * out-of-box user got silently bad neighbors while the right rule
+    * sat in a comment. The per-round bench gauge measures THIS default
+    * against brute force; AnnSpec pins the fixture.
     */
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
               query: DataFrame, queryVecCol: String, k: Int,
-              bits: Int = 8, tables: Int = 1): DataFrame = {
+              bits: Int = 0, tables: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    require(tables >= 1, "tables must be >= 1")
-    def sigArr(vec: Column) = array((0 until tables).map { t =>
+    require(tables >= 0, "tables must be >= 1 (or 0 = auto)")
+    val autoBits =
+      if (bits > 0) bits
+      else math.min(24, math.max(1, math.round(
+        math.log(math.max(embs.count(), 160).toDouble / 80) / math.log(2)).toInt))
+    val autoTables = if (tables > 0) tables else 8
+    def sigArr(vec: Column) = array((0 until autoTables).map { t =>
       struct(lit(t).as("t"),
         ColumnBridge.column(graft.plans.HyperplaneSignatureExpr(
-          ColumnBridge.expression(vec), bits, dim, seed = 42L + t)).as("sig"))
+          ColumnBridge.expression(vec), autoBits, dim, seed = 42L + t)).as("sig"))
     }: _*)
     val withSig = embs
       .select(col(idCol), col(vecCol), explode(sigArr(col(vecCol))).as("_ts"))
@@ -67,7 +81,7 @@ object Ann {
       // mantissa-exact to bit 52), so the whole probe array is a plain
       // codegen'd array of XORs, no interpreted HOF
       .select(col("_qvec"), col("_qs.t").as("_pt"), explode(array(
-        col("_qs.sig") +: (0 until bits).map(i =>
+        col("_qs.sig") +: (0 until autoBits).map(i =>
           col("_qs.sig").bitwiseXOR(lit(1L << i))): _*)).as("_probe"))
     withSig.join(broadcast(probes),
         col("_ts.t") === col("_pt") && col("_ts.sig") === col("_probe"))

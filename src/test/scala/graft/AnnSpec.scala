@@ -49,6 +49,21 @@ class AnnSpec extends SparkSpec {
     got.foreach { case (id, s) => s shouldBe exactSims(id) +- 1e-9 }
   }
 
+  test("LSH top-k auto-sizing: out-of-box call reaches high recall") {
+    // no bits/tables passed: the 2^bits ≈ n/80 rule + 8 tables apply
+    // themselves. On these near-uniform embeddings (per-bit agreement
+    // ≈ 0.61) the auto config's per-table hit probability compounds
+    // across 8 tables to ≈1 — the out-of-box user must not get the
+    // 0.4-recall neighbors the old bits=8/tables=1 default shipped.
+    val got = Ann.lshTopK(embs, "vec_id", "embedding", dim, query, "qv", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val truth = exactTop20.take(10).toSet
+    val recall = got.map(_._1).toSet.intersect(truth).size.toDouble / truth.size
+    withClue(s"got=${got.map(_._1).toSeq} truth=$truth: ") { recall should be >= 0.9 }
+    got.head._1 shouldBe 0L
+    got.head._2 shouldBe 1.0 +- 1e-9
+  }
+
   test("IVF top-k: k results, all from probed cells, sims exact") {
     val got = Ann.ivfTopK(embs, "vec_id", "embedding", "label", dim,
       query, "qv", 10, nProbe = 2)
