@@ -93,6 +93,67 @@ object Multimodal {
     bos.toByteArray
   }
 
+  def looksLikeGif(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8'
+
+  /** Deterministic ANIMATED GIF generator (executor-safe, JDK-only —
+    * ImageIO's GIF writer supports multi-frame sequences without
+    * external codecs): `nFrames` w×h frames whose pixels derive from
+    * `seed` and the frame index. The video twin of [[makePng]]/
+    * [[makeWav]]: a planted fixture whose TRUE frame count
+    * [[countGifFrames]] reads back exactly. */
+  def makeGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((seed * 31 + f.toLong * w * h + y.toLong * w + x) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL frame count of an animated-image payload via the JDK's
+    * ImageIO reader (`getNumImages(allowSearch = true)` walks the
+    * container's frame blocks — no decode of pixel data). None when no
+    * reader claims the bytes or the container is corrupt — the same
+    * degrade-don't-die contract as [[decodeImage]]. */
+  def countGifFrames(payload: Array[Byte]): Option[Int] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some(r.getNumImages(true)).filter(_ > 0) }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def looksLikeWav(payload: Array[Byte]): Boolean =
     payload.length >= 12 &&
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
@@ -240,17 +301,37 @@ object Multimodal {
   }
 
   /** Frame sampling for "video" rows: 1 row in, n rows out (flatMap —
-    * the UDTF shape). Stub frame count = 30 + payload length mod 270
-    * (length-derived, so a planted fixture's frame counts are
-    * hand-computable; a real demuxer would read the container header
-    * here). */
+    * the UDTF shape). Animated-GIF payloads sample their REAL frame
+    * count ([[countGifFrames]] — the JDK reads GIF frame blocks without
+    * external codecs); anything else falls to the stub count =
+    * 30 + payload length mod 270 (length-derived, so a planted
+    * fixture's frame counts stay hand-computable). True video codecs
+    * (mp4/webm) remain the one stubbed territory — no demuxer ships
+    * with the JVM. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int = 10): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { r =>
       val cs = payloadChecksum(r.payload)
-      val nFrames = 30 + (r.payload.length % 270)
+      val nFrames =
+        (if (looksLikeGif(r.payload)) countGifFrames(r.payload) else None)
+          .getOrElse(30 + (r.payload.length % 270))
       (0 until nFrames by everyN).map(i => Frame(r.media_id, i, cs * 31 + i))
+    }
+  }
+
+  /** Synthetic media with REAL image, audio AND video payloads: on top
+    * of [[syntheticMediaWithAv]], video-kind rows carry a deterministic
+    * ANIMATED GIF ([[makeGif]]) with 7·(id mod 9) frames (min 1) — ids
+    * 2/5/8 → 14/35/56 frames, planted so sampled-frame counts are
+    * hand-computable from the REAL container, not the stub. */
+  def syntheticMediaWithGif(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    syntheticMediaWithAv(df, idCol, textCol).map { r =>
+      if (r.kind == "video")
+        r.copy(payload = makeGif(8, 8, math.max(1, 7 * (r.media_id % 9).toInt), r.media_id))
+      else r
     }
   }
 }

@@ -87,6 +87,26 @@ class MultimodalSpec extends SparkSpec {
     stub.foreach { m => m.sample_rate shouldBe 16000; m.channels shouldBe 1 }
   }
 
+  test("real GIF frame sampling: ImageIO reads the true planted frame counts") {
+    import spark.implicits._
+    // roundtrip: the generator's frame count reads back exactly
+    Multimodal.countGifFrames(Multimodal.makeGif(8, 8, 14, seed = 2L)) shouldBe Some(14)
+    Multimodal.countGifFrames(Multimodal.makeGif(8, 8, 1, seed = 9L)) shouldBe Some(1)
+    // non-GIF bytes degrade to None, not an exception
+    Multimodal.countGifFrames("not a gif".getBytes) shouldBe None
+    Multimodal.looksLikeGif(Multimodal.makeGif(8, 8, 2, 0L)) shouldBe true
+    // sampleFrames on GIF media: video ids 2/5/8 → planted 14/35/56
+    // frames → 2/4/6 rows at stride 10 from the REAL container (the
+    // stub would have derived counts from payload LENGTH, which for a
+    // GIF is unrelated to its frame count)
+    val gifMedia = Multimodal.syntheticMediaWithGif(
+      graft.queries.PlantedFixtures.mediaDocs(spark), "doc_id", "text")
+    val perVideo = Multimodal.sampleFrames(gifMedia, everyN = 10)
+      .groupByKey(_.media_id).count()
+      .collect().toMap
+    perVideo shouldBe Map(2L -> 2L, 5L -> 4L, 8L -> 6L)
+  }
+
   test("payload never shuffles: decode is a narrow map, downstream carries metadata only") {
     val decoded = Multimodal.decode(media).toDF()
     // decode's output schema is pure metadata — the binary payload is
