@@ -113,6 +113,19 @@ object Windows {
                                  textCol: String, indexPath: String,
                                  threshold: Double = 0.7)
                                 (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingDedupAgainstIndexKeyed(stream, idCol, textCol, indexPath,
+      threshold)((survivors, _) => sink(survivors))
+
+  /** The (batchId-aware) form of [[streamingDedupAgainstIndex]]: the
+    * sink receives the micro-batch id alongside the survivors, which is
+    * what an idempotent sink needs to make redelivery a replace —
+    * compose with [[idempotentParquetSink]] for the standard
+    * exactly-once-effective parquet landing zone. */
+  def streamingDedupAgainstIndexKeyed(stream: DataFrame, idCol: String,
+                                      textCol: String, indexPath: String,
+                                      threshold: Double = 0.7)
+                                     (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     // one params read at stream start, not per batch
@@ -129,10 +142,17 @@ object Windows {
           corpusDups.select(col("in_doc").as(idCol)).distinct(), Seq(idCol), "left_anti")
         // 2. batch-INTERNAL dedup: two near-identical docs arriving in
         //    ONE micro-batch (neither in the corpus yet) collapse to
-        //    the min-id representative of their dup cluster
+        //    the min-id representative of their dup cluster. The STAR
+        //    variant, not min-label propagation: its round count is
+        //    O(log n) regardless of cluster diameter, while the
+        //    min-label loop THROWS past maxIter — and inside
+        //    foreachBatch that exception fails the micro-batch and
+        //    terminates the stream. A deep in-batch dup chain (one
+        //    scraper re-crawling a drifting page) must cost extra
+        //    rounds, never availability.
         val inBatchPairs = Dedup.minhashNearDups(
           noCorpusDups, idCol, textCol, threshold, k, nh, bands)
-        val dropped = Dedup.connectedComponents(inBatchPairs)
+        val dropped = Dedup.connectedComponentsStar(inBatchPairs)
           .filter(col("doc_id") =!= col("component")) // keep cluster min
           .select(col("doc_id").as(idCol))
         val survivors = noCorpusDups.join(dropped, Seq(idCol), "left_anti")
@@ -140,7 +160,84 @@ object Windows {
         try {
           Dedup.appendToMinhashIndex(survivors, idCol, textCol, indexPath,
             k, nh, bands, batchId = Some(batchId))
-          sink(survivors)
+          sink(survivors, batchId)
+        } finally survivors.unpersist(blocking = false)
+      } finally cached.unpersist(blocking = false)
+    }.start()
+  }
+
+  /** The documented "(batchId, id)-keyed" idempotent sink AS CODE: a
+    * parquet landing zone laid out exactly like the index tables — ONE
+    * dataset partitioned by `batch_id`, each micro-batch an OVERWRITE
+    * of its own partition directory. An at-least-once redelivery of a
+    * batch therefore REPLACES its earlier (possibly partial) rows
+    * instead of stacking a second copy: sink row counts are stable
+    * under replay (StreamingSpec pins this). Readers see
+    * `spark.read.parquet(path)` — the plain union of batch directories,
+    * batch_id a partition column they simply don't select. */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** UNIFIED multimodal ingest loop — one stream maintaining BOTH
+    * standing indexes: each micro-batch of (id, text, embedding) rows
+    * probes the MinHash TEXT index and the hyperplane-LSH EMBEDDING
+    * index, drops anything near-duplicating already-ingested content in
+    * EITHER modality, collapses in-batch dup clusters over the UNION of
+    * text and embedding pair edges (a doc pair can be connected through
+    * either signal — one [[graft.operators.Dedup.connectedComponentsStar]]
+    * pass over the merged edge list), appends the survivors to both
+    * indexes keyed by the micro-batch id (idempotent replay, as in the
+    * single-index loop), and hands (survivors, batchId) to the sink.
+    *
+    * Both probe/append parameter sets are read from the respective
+    * index's stored `params/` once at stream start; only the verify
+    * thresholds are the caller's choice. The embedding index's `dim`
+    * is the stored build dim. */
+  def streamingDedupAgainstIndexes(stream: DataFrame, idCol: String,
+                                   textCol: String, vecCol: String,
+                                   textIndexPath: String, embIndexPath: String,
+                                   textThreshold: Double = 0.7,
+                                   embThreshold: Double = 0.99)
+                                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val spark = stream.sparkSession
+    val tp = Dedup.readIndexParams(spark, textIndexPath)
+    val (k, nh, bands) = (tp("shingle_k").toInt, tp("num_hashes").toInt, tp("bands").toInt)
+    val ep = Dedup.readIndexParams(spark, embIndexPath)
+    val (bits, tables, dim) = (ep("bits").toInt, ep("tables").toInt, ep("dim").toInt)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // 1. corpus-level dedup in EITHER modality
+        val textDups = Dedup.minhashNearDupsAgainstIndex(
+          cached, idCol, textCol, textIndexPath, textThreshold, k, nh, bands)
+        val embDups = Dedup.embeddingNearDupsAgainstIndex(
+          cached, idCol, vecCol, dim, embIndexPath, embThreshold, bits, tables)
+        val dupIds = textDups.select(col("in_doc").as(idCol))
+          .union(embDups.select(col("in_doc").as(idCol))).distinct()
+        val noCorpusDups = cached.join(dupIds, Seq(idCol), "left_anti")
+        // 2. in-batch collapse over the MERGED pair edges (star CC —
+        //    availability under deep chains, as in the one-index loop)
+        val textPairs = Dedup.minhashNearDups(
+          noCorpusDups, idCol, textCol, textThreshold, k, nh, bands)
+        val embPairs = Dedup.embeddingNearDupsMulti(
+          noCorpusDups, idCol, vecCol, dim, embThreshold, bits, tables)
+        val edges = textPairs.select(col("id1"), col("id2"))
+          .union(embPairs.select(col("id1"), col("id2")))
+        val dropped = Dedup.connectedComponentsStar(edges)
+          .filter(col("doc_id") =!= col("component")) // keep cluster min
+          .select(col("doc_id").as(idCol))
+        val survivors = noCorpusDups.join(dropped, Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // 3. both indexes advance under the same idempotency key
+          Dedup.appendToMinhashIndex(survivors, idCol, textCol, textIndexPath,
+            k, nh, bands, batchId = Some(batchId))
+          Dedup.appendToEmbeddingIndex(survivors, idCol, vecCol, dim,
+            embIndexPath, bits, tables, batchId = Some(batchId))
+          sink(survivors, batchId)
         } finally survivors.unpersist(blocking = false)
       } finally cached.unpersist(blocking = false)
     }.start()

@@ -291,6 +291,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus dedup: a 64-link in-batch near-dup chain collapses without killing the stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val idx = graft.TempDirs.path("minhash-index/streaming-chain")
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    // 65 docs forming a 64-LINK drift chain: doc i is a 20-token
+    // window sliding one token per doc over a unique-token stream, so
+    // adjacent docs share 17/19 shingles (jaccard ≈ 0.89 ≥ 0.7) while
+    // the endpoints share nothing — one connected dup cluster whose
+    // diameter exceeds the min-label loop's default maxIter. The OLD
+    // in-batch collapse (connectedComponents, maxIter=20) threw inside
+    // foreachBatch on exactly this shape and terminated the stream;
+    // the star variant closes it in O(log n) alternations.
+    val words = (0 until 84).map(i => s"tok$i")
+    val chain = (0 until 65).map(i =>
+      (100L + i, words.slice(i, i + 20).mkString(" ")))
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndex(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx) { survivors =>
+      sunk ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    try {
+      in.addData(chain: _*)
+      q.processAllAvailable()
+      q.isActive shouldBe true // the stream survived the deep chain
+      sunk.sorted.toSeq shouldBe Seq(100L) // one representative: the min id
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup follows the index's stored (non-default) knobs") {
     val session = spark
     import session.implicits._
@@ -314,6 +348,95 @@ class StreamingSpec extends SparkSpec {
       in.addData((10L, base + " extra"), (20L, "novel content with its own words"))
       q.processAllAvailable()
       sunk.sorted.toSeq shouldBe Seq(20L) // 10 deduped against the tuned index
+    } finally q.stop()
+  }
+
+  test("idempotent sink: a redelivered batch replaces its rows, counts unchanged") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val idx = graft.TempDirs.path("minhash-index/streaming-sink")
+    val out = graft.TempDirs.path("sink/replay")
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val sink = graft.streaming.Windows.idempotentParquetSink(out)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndexKeyed(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx)(sink)
+    try {
+      in.addData((10L, "a novel document body with fresh words"),
+        (11L, "another entirely different novel document"))
+      q.processAllAvailable()
+      val afterFirst = spark.read.parquet(out).count()
+      afterFirst shouldBe 2L
+      // at-least-once redelivery of batch 0 (crash between sink write
+      // and offset commit): the SAME (rows, batchId) land again — the
+      // partition overwrite makes it a replace, not a second copy
+      sink(Seq((10L, "a novel document body with fresh words"),
+        (11L, "another entirely different novel document"))
+        .toDF("doc_id", "text"), 0L)
+      spark.read.parquet(out).count() shouldBe afterFirst
+      // a partial first attempt is also repaired, not stacked
+      sink(Seq((10L, "a novel document body with fresh words"))
+        .toDF("doc_id", "text"), 0L)
+      sink(Seq((10L, "a novel document body with fresh words"),
+        (11L, "another entirely different novel document"))
+        .toDF("doc_id", "text"), 0L)
+      spark.read.parquet(out).count() shouldBe 2L
+      // reader-side contract: batch_id is a partition column consumers
+      // simply don't select
+      spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(10L, 11L)
+    } finally q.stop()
+  }
+
+  test("unified loop: one stream maintains both the text and the embedding index") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val textIdx = graft.TempDirs.path("minhash-index/streaming-unified")
+    val embIdx = graft.TempDirs.path("embedding-index/streaming-unified")
+    val seedText = "unrelated corpus seed document with entirely distinct words"
+    val base = "the quick brown fox jumps over the lazy dog tonight again and again"
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> seedText).toDF("doc_id", "text"), "doc_id", "text", textIdx)
+    graft.operators.Dedup.buildEmbeddingIndex(
+      Seq((1L, v(2, 1, 0, 0, 0, 0, 0, 0))).toDF("doc_id", "vec"),
+      "doc_id", "vec", 8, embIdx)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndexes(
+        in.toDF().toDF("doc_id", "text", "vec"), "doc_id", "text", "vec",
+        textIdx, embIdx) { (survivors, _) =>
+      sunk ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    try {
+      // 10: TEXT near-dup of the corpus seed (novel vector)   → dropped
+      // 11: EMBEDDING colinear with the corpus vector         → dropped
+      // 12+13: in-batch TEXT near-dups of each other          → keep 12
+      // 14: novel in both modalities                          → survives
+      in.addData(
+        (10L, seedText + " extra", v(0, 0, 1, 0, 0, 0, 0, 0)),
+        (11L, "some other entirely fresh sentence about nothing", v(4, 2, 0, 0, 0, 0, 0, 0)),
+        (12L, base, v(0, 0, 0, 1, 0, 0, 0, 0)),
+        (13L, base + " extra", v(0, 0, 0, 0, 1, 0, 0, 0)),
+        (14L, "completely novel words forming a unique document", v(0, 0, 0, 0, 0, 1, 0, 0)))
+      q.processAllAvailable()
+      q.isActive shouldBe true
+      sunk.sorted.toSeq shouldBe Seq(12L, 14L)
+      // batch 2 proves BOTH indexes advanced with batch 1's survivors:
+      // 20 text-dups doc 12's appended text, 21 is colinear with doc
+      // 14's appended vector, 22 is novel → only 22 lands
+      in.addData(
+        (20L, base + " more", v(1, 0, 0, 0, 0, 0, 0, 1)),
+        (21L, "yet another run of fresh words here", v(0, 0, 0, 0, 0, 2, 0, 0)),
+        (22L, "final genuinely new content body", v(0, 0, 0, 0, 0, 0, 1, 0)))
+      q.processAllAvailable()
+      sunk.sorted.toSeq shouldBe Seq(12L, 14L, 22L)
     } finally q.stop()
   }
 
