@@ -165,12 +165,15 @@ object PipelineQueries {
 
     // LSH-bucketed ANN on the planted vectors: the scalar-multiple
     // cluster is signature-identical, so ids 0/1/2 at sim 1.0 are
-    // guaranteed; the rest of the top-5 pins the multiprobe behavior.
+    // guaranteed; the rest of the top-5 pins the SINGLE-table
+    // multiprobe behavior (tables pinned explicitly — the out-of-box
+    // auto-sizing default is 8 tables, gauged by lsh_recall_at_10 and
+    // pinned in AnnSpec; this oracle pins the one-table candidate set).
     "ann2_lsh_topk" -> ((s, _) => {
       val embs = PlantedFixtures.embs(s)
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       Ann.lshTopK(embs, "vec_id", "embedding", PlantedFixtures.EmbFixtureDim,
-          q, "qv", 5, bits = 4)
+          q, "qv", 5, bits = 4, tables = 1)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
     }),
@@ -363,15 +366,103 @@ object PipelineQueries {
       Multimodal.decodeAudio(media).toDF().orderBy("media_id")
     }),
 
-    // Frame sampling (1 row → n frames, flatMap/UDTF shape): video
-    // payload lengths 20/45/100 → stub frame counts 50/75/130 →
-    // 5+8+13 = 26 sampled frames at stride 10, all by hand.
+    // Frame sampling (1 row → n frames, flatMap/UDTF shape), BOTH
+    // container paths: stub rows (text payloads, lengths 20/45/100 →
+    // length-derived counts 50/75/130 → 5/8/13 sampled at stride 10)
+    // and REAL animated GIFs (ids 2/5/8 → planted 14/35/56 frames,
+    // read back off the container by the JDK's ImageIO → 2/4/6
+    // sampled) — the same operator demuxes whichever bytes arrive.
     "mm2_frame_sample" -> ((s, _) => {
-      val media = Multimodal.syntheticMedia(
-        PlantedFixtures.mediaDocs(s), "doc_id", "text")
-      Multimodal.sampleFrames(media, everyN = 10)
-        .groupBy()
-        .agg(count(lit(1)).as("n_frames"), countDistinct(col("media_id")).as("n_videos"))
+      val stub = Multimodal.sampleFrames(Multimodal.syntheticMedia(
+          PlantedFixtures.mediaDocs(s), "doc_id", "text"), everyN = 10)
+        .toDF().withColumn("src", lit("stub"))
+      val gif = Multimodal.sampleFrames(Multimodal.syntheticMediaWithGif(
+          PlantedFixtures.mediaDocs(s), "doc_id", "text"), everyN = 10)
+        .toDF().withColumn("src", lit("gif"))
+      stub.union(gif)
+        .groupBy(col("src"), col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("src"), col("media_id"))
+    }),
+
+    // PROBE-SIDE maxBucket enforcement across appends (r8 verdict
+    // missing #2): three single-doc appends of IDENTICAL text each stay
+    // under the cap (2) within their own batch partition, but the 16
+    // shared (band, bh) buckets grow to 3 docs ACROSS partitions. The
+    // probe sizes the buckets it is about to read across partitions:
+    // doc 99 (same text) probes only grown buckets → skipped, reported
+    // as (16 buckets, 48 doc slots); doc 98 still near-dups the seed
+    // through healthy size-1 buckets → exactly 1 surviving pair. The
+    // skip is per-KEY, not per-probe.
+    "dd11_probe_grown_cap" -> ((s, _) => {
+      import s.implicits._
+      val idx = graft.TempDirs.path("minhash-index/dd11")
+      val seed = "unrelated corpus seed document with entirely distinct words"
+      val dup = "the quick brown fox jumps over the lazy dog tonight again and again"
+      Dedup.buildMinhashIndex(Seq(1L -> seed).toDF("doc_id", "text"),
+        "doc_id", "text", idx, maxBucket = 2)
+      Seq(10L, 11L, 12L).zipWithIndex.foreach { case (id, b) =>
+        Dedup.appendToMinhashIndex(Seq(id -> dup).toDF("doc_id", "text"),
+          "doc_id", "text", idx, maxBucket = 2, batchId = Some(b.toLong))
+      }
+      val probe = Dedup.minhashNearDupsAgainstIndexWithStats(
+        Seq(99L -> dup, 98L -> (seed + " extra")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      probe.probeDropStats.crossJoin(
+        probe.pairs.agg(count(lit(1)).as("n_pairs")))
+    }),
+
+    // COMPACTION round-trip, minhash (r8 verdict missing #3): build(4
+    // docs) + two batch-keyed appends, then compactMinhashIndex folds
+    // the batch partitions into one fresh batch (-1) from the index's
+    // OWN shingles — no corpus re-read. The compacted index must answer
+    // a probe exactly like a fresh build: doc 1's text finds cluster A
+    // at the hand-derived Jaccards (1.0, 27/29, 25/31); n_batches pins
+    // the single-partition layout.
+    "dd12_compact_minhash" -> ((s, _) => {
+      import s.implicits._
+      val all = PlantedFixtures.docs(s)
+      val idx = graft.TempDirs.path("minhash-index/dd12")
+      Dedup.buildMinhashIndex(all.filter(col("doc_id") <= 4),
+        "doc_id", "text", idx)
+      Seq(all.filter(col("doc_id").between(5, 8)), all.filter(col("doc_id") > 8))
+        .zipWithIndex.foreach { case (b, i) =>
+          Dedup.appendToMinhashIndex(b, "doc_id", "text", idx,
+            batchId = Some(i.toLong))
+        }
+      Dedup.compactMinhashIndex(s, idx)
+      val nb = s.read.parquet(s"$idx/buckets")
+        .select(col("batch_id").cast("long")).distinct().count()
+      val t1 = all.filter(col("doc_id") === 1).select("text").first().getString(0)
+      Dedup.minhashNearDupsAgainstIndex(Seq(99L -> t1).toDF("doc_id", "text"),
+          "doc_id", "text", idx, threshold = 0.7)
+        .withColumn("n_batches", lit(nb))
+        .orderBy("corpus_doc")
+    }),
+
+    // COMPACTION round-trip, embedding twin: the colinear cluster
+    // (vectors 1, 2 = scalar multiples of 0) lands across build + two
+    // appends; after compactEmbeddingIndex a probe with vector 0 finds
+    // both at cosine 1.0 through the single folded batch.
+    "dd13_compact_embedding" -> ((s, _) => {
+      val all = PlantedFixtures.embs(s)
+      val dim = PlantedFixtures.EmbFixtureDim
+      val idx = graft.TempDirs.path("embedding-index/dd13")
+      Dedup.buildEmbeddingIndex(all.filter(col("vec_id") < 4),
+        "vec_id", "embedding", dim, idx, bits = 4, tables = 12)
+      Seq(all.filter(col("vec_id").between(4, 6)), all.filter(col("vec_id") > 6))
+        .zipWithIndex.foreach { case (b, i) =>
+          Dedup.appendToEmbeddingIndex(b, "vec_id", "embedding", dim, idx,
+            bits = 4, tables = 12, batchId = Some(i.toLong))
+        }
+      Dedup.compactEmbeddingIndex(s, idx)
+      val nb = s.read.parquet(s"$idx/buckets")
+        .select(col("batch_id").cast("long")).distinct().count()
+      Dedup.embeddingNearDupsAgainstIndex(all.filter(col("vec_id") === 0L),
+          "vec_id", "embedding", dim, idx, threshold = 0.95, bits = 4,
+          tables = 12)
+        .withColumn("n_batches", lit(nb))
+        .orderBy("corpus_doc")
     })
   )
 
@@ -485,7 +576,14 @@ object PipelineQueries {
            ('video', 3, 47/3.0, 29/3.0, 396)
          ) AS t(kind, cnt, avg_w, avg_h, total_pixels) ORDER BY kind""",
     "mm2_frame_sample" ->
-      """SELECT CAST(26 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_videos""",
+      """SELECT * FROM (VALUES
+           ('gif',  CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+           ('gif',  5, 4),
+           ('gif',  8, 6),
+           ('stub', 2, 5),
+           ('stub', 5, 8),
+           ('stub', 8, 13)
+         ) AS t(src, media_id, n_sampled) ORDER BY src, media_id""",
     "mm3_wav_decode" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
@@ -494,6 +592,27 @@ object PipelineQueries {
            (7, 16000, 1, 320, 20)
          ) AS t(media_id, sample_rate, channels, n_frames, duration_ms)
          ORDER BY media_id""",
+    // identical text → identical signature → one grown (3-doc) bucket
+    // per band (16 bands × 3 docs = 48 slots skipped); the healthy
+    // probe pair (98 → seed) survives
+    "dd11_probe_grown_cap" ->
+      """SELECT CAST(16 AS BIGINT) AS n_skipped_buckets,
+                CAST(48 AS BIGINT) AS n_docs_in_skipped_buckets,
+                CAST(2 AS BIGINT) AS max_bucket,
+                CAST(1 AS BIGINT) AS n_pairs""",
+    // cluster A at the hand-derived Jaccards (1.0, 27/29 = 0.931,
+    // 25/31 = 0.8065) through ONE folded batch partition
+    "dd12_compact_minhash" ->
+      """SELECT * FROM (VALUES
+           (CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT)),
+           (99, 2, 0.931, 1),
+           (99, 3, 0.8065, 1)
+         ) AS t(in_doc, corpus_doc, jaccard, n_batches) ORDER BY corpus_doc""",
+    "dd13_compact_embedding" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT)),
+           (0, 2, 1.0, 1)
+         ) AS t(in_doc, corpus_doc, cosine, n_batches) ORDER BY corpus_doc""",
     // ---- SQL-expressible oracles over the shared sf tables ----
     "dd1_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,

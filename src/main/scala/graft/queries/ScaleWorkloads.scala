@@ -85,8 +85,11 @@ object ScaleWorkloads {
       df.select("vec_id").collect().map(_.getLong(0)).toSet
     val n = embs.count().toDouble
     val exact = ids(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10))
-    val lsh1 = ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
-      bits = 8))
+    // OUT-OF-BOX config: no bits/tables passed — the gauge measures
+    // what a user gets from the auto-sizing defaults (the r8 verdict's
+    // 0.4-recall finding was exactly this gauge on the old hand-set
+    // bits=8/tables=1 default)
+    val lsh1 = ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10))
     // the recall-bearing config (sx4): bits sized to the corpus
     // (2^bits ≈ n/80 buckets), independent tables for the rest. The
     // scan-fraction gauge keeps the tradeoff honest — recall bought by
