@@ -440,6 +440,57 @@ object PipelineQueries {
         .orderBy("corpus_doc")
     }),
 
+    // The UNIFIED two-modality ingest loop end-to-end under the hash
+    // gate (st4's pattern: run the real streaming ENGINE, verify the
+    // landed result): one stream probes BOTH standing indexes, drops
+    // corpus dups in either modality (10 text-dups the seed, 11 is
+    // colinear with the seed vector), collapses in-batch clusters over
+    // merged text+embedding edges (12/13 → keep 12), appends survivors
+    // to both indexes, lands them in the batch-keyed idempotent sink,
+    // and compacts both indexes every 2nd batch. Batch 1 then dedups
+    // against batch 0's appends in either modality (20 → doc 12's
+    // text, 21 → doc 14's vector) → only 22 lands. The sink parquet IS
+    // the query result — (batch, doc_id) straight off the partition
+    // layout.
+    "st5_unified_ingest" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+      val textIdx = graft.TempDirs.path("minhash-index/st5")
+      val embIdx = graft.TempDirs.path("embedding-index/st5")
+      val out = graft.TempDirs.path("sink/st5")
+      val seedText = "unrelated corpus seed document with entirely distinct words"
+      val base = "the quick brown fox jumps over the lazy dog tonight again and again"
+      Dedup.buildMinhashIndex(Seq(1L -> seedText).toDF("doc_id", "text"),
+        "doc_id", "text", textIdx)
+      Dedup.buildEmbeddingIndex(
+        Seq((1L, v(2, 1, 0, 0, 0, 0, 0, 0))).toDF("doc_id", "vec"),
+        "doc_id", "vec", 8, embIdx)
+      val in = MemoryStream[(Long, String, Seq[Float])]
+      val q = graft.streaming.Windows.streamingDedupAgainstIndexes(
+        in.toDF().toDF("doc_id", "text", "vec"), "doc_id", "text", "vec",
+        textIdx, embIdx, compactEvery = Some(2))(
+        graft.streaming.Windows.idempotentParquetSink(out))
+      try {
+        in.addData(
+          (10L, seedText + " extra", v(0, 0, 1, 0, 0, 0, 0, 0)),
+          (11L, "some other entirely fresh sentence about nothing", v(4, 2, 0, 0, 0, 0, 0, 0)),
+          (12L, base, v(0, 0, 0, 1, 0, 0, 0, 0)),
+          (13L, base + " extra", v(0, 0, 0, 0, 1, 0, 0, 0)),
+          (14L, "completely novel words forming a unique document", v(0, 0, 0, 0, 0, 1, 0, 0)))
+        q.processAllAvailable()
+        in.addData(
+          (20L, base + " more", v(1, 0, 0, 0, 0, 0, 0, 1)),
+          (21L, "yet another run of fresh words here", v(0, 0, 0, 0, 0, 2, 0, 0)),
+          (22L, "final genuinely new content body", v(0, 0, 0, 0, 0, 0, 1, 0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .select(col("batch_id").cast("long").as("batch"), col("doc_id"))
+        .orderBy("batch", "doc_id")
+    }),
+
     // COMPACTION round-trip, embedding twin: the colinear cluster
     // (vectors 1, 2 = scalar multiples of 0) lands across build + two
     // appends; after compactEmbeddingIndex a probe with vector 0 finds
@@ -613,6 +664,12 @@ object PipelineQueries {
            (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT)),
            (0, 2, 1.0, 1)
          ) AS t(in_doc, corpus_doc, cosine, n_batches) ORDER BY corpus_doc""",
+    "st5_unified_ingest" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(12 AS BIGINT)),
+           (0, 14),
+           (1, 22)
+         ) AS t(batch, doc_id) ORDER BY batch, doc_id""",
     // ---- SQL-expressible oracles over the shared sf tables ----
     "dd1_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,

@@ -121,10 +121,21 @@ object Windows {
     * sink receives the micro-batch id alongside the survivors, which is
     * what an idempotent sink needs to make redelivery a replace —
     * compose with [[idempotentParquetSink]] for the standard
-    * exactly-once-effective parquet landing zone. */
+    * exactly-once-effective parquet landing zone.
+    *
+    * `compactEvery = Some(n)` closes the steady-state maintenance loop:
+    * after every n-th micro-batch the index is compacted IN the batch
+    * slot ([[graft.operators.Dedup.compactMinhashIndex]]) — batch
+    * partitions fold to one, the global bucket cap is re-applied, and
+    * probe-side skipping of appends-grown buckets resets. Inside
+    * foreachBatch the micro-batches are serial, so no probe can observe
+    * the swap window; a crash mid-swap leaves the marker cleared and
+    * the NEXT batch's probe fails loudly (rerun the compaction to
+    * repair) rather than reading a half-swapped index. */
   def streamingDedupAgainstIndexKeyed(stream: DataFrame, idCol: String,
                                       textCol: String, indexPath: String,
-                                      threshold: Double = 0.7)
+                                      threshold: Double = 0.7,
+                                      compactEvery: Option[Int] = None)
                                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
@@ -162,6 +173,10 @@ object Windows {
             k, nh, bands, batchId = Some(batchId))
           sink(survivors, batchId)
         } finally survivors.unpersist(blocking = false)
+        // maintenance rides the serial batch slot — after the sink, so
+        // a compaction failure never loses an already-landed batch
+        if (compactEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
+          Dedup.compactMinhashIndex(batch.sparkSession, indexPath)
       } finally cached.unpersist(blocking = false)
     }.start()
   }
@@ -193,12 +208,15 @@ object Windows {
     * Both probe/append parameter sets are read from the respective
     * index's stored `params/` once at stream start; only the verify
     * thresholds are the caller's choice. The embedding index's `dim`
-    * is the stored build dim. */
+    * is the stored build dim. `compactEvery = Some(n)` compacts BOTH
+    * indexes after every n-th batch (see
+    * [[streamingDedupAgainstIndexKeyed]] for the crash discipline). */
   def streamingDedupAgainstIndexes(stream: DataFrame, idCol: String,
                                    textCol: String, vecCol: String,
                                    textIndexPath: String, embIndexPath: String,
                                    textThreshold: Double = 0.7,
-                                   embThreshold: Double = 0.99)
+                                   embThreshold: Double = 0.99,
+                                   compactEvery: Option[Int] = None)
                                   (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
@@ -239,6 +257,10 @@ object Windows {
             embIndexPath, bits, tables, batchId = Some(batchId))
           sink(survivors, batchId)
         } finally survivors.unpersist(blocking = false)
+        if (compactEvery.exists(n => n > 0 && (batchId + 1) % n == 0)) {
+          Dedup.compactMinhashIndex(batch.sparkSession, textIndexPath)
+          Dedup.compactEmbeddingIndex(batch.sparkSession, embIndexPath)
+        }
       } finally cached.unpersist(blocking = false)
     }.start()
   }

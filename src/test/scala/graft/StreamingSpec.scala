@@ -291,6 +291,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactEvery: the ingest loop folds batch partitions in the serial batch slot") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val idx = graft.TempDirs.path("minhash-index/streaming-compact")
+    val t1 = "the quick brown fox jumps over the lazy dog tonight again and again"
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    def batchIds: Seq[Long] = spark.read.parquet(s"$idx/buckets")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndexKeyed(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        compactEvery = Some(2)) { (survivors, _) =>
+      sunk ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    try {
+      // batch 0: novel doc appends under its own batch partition
+      in.addData((10L, t1))
+      q.processAllAvailable()
+      batchIds shouldBe Seq(-1L, 0L)
+      // batch 1: second novel doc, then the every-2nd-batch compaction
+      // fires in the same serial slot — all partitions fold to -1
+      in.addData((11L, "another entirely different novel document"))
+      q.processAllAvailable()
+      batchIds shouldBe Seq(-1L)
+      // batch 2: the COMPACTED index still answers — doc 10's near-dup
+      // is dropped, and the stream is alive
+      in.addData((20L, t1 + " extra"))
+      q.processAllAvailable()
+      q.isActive shouldBe true
+      sunk.sorted.toSeq shouldBe Seq(10L, 11L)
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup: a 64-link in-batch near-dup chain collapses without killing the stream") {
     val session = spark
     import session.implicits._
