@@ -154,6 +154,158 @@ object Multimodal {
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  def looksLikeMp4(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && payload(4) == 'f' && payload(5) == 't' &&
+      payload(6) == 'y' && payload(7) == 'p'
+
+  private def be32(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  /** Payload spans `(from, to)` of every direct child box of type
+    * `tpe` inside `[from, to)` — one level of the ISO BMFF (MP4) box
+    * tree, walked by the size/type headers alone (32-bit, 64-bit
+    * `largesize`, and to-end `size=0` forms). Stops at the first
+    * malformed header instead of throwing: a truncated container
+    * yields what was walkable. */
+  private def mp4ChildBoxes(p: Array[Byte], from: Int, to: Int,
+                            tpe: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var off = from
+    var ok = true
+    while (ok && off + 8 <= to) {
+      val size32 = be32(p, off)
+      var hdr = 8L
+      val boxSize: Long =
+        if (size32 == 0) (to - off).toLong
+        else if (size32 == 1 && off + 16 <= to) {
+          hdr = 16L
+          ((be32(p, off + 8).toLong & 0xffffffffL) << 32) |
+            (be32(p, off + 12).toLong & 0xffffffffL)
+        } else size32.toLong
+      if (boxSize < hdr || off + boxSize > to) ok = false
+      else {
+        if (new String(p, off + 4, 4, "US-ASCII") == tpe)
+          out += (((off + hdr).toInt, (off + boxSize).toInt))
+        off += boxSize.toInt
+      }
+    }
+    out.toSeq
+  }
+
+  /** REAL MP4 metadata off the container's index boxes — a demuxer's
+    * header pass, no codec needed: walks `moov/trak/mdia`, keeps tracks
+    * whose `hdlr` handler is `vide`, and sums the sample counts of
+    * their `stbl/stts` (time-to-sample) entries for the TRUE frame
+    * count; movie duration comes from `mvhd` timescale ticks. Returns
+    * (n_frames, duration_ms); None when the bytes aren't a walkable
+    * MP4 with a video track — the degrade-don't-die contract of
+    * [[decodeImage]]/[[countGifFrames]]. */
+  def mp4Metadata(p: Array[Byte]): Option[(Int, Long)] =
+    try {
+      if (!looksLikeMp4(p)) None
+      else mp4ChildBoxes(p, 0, p.length, "moov").headOption.flatMap { case (ms, me) =>
+        val durMs = mp4ChildBoxes(p, ms, me, "mvhd").headOption.flatMap {
+          case (s, e) =>
+            // version-0 mvhd: timescale at +12, duration at +16
+            if (e - s >= 20 && p(s) == 0 && be32(p, s + 12) > 0)
+              Some(be32(p, s + 16).toLong * 1000L / be32(p, s + 12))
+            else None
+        }
+        var frames = 0L
+        for ((ts, te) <- mp4ChildBoxes(p, ms, me, "trak");
+             (ds, de) <- mp4ChildBoxes(p, ts, te, "mdia")) {
+          val isVideo = mp4ChildBoxes(p, ds, de, "hdlr").headOption.exists {
+            case (s, e) =>
+              e - s >= 12 && new String(p, s + 8, 4, "US-ASCII") == "vide"
+          }
+          if (isVideo)
+            for ((fs, fe) <- mp4ChildBoxes(p, ds, de, "minf");
+                 (bs, be) <- mp4ChildBoxes(p, fs, fe, "stbl");
+                 (xs, xe) <- mp4ChildBoxes(p, bs, be, "stts")) {
+              val n = be32(p, xs + 4)
+              var i = 0
+              while (i < n && xs + 16 + 8 * i <= xe) {
+                frames += be32(p, xs + 8 + 8 * i).toLong & 0xffffffffL
+                i += 1
+              }
+            }
+        }
+        if (frames > 0 && frames <= Int.MaxValue)
+          Some((frames.toInt, durMs.getOrElse(0L)))
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One ISO BMFF box: 32-bit size header + type + concatenated
+    * payload. */
+  private def mp4Box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.map(_.length).sum)
+    bb.putInt(bb.capacity).put(tpe.getBytes("US-ASCII"))
+    payload.foreach(bb.put)
+    bb.array()
+  }
+
+  private def beBytes(vals: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vals.length)
+    vals.foreach(bb.putInt)
+    bb.array()
+  }
+
+  /** Deterministic minimal MP4 generator (executor-safe, pure JVM byte
+    * assembly): the metadata box tree a demuxer's index pass reads —
+    * `ftyp` + `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr=vide,
+    * minf(stbl(stts)))))` + a seed-derived `mdat` — with `nFrames`
+    * video samples split across TWO `stts` runs (so a reader must SUM
+    * entries, not take the first) at 512 ticks each on a 12800
+    * timescale: duration_ms = nFrames · 40 exactly. The video twin of
+    * [[makePng]]/[[makeWav]]; [[mp4Metadata]] reads both numbers back
+    * off the container. No sample data is encoded — this is the
+    * metadata shape, which is exactly what a no-codec header pass can
+    * honestly parse. */
+  def makeMp4(nFrames: Int, seed: Long): Array[Byte] = {
+    require(nFrames > 0, "nFrames must be > 0")
+    val timescale = 12800
+    val delta = 512
+    val duration = nFrames * delta
+    val c2 = nFrames / 4
+    val c1 = nFrames - c2
+    val sttsEntries =
+      if (c2 == 0) beBytes(1, c1, delta)
+      else beBytes(2, c1, delta, c2, delta)
+    val stts = mp4Box("stts", beBytes(0), sttsEntries)
+    val stbl = mp4Box("stbl", stts)
+    val minf = mp4Box("minf", stbl)
+    val hdlr = mp4Box("hdlr", beBytes(0, 0),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12 + 1))
+    val mdhd = mp4Box("mdhd", beBytes(0, 0, 0, timescale, duration),
+      Array[Byte](0x55, 0xc4.toByte, 0, 0)) // language "und" + predefined
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val tkhd = mp4Box("tkhd", beBytes(7, 0, 0, 1, 0, duration, 0, 0),
+      new Array[Byte](8), // layer/alt-group/volume/reserved
+      beBytes(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000), // matrix
+      beBytes(8 << 16, 8 << 16)) // 8.0 × 8.0 fixed-point
+    val mvhd = mp4Box("mvhd", beBytes(0, 0, 0, timescale, duration, 0x10000),
+      Array[Byte](1, 0), new Array[Byte](10),
+      beBytes(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+      new Array[Byte](24), beBytes(2))
+    val moov = mp4Box("moov", mvhd, mp4Box("trak", tkhd, mdia))
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), beBytes(0x200),
+      "isommp41".getBytes("US-ASCII"))
+    val mdat = {
+      val data = new Array[Byte](32)
+      var st = seed
+      var i = 0
+      while (i < data.length) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        data(i) = (st >>> 56).toByte
+        i += 1
+      }
+      mp4Box("mdat", data)
+    }
+    ftyp ++ moov ++ mdat
+  }
+
   def looksLikeWav(payload: Array[Byte]): Boolean =
     payload.length >= 12 &&
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
@@ -303,20 +455,50 @@ object Multimodal {
   /** Frame sampling for "video" rows: 1 row in, n rows out (flatMap —
     * the UDTF shape). Animated-GIF payloads sample their REAL frame
     * count ([[countGifFrames]] — the JDK reads GIF frame blocks without
-    * external codecs); anything else falls to the stub count =
-    * 30 + payload length mod 270 (length-derived, so a planted
-    * fixture's frame counts stay hand-computable). True video codecs
-    * (mp4/webm) remain the one stubbed territory — no demuxer ships
-    * with the JVM. */
+    * external codecs); MP4 payloads their REAL `stts` sample count
+    * ([[mp4Metadata]] — a byte-level header pass over the box tree);
+    * anything else falls to the stub count = 30 + payload length mod
+    * 270 (length-derived, so a planted fixture's frame counts stay
+    * hand-computable). Decoding PIXELS from compressed video remains
+    * out of scope — no codec ships with the JVM — but the container
+    * metadata a frame sampler actually plans from is read for real. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int = 10): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { r =>
       val cs = payloadChecksum(r.payload)
       val nFrames =
-        (if (looksLikeGif(r.payload)) countGifFrames(r.payload) else None)
+        (if (looksLikeGif(r.payload)) countGifFrames(r.payload)
+         else if (looksLikeMp4(r.payload)) mp4Metadata(r.payload).map(_._1)
+         else None)
           .getOrElse(30 + (r.payload.length % 270))
       (0 until nFrames by everyN).map(i => Frame(r.media_id, i, cs * 31 + i))
+    }
+  }
+
+  case class VideoMeta(media_id: Long, n_frames: Long, duration_ms: Long)
+
+  /** Video metadata decode: per-partition map over video rows → frame
+    * count + duration off the REAL container (MP4 `stts`/`mvhd` via
+    * [[mp4Metadata]], animated GIF via [[countGifFrames]] at a nominal
+    * 25 fps); unreadable payloads fall to the length-derived stub at
+    * the stub's 30 fps — the audio/image degrade contract. */
+  def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.map { r =>
+        mp4Metadata(r.payload) match {
+          case Some((frames, durMs)) => VideoMeta(r.media_id, frames.toLong, durMs)
+          case None =>
+            countGifFrames(r.payload) match {
+              case Some(frames) => VideoMeta(r.media_id, frames.toLong, frames * 40L)
+              case None =>
+                val fakeFrames = (30 + (r.payload.length % 270)).toLong
+                VideoMeta(r.media_id, fakeFrames, fakeFrames * 1000L / 30)
+            }
+        }
+      }
     }
   }
 
@@ -331,6 +513,21 @@ object Multimodal {
     syntheticMediaWithAv(df, idCol, textCol).map { r =>
       if (r.kind == "video")
         r.copy(payload = makeGif(8, 8, math.max(1, 7 * (r.media_id % 9).toInt), r.media_id))
+      else r
+    }
+  }
+
+  /** Synthetic media with MP4 video payloads: video-kind rows carry a
+    * deterministic minimal MP4 ([[makeMp4]]) with 5 + 9·(id mod 9)
+    * frames — ids 2/5/8 → 23/50/77 frames, 920/2000/3080 ms at the
+    * generator's exact 40 ms/frame — planted so sampled-frame counts
+    * and durations are hand-computable from the REAL box tree. */
+  def syntheticMediaWithMp4(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    syntheticMediaWithAv(df, idCol, textCol).map { r =>
+      if (r.kind == "video")
+        r.copy(payload = makeMp4(5 + 9 * (r.media_id % 9).toInt, r.media_id))
       else r
     }
   }

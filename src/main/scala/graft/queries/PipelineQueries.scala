@@ -366,12 +366,14 @@ object PipelineQueries {
       Multimodal.decodeAudio(media).toDF().orderBy("media_id")
     }),
 
-    // Frame sampling (1 row → n frames, flatMap/UDTF shape), BOTH
+    // Frame sampling (1 row → n frames, flatMap/UDTF shape), ALL THREE
     // container paths: stub rows (text payloads, lengths 20/45/100 →
-    // length-derived counts 50/75/130 → 5/8/13 sampled at stride 10)
-    // and REAL animated GIFs (ids 2/5/8 → planted 14/35/56 frames,
-    // read back off the container by the JDK's ImageIO → 2/4/6
-    // sampled) — the same operator demuxes whichever bytes arrive.
+    // length-derived counts 50/75/130 → 5/8/13 sampled at stride 10),
+    // REAL animated GIFs (ids 2/5/8 → planted 14/35/56 frames, read
+    // back off the container by the JDK's ImageIO → 2/4/6 sampled),
+    // and REAL MP4s (ids 2/5/8 → planted 23/50/77 stts samples, read
+    // back off the box tree → 3/5/8 sampled) — the same operator
+    // demuxes whichever bytes arrive.
     "mm2_frame_sample" -> ((s, _) => {
       val stub = Multimodal.sampleFrames(Multimodal.syntheticMedia(
           PlantedFixtures.mediaDocs(s), "doc_id", "text"), everyN = 10)
@@ -379,10 +381,22 @@ object PipelineQueries {
       val gif = Multimodal.sampleFrames(Multimodal.syntheticMediaWithGif(
           PlantedFixtures.mediaDocs(s), "doc_id", "text"), everyN = 10)
         .toDF().withColumn("src", lit("gif"))
-      stub.union(gif)
+      val mp4 = Multimodal.sampleFrames(Multimodal.syntheticMediaWithMp4(
+          PlantedFixtures.mediaDocs(s), "doc_id", "text"), everyN = 10)
+        .toDF().withColumn("src", lit("mp4"))
+      stub.union(gif).union(mp4)
         .groupBy(col("src"), col("media_id"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("src"), col("media_id"))
+    }),
+
+    // MP4 metadata decode: the demuxer's header pass for real — frame
+    // counts summed over the stts runs, duration off mvhd ticks
+    // (planted 40 ms/frame exactly).
+    "mm4_mp4_decode" -> ((s, _) => {
+      val media = Multimodal.syntheticMediaWithMp4(
+        PlantedFixtures.mediaDocs(s), "doc_id", "text")
+      Multimodal.decodeVideo(media).toDF().orderBy("media_id")
     }),
 
     // PROBE-SIDE maxBucket enforcement across appends (r8 verdict
@@ -631,10 +645,19 @@ object PipelineQueries {
            ('gif',  CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
            ('gif',  5, 4),
            ('gif',  8, 6),
+           ('mp4',  2, 3),
+           ('mp4',  5, 5),
+           ('mp4',  8, 8),
            ('stub', 2, 5),
            ('stub', 5, 8),
            ('stub', 8, 13)
          ) AS t(src, media_id, n_sampled) ORDER BY src, media_id""",
+    "mm4_mp4_decode" ->
+      """SELECT * FROM (VALUES
+           (CAST(2 AS BIGINT), CAST(23 AS BIGINT), CAST(920 AS BIGINT)),
+           (5, 50, 2000),
+           (8, 77, 3080)
+         ) AS t(media_id, n_frames, duration_ms) ORDER BY media_id""",
     "mm3_wav_decode" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),

@@ -107,6 +107,30 @@ class MultimodalSpec extends SparkSpec {
     perVideo shouldBe Map(2L -> 2L, 5L -> 4L, 8L -> 6L)
   }
 
+  test("real MP4 demux pass: stts sample counts and mvhd duration read back exactly") {
+    import spark.implicits._
+    // roundtrip: two stts runs must be SUMMED (23 = 18 + 5), duration
+    // is the generator's exact 40 ms/frame
+    Multimodal.mp4Metadata(Multimodal.makeMp4(23, seed = 2L)) shouldBe Some((23, 920L))
+    Multimodal.mp4Metadata(Multimodal.makeMp4(1, seed = 9L)) shouldBe Some((1, 40L))
+    // non-MP4 bytes and truncated containers degrade to None
+    Multimodal.mp4Metadata("not an mp4 container".getBytes) shouldBe None
+    Multimodal.mp4Metadata(Multimodal.makeMp4(23, 2L).take(40)) shouldBe None
+    Multimodal.looksLikeMp4(Multimodal.makeMp4(2, 0L)) shouldBe true
+    // sampleFrames plans from the REAL box tree: ids 2/5/8 → planted
+    // 23/50/77 stts samples → 3/5/8 rows at stride 10 (payload LENGTH
+    // is unrelated to the frame count, so the stub can't fake this)
+    val mp4Media = Multimodal.syntheticMediaWithMp4(
+      graft.queries.PlantedFixtures.mediaDocs(spark), "doc_id", "text")
+    Multimodal.sampleFrames(mp4Media, everyN = 10)
+      .groupByKey(_.media_id).count()
+      .collect().toMap shouldBe Map(2L -> 3L, 5L -> 5L, 8L -> 8L)
+    // decodeVideo: the typed metadata pass over the same container
+    Multimodal.decodeVideo(mp4Media).collect()
+      .map(v => (v.media_id, v.n_frames, v.duration_ms)).sorted.toSeq shouldBe
+      Seq((2L, 23L, 920L), (5L, 50L, 2000L), (8L, 77L, 3080L))
+  }
+
   test("payload never shuffles: decode is a narrow map, downstream carries metadata only") {
     val decoded = Multimodal.decode(media).toDF()
     // decode's output schema is pure metadata — the binary payload is
