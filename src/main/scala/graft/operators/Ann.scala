@@ -194,14 +194,24 @@ object Ann {
     // fails validation loudly instead of probing mixed old/new state
     Dedup.clearIndexCommitMarker(spark, outPath)
     val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
+    // a REBUILD replaces everything, including append batches — clear
+    // the whole vectors tree, not just the build batch's directory
+    ivfFs(spark, outPath).delete(
+      new org.apache.hadoop.fs.Path(s"$outPath/vectors"), true)
     // repartition on the partition key BEFORE partitionBy: without it
     // every input partition writes its own file into every cell
     // directory (numPartitions × nCells files — a metadata bomb in the
     // very index meant to accelerate reads); with it each cell's rows
-    // land in one task → one file per cell
+    // land in one task → one file per cell. The build lands as batch
+    // -1 (one `batch_id=` level above the cells — the same layout the
+    // LSH indexes use) so that [[appendToIvfIndex]] batches sit beside
+    // it and an idempotent retry can overwrite ITS directory alone;
+    // `_cell` stays a partition column, so the probe filter still
+    // prunes the scan to the probed cell directories in every batch.
     embs.withColumn("_cell", nearestCell(col(vecCol), cents))
       .repartition(col("_cell"))
-      .write.mode("overwrite").partitionBy("_cell").parquet(s"$outPath/vectors")
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$outPath/vectors/batch_id=-1")
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
@@ -212,6 +222,90 @@ object Ann {
     Dedup.writeIndexParams(spark, outPath, "n_cells" -> nCells.toLong,
       "dim" -> dim.toLong)
     cents
+  }
+
+  private def ivfFs(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stored centroid matrix of a [[buildIvfIndex]] index, validated
+    * against the params record (driver state: nCells × dim doubles). */
+  private def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String,
+                               params: Map[String, Long]): Seq[Seq[Double]] = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2).toSeq
+    require(cents.length.toLong == params("n_cells"),
+      s"IVF index at $indexPath stores ${cents.length} centroids but was " +
+        s"built with n_cells=${params("n_cells")} — mixed rebuild state; rebuild it")
+    cents
+  }
+
+  private val ivfAppendCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** APPEND a batch to a [[buildIvfIndex]] index — the write half of a
+    * standing ANN corpus: new vectors are assigned to the EXISTING
+    * trained cells (centroids are immutable between rebuilds — an
+    * append must never shift cell boundaries under concurrent probes)
+    * and land under their own `batch_id=` directory beside the build's
+    * batch -1, cell-partitioned exactly like the build.
+    *
+    * Idempotency matches the LSH indexes: with an explicit `batchId`
+    * (a foreachBatch loop's micro-batch id) the append OVERWRITES its
+    * own batch directory, so an at-least-once retry is a replace;
+    * without one each call gets a fresh auto id (accumulate semantics,
+    * reconciled by [[compactIvfIndex]]'s dropDuplicates). Centroid
+    * drift from appended mass is real but bounded — the periodic
+    * [[buildIvfIndex]] rebuild retrains; appends keep ingest flowing
+    * between rebuilds. */
+  def appendToIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String,
+                       batchId: Option[Long] = None): Unit = {
+    val spark = embs.sparkSession
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("n_cells") && params.contains("dim"),
+      s"params/ under $indexPath is not an IVF index record")
+    val cents = readIvfCentroids(spark, indexPath, params)
+    val id = batchId.getOrElse(
+      System.currentTimeMillis() * 1000 + (ivfAppendCounter.incrementAndGet() % 1000))
+    embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$indexPath/vectors/batch_id=$id")
+  }
+
+  /** COMPACT a [[buildIvfIndex]] index in place: fold the build + all
+    * append batches into one fresh batch -1, deduplicating rows a
+    * no-batchId retry may have double-landed, and restoring the
+    * one-file-per-cell layout that many small appends fragment. Cell
+    * assignments and centroids are untouched — compaction is pure
+    * layout maintenance, so probe results are identical before and
+    * after (pinned in AnnSpec). Same crash discipline as the LSH
+    * compactions: stage under `_compact_tmp/`, drop the commit marker,
+    * swap, rewrite the marker — an interrupted swap fails
+    * [[searchIvfIndex]]'s validation loudly. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit = {
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("n_cells") && params.contains("dim"),
+      s"params/ under $indexPath is not an IVF index record")
+    val fs = ivfFs(spark, indexPath)
+    val tmp = s"$indexPath/_compact_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(s"$indexPath/vectors")
+      .drop("batch_id").dropDuplicates()
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$tmp/vectors/batch_id=-1")
+    Dedup.clearIndexCommitMarker(spark, indexPath) // probes fail loudly
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/vectors"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/vectors"),
+      new org.apache.hadoop.fs.Path(s"$indexPath/vectors"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    Dedup.writeIndexParams(spark, indexPath,
+      "n_cells" -> params("n_cells"), "dim" -> params("dim"))
   }
 
   /** Search a [[buildIvfIndex]] index: pick the nProbe cells whose
@@ -234,12 +328,7 @@ object Ann {
     require(params("dim") == queryVec.length.toLong,
       s"IVF index at $indexPath was built with dim=${params("dim")} but " +
         s"queried with a ${queryVec.length}-dim vector")
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1).map(_._2).toSeq
-    require(cents.length.toLong == params("n_cells"),
-      s"IVF index at $indexPath stores ${cents.length} centroids but was " +
-        s"built with n_cells=${params("n_cells")} — mixed rebuild state; rebuild it")
+    val cents = readIvfCentroids(spark, indexPath, params)
     val qUnit = unit(queryVec)
     val probeCells = cents.map(unit).zipWithIndex
       .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }

@@ -220,6 +220,34 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // IVF index APPEND + COMPACT round-trip: build without the colinear
+    // twins (1, 2 = scalar multiples of 0), append them in two
+    // batch-keyed batches — centroids are immutable, so they land in
+    // 0's cell and are immediately searchable at cosine 1.0 — then
+    // compact to one folded batch and search: top-3 = the colinear
+    // cluster, n_batches pins the fold.
+    "ann6_ivf_append" -> ((s, _) => {
+      val embs = PlantedFixtures.embs(s)
+      val idx = graft.TempDirs.path("ann-index/ann6")
+      Ann.buildIvfIndex(embs.filter(!col("vec_id").isin(1L, 2L)),
+        "vec_id", "embedding", PlantedFixtures.EmbFixtureDim,
+        nCells = 3, outPath = idx)
+      Ann.appendToIvfIndex(embs.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", idx, batchId = Some(0L))
+      Ann.appendToIvfIndex(embs.filter(col("vec_id") === 2L),
+        "vec_id", "embedding", idx, batchId = Some(1L))
+      Ann.compactIvfIndex(s, idx)
+      val nb = s.read.parquet(s"$idx/vectors")
+        .select(col("batch_id").cast("long")).distinct().count()
+      val qv = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      Ann.searchIvfIndex(s, idx, "vec_id", "embedding", qv, k = 3, nProbe = 2)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .withColumn("n_batches", lit(nb))
+        .orderBy(asc("vec_id"))
+    }),
+
     // Language ID heuristic: predicted vs labeled distribution.
     "tx1_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -630,6 +658,12 @@ object PipelineQueries {
            (9, 0.6325),
            (11, 0.4743)
          ) AS t(vec_id, sim) ORDER BY sim DESC, vec_id""",
+    "ann6_ivf_append" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT)),
+           (1, 1.0, 1),
+           (2, 1.0, 1)
+         ) AS t(vec_id, sim, n_batches) ORDER BY vec_id""",
     "tx4_rolling_hash" ->
       """SELECT CAST(20 AS BIGINT) AS n_docs, CAST(19 AS BIGINT) AS n_distinct_rh,
                 true AS dup_rh_equal, true AS reorder_rh_differs,

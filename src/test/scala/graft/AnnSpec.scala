@@ -148,6 +148,57 @@ class AnnSpec extends SparkSpec {
     exHalf.getMessage should include("no readable params/")
   }
 
+  test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = graft.queries.PlantedFixtures.embs(spark)
+    val dimF = graft.queries.PlantedFixtures.EmbFixtureDim
+    val idx = graft.TempDirs.path("ann-index/append")
+    // build WITHOUT the colinear twins 1/2; append them in two batches
+    Ann.buildIvfIndex(all.filter(!col("vec_id").isin(1L, 2L)),
+      "vec_id", "embedding", dimF, nCells = 3, outPath = idx)
+    Ann.appendToIvfIndex(all.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", idx, batchId = Some(0L))
+    Ann.appendToIvfIndex(all.filter(col("vec_id") === 2L),
+      "vec_id", "embedding", idx, batchId = Some(1L))
+    def rowCount = spark.read.parquet(s"$idx/vectors").count()
+    rowCount shouldBe 12L
+    // at-least-once retry of batch 1 = REPLACE, not a second copy
+    Ann.appendToIvfIndex(all.filter(col("vec_id") === 2L),
+      "vec_id", "embedding", idx, batchId = Some(1L))
+    rowCount shouldBe 12L
+    // the appended colinear vectors are immediately searchable at their
+    // true sims (assigned to 0's cell — centroids are immutable, so a
+    // scalar multiple of 0 lands exactly where 0 did)
+    val qv = all.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    def top3 = Ann.searchIvfIndex(spark, idx, "vec_id", "embedding", qv,
+        k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = top3
+    before.map(_._1).toSet shouldBe Set(0L, 1L, 2L)
+    before.foreach { case (_, s) => s shouldBe 1.0 +- 1e-9 }
+    // compaction folds the batches and restores one-file-per-cell;
+    // cells and centroids untouched → probe results identical
+    Ann.compactIvfIndex(spark, idx)
+    spark.read.parquet(s"$idx/vectors")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(-1L)
+    rowCount shouldBe 12L
+    top3 shouldBe before
+    new java.io.File(s"$idx/vectors/batch_id=-1").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_cell="))
+      .foreach(d => d.listFiles.count(_.getName.endsWith(".parquet")) shouldBe 1)
+    // appending to a marker-less (mid-rebuild) index fails loudly
+    val marker = new java.io.File(s"$idx/params")
+    marker.listFiles().foreach(_.delete())
+    marker.delete() shouldBe true
+    intercept[IllegalStateException] {
+      Ann.appendToIvfIndex(all.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", idx, batchId = Some(9L))
+    }
+  }
+
   test("graft_cosine / graft_hyperplane_sig are SQL-callable") {
     import spark.implicits._
     Seq((Seq(3.0f, 4.0f), Seq(6.0f, 8.0f))).toDF("a", "b")

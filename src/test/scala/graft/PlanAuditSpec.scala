@@ -105,8 +105,9 @@ class PlanAuditSpec extends SparkSpec {
     search.collect().head.getLong(0) shouldBe 0L
     // writer discipline: the build repartitions on _cell before
     // partitionBy, so each cell directory holds exactly ONE data file
-    // (not one per input partition — the small-files metadata bomb)
-    val cellDirs = new java.io.File(s"$idx/vectors").listFiles
+    // (not one per input partition — the small-files metadata bomb);
+    // the build lands as batch -1, appends sit beside it
+    val cellDirs = new java.io.File(s"$idx/vectors/batch_id=-1").listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("_cell="))
     cellDirs.length shouldBe 8
     cellDirs.foreach { d =>
