@@ -208,15 +208,23 @@ object Windows {
     * Both probe/append parameter sets are read from the respective
     * index's stored `params/` once at stream start; only the verify
     * thresholds are the caller's choice. The embedding index's `dim`
-    * is the stored build dim. `compactEvery = Some(n)` compacts BOTH
-    * indexes after every n-th batch (see
-    * [[streamingDedupAgainstIndexKeyed]] for the crash discipline). */
+    * is the stored build dim. `compactEvery = Some(n)` compacts the
+    * maintained indexes after every n-th batch (see
+    * [[streamingDedupAgainstIndexKeyed]] for the crash discipline).
+    *
+    * `ivfIndexPath = Some(path)` additionally appends each batch's
+    * survivors to a standing [[graft.operators.Ann.buildIvfIndex]]
+    * SERVING index under the same batch-id idempotency key — dedup
+    * gates what enters the corpus, the IVF index is how consumers
+    * query it, and one loop keeps all three structures in step without
+    * a rebuild between micro-batches. */
   def streamingDedupAgainstIndexes(stream: DataFrame, idCol: String,
                                    textCol: String, vecCol: String,
                                    textIndexPath: String, embIndexPath: String,
                                    textThreshold: Double = 0.7,
                                    embThreshold: Double = 0.99,
-                                   compactEvery: Option[Int] = None)
+                                   compactEvery: Option[Int] = None,
+                                   ivfIndexPath: Option[String] = None)
                                   (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
@@ -255,11 +263,16 @@ object Windows {
             k, nh, bands, batchId = Some(batchId))
           Dedup.appendToEmbeddingIndex(survivors, idCol, vecCol, dim,
             embIndexPath, bits, tables, batchId = Some(batchId))
+          ivfIndexPath.foreach(p => graft.operators.Ann.appendToIvfIndex(
+            survivors.select(col(idCol), col(vecCol)), idCol, vecCol, p,
+            batchId = Some(batchId)))
           sink(survivors, batchId)
         } finally survivors.unpersist(blocking = false)
         if (compactEvery.exists(n => n > 0 && (batchId + 1) % n == 0)) {
           Dedup.compactMinhashIndex(batch.sparkSession, textIndexPath)
           Dedup.compactEmbeddingIndex(batch.sparkSession, embIndexPath)
+          ivfIndexPath.foreach(p =>
+            graft.operators.Ann.compactIvfIndex(batch.sparkSession, p))
         }
       } finally cached.unpersist(blocking = false)
     }.start()

@@ -431,7 +431,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("unified loop: one stream maintains both the text and the embedding index") {
+  test("unified loop: one stream maintains the text, embedding and IVF serving indexes") {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -439,6 +439,7 @@ class StreamingSpec extends SparkSpec {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     val textIdx = graft.TempDirs.path("minhash-index/streaming-unified")
     val embIdx = graft.TempDirs.path("embedding-index/streaming-unified")
+    val ivfIdx = graft.TempDirs.path("ann-index/streaming-unified")
     val seedText = "unrelated corpus seed document with entirely distinct words"
     val base = "the quick brown fox jumps over the lazy dog tonight again and again"
     graft.operators.Dedup.buildMinhashIndex(
@@ -446,11 +447,16 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Dedup.buildEmbeddingIndex(
       Seq((1L, v(2, 1, 0, 0, 0, 0, 0, 0))).toDF("doc_id", "vec"),
       "doc_id", "vec", 8, embIdx)
+    // the SERVING index the loop keeps in step with the dedup gates
+    graft.operators.Ann.buildIvfIndex(
+      Seq((1L, v(2, 1, 0, 0, 0, 0, 0, 0))).toDF("doc_id", "vec"),
+      "doc_id", "vec", 8, nCells = 1, outPath = ivfIdx)
     val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
     val in = MemoryStream[(Long, String, Seq[Float])]
     val q = graft.streaming.Windows.streamingDedupAgainstIndexes(
         in.toDF().toDF("doc_id", "text", "vec"), "doc_id", "text", "vec",
-        textIdx, embIdx) { (survivors, _) =>
+        textIdx, embIdx, compactEvery = Some(2), ivfIndexPath = Some(ivfIdx)) {
+        (survivors, _) =>
       sunk ++= survivors.select(col("doc_id")).collect().map(_.getLong(0))
     }
     try {
@@ -476,6 +482,21 @@ class StreamingSpec extends SparkSpec {
         (22L, "final genuinely new content body", v(0, 0, 0, 0, 0, 0, 1, 0)))
       q.processAllAvailable()
       sunk.sorted.toSeq shouldBe Seq(12L, 14L, 22L)
+      // the SERVING index advanced batch-by-batch with exactly the
+      // dedup survivors (seed + 12/14/22), and the every-2nd-batch
+      // compaction folded its append partitions
+      spark.read.parquet(s"$ivfIdx/vectors").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 12L, 14L, 22L)
+      spark.read.parquet(s"$ivfIdx/vectors")
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq shouldBe Seq(-1L)
+      // an ingested vector is immediately searchable: doc 14's exact
+      // direction tops the serving-index probe at sim 1.0
+      val hit = graft.operators.Ann.searchIvfIndex(spark, ivfIdx,
+        "doc_id", "vec", Seq(0, 0, 0, 0, 0, 1, 0, 0).map(_.toDouble),
+        k = 1, nProbe = 1).collect()(0)
+      hit.getLong(0) shouldBe 14L
+      hit.getDouble(1) shouldBe 1.0 +- 1e-9
     } finally q.stop()
   }
 
