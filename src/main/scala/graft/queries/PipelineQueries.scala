@@ -493,7 +493,12 @@ object PipelineQueries {
     // against batch 0's appends in either modality (20 → doc 12's
     // text, 21 → doc 14's vector) → only 22 lands. The sink parquet IS
     // the query result — (batch, doc_id) straight off the partition
-    // layout.
+    // layout. Bench cost (~30 s, reproduces isolated) is micro-batch
+    // ENGINE overhead — two real foreachBatch executions, each ~15
+    // tiny jobs (probes, star-CC rounds, appends), plus the batch-1
+    // compactions — not a data-path scale risk: every constituent is
+    // individually benched at sf scale (sx14/sx15 probes, sx13 star
+    // CC, sx16 compaction).
     "st5_unified_ingest" -> ((s, _) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
