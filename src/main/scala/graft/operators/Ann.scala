@@ -33,6 +33,65 @@ object Ann {
       .limit(k)
   }
 
+  /** Exact cosine top-k for a BATCH of queries — one scan of the
+    * corpus serves every query. The query table (qid, vec) broadcasts;
+    * each corpus row scores against all queries; the per-query
+    * reduction is [[TopKByScore]], a bounded typed Aggregator whose
+    * map-side partial pass keeps only k rows per (query × partition),
+    * so the shuffle moves k·partitions rows per query — NOT the
+    * queries × corpus cross product a `row_number()` window would
+    * sort. Output: (query_id, idCol, sim), best-first ordering
+    * recoverable by (sim desc, id); rows come back ordered by
+    * (query_id, id) for deterministic comparison. */
+  def bruteForceTopKBatch(embs: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String,
+                          qvecCol: String, k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(qidCol).cast("long").as("_qid"),
+      col(qvecCol).as("_qvec")))
+    val scored = embs.crossJoin(q)
+      .select(col("_qid").as("qid"), col(idCol).cast("long").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_qvec")).as("sim"))
+      .as[QueryScored]
+    scored.groupByKey(_.qid)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
+      .toDF("query_id", idCol, "sim")
+      .orderBy("query_id", idCol)
+  }
+
+  /** Batched IVF search against trained cells: every query probes its
+    * nProbe nearest cells (computed in-plan from the broadcast
+    * centroid literals — same per-row machinery as [[ivfSearch]]) and
+    * scores only the rows of those cells; the per-query top-k is the
+    * same bounded [[TopKByScore]] reduction as
+    * [[bruteForceTopKBatch]]. On a cell-partitioned table the cell
+    * join prunes the scan itself. */
+  def ivfSearchBatch(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, cents: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val withCell = embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+    val unitCents = cents.map(unit)
+    val probes = queries
+      .select(col(qidCol).cast("long").as("_qid"), col(qvecCol).as("_qvec"),
+        explode(slice(reverse(array_sort(array(unitCents.zipWithIndex.map { case (c, i) =>
+          struct(V.dotUnrolled(col(qvecCol), typedLit(c), c.length).as("s"), lit(i).as("i"))
+        }: _*))), 1, nProbe)).as("_p"))
+      .select(col("_qid"), col("_qvec"), col("_p.i").as("_probe_cell"))
+    val scored = withCell.join(broadcast(probes), col("_cell") === col("_probe_cell"))
+      .select(col("_qid").as("qid"), col(idCol).cast("long").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_qvec")).as("sim"))
+      .as[QueryScored]
+    scored.groupByKey(_.qid)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
+      .toDF("query_id", idCol, "sim")
+      .orderBy("query_id", idCol)
+  }
+
   /** LSH-bucketed ANN: score only vectors whose signature matches the
     * query signature or any single-bit flip of it (multiprobe radius
     * 1). Recall is tunable via `bits` (fewer bits → bigger buckets →

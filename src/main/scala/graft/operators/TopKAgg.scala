@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator`: bounded top-k of (id, score) pairs per group —
+  * the batched-ANN reduction ([[Ann.bruteForceTopKBatch]] /
+  * [[Ann.ivfSearchBatch]]).
+  *
+  * Why an Aggregator and not `row_number() OVER (PARTITION BY qid
+  * ORDER BY sim DESC)`: the window form SHUFFLES AND SORTS every
+  * scored row — queries × corpus rows move to the window exchange
+  * before all but k per query are discarded. This buffer keeps at most
+  * k entries per (query × partition) during the map-side partial pass,
+  * so only k · numPartitions rows per query ever shuffle — the same
+  * bound `TakeOrderedAndProject` gives the single-query path, made
+  * per-group. At 100 TB with a 1000-query batch that is the difference
+  * between shuffling 10^11 scored rows and 10^7 survivors.
+  *
+  * Ordering: better = higher score, ties to the smaller id — matching
+  * the single-query operators' `orderBy(desc("sim"), col(id))`.
+  * `finish` emits hits best-first. Insertion is O(k) per row against a
+  * flat pair of primitive arrays (no heap allocation per row); k is a
+  * serving-side constant (10..100), so the linear scan beats heap
+  * bookkeeping at this size.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[QueryScored, TopKByScore.Buf, Seq[TopHit]] {
+  import TopKByScore.Buf
+  require(k > 0, "k must be > 0")
+
+  override def zero: Buf = Buf(new Array[Long](0), new Array[Double](0))
+
+  /** Index of the worst held entry: lowest score, ties to the LARGER
+    * id (the first evicted among equals, keeping smaller ids). */
+  private def worst(b: Buf): Int = {
+    var w = 0
+    var i = 1
+    while (i < b.ids.length) {
+      if (b.scores(i) < b.scores(w) ||
+        (b.scores(i) == b.scores(w) && b.ids(i) > b.ids(w))) w = i
+      i += 1
+    }
+    w
+  }
+
+  private def insert(b: Buf, id: Long, score: Double): Buf =
+    if (b.ids.length < k)
+      Buf(b.ids :+ id, b.scores :+ score)
+    else {
+      val w = worst(b)
+      if (score > b.scores(w) || (score == b.scores(w) && id < b.ids(w))) {
+        b.ids(w) = id
+        b.scores(w) = score
+      }
+      b
+    }
+
+  override def reduce(b: Buf, v: QueryScored): Buf = insert(b, v.id, v.sim)
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    var out = a
+    var i = 0
+    while (i < b.ids.length) { out = insert(out, b.ids(i), b.scores(i)); i += 1 }
+    out
+  }
+
+  override def finish(b: Buf): Seq[TopHit] =
+    b.ids.indices
+      .sortBy(i => (-b.scores(i), b.ids(i)))
+      .map(i => TopHit(b.ids(i), b.scores(i)))
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Seq[TopHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopHit]]()
+}
+
+object TopKByScore {
+  case class Buf(ids: Array[Long], scores: Array[Double])
+}
+
+/** One scored candidate row of a batched ANN pass. */
+case class QueryScored(qid: Long, id: Long, sim: Double)
+
+/** One ranked hit of a batched top-k result. */
+case class TopHit(id: Long, sim: Double)

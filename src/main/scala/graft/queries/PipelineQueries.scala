@@ -220,6 +220,37 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // BATCHED brute-force ANN over the sf embeddings: one corpus scan
+    // serves three queries; the per-query top-5 reduction is the
+    // bounded TopKByScore Aggregator (k rows per query × partition
+    // shuffle, not a row_number window sort of the full cross
+    // product). Fully SQL-expressible — the oracle is the same cosine
+    // math under a per-query window rank in DuckDB.
+    "ann7_brute_batch" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.bruteForceTopKBatch(embs, "vec_id", "embedding", q, "qid", "qv", 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "vec_id")
+    }),
+
+    // BATCHED IVF search on the planted vectors: queries 0 and 1 are
+    // colinear, so both probe the same trained cell and their top-3 is
+    // the full scalar-multiple cluster at cosine 1.0 — per-query
+    // results from one shared pass.
+    "ann8_ivf_batch" -> ((s, _) => {
+      val embs = PlantedFixtures.embs(s)
+      val q = embs.filter(col("vec_id").isin(0L, 1L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = Ann.trainIvfCells(embs, "vec_id", "embedding",
+        PlantedFixtures.EmbFixtureDim, nCells = 3, iters = 3)
+      Ann.ivfSearchBatch(embs, "vec_id", "embedding",
+          PlantedFixtures.EmbFixtureDim, q, "qid", "qv", 3, cents, nProbe = 2)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // IVF index APPEND + COMPACT round-trip: build without the colinear
     // twins (1, 2 = scalar multiples of 0), append them in two
     // batch-keyed batches — centroids are immutable, so they land in
@@ -669,6 +700,32 @@ object PipelineQueries {
            (1, 1.0, 1),
            (2, 1.0, 1)
          ) AS t(vec_id, sim, n_batches) ORDER BY vec_id""",
+    "ann7_brute_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+                           x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), v -> v * v))) *
+                   sqrt(list_sum(list_transform(q.qv, v -> v * v)))) AS sim_raw
+           FROM embeddings e CROSS JOIN q)
+         SELECT query_id, vec_id, round(sim_raw, 4) AS sim
+         FROM (SELECT query_id, vec_id, sim_raw,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim_raw DESC, vec_id) AS rn
+               FROM scored)
+         WHERE rn <= 5
+         ORDER BY query_id, vec_id""",
+    "ann8_ivf_batch" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)),
+           (0, 1, 1.0),
+           (0, 2, 1.0),
+           (1, 0, 1.0),
+           (1, 1, 1.0),
+           (1, 2, 1.0)
+         ) AS t(query_id, vec_id, sim) ORDER BY query_id, vec_id""",
     "tx4_rolling_hash" ->
       """SELECT CAST(20 AS BIGINT) AS n_docs, CAST(19 AS BIGINT) AS n_distinct_rh,
                 true AS dup_rh_equal, true AS reorder_rh_differs,

@@ -305,6 +305,19 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_frames"), countDistinct(col("media_id")).as("n_videos"))
     }),
 
+    // BATCHED exact ANN at sf scale: 8 queries served by ONE corpus
+    // scan; the bounded TopKByScore partial-agg keeps k rows per
+    // (query × partition), so the shuffle is k·parts·queries rows —
+    // compare sx4/sx5, which pay a full pass PER query.
+    "sx17_ann_brute_batch" -> ((s, dir) => {
+      val embs = Tables(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.bruteForceTopKBatch(embs, "vec_id", "embedding", q, "qid", "qv", 10)
+        .agg(count(lit(1)).as("n_results"),
+          countDistinct(col("query_id")).as("n_queries"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

@@ -148,6 +148,37 @@ class AnnSpec extends SparkSpec {
     exHalf.getMessage should include("no readable params/")
   }
 
+  test("batched top-k: one scan serves many queries, matching the single-query ops") {
+    val qids = Seq(0L, 3L, 7L)
+    val q = embs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Ann.bruteForceTopKBatch(embs, "vec_id", "embedding",
+        q, "qid", "qv", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    batch.length shouldBe 15
+    for (qid <- qids) {
+      val single = Ann.bruteForceTopK(embs, "vec_id", "embedding",
+          embs.filter(col("vec_id") === qid).select(col("embedding").as("qv")),
+          "qv", 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
+      batch.filter(_._1 == qid).toSet shouldBe single
+    }
+    // IVF batch: per-query results equal the single-query ivfSearch on
+    // the same trained cells
+    val cents = Ann.trainIvfCells(embs, "vec_id", "embedding", dim,
+      nCells = 4, iters = 3)
+    val ivfBatch = Ann.ivfSearchBatch(embs, "vec_id", "embedding", dim,
+        q, "qid", "qv", 5, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (qid <- qids) {
+      val single = Ann.ivfSearch(embs, "vec_id", "embedding", dim,
+          embs.filter(col("vec_id") === qid).select(col("embedding").as("qv")),
+          "qv", 5, cents, nProbe = 2)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
+      ivfBatch.filter(_._1 == qid).toSet shouldBe single
+    }
+  }
+
   test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
