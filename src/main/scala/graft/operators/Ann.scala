@@ -113,21 +113,34 @@ object Ann {
     * sat in a comment. The per-round bench gauge measures THIS default
     * against brute force; AnnSpec pins the fixture.
     */
-  def lshTopK(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-              query: DataFrame, queryVecCol: String, k: Int,
-              bits: Int = 0, tables: Int = 0): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
+  /** (bits, tables) with the auto-sizing rule applied where the caller
+    * passed 0 — see [[lshTopK]]'s scaladoc for the rule. */
+  private def lshAutoSize(embs: DataFrame, bits: Int, tables: Int): (Int, Int) = {
     require(tables >= 0, "tables must be >= 1 (or 0 = auto)")
-    val autoBits =
+    val b =
       if (bits > 0) bits
       else math.min(24, math.max(1, math.round(
         math.log(math.max(embs.count(), 160).toDouble / 80) / math.log(2)).toInt))
-    val autoTables = if (tables > 0) tables else 8
-    def sigArr(vec: Column) = array((0 until autoTables).map { t =>
+    (b, if (tables > 0) tables else 8)
+  }
+
+  /** Per-table (t, sig) struct array for a vector column — the
+    * signature side shared by the single-query and batched LSH paths. */
+  private def hyperplaneSigArr(vec: Column, bits: Int, tables: Int,
+                               dim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    array((0 until tables).map { t =>
       struct(lit(t).as("t"),
         ColumnBridge.column(graft.plans.HyperplaneSignatureExpr(
-          ColumnBridge.expression(vec), autoBits, dim, seed = 42L + t)).as("sig"))
+          ColumnBridge.expression(vec), bits, dim, seed = 42L + t)).as("sig"))
     }: _*)
+  }
+
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+              query: DataFrame, queryVecCol: String, k: Int,
+              bits: Int = 0, tables: Int = 0): DataFrame = {
+    val (autoBits, autoTables) = lshAutoSize(embs, bits, tables)
+    def sigArr(vec: Column) = hyperplaneSigArr(vec, autoBits, autoTables, dim)
     val withSig = embs
       .select(col(idCol), col(vecCol), explode(sigArr(col(vecCol))).as("_ts"))
     // query side: per-table signature + radius-1 multiprobes, exploded
@@ -149,6 +162,45 @@ object Ann {
       .dropDuplicates(idCol)
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
+  }
+
+  /** Batched LSH ANN — [[lshTopK]] for a query TABLE: every query's
+    * per-table signature and radius-1 multiprobes join the same
+    * signed corpus pass, candidates dedup per (query, id) across
+    * tables/probes BEFORE the one cosine evaluation, and the per-query
+    * top-k is the bounded [[TopKByScore]] reduction (k rows per query
+    * × partition shuffle — see [[bruteForceTopKBatch]]). Auto-sizing
+    * matches the single-query path. */
+  def lshTopKBatch(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+                   bits: Int = 0, tables: Int = 0): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (autoBits, autoTables) = lshAutoSize(embs, bits, tables)
+    val withSig = embs
+      .select(col(idCol), col(vecCol),
+        explode(hyperplaneSigArr(col(vecCol), autoBits, autoTables, dim)).as("_ts"))
+    val probes = queries
+      .select(col(qidCol).cast("long").as("_qid"), col(qvecCol).as("_qvec"),
+        explode(hyperplaneSigArr(col(qvecCol), autoBits, autoTables, dim)).as("_qs"))
+      .select(col("_qid"), col("_qvec"), col("_qs.t").as("_pt"), explode(array(
+        col("_qs.sig") +: (0 until autoBits).map(i =>
+          col("_qs.sig").bitwiseXOR(lit(1L << i))): _*)).as("_probe"))
+    val scored = withSig.join(broadcast(probes),
+        col("_ts.t") === col("_pt") && col("_ts.sig") === col("_probe"))
+      .select(col("_qid").as("qid"), col(idCol).cast("long").as("id"),
+        col(vecCol), col("_qvec"))
+      // a candidate reachable through several (table, probe) paths
+      // must pay exactly one cosine
+      .dropDuplicates("qid", "id")
+      .select(col("qid"), col("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_qvec")).as("sim"))
+      .as[QueryScored]
+    scored.groupByKey(_.qid)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
+      .toDF("query_id", idCol, "sim")
+      .orderBy("query_id", idCol)
   }
 
   /** Nearest-cell assignment against a small in-plan centroid set:

@@ -177,6 +177,24 @@ class AnnSpec extends SparkSpec {
         .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
       ivfBatch.filter(_._1 == qid).toSet shouldBe single
     }
+    // LSH batch: each query's results match its single-query call
+    // under the same explicit (bits, tables) config
+    val lshBatch = Ann.lshTopKBatch(embs, "vec_id", "embedding", dim,
+        q, "qid", "qv", 5, bits = 2, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (qid <- qids) {
+      val single = Ann.lshTopK(embs, "vec_id", "embedding", dim,
+          embs.filter(col("vec_id") === qid).select(col("embedding").as("qv")),
+          "qv", 5, bits = 2, tables = 4)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
+      lshBatch.filter(_._1 == qid).toSet shouldBe single
+    }
+    // the batched reduction partial-aggregates (bounded buffers) and
+    // never window-sorts the scored cross product
+    val plan = Ann.bruteForceTopKBatch(embs, "vec_id", "embedding",
+      q, "qid", "qv", 5).queryExecution.executedPlan.toString
+    plan should include("ObjectHashAggregate")
+    plan should not include "Window"
   }
 
   test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes") {
