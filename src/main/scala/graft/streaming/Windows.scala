@@ -132,10 +132,21 @@ object Windows {
     * the swap window; a crash mid-swap leaves the marker cleared and
     * the NEXT batch's probe fails loudly (rerun the compaction to
     * repair) rather than reading a half-swapped index. */
+  /** Per-micro-batch observability record of the ingest loop — what an
+    * operator watches at 100 TB: the dedup RATES (a corpus-dup spike
+    * means a re-crawl; a collapse spike means a scraper loop) and the
+    * probe-cap skips (non-zero means hot buckets grew past the cap
+    * across appends — schedule a compaction). */
+  final case class IngestBatchStats(batchId: Long, nIn: Long,
+                                    nCorpusDups: Long, nInBatchCollapsed: Long,
+                                    nSurvivors: Long, nSkippedBuckets: Long,
+                                    nDocsInSkippedBuckets: Long)
+
   def streamingDedupAgainstIndexKeyed(stream: DataFrame, idCol: String,
                                       textCol: String, indexPath: String,
                                       threshold: Double = 0.7,
-                                      compactEvery: Option[Int] = None)
+                                      compactEvery: Option[Int] = None,
+                                      onStats: Option[IngestBatchStats => Unit] = None)
                                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
@@ -147,8 +158,9 @@ object Windows {
       try {
         // 1. corpus-level dedup: drop docs near-duplicating ALREADY-
         //    ingested content (self-id matches excluded — replay)
-        val corpusDups = Dedup.minhashNearDupsAgainstIndex(
+        val probe = Dedup.minhashNearDupsAgainstIndexWithStats(
           cached, idCol, textCol, indexPath, threshold, k, nh, bands)
+        val corpusDups = probe.pairs
         val noCorpusDups = cached.join(
           corpusDups.select(col("in_doc").as(idCol)).distinct(), Seq(idCol), "left_anti")
         // 2. batch-INTERNAL dedup: two near-identical docs arriving in
@@ -172,6 +184,17 @@ object Windows {
           Dedup.appendToMinhashIndex(survivors, idCol, textCol, indexPath,
             k, nh, bands, batchId = Some(batchId))
           sink(survivors, batchId)
+          // opt-in: the count actions run over the already-cached batch
+          // and the tiny materialized probe outputs, AFTER the batch is
+          // durably landed — observability never delays the data path
+          onStats.foreach { f =>
+            val nIn = cached.count()
+            val nCorpus = corpusDups.select(col("in_doc")).distinct().count()
+            val nSurv = survivors.count()
+            val ds = probe.probeDropStats.collect()(0)
+            f(IngestBatchStats(batchId, nIn, nCorpus,
+              nIn - nCorpus - nSurv, nSurv, ds.getLong(0), ds.getLong(1)))
+          }
         } finally survivors.unpersist(blocking = false)
         // maintenance rides the serial batch slot — after the sink, so
         // a compaction failure never loses an already-landed batch

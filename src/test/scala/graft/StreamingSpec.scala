@@ -291,6 +291,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest-loop stats: per-batch dedup rates and probe-cap skips surface to the operator") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val idx = graft.TempDirs.path("minhash-index/streaming-stats")
+    val seed = "unrelated corpus seed document with entirely distinct words"
+    val dup = "the quick brown fox jumps over the lazy dog tonight again and again"
+    graft.operators.Dedup.buildMinhashIndex(
+      Seq(1L -> seed).toDF("doc_id", "text"), "doc_id", "text", idx, maxBucket = 2)
+    // three pre-stream appends of identical text grow one bucket per
+    // band to 3 docs — past the cap no single append could see
+    Seq(10L, 11L, 12L).zipWithIndex.foreach { case (id, b) =>
+      graft.operators.Dedup.appendToMinhashIndex(
+        Seq(id -> dup).toDF("doc_id", "text"), "doc_id", "text", idx,
+        maxBucket = 2, batchId = Some(100L + b))
+    }
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[graft.streaming.Windows.IngestBatchStats]
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndexKeyed(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        onStats = Some(stats += _)) { (_, _) => () }
+    try {
+      in.addData(
+        (99L, dup),                // probes only grown buckets → skipped, SURVIVES
+        (98L, seed + " extra"),    // corpus dup of the seed → dropped
+        (20L, "a fresh novel sentence with plenty of distinct words"),
+        (21L, "a fresh novel sentence with plenty of distinct words too"), // in-batch dup of 20
+        (22L, "completely different final content body"))
+      q.processAllAvailable()
+      stats.toSeq shouldBe Seq(graft.streaming.Windows.IngestBatchStats(
+        batchId = 0L, nIn = 5L, nCorpusDups = 1L, nInBatchCollapsed = 1L,
+        nSurvivors = 3L, nSkippedBuckets = 16L, nDocsInSkippedBuckets = 48L))
+    } finally q.stop()
+  }
+
   test("compactEvery: the ingest loop folds batch partitions in the serial batch slot") {
     val session = spark
     import session.implicits._
