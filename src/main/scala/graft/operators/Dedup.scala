@@ -1057,6 +1057,87 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Benchmark contamination
+  // -------------------------------------------------------------------
+
+  /** Benchmark-contamination sweep: training documents that
+    * near-duplicate an evaluation-benchmark item — the audit an LLM
+    * data pipeline runs before training (the n-gram-overlap
+    * decontamination of the published LM training recipes, here as the
+    * same MinHash-verified k-shingle-Jaccard predicate as
+    * [[minhashNearDups]], so the contamination gate and the dedup gate
+    * agree on what "near-duplicate" means).
+    *
+    * Shape, chosen for the corpus : benchmark asymmetry (100 TB vs a
+    * few MB by construction):
+    *
+    *  - the WHOLE benchmark side broadcasts — both its banded
+    *    (band, bh) probe keys and its verify shingle sets;
+    *  - the training corpus is scanned ONCE and never shuffled: the
+    *    shingle array rides through the banding explode, so the LSH
+    *    probe (broadcast hash join on (band, bh)) and the exact-Jaccard
+    *    verify (broadcast join on bench_doc) both evaluate inside the
+    *    scan's own pipeline. Non-colliding rows — the overwhelming
+    *    majority — die at the probe join without leaving their stage;
+    *    the bands-× amplification from the explode is transient
+    *    pipelined compute, never materialized or shuffled state;
+    *  - the only exchange is the final collapse of multi-band hits to
+    *    one row per (train_doc, bench_doc) — map-side partial-agged,
+    *    and bounded by the contamination actually present.
+    *
+    * Contrast [[minhashNearDupsAgainstIndex]]: that is the INCREMENTAL
+    * shape (big persisted corpus index, small incoming batch); this is
+    * the inverse one-shot sweep (tiny transient "index", full corpus
+    * pass) — benchmarks change too often to amortize a persisted
+    * corpus-side index against them.
+    *
+    * Returns (train_doc, bench_doc, jaccard ≥ threshold), one row per
+    * contaminated pair. [[decontaminate]] is the write side;
+    * per-benchmark contamination RATES are one groupBy over the report.
+    */
+  def contaminationReport(train: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                          threshold: Double = 0.7, shingleK: Int = 3,
+                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val bsh = bench.select(col(benchIdCol).as("doc"),
+      shingles(col(benchTextCol), shingleK).as("sh"))
+    val bBuckets = bandedDocRows(bsh, numHashes, bands)
+      .select(col("band"), col("bh"), col("doc").as("bench_doc"))
+    val bShingles = bsh.select(col("doc").as("bench_doc"), col("sh").as("bench_sh"))
+    val tBanded = train
+      .select(col(idCol).as("train_doc"), shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignatureArray(col("sh"), numHashes))
+      .filter(col("sig").isNotNull) // null text never contaminates
+      .select(col("train_doc"), col("sh"),
+        explode(array(bandHashCols(col("sig"), numHashes, bands): _*)).as("b"))
+      .select(col("train_doc"), col("sh"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    tBanded
+      .join(broadcast(bBuckets), Seq("band", "bh"))
+      .join(broadcast(bShingles), Seq("bench_doc"))
+      .withColumn("jaccard", jaccard(col("sh"), col("bench_sh")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(round(max(col("jaccard")), 4).as("jaccard"))
+  }
+
+  /** Decontaminated training corpus: `train` minus every document
+    * [[contaminationReport]] flags. Two passes over `train` (the sweep
+    * and the output scan) — inherent to any filter whose predicate is a
+    * global property of the corpus; the flagged-id table between them
+    * is small and broadcasts into the anti-join. */
+  def decontaminate(train: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                    threshold: Double = 0.7, shingleK: Int = 3,
+                    numHashes: Int = 64, bands: Int = 16): DataFrame =
+    train.join(
+      broadcast(contaminationReport(train, idCol, textCol,
+          bench, benchIdCol, benchTextCol,
+          threshold, shingleK, numHashes, bands)
+        .select(col("train_doc").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
+  // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------
 

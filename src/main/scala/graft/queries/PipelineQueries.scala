@@ -153,6 +153,28 @@ object PipelineQueries {
       }
     }),
 
+    // Benchmark-contamination sweep on the planted corpus: benchmark =
+    // re-keyed copies of cluster representatives 1/4/6 (ids
+    // 901/904/906); train = the full planted corpus. At the 0.7 gate
+    // the report must find exactly the hand-derived cross Jaccards —
+    // 1→901 (1.0), 2→901 (27/29), 3→901 (25/31), 4→904 (1.0), 5→904
+    // (1.0), 6→906 (1.0) — while doc 7 (j = 0.52) and the permuted
+    // doc 8 stay clean.
+    "ct1_contamination" -> ((s, _) => {
+      Dedup.contaminationReport(PlantedFixtures.docs(s), "doc_id", "text",
+          PlantedFixtures.benchDocs(s), "bench_id", "text")
+        .orderBy("train_doc", "bench_doc")
+    }),
+
+    // The write side: the decontaminated corpus is exactly the planted
+    // docs minus ct1's six flagged train ids (7, 8, and the twelve
+    // unique-vocabulary fillers survive).
+    "ct2_decontaminate" -> ((s, _) => {
+      Dedup.decontaminate(PlantedFixtures.docs(s), "doc_id", "text",
+          PlantedFixtures.benchDocs(s), "bench_id", "text")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -650,6 +672,20 @@ object PipelineQueries {
       """SELECT CAST(16 AS BIGINT) AS n_dropped_buckets,
                 CAST(10 AS BIGINT) AS n_docs_in_dropped_buckets,
                 CAST(160 AS BIGINT) AS n_dropped_doc_slots""",
+    "ct1_contamination" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(901 AS BIGINT), CAST(1.0 AS DOUBLE)),
+           (2, 901, 0.931),
+           (3, 901, 0.8065),
+           (4, 904, 1.0),
+           (5, 904, 1.0),
+           (6, 906, 1.0)
+         ) AS t(train_doc, bench_doc, jaccard) ORDER BY train_doc, bench_doc""",
+    "ct2_decontaminate" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id
+         FROM (VALUES (7), (8), (100), (101), (102), (103), (104), (105),
+                      (106), (107), (108), (109), (110), (111)) AS t(doc_id)
+         ORDER BY doc_id""",
     "ann2_lsh_topk" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)),

@@ -60,6 +60,15 @@ object PlantedFixtures {
       .toDF("doc_id", "text")
   }
 
+  /** Benchmark fixture for the contamination sweep: re-keyed copies of
+    * cluster representatives 1/4/6 (bench ids 901/904/906), so every
+    * cross-table Jaccard in the contamination report is one of the
+    * hand-derived in-corpus values from the object scaladoc. */
+  def benchDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(901L -> a1, 904L -> bText, 906L -> c1).toDF("bench_id", "text")
+  }
+
   /** Embedding fixture, dim 8 (vec_id, embedding: Array[Float], label).
     *
     *  - ids 0/1/2 (label 0): positive scalar multiples of (2,1,0…) —

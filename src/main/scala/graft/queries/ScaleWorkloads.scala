@@ -318,6 +318,25 @@ object ScaleWorkloads {
           countDistinct(col("query_id")).as("n_queries"))
     }),
 
+    // Benchmark-contamination sweep at sf scale: a 1/64 sample of
+    // documents plays the eval benchmark (broadcast side); the full
+    // documents table is the training corpus, scanned once. The
+    // sampled "benchmark" docs are verbatim corpus members, so the
+    // sweep is guaranteed real hits (every sampled doc contaminates at
+    // least itself at jaccard 1.0) on top of whatever near-dups the
+    // generator planted — the timing exercises the probe + verify
+    // pipeline under genuine match load.
+    "sx18_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 64 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Dedup.contaminationReport(docs, "doc_id", "text",
+          bench, "bench_id", "text")
+        .agg(count(lit(1)).as("n_contaminated_pairs"),
+          countDistinct(col("train_doc")).as("n_contaminated_docs"),
+          countDistinct(col("bench_doc")).as("n_hit_bench_docs"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

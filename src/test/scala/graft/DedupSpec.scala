@@ -685,4 +685,28 @@ class DedupSpec extends SparkSpec {
     pairs should contain((1L, 3L))
     pairs.exists { case (a, b) => b >= 4L } shouldBe false
   }
+
+  test("contamination report finds exactly the planted cross-Jaccard pairs") {
+    import graft.queries.PlantedFixtures
+    val report = Dedup.contaminationReport(
+      PlantedFixtures.docs(spark), "doc_id", "text",
+      PlantedFixtures.benchDocs(spark), "bench_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    report shouldBe Set(
+      (1L, 901L, 1.0), (2L, 901L, 0.931), (3L, 901L, 0.8065),
+      (4L, 904L, 1.0), (5L, 904L, 1.0), (6L, 906L, 1.0))
+  }
+
+  test("decontaminate keeps exactly the clean docs, null text included") {
+    import spark.implicits._
+    import graft.queries.PlantedFixtures
+    // a null-text training row must pass through unharmed (null sig
+    // drops from banding; the anti-join keeps non-flagged rows)
+    val train = PlantedFixtures.docs(spark)
+      .union(Seq((500L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val kept = Dedup.decontaminate(train, "doc_id", "text",
+      PlantedFixtures.benchDocs(spark), "bench_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe ((100L until 112L).toSet + 7L + 8L + 500L)
+  }
 }

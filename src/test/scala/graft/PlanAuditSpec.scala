@@ -128,6 +128,18 @@ class PlanAuditSpec extends SparkSpec {
     p should include("LessThan(ts")
   }
 
+  test("ct1: contamination sweep broadcasts the benchmark side; the corpus shuffles only for the pair collapse") {
+    val p = plan("ct1_contamination")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Cartesian"
+    // the ONLY hash exchange is the final (train_doc, bench_doc)
+    // collapse of multi-band hits — the corpus-side scan pipeline
+    // (shingle → signature → band explode → probe → verify) is
+    // exchange-free, which is the whole point of the broadcast shape
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
