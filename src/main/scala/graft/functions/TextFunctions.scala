@@ -183,4 +183,151 @@ object TextFunctions {
     * trim. */
   def normalizeForDedup(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  // ---------------------------------------------------------------------
+  // Part 3 — repetition stats & document quality rules (the published
+  // Gopher/MassiveText + C4 web-filtering family). All pure column
+  // expressions — per-document metrics evaluate inside the scan with no
+  // shuffle and no UDF. The run-length scans use `aggregate` over a
+  // sorted array (interpreted HOF, like [[rollingHash]]); per-doc
+  // arrays are line/n-gram sized, so the interpretation cost is
+  // bounded by document length, not corpus size.
+  // ---------------------------------------------------------------------
+
+  /** Non-empty lines of a document. */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  private def nonSpaceLen(c: Column): Column =
+    length(regexp_replace(c, "\\s", ""))
+
+  /** Fraction of non-empty lines that are repeats of another line
+    * (1 - distinct/total) — the dup-line repetition gauge. 0 for
+    * empty/whitespace-only docs. */
+  def dupLineFraction(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) === 0, 0.0).otherwise(
+      round(lit(1.0) - size(array_distinct(ls)).cast("double") /
+        greatest(size(ls), lit(1)).cast("double"), 4))
+  }
+
+  /** Fraction of (non-space) characters inside lines that occur more
+    * than once, counting every occurrence — one run-length scan over
+    * the sorted line array. */
+  def dupLineCharFraction(text: Column): Column = {
+    val sorted = sort_array(docLines(text))
+    val dup = aggregate(sorted,
+      struct(lit("").as("prev"), lit(1).as("run"), lit(0L).as("dup")),
+      (st, l) => {
+        val cl = nonSpaceLen(l).cast("long")
+        val same = st.getField("prev") === l
+        struct(l.as("prev"),
+          when(same, st.getField("run") + 1).otherwise(lit(1)).as("run"),
+          (st.getField("dup") + when(same,
+            // a run's 2nd member retro-counts the 1st occurrence too
+            when(st.getField("run") === 1, cl * 2).otherwise(cl))
+            .otherwise(lit(0L))).as("dup"))
+      },
+      st => st.getField("dup"))
+    round(least(dup.cast("double") /
+      greatest(nonSpaceLen(text), lit(1)).cast("double"), lit(1.0)), 4)
+  }
+
+  /** Word n-grams WITH repeats (unlike [[graft.operators.Dedup.shingles]]'
+    * distinct sets — repetition metrics need the multiplicity). */
+  private def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Fraction of non-space characters covered by the most frequent
+    * word n-gram (all its occurrences) — Gopher's top-2/3/4-gram
+    * repetition gauge. Capped at 1 (overlapping occurrences can
+    * over-count). */
+  def topNgramCharFraction(text: Column, n: Int): Column = {
+    val sorted = sort_array(wordNgrams(text, n))
+    val best = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val cl = nonSpaceLen(g).cast("long")
+        val run = when(st.getField("prev") === g, st.getField("run") + cl)
+          .otherwise(cl)
+        struct(g.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    round(least(best.cast("double") /
+      greatest(nonSpaceLen(text), lit(1)).cast("double"), lit(1.0)), 4)
+  }
+
+  /** Fraction of non-space characters inside word n-grams that occur
+    * more than once, every occurrence counted — Gopher's dup-5..10-gram
+    * gauge. Capped at 1 (n-gram occurrences overlap). */
+  def dupNgramCharFraction(text: Column, n: Int): Column = {
+    val sorted = sort_array(wordNgrams(text, n))
+    val dup = aggregate(sorted,
+      struct(lit("").as("prev"), lit(1).as("run"), lit(0L).as("dup")),
+      (st, g) => {
+        val cl = nonSpaceLen(g).cast("long")
+        val same = st.getField("prev") === g
+        struct(g.as("prev"),
+          when(same, st.getField("run") + 1).otherwise(lit(1)).as("run"),
+          (st.getField("dup") + when(same,
+            when(st.getField("run") === 1, cl * 2).otherwise(cl))
+            .otherwise(lit(0L))).as("dup"))
+      },
+      st => st.getField("dup"))
+    round(least(dup.cast("double") /
+      greatest(nonSpaceLen(text), lit(1)).cast("double"), lit(1.0)), 4)
+  }
+
+  /** The Gopher/MassiveText document-quality rules as one struct of
+    * 0/1 flags plus the overall `pass` conjunction:
+    *
+    *  - `word_count_ok`: 50 ≤ words ≤ 100,000
+    *  - `mean_word_len_ok`: mean token length in [3, 10]
+    *  - `symbol_ok`: (# chars + "..." occurrences) / words ≤ 0.1
+    *  - `bullet_ok`: ≤ 90% of lines start with a bullet (-, *, •)
+    *  - `ellipsis_ok`: ≤ 30% of lines end with "..." / "…"
+    *  - `alpha_word_ok`: ≥ 80% of words contain an alphabetic char
+    *  - `stopword_ok`: ≥ 2 distinct English stopwords present
+    *
+    * Flags are ints (not booleans) so the struct round-trips through
+    * parquet/DuckDB oracles without dialect boolean quirks. Null text
+    * null-propagates (and therefore fails a `pass = 1` filter). */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val ls = docLines(text)
+    val nl = greatest(size(ls), lit(1)).cast("double")
+    val wordCountOk = size(toks).between(50, 100000)
+    val meanOk = meanTokenLen(text).between(3.0, 10.0)
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val nEllipsis = size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0))).cast("double")
+    val symbolOk = (nHash + nEllipsis) / n <= 0.1
+    val bulletOk =
+      size(filter(ls, l => trim(l).rlike("^[-*•]"))).cast("double") / nl <= 0.9
+    val ellipsisOk =
+      size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nl <= 0.3
+    val alphaOk =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n >= 0.8
+    val stopwordOk =
+      size(array_intersect(transform(toks, t => lower(t)),
+        typedLit(stopwords("en")))) >= 2
+    val flags = Seq(
+      "word_count_ok" -> wordCountOk, "mean_word_len_ok" -> meanOk,
+      "symbol_ok" -> symbolOk, "bullet_ok" -> bulletOk,
+      "ellipsis_ok" -> ellipsisOk, "alpha_word_ok" -> alphaOk,
+      "stopword_ok" -> stopwordOk)
+    struct(
+      flags.map { case (name, c) => c.cast("int").as(name) } :+
+        flags.map(_._2).reduce(_ && _).cast("int").as("pass"): _*)
+  }
+
+  /** Keep only documents passing every Gopher rule — the filter form
+    * of [[gopherFlags]]. */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.filter(gopherFlags(col(textCol)).getField("pass") === 1)
 }

@@ -338,6 +338,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition gauges on the hand-derived fixture (PlantedFixtures
+    // .repetitionDocs scaladoc has the char arithmetic): duplicate-line
+    // fraction, duplicated-line char coverage, top-bigram char
+    // coverage, duplicated-trigram char coverage — the Gopher/
+    // MassiveText repetition-filter signals as pure column expressions.
+    "tx6_repetition" -> ((s, _) => {
+      PlantedFixtures.repetitionDocs(s)
+        .select(col("doc_id"),
+          T.dupLineFraction(col("text")).as("dup_line_frac"),
+          T.dupLineCharFraction(col("text")).as("dup_line_char_frac"),
+          T.topNgramCharFraction(col("text"), 2).as("top_bigram_char_frac"),
+          T.dupNgramCharFraction(col("text"), 3).as("dup_trigram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // The Gopher document-quality rules on a fixture where doc 1
+    // passes all gates and docs 2-8 each violate exactly one
+    // (word-count floor, mean word length, stopword presence, bullet
+    // lines, ellipsis lines, symbol ratio, alpha-word ratio — see
+    // PlantedFixtures.gopherDocs for the per-doc arithmetic).
+    "tx7_gopher_flags" -> ((s, _) => {
+      PlantedFixtures.gopherDocs(s)
+        .select(col("doc_id"), T.gopherFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("g.word_count_ok"), col("g.mean_word_len_ok"),
+          col("g.symbol_ok"), col("g.bullet_ok"), col("g.ellipsis_ok"),
+          col("g.alpha_word_ok"), col("g.stopword_ok"), col("g.pass"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling-hash document fingerprint — order-SENSITIVITY pinned on
     // the planted corpus: docs 4/5 are byte-identical (equal rolling
     // hash), doc 8 is a token PERMUTATION of doc 4 (different rolling
@@ -766,6 +795,30 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_docs, CAST(19 AS BIGINT) AS n_distinct_rh,
                 true AS dup_rh_equal, true AS reorder_rh_differs,
                 true AS reorder_fp_equal""",
+    "tx6_repetition" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(0.3333 AS DOUBLE), CAST(0.6667 AS DOUBLE),
+            CAST(0.3333 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+           (2, 0.0, 0.0, 0.8571, 1.0),
+           (3, 0.0, 0.0, 0.4, 0.0)
+         ) AS t(doc_id, dup_line_frac, dup_line_char_frac,
+                top_bigram_char_frac, dup_trigram_char_frac)
+         ORDER BY doc_id""",
+    "tx7_gopher_flags" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS INTEGER),
+            CAST(1 AS INTEGER), CAST(1 AS INTEGER), CAST(1 AS INTEGER),
+            CAST(1 AS INTEGER), CAST(1 AS INTEGER), CAST(1 AS INTEGER)),
+           (2, 0, 1, 1, 1, 1, 1, 1, 0),
+           (3, 1, 0, 1, 1, 1, 1, 1, 0),
+           (4, 1, 1, 1, 1, 1, 1, 0, 0),
+           (5, 1, 1, 1, 0, 1, 1, 1, 0),
+           (6, 1, 1, 1, 1, 0, 1, 1, 0),
+           (7, 1, 1, 0, 1, 1, 1, 1, 0),
+           (8, 1, 1, 1, 1, 1, 0, 1, 0)
+         ) AS t(doc_id, word_count_ok, mean_word_len_ok, symbol_ok,
+                bullet_ok, ellipsis_ok, alpha_word_ok, stopword_ok, pass)
+         ORDER BY doc_id""",
     "mm1_decode_stats" ->
       """SELECT * FROM (VALUES
            ('audio', CAST(3 AS BIGINT), CAST(15.0 AS DOUBLE), 41/3.0, CAST(576 AS BIGINT)),

@@ -69,6 +69,64 @@ object PlantedFixtures {
     Seq(901L -> a1, 904L -> bText, 906L -> c1).toDF("bench_id", "text")
   }
 
+  /** Repetition fixture — every metric value is a hand-derivable small
+    * fraction (non-space chars are the denominators):
+    *
+    *  - doc 1 (24 chars, 3 lines, one line twice): dup-line 1 - 2/3 =
+    *    0.3333; dup-line chars 16/24 = 0.6667; top bigram "aa bb" ×2 ×
+    *    4 chars = 8/24 = 0.3333; dup trigrams ("aa bb cc", "bb cc dd")
+    *    ×2 × 6 = 24/24 = 1.0.
+    *  - doc 2 (21 chars, "foo bar" ×3 interleaved): no line repeats;
+    *    top bigram 3 × 6 = 18/21 = 0.8571; dup trigrams 45/21 caps at
+    *    1.0 (overlapping occurrences).
+    *  - doc 3 (20 chars, five distinct 4-char words): zero repetition;
+    *    top bigram is any single occurrence = 8/20 = 0.4; dup trigram 0.
+    */
+  def repetitionDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      1L -> "aa bb cc dd\naa bb cc dd\nee ff gg hh",
+      2L -> "foo bar foo bar foo bar foo",
+      3L -> "abcd efgh ijkl mnop qrst")
+      .toDF("doc_id", "text")
+  }
+
+  /** Gopher-rule fixture: doc 1 passes every gate; docs 2-8 each sit on
+    * the failing side of EXACTLY one rule (flag arithmetic in the
+    * tx7 query's comment):
+    *
+    *  - 1: 62 six/three-char words incl. "the and" — all gates green.
+    *  - 2: 10 words — word-count floor (50).
+    *  - 3: fifty 2-char words + "the and" — mean word length 106/52 ≈
+    *    2.04 < 3.
+    *  - 4: the 60 base words without stopwords — < 2 distinct stopwords.
+    *  - 5: doc 1's words in 8 "- "-prefixed lines — bullet fraction 1.
+    *  - 6: doc 1's words in 8 lines, 3 ending "..." — ellipsis 3/8 >
+    *    0.3 (symbol ratio 3/62 stays ≤ 0.1).
+    *  - 7: doc 1 + 8 "#" tokens — symbol ratio 8/70 > 0.1.
+    *  - 8: doc 1 + 16 numeric tokens — alpha-word 62/78 ≈ 0.795 < 0.8.
+    */
+  def gopherDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = (1 to 60).map(i => f"word$i%02d")
+    val cleanWords = base ++ Seq("the", "and")
+    val clean = cleanWords.mkString(" ")
+    val twoChar = (0 until 50).map(i =>
+      s"${(97 + i % 26).toChar}${(97 + i / 26).toChar}")
+    val lines8 = cleanWords.grouped(8).map(_.mkString(" ")).toSeq
+    Seq(
+      1L -> clean,
+      2L -> "short doc with the and only ten words here now",
+      3L -> (twoChar ++ Seq("the", "and")).mkString(" "),
+      4L -> base.mkString(" "),
+      5L -> lines8.map("- " + _).mkString("\n"),
+      6L -> lines8.zipWithIndex.map { case (l, i) =>
+        if (i < 3) l + "..." else l }.mkString("\n"),
+      7L -> (clean + " " + Seq.fill(8)("#").mkString(" ")),
+      8L -> (clean + " " + (100 until 116).map(_.toString).mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
   /** Embedding fixture, dim 8 (vec_id, embedding: Array[Float], label).
     *
     *  - ids 0/1/2 (label 0): positive scalar multiples of (2,1,0…) —

@@ -337,6 +337,22 @@ object ScaleWorkloads {
           countDistinct(col("bench_doc")).as("n_hit_bench_docs"))
     }),
 
+    // Quality-rule sweep at sf scale: Gopher flags + the repetition
+    // gauges over every document in ONE scan — pure column expressions
+    // (the run-length scans are interpreted HOFs bounded by doc
+    // length), aggregated to corpus-level pass rates.
+    "sx19_quality_rules" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"),
+          T.gopherFlags(col("text")).as("g"),
+          T.dupLineFraction(col("text")).as("dlf"),
+          T.topNgramCharFraction(col("text"), 2).as("tbf"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("g.pass")).as("n_pass"),
+          round(avg(col("dlf")), 4).as("avg_dup_line_frac"),
+          round(avg(col("tbf")), 4).as("avg_top_bigram_frac"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

@@ -125,4 +125,46 @@ class TextFunctionsSpec extends SparkSpec {
     r(1) shouldBe "es"
     r(2) shouldBe "und"
   }
+
+  test("repetition gauges: hand-derived fractions and degenerate-input edges") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "aa bb cc dd\naa bb cc dd\nee ff gg hh",
+      2L -> "foo bar foo bar foo bar foo",
+      3L -> "abcd efgh ijkl mnop qrst",
+      4L -> "", // empty doc: every gauge 0
+      5L -> "single").toDF("doc_id", "text")
+    val r = rows.select(col("doc_id"),
+        T.dupLineFraction(col("text")).as("dl"),
+        T.dupLineCharFraction(col("text")).as("dlc"),
+        T.topNgramCharFraction(col("text"), 2).as("tb"),
+        T.dupNgramCharFraction(col("text"), 3).as("dt"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+    r(0) shouldBe ((1L, 0.3333, 0.6667, 0.3333, 1.0))
+    r(1) shouldBe ((2L, 0.0, 0.0, 0.8571, 1.0))
+    r(2) shouldBe ((3L, 0.0, 0.0, 0.4, 0.0))
+    r(3) shouldBe ((4L, 0.0, 0.0, 0.0, 0.0))
+    // one-token doc: its only "bigram" is the token itself → full cover
+    r(4) shouldBe ((5L, 0.0, 0.0, 1.0, 0.0))
+  }
+
+  test("gopher rules: each fixture doc fails exactly its planted gate") {
+    val r = graft.queries.PlantedFixtures.gopherDocs(spark)
+      .select(col("doc_id"), T.gopherFlags(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getStruct(1).toSeq.map(_.asInstanceOf[Int])))
+    r(0) shouldBe ((1L, Seq(1, 1, 1, 1, 1, 1, 1, 1)))
+    r(1) shouldBe ((2L, Seq(0, 1, 1, 1, 1, 1, 1, 0)))
+    r(2) shouldBe ((3L, Seq(1, 0, 1, 1, 1, 1, 1, 0)))
+    r(3) shouldBe ((4L, Seq(1, 1, 1, 1, 1, 1, 0, 0)))
+    r(4) shouldBe ((5L, Seq(1, 1, 1, 0, 1, 1, 1, 0)))
+    r(5) shouldBe ((6L, Seq(1, 1, 1, 1, 0, 1, 1, 0)))
+    r(6) shouldBe ((7L, Seq(1, 1, 0, 1, 1, 1, 1, 0)))
+    r(7) shouldBe ((8L, Seq(1, 1, 1, 1, 1, 0, 1, 0)))
+    // the filter form keeps exactly the passing doc
+    graft.functions.TextFunctions.gopherFilter(
+      graft.queries.PlantedFixtures.gopherDocs(spark), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
 }
