@@ -330,4 +330,45 @@ object TextFunctions {
   def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String)
       : org.apache.spark.sql.DataFrame =
     df.filter(gopherFlags(col(textCol)).getField("pass") === 1)
+
+  // ---------------------------------------------------------------------
+  // Part 4 — PII redaction (training corpora must not memorize
+  // addresses/credentials; the standard scrub pass before tokenization).
+  // Chained regexp_replace — per-row, codegen'd, no shuffle. Patterns
+  // are deliberately conservative (precision over recall): a scrub
+  // pass that mangles ordinary prose does more harm at 100 TB than one
+  // that misses an exotic format.
+  // ---------------------------------------------------------------------
+
+  /** Redaction patterns in APPLICATION ORDER (IP before phone so
+    * dotted quads never half-match the phone pattern; SSN and phone
+    * shapes are disjoint: 3-2-4 vs 3-3-4). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    // no leading \b: a "(" opener has no word boundary against a
+    // preceding space, so an anchored pattern would skip "(555) ..."
+    ("phone", "(\\+?\\d{1,2}[-. ])?(\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b",
+      "<PHONE>"))
+
+  /** Text with every PII match replaced by its category token. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-category PII match counts as a struct (n_email, n_ip, n_ssn,
+    * n_phone) — the audit side of the scrub: at corpus scale these
+    * aggregate to the leak-rate dashboard. Counts are sequential (each
+    * category counted on text already scrubbed of earlier categories,
+    * matching [[redactPii]]'s application order). */
+  def piiStats(text: Column): Column = {
+    val (_, counts) = piiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((c, acc), (name, pat, repl)) =>
+        (regexp_replace(c, pat, repl),
+          acc :+ size(regexp_extract_all(c, lit(pat), lit(0))).as(s"n_$name"))
+    }
+    struct(counts: _*)
+  }
 }

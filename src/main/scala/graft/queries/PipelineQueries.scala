@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, Mixing, Multimodal}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -173,6 +173,37 @@ object PipelineQueries {
       Dedup.decontaminate(PlantedFixtures.docs(s), "doc_id", "text",
           PlantedFixtures.benchDocs(s), "bench_id", "text")
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // Deterministic source-weighted sampling: rate-1.0 sources keep
+    // every row, rate-0.0 sources drop every row (exact, not
+    // probabilistic — the hash gate degenerates to always/never), the
+    // unlisted source falls back to defaultRate 1.0. Intermediate
+    // rates are gauged statistically in MixingSpec.
+    "sm1_source_sampling" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq((1L, "web"), (2L, "web"), (3L, "web"),
+        (4L, "books"), (5L, "books"), (6L, "code"))
+        .toDF("doc_id", "source")
+      Mixing.sampleBySource(docs, "doc_id", "source",
+          Map("web" -> 1.0, "books" -> 0.0))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction + per-category audit counts on planted strings —
+    // email, IP, SSN-shaped id, phone (TextFunctions.piiPatterns order).
+    "tx8_pii_redact" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        (1L, "contact john.doe@example.com or call (555) 123-4567 today"),
+        (2L, "server at 192.168.1.1 ssn 123-45-6789"),
+        (3L, "clean text with no identifiers at all"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), T.redactPii(col("text")).as("redacted"),
+          T.piiStats(col("text")).as("p"))
+        .select(col("doc_id"), col("redacted"), col("p.n_email"),
+          col("p.n_ip"), col("p.n_ssn"), col("p.n_phone"))
+        .orderBy("doc_id")
     }),
 
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
@@ -714,6 +745,22 @@ object PipelineQueries {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id
          FROM (VALUES (7), (8), (100), (101), (102), (103), (104), (105),
                       (106), (107), (108), (109), (110), (111)) AS t(doc_id)
+         ORDER BY doc_id""",
+    "sm1_source_sampling" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'web'),
+           (2, 'web'),
+           (3, 'web'),
+           (6, 'code')
+         ) AS t(doc_id, source) ORDER BY doc_id""",
+    "tx8_pii_redact" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'contact <EMAIL> or call <PHONE> today',
+            CAST(1 AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+            CAST(1 AS INTEGER)),
+           (2, 'server at <IP> ssn <ID>', 0, 1, 1, 0),
+           (3, 'clean text with no identifiers at all', 0, 0, 0, 0)
+         ) AS t(doc_id, redacted, n_email, n_ip, n_ssn, n_phone)
          ORDER BY doc_id""",
     "ann2_lsh_topk" ->
       """SELECT * FROM (VALUES

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mixing
+
+/** Source-mixing operator gates: hash-gate determinism and rate
+  * accuracy for [[Mixing.sampleBySource]], the flattening arithmetic
+  * for [[Mixing.temperatureRates]]. The exact-rate (0/1) behavior is
+  * oracle-gated by sm1; these cover what a VALUES oracle can't — the
+  * statistical middle and cross-run reproducibility.
+  */
+class MixingSpec extends SparkSpec {
+
+  private def corpus(nWeb: Int, nBooks: Int, nCode: Int) = {
+    import spark.implicits._
+    ((0 until nWeb).map(i => (i.toLong, "web")) ++
+      (0 until nBooks).map(i => (100000L + i, "books")) ++
+      (0 until nCode).map(i => (200000L + i, "code")))
+      .toDF("doc_id", "source")
+  }
+
+  test("sampleBySource: intermediate rates land near target and are deterministic") {
+    val df = corpus(8000, 4000, 2000)
+    val rates = Map("web" -> 0.25, "books" -> 0.5, "code" -> 1.0)
+    val once = Mixing.sampleBySource(df, "doc_id", "source", rates)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    once("web").toDouble shouldBe (2000.0 +- 200.0)
+    once("books").toDouble shouldBe (2000.0 +- 200.0)
+    once("code") shouldBe 2000L
+    // same salt → identical KEPT SET, not just counts
+    val a = Mixing.sampleBySource(df, "doc_id", "source", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Mixing.sampleBySource(df, "doc_id", "source", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    // different salt → a genuinely different (but same-sized-ish) draw
+    val c = Mixing.sampleBySource(df, "doc_id", "source", rates, salt = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    c should not be a
+  }
+
+  test("temperatureRates: alpha=0 equalizes, alpha=1 changes nothing") {
+    val df = corpus(8000, 4000, 2000)
+    val r0 = Mixing.temperatureRates(df, "source", alpha = 0.0)
+    // keep ∝ 1/n, anchored at the smallest source
+    r0("code") shouldBe 1.0 +- 1e-9
+    r0("books") shouldBe 0.5 +- 1e-9
+    r0("web") shouldBe 0.25 +- 1e-9
+    val kept = Mixing.sampleBySource(df, "doc_id", "source", r0)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    // flattened: all three sources near 2000
+    kept.values.foreach(_ shouldBe (2000.0 +- 200.0))
+    val r1 = Mixing.temperatureRates(df, "source", alpha = 1.0)
+    r1.values.foreach(_ shouldBe 1.0 +- 1e-9)
+  }
+
+  test("sampleBySource: unknown source uses defaultRate; rates clamp") {
+    val df = corpus(100, 0, 0)
+    Mixing.sampleBySource(df, "doc_id", "source",
+      Map("other" -> 1.0), defaultRate = 0.0).count() shouldBe 0L
+    Mixing.sampleBySource(df, "doc_id", "source",
+      Map("web" -> 2.5)).count() shouldBe 100L // clamps to 1.0
+  }
+}
