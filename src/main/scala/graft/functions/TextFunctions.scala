@@ -371,4 +371,36 @@ object TextFunctions {
     }
     struct(counts: _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Part 5 — C4-style web-text cleaning (line-level retention + the
+  // document-level drop rules of the published C4 recipe).
+  // ---------------------------------------------------------------------
+
+  /** C4 line retention: keep only lines that end in terminal
+    * punctuation (optionally close-quoted) AND contain at least three
+    * words; rejoin with newlines. Per-row array ops — no shuffle. */
+  def c4CleanText(text: Column): Column =
+    array_join(filter(docLines(text), l =>
+      trim(l).rlike("[.!?][\"']?$") &&
+        size(split(trim(l), "\\s+")) >= 3), "\n")
+
+  /** C4 document-level flags over the line-cleaned text, as 0/1 ints
+    * (parquet/DuckDB-stable like [[gopherFlags]]):
+    *
+    *  - `no_lorem`: no "lorem ipsum" placeholder text
+    *  - `no_brace`: no "{" (code masquerading as prose)
+    *  - `sentences_ok`: ≥ 5 terminal-punctuation marks survive the
+    *    line cleaning
+    *  - `pass`: all of the above. */
+  def c4Flags(text: Column): Column = {
+    val noLorem = !lower(text).contains("lorem ipsum")
+    val noBrace = !text.contains("{")
+    val sentencesOk =
+      size(regexp_extract_all(c4CleanText(text), lit("[.!?]"), lit(0))) >= 5
+    struct(noLorem.cast("int").as("no_lorem"),
+      noBrace.cast("int").as("no_brace"),
+      sentencesOk.cast("int").as("sentences_ok"),
+      (noLorem && noBrace && sentencesOk).cast("int").as("pass"))
+  }
 }

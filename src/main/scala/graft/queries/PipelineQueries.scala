@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Dedup, Mixing, Multimodal}
+import graft.operators.{Ann, Dedup, Mixing, Multimodal, Packing}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -203,6 +203,54 @@ object PipelineQueries {
           T.piiStats(col("text")).as("p"))
         .select(col("doc_id"), col("redacted"), col("p.n_email"),
           col("p.n_ip"), col("p.n_ssn"), col("p.n_phone"))
+        .orderBy("doc_id")
+    }),
+
+    // Greedy sequence packing into a 128-token budget, single shard so
+    // the assignment is hand-traceable: bin 0 = {60, 50}, bin 1 =
+    // {100} (adding 30 would overflow), bin 2 = {30, 10}, bin 3 =
+    // {120}; nothing oversize.
+    "pk1_sequence_packing" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq((1L, 60L), (2L, 50L), (3L, 100L),
+        (4L, 30L), (5L, 10L), (6L, 120L)).toDF("doc_id", "n_tokens")
+      Packing.packSequences(docs, "doc_id", "n_tokens",
+          budget = 128L, shards = 1)
+        .orderBy("doc_id")
+    }),
+
+    // The bin-fill accounting over the same pack: utilizations are the
+    // fills over 128 (110, 100, 40, 120 → 0.8594/0.7813/0.3125/0.9375).
+    "pk2_packing_stats" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq((1L, 60L), (2L, 50L), (3L, 100L),
+        (4L, 30L), (5L, 10L), (6L, 120L)).toDF("doc_id", "n_tokens")
+      Packing.packingStats(
+          Packing.packSequences(docs, "doc_id", "n_tokens",
+            budget = 128L, shards = 1), budget = 128L)
+        .orderBy("shard", "bin")
+    }),
+
+    // C4 cleaning: line retention count + document flags on three
+    // planted docs — one dropping short/unpunctuated lines, one
+    // tripping the lorem-ipsum and brace rules, one passing everything.
+    "tx9_c4_filter" -> ((s, _) => {
+      import s.implicits._
+      Seq(
+        (1L, "This is a good sentence.\nshort line\n" +
+          "Another proper sentence here!\nNo terminal punctuation line\n" +
+          "Final good sentence number three."),
+        (2L, "function foo() { return 1; }\nLorem ipsum dolor sit amet."),
+        (3L, "One full sentence right here.\nA second full sentence follows.\n" +
+          "The third sentence arrives now.\nHere is sentence number four.\n" +
+          "Sentence five closes the document."))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions
+            .docLines(T.c4CleanText(col("text")))).as("n_lines_kept"),
+          T.c4Flags(col("text")).as("f"))
+        .select(col("doc_id"), col("n_lines_kept"), col("f.no_lorem"),
+          col("f.no_brace"), col("f.sentences_ok"), col("f.pass"))
         .orderBy("doc_id")
     }),
 
@@ -753,6 +801,33 @@ object PipelineQueries {
            (3, 'web'),
            (6, 'code')
          ) AS t(doc_id, source) ORDER BY doc_id""",
+    "pk1_sequence_packing" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(60 AS BIGINT), CAST(0 AS INTEGER),
+            CAST(0 AS BIGINT), CAST(0 AS INTEGER)),
+           (2, 50, 0, 0, 0),
+           (3, 100, 0, 1, 0),
+           (4, 30, 0, 2, 0),
+           (5, 10, 0, 2, 0),
+           (6, 120, 0, 3, 0)
+         ) AS t(doc_id, n_tokens, shard, bin, oversize) ORDER BY doc_id""",
+    "pk2_packing_stats" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(110 AS BIGINT), CAST(0 AS INTEGER), CAST(0.8594 AS DOUBLE)),
+           (0, 1, 1, 100, 0, 0.7813),
+           (0, 2, 2, 40, 0, 0.3125),
+           (0, 3, 1, 120, 0, 0.9375)
+         ) AS t(shard, bin, n_docs, fill, has_oversize, utilization)
+         ORDER BY shard, bin""",
+    "tx9_c4_filter" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(1 AS INTEGER),
+            CAST(1 AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER)),
+           (2, 1, 0, 0, 0, 0),
+           (3, 5, 1, 1, 1, 1)
+         ) AS t(doc_id, n_lines_kept, no_lorem, no_brace, sentences_ok, pass)
+         ORDER BY doc_id""",
     "tx8_pii_redact" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), 'contact <EMAIL> or call <PHONE> today',
