@@ -69,4 +69,23 @@ object Packing {
         max(col("oversize")).as("has_oversize"))
       .withColumn("utilization",
         round(least(col("fill").cast("double") / budget.toDouble, lit(1.0)), 4))
+
+  /** The chunking pass [[packSequences]]' oversize flag routes to:
+    * split each document into ⌈n/budget⌉ budget-sized chunks (the last
+    * chunk takes the remainder) — one explode over a generated index
+    * range, pure column expressions, no shuffle. Re-pack the output
+    * (chunk ids are (doc_id, chunk)) to place the tail chunks. */
+  def chunkOversize(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = col(tokenCol).cast("long")
+    df.select(col(idCol).cast("long").as("doc_id"), n.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk",
+        // Column `/` is fractional even on longs — floor for the count
+        explode(sequence(lit(0L), floor((col("n_tokens") - 1L) / budget))))
+      .select(col("doc_id"), col("chunk"),
+        least(lit(budget), col("n_tokens") - col("chunk") * budget)
+          .as("chunk_tokens"))
+  }
 }

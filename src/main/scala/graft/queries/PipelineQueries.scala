@@ -231,6 +231,17 @@ object PipelineQueries {
         .orderBy("shard", "bin")
     }),
 
+    // Oversize chunking (the pass pk1's oversize flag routes to):
+    // 300 tokens at budget 128 → chunks 128/128/44; 128 → exactly one
+    // full chunk; 10 → one small chunk.
+    "pk3_chunk_oversize" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq((1L, 300L), (2L, 128L), (3L, 10L))
+        .toDF("doc_id", "n_tokens")
+      Packing.chunkOversize(docs, "doc_id", "n_tokens", budget = 128L)
+        .orderBy("doc_id", "chunk")
+    }),
+
     // C4 cleaning: line retention count + document flags on three
     // planted docs — one dropping short/unpunctuated lines, one
     // tripping the lorem-ipsum and brace rules, one passing everything.
@@ -820,6 +831,14 @@ object PipelineQueries {
            (0, 3, 1, 120, 0, 0.9375)
          ) AS t(shard, bin, n_docs, fill, has_oversize, utilization)
          ORDER BY shard, bin""",
+    "pk3_chunk_oversize" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(128 AS BIGINT)),
+           (1, 1, 128),
+           (1, 2, 44),
+           (2, 0, 128),
+           (3, 0, 10)
+         ) AS t(doc_id, chunk, chunk_tokens) ORDER BY doc_id, chunk""",
     "tx9_c4_filter" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(1 AS INTEGER),
