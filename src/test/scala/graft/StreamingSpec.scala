@@ -231,6 +231,38 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("quality gates run unchanged on a stream: gopher + PII scrub at ingest") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{TextFunctions => T}
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // pure column expressions compose into the streaming plan exactly
+    // as in batch — the unified-model contract the whole quality
+    // surface is built on
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val gated = in.toDF().toDF("ts", "doc_id", "text")
+      .filter(T.gopherFlags(col("text")).getField("pass") === 1)
+      .select(col("doc_id"), T.redactPii(col("text")).as("clean"))
+    val q = gated.writeStream.format("memory").queryName("st_quality")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val good = ((1 to 60).map(i => f"word$i%02d") ++ Seq("the", "and"))
+        .mkString(" ")
+      in.addData(
+        (t("2024-01-01 10:00:00"), 1L, good + " mail me at a.b@example.com"),
+        (t("2024-01-01 10:01:00"), 2L, "too short to pass the word count"),
+        (t("2024-01-01 10:02:00"), 3L, good))
+      q.processAllAvailable()
+      val out = spark.table("st_quality").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.keySet shouldBe Set(1L, 3L)
+      out(1L) should endWith("mail me at <EMAIL>")
+      out(3L) shouldBe good
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup: micro-batches probe and grow the persisted index") {
     val session = spark
     import session.implicits._
