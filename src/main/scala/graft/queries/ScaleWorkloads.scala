@@ -353,6 +353,21 @@ object ScaleWorkloads {
           round(avg(col("tbf")), 4).as("avg_top_bigram_frac"))
     }),
 
+    // Sequence packing at sf scale: token-count every document (BPE-ish
+    // regex count inside the scan), pack into 2048-token windows across
+    // 32 shards (the per-partition greedy kernel), then fold the bin
+    // table to corpus-level utilization.
+    "sx20_sequence_packing" -> ((s, dir) => {
+      val counted = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.bpeishTokenCount(col("text")).as("n_tokens"))
+      val packed = graft.operators.Packing.packSequences(
+        counted, "doc_id", "n_tokens", budget = 2048L, shards = 32)
+      graft.operators.Packing.packingStats(packed, budget = 2048L)
+        .agg(count(lit(1)).as("n_bins"),
+          round(avg(col("utilization")), 4).as("avg_utilization"),
+          sum(col("has_oversize")).as("n_oversize_bins"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop
