@@ -135,4 +135,40 @@ object VectorFunctions {
     ColumnBridge.column(graft.plans.CosineSimilarityExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
+
+  // ---------------------------------------------------------------------
+  // int8 quantization — embedding STORAGE at 100 TB: a float32[d]
+  // column shrinks 4× as (scale: float, q: tinyint[d]), and cosine
+  // similarity is scale-INVARIANT, so ANN candidate generation can run
+  // directly on the int arrays (only final scores need dequantization,
+  // and then only if absolute dot products matter).
+  // ---------------------------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127,
+    * q_i = round(v_i/scale) clamped to ±127; zero vectors quantize to
+    * scale 0 + zeros. DataFrame-level (not a bare Column) so the
+    * per-vector scale materializes in its own projection and is
+    * referenced — not re-evaluated — per element (the CollapseProject
+    * multi-reference guard; the r2 HOF-collapse lesson, see
+    * Dedup.bandHashCols). Adds `outCol` = struct(scale, q). */
+  def quantizeInt8(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                   outCol: String): org.apache.spark.sql.DataFrame = {
+    val mx = aggregate(col(vecCol), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double"))))
+    df.withColumn("_q_scale", mx / 127.0)
+      .withColumn(outCol, struct(
+        col("_q_scale").cast("float").as("scale"),
+        transform(col(vecCol), v =>
+          greatest(lit(-127L), least(lit(127L),
+            round(v.cast("double") /
+              when(col("_q_scale") > 0, col("_q_scale")).otherwise(lit(1.0)))
+              .cast("long"))).cast("tinyint")).as("q")))
+      .drop("_q_scale")
+  }
+
+  /** Reconstruct double values from a [[quantizeInt8]] struct;
+    * element-wise error is bounded by scale/2. */
+  def dequantize(qstruct: Column): Column =
+    transform(qstruct.getField("q"),
+      x => x.cast("double") * qstruct.getField("scale").cast("double"))
 }

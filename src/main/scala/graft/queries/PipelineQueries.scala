@@ -265,6 +265,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // int8 embedding quantization on the planted vectors: scales are
+    // max|v|/127 (hand-derived sixth-decimal roundings), the
+    // scalar-multiple cluster 0/1/2 quantizes to IDENTICAL int arrays
+    // (q is scale-invariant for positive multiples), 63.5 rounds
+    // HALF_UP to 64, and the 9/10 pair maps to (114, 127)/(127, 114).
+    "vq1_quantize_int8" -> ((s, _) => {
+      val q = V.quantizeInt8(
+        PlantedFixtures.embs(s).filter(col("vec_id") <= 4), "embedding", "qv")
+      q.select(col("vec_id"),
+          round(col("qv.scale").cast("double"), 6).as("scale6"),
+          element_at(col("qv.q"), 1).cast("int").as("q1"),
+          element_at(col("qv.q"), 2).cast("int").as("q2"),
+          element_at(col("qv.q"), 3).cast("int").as("q3"),
+          element_at(col("qv.q"), 4).cast("int").as("q4"))
+        .orderBy("vec_id")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -812,6 +829,15 @@ object PipelineQueries {
            (3, 'web'),
            (6, 'code')
          ) AS t(doc_id, source) ORDER BY doc_id""",
+    "vq1_quantize_int8" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0.015748 AS DOUBLE), CAST(127 AS INTEGER),
+            CAST(64 AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER)),
+           (1, 0.031496, 127, 64, 0, 0),
+           (2, 0.047244, 127, 64, 0, 0),
+           (3, 0.07874, 0, 0, 114, 127),
+           (4, 0.07874, 0, 0, 127, 114)
+         ) AS t(vec_id, scale6, q1, q2, q3, q4) ORDER BY vec_id""",
     "pk1_sequence_packing" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(60 AS BIGINT), CAST(0 AS INTEGER),
