@@ -282,6 +282,19 @@ object TextFunctions {
       greatest(nonSpaceLen(text), lit(1)).cast("double"), lit(1.0)), 4)
   }
 
+  /** The four repetition gauges as ONE native pass —
+    * struct(dup_line_frac, dup_line_char_frac, top_ngram_char_frac,
+    * dup_ngram_char_frac), with [[dupLineFraction]] /
+    * [[dupLineCharFraction]] / [[topNgramCharFraction]] /
+    * [[dupNgramCharFraction]] as the Column-form value specs (each
+    * re-derives lines/tokens through interpreted sorts; field-for-field
+    * parity pinned in TextFunctionsSpec). */
+  def repetitionStats(text: Column, topN: Int = 2, dupN: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.RepetitionStatsExpr(
+      ColumnBridge.expression(text), topN, dupN))
+  }
+
   /** The Gopher/MassiveText document-quality rules as one struct of
     * 0/1 flags plus the overall `pass` conjunction:
     *
@@ -294,9 +307,21 @@ object TextFunctions {
     *  - `stopword_ok`: ≥ 2 distinct English stopwords present
     *
     * Flags are ints (not booleans) so the struct round-trips through
-    * parquet/DuckDB oracles without dialect boolean quirks. Null text
-    * null-propagates (and therefore fails a `pass = 1` filter). */
+    * parquet/DuckDB oracles without dialect boolean quirks.
+    *
+    * Native one-pass expression (plans.GopherStatsExpr) — the Column
+    * form ([[gopherFlagsSpec]]) re-tokenizes the text ~6× through
+    * interpreted HOFs; field-for-field parity pinned in
+    * TextFunctionsSpec. Null text → null struct (the spec form yields
+    * a struct of null fields; both fail a `pass = 1` filter). */
   def gopherFlags(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.GopherStatsExpr(
+      ColumnBridge.expression(text), stopwords("en")))
+  }
+
+  /** Column-form value spec for [[gopherFlags]]. */
+  def gopherFlagsSpec(text: Column): Column = {
     val toks = tokens(text)
     val n = greatest(size(toks), lit(1)).cast("double")
     val ls = docLines(text)

@@ -441,6 +441,272 @@ case class LanguageIdExpr(child: Expression, stopwords: Map[String, Seq[String]]
     copy(child = newChild)
 }
 
+/** The Gopher document-quality rules in ONE tokenization pass — the
+  * native form of TextFunctions.gopherFlags, whose Column form
+  * re-tokenizes the text ~6× per row through interpreted HOFs
+  * (tokens for the count, the mean length, the alpha filter, the
+  * stopword intersect; lines for the bullet and ellipsis gates).
+  * Semantics replicated exactly (pinned in TextFunctionsSpec):
+  *
+  *  - tokens = strip ' ' (Spark trim strips spaces only), then Java
+  *    split("\\s+", -1) — the exact tokenizer of the Column form,
+  *    including its [""]-for-empty and leading-"" quirks;
+  *  - lines = split on '\n', kept when non-empty after space-strip;
+  *  - ellipsis occurrences counted non-overlapping left-to-right
+  *    ("..." or '…'), matching regexp_extract_all;
+  *  - flag thresholds identical (see TextFunctions.gopherFlags).
+  *
+  * Null text → null struct (the Column form yields a struct of null
+  * fields instead; both fail a `pass = 1` filter — documented, pinned).
+  */
+case class GopherStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(
+    Seq("word_count_ok", "mean_word_len_ok", "symbol_ok", "bullet_ok",
+      "ellipsis_ok", "alpha_word_ok", "stopword_ok", "pass")
+      .map(StructField(_, IntegerType, nullable = false)))
+  override def prettyName: String = "graft_gopher_stats"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val swSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(w => s.add(w))
+    s
+  }
+
+  private def stripSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val toks = stripSpaces(text).split("\\s+", -1)
+    val nTok = toks.length
+    val n = math.max(nTok, 1).toDouble
+
+    // one token sweep: alpha-bearing count + distinct stopword hits
+    var nAlpha = 0
+    val hit = new java.util.HashSet[String]()
+    var t = 0
+    while (t < nTok) {
+      val w = toks(t)
+      var i = 0
+      var alpha = false
+      while (!alpha && i < w.length) {
+        val c = w.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
+        i += 1
+      }
+      if (alpha) nAlpha += 1
+      val lw = w.toLowerCase(java.util.Locale.ROOT)
+      if (swSet.contains(lw)) hit.add(lw)
+      t += 1
+    }
+
+    // char sweep: non-space length and '#' count (every position)
+    var nonSpace = 0L
+    var nHash = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+            c == '\f' || c == '\r')) nonSpace += 1
+      if (c == '#') nHash += 1
+      i += 1
+    }
+    // ellipsis sweep: non-overlapping "..."/'…' left-to-right, the
+    // regexp_extract_all scan (a match consumes its characters)
+    var nEllipsis = 0
+    i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '…') { nEllipsis += 1; i += 1 }
+      else if (text.charAt(i) == '.' && i + 2 < text.length &&
+          text.charAt(i + 1) == '.' && text.charAt(i + 2) == '.') {
+        nEllipsis += 1
+        i += 3
+      } else i += 1
+    }
+
+    // one line sweep
+    val rawLines = text.split("\n", -1)
+    var nLines = 0
+    var nBullet = 0
+    var nEllLine = 0
+    var l = 0
+    while (l < rawLines.length) {
+      val s = stripSpaces(rawLines(l))
+      if (s.nonEmpty) {
+        nLines += 1
+        val c0 = s.charAt(0)
+        if (c0 == '-' || c0 == '*' || c0 == '•') nBullet += 1
+        if (s.endsWith("...") || s.endsWith("…")) nEllLine += 1
+      }
+      l += 1
+    }
+    val nl = math.max(nLines, 1).toDouble
+
+    val meanLen = nonSpace.toDouble / n
+    def b(x: Boolean): Int = if (x) 1 else 0
+    val wordCountOk = b(nTok >= 50 && nTok <= 100000)
+    val meanOk = b(meanLen >= 3.0 && meanLen <= 10.0)
+    val symbolOk = b((nHash + nEllipsis) / n <= 0.1)
+    val bulletOk = b(nBullet / nl <= 0.9)
+    val ellipsisOk = b(nEllLine / nl <= 0.3)
+    val alphaOk = b(nAlpha / n >= 0.8)
+    val stopwordOk = b(hit.size >= 2)
+    val pass = wordCountOk & meanOk & symbolOk & bulletOk &
+      ellipsisOk & alphaOk & stopwordOk
+    InternalRow(wordCountOk, meanOk, symbolOk, bulletOk,
+      ellipsisOk, alphaOk, stopwordOk, pass)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The four repetition gauges in ONE pass — the native form of
+  * TextFunctions.{dupLineFraction, dupLineCharFraction,
+  * topNgramCharFraction, dupNgramCharFraction}, whose Column forms
+  * each re-derive lines/tokens and run interpreted sort + run-length
+  * aggregates (the dominant cost of the sx19 quality scan). Hash-count
+  * maps replace the sorts (value-identical: run-length over a sorted
+  * array ≡ per-key counting). Semantics replicated exactly (pinned in
+  * TextFunctionsSpec): the same space-strip/tokenize quirks as
+  * GopherStatsExpr, the whole-text gram for docs shorter than n
+  * tokens, duplicate coverage counting every occurrence, caps at 1.0,
+  * and Spark's HALF_UP round(…, 4). */
+case class RepetitionStatsExpr(child: Expression, topN: Int, dupN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(topN >= 1 && dupN >= 1, "n-gram sizes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(
+    Seq("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac",
+      "dup_ngram_char_frac")
+      .map(StructField(_, DoubleType, nullable = false)))
+  override def prettyName: String = "graft_repetition_stats"
+  override def nullable: Boolean = child.nullable
+
+  private def stripSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  private def nonSpaceLen(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+            c == '\f' || c == '\r')) n += 1
+      i += 1
+    }
+    n
+  }
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** duplicate-coverage chars of `grams`: Σ over values with count ≥ 2
+    * of count·charLen (every occurrence counted). */
+  private def dupChars(counts: java.util.HashMap[String, Int],
+                       charLen: String => Long): Long = {
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue >= 2) dup += e.getValue.toLong * charLen(e.getKey)
+    }
+    dup
+  }
+
+  private def ngrams(toks: Array[String], n: Int): Iterator[String] =
+    if (toks.length <= n) Iterator.single(toks.mkString(" "))
+    else new Iterator[String] {
+      private var i = 0
+      private val sb = new java.lang.StringBuilder()
+      def hasNext: Boolean = i <= toks.length - n
+      def next(): String = {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        i += 1
+        sb.toString
+      }
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val totalChars = math.max(nonSpaceLen(text), 1L).toDouble
+
+    // lines: keep space-strip-nonempty ORIGINAL lines (filter, not map)
+    val rawLines = text.split("\n", -1)
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var nLines = 0
+    var l = 0
+    while (l < rawLines.length) {
+      val raw = rawLines(l)
+      if (stripSpaces(raw).nonEmpty) {
+        nLines += 1
+        lineCounts.merge(raw, 1, (a, b) => a + b)
+      }
+      l += 1
+    }
+    val dupLineFrac =
+      if (nLines == 0) 0.0
+      else round4(1.0 - lineCounts.size.toDouble / nLines.toDouble)
+    val dupLineCharFrac =
+      round4(math.min(dupChars(lineCounts, nonSpaceLen) / totalChars, 1.0))
+
+    // word n-grams WITH repeats over the whole token stream
+    val toks = stripSpaces(text).split("\\s+", -1)
+    def gramStats(n: Int): (Long, Long) = { // (bestCoverage, dupCoverage)
+      val counts = new java.util.HashMap[String, Int]()
+      val it = ngrams(toks, n)
+      while (it.hasNext) counts.merge(it.next(), 1, (a, b) => a + b)
+      var best = 0L
+      val e = counts.entrySet().iterator()
+      while (e.hasNext) {
+        val kv = e.next()
+        val cov = kv.getValue.toLong * nonSpaceLen(kv.getKey)
+        if (cov > best) best = cov
+      }
+      (best, dupChars(counts, nonSpaceLen))
+    }
+    val (top, _) = gramStats(topN)
+    val (_, dup) = gramStats(dupN)
+    val topFrac = round4(math.min(top / totalChars, 1.0))
+    val dupFrac = round4(math.min(dup / totalChars, 1.0))
+    InternalRow(dupLineFrac, dupLineCharFrac, topFrac, dupFrac)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** IVF cell assignment: argmax over rows of `cents` of dot(cents(i),
   * vec) — the centroid matrix (pre-normalized by the caller) ships as
   * a codegen reference object, so the per-row work is one nCells×dim

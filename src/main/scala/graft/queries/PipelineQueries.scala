@@ -451,12 +451,16 @@ object PipelineQueries {
     // coverage, duplicated-trigram char coverage — the Gopher/
     // MassiveText repetition-filter signals as pure column expressions.
     "tx6_repetition" -> ((s, _) => {
+      // the native one-pass struct (the production path); the
+      // individual Column forms are its value specs, parity-pinned in
+      // TextFunctionsSpec
       PlantedFixtures.repetitionDocs(s)
+        .select(col("doc_id"), T.repetitionStats(col("text")).as("r"))
         .select(col("doc_id"),
-          T.dupLineFraction(col("text")).as("dup_line_frac"),
-          T.dupLineCharFraction(col("text")).as("dup_line_char_frac"),
-          T.topNgramCharFraction(col("text"), 2).as("top_bigram_char_frac"),
-          T.dupNgramCharFraction(col("text"), 3).as("dup_trigram_char_frac"))
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.dup_line_char_frac").as("dup_line_char_frac"),
+          col("r.top_ngram_char_frac").as("top_bigram_char_frac"),
+          col("r.dup_ngram_char_frac").as("dup_trigram_char_frac"))
         .orderBy("doc_id")
     }),
 

@@ -345,12 +345,11 @@ object ScaleWorkloads {
       val docs = Tables(s, dir, "documents")
       docs.select(col("doc_id"),
           T.gopherFlags(col("text")).as("g"),
-          T.dupLineFraction(col("text")).as("dlf"),
-          T.topNgramCharFraction(col("text"), 2).as("tbf"))
+          T.repetitionStats(col("text")).as("r"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("g.pass")).as("n_pass"),
-          round(avg(col("dlf")), 4).as("avg_dup_line_frac"),
-          round(avg(col("tbf")), 4).as("avg_top_bigram_frac"))
+          round(avg(col("r.dup_line_frac")), 4).as("avg_dup_line_frac"),
+          round(avg(col("r.top_ngram_char_frac")), 4).as("avg_top_bigram_frac"))
     }),
 
     // Sequence packing at sf scale: token-count every document (BPE-ish

@@ -149,6 +149,44 @@ class TextFunctionsSpec extends SparkSpec {
     r(4) shouldBe ((5L, 0.0, 0.0, 1.0, 0.0))
   }
 
+  test("native repetitionStats equals the four Column-form gauges on fixtures, edges, and sf docs") {
+    import spark.implicits._
+    val fixtures = graft.queries.PlantedFixtures.repetitionDocs(spark).select(col("text"))
+    val edges = Seq("", " ", "single", "a a a a a", "x\nx\nx",
+      "one line\none line\n  \n\ttabbed line", "aa bb\naa bb cc\naa bb")
+      .toDF("text")
+    val sf001 = Tables(spark, sf, "documents").select(col("text")).limit(500)
+    for (docs <- Seq(fixtures, edges, sf001)) {
+      val mismatch = docs.filter(col("text").isNotNull).select(
+          T.repetitionStats(col("text")).as("n"),
+          struct(
+            T.dupLineFraction(col("text")).as("dup_line_frac"),
+            T.dupLineCharFraction(col("text")).as("dup_line_char_frac"),
+            T.topNgramCharFraction(col("text"), 2).as("top_ngram_char_frac"),
+            T.dupNgramCharFraction(col("text"), 3).as("dup_ngram_char_frac"))
+            .as("s"))
+        .filter(!(col("n") <=> col("s")))
+      mismatch.count() shouldBe 0L
+    }
+  }
+
+  test("native gopherFlags equals the Column-form spec on fixtures, edges, and sf docs") {
+    import spark.implicits._
+    val fixtures = graft.queries.PlantedFixtures.gopherDocs(spark).select(col("text"))
+    val edges = Seq("", " ", "\tword one two", "a\n\n   \nb",
+      "..... ...... …", "- bullet\n* star\n• dot", "line one...\nline two…",
+      "###", "12 34 ab", (1 to 60).map(_ => "the").mkString(" "))
+      .toDF("text")
+    val sf001 = Tables(spark, sf, "documents").select(col("text")).limit(500)
+    for (docs <- Seq(fixtures, edges, sf001)) {
+      val mismatch = docs.filter(col("text").isNotNull).select(
+          T.gopherFlags(col("text")).as("n"),
+          graft.functions.TextFunctions.gopherFlagsSpec(col("text")).as("s"))
+        .filter(!(col("n") <=> col("s")))
+      mismatch.count() shouldBe 0L
+    }
+  }
+
   test("gopher rules: each fixture doc fails exactly its planted gate") {
     val r = graft.queries.PlantedFixtures.gopherDocs(spark)
       .select(col("doc_id"), T.gopherFlags(col("text")).as("g"))
