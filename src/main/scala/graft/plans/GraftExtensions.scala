@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.haversineDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
+    ext.injectFunction(GraftExtensions.shinglesDescriptor)
+    ext.injectFunction(GraftExtensions.langidDescriptor)
+    ext.injectFunction(GraftExtensions.gopherStatsDescriptor)
+    ext.injectFunction(GraftExtensions.repetitionStatsDescriptor)
   }
 }
 
@@ -118,6 +122,55 @@ object GraftExtensions {
       def litInt(e: Expression, what: String): Int = litDouble(e, what).toInt
       HyperplaneSignatureExpr(args(0), litInt(args(1), "bits"), litInt(args(2), "dim"),
         if (args.length == 4) litDouble(args(3), "seed").toLong else 42L)
+    })
+
+  /** `graft_shingles(text, k)` → array<string>: the native distinct
+    * word-k-shingle expression ([[ShinglesExpr]]) from SQL. */
+  val shinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: graft_shingles(text, k)")
+      ShinglesExpr(args(0), litDouble(args(1), "k").toInt)
+    })
+
+  /** `graft_langid(text)` → string: stopword-overlap language ID
+    * ([[LanguageIdExpr]]); null maps to 'und' exactly like the Scala
+    * surface (TextFunctions.languageId's coalesce). */
+  val langidDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_langid"),
+    new ExpressionInfo(classOf[LanguageIdExpr].getName, "graft_langid"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "usage: graft_langid(text)")
+      LanguageIdExpr(
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(args(0),
+          Literal.create("", org.apache.spark.sql.types.StringType))),
+        graft.functions.TextFunctions.stopwords.view.mapValues(_.toSeq).toMap)
+    })
+
+  /** `graft_gopher_stats(text)` → struct of the Gopher quality flags
+    * ([[GopherStatsExpr]], English stopword list). */
+  val gopherStatsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_gopher_stats"),
+    new ExpressionInfo(classOf[GopherStatsExpr].getName, "graft_gopher_stats"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "usage: graft_gopher_stats(text)")
+      GopherStatsExpr(args(0), graft.functions.TextFunctions.stopwords("en"))
+    })
+
+  /** `graft_repetition_stats(text[, topN, dupN])` → struct of the four
+    * repetition gauges ([[RepetitionStatsExpr]]; defaults 2, 3). */
+  val repetitionStatsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_repetition_stats"),
+    new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1 || args.length == 3,
+        "usage: graft_repetition_stats(text[, topN, dupN])")
+      val (tn, dn) =
+        if (args.length == 3)
+          (litDouble(args(1), "topN").toInt, litDouble(args(2), "dupN").toInt)
+        else (2, 3)
+      RepetitionStatsExpr(args(0), tn, dn)
     })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

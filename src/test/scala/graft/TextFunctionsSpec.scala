@@ -187,6 +187,24 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native text expressions are SQL-callable via GraftExtensions") {
+    import spark.implicits._
+    Seq((1L, "the cat and the cat"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("sqldocs")
+    val rows = spark.sql(
+      """SELECT id, graft_langid(text) AS lang,
+                size(graft_shingles(text, 2)) AS n_sh,
+                graft_gopher_stats(text).pass AS pass,
+                graft_repetition_stats(text).top_ngram_char_frac AS tf
+         FROM sqldocs ORDER BY id""").collect()
+    rows(0).getString(1) shouldBe "en"
+    rows(0).getInt(2) shouldBe 3 // the cat / cat and / and the (distinct)
+    rows(0).getInt(3) shouldBe 0 // 5 words, below the Gopher floor
+    rows(0).getDouble(4) shouldBe 0.8 // "the cat" x2 covers 12/15 chars
+    rows(1).getString(1) shouldBe "und" // null coalesces like the Scala surface
+    rows(1).isNullAt(3) shouldBe true
+  }
+
   test("gopher rules: each fixture doc fails exactly its planted gate") {
     val r = graft.queries.PlantedFixtures.gopherDocs(spark)
       .select(col("doc_id"), T.gopherFlags(col("text")).as("g"))
