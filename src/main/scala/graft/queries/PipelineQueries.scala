@@ -282,6 +282,21 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Unigram-LM quality scoring on a 4-doc corpus with hand-traceable
+    // counts (a×3, b×2, z×2, c×1, total 8; vocab 3 keeps a, b, z —
+    // deterministic count-desc/token-asc tie-break drops c to OOV at
+    // -5.0). The oracle recomputes every mean ln() in DuckDB.
+    "lp1_unigram_quality" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "z z"))
+        .toDF("doc_id", "text")
+      val model = graft.operators.UnigramLM.fit(docs, "text", vocabSize = 3)
+      docs.select(col("doc_id"),
+          graft.operators.UnigramLM.score(col("text"), model, oovLogProb = -5.0)
+            .as("unigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -833,6 +848,12 @@ object PipelineQueries {
            (3, 'web'),
            (6, 'code')
          ) AS t(doc_id, source) ORDER BY doc_id""",
+    "lp1_unigram_quality" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), round((2*ln(3/8.0) + ln(2/8.0))/3, 4)),
+           (2, round((ln(3/8.0) + ln(2/8.0) - 5.0)/3, 4)),
+           (3, round(ln(2/8.0), 4))
+         ) AS t(doc_id, unigram_logprob) ORDER BY doc_id""",
     "vq1_quantize_int8" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(0.015748 AS DOUBLE), CAST(127 AS INTEGER),

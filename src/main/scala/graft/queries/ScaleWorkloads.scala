@@ -367,6 +367,19 @@ object ScaleWorkloads {
           sum(col("has_oversize")).as("n_oversize_bins"))
     }),
 
+    // Unigram-LM quality at sf scale: fit the top-10k vocabulary
+    // (token-count agg + TakeOrdered; the model is bounded driver
+    // state), then score every document shuffle-free through the
+    // broadcast literal map.
+    "sx21_unigram_lm" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val m = graft.operators.UnigramLM.fit(docs, "text", vocabSize = 10000)
+      docs.select(graft.operators.UnigramLM.score(col("text"), m).as("lp"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("lp")), 4).as("avg_logprob"),
+          round(min(col("lp")), 4).as("min_logprob"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

@@ -63,4 +63,23 @@ class MixingSpec extends SparkSpec {
     Mixing.sampleBySource(df, "doc_id", "source",
       Map("web" -> 2.5)).count() shouldBe 100L // clamps to 1.0
   }
+
+  test("unigram LM: vocab cut is deterministic, OOV penalized, empty doc null") {
+    import spark.implicits._
+    import graft.operators.UnigramLM
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "z z"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val m = UnigramLM.fit(docs, "text", vocabSize = 3)
+    m.keySet shouldBe Set("a", "b", "z") // count desc, token asc tie-break
+    m("a") shouldBe math.log(3.0 / 8.0) +- 1e-12
+    val scores = docs.select(col("doc_id"),
+        UnigramLM.score(col("text"), m, oovLogProb = -5.0).as("s"))
+      .orderBy("doc_id").collect()
+    // OOV 'c' drags doc 2 far below the in-vocab docs
+    scores(1).getDouble(1) should be < scores(0).getDouble(1)
+    scores(1).getDouble(1) should be < scores(2).getDouble(1)
+    scores(3).isNullAt(1) shouldBe true // whitespace-only doc
+    // fit twice → identical model (deterministic tie-break)
+    UnigramLM.fit(docs, "text", vocabSize = 3) shouldBe m
+  }
 }
