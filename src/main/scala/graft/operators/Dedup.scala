@@ -1057,6 +1057,54 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Corpus-level line dedup (boilerplate removal)
+  // -------------------------------------------------------------------
+
+  /** Remove every occurrence of lines repeated more than
+    * `maxOccurrences` times ACROSS the corpus — the boilerplate pass of
+    * the published web-pipeline recipes (nav bars, cookie banners,
+    * "subscribe" footers repeat across thousands of pages; no per-doc
+    * gauge can see that). Line identity is the sha256 of the
+    * space-trimmed line; empty/whitespace-only lines are structure,
+    * never counted or dropped, and surviving lines rejoin in their
+    * original order.
+    *
+    * Scale shape: the count pass shuffles 32-byte line hashes (never
+    * line text); the hot set — lines OVER the threshold — is bounded
+    * by boilerplate diversity, tiny relative to the corpus, and
+    * broadcasts into the anti-join. The reassembly is the one real
+    * shuffle, line rows keyed by doc; that is inherent to cross-doc
+    * line surgery (the per-doc alternative would need the hot set as
+    * driver state, which nothing bounds a priori).
+    *
+    * Returns (idCol, textCol) with the cleaned text — column names
+    * preserved so the pass composes with the other document
+    * operators. */
+  def dropRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
+                        maxOccurrences: Int = 2): DataFrame = {
+    require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    val lines = docs.select(col(idCol).as("_doc"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_line")))
+    val hot = lines
+      .filter(length(trim(col("_line"))) > 0)
+      .groupBy(sha2(trim(col("_line")), 256).as("_k"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxOccurrences)
+      .select(col("_k"))
+    val rebuilt = lines
+      .join(broadcast(hot), sha2(trim(col("_line")), 256) === col("_k"), "left_anti")
+      .groupBy(col("_doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_idx"), col("_line")))),
+          x => x.getField("_line")), "\n").as("_clean"))
+    // a doc whose EVERY line was boilerplate has no surviving line rows
+    // — restore it as empty text instead of silently dropping the row
+    docs.select(col(idCol))
+      .join(rebuilt, col(idCol) === col("_doc"), "left")
+      .select(col(idCol), coalesce(col("_clean"), lit("")).as(textCol))
+  }
+
+  // -------------------------------------------------------------------
   // Benchmark contamination
   // -------------------------------------------------------------------
 

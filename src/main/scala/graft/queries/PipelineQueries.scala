@@ -153,6 +153,21 @@ object PipelineQueries {
       }
     }),
 
+    // Corpus-level line dedup: the "subscribe" footer appears in all
+    // three docs (3 > maxOccurrences 2 → removed everywhere); the
+    // twice-repeated "hello" stays (2 ≤ 2); unique lines and line
+    // order are preserved.
+    "dd14_line_dedup" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "unique one\nsubscribe to our newsletter\nhello"),
+        (2L, "subscribe to our newsletter\nunique two"),
+        (3L, "hello\nsubscribe to our newsletter\nunique three"))
+        .toDF("doc_id", "text")
+      Dedup.dropRepeatedLines(docs, "doc_id", "text", maxOccurrences = 2)
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination sweep on the planted corpus: benchmark =
     // re-keyed copies of cluster representatives 1/4/6 (ids
     // 901/904/906); train = the full planted corpus. At the 0.7 gate
@@ -827,6 +842,12 @@ object PipelineQueries {
       """SELECT CAST(16 AS BIGINT) AS n_dropped_buckets,
                 CAST(10 AS BIGINT) AS n_docs_in_dropped_buckets,
                 CAST(160 AS BIGINT) AS n_dropped_doc_slots""",
+    "dd14_line_dedup" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'unique one' || chr(10) || 'hello'),
+           (2, 'unique two'),
+           (3, 'hello' || chr(10) || 'unique three')
+         ) AS t(doc_id, text) ORDER BY doc_id""",
     "ct1_contamination" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(901 AS BIGINT), CAST(1.0 AS DOUBLE)),

@@ -380,6 +380,16 @@ object ScaleWorkloads {
           round(min(col("lp")), 4).as("min_logprob"))
     }),
 
+    // Corpus-level line dedup at sf scale: hash-count every non-blank
+    // line (32-byte keys shuffle, not text), broadcast the over-cap
+    // hot set, rebuild documents minus boilerplate.
+    "sx22_line_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.dropRepeatedLines(docs, "doc_id", "text", maxOccurrences = 4)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

@@ -686,6 +686,23 @@ class DedupSpec extends SparkSpec {
     pairs.exists { case (a, b) => b >= 4L } shouldBe false
   }
 
+  test("line dedup preserves blank lines and empties docs that were pure boilerplate") {
+    import spark.implicits._
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (1L, s"real text\n\n$boiler\n\nmore text"), // blank lines survive
+      (2L, boiler),                               // pure boilerplate → empty
+      (3L, s"$boiler  \nkeeper"),                 // trailing spaces still match (trimmed key)
+      (4L, "untouched doc"))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.dropRepeatedLines(docs, "doc_id", "text", maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cleaned(1L) shouldBe "real text\n\n\nmore text"
+    cleaned(2L) shouldBe ""
+    cleaned(3L) shouldBe "keeper"
+    cleaned(4L) shouldBe "untouched doc"
+  }
+
   test("contamination report finds exactly the planted cross-Jaccard pairs") {
     import graft.queries.PlantedFixtures
     val report = Dedup.contaminationReport(
