@@ -140,6 +140,14 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("dd14: line-dedup hot set broadcasts; counts partial-aggregate before their shuffle") {
+    val p = plan("dd14_line_dedup")
+    p should include("BroadcastHashJoin")   // hot-set anti-join
+    p should not include "Cartesian"
+    // the hash-count agg pairs partial/final around its exchange
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
