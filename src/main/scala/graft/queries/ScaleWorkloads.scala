@@ -126,6 +126,11 @@ object ScaleWorkloads {
       finally tuned.unpersist(blocking = false)
     val ivf = ids(Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
       trainedCents(s, dir), nProbe = 2))
+    // NO langid-vs-`lang`-column gauge, deliberately: the generator's
+    // `lang` labels sit on synthetic English-ish token soup ("data
+    // query small row…" labeled es/de/zh), so label agreement would
+    // measure generator noise, not language-ID quality — which stays
+    // pinned on real multilingual text in TextFunctionsSpec instead.
     Map(
       "lsh_recall_at_10" -> (exact & lsh1).size / 10.0,
       "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
@@ -388,6 +393,18 @@ object ScaleWorkloads {
       Dedup.dropRepeatedLines(docs, "doc_id", "text", maxOccurrences = 4)
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("total_chars"))
+    }),
+
+    // Source mixing at sf scale on the REAL `source` column:
+    // temperature-flatten to alpha=0.5 (rates from one per-source
+    // count agg), then the hash-gated sample — the full rebalancing
+    // pipeline a pretraining mix runs.
+    "sx23_source_mixing" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val rates = graft.operators.Mixing.temperatureRates(docs, "source", alpha = 0.5)
+      graft.operators.Mixing.sampleBySource(docs, "doc_id", "source", rates)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("n_kept")).as("n_docs_kept"))
     }),
 
     // Index COMPACTION at sf scale: fold build + 2 appends into one
