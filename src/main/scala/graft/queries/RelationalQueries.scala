@@ -437,6 +437,22 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Semi-structured extraction done properly: from_json with a
+    // declared schema instead of f8's regex scrape — the engine's
+    // answer to the reference's schemaless tag promotion at JSON
+    // scale (a real parser handles nesting/escaping/null the regex
+    // can't; the schema makes the extracted field a typed column the
+    // optimizer can prune and push like any other).
+    "x1_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+    }),
+
     // F9 — unit arithmetic (readme.md:393): miles → meters as literal
     // multiplication, constant-folded by Catalyst.
     "f9_unit_arithmetic" -> ((s, dir) => {
@@ -715,6 +731,12 @@ object RelationalQueries {
       """SELECT CAST(l_quantity AS BIGINT) AS miles,
                 round(l_quantity * 1609.344, 3) AS meters
          FROM (SELECT DISTINCT l_quantity FROM lineitem) ORDER BY miles""",
+    "x1_json_extract" ->
+      """SELECT CAST(count(k) AS BIGINT) AS n_with_k,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                round(avg(k), 4) AS avg_k
+         FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)""",
     "f11_f12_array_struct_build" ->
       """SELECT l_orderkey, count(*) AS n_items,
                 (array_agg(l_partkey ORDER BY l_linenumber, l_partkey))[1] AS first_partkey,
