@@ -535,6 +535,45 @@ object PipelineQueries {
     // DataFrame transforms: quality gate (token count + punct density)
     // → exact dedup (min-id representative per normalized hash) →
     // corpus stats. Fully oracle-checked end to end.
+    // The FULL prep recipe as one composed pipeline — quality gate →
+    // PII scrub → exact dedup → near-dup collapse (star CC) →
+    // benchmark decontamination → token count → context-window
+    // packing. Hand-traced fixture: doc 2 (uppercase twin of 1) dies
+    // at exact dedup, doc 3 (one-word edit of 1) at near-dup, doc 4
+    // (short) at the Gopher gate, doc 5 (= benchmark b1) at
+    // decontamination; docs 1 (62 tokens) and 6 (66 after its email
+    // scrubs to <EMAIL>) survive and pack into ONE exactly-full
+    // 128-token window.
+    "pl5_full_prep" -> ((s, _) => {
+      import s.implicits._
+      val a = ((1 to 60).map(i => f"word$i%02d") ++ Seq("the", "and")).mkString(" ")
+      val b = ((1 to 60).map(i => f"item$i%02d") ++ Seq("the", "and")).mkString(" ")
+      val c = ((1 to 60).map(i => f"thing$i%02d") ++ Seq("the", "and")).mkString(" ")
+      val docs = Seq(
+        1L -> a,
+        2L -> a.toUpperCase,
+        3L -> a.replace("word30", "edited30"),
+        4L -> "too short doc the and",
+        5L -> b,
+        6L -> (c + " mail me at x.y@example.com")).toDF("doc_id", "text")
+      val bench = Seq(901L -> b).toDF("bench_id", "text")
+      val quality = T.gopherFilter(docs, "text")
+      val scrubbed = quality.select(col("doc_id"),
+        T.redactPii(col("text")).as("text"))
+      val noExact = Dedup.dropExactDups(scrubbed, "doc_id", col("text"))
+      val dropped = Dedup.connectedComponentsStar(
+          Dedup.minhashNearDups(noExact, "doc_id", "text", threshold = 0.7))
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id"))
+      val noNear = noExact.join(dropped, Seq("doc_id"), "left_anti")
+      val clean = Dedup.decontaminate(noNear, "doc_id", "text",
+        bench, "bench_id", "text")
+      Packing.packSequences(
+          clean.select(col("doc_id"), T.tokenCount(col("text")).as("n")),
+          "doc_id", "n", budget = 128L, shards = 1)
+        .orderBy("doc_id")
+    }),
+
     "pl1_training_prep" -> ((s, dir) => {
       val gated = t(s, dir, "documents").filter(
         T.tokenCount(col("text")).between(5, 1000) &&
@@ -952,6 +991,12 @@ object PipelineQueries {
            (9, 0.6325),
            (11, 0.4743)
          ) AS t(vec_id, sim) ORDER BY sim DESC, vec_id""",
+    "pl5_full_prep" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(62 AS BIGINT), CAST(0 AS INTEGER),
+            CAST(0 AS BIGINT), CAST(0 AS INTEGER)),
+           (6, 66, 0, 0, 0)
+         ) AS t(doc_id, n_tokens, shard, bin, oversize) ORDER BY doc_id""",
     "pl2_neardup_prep" ->
       """SELECT CAST(17 AS BIGINT) AS n_docs_kept, CAST(3 AS BIGINT) AS n_removed""",
     "pl3_neardup_components" ->
