@@ -39,6 +39,24 @@ class VectorQuantSpec extends SparkSpec {
     c01(0).getSeq[Byte](0) shouldBe c01(1).getSeq[Byte](0)
   }
 
+  test("dedup still finds the planted near-dups on int8-quantized storage") {
+    // the 4× storage saving is only real if the downstream operators
+    // keep working on the quantized arrays: near-dup pairs found on
+    // the dequantized vectors must match the float-vector pass
+    val deq = V.quantizeInt8(PlantedFixtures.embs(spark), "embedding", "qv")
+      .select(col("vec_id"),
+        V.dequantize(col("qv")).as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.embeddingNearDups(df, "vec_id", "embedding",
+        PlantedFixtures.EmbFixtureDim, threshold = 0.95, bits = 2)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floatPairs = pairs(PlantedFixtures.embs(spark)
+      .select(col("vec_id"), col("embedding")))
+    pairs(deq) shouldBe floatPairs
+    floatPairs should contain((3L, 4L)) // the 0.9945 pair survives quantization
+  }
+
   test("zero vector quantizes to scale 0 and reconstructs as zeros") {
     import spark.implicits._
     val z = Seq((0L, Seq.fill(4)(0.0f))).toDF("vec_id", "embedding")
