@@ -407,6 +407,18 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_sources"), sum(col("n_kept")).as("n_docs_kept"))
     }),
 
+    // PII scrub + leak-rate audit at sf scale: the chained-regex
+    // redaction and the per-category counts in one scan.
+    "sx24_pii_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(T.piiStats(col("text")).as("p"),
+          length(T.redactPii(col("text"))).as("len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p.n_email") + col("p.n_ip") + col("p.n_ssn")
+            + col("p.n_phone")).as("n_pii_matches"),
+          sum(col("len")).as("total_redacted_chars"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop
