@@ -631,6 +631,88 @@ object RelationalQueries {
           sum(when(inId(lon, lat), 1).otherwise(0)).as("n_id"),
           count(lit(1)).as("n_total"))
         .withColumn("conserved", col("n_wa") + col("n_id") === col("n_total"))
+    }),
+
+    // J4 — as-of join (most-recent-prior match): each click picks up the
+    // latest view at-or-before it, per user. Union + ONE window pass
+    // (operators.AsOf scaladoc) — no join node, no per-key expansion,
+    // one keyed shuffle total. The oracle is DuckDB's native ASOF LEFT
+    // JOIN: an independent single-node implementation of the same
+    // semantics, so the hash gate checks the operator, not itself.
+    "j4_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.operators.AsOf.asofJoin(clicks, views, "user_id", "ts",
+          Seq("view_id"), tieCol = "view_id")
+        .select(col("event_id"), col("asof_view_id"),
+          expr("(unix_micros(ts) - unix_micros(asof_ts)) div 1000000").as("age_s"))
+        .orderBy("event_id")
+    }),
+
+    // W3 — batch sessionization (gaps-and-islands): new session iff the
+    // per-user inactivity gap exceeds 6 h. lag and the running session
+    // counter share ONE (user, ts)-sorted window pass; the session agg
+    // re-keys by (user, session). Timestamps stay integer µs end to end
+    // so the duration arithmetic is exact on both engines.
+    "w3_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+      val gapUs = 6L * 3600L * 1000000L
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("_us"))
+        .withColumn("_new",
+          when(lag(col("_us"), 1).over(w).isNull
+            || col("_us") - lag(col("_us"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("session", sum(col("_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .groupBy(col("user_id"), col("session"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(_us) - min(_us)) div 1000000").as("duration_s"))
+        .orderBy("user_id", "session")
+    }),
+
+    // A10 — exact interpolated percentiles (describe()'s quantile
+    // sibling): Spark `percentile` and DuckDB `quantile_cont` both
+    // interpolate linearly at p·(n-1). Integer-valued quantities make
+    // the dyadic-p cutpoints (.25/.5/.75) exact in binary; round(4)
+    // absorbs the non-dyadic 0.9's last-ulp formula difference.
+    "a10_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25D)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75D)"), 4).as("p75"),
+          round(expr("percentile(l_quantity, 0.9D)"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CUR1 — curriculum/quality binning WITHOUT a global sort: quartile
+    // cutpoints come from one tiny percentile agg (3 doubles), then bins
+    // are assigned by broadcast comparison — ntile-style buckets at any
+    // scale with no single-partition window funnel. Cutpoints round(6)
+    // on BOTH sides so the bin predicate compares identical values.
+    "cur1_curriculum_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val cuts = docs.agg(
+        round(expr("percentile(n_tokens, 0.25D)"), 6).as("c1"),
+        round(expr("percentile(n_tokens, 0.5D)"), 6).as("c2"),
+        round(expr("percentile(n_tokens, 0.75D)"), 6).as("c3"))
+      docs.crossJoin(broadcast(cuts))
+        .withColumn("bin",
+          (col("n_tokens") > col("c1")).cast("int")
+            + (col("n_tokens") > col("c2")).cast("int")
+            + (col("n_tokens") > col("c3")).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("bin")
     })
   )
 
@@ -901,6 +983,48 @@ object RelationalQueries {
                                  AND lat >= 46.0 AND lat <= 49.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
                   count(*) AS n_total
            FROM (SELECT 46.0 + (event_id % 300) / 100.0 AS lat,
-                        -120.0 + (event_id * 7 % 400) / 100.0 AS lon FROM events))"""
+                        -120.0 + (event_id * 7 % 400) / 100.0 AS lon FROM events))""",
+    "j4_asof_join" ->
+      """SELECT c.event_id, v.view_id AS asof_view_id,
+                (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS age_s
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_id FROM events
+                         WHERE event_type = 'view') v
+           ON c.user_id = v.user_id AND v.ts <= c.ts
+         ORDER BY c.event_id""",
+    "w3_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (
+           SELECT user_id, us,
+                  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+           FROM flagged)
+         SELECT user_id, session, count(*) AS n_events,
+                (max(us) - min(us)) // 1000000 AS duration_s
+         FROM sess GROUP BY user_id, session ORDER BY user_id, session""",
+    "a10_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+                round(quantile_cont(l_quantity, 0.9), 4) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "cur1_curriculum_bins" ->
+      """WITH d AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              FROM documents),
+         c AS (SELECT round(quantile_cont(n_tokens, 0.25), 6) AS c1,
+                      round(quantile_cont(n_tokens, 0.5), 6) AS c2,
+                      round(quantile_cont(n_tokens, 0.75), 6) AS c3 FROM d)
+         SELECT CAST(n_tokens > c1 AS INTEGER) + CAST(n_tokens > c2 AS INTEGER)
+                  + CAST(n_tokens > c3 AS INTEGER) AS bin,
+                count(*) AS n_docs, min(n_tokens) AS min_tokens,
+                max(n_tokens) AS max_tokens
+         FROM d, c GROUP BY bin ORDER BY bin"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
