@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Dedup, Mixing, Multimodal, Packing}
+import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, SemanticDedup, SpanDedup}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -166,6 +166,59 @@ object PipelineQueries {
         .toDF("doc_id", "text")
       Dedup.dropRepeatedLines(docs, "doc_id", "text", maxOccurrences = 2)
         .orderBy("doc_id")
+    }),
+
+    // Corpus-duplicated n-gram SPANS (the token-window analog of
+    // substring dedup — SpanDedup scaladoc): a shared 6-token sentence
+    // straddles docs 1 and 2 at different offsets. With n=5 exactly two
+    // window hashes are cross-doc ("the quick brown fox jumps" and
+    // "quick brown fox jumps over") → 2 dup-window occurrences per doc,
+    // covering token positions 2-7 of doc 1 (6 of its 10) and 0-5 of
+    // doc 2 (6 of 9); doc 3 shares nothing. Removal drops exactly the
+    // covered tokens, preserving the order of the survivors.
+    "dd15_ngram_spans" -> ((s, _) => {
+      import s.implicits._
+      val shared = "the quick brown fox jumps over"
+      val docs = Seq(
+        (1L, s"alpha beta $shared gamma delta"),
+        (2L, s"$shared epsilon zeta eta"),
+        (3L, "one two three four five six seven"))
+        .toDF("doc_id", "text")
+      SpanDedup.spanDedup(docs, "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // SemDeDup on the planted embedding fixture: k=4 Lloyd cells seeded
+    // by the id-stride rule (ids 0/3/6/9 — one per planted label). The
+    // scalar-multiple trio {0,1,2} is cell-inseparable (identical
+    // direction → identical assignment expression) and {3,4} (cosine
+    // 180/181) co-assign at every Lloyd step — every other vector is at
+    // cosine ≤ 0.64 from them, so no centroid boundary can fall between
+    // the pair. Within-cell pairs at the 0.95 gate are therefore
+    // exactly dd6/dd8's four; star CC collapses {0,1,2} and {3,4} to
+    // their min-id representatives → kept = all ids minus {1, 2, 4}.
+    "dd16_semantic_dedup" -> ((s, _) => {
+      SemanticDedup.semanticDedup(PlantedFixtures.embs(s), "vec_id",
+          "embedding", PlantedFixtures.EmbFixtureDim, k = 4, threshold = 0.95)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
+    // Bloom-membership dedup: corpus = cluster representatives {1,4,6}
+    // + fillers, batch = {2,3,5,8}. Exact-normalized membership catches
+    // ONLY the byte-identical doc 5 (= corpus doc 4); the one-word
+    // edits (2, 3) and the token permutation (8) pass — the sketch is
+    // an exact-dup gate, not a similarity gate. 15 corpus keys in a
+    // 1000-capacity filter put the false-positive odds near 1e-17, so
+    // the planted oracle is stable (and Spark's sketch hashes are
+    // fixed-seed — BloomDedup scaladoc).
+    "dd17_bloom_dedup" -> ((s, _) => {
+      val all = PlantedFixtures.docs(s)
+      val batchIds = Seq(2L, 3L, 5L, 8L)
+      BloomDedup.bloomDedup(
+          all.filter(col("doc_id").isin(batchIds: _*)),
+          all.filter(!col("doc_id").isin(batchIds: _*)),
+          "text", expectedItems = 1000L)
+        .select(col("doc_id")).orderBy("doc_id")
     }),
 
     // Benchmark-contamination sweep on the planted corpus: benchmark =
@@ -887,6 +940,22 @@ object PipelineQueries {
            (2, 'unique two'),
            (3, 'hello' || chr(10) || 'unique three')
          ) AS t(doc_id, text) ORDER BY doc_id""",
+    "dd15_ngram_spans" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(6 AS BIGINT), 'alpha beta gamma delta'),
+           (2, 9, 2, 6, 'epsilon zeta eta'),
+           (3, 7, 0, 0, 'one two three four five six seven')
+         ) AS t(doc_id, n_tokens, n_dup_windows, n_dup_tokens, text)
+         ORDER BY doc_id""",
+    "dd16_semantic_dedup" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id
+         FROM (VALUES (0), (3), (5), (6), (7), (8), (9), (10), (11)) AS t(vec_id)
+         ORDER BY vec_id""",
+    "dd17_bloom_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id
+         FROM (VALUES (2), (3), (8)) AS t(doc_id)
+         ORDER BY doc_id""",
     "ct1_contamination" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(901 AS BIGINT), CAST(1.0 AS DOUBLE)),
