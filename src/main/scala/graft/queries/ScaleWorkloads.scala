@@ -419,6 +419,47 @@ object ScaleWorkloads {
           sum(col("len")).as("total_redacted_chars"))
     }),
 
+    // As-of join at sf scale: every click matched to its latest prior
+    // view per user (union + ONE window pass, no join node — AsOf
+    // scaladoc); reduced to one row so the timed cost is the match,
+    // not the sink.
+    "sx25_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.operators.AsOf.asofJoin(clicks, views, "user_id", "ts",
+          Seq("view_id"), tieCol = "view_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("asof_view_id")).as("n_matched"))
+    }),
+
+    // Duplicate n-gram span scan at sf scale (n=8): the explode →
+    // hash-agg → join-back shape of SpanDedup on the real documents.
+    "sx26_ngram_spans" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanDedupStats(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 8)),
+
+    // Bloom-membership dedup at sf scale: sketch the even-id half in
+    // one aggregate pass, probe ALL docs map-side (zero probe shuffle
+    // — pinned in PlanAuditSpec).
+    "sx27_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.BloomDedup.bloomDedupStats(
+        docs, docs.filter(col("doc_id") % 2 === 0), "text",
+        expectedItems = 100000L)
+    }),
+
+    // SemDeDup candidate stage at sf scale: k=8 Lloyd cells over the
+    // real embeddings, within-cell pairwise cosine at a 0.99 gate —
+    // the cluster-bucketed quadratic that maxCluster bounds.
+    "sx28_semantic_pairs" -> ((s, dir) =>
+      graft.operators.SemanticDedup.semanticNearDups(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", EmbDim,
+          k = 8, threshold = 0.99)
+        .agg(count(lit(1)).as("n_pairs"))),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

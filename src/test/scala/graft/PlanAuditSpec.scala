@@ -148,6 +148,37 @@ class PlanAuditSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(p).size should be >= 2
   }
 
+  test("j4: as-of join is union + ONE window pass — no join node, one keyed shuffle") {
+    val p = plan("j4_asof_join")
+    p should not include "Join"       // no SortMerge/Hash/NestedLoop anywhere
+    p should include("Window")
+    // exactly one hash exchange (the user_id window partition); the
+    // second exchange is the query's final ORDER BY (range), not the op
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("dd15: n-gram span dedup has no cartesian; dup-set joins are keyed") {
+    val p = plan("dd15_ngram_spans")
+    p should not include "Cartesian"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("dd17: bloom probe is a map-side filter — ZERO shuffle in the probe plan") {
+    import spark.implicits._
+    val corpus = (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val batch = (0 until 100).map(i => (200L + i, s"new $i")).toDF("doc_id", "text")
+    val bf = graft.operators.BloomDedup.buildBloom(corpus, "text", 1000L)
+    val probed = graft.operators.BloomDedup.dropBloomMembers(batch, "text", bf)
+    probed.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("cur1: curriculum binning broadcasts the 1-row cutpoints, no global sort of docs") {
+    val p = plan("cur1_curriculum_bins")
+    p should include("BroadcastNestedLoopJoin") // 1-row cutpoint cross
+    // ntile would need a single-partition window; the design avoids it
+    p should not include "Window"
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
