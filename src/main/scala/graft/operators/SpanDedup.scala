@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level duplicate n-gram SPAN dedup — the token-window analog
@@ -12,16 +13,24 @@ import org.apache.spark.sql.functions._
   * document-level near-dup (MinHash on whole docs) cannot see.
   *
   * Distributed shape, in order:
-  *   1. tokenize + per-doc window hashes — pure column expressions
-  *      (`transform`/`slice`/`xxhash64`), no shuffle, explode factor =
-  *      tokens/doc;
-  *   2. duplicated-hash set — ONE partial-aggregated groupBy over
+  *   1. tokenize + posexplode to (doc, pos, token) rows — ONE split
+  *      per doc, explode factor = tokens/doc;
+  *   2. window hashes via ONE per-doc window pass — n-1 `lead`s feed a
+  *      single xxhash64. The obvious map-side alternative (a `transform`
+  *      HOF over `sequence` with `slice` per window) measures 4× slower
+  *      end-to-end at sf0.1: CollapseProject inlines the tokenize
+  *      expression into the lambda so every window RE-SPLITS the doc
+  *      (the minhashSignature lesson, Dedup.scala), and the nested-HOF
+  *      codegen costs seconds of JIT. The window pass pays one keyed
+  *      token shuffle instead — linear, and the same (doc, pos, token)
+  *      relation then feeds the span-removal reassembly for free;
+  *   3. duplicated-hash set — ONE partial-aggregated groupBy over
   *      (hash → distinct-doc count); only 8-byte hashes shuffle, never
   *      text;
-  *   3. windows ⋈ dup-hashes equi-join on the hash — keys-only right
+  *   4. windows ⋈ dup-hashes equi-join on the hash — keys-only right
   *      side; AQE broadcasts it when the dup set is small (the common
   *      case: dup windows are a thin tail of all windows);
-  *   4. covered-position roll-up / span removal — keyed by doc id.
+  *   5. covered-position roll-up / span removal — keyed by doc id.
   * No all-pairs comparison exists anywhere; every stage is a keyed
   * shuffle that partitions cleanly at any corpus size. A suffix array
   * would find duplicates at every length ≥ n in one pass but needs a
@@ -35,27 +44,31 @@ object SpanDedup {
     * family — TextFunctions.tokens' split). */
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Array of xxhash64 hashes of the n-token windows of `tokens`,
-    * index i = window starting at token i; empty when the doc is
-    * shorter than n tokens (guarded: `sequence(0, neg)` would count
-    * DOWN, not return empty). */
-  private[graft] def windowHashes(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => xxhash64(concat_ws(" ", slice(tokens, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
+  /** (id, _tp, _tok): one row per token — the shared relation behind
+    * both the window hashes and the span-removal reassembly. */
+  private def tokenRows(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol), posexplode(toks(col(textCol))).as(Seq("_tp", "_tok")))
 
-  /** (id, _pos, _wh): one row per n-token window occurrence. */
-  private def windows(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame =
-    docs.select(col(idCol), windowHashes(toks(col(textCol)), n).as("_whs"))
-      .select(col(idCol), posexplode(col("_whs")).as(Seq("_pos", "_wh")))
+  /** (id, _pos, _wh): one row per FULL n-token window occurrence,
+    * hashed in one per-doc window pass. Windows shorter than n (the
+    * last n-1 positions, or every position of a short doc) are dropped
+    * by the `lead(n-1)` null test — `concat_ws` skips nulls, so
+    * without it the doc tail would hash as shorter grams. */
+  private def windows(tokens: DataFrame, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("_tp")
+    val parts = col("_tok") +: (1 until n).map(i => lead(col("_tok"), i).over(w))
+    tokens.select(col(idCol), col("_tp").as("_pos"),
+        xxhash64(concat_ws(" ", parts: _*)).as("_wh"),
+        lead(col("_tok"), n - 1).over(w).isNotNull.as("_full"))
+      .filter(col("_full")).drop("_full")
+  }
 
   /** Hashes of windows occurring in ≥ minDocs DISTINCT docs — the
     * corpus-duplicated span keys (keys only, one agg pass). */
   def duplicatedWindowHashes(docs: DataFrame, idCol: String, textCol: String,
                              n: Int, minDocs: Int = 2): DataFrame =
-    windows(docs, idCol, textCol, n)
+    windows(tokenRows(docs, idCol, textCol), idCol, n)
       .groupBy(col("_wh")).agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs).select(col("_wh"))
 
@@ -83,25 +96,24 @@ object SpanDedup {
     * string when everything was boilerplate). Row per input doc. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 n: Int, minDocs: Int = 2): DataFrame = {
-    val base = docs.select(col(idCol), toks(col(textCol)).as("_toks"))
-    val dw = dupWindows(windows(docs, idCol, textCol, n), idCol, minDocs)
+    val tk = tokenRows(docs, idCol, textCol)
+    val dw = dupWindows(windows(tk, idCol, n), idCol, minDocs)
     val covered = coveredPositions(dw, idCol, n)
 
     val dupWinCount = dw.groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
     val coveredCount = covered.groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_tokens"))
 
-    // Surviving tokens, order-preserving: positions anti-joined against
-    // the covered set, re-assembled by sorted (pos, token) structs —
-    // deterministic regardless of partitioning.
-    val cleaned = base
-      .select(col(idCol), posexplode(col("_toks")).as(Seq("_tp", "_tok")))
+    // Surviving tokens, order-preserving: the SAME token relation
+    // anti-joined against the covered set, re-assembled by sorted
+    // (pos, token) structs — deterministic regardless of partitioning.
+    val cleaned = tk
       .join(covered, Seq(idCol, "_tp"), "left_anti")
       .groupBy(col(idCol))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("_tp"), col("_tok")))),
           s => s.getField("_tok"))).as("text"))
 
-    base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+    docs.select(col(idCol), size(toks(col(textCol))).cast("long").as("n_tokens"))
       .join(dupWinCount, Seq(idCol), "left")
       .join(coveredCount, Seq(idCol), "left")
       .join(cleaned, Seq(idCol), "left")
@@ -112,12 +124,21 @@ object SpanDedup {
         coalesce(col("text"), lit("")).as("text"))
   }
 
-  /** Corpus-level stats in one row — the bench/monitoring surface. */
+  /** Corpus-level stats in one row — the bench/monitoring surface.
+    * Computed directly from the window/covered sets, NOT by aggregating
+    * [[spanDedup]]: the stats never read the cleaned text, so paying
+    * for its reassembly (anti-join + per-doc sorted collect) would
+    * roughly double the scan for nothing. The totals-equivalence is
+    * pinned in SpanDedupSpec. */
   def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, minDocs: Int = 2): DataFrame =
-    spanDedup(docs, idCol, textCol, n, minDocs)
+                     n: Int, minDocs: Int = 2): DataFrame = {
+    val dw = dupWindows(windows(tokenRows(docs, idCol, textCol), idCol, n),
+      idCol, minDocs)
+    docs.select(toks(col(textCol)).as("_toks"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        sum(col("n_dup_windows")).as("n_dup_windows"),
-        sum(col("n_dup_tokens")).as("n_dup_tokens"))
+        sum(size(col("_toks"))).cast("long").as("n_tokens"))
+      .crossJoin(dw.agg(count(lit(1)).as("n_dup_windows")))
+      .crossJoin(coveredPositions(dw, idCol, n)
+        .agg(count(lit(1)).as("n_dup_tokens")))
+  }
 }
