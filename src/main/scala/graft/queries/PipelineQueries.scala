@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, SemanticDedup, SpanDedup}
+import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, Retrieval, SemanticDedup, SpanDedup}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -876,6 +876,34 @@ object PipelineQueries {
           tables = 12)
         .withColumn("n_batches", lit(nb))
         .orderBy("corpus_doc")
+    }),
+
+    // RET1 — BM25 keyword retrieval over the corpus (Retrieval
+    // scaladoc: postings filtered to the query's terms at the explode,
+    // stats and df broadcast, top-k via TakeOrderedAndProject). Oracle
+    // = the same Robertson idf / tf-saturation formula in DuckDB SQL,
+    // written with IDENTICAL literal arithmetic ((1.2 + 1), not 2.2)
+    // so both engines round the same doubles.
+    "ret1_bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "join"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // RET2 — hybrid search: BM25 top-20 ⊕ dense cosine top-20 (query =
+    // vec 0, the embeddings/documents id spaces are aligned 1:1),
+    // merged by reciprocal-rank fusion — no score calibration, pure
+    // rank arithmetic, so the fused scores are exactly-representable
+    // rationals both engines agree on.
+    "ret2_hybrid_rrf" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val sparse = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "join"), 20)
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dense = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      Retrieval.rrfFuse(Seq((sparse, "score"), (dense, "sim")), "doc_id", 10)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
     })
   )
 
@@ -1286,6 +1314,50 @@ object PipelineQueries {
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "ret1_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM d)
+                WHERE term IN ('spark', 'window', 'join') GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         bm AS (SELECT tf.doc_id,
+                       sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+                           (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+                FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                GROUP BY tf.doc_id)
+         SELECT doc_id, round(score, 4) AS score FROM bm
+         ORDER BY score DESC, doc_id LIMIT 10""",
+    "ret2_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM d)
+                WHERE term IN ('spark', 'window', 'join') GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         bm AS (SELECT tf.doc_id,
+                       sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+                           (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+                FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                GROUP BY tf.doc_id),
+         bmk AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         dn AS (SELECT vec_id AS doc_id,
+                       list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)),
+                                x -> x[1] * x[2])) /
+                       (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) *
+                        sqrt(list_sum(list_transform((SELECT qv FROM q), v -> v * v)))) AS sim
+                FROM embeddings),
+         dnk AS (SELECT doc_id, sim FROM dn ORDER BY sim DESC, doc_id LIMIT 20),
+         ra AS (SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS r FROM bmk),
+         rb AS (SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY sim DESC, doc_id)) AS r FROM dnk),
+         f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                      coalesce(ra.r, 0) + coalesce(rb.r, 0) AS score
+               FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         SELECT doc_id, round(score, 6) AS score FROM f
+         ORDER BY score DESC, doc_id LIMIT 10"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

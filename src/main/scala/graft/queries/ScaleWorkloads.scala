@@ -460,6 +460,30 @@ object ScaleWorkloads {
           k = 8, threshold = 0.99)
         .agg(count(lit(1)).as("n_pairs"))),
 
+    // BM25 retrieval at sf scale: 5-term query, top-100 — times the
+    // explode-filter postings build + broadcast df/stats + TakeOrdered
+    // (Retrieval scaladoc); reduced so the sink isn't the cost.
+    "sx29_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(Tables(s, dir, "documents"),
+          "doc_id", "text", Seq("spark", "window", "join", "filter", "batch"), 100)
+        .agg(count(lit(1)).as("n"), round(sum(col("score")), 4).as("score_sum"))),
+
+    // Hybrid retrieval at sf scale: BM25 top-100 ⊕ dense cosine
+    // top-100 over the real embeddings, RRF-fused to 50.
+    "sx30_hybrid_rrf" -> ((s, dir) => {
+      val embs = Tables(s, dir, "embeddings")
+      val sparse = graft.operators.Retrieval.bm25TopK(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "join", "filter", "batch"), 100)
+      val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dense = graft.operators.Ann.bruteForceTopK(
+          embs, "vec_id", "embedding", q, "qv", 100)
+        .withColumnRenamed("vec_id", "doc_id")
+      graft.operators.Retrieval.rrfFuse(
+          Seq((sparse, "score"), (dense, "sim")), "doc_id", 50)
+        .agg(count(lit(1)).as("n"), round(sum(col("score")), 6).as("score_sum"))
+    }),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

@@ -172,6 +172,15 @@ class PlanAuditSpec extends SparkSpec {
     probed.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("ret1: BM25 top-k is TakeOrderedAndProject; stats/df sides broadcast, no cartesian") {
+    val p = plan("ret1_bm25_topk")
+    p should include("TakeOrderedAndProject")   // no global sort of scored docs
+    p should not include "CartesianProduct"
+    // corpus stats (1 row) and per-term df (|Q| rows) ride broadcasts
+    "BroadcastNestedLoopJoin".r.findAllIn(p).size shouldBe 1
+    p should include("BroadcastHashJoin")
+  }
+
   test("cur1: curriculum binning broadcasts the 1-row cutpoints, no global sort of docs") {
     val p = plan("cur1_curriculum_bins")
     p should include("BroadcastNestedLoopJoin") // 1-row cutpoint cross
