@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, Retrieval, SemanticDedup, SpanDedup}
+import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -904,6 +904,37 @@ object PipelineQueries {
         .withColumnRenamed("vec_id", "doc_id")
       Retrieval.rrfFuse(Seq((sparse, "score"), (dense, "sim")), "doc_id", 10)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // SP1 — deterministic train/val/test split on the real corpus.
+    // The keep decision is plain 64-bit integer arithmetic (Sampling
+    // scaladoc), so the oracle re-derives every assignment exactly —
+    // including boundary rows, because the cutoffs are the SAME
+    // integer literals on both sides (Sampling.splitCutoffs).
+    "sp1_split_assign" -> ((s, dir) => {
+      Sampling.assignSplits(t(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42)
+        .orderBy("doc_id")
+    }),
+
+    // SP2 — epoch-7 shuffle into 8 shards: shard + dense 1-based
+    // within-shard position, a full deterministic permutation the
+    // oracle replays with the same hash + row_number arithmetic.
+    "sp2_epoch_shuffle" -> ((s, dir) => {
+      Sampling.epochShuffle(t(s, dir, "documents").select("doc_id"), "doc_id",
+          epoch = 7, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
+    // SP3 — Efraimidis–Spirakis weighted sample without replacement,
+    // weight = n_chars: top-20 by key u^(1/w). Both engines rank the
+    // unrounded keys (identical doubles up to libm pow), then round
+    // for the hash compare.
+    "sp3_weighted_topk" -> ((s, dir) => {
+      Sampling.weightedTopK(t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", 20, seed = 9)
+        .select(col("doc_id"), round(col("samp_key"), 6).as("samp_key"))
     })
   )
 
@@ -1358,6 +1389,31 @@ object PipelineQueries {
                       coalesce(ra.r, 0) + coalesce(rb.r, 0) AS score
                FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
          SELECT doc_id, round(score, 6) AS score FROM f
-         ORDER BY score DESC, doc_id LIMIT 10"""
+         ORDER BY score DESC, doc_id LIMIT 10""",
+    "sp1_split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN h < 3435973836 THEN 'train'
+                     WHEN h < 3865470566 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      (((doc_id % 2147483648 + 42) % 2147483648) * 2654435761) % 4294967296 AS h
+               FROM documents)
+         ORDER BY doc_id""",
+    "sp2_epoch_shuffle" ->
+      """SELECT doc_id, h % 8 AS shard,
+                row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+         FROM (SELECT doc_id,
+                      (((doc_id % 2147483648 + 7) % 2147483648) * 2654435761) % 4294967296 AS h
+               FROM documents)
+         ORDER BY doc_id""",
+    "sp3_weighted_topk" ->
+      """SELECT doc_id, round(key, 6) AS samp_key FROM (
+           SELECT doc_id,
+                  pow((h + 1) / 4294967296.0,
+                      1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-9)) AS key
+           FROM (SELECT doc_id, n_chars,
+                        (((doc_id % 2147483648 + 9) % 2147483648) * 2654435761) % 4294967296 AS h
+                 FROM documents)
+           ORDER BY key DESC, doc_id LIMIT 20)"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

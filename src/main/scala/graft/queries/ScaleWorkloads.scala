@@ -484,6 +484,24 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n"), round(sum(col("score")), 6).as("score_sum"))
     }),
 
+    // Epoch shuffle at sf scale: one hash exchange on shard + the
+    // within-shard row_number pass; the agg proves every shard got a
+    // dense permutation without collecting it.
+    "sx31_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.epochShuffle(
+          Tables(s, dir, "documents").select("doc_id"), "doc_id", 3, 32)
+        .groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("max_pos"))
+        .agg(count(lit(1)).as("n_shards"), sum("n").as("n_rows"),
+          max("max_pos").as("deepest"))),
+
+    // Weighted sampling at sf scale: top-1000 by the E-S key — a
+    // single TakeOrdered pass, no global sort.
+    "sx32_weighted_topk" -> ((s, dir) =>
+      graft.operators.Sampling.weightedTopK(
+          Tables(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", 1000, seed = 11)
+        .agg(count(lit(1)).as("n"), round(sum("samp_key"), 4).as("key_sum"))),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

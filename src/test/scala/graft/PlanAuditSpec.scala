@@ -181,6 +181,31 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("sp1: split assignment is a pure per-row projection — zero shuffle") {
+    // pin the operator, not the declared query (whose orderBy is for the oracle dump)
+    val out = graft.operators.Sampling.assignSplits(
+      Tables(spark, sf, "documents").select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 42)
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("sp2: epoch shuffle is ONE hash exchange on shard, never a global sort") {
+    val out = graft.operators.Sampling.epochShuffle(
+      Tables(spark, sf, "documents").select("doc_id"), "doc_id", 3, 8)
+    val p = out.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("sp3: weighted sample is TakeOrderedAndProject — driver holds k rows, no full sort") {
+    val out = graft.operators.Sampling.weightedTopK(
+      Tables(spark, sf, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", 20, 9)
+    val p = out.queryExecution.executedPlan.toString
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange"
+  }
+
   test("cur1: curriculum binning broadcasts the 1-row cutpoints, no global sort of docs") {
     val p = plan("cur1_curriculum_bins")
     p should include("BroadcastNestedLoopJoin") // 1-row cutpoint cross

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Properties the sp1-sp3 oracles (full-formula DuckDB twins on the sf
+  * corpus) don't isolate: the partition/permutation invariants, the
+  * determinism contract, and the weighted-inclusion skew. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("assignSplits: every row exactly one split; fractions land near target") {
+    val out = Sampling.assignSplits(ids(10000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42)
+    out.count() shouldBe 10000L
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    bySplit.values.sum shouldBe 10000L
+    // hash uniformity: within ±3% of target on 10k ids
+    bySplit("train").toDouble should be(8000.0 +- 300.0)
+    bySplit("val").toDouble should be(1000.0 +- 300.0)
+  }
+
+  test("assignSplits: deterministic per id and seed; seed moves rows") {
+    val a = Sampling.assignSplits(ids(500), "id", Seq("a" -> 0.5, "b" -> 0.5), 1)
+    val b = Sampling.assignSplits(ids(500), "id", Seq("a" -> 0.5, "b" -> 0.5), 1)
+    a.except(b).count() shouldBe 0L
+    val c = Sampling.assignSplits(ids(500), "id", Seq("a" -> 0.5, "b" -> 0.5), 2)
+    a.except(c).count() should be > 0L
+  }
+
+  test("epochShuffle: a true permutation — dense 1..n_s positions per shard, all ids once") {
+    val out = Sampling.epochShuffle(ids(1000), "id", epoch = 3, nShards = 7).cache()
+    out.count() shouldBe 1000L
+    out.select("id").distinct().count() shouldBe 1000L
+    // positions are dense 1..count within every shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("nd") =!= col("n"))
+    bad.count() shouldBe 0L
+    out.unpersist()
+  }
+
+  test("epochShuffle: epochs reorder; same epoch replays exactly") {
+    val e1 = Sampling.epochShuffle(ids(300), "id", 1, 4)
+    val e1b = Sampling.epochShuffle(ids(300), "id", 1, 4)
+    e1.except(e1b).count() shouldBe 0L
+    val e2 = Sampling.epochShuffle(ids(300), "id", 2, 4)
+    e1.except(e2).count() should be > 0L
+  }
+
+  test("weightedTopK: a planted heavy weight is always sampled; sample is deterministic") {
+    val rows = (0L until 200L).map(i => (i, if (i == 77L) 1e6 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedTopK(rows, "id", "w", 10, seed = 5).collect()
+    // u^(1/w) → 1 as w → ∞: the heavy row's key dominates
+    s1.head.getLong(0) shouldBe 77L
+    val s2 = Sampling.weightedTopK(rows, "id", "w", 10, seed = 5).collect()
+    s1.map(_.getLong(0)) shouldBe s2.map(_.getLong(0))
+  }
+
+  test("weightedTopK: inclusion skews toward weight across seeds") {
+    // ids 0-49 weight 10, ids 50-99 weight 1; over 20 seeds the heavy
+    // half must dominate the samples
+    val rows = (0L until 100L).map(i => (i, if (i < 50) 10.0 else 1.0)).toDF("id", "w")
+    val heavy = (1 to 20).map { seed =>
+      Sampling.weightedTopK(rows, "id", "w", 10, seed.toLong)
+        .filter(col("id") < 50).count()
+    }.sum
+    heavy.toDouble should be > 140.0 // 200 draws, ≥70% heavy (expect ~90%)
+  }
+
+  test("weightedTopK: zero and negative weights are clamped, never divide by zero") {
+    val rows = Seq((1L, 0.0), (2L, -5.0), (3L, 2.0)).toDF("id", "w")
+    val out = Sampling.weightedTopK(rows, "id", "w", 3).collect()
+    out.length shouldBe 3
+    out.foreach(r => r.getDouble(2) should (be >= 0.0 and be <= 1.0))
+  }
+
+  test("splitCutoffs exposes the exact integer boundaries assignSplits uses") {
+    val cuts = Sampling.splitCutoffs(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    cuts.head shouldBe (0.8 * (1L << 32).toDouble).toLong
+    cuts shouldBe cuts.sorted
+    // float summation may land a hair under 2^32; the otherwise-arm absorbs it
+    cuts.last should (be <= (1L << 32) and be >= (1L << 32) - 2)
+  }
+}
