@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup}
+import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -935,6 +935,26 @@ object PipelineQueries {
       Sampling.weightedTopK(t(s, dir, "documents").select("doc_id", "n_chars"),
           "doc_id", "n_chars", 20, seed = 9)
         .select(col("doc_id"), round(col("samp_key"), 6).as("samp_key"))
+    }),
+
+    // VB1 — term heavy hitters: top-20 by document frequency with
+    // corpus frequency alongside; the stopword-induction scan.
+    "vb1_term_stats" -> ((s, dir) => {
+      Vocab.termStats(t(s, dir, "documents"), "doc_id", "text", 20)
+    }),
+
+    // VB2 — OOV audit: coverage of the corpus's own top-100-by-cf
+    // vocabulary. One corpus scan + broadcast vocab + one-row agg.
+    "vb2_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Vocab.oovRate(docs, "doc_id", "text",
+        Vocab.topVocab(docs, "doc_id", "text", 100))
+    }),
+
+    // VB3 — the BPE merge-step count table: top-20 adjacent-char
+    // pairs weighted by token occurrence.
+    "vb3_bpe_pairs" -> ((s, dir) => {
+      Vocab.bpePairCounts(t(s, dir, "documents"), "doc_id", "text", 20)
     })
   )
 
@@ -1414,6 +1434,28 @@ object PipelineQueries {
            FROM (SELECT doc_id, n_chars,
                         (((doc_id % 2147483648 + 9) % 2147483648) * 2654435761) % 4294967296 AS h
                  FROM documents)
-           ORDER BY key DESC, doc_id LIMIT 20)"""
+           ORDER BY key DESC, doc_id LIMIT 20)""",
+    "vb1_term_stats" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                      FROM documents)
+         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                CAST(count(*) AS BIGINT) AS cf
+         FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+    "vb2_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                      FROM documents),
+         v AS (SELECT term FROM (SELECT term, count(*) AS cf FROM tok
+                                 GROUP BY term ORDER BY cf DESC, term LIMIT 100))
+         SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         FROM tok LEFT JOIN v ON tok.term = v.term""",
+    "vb3_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                      FROM documents),
+         p AS (SELECT unnest([substr(term, i, 2) for i in range(1, len(term))]) AS pair
+               FROM tok WHERE len(term) >= 2)
+         SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -502,6 +502,20 @@ object ScaleWorkloads {
           "doc_id", "n_chars", 1000, seed = 11)
         .agg(count(lit(1)).as("n"), round(sum("samp_key"), 4).as("key_sum"))),
 
+    // Vocab heavy hitters at sf scale: the df count dedups (doc,term)
+    // before counting — two partial-agged passes, terms shuffle once.
+    "sx33_term_stats" -> ((s, dir) =>
+      graft.operators.Vocab.termStats(Tables(s, dir, "documents"),
+          "doc_id", "text", 1000)
+        .agg(count(lit(1)).as("n"), sum("df").as("df_sum"), sum("cf").as("cf_sum"))),
+
+    // BPE pair counting at sf scale: two explodes (terms, then pairs)
+    // collapse map-side; only (pair, partial n) shuffles.
+    "sx34_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Vocab.bpePairCounts(Tables(s, dir, "documents"),
+          "doc_id", "text", 500)
+        .agg(count(lit(1)).as("n"), sum("n").as("pair_sum"))),
+
     // Index COMPACTION at sf scale: fold build + 2 appends into one
     // fresh batch from the index's OWN shingles table (no corpus
     // re-read) — the steady-state maintenance cost the ingest loop

@@ -206,6 +206,21 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("vb1/vb3: vocab scans are partial-agged TakeOrdered passes, no global sort") {
+    for (name <- Seq("vb1_term_stats", "vb3_bpe_pairs")) {
+      val p = plan(name)
+      p should include("TakeOrderedAndProject")
+      p should not include "Exchange rangepartitioning"
+      p should include("partial_count") // map-side combine before the term shuffle
+    }
+  }
+
+  test("vb2: the vocabulary joins in by broadcast — the corpus never shuffles for it") {
+    val p = plan("vb2_oov_rate")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("cur1: curriculum binning broadcasts the 1-row cutpoints, no global sort of docs") {
     val p = plan("cur1_curriculum_bins")
     p should include("BroadcastNestedLoopJoin") // 1-row cutpoint cross
