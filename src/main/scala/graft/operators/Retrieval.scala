@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,13 @@ object Retrieval {
     * (TextFunctions.tokens) plus `lower` for term matching. */
   private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** The one BM25 scoring formula, shared verbatim by the on-the-fly
+    * and indexed paths so they can never drift. All inputs double. */
+  private def bm25Score(tf: Column, df: Column, n: Column, dl: Column,
+                        avgdl: Column, k1: Double, b: Double): Column =
+    log(lit(1.0) + (n - df + 0.5) / (df + 0.5)) * tf * (k1 + 1) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+
   /** Top-k docs by BM25 over `queryTerms` (case-folded). Returns
     * (idCol, score), score descending, ties to the smaller id; docs
     * sharing no term with the query never appear. */
@@ -54,10 +61,123 @@ object Retrieval {
 
     tf.join(broadcast(df_), Seq("_term"))
       .crossJoin(broadcast(stats))
-      .withColumn("_s",
-        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
-          * col("_tf") * (k1 + 1)
-          / (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .withColumn("_s", bm25Score(col("_tf"), col("_df"), col("_n"),
+        col("_dl"), col("_avgdl"), k1, b))
+      .groupBy(col(idCol)).agg(sum(col("_s")).as("score"))
+      .orderBy(desc("score"), col(idCol)).limit(k)
+  }
+
+  // ── persisted posting index ───────────────────────────────────────
+  //
+  // The serving path the bm25TopK scaladoc promises: postings built
+  // ONCE, partitioned by a term-hash bucket so a query's scan is
+  // partition-pruned to its terms' buckets. Layout (the family
+  // conventions of the MinHash/IVF indexes — batch_id level for
+  // idempotent appends, `params/` written last as the commit marker):
+  //
+  //   postings/batch_id=N/bucket=B/  (idCol, dl, term, tf)
+  //   terms/batch_id=N/bucket=B/     (term, df)   — df additive per batch
+  //   stats/batch_id=N/              (n_docs, dl_sum) — additive, so
+  //                                  avgdl folds exactly across appends
+  //   params/                        (n_buckets)  — commit marker
+  //
+  // Because df, n_docs, and dl_sum are all additive over disjoint doc
+  // batches, an APPEND needs no read-modify-write of global state: the
+  // probe sums them across batch rows at query time (|Q| + #batches
+  // rows — driver-trivial). A retried append overwrites only its own
+  // batch_id directories → idempotent, like every graft index.
+
+  private def bucketed(docs: DataFrame, idCol: String, textCol: String,
+                       nBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol),
+      size(toks(col(textCol))).cast("double").as("dl"),
+      toks(col(textCol)).as("_toks"))
+    val postings = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    val termDf = postings.groupBy(col("term"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+    (postings, termDf, stats)
+  }
+
+  private def writeBatch(indexPath: String, batchId: Long, postings: DataFrame,
+                         termDf: DataFrame, stats: DataFrame): Unit = {
+    // repartition on the partition key before partitionBy: one file
+    // per bucket, not one per input partition (see buildIvfIndex)
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexPath/postings/batch_id=$batchId")
+    termDf.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexPath/terms/batch_id=$batchId")
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/stats/batch_id=$batchId")
+  }
+
+  /** Build a PERSISTED BM25 index at `outPath` (build lands as batch
+    * -1). A rebuild replaces everything including appended batches;
+    * the marker-first / params-last discipline makes an interrupted
+    * rebuild fail [[bm25TopKIndexed]] loudly instead of serving mixed
+    * state. */
+  def buildPostingIndex(docs: DataFrame, idCol: String, textCol: String,
+                        outPath: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = docs.sparkSession
+    Dedup.clearIndexCommitMarker(spark, outPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "terms", "stats").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$t"), true)
+    }
+    val (postings, termDf, stats) = bucketed(docs, idCol, textCol, nBuckets)
+    writeBatch(outPath, -1L, postings, termDf, stats)
+    Dedup.writeIndexParams(spark, outPath, "n_buckets" -> nBuckets.toLong)
+  }
+
+  /** Append a doc batch to a [[buildPostingIndex]] index. `batchId`
+    * keys the write: a retry of the same batch overwrites its own
+    * directories (REPLACE, not double-count). Docs must be NEW ids —
+    * re-adding an indexed doc double-counts it, exactly like the
+    * MinHash index append contract. */
+  def appendToPostingIndex(docs: DataFrame, idCol: String, textCol: String,
+                           indexPath: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"append batchId must be >= 0 (build owns -1): $batchId")
+    val spark = docs.sparkSession
+    val nBuckets = Dedup.readIndexParams(spark, indexPath)("n_buckets").toInt
+    val (postings, termDf, stats) = bucketed(docs, idCol, textCol, nBuckets)
+    writeBatch(indexPath, batchId, postings, termDf, stats)
+  }
+
+  /** BM25 top-k served FROM the index: the postings/terms scans are
+    * partition-pruned to the query terms' buckets (plan-pinned), df
+    * and corpus stats fold additively across batches, and the score
+    * is [[bm25Score]] — bit-identical to the on-the-fly path. */
+  def bm25TopKIndexed(spark: SparkSession, indexPath: String, idCol: String,
+                      queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nBuckets = Dedup.readIndexParams(spark, indexPath)("n_buckets")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // the build bucketed with Spark's xxhash64 — derive the probe
+    // buckets with the same engine hash (tiny driver-bounded job)
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val termDf = spark.read.parquet(s"$indexPath/terms")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).cast("double").as("_df"))
+    val stats = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum(col("n_docs")).cast("double").as("_n"),
+        (sum(col("dl_sum")) / sum(col("n_docs"))).as("_avgdl"))
+    post.join(broadcast(termDf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", bm25Score(col("tf"), col("_df"), col("_n"),
+        col("dl"), col("_avgdl"), k1, b))
       .groupBy(col(idCol)).agg(sum(col("_s")).as("score"))
       .orderBy(desc("score"), col(idCol)).limit(k)
   }

@@ -937,6 +937,20 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("samp_key"), 6).as("samp_key"))
     }),
 
+    // RET3 — the same BM25 query served FROM the persisted posting
+    // index (bucket-partition-pruned probe, df/stats folded across
+    // batches). Same oracle as ret1: the index path must be score-
+    // identical to the on-the-fly path.
+    "ret3_bm25_indexed" -> ((s, dir) => {
+      val idx = graft.TempDirs.path(
+        s"posting-index/q-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      Retrieval.buildPostingIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx, nBuckets = 16)
+      Retrieval.bm25TopKIndexed(s, idx, "doc_id",
+          Seq("spark", "window", "join"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // VB1 — term heavy hitters: top-20 by document frequency with
     // corpus frequency alongside; the stopword-induction scan.
     "vb1_term_stats" -> ((s, dir) => {
@@ -1367,6 +1381,23 @@ object PipelineQueries {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
          FROM documents ORDER BY doc_id""",
     "ret1_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM d)
+                WHERE term IN ('spark', 'window', 'join') GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         bm AS (SELECT tf.doc_id,
+                       sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+                           (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+                FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                GROUP BY tf.doc_id)
+         SELECT doc_id, round(score, 4) AS score FROM bm
+         ORDER BY score DESC, doc_id LIMIT 10""",
+    // ret3 serves the SAME query from the persisted index — one oracle
+    // text, two execution paths that must agree to the hash.
+    "ret3_bm25_indexed" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
          dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
          st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),

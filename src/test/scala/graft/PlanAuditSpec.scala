@@ -206,6 +206,21 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("ret3: indexed BM25 partition-prunes postings to the query terms' buckets") {
+    import graft.operators.Retrieval
+    val idx = graft.TempDirs.path("posting-index/planaudit")
+    Retrieval.buildPostingIndex(Tables(spark, sf, "documents"),
+      "doc_id", "text", idx, nBuckets = 16)
+    val search = Retrieval.bm25TopKIndexed(spark, idx, "doc_id",
+      Seq("spark", "window"), 10)
+    search.collect()
+    val p = search.queryExecution.executedPlan.toString
+    // the bucket filter reaches the postings scan as a PARTITION
+    // filter — only the query terms' bucket directories are read
+    "PartitionFilters: \\[bucket#\\d+ IN \\(".r.findFirstIn(p).isDefined shouldBe true
+    p should include("TakeOrderedAndProject")
+  }
+
   test("vb1/vb3: vocab scans are partial-agged TakeOrdered passes, no global sort") {
     for (name <- Seq("vb1_term_stats", "vb3_bpe_pairs")) {
       val p = plan(name)

@@ -53,6 +53,45 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(0)) shouldBe Array(1L)
   }
 
+  test("indexed BM25 is score-identical to the on-the-fly path") {
+    val idx = graft.TempDirs.path("posting-index/spec-parity")
+    Retrieval.buildPostingIndex(fixture, "doc_id", "text", idx, nBuckets = 4)
+    val direct = Retrieval.bm25TopK(fixture, "doc_id", "text", Seq("apple", "zebra"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val served = Retrieval.bm25TopKIndexed(spark, idx, "doc_id", Seq("apple", "zebra"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    served.map(_._1) shouldBe direct.map(_._1)
+    served.zip(direct).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-12 }
+  }
+
+  test("posting-index append folds df and corpus stats exactly: append ≡ rebuild on the union") {
+    import spark.implicits._
+    val batchA = fixture.filter($"doc_id" <= 2)
+    val batchB = fixture.filter($"doc_id" > 2)
+    val grown = graft.TempDirs.path("posting-index/spec-grown")
+    Retrieval.buildPostingIndex(batchA, "doc_id", "text", grown, nBuckets = 4)
+    Retrieval.appendToPostingIndex(batchB, "doc_id", "text", grown, batchId = 0)
+    // retried append REPLACES its own batch, never double-counts
+    Retrieval.appendToPostingIndex(batchB, "doc_id", "text", grown, batchId = 0)
+    val fresh = graft.TempDirs.path("posting-index/spec-fresh")
+    Retrieval.buildPostingIndex(fixture, "doc_id", "text", fresh, nBuckets = 4)
+    val a = Retrieval.bm25TopKIndexed(spark, grown, "doc_id", Seq("apple", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Retrieval.bm25TopKIndexed(spark, fresh, "doc_id", Seq("apple", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    a.map(_._1) shouldBe b.map(_._1)
+    a.zip(b).foreach { case ((_, x), (_, y)) => x shouldBe y +- 1e-12 }
+  }
+
+  test("a half-built posting index (no params commit marker) fails loudly") {
+    val idx = graft.TempDirs.path("posting-index/spec-halfbuilt")
+    Retrieval.buildPostingIndex(fixture, "doc_id", "text", idx, nBuckets = 4)
+    val p = new org.apache.hadoop.fs.Path(s"$idx/params")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    an[IllegalStateException] should be thrownBy
+      Retrieval.bm25TopKIndexed(spark, idx, "doc_id", Seq("apple"), 5).collect()
+  }
+
   test("rrfFuse: exact rank arithmetic, absent lists contribute 0, id tie-break") {
     val a = Seq((1L, 10.0), (2L, 5.0)).toDF("doc_id", "s")
     val b = Seq((1L, 0.9), (3L, 0.8)).toDF("doc_id", "s")
