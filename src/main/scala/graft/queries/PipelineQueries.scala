@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Dedup, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
+import graft.operators.{Ann, BloomDedup, Curation, Dedup, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -969,6 +969,33 @@ object PipelineQueries {
     // pairs weighted by token occurrence.
     "vb3_bpe_pairs" -> ((s, dir) => {
       Vocab.bpePairCounts(t(s, dir, "documents"), "doc_id", "text", 20)
+    }),
+
+    // CD1 — snapshot diff against a simulated crawl refresh of the
+    // real corpus: every 7th doc dropped, every 5th rewritten, every
+    // 11th re-added under a new id. The hash-compare path must
+    // classify identically to the oracle's direct text compare.
+    "cd1_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val refreshed = old.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(old.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Curation.snapshotDiff(old, refreshed, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CD2 — canonical-doc selection per duplicate cluster, priority =
+    // the source's numeric suffix (curated-beats-crawl stand-in). The
+    // cluster column is a deterministic doc_id fold so the oracle can
+    // re-derive it; real pipelines feed star-CC components in.
+    "cd2_canonical_per_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(50L)).as("cluster"), col("doc_id"),
+          substring(col("source"), 4, 10).cast("int").as("priority"))
+      Curation.canonicalPerCluster(docs, "cluster", "doc_id", "priority")
+        .orderBy("cluster")
     })
   )
 
@@ -1487,6 +1514,28 @@ object PipelineQueries {
          p AS (SELECT unnest([substr(term, i, 2) for i in range(1, len(term))]) AS pair
                FROM tok WHERE len(term) >= 2)
          SELECT pair, CAST(count(*) AS BIGINT) AS n
-         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "cd1_snapshot_diff" ->
+      """WITH oldd AS (SELECT doc_id, text FROM documents),
+         newd AS (SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+                  FROM documents WHERE doc_id % 7 <> 0
+                  UNION ALL
+                  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.text <> n.text THEN 'changed' END AS change
+         FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+         ORDER BY doc_id""",
+    "cd2_canonical_per_cluster" ->
+      """SELECT cluster, doc_id, priority FROM (
+           SELECT doc_id % 50 AS cluster, doc_id,
+                  CAST(substr(source, 4) AS INT) AS priority,
+                  row_number() OVER (PARTITION BY doc_id % 50
+                                     ORDER BY CAST(substr(source, 4) AS INT), doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY cluster"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

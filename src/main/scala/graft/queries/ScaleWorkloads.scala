@@ -525,6 +525,31 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n"), round(sum(col("score")), 4).as("score_sum"))
     }),
 
+    // Snapshot diff at sf scale: both sides collapse to (id, 8-byte
+    // hash) at the scan, so the full-outer join shuffles 16 bytes a
+    // row regardless of document size.
+    "sx36_snapshot_diff" -> ((s, dir) => {
+      val old = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val refreshed = old.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(old.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.operators.Curation.snapshotDiff(old, refreshed, "doc_id", "text")
+        .groupBy("change").agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    }),
+
+    // Canonical-per-cluster at sf scale: partial-agged min(struct)
+    // argmin — one candidate row per (partition, cluster) shuffles.
+    "sx37_canonical" -> ((s, dir) =>
+      graft.operators.Curation.canonicalPerCluster(
+          Tables(s, dir, "documents")
+            .select(pmod(col("doc_id"), lit(1000L)).as("cluster"), col("doc_id"),
+              substring(col("source"), 4, 10).cast("int").as("priority")),
+          "cluster", "doc_id", "priority")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))),
+
     // Vocab heavy hitters at sf scale: the df count dedups (doc,term)
     // before counting — two partial-agged passes, terms shuffle once.
     "sx33_term_stats" -> ((s, dir) =>

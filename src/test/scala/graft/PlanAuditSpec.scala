@@ -236,6 +236,12 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("cd2: the per-cluster argmin partial-aggregates before its one shuffle — no window") {
+    val p = plan("cd2_canonical_per_cluster")
+    p should include("partial_min")
+    p should not include "Window"
+  }
+
   test("cur1: curriculum binning broadcasts the 1-row cutpoints, no global sort of docs") {
     val p = plan("cur1_curriculum_bins")
     p should include("BroadcastNestedLoopJoin") // 1-row cutpoint cross
