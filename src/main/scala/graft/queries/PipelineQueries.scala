@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Curation, Dedup, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
+import graft.operators.{Ann, BloomDedup, Curation, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -996,6 +996,23 @@ object PipelineQueries {
           substring(col("source"), 4, 10).cast("int").as("priority"))
       Curation.canonicalPerCluster(docs, "cluster", "doc_id", "priority")
         .orderBy("cluster")
+    }),
+
+    // IV1 — point-in-interval join as a grid equi-join (IntervalJoin
+    // scaladoc): every 97th event opens a 10-minute window, every
+    // event inside it matches. The oracle is the naive BETWEEN join —
+    // DuckDB can afford it at sf0.01; the grid path must agree
+    // exactly. Comparison at epoch-µs on both sides (w3 convention).
+    "iv1_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id"), col("ts"))
+      val intervals = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("int_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      IntervalJoin.intervalJoin(points, "ts", intervals, "start_ts", "end_ts",
+          gridMicros = 600L * 1000000)
+        .select(col("int_id"), col("event_id"))
+        .orderBy("int_id", "event_id")
     })
   )
 
@@ -1536,6 +1553,13 @@ object PipelineQueries {
                   row_number() OVER (PARTITION BY doc_id % 50
                                      ORDER BY CAST(substr(source, 4) AS INT), doc_id) AS rn
            FROM documents)
-         WHERE rn = 1 ORDER BY cluster"""
+         WHERE rn = 1 ORDER BY cluster""",
+    "iv1_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+         i AS (SELECT event_id AS int_id, epoch_us(ts) AS s_us
+               FROM events WHERE event_id % 97 = 0)
+         SELECT i.int_id, e.event_id
+         FROM e JOIN i ON e.us BETWEEN i.s_us AND i.s_us + 600000000
+         ORDER BY int_id, event_id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -550,6 +550,20 @@ object ScaleWorkloads {
           "cluster", "doc_id", "priority")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))),
 
+    // Interval join at sf scale: the grid equi-join over 100k events ×
+    // ~1k 10-minute windows — the naive range join would be a
+    // nested-loop of 100M predicate evaluations.
+    "sx38_interval_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val points = ev.select(col("event_id"), col("ts"))
+      val intervals = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("int_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      graft.operators.IntervalJoin.intervalJoin(points, "ts",
+          intervals, "start_ts", "end_ts", gridMicros = 600L * 1000000)
+        .agg(count(lit(1)).as("n_pairs"), sum("event_id").as("id_sum"))
+    }),
+
     // Vocab heavy hitters at sf scale: the df count dedups (doc,term)
     // before counting — two partial-agged passes, terms shuffle once.
     "sx33_term_stats" -> ((s, dir) =>

@@ -236,6 +236,12 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("iv1: the interval join is an equi-join on the grid cell — never nested-loop") {
+    val p = plan("iv1_interval_join")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("cd2: the per-cluster argmin partial-aggregates before its one shuffle — no window") {
     val p = plan("cd2_canonical_per_cluster")
     p should include("partial_min")
