@@ -184,6 +184,26 @@ object TextFunctions {
   def normalizeForDedup(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalizeExpr]] —
+    * native, zero-copy for already-normal text): composes combining
+    * sequences so byte-compare dedup/indexing sees through encoding
+    * differences. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.NfcNormalizeExpr(
+      ColumnBridge.expression(text)))
+  }
+
+  /** Crawl-text cleanup: NFC-compose, strip C0/DEL control characters
+    * (keeping \t \n \r), collapse multi-space runs, trim. Exactly
+    * mirrorable in SQL engines (nfc_normalize + two regexp_replace),
+    * which is what the tx10 oracle does. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      " {2,}", " "))
+
   // ---------------------------------------------------------------------
   // Part 3 — repetition stats & document quality rules (the published
   // Gopher/MassiveText + C4 web-filtering family). All pure column

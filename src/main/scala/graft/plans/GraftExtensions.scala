@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.langidDescriptor)
     ext.injectFunction(GraftExtensions.gopherStatsDescriptor)
     ext.injectFunction(GraftExtensions.repetitionStatsDescriptor)
+    ext.injectFunction(GraftExtensions.nfcDescriptor)
   }
 }
 
@@ -146,6 +147,16 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(args(0),
           Literal.create("", org.apache.spark.sql.types.StringType))),
         graft.functions.TextFunctions.stopwords.view.mapValues(_.toSeq).toMap)
+    })
+
+  /** `graft_nfc(text)` → Unicode-NFC-composed text
+    * ([[NfcNormalizeExpr]]). */
+  val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "usage: graft_nfc(text)")
+      NfcNormalizeExpr(args(0))
     })
 
   /** `graft_gopher_stats(text)` → struct of the Gopher quality flags

@@ -998,6 +998,17 @@ object PipelineQueries {
         .orderBy("cluster")
     }),
 
+    // TX10 — NFC + control-strip + space-collapse cleanup over real
+    // text with a PLANTED decomposed suffix ("cafe" + combining acute
+    // U+0301, a BEL control, doubled spaces, a kept tab): both engines
+    // must compose to the same "café" bytes and scrub identically.
+    "tx10_nfc_clean" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          T.cleanText(concat(substring(col("text"), 1, 20),
+            lit(" cafe\u0301\u0007  x \t y"))).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // IV1 — point-in-interval join as a grid equi-join (IntervalJoin
     // scaladoc): every 97th event opens a 10-minute window, every
     // event inside it matches. The oracle is the naive BETWEEN join —
@@ -1560,6 +1571,13 @@ object PipelineQueries {
                FROM events WHERE event_id % 97 = 0)
          SELECT i.int_id, e.event_id
          FROM e JOIN i ON e.us BETWEEN i.s_us AND i.s_us + 600000000
-         ORDER BY int_id, event_id"""
+         ORDER BY int_id, event_id""",
+    "tx10_nfc_clean" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  nfc_normalize(substr(text, 1, 20) || ' cafe' || chr(769) || chr(7) || '  x ' || chr(9) || ' y'),
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                  ' {2,}', ' ', 'g')) AS cleaned
+         FROM documents ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

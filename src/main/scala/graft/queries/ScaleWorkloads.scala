@@ -564,6 +564,14 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_pairs"), sum("event_id").as("id_sum"))
     }),
 
+    // NFC + cleanup over the full corpus: ASCII rows ride the
+    // isNormalized zero-copy fast path, so this times the scan +
+    // regex scrub, not allocation.
+    "sx39_nfc_clean" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(graft.functions.TextFunctions.cleanText(col("text")).as("c"))
+        .agg(count(lit(1)).as("n"), sum(length(col("c"))).as("len_sum"))),
+
     // Vocab heavy hitters at sf scale: the df count dedups (doc,term)
     // before counting — two partial-agged passes, terms shuffle once.
     "sx33_term_stats" -> ((s, dir) =>
