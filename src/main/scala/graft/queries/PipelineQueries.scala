@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Curation, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
+import graft.operators.{Ann, BloomDedup, Curation, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -998,6 +998,22 @@ object PipelineQueries {
         .orderBy("cluster")
     }),
 
+    // PF1 — column profile of the documents table: four aggregates per
+    // column computed in ONE scan (Profile scaladoc), exploded to a
+    // per-column report row. The oracle is a 5-way UNION ALL of the
+    // same aggregates in DuckDB.
+    "pf1_column_profile" -> ((s, dir) => {
+      Profile.columnProfile(t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")
+    }),
+
+    // PF2 — doc-length histogram in 100-char bins.
+    "pf2_length_histogram" -> ((s, dir) => {
+      Profile.histogram(t(s, dir, "documents"), "n_chars", 100L)
+        .orderBy("bin")
+    }),
+
     // TX10 — NFC + control-strip + space-collapse cleanup over real
     // text with a PLANTED decomposed suffix ("cafe" + combining acute
     // U+0301, a BEL control, doubled spaces, a kept tab): both engines
@@ -1578,6 +1594,33 @@ object PipelineQueries {
                   nfc_normalize(substr(text, 1, 20) || ' cafe' || chr(769) || chr(7) || '  x ' || chr(9) || ' y'),
                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                   ' {2,}', ' ', 'g')) AS cleaned
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "pf1_column_profile" ->
+      """SELECT * FROM (
+           SELECT 'doc_id' AS col_name, count(doc_id) AS n_present,
+                  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                  CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s
+           FROM documents
+           UNION ALL
+           SELECT 'text', count(text),
+                  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'lang', count(lang),
+                  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', count(source),
+                  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(n_chars),
+                  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+         ORDER BY col_name""",
+    "pf2_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin, count(*) AS n
+         FROM documents WHERE n_chars IS NOT NULL
+         GROUP BY 1 ORDER BY bin"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -564,6 +564,13 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_pairs"), sum("event_id").as("id_sum"))
     }),
 
+    // Full-table profile at sf scale: 4 aggregates × 5 columns in ONE
+    // scan — the pre-pipeline audit cost.
+    "sx40_column_profile" -> ((s, dir) =>
+      graft.operators.Profile.columnProfile(Tables(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .agg(count(lit(1)).as("n_cols"), sum("n_nulls").as("nulls_total"))),
+
     // NFC + cleanup over the full corpus: ASCII rows ride the
     // isNormalized zero-copy fast path, so this times the scan +
     // regex scrub, not allocation.

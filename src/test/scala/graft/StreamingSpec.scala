@@ -263,6 +263,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("split assignment and NFC cleanup run unchanged at streaming ingest") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{TextFunctions => T}
+    import graft.operators.Sampling
+
+    // per-row arithmetic-hash ops are streaming-safe by construction
+    // (no state, no RNG): the same rows land in the same split whether
+    // they arrive in batch or on a stream
+    val in = MemoryStream[(Long, String)]
+    val routed = Sampling.assignSplits(
+      in.toDF().toDF("doc_id", "text"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42)
+      .select(col("doc_id"), col("split"), T.cleanText(col("text")).as("clean"))
+    val q = routed.writeStream.format("memory").queryName("st_split")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "café  doc"), (2L, "plain doc"), (3L, "x  y"))
+      q.processAllAvailable()
+      val out = spark.table("st_split").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      out.length shouldBe 3
+      // batch-twin parity: identical assignment + cleanup off-stream
+      val batch = Sampling.assignSplits(
+        Seq((1L, "café  doc"), (2L, "plain doc"), (3L, "x  y"))
+          .toDF("doc_id", "text"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42)
+        .select(col("doc_id"), col("split"),
+          T.cleanText(col("text")).as("clean"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      out.sortBy(_._1) shouldBe batch.sortBy(_._1)
+      out.find(_._1 == 1L).get._3 shouldBe "café doc"
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup: micro-batches probe and grow the persisted index") {
     val session = spark
     import session.implicits._
