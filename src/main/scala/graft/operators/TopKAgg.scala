@@ -30,6 +30,18 @@ class TopKByScore(k: Int)
   require(k > 0, "k must be > 0")
 
   override def zero: Buf = Buf(new Array[Long](0), new Array[Double](0))
+  override def reduce(b: Buf, v: QueryScored): Buf =
+    TopKByScore.insert(b, v.id, v.sim, k)
+  override def merge(a: Buf, b: Buf): Buf = TopKByScore.mergeBufs(a, b, k)
+  override def finish(b: Buf): Seq[TopHit] = TopKByScore.finishSorted(b)
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Seq[TopHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopHit]]()
+}
+
+object TopKByScore {
+  case class Buf(ids: Array[Long], scores: Array[Double])
 
   /** Index of the worst held entry: lowest score, ties to the LARGER
     * id (the first evicted among equals, keeping smaller ids). */
@@ -44,7 +56,7 @@ class TopKByScore(k: Int)
     w
   }
 
-  private def insert(b: Buf, id: Long, score: Double): Buf =
+  private[operators] def insert(b: Buf, id: Long, score: Double, k: Int): Buf =
     if (b.ids.length < k)
       Buf(b.ids :+ id, b.scores :+ score)
     else {
@@ -56,27 +68,37 @@ class TopKByScore(k: Int)
       b
     }
 
-  override def reduce(b: Buf, v: QueryScored): Buf = insert(b, v.id, v.sim)
-
-  override def merge(a: Buf, b: Buf): Buf = {
+  private[operators] def mergeBufs(a: Buf, b: Buf, k: Int): Buf = {
     var out = a
     var i = 0
-    while (i < b.ids.length) { out = insert(out, b.ids(i), b.scores(i)); i += 1 }
+    while (i < b.ids.length) { out = insert(out, b.ids(i), b.scores(i), k); i += 1 }
     out
   }
 
-  override def finish(b: Buf): Seq[TopHit] =
+  private[operators] def finishSorted(b: Buf): Seq[TopHit] =
     b.ids.indices
       .sortBy(i => (-b.scores(i), b.ids(i)))
       .map(i => TopHit(b.ids(i), b.scores(i)))
+}
+
+/** [[TopKByScore]] for ANY group key: the same bounded buffer keyed by
+  * a (group, id, score) tuple so `groupByKey(_._1)` can carry string
+  * groups (source, language, url-host) without a surrogate-id pass.
+  * Identical ordering/eviction semantics — shared core. */
+class TopKByScoreAny(k: Int)
+    extends Aggregator[(String, Long, Double), TopKByScore.Buf, Seq[TopHit]] {
+  import TopKByScore.Buf
+  require(k > 0, "k must be > 0")
+
+  override def zero: Buf = Buf(new Array[Long](0), new Array[Double](0))
+  override def reduce(b: Buf, v: (String, Long, Double)): Buf =
+    TopKByScore.insert(b, v._2, v._3, k)
+  override def merge(a: Buf, b: Buf): Buf = TopKByScore.mergeBufs(a, b, k)
+  override def finish(b: Buf): Seq[TopHit] = TopKByScore.finishSorted(b)
 
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
   override def outputEncoder: Encoder[Seq[TopHit]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopHit]]()
-}
-
-object TopKByScore {
-  case class Buf(ids: Array[Long], scores: Array[Double])
 }
 
 /** One scored candidate row of a batched ANN pass. */

@@ -1040,6 +1040,18 @@ object PipelineQueries {
           gridMicros = 600L * 1000000)
         .select(col("int_id"), col("event_id"))
         .orderBy("int_id", "event_id")
+    }),
+
+    // Top-k rows PER GROUP without the window plan: `row_number() OVER
+    // (PARTITION BY source ORDER BY ...)` shuffles and sorts EVERY doc
+    // to the window exchange before dropping all but k per source; the
+    // bounded TopKByScoreAny buffer shuffles at most k rows per
+    // (source × partition). Oracle is the window form in DuckDB —
+    // same rows, radically different plan.
+    "gk1_group_topk" -> ((s, dir) => {
+      graft.operators.GroupTopK.topKPerGroup(
+          t(s, dir, "documents"), "source", "doc_id", "n_chars", 3)
+        .orderBy("source", "doc_id")
     })
   )
 
@@ -1370,6 +1382,13 @@ object PipelineQueries {
            (1, 22)
          ) AS t(batch, doc_id) ORDER BY batch, doc_id""",
     // ---- SQL-expressible oracles over the shared sf tables ----
+    "gk1_group_topk" ->
+      """SELECT source, doc_id, score FROM (
+           SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 3 ORDER BY source, doc_id""",
     "dd1_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,
                 count(*) - count(DISTINCT h) AS n_dups

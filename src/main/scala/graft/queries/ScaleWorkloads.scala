@@ -607,6 +607,16 @@ object ScaleWorkloads {
           countDistinct(col("batch_id")).as("n_batches"))
     }),
 
+    // Group top-k at sf scale: the 10 longest docs per source via the
+    // bounded per-group buffer — at most k rows per (source ×
+    // partition) shuffle, vs the window form moving every doc to one
+    // sort exchange.
+    "sx41_group_topk" -> ((s, dir) =>
+      graft.operators.GroupTopK.topKPerGroup(
+          Tables(s, dir, "documents").select("source", "doc_id", "n_chars"),
+          "source", "doc_id", "n_chars", 10)
+        .agg(count(lit(1)).as("n"), sum("score").as("score_sum"))),
+
     // Split-parallel monolith ingest at a bench-visible size: shard the
     // OSM fixture ×200 into one monolithic file once, then parse it
     // byte-range-parallel.

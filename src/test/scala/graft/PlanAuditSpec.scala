@@ -242,6 +242,13 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("gk1: group top-k partial-aggregates the bounded buffer — no Window node") {
+    val p = plan("gk1_group_topk")
+    p should not include "Window"
+    // typed-Aggregator partial/final pair around the group shuffle
+    "ObjectHashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
   test("cd2: the per-cluster argmin partial-aggregates before its one shuffle — no window") {
     val p = plan("cd2_canonical_per_cluster")
     p should include("partial_min")
