@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Overlapping token-window chunking — the retrieval/context-prep move
+  * that turns each document into fixed-budget pieces a retriever or a
+  * context window can hold: windows of `window` tokens starting every
+  * `stride` tokens, so consecutive chunks share `window - stride`
+  * tokens of overlap (boundary sentences land whole in at least one
+  * chunk).
+  *
+  * Chunk-start contract (re-derivable, so another engine can oracle
+  * every row): starts are the multiples of `stride` in
+  * `[0, max(n - (window - stride), 1))` for an n-token document.
+  * That emits start 0 always, and drops exactly the tail starts whose
+  * chunk would be a pure suffix of the previous chunk (start ≥
+  * n - overlap ⇒ every remaining token was already in the prior
+  * window) — no degenerate duplicate tails, full coverage: the last
+  * emitted chunk always reaches token n. Documents that are empty or
+  * whitespace-only yield zero chunks.
+  *
+  * Scale posture: a pure per-row projection + explode — ZERO shuffle;
+  * the output blowup is bounded by n/stride chunks per doc with each
+  * token appearing in at most ⌈window/stride⌉ chunks, so 100 TB in is
+  * ≤ ⌈w/s⌉ × 100 TB out, streamed partition-local. Tokenization is
+  * the same whitespace split as [[graft.functions.TextFunctions]]
+  * token counting — swap `tokenSep` for a BPE-ish regex when chunk
+  * budgets must match a real tokenizer. */
+object Chunking {
+
+  /** One row per (doc, chunk): (idCol, chunk_id, start_tok, n_tokens,
+    * chunk) — `chunk_id = start/stride` dense from 0, `start_tok` the
+    * 0-based first-token index, `chunk` the tokens re-joined with a
+    * single space (runs of whitespace do not round-trip; budget
+    * arithmetic, not byte fidelity, is the contract). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int,
+                    tokenSep: String = "\\s+"): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window]: stride=$stride window=$window")
+    val overlap = window - stride
+    val toks = split(trim(col(textCol)), tokenSep)
+    val n = when(coalesce(length(trim(col(textCol))), lit(0)) === 0, lit(0))
+      .otherwise(size(toks))
+    df.select(col(idCol), toks.as("_ts"), n.as("_n"))
+      .filter(col("_n") > 0)
+      // inclusive sequence stop = the largest valid start's upper bound
+      .select(col(idCol), col("_ts"), col("_n"),
+        explode(sequence(lit(0),
+          greatest(col("_n") - lit(overlap) - 1, lit(0)),
+          lit(stride))).as("_start"))
+      .select(col(idCol),
+        (col("_start") / lit(stride)).cast("long").as("chunk_id"),
+        col("_start").cast("long").as("start_tok"),
+        least(lit(window), col("_n") - col("_start")).cast("long").as("n_tokens"),
+        array_join(slice(col("_ts"), col("_start") + 1, lit(window)), " ")
+          .as("chunk"))
+  }
+}

@@ -96,6 +96,45 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Stratified deterministic sampling: keep each row with its
+    * stratum's OWN fraction — the down/up-weighting move behind every
+    * "90% web, tripled Wikipedia" style data recipe, and the honest
+    * form of `DataFrameStatFunctions.sampleBy` (whose Bernoulli draw
+    * is partition-order-dependent and unrepeatable across retries).
+    *
+    * The keep gate is `idHash(id) < ⌊f(stratum) · 2^32⌋` — the same
+    * re-derivable integer arithmetic as [[assignSplits]], so: ZERO
+    * shuffle (one CASE projection + filter, no join — the fractions
+    * map is folded into the expression, strata counts are typically
+    * 10s); reproducible across runs/retries/cluster sizes; NESTED —
+    * because the gate is `h < cut`, a 10% sample is a strict subset of
+    * the same seed's 20% sample (shrinking a stratum's rate never
+    * picks different rows, it keeps a prefix); and composable with
+    * [[assignSplits]] under a DIFFERENT seed (the multiplier
+    * decorrelates the two gates, so sampling doesn't skew splits).
+    *
+    * Strata absent from `fractions` get `defaultFraction` (0 = drop —
+    * the allowlist posture for 100 TB crawls where unknown sources
+    * appear weekly; 1 = keep-all, the audit posture). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long = 0L,
+                       defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions")
+    require(defaultFraction >= 0 && defaultFraction <= 1,
+      s"defaultFraction must be in [0,1]: $defaultFraction")
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(
+      lit(fractionCutoff(defaultFraction)): Column) { case ((k, f), rest) =>
+      when(col(stratumCol) === lit(k), lit(fractionCutoff(f))).otherwise(rest)
+    }
+    df.filter(idHash(col(idCol), seed) < cut)
+  }
+
+  /** Exact integer keep-cutoff for a fraction — exposed (like
+    * [[splitCutoffs]]) so an oracle in another engine embeds the SAME
+    * literal and agrees on every boundary row. */
+  def fractionCutoff(f: Double): Long = (f * Mod.toDouble).toLong
+
   /** Weighted sampling WITHOUT replacement as one top-k pass
     * (Efraimidis–Spirakis A-Res): key(row) = u^(1/w) with
     * u = (hash+1)/2^32 ∈ (0,1], take the k largest keys. Inclusion

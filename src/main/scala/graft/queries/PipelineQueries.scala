@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Curation, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
+import graft.operators.{Ann, BloomDedup, Chunking, Curation, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -937,6 +937,29 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("samp_key"), 6).as("samp_key"))
     }),
 
+    // SP4 — stratified deterministic sampling on the real corpus:
+    // per-language keep rates (en 50%, de 25%, zh 10%, rest DROPPED —
+    // the allowlist posture), same re-derivable integer gate as sp1,
+    // so the oracle embeds the same cutoff literals
+    // (Sampling.fractionCutoff) and agrees on every boundary row.
+    "sp4_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), seed = 13)
+        .orderBy("doc_id")
+    }),
+
+    // CH1 — overlapping token-window chunking on the real corpus
+    // (window 32, stride 24 → 8-token overlap): the chunk-start
+    // contract is integer arithmetic over the whitespace token count,
+    // so the oracle re-derives every chunk — ids, spans, and the
+    // re-joined text — with DuckDB list functions.
+    "ch1_token_chunks" -> ((s, dir) => {
+      Chunking.chunkByTokens(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // RET3 — the same BM25 query served FROM the persisted posting
     // index (bucket-partition-pruned probe, df/stats folded across
     // batches). Same oracle as ret1: the index path must be score-
@@ -1556,6 +1579,30 @@ object PipelineQueries {
                         (((doc_id % 2147483648 + 9) % 2147483648) * 2654435761) % 4294967296 AS h
                  FROM documents)
            ORDER BY key DESC, doc_id LIMIT 20)""",
+    "ch1_token_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(trim(text)) > 0),
+         n AS (SELECT doc_id, ts, len(ts) AS n FROM d),
+         st AS (SELECT doc_id, ts, n,
+                       unnest(generate_series(0, greatest(n - 8 - 1, 0), 24)) AS start
+                FROM n)
+         SELECT doc_id,
+                CAST(start // 24 AS BIGINT) AS chunk_id,
+                CAST(start AS BIGINT) AS start_tok,
+                CAST(least(32, n - start) AS BIGINT) AS n_tokens,
+                array_to_string(ts[start + 1 : start + 32], ' ') AS chunk
+         FROM st ORDER BY doc_id, chunk_id""",
+    "sp4_stratified_sample" ->
+      """SELECT doc_id, lang
+         FROM (SELECT doc_id, lang,
+                      (((doc_id % 2147483648 + 13) % 2147483648) * 2654435761) % 4294967296 AS h
+               FROM documents)
+         WHERE h < CASE lang WHEN 'en' THEN 2147483648
+                             WHEN 'de' THEN 1073741824
+                             WHEN 'zh' THEN 429496729
+                             ELSE 0 END
+         ORDER BY doc_id""",
     "vb1_term_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
                       FROM documents)

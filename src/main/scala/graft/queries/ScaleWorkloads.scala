@@ -617,6 +617,14 @@ object ScaleWorkloads {
           "source", "doc_id", "n_chars", 10)
         .agg(count(lit(1)).as("n"), sum("score").as("score_sum"))),
 
+    // Stratified sampling at sf scale: per-language keep gate is one
+    // CASE projection + filter — zero shuffle before the count agg.
+    "sx42_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+          Tables(s, dir, "documents").select("doc_id", "lang"), "doc_id",
+          "lang", Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), seed = 13)
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
+
     // Split-parallel monolith ingest at a bench-visible size: shard the
     // OSM fixture ×200 into one monolithic file once, then parse it
     // byte-range-parallel.

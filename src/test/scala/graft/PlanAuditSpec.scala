@@ -206,6 +206,15 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("sp4: stratified sample is a CASE-gated filter — zero shuffle, no join") {
+    val out = graft.operators.Sampling.stratifiedSample(
+      Tables(spark, sf, "documents").select("doc_id", "lang"), "doc_id",
+      "lang", Map("en" -> 0.5, "de" -> 0.25), 13)
+    val p = out.queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    p should not include "Join"
+  }
+
   test("ret3: indexed BM25 partition-prunes postings to the query terms' buckets") {
     import graft.operators.Retrieval
     val idx = graft.TempDirs.path("posting-index/planaudit")

@@ -81,6 +81,42 @@ class SamplingSpec extends SparkSpec {
     out.foreach(r => r.getDouble(2) should (be >= 0.0 and be <= 1.0))
   }
 
+  test("stratifiedSample: per-stratum rates; unlisted strata follow defaultFraction") {
+    val rows = (0L until 8000L).map(i => (i, s"s${i % 4}")).toDF("id", "g")
+    val kept = Sampling.stratifiedSample(rows, "id", "g",
+      Map("s0" -> 0.5, "s1" -> 0.1), seed = 3).cache()
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byG.keySet shouldBe Set("s0", "s1") // s2/s3 dropped (default 0)
+    byG("s0").toDouble should be(1000.0 +- 120.0)
+    byG("s1").toDouble should be(200.0 +- 80.0)
+    kept.unpersist()
+    val all = Sampling.stratifiedSample(rows, "id", "g",
+      Map("s0" -> 0.5), seed = 3, defaultFraction = 1.0)
+    all.filter(col("g") =!= "s0").count() shouldBe 6000L
+  }
+
+  test("stratifiedSample: nested — a lower rate keeps a strict subset of a higher rate") {
+    val rows = (0L until 3000L).map(i => (i, "x")).toDF("id", "g")
+    val small = Sampling.stratifiedSample(rows, "id", "g", Map("x" -> 0.1), seed = 7)
+    val big = Sampling.stratifiedSample(rows, "id", "g", Map("x" -> 0.3), seed = 7)
+    small.except(big).count() shouldBe 0L
+    big.count() should be > small.count()
+  }
+
+  test("stratifiedSample: deterministic replay; decorrelated from assignSplits") {
+    val rows = (0L until 4000L).map(i => (i, "x")).toDF("id", "g")
+    val a = Sampling.stratifiedSample(rows, "id", "g", Map("x" -> 0.25), seed = 11)
+    val b = Sampling.stratifiedSample(rows, "id", "g", Map("x" -> 0.25), seed = 11)
+    a.except(b).count() shouldBe 0L
+    // sampling under seed 11 must not skew a seed-42 80/20 split: the
+    // sampled subset's split rates stay near 80/20
+    val split = Sampling.assignSplits(a, "id", Seq("t" -> 0.8, "v" -> 0.2), 42)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = split("t").toDouble / (split("t") + split("v"))
+    frac should be(0.8 +- 0.05)
+  }
+
   test("splitCutoffs exposes the exact integer boundaries assignSplits uses") {
     val cuts = Sampling.splitCutoffs(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     cuts.head shouldBe (0.8 * (1L << 32).toDouble).toLong
