@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loader over the driver-provided testdata layout
   * (`<sfDir>/<name>.parquet`, see TESTDATA.md).
@@ -26,14 +26,31 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); with
-    // spark.sql.legacy.parquet.nanosAsLong it arrives as LongType
-    // nanos-since-epoch. Convert to TimestampType via integer division
-    // (`div`, not `/` — a double round-trip would lose precision at
-    // ~1.7e18). The testdata is µs-aligned so this is exact and
-    // matches DuckDB's native TIMESTAMP_NS read bit-for-bit.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Normalize `ts` to session-zoned TimestampType regardless of the
+    * testdata's parquet physical encoding, which has changed across
+    * driver rounds: TIMESTAMP(NANOS) (arrives as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP_NTZ
+    * (isAdjustedToUTC=false µs), or TIMESTAMP_LTZ (already TimestampType).
+    * Every time-typed operator downstream (`unix_micros`, watermarks,
+    * `session_window`) requires TimestampType, so the conversion lives
+    * here — one chokepoint instead of per-query guards.
+    *
+    * - LongType nanos: integer division (`div`, not `/` — a double
+    *   round-trip loses precision at ~1.7e18); testdata is µs-aligned
+    *   so exact, bit-for-bit with DuckDB's TIMESTAMP_NS read.
+    * - TIMESTAMP_NTZ: `to_timestamp_ltz` re-interprets the wall-clock
+    *   in the session zone; GraftSession pins the session to UTC, so
+    *   the micros value is unchanged and DuckDB parity is exact.
+    */
+  def normalizeTs(df: DataFrame, col0: String = "ts"): DataFrame =
+    df.schema(col0).dataType match {
+      case LongType =>
+        df.withColumn(col0, timestamp_micros(expr(s"$col0 div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn(col0, to_timestamp_ltz(col(col0)))
+      case _ => df
+    }
 }

@@ -1,8 +1,27 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Input row for [[AsOf.streamingAsof]]: `side` 0 = right (the lookup
+  * stream, e.g. quotes), 1 = left (the probe stream, e.g. trades).
+  * `tie` is the right-side tiebreaker at equal ts (greatest wins) and
+  * doubles as the left row's id in the output. */
+case class AsofIn(key: String, ts: java.sql.Timestamp, side: Int,
+                  tie: Long, value: Double)
+
+/** One matched left row: the latest right row with `ts <= left.ts`
+  * (None when no right row precedes the left row). */
+case class AsofOut(key: String, ts: java.sql.Timestamp, left_id: Long,
+                   asof_ts: Option[java.sql.Timestamp],
+                   asof_value: Option[Double])
+
+/** Per-key buffers for [[AsOf.streamingAsof]]: rights/lefts still
+  * inside the watermark horizon, as (µs, tie[, value]) tuples. */
+case class AsofBufState(rights: Seq[(Long, Long, Double)],
+                        lefts: Seq[(Long, Long)])
 
 /** As-of (most-recent-prior) join: for each left row, attach the
   * latest right row with `right.ts <= left.ts` within the same key —
@@ -74,5 +93,62 @@ object AsOf {
         df.withColumn(c, when(col("_stale"), lit(null)).otherwise(col(c))))
         .drop("_stale")
     }
+  }
+
+  /** STREAMING as-of — the same semantics as [[asofJoin]] run as a live
+    * state machine (§2.10): both sides arrive on ONE watermarked stream
+    * (tagged by `side`, the union shape the batch plan uses), keyed by
+    * `key`, and a `flatMapGroupsWithState` pass buffers rows inside the
+    * watermark horizon, emitting each left row exactly once — when the
+    * watermark passes its event time, so every right row that could
+    * legally precede it (`right.ts <= left.ts`) has either arrived or
+    * is dropped-late by the same watermark. That makes the emitted
+    * matches IDENTICAL to the batch `asofJoin` over the same rows
+    * (parity pinned in StreamingSpec), including ties (greatest `tie`
+    * at equal ts wins) and disorder within the watermark slack.
+    *
+    * State per key is bounded by the watermark horizon: pending lefts
+    * drain as the watermark advances, and of the rights at-or-below
+    * the watermark only the LATEST survives (it is the as-of baseline
+    * for every future left; anything older can never be the most
+    * recent prior again). An event-time timeout flushes keys that go
+    * quiet — a key's pending lefts emit when ANY stream activity
+    * advances the watermark, not only activity on that key. */
+  def streamingAsof(events: Dataset[AsofIn], late: String): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", late)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBufState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val st0 = state.getOption.getOrElse(AsofBufState(Nil, Nil))
+          val fresh = rows.toSeq
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          def tsOf(u: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp((u / 1000000L) * 1000L)
+            t.setNanos(((u % 1000000L) * 1000L).toInt)
+            t
+          }
+          val rights = (st0.rights ++ fresh.filter(_.side == 0)
+            .map(r => (us(r.ts), r.tie, r.value))).sorted
+          val lefts = (st0.lefts ++ fresh.filter(_.side == 1)
+            .map(r => (us(r.ts), r.tie))).sorted
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, pending) = lefts.partition(_._1 <= wmUs)
+          val out = ripe.map { case (lts, lid) =>
+            val m = rights.filter(_._1 <= lts).lastOption
+            AsofOut(key, tsOf(lts), lid, m.map(r => tsOf(r._1)), m.map(_._3))
+          }
+          val (settled, live) = rights.partition(_._1 <= wmUs)
+          state.update(AsofBufState(settled.takeRight(1) ++ live, pending))
+          // wake this key when the watermark passes its oldest pending
+          // left (ms resolution; +1 keeps the ts strictly ahead of the
+          // current watermark as the API requires)
+          pending.headOption.foreach(p =>
+            state.setTimeoutTimestamp(p._1 / 1000L + 1L))
+          out.iterator
+      }
   }
 }

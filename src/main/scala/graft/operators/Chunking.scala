@@ -41,9 +41,14 @@ object Chunking {
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window]: stride=$stride window=$window")
     val overlap = window - stride
-    val toks = split(trim(col(textCol)), tokenSep)
-    val n = when(coalesce(length(trim(col(textCol))), lit(0)) === 0, lit(0))
-      .otherwise(size(toks))
+    // Split first, then drop empty tokens — NOT `trim` + split: Spark's
+    // `trim` strips only ASCII space, so a tab/newline-padded doc would
+    // keep a phantom empty leading token (and a "  \t " doc would emit
+    // a chunk). Filtering empties handles every whitespace flavor and
+    // makes whitespace-only docs yield n = 0 ⇒ zero chunks, as the
+    // contract above promises.
+    val toks = filter(split(col(textCol), tokenSep), t => length(t) > 0)
+    val n = coalesce(size(toks), lit(0))
     df.select(col(idCol), toks.as("_ts"), n.as("_n"))
       .filter(col("_n") > 0)
       // inclusive sequence stop = the largest valid start's upper bound

@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * an epoch, and drawing a weighted sample without replacement.
   *
   * All three decide per row from an ARITHMETIC hash of the row's own
-  * id (Knuth's multiplicative scheme: fold the id to 31 bits, multiply
-  * by 2654435761 = ⌊2^32/φ⌋, take mod 2^32) — not from RNG state and
-  * not from Spark's partition-dependent `rand()`. That buys, at
+  * id (two multiply-mod rounds with xor-shift mixing between — see
+  * [[idHash]]) — not from RNG state and not from Spark's
+  * partition-dependent `rand()`. That buys, at
   * 100 TB: reproducibility across runs/retries/executor counts,
   * incremental consistency (a re-ingested id lands in the same split),
   * and auditability (the keep/place decision is re-derivable from the
-  * row alone, in ANY engine — plain 64-bit integer arithmetic, so a
-  * SQL warehouse can re-check a Spark-made split exactly). Ids 2^31
+  * row alone, in ANY engine — plain 64-bit integer arithmetic plus
+  * xor/shift, so a SQL warehouse can re-check a Spark-made split
+  * exactly; [[idHashSql]] emits the matching ANSI-ish SQL). Ids 2^31
   * apart collide (same decisions, ordering then tie-breaks on the full
   * id); acceptable for sampling, unlike for dedup.
   *
@@ -38,17 +39,60 @@ object Sampling {
 
   private val Fold: Long = 1L << 31
   private val Mod: Long  = 1L << 32
-  private val Knuth: Long = 2654435761L
+  private val Knuth: Long  = 2654435761L // ⌊2^32/φ⌋, odd
+  private val Prime2: Long = 2246822519L // xxhash32 PRIME2, odd
 
-  /** The shared hash: exact in 64-bit arithmetic for every long id
-    * (the 31-bit fold keeps the product under 2^63, so ANSI-mode Spark
-    * never overflows), uniform-ish over [0, 2^32). The seed is folded
-    * in BEFORE the multiply — added after, nearby seeds (epoch 1 vs 2)
-    * would shift every hash by a constant and barely move anything;
-    * inside, the multiplier decorrelates them. */
-  private[operators] def idHash(id: Column, seed: Long): Column = {
-    val s = ((seed % Fold) + Fold) % Fold
-    pmod(pmod(pmod(id, lit(Fold)) + lit(s), lit(Fold)) * lit(Knuth), lit(Mod))
+  /** splitmix64-style driver-side seed mixer, folded to 31 bits. Plain
+    * Scala (wrapping Long arithmetic is fine on the driver); the result
+    * is a literal constant in the column expression, so nearby seeds
+    * (epoch 1 vs 2) enter the hash as unrelated 31-bit offsets. */
+  private[operators] def mixSeed(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z & 0x7FFFFFFFL
+  }
+
+  /** The shared hash, uniform-ish over [0, 2^32): fold the id to 31
+    * bits, add the mixed seed (mod 2^31), then run a two-round
+    * finalizer — multiply by an odd 32-bit constant mod 2^32, xor with
+    * the 16-bit right shift, refold to 31 bits, multiply/xor again.
+    * Every multiplicand stays under 2^31 and every constant under
+    * 2^32, so each product is < 2^63 — exact in 64-bit arithmetic,
+    * ANSI-mode safe, and re-derivable in any engine with integer
+    * `%`/`*`/xor/`>>` ([[idHashSql]] emits the DuckDB/ANSI form).
+    *
+    * The xor-shifts between the multiplies make the hash NON-LINEAR in
+    * its input, so two seeds never differ by a constant offset — a
+    * gate under seed A (`h_A < cut`) is statistically independent of a
+    * gate under seed B. (A single multiply-mod is affine in the seed:
+    * h(id,s2) = h(id,s1) + (s2−s1)·K mod 2^32, which made every
+    * cross-seed sample-then-split combination perfectly correlated.
+    * SamplingSpec pins the fix with a quantitative bound across seed
+    * pairs.) Same seed ⇒ same h, so `h < cut` gates stay NESTED in the
+    * cutoff. */
+  def idHash(id: Column, seed: Long): Column = {
+    val s = mixSeed(seed)
+    val x0 = pmod(pmod(id, lit(Fold)) + lit(s), lit(Fold))
+    val h1 = pmod(x0 * lit(Knuth), lit(Mod))
+    val x1 = pmod(h1.bitwiseXOR(shiftright(h1, 16)), lit(Fold))
+    val h2 = pmod(x1 * lit(Prime2), lit(Mod))
+    h2.bitwiseXOR(shiftright(h2, 16))
+  }
+
+  /** The SAME hash as a SQL expression string (DuckDB-compatible:
+    * `xor(a,b)`, `>>`, integer `%` on non-negative operands), so an
+    * oracle in another engine embeds the identical formula and agrees
+    * on every row. `idExpr` must be non-negative (SQL `%` keeps the
+    * dividend's sign, unlike Spark's `pmod`). */
+  def idHashSql(idExpr: String, seed: Long): String = {
+    val s = mixSeed(seed)
+    val x0 = s"(($idExpr % 2147483648 + $s) % 2147483648)"
+    val h1 = s"(($x0 * 2654435761) % 4294967296)"
+    val x1 = s"((xor($h1, $h1 >> 16)) % 2147483648)"
+    val h2 = s"(($x1 * 2246822519) % 4294967296)"
+    s"xor($h2, $h2 >> 16)"
   }
 
   /** Deterministic split assignment: adds `splitCol` with the first
@@ -110,12 +154,19 @@ object Sampling {
     * because the gate is `h < cut`, a 10% sample is a strict subset of
     * the same seed's 20% sample (shrinking a stratum's rate never
     * picks different rows, it keeps a prefix); and composable with
-    * [[assignSplits]] under a DIFFERENT seed (the multiplier
-    * decorrelates the two gates, so sampling doesn't skew splits).
+    * [[assignSplits]] under a DIFFERENT seed (the xor-shift finalizer
+    * in [[idHash]] makes gates under distinct seeds statistically
+    * independent, so sampling doesn't skew splits — spec-pinned with
+    * a quantitative bound in SamplingSpec).
     *
     * Strata absent from `fractions` get `defaultFraction` (0 = drop —
     * the allowlist posture for 100 TB crawls where unknown sources
-    * appear weekly; 1 = keep-all, the audit posture). */
+    * appear weekly; 1 = keep-all, the audit posture). A NULL stratum
+    * is deliberately indistinguishable from an unlisted one: every
+    * `=== k` arm evaluates NULL, so the row falls to the same
+    * `defaultFraction` gate (NULL can't be a `fractions` key, and an
+    * unlabeled row should get the unknown-source policy, not a
+    * silent third behavior). */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        fractions: Map[String, Double], seed: Long = 0L,
                        defaultFraction: Double = 0.0): DataFrame = {

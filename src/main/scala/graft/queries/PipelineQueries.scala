@@ -949,6 +949,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // SP5 — the COMPOSED recipe (sample under one seed, split under
+    // another) that the r9 affine-hash flaw silently corrupted: a
+    // seed-11 25% sample then a seed-42 80/20 split. Row-for-row
+    // oracle-gated (both hash formulas re-derived in DuckDB), so a
+    // future idHash regression that re-correlates the two gates shows
+    // up as a hash mismatch here — not only in a unit test's
+    // statistical bound.
+    "sp5_sample_then_split" -> ((s, dir) => {
+      val sampled = Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 0.25, "de" -> 0.25, "zh" -> 0.25), seed = 11,
+        defaultFraction = 0.25)
+      Sampling.assignSplits(sampled, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.2), seed = 42)
+        .orderBy("doc_id")
+    }),
+
     // CH1 — overlapping token-window chunking on the real corpus
     // (window 32, stride 24 → 8-token overlap): the chunk-start
     // contract is integer arithmetic over the whitespace token count,
@@ -1555,35 +1572,36 @@ object PipelineQueries {
          SELECT doc_id, round(score, 6) AS score FROM f
          ORDER BY score DESC, doc_id LIMIT 10""",
     "sp1_split_assign" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
                 CASE WHEN h < 3435973836 THEN 'train'
                      WHEN h < 3865470566 THEN 'val'
                      ELSE 'test' END AS split
          FROM (SELECT doc_id,
-                      (((doc_id % 2147483648 + 42) % 2147483648) * 2654435761) % 4294967296 AS h
+                      ${Sampling.idHashSql("doc_id", 42)} AS h
                FROM documents)
          ORDER BY doc_id""",
     "sp2_epoch_shuffle" ->
-      """SELECT doc_id, h % 8 AS shard,
+      s"""SELECT doc_id, h % 8 AS shard,
                 row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
          FROM (SELECT doc_id,
-                      (((doc_id % 2147483648 + 7) % 2147483648) * 2654435761) % 4294967296 AS h
+                      ${Sampling.idHashSql("doc_id", 7)} AS h
                FROM documents)
          ORDER BY doc_id""",
     "sp3_weighted_topk" ->
-      """SELECT doc_id, round(key, 6) AS samp_key FROM (
+      s"""SELECT doc_id, round(key, 6) AS samp_key FROM (
            SELECT doc_id,
                   pow((h + 1) / 4294967296.0,
                       1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-9)) AS key
            FROM (SELECT doc_id, n_chars,
-                        (((doc_id % 2147483648 + 9) % 2147483648) * 2654435761) % 4294967296 AS h
+                        ${Sampling.idHashSql("doc_id", 9)} AS h
                  FROM documents)
            ORDER BY key DESC, doc_id LIMIT 20)""",
     "ch1_token_chunks" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
-                    FROM documents
-                    WHERE text IS NOT NULL AND len(trim(text)) > 0),
-         n AS (SELECT doc_id, ts, len(ts) AS n FROM d),
+      """WITH d AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(text, '\s+'),
+                                       t -> len(t) > 0) AS ts
+                    FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) > 0),
          st AS (SELECT doc_id, ts, n,
                        unnest(generate_series(0, greatest(n - 8 - 1, 0), 24)) AS start
                 FROM n)
@@ -1594,14 +1612,23 @@ object PipelineQueries {
                 array_to_string(ts[start + 1 : start + 32], ' ') AS chunk
          FROM st ORDER BY doc_id, chunk_id""",
     "sp4_stratified_sample" ->
-      """SELECT doc_id, lang
+      s"""SELECT doc_id, lang
          FROM (SELECT doc_id, lang,
-                      (((doc_id % 2147483648 + 13) % 2147483648) * 2654435761) % 4294967296 AS h
+                      ${Sampling.idHashSql("doc_id", 13)} AS h
                FROM documents)
          WHERE h < CASE lang WHEN 'en' THEN 2147483648
                              WHEN 'de' THEN 1073741824
                              WHEN 'zh' THEN 429496729
                              ELSE 0 END
+         ORDER BY doc_id""",
+    "sp5_sample_then_split" ->
+      s"""SELECT doc_id, lang,
+                CASE WHEN hs < 3435973836 THEN 'train' ELSE 'val' END AS split
+         FROM (SELECT doc_id, lang,
+                      ${Sampling.idHashSql("doc_id", 11)} AS hk,
+                      ${Sampling.idHashSql("doc_id", 42)} AS hs
+               FROM documents)
+         WHERE hk < 1073741824
          ORDER BY doc_id""",
     "vb1_term_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

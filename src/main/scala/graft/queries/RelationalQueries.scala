@@ -535,7 +535,6 @@ object RelationalQueries {
     // Eager by necessity: the stream must drain before the result
     // exists (processAllAvailable, then the sink table is static).
     "st4_streaming_parity" -> ((s, dir) => {
-      import org.apache.spark.sql.types.LongType
       val raw = s.read.parquet(s"$dir/events.parquet")
       val qn = "graft_st4_sink"
       s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
@@ -556,11 +555,9 @@ object RelationalQueries {
         d.toString
       }
       val stream0 = s.readStream.schema(raw.schema).parquet(streamDir)
-      // same nanos→timestamp normalization Tables applies to the batch read
-      val stream =
-        if (raw.schema("ts").dataType == LongType)
-          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else stream0
+      // same physical-type normalization Tables applies to the batch
+      // read (LongType nanos / TIMESTAMP_NTZ / TIMESTAMP_LTZ)
+      val stream = graft.Tables.normalizeTs(stream0)
       val counts = graft.streaming.Windows.streamingTumblingCounts(
         stream, "ts", "1 hour", "1 hour", col("event_type"))
       val q = counts.writeStream.format("memory").queryName(qn)

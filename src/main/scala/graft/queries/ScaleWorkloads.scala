@@ -121,8 +121,16 @@ object ScaleWorkloads {
     // OUT-OF-BOX config: no bits/tables passed — the gauge measures
     // what a user gets from the auto-sizing defaults (the r8 verdict's
     // 0.4-recall finding was exactly this gauge on the old hand-set
-    // bits=8/tables=1 default)
-    val lsh1 = ids(Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10))
+    // bits=8/tables=1 default). Scan fraction is reported for THIS
+    // config too (r9 verdict #8): recall and cost must be stated for
+    // the SAME config users get, or a high tuned_scan_frac on a tiny
+    // corpus masquerades as evidence the defaults are cheap.
+    val dflt = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", n.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (lsh1, dfltScanned) =
+      try (ids(dflt.orderBy(desc("sim"), col("vec_id")).limit(10)),
+        dflt.count().toDouble)
+      finally dflt.unpersist(blocking = false)
     // the recall-bearing config (sx4): bits sized to the corpus
     // (2^bits ≈ n/80 buckets), independent tables for the rest. The
     // scan-fraction gauge keeps the tradeoff honest — recall bought by
@@ -146,6 +154,7 @@ object ScaleWorkloads {
     // pinned on real multilingual text in TextFunctionsSpec instead.
     Map(
       "lsh_recall_at_10" -> (exact & lsh1).size / 10.0,
+      "lsh_default_scan_frac" -> math.rint(dfltScanned / n * 1000) / 1000,
       "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
       "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
       "ivf_recall_at_10" -> (exact & ivf).size / 10.0,

@@ -44,6 +44,21 @@ object Windows {
       .groupBy(window(col(tsCol), width), key)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming sessionization (the W3 shape as a live state machine):
+    * watermarked session windows, Append-safe — a session emits once
+    * the watermark passes its close (no event within `gap`), later
+    * events for it drop. Spark's session-window state store merges
+    * overlapping session fragments across micro-batches, so the
+    * emitted sessions are batch-identical ([[session]] over the same
+    * rows — parity pinned in StreamingSpec); state is bounded by the
+    * watermark horizon × active-key cardinality, the same contract as
+    * every watermarked agg here. */
+  def streamingSessionCounts(df: DataFrame, tsCol: String, gap: String,
+                             late: String, key: Column): DataFrame =
+    df.withWatermark(tsCol, late)
+      .groupBy(session_window(col(tsCol), gap), key)
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming signature dedup — the pipeline dedup operator AT INGEST:
     * each document gets its normalized-content hash and its SimHash
     * fingerprint (both pure scalar expressions, so they evaluate inside

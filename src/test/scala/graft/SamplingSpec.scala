@@ -109,12 +109,38 @@ class SamplingSpec extends SparkSpec {
     val a = Sampling.stratifiedSample(rows, "id", "g", Map("x" -> 0.25), seed = 11)
     val b = Sampling.stratifiedSample(rows, "id", "g", Map("x" -> 0.25), seed = 11)
     a.except(b).count() shouldBe 0L
-    // sampling under seed 11 must not skew a seed-42 80/20 split: the
-    // sampled subset's split rates stay near 80/20
-    val split = Sampling.assignSplits(a, "id", Seq("t" -> 0.8, "v" -> 0.2), 42)
-      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val frac = split("t").toDouble / (split("t") + split("v"))
-    frac should be(0.8 +- 0.05)
+    // sampling under one seed must not skew a split under another: the
+    // sampled subset's split rates stay near 80/20 across SEVERAL seed
+    // pairs, including adjacent seeds (the affine-hash failure mode put
+    // 100% of a seed-11 sample into a seed-42 split's train bucket)
+    for ((sampleSeed, splitSeed) <- Seq((11L, 42L), (0L, 1L), (7L, 13L), (42L, 43L))) {
+      val samp = Sampling.stratifiedSample(rows, "id", "g",
+        Map("x" -> 0.25), seed = sampleSeed)
+      val split = Sampling.assignSplits(samp, "id", Seq("t" -> 0.8, "v" -> 0.2), splitSeed)
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      withClue(s"sampleSeed=$sampleSeed splitSeed=$splitSeed: ") {
+        val frac = split.getOrElse("t", 0L).toDouble /
+          (split.getOrElse("t", 0L) + split.getOrElse("v", 0L))
+        frac should be(0.8 +- 0.05)
+      }
+    }
+  }
+
+  test("idHash: pinned reference values (cross-engine formula contract)") {
+    // hand-computed from the published formula (mixSeed + two
+    // multiply/xor-shift rounds); any drift here silently invalidates
+    // every persisted split/sample AND the sp1-sp4 DuckDB oracles
+    val cases = Seq(
+      (0L, 0L, 4168323263L), (1L, 0L, 271693540L),
+      (123456789L, 42L, 1653181436L), (2147483647L, 7L, 2249109825L),
+      (999L, 13L, 2863743695L),
+      (2147483648L, 0L, 4168323263L)) // 31-bit fold: id and id+2^31 collide
+    for ((id, seed, want) <- cases) {
+      val got = Seq(id).toDF("id")
+        .select(Sampling.idHash(col("id"), seed).as("h")).head().getLong(0)
+      withClue(s"idHash($id, $seed): ") { got shouldBe want }
+    }
   }
 
   test("splitCutoffs exposes the exact integer boundaries assignSplits uses") {

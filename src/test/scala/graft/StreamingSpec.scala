@@ -629,4 +629,71 @@ class StreamingSpec extends SparkSpec {
         Seq(1L, 4L)
     } finally q.stop()
   }
+
+  test("streaming as-of matches the batch asofJoin on the same rows (j4 twin)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AsOf, AsofIn}
+    def t(s: String) = Timestamp.valueOf(s)
+
+    // two keys; rights (side 0) carry values, lefts (side 1) probe.
+    // Includes: a left before any right (null match), a right at
+    // exactly a left's ts (inclusive as-of), a tie between two rights
+    // at one ts (greatest tie wins), and cross-batch DISORDER within
+    // the watermark slack (u1's 10:20 left arrives a batch after the
+    // 10:30 right).
+    val all = Seq(
+      AsofIn("u1", t("2024-01-01 09:50:00"), 1, 100L, 0.0), // left, no prior right
+      AsofIn("u1", t("2024-01-01 10:00:00"), 0, 1L, 1.5),
+      AsofIn("u1", t("2024-01-01 10:00:00"), 0, 2L, 2.5),   // tie: tie=2 wins
+      AsofIn("u1", t("2024-01-01 10:05:00"), 1, 101L, 0.0), // → 2.5
+      AsofIn("u1", t("2024-01-01 10:30:00"), 0, 3L, 3.5),
+      AsofIn("u1", t("2024-01-01 10:20:00"), 1, 102L, 0.0), // late-arriving → 2.5
+      AsofIn("u1", t("2024-01-01 10:30:00"), 1, 103L, 0.0), // at right's ts → 3.5
+      AsofIn("u2", t("2024-01-01 10:10:00"), 0, 4L, 9.0),
+      AsofIn("u2", t("2024-01-01 10:40:00"), 1, 104L, 0.0)) // → 9.0
+
+    val input = MemoryStream[AsofIn]
+    val q = AsOf.streamingAsof(input.toDS(), late = "30 minutes")
+      .writeStream.format("memory").queryName("st_asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: everything up to 10:05; batch 2 delivers the 10:30
+      // right BEFORE the 10:20 left (disorder inside the 30 min slack)
+      input.addData(all.take(4): _*)
+      q.processAllAvailable()
+      input.addData(all.slice(4, 9): _*)
+      q.processAllAvailable()
+      // flush: advance the watermark far past every left
+      input.addData(AsofIn("zz", t("2024-01-02 12:00:00"), 0, 0L, 0.0))
+      q.processAllAvailable()
+      // second flush batch: keys without fresh data drain via the
+      // event-time timeout set on their pending lefts
+      input.addData(AsofIn("zz", t("2024-01-02 13:00:00"), 0, 0L, 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("st_asof")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), Option(r.getTimestamp(3)).map(_.toString),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+
+      // batch twin over the SAME rows through the production asofJoin
+      val lefts = all.filter(_.side == 1)
+        .map(e => (e.key, e.ts, e.tie)).toDF("key", "ts", "left_id")
+      val rights = all.filter(_.side == 0)
+        .map(e => (e.key, e.ts, e.tie, e.value)).toDF("key", "ts", "tie", "value")
+      val batch = AsOf.asofJoin(lefts, rights, "key", "ts",
+          rightCols = Seq("value"), tieCol = "tie")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), Option(r.getTimestamp(3)).map(_.toString),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+
+      streamed shouldBe batch
+      // and the planted expectations hold on both
+      streamed.map(x => (x._3, x._5)) shouldBe Set(
+        (100L, None), (101L, Some(2.5)), (102L, Some(2.5)),
+        (103L, Some(3.5)), (104L, Some(9.0)))
+    } finally q.stop()
+  }
 }

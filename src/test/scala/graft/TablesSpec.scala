@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Physical-type contract for the testdata's `events.ts`.
+  *
+  * The driver-generated parquet has shipped `ts` under three different
+  * physical encodings across rounds — TIMESTAMP(NANOS) (which arrives
+  * as LongType nanos under spark.sql.legacy.parquet.nanosAsLong),
+  * TIMESTAMP_NTZ (isAdjustedToUTC=false µs), and TIMESTAMP_LTZ — and
+  * each silent switch broke every time-typed operator downstream
+  * (r9 lost iv1/j4/w3/st4 to the NTZ flip). This spec is the
+  * regression net: [[Tables.normalizeTs]] must yield session-zoned
+  * TimestampType with IDENTICAL micros for all three encodings, and
+  * the bare `spark.read.parquet` passthrough must demonstrably NOT
+  * satisfy that contract (so a future encoding change fails here
+  * first, loudly, instead of inside four unrelated queries).
+  */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2024-03-01T12:34:56.789012Z — µs-aligned like the testdata
+  private val micros = 1709296496789012L
+
+  /** Writes a 1-row events.parquet fixture with the given `ts`
+    * encoding, loads it THROUGH Tables, returns (type, unix_micros). */
+  private def roundTrip(tag: String, fixture: DataFrame): (DataType, Long) = {
+    val dir = TempDirs.path(s"tables-spec/$tag")
+    fixture.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Tables(spark, dir, "events")
+    (out.schema("ts").dataType,
+      out.select(unix_micros(col("ts")).as("us")).head().getLong(0))
+  }
+
+  test("INT64 nanos → TimestampType, µs-exact") {
+    // a plain LongType column reads back exactly as TIMESTAMP(NANOS)
+    // does under nanosAsLong: LongType nanos-since-epoch
+    val (dt, got) = roundTrip("nanos", Seq(micros * 1000L).toDF("ts"))
+    dt shouldBe TimestampType
+    got shouldBe micros
+  }
+
+  test("TIMESTAMP_NTZ → TimestampType, µs-exact (session tz pinned UTC)") {
+    val (dt, got) = roundTrip("ntz", Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    dt shouldBe TimestampType
+    got shouldBe micros
+  }
+
+  test("TIMESTAMP_LTZ passes through, µs-exact") {
+    val (dt, got) = roundTrip("ltz", Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts")))
+    dt shouldBe TimestampType
+    got shouldBe micros
+  }
+
+  test("bare spark.read.parquet does NOT satisfy the contract (why Tables exists)") {
+    val dir = TempDirs.path("tables-spec/bare")
+    Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType shouldBe TimestampNTZType
+  }
+}
