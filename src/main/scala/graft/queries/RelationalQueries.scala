@@ -568,6 +568,89 @@ object RelationalQueries {
         .orderBy("ws", "event_type")
     }),
 
+    // st6: STREAMING sessionization through the hash gate — the same
+    // engine-end-to-end posture as st4 (real file-source stream →
+    // micro-batch planning → session-window state store → sink), but
+    // for the stateful MERGING window: Spark coalesces session
+    // fragments that arrive across different micro-batches, and the
+    // materialized per-session rows must match the batch
+    // gaps-and-islands oracle exactly. Complete mode (not append):
+    // with a bounded input the final sessions never close under a
+    // watermark, and the harness's comparison wants every session.
+    "st6_streaming_sessions" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val qn = "graft_st6_sink"
+      s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+      val streamDir = {
+        import java.nio.file.{Files, Paths}
+        val d = Paths.get(
+          graft.TempDirs.path(s"st6-src/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"))
+        Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+        d.toString
+      }
+      val stream = graft.Tables.normalizeTs(
+        s.readStream.schema(raw.schema).parquet(streamDir))
+      val counts = stream
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(col("session_window.start").as("ws"), col("user_id"),
+          col("n_events"))
+        .orderBy("user_id", "ws")
+    }),
+
+    // st7: STREAM-STREAM interval join through the hash gate — iv1's
+    // semantics (points in [start, start+10min], inclusive) with BOTH
+    // sides arriving as real file-source streams. The grid cell is the
+    // equality key Spark's streaming symmetric hash join requires (a
+    // pure range condition is rejected at plan time), and the
+    // event-time bound in the residual condition is what lets the
+    // engine derive state eviction — the same operator contract as the
+    // batch grid join, pinned here against the identical DuckDB BETWEEN
+    // oracle. Inner joins emit on match, so append mode drains fully
+    // under processAllAvailable without needing a watermark close.
+    // Bench note: wall-clock here is dominated by the stateful-join
+    // ENGINE (both sides land in one micro-batch, so the symmetric
+    // hash join writes/reads per-partition state stores for the whole
+    // table at once) — the data-path cost of the same grid join is
+    // benched batch-side as iv1/sx38.
+    "st7_streaming_interval" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val qn = "graft_st7_sink"
+      s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+      val streamDir = {
+        import java.nio.file.{Files, Paths}
+        val d = Paths.get(
+          graft.TempDirs.path(s"st7-src/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"))
+        Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+        d.toString
+      }
+      def stream() = graft.Tables.normalizeTs(
+        s.readStream.schema(raw.schema).parquet(streamDir))
+      val points = stream().select(col("event_id"), col("ts"))
+      val intervals = stream().filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("int_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      val joined = graft.streaming.StreamJoins.streamingIntervalJoin(
+          points, "ts", intervals, "start_ts", "end_ts",
+          gridMicros = 600L * 1000000, maxIntervalSec = 600L,
+          late = "10 minutes")
+        .select(col("int_id"), col("event_id"))
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy("int_id", "event_id")
+    }),
+
     // Session windows (st3): per-user sessions with a 30-minute gap —
     // the third event-time window shape, same unified transform. The
     // oracle is the classic gaps-and-islands rewrite, pinning Spark's
@@ -945,6 +1028,27 @@ object RelationalQueries {
     "st4_streaming_parity" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS cnt
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "st7_streaming_interval" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+         i AS (SELECT event_id AS int_id, epoch_us(ts) AS s_us
+               FROM events WHERE event_id % 97 = 0)
+         SELECT i.int_id, e.event_id
+         FROM e JOIN i ON e.us BETWEEN i.s_us AND i.s_us + 600000000
+         ORDER BY int_id, event_id""",
+    "st6_streaming_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+           FROM events
+         ), sess AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked
+         )
+         SELECT min(ts) AS ws, user_id, count(*) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, ws""",
     "st2_sliding_window" ->
       """SELECT ws, event_type, count(*) AS cnt FROM (
            SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events

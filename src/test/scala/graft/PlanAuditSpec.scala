@@ -189,6 +189,21 @@ class PlanAuditSpec extends SparkSpec {
     out.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("sp5: sample-then-split composes as ONE zero-shuffle projection+filter") {
+    // the two hash gates (different seeds) fold into a single stage:
+    // no Exchange, and both evaluate in one whole-stage-codegen span
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      Tables(spark, sf, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 0.25, "de" -> 0.25, "zh" -> 0.25), seed = 11,
+      defaultFraction = 0.25)
+    val out = graft.operators.Sampling.assignSplits(
+      sampled, "doc_id", Seq("train" -> 0.8, "val" -> 0.2), 42)
+    val p = out.queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    // exactly one codegen span id (`*(1)`) across the whole plan
+    "\\*\\(\\d+\\)".r.findAllIn(p).toSet.size shouldBe 1
+  }
+
   test("sp2: epoch shuffle is ONE hash exchange on shard, never a global sort") {
     val out = graft.operators.Sampling.epochShuffle(
       Tables(spark, sf, "documents").select("doc_id"), "doc_id", 3, 8)

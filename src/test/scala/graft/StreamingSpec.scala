@@ -630,6 +630,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch grid join (iv1 twin)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+
+    // points and 10-minute intervals; includes both-ends-inclusive
+    // boundary points and a point matching two overlapping intervals
+    val pointRows = Seq(
+      (1L, t("2024-01-01 10:00:00")), // == i1.start (inclusive)
+      (2L, t("2024-01-01 10:10:00")), // == i1.end (inclusive) AND in i2
+      (3L, t("2024-01-01 10:14:00")), // in i2 only
+      (4L, t("2024-01-01 11:00:00"))) // in none
+    val intervalRows = Seq(
+      (10L, t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")),
+      (20L, t("2024-01-01 10:05:00"), t("2024-01-01 10:15:00")))
+
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val iIn = MemoryStream[(Long, Timestamp, Timestamp)]
+    val joined = graft.streaming.StreamJoins.streamingIntervalJoin(
+        pIn.toDF().toDF("event_id", "ts"),
+        "ts",
+        iIn.toDF().toDF("int_id", "start_ts", "end_ts"),
+        "start_ts", "end_ts", gridMicros = 600L * 1000000,
+        maxIntervalSec = 900L, late = "10 minutes")
+      .select(col("int_id"), col("event_id"))
+    val q = joined.writeStream.format("memory").queryName("st_interval")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // intervals land first, points trickle in over two batches
+      iIn.addData(intervalRows: _*)
+      q.processAllAvailable()
+      pIn.addData(pointRows.take(2): _*)
+      q.processAllAvailable()
+      pIn.addData(pointRows.drop(2): _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("st_interval")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.IntervalJoin.intervalJoin(
+          pointRows.toDF("event_id", "ts"), "ts",
+          intervalRows.toDF("int_id", "start_ts", "end_ts"),
+          "start_ts", "end_ts", gridMicros = 600L * 1000000)
+        .select(col("int_id"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed shouldBe batch
+      streamed shouldBe Set((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming as-of matches the batch asofJoin on the same rows (j4 twin)") {
     val session = spark
     import session.implicits._
