@@ -197,8 +197,46 @@ object OsmQueries {
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("user_id")).as("n_users"),
           sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    }),
+
+    // S9 — Z-ORDER layout + 2-D box scan: the multi-dimensional
+    // extension of s6's range layout. Events get the f14 synthetic
+    // lat/lon, are written clustered by the Morton interleave of both
+    // dims (ZOrder.writeZOrdered — one range exchange), and the query
+    // reads a lat×lon box back through the layout. The oracle computes
+    // the same box over the raw table — layout must never change
+    // results, only which files a stats-pruning reader touches
+    // (ZOrderSpec pins the scan-fraction win over a linear layout;
+    // the bench gauges report it at sf scale).
+    "s9_zorder_box" -> ((s, dir) => {
+      s.read.parquet(zLayout(s, dir))
+        .filter(col("lat") >= 46.5 && col("lat") <= 46.8 &&
+          col("lon") >= -119.0 && col("lon") <= -118.6)
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
     })
   )
+
+  /** f14's deterministic synthetic coordinates, shared by s9 and the
+    * Z-order gauges: lat ∈ [46, 48.99], lon ∈ [-120, -116.01]. */
+  def withSyntheticLatLon(ev: DataFrame): DataFrame =
+    ev.withColumn("lat", lit(46.0) + pmod(col("event_id"), lit(300)) / 100.0)
+      .withColumn("lon", lit(-120.0) + pmod(col("event_id") * 7, lit(400)) / 100.0)
+
+  /** Z-ordered events layout per sfDir, built once per JVM (queries
+    * and gauges then measure the read side only). */
+  private val zLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
+  def zLayout(s: SparkSession, dir: String): String =
+    zLayouts.getOrElseUpdate(dir, {
+      val out = graft.TempDirs.path(
+        s"osm-out/events_zorder/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      graft.operators.ZOrder.writeZOrdered(
+        withSyntheticLatLon(t(s, dir, "events")), "lat", "lon",
+        aLo = 46.0, aHi = 49.0, bLo = -120.0, bHi = -116.0,
+        bits = 8, nFiles = 32, path = out)
+      out
+    })
 
   val oracles: Map[String, String] = Map(
     "s1_osm_ingest" ->
@@ -283,6 +321,14 @@ object OsmQueries {
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-           AND ts < TIMESTAMP '2024-01-11 00:00:00'"""
+           AND ts < TIMESTAMP '2024-01-11 00:00:00'""",
+    "s9_zorder_box" ->
+      """SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM (SELECT user_id, value,
+                      46.0 + (event_id % 300) / 100.0 AS lat,
+                      -120.0 + ((event_id * 7) % 400) / 100.0 AS lon
+               FROM events)
+         WHERE lat >= 46.5 AND lat <= 46.8 AND lon >= -119.0 AND lon <= -118.6"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

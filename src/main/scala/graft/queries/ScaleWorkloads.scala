@@ -91,6 +91,19 @@ object ScaleWorkloads {
       out
     })
 
+  /** Linear (lat-sorted) events layout per sfDir — the contrast
+    * baseline for the Z-order gauges, built once per JVM. */
+  private val linLayouts = TrieMap.empty[String, String]
+  private def linearLayout(s: SparkSession, dir: String): String =
+    linLayouts.getOrElseUpdate(dir, {
+      val out = graft.TempDirs.path(
+        s"osm-out/events_linear/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      OsmQueries.withSyntheticLatLon(Tables(s, dir, "events"))
+        .repartitionByRange(32, col("lat")).sortWithinPartitions("lat")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Persisted IVF index per sfDir, built once per JVM (the bench
     * then measures partition-pruned search only). */
   private val ivfIndexes = TrieMap.empty[String, String]
@@ -152,7 +165,19 @@ object ScaleWorkloads {
     // query small row…" labeled es/de/zh), so label agreement would
     // measure generator noise, not language-ID quality — which stays
     // pinned on real multilingual text in TextFunctionsSpec instead.
+    // layout-quality gauges: scan fraction a stats-pruning reader pays
+    // for a second-dimension band over the Z-ordered events layout vs
+    // the same data sorted linearly by the leading dim (which CANNOT
+    // prune that band — its gauge pins at 1.0 as the honest contrast)
+    val zdf = s.read.parquet(OsmQueries.zLayout(s, dir))
+    val linPath = linearLayout(s, dir)
+    val zFrac = graft.operators.ZOrder.boxScanFraction(
+      zdf, "lat", "lon", 46.0, 49.0, -119.0, -118.6)
+    val linFrac = graft.operators.ZOrder.boxScanFraction(
+      s.read.parquet(linPath), "lat", "lon", 46.0, 49.0, -119.0, -118.6)
     Map(
+      "zorder_band_scan_frac" -> math.rint(zFrac * 1000) / 1000,
+      "linear_band_scan_frac" -> math.rint(linFrac * 1000) / 1000,
       "lsh_recall_at_10" -> (exact & lsh1).size / 10.0,
       "lsh_default_scan_frac" -> math.rint(dfltScanned / n * 1000) / 1000,
       "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ZOrder
+
+/** Z-order layout: bit-interleave correctness against a plain Scala
+  * reference, layout-never-changes-results parity, and the actual
+  * pruning claim — file-stat scan fractions measured from the written
+  * files' own min/max envelopes (the same information any
+  * stats-pruning reader uses), Z vs a linear single-dimension sort. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refInterleave(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+
+  test("interleave matches the reference bit-weave; quadrant ordering holds") {
+    val cases = for (a <- Seq(0L, 1L, 5L, 170L, 255L); b <- Seq(0L, 3L, 128L, 255L))
+      yield (a, b)
+    val got = cases.toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    got.toSeq shouldBe cases.map { case (a, b) => refInterleave(a, b, 8) }
+    // top-level quadrants sort lo-lo < (hi-lo | lo-hi) < hi-hi: the
+    // recursive locality that makes box ranges compact
+    val z = (a: Long, b: Long) => refInterleave(a, b, 8)
+    assert(z(0, 0) < z(255, 0) && z(0, 0) < z(0, 255))
+    assert(z(255, 0) < z(128, 128) || z(0, 255) < z(128, 128))
+    assert(z(127, 127) < z(128, 128)) // hi-hi quadrant starts above all lo-lo
+  }
+
+  test("quantize clamps out-of-range values to edge cells") {
+    val got = Seq(-5.0, 0.0, 0.5, 1.0, 7.3).toDF("v")
+      .select(ZOrder.quantize(col("v"), 0.0, 1.0, 4).as("q"))
+      .collect().map(_.getLong(0))
+    got.toSeq shouldBe Seq(0L, 0L, 8L, 15L, 15L)
+  }
+
+  // synthetic grid shared by the layout tests: the f14 lat/lon
+  // derivation over 20k ids — uniform-ish over [46,49)×[-120,-116)
+  private def grid = (0L until 20000L).toDF("event_id")
+    .withColumn("lat", lit(46.0) + pmod(col("event_id"), lit(300)) / 100.0)
+    .withColumn("lon", lit(-120.0) + pmod(col("event_id") * 7, lit(400)) / 100.0)
+
+  private lazy val zPath = {
+    val p = TempDirs.path("zorder-spec/z")
+    ZOrder.writeZOrdered(grid, "lat", "lon", 46.0, 49.0, -120.0, -116.0,
+      bits = 8, nFiles = 32, path = p)
+    p
+  }
+  private lazy val linPath = {
+    val p = TempDirs.path("zorder-spec/linear")
+    grid.repartitionByRange(32, col("lat")).sortWithinPartitions("lat")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("layout changes which files hold what, never the query result") {
+    def box(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("lat") >= 46.5 && col("lat") <= 46.8 &&
+        col("lon") >= -119.0 && col("lon") <= -118.6)
+        .agg(count(lit(1)), sum("event_id")).head()
+    box(spark.read.parquet(zPath)) shouldBe box(grid)
+  }
+
+  test("a second-dimension band scans EVERY file of a linear layout but a fraction of the Z layout") {
+    // lon-only band (10% of the lon range): each lat-sorted file spans
+    // all lon values, so linear pruning is impossible — frac must be
+    // exactly 1.0; the Z layout keeps lon locality too
+    val zf = ZOrder.boxScanFraction(spark.read.parquet(zPath), "lat", "lon",
+      46.0, 49.0, -119.0, -118.6)
+    val lf = ZOrder.boxScanFraction(spark.read.parquet(linPath), "lat", "lon",
+      46.0, 49.0, -119.0, -118.6)
+    lf shouldBe 1.0
+    zf should be < 0.7
+  }
+
+  test("a 2-D box scans no more of the Z layout than of the linear layout") {
+    val zf = ZOrder.boxScanFraction(spark.read.parquet(zPath), "lat", "lon",
+      46.5, 46.8, -119.0, -118.6)
+    val lf = ZOrder.boxScanFraction(spark.read.parquet(linPath), "lat", "lon",
+      46.5, 46.8, -119.0, -118.6)
+    zf should be <= lf
+    zf should be < 0.5
+  }
+}
