@@ -32,6 +32,9 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, frame_checksum: Long)
   case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
                        n_frames: Long, duration_ms: Long)
+  case class ImageFeatures(media_id: Long, in_w: Int, in_h: Int,
+                           out_w: Int, out_h: Int, pixel_checksum: Long,
+                           mean_luma: Double)
 
   /** Payload checksum (order-sensitive polynomial over bytes; shared by
     * the real and stub kernels so downstream joins don't care which
@@ -449,6 +452,56 @@ object Multimodal {
       val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
       d.copy(width = math.max(1, (d.width * scale).toInt),
         height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  /** REAL resize + feature extraction for image rows: decode the
+    * payload, resample to `outW`×`outH` with NEAREST-NEIGHBOR index
+    * arithmetic over the decoded RGB grid (`src = (x·inW) / outW`,
+    * integer division) — deliberately NOT Graphics2D/`getScaledInstance`
+    * filtering, whose resampling kernels vary by JVM implementation;
+    * determinism is the contract, so the planted-fixture oracle can
+    * hand-derive every output pixel from [[makePng]]'s formula. Emits
+    * the resized grid's polynomial checksum (same recurrence as
+    * [[payloadChecksum]], over masked RGB ints) and its mean Rec.601
+    * luma — the stand-ins for "embed this thumbnail" feature vectors.
+    *
+    * flatMap (0-or-1): non-image rows and undecodable payloads drop —
+    * the degrade-don't-die accounting lives in [[decode]], which keeps
+    * every row; this is the downstream stage that only consumes
+    * decodable images. Scale posture: partition-local map, payload
+    * bytes never shuffle (only the fixed-size feature row comes out). */
+  def imageFeatures(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ImageFeatures] = {
+    require(outW > 0 && outH > 0, s"bad output size ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val img =
+        if (r.kind != "image") null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val inW = img.getWidth
+        val inH = img.getHeight
+        var cs = 1125899906842597L
+        var lumaSum = 0.0
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            val v = img.getRGB(x * inW / outW, y * inH / outH) & 0xffffff
+            cs = cs * 31 + v
+            lumaSum += 0.299 * ((v >> 16) & 0xff) +
+              0.587 * ((v >> 8) & 0xff) + 0.114 * (v & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImageFeatures(r.media_id, inW, inH, outW, outH, cs,
+          lumaSum / (outW * outH)))
+      }
     }
   }
 

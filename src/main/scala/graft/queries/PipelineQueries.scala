@@ -733,6 +733,22 @@ object PipelineQueries {
         .orderBy(col("src"), col("media_id"))
     }),
 
+    // MM5 — REAL pixel-level resize + feature extraction: the three
+    // planted PNGs (16×20, 19×26, 22×32) decode, nearest-neighbor
+    // downsample to 8×8, and emit the resized grid's polynomial
+    // checksum + mean Rec.601 luma. Every value is hand-derivable from
+    // makePng's pixel formula (rgb(x,y) = (id·31 + y·w + x) & 0xffffff,
+    // src index = (dst·in)/out integer division), so the VALUES oracle
+    // pins the whole decode→resample→featurize chain bit-for-bit.
+    "mm5_resize_features" -> ((s, _) => {
+      Multimodal.imageFeatures(Multimodal.syntheticMediaWithImages(
+          PlantedFixtures.mediaDocs(s), "doc_id", "text"), outW = 8, outH = 8)
+        .toDF()
+        .select(col("media_id"), col("in_w"), col("in_h"),
+          col("pixel_checksum"), round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("media_id")
+    }),
+
     // MP4 metadata decode: the demuxer's header pass for real — frame
     // counts summed over the stts runs, duration off mvhd ticks
     // (planted 40 ms/frame exactly).
@@ -1362,6 +1378,13 @@ object PipelineQueries {
          ) AS t(doc_id, word_count_ok, mean_word_len_ok, symbol_ok,
                 bullet_ok, ellipsis_ok, alpha_word_ok, stopword_ok, pass)
          ORDER BY doc_id""",
+    "mm5_resize_features" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 16, 20, CAST(6384305340962773029 AS BIGINT), CAST(12.727375 AS DOUBLE)),
+           (3, 19, 26, -7705017337060404435, 14.324828),
+           (6, 22, 32, 6934956395450432565, 14.475)
+         ) AS t(media_id, in_w, in_h, pixel_checksum, mean_luma)
+         ORDER BY media_id""",
     "mm1_decode_stats" ->
       """SELECT * FROM (VALUES
            ('audio', CAST(3 AS BIGINT), CAST(15.0 AS DOUBLE), 41/3.0, CAST(576 AS BIGINT)),

@@ -131,6 +131,32 @@ class MultimodalSpec extends SparkSpec {
       Seq((2L, 23L, 920L), (5L, 50L, 2000L), (8L, 77L, 3080L))
   }
 
+  test("real resize: nearest-neighbor features match the hand-derived pixel formula") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Multimodal.syntheticMediaWithImages(
+      graft.queries.PlantedFixtures.mediaDocs(spark), "doc_id", "text")
+    val got = Multimodal.imageFeatures(media, 8, 8).collect().sortBy(_.media_id)
+    // only the three decodable image rows survive the flatMap
+    got.map(_.media_id).toSeq shouldBe Seq(0L, 3L, 6L)
+    got.map(f => (f.in_w, f.in_h)).toSeq shouldBe Seq((16, 20), (19, 26), (22, 32))
+    got.foreach { f => f.out_w shouldBe 8; f.out_h shouldBe 8 }
+    // checksums hand-derived from makePng's rgb(x,y) = (id·31+y·w+x)
+    // & 0xffffff with src = (dst·in)/out — any resampling-kernel or
+    // decode drift breaks these exactly
+    got.map(_.pixel_checksum).toSeq shouldBe
+      Seq(6384305340962773029L, -7705017337060404435L, 6934956395450432565L)
+    got.map(f => math.rint(f.mean_luma * 1e6) / 1e6).toSeq shouldBe
+      Seq(12.727375, 14.324828, 14.475)
+    // determinism across runs
+    Multimodal.imageFeatures(media, 8, 8).collect().sortBy(_.media_id)
+      .map(_.pixel_checksum).toSeq shouldBe got.map(_.pixel_checksum).toSeq
+    // corrupt payload degrades to a drop, not a partition failure
+    val corrupt = spark.createDataset(Seq(
+      Multimodal.MediaRow(99L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1))))
+    Multimodal.imageFeatures(corrupt, 8, 8).count() shouldBe 0L
+  }
+
   test("payload never shuffles: decode is a narrow map, downstream carries metadata only") {
     val decoded = Multimodal.decode(media).toDF()
     // decode's output schema is pure metadata — the binary payload is
