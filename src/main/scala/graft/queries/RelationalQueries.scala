@@ -771,6 +771,58 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // A11 — the 100 TB variant of A10: approx_percentile (a mergeable
+    // one-pass sketch with bounded rank error) against the exact
+    // interpolated percentile. Same declaration pattern as a2c: the
+    // exact values hash-check against DuckDB, the booleans pin that the
+    // sketch landed within ±1 quantity unit (accuracy 1000 ⇒ ~0.1% rank
+    // error on integer-valued 1..50 data — the bound is generous). At
+    // scale the sketch is what runs: exact percentile must see every
+    // value per group; the sketch is fixed-size, partial-aggregated,
+    // and mergeable across partitions/batches.
+    "a11_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50_exact"),
+          round(expr("percentile(l_quantity, 0.9D)"), 4).as("p90_exact"),
+          expr("approx_percentile(l_quantity, 0.5D, 1000)").as("_p50a"),
+          expr("approx_percentile(l_quantity, 0.9D, 1000)").as("_p90a"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
+          (abs(col("_p50a") - col("p50_exact")) <= lit(1.0)).as("p50_within"),
+          (abs(col("_p90a") - col("p90_exact")) <= lit(1.0)).as("p90_within"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A12 — MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    // exposed as hll_sketch_agg/hll_union_agg): per-group sketches are
+    // built on two disjoint halves of the data, UNIONED, and the merged
+    // estimate is compared against the single-pass sketch and the exact
+    // count. This is the sketch-table pattern behind incremental
+    // dashboards at 100 TB: per-batch sketches persist (fixed bytes per
+    // group), re-estimation is a union — never a re-scan of history.
+    // `merge_close` pins union≈direct (the two register states may
+    // differ microscopically by build path, so the pin is a 1% band —
+    // far tighter than the sketch's own error); `within_bound` pins
+    // estimate-vs-truth at 10%.
+    "a12_sketch_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val halves = ev
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(2)).as("_half"))
+        .agg(expr("hll_sketch_agg(user_id)").as("_sk"))
+      val merged = halves.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(_sk))").as("_est_m"))
+      val direct = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("_est_d"),
+          countDistinct(col("user_id")).as("n_exact"))
+      direct.join(merged, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("_est_m") - col("_est_d")) <=
+            greatest(col("_est_d") * 0.01, lit(1.0))).as("merge_close"),
+          (abs(col("_est_d") - col("n_exact")) <=
+            col("n_exact") * 0.1).as("within_bound"))
+        .orderBy("event_type")
+    }),
+
     // CUR1 — curriculum/quality binning WITHOUT a global sort: quartile
     // cutpoints come from one tiny percentile agg (3 doubles), then bins
     // are assigned by broadcast comparison — ntile-style buckets at any
@@ -1115,6 +1167,16 @@ object RelationalQueries {
                 round(quantile_cont(l_quantity, 0.75), 4) AS p75,
                 round(quantile_cont(l_quantity, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a11_approx_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+                round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+                true AS p50_within, true AS p90_within
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a12_sketch_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                true AS merge_close, true AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "cur1_curriculum_bins" ->
       """WITH d AS (SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
