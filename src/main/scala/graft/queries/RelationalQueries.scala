@@ -823,6 +823,45 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // A13 — the PERSISTED sketch-table lifecycle behind a12: build on
+    // half the corpus (batch -1), append the other half (batch 0),
+    // re-append the SAME batch (idempotence: the overwrite of its own
+    // partition must leave estimates bit-identical), then estimate per
+    // key from the stored sketches alone. `replay_stable` pins the
+    // idempotent append exactly; `within_bound` pins estimate-vs-truth
+    // at 10%. History is never re-scanned — estimation reads only the
+    // sketch table.
+    "a13_sketch_table" -> ((s, dir) => {
+      import graft.operators.SketchTable
+      val ev = t(s, dir, "events")
+      val path = graft.TempDirs.path(
+        s"sketch-table/a13/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      val even = ev.filter(col("event_id") % 2 === 0)
+      val odd = ev.filter(col("event_id") % 2 === 1)
+      SketchTable.build(even, "event_type", "user_id", path)
+      SketchTable.appendBatch(odd, "event_type", "user_id", path, batchId = 0L)
+      // materialize BEFORE the re-append: the redelivery overwrites the
+      // batch partition est1's lazy plan would otherwise re-read (it's
+      // a per-key scalar — bounded driver state, not a data path)
+      val est1 = {
+        import s.implicits._
+        SketchTable.estimateDistinct(s, path)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("key", "e1")
+      }
+      SketchTable.appendBatch(odd, "event_type", "user_id", path, batchId = 0L)
+      val est2 = SketchTable.estimateDistinct(s, path)
+        .withColumnRenamed("estimate", "e2")
+      val exact = ev.groupBy(col("event_type").as("key"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est1, "key").join(est2, "key")
+        .select(col("key").as("event_type"), col("n_exact"),
+          (col("e1") === col("e2")).as("replay_stable"),
+          (abs(col("e1") - col("n_exact")) <= col("n_exact") * 0.1)
+            .as("within_bound"))
+        .orderBy("event_type")
+    }),
+
     // CUR1 — curriculum/quality binning WITHOUT a global sort: quartile
     // cutpoints come from one tiny percentile agg (3 doubles), then bins
     // are assigned by broadcast comparison — ntile-style buckets at any
@@ -1176,6 +1215,10 @@ object RelationalQueries {
     "a12_sketch_union" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
                 true AS merge_close, true AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a13_sketch_table" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                true AS replay_stable, true AS within_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cur1_curriculum_bins" ->
       """WITH d AS (SELECT doc_id,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SketchTable
+
+/** Sketch-table lifecycle properties the a13 tolerance oracle can't
+  * isolate: exact small-cardinality estimates, append ≡ rebuild, and
+  * idempotent batch replacement. */
+class SketchTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Range, key: String) = ids.map(i => (key, i.toLong))
+
+  test("small cardinalities estimate exactly; estimates read only the sketch table") {
+    val path = TempDirs.path("sketch-spec/exact")
+    val df = (rows(0 until 40, "a") ++ rows(0 until 7, "b")).toDF("k", "v")
+    SketchTable.build(df, "k", "v", path)
+    val est = SketchTable.estimateDistinct(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL is exact well below its sparse-mode capacity
+    est shouldBe Map("a" -> 40L, "b" -> 7L)
+  }
+
+  test("append ≡ rebuild: union of per-batch sketches matches the one-shot build") {
+    val a = rows(0 until 500, "k").toDF("k", "v")
+    val b = rows(300 until 900, "k").toDF("k", "v") // overlap on purpose
+    val split = TempDirs.path("sketch-spec/split")
+    SketchTable.build(a, "k", "v", split)
+    SketchTable.appendBatch(b, "k", "v", split, 0L)
+    val whole = TempDirs.path("sketch-spec/whole")
+    SketchTable.build(a.union(b), "k", "v", whole)
+    val es = SketchTable.estimateDistinct(spark, split).head().getLong(1)
+    val ew = SketchTable.estimateDistinct(spark, whole).head().getLong(1)
+    // same inserted hash set → close register states; pin a tight band
+    // (the truth is 900; the sketch's own rsd at lgK=12 is ~1.6%)
+    math.abs(es - ew).toDouble should be <= math.max(ew * 0.02, 2.0)
+    math.abs(ew - 900L).toDouble should be <= 900 * 0.05
+  }
+
+  test("re-appending a batch replaces its partition: estimates bit-identical, no upward bias") {
+    val path = TempDirs.path("sketch-spec/idem")
+    SketchTable.build(rows(0 until 200, "k").toDF("k", "v"), "k", "v", path)
+    val batch = rows(200 until 400, "k").toDF("k", "v")
+    SketchTable.appendBatch(batch, "k", "v", path, 3L)
+    val e1 = SketchTable.estimateDistinct(spark, path).head().getLong(1)
+    SketchTable.appendBatch(batch, "k", "v", path, 3L) // redelivery
+    val e2 = SketchTable.estimateDistinct(spark, path).head().getLong(1)
+    e2 shouldBe e1
+    // and the table holds exactly one sketch row per (key, batch)
+    spark.read.parquet(path).groupBy("key", "batch_id").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+
+  test("build batch id is reserved: appends must not collide with -1") {
+    val path = TempDirs.path("sketch-spec/reserved")
+    an[IllegalArgumentException] should be thrownBy
+      SketchTable.appendBatch(rows(0 until 5, "k").toDF("k", "v"), "k", "v", path, -1L)
+  }
+}
