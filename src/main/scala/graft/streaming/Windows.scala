@@ -59,6 +59,25 @@ object Windows {
       .groupBy(session_window(col(tsCol), gap), key)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming SKETCH-TABLE maintenance: each micro-batch collapses to
+    * one HLL row per key and lands as its own batch partition of the
+    * persisted table ([[graft.operators.SketchTable.appendBatch]] —
+    * idempotent under redelivery, because a batch overwrites its own
+    * partition). "Distinct users per key so far" is then a union over
+    * the sketch table at ANY time, without a watermark horizon limiting
+    * history and without ever re-scanning the stream's past — the
+    * streaming twin of the a13 lifecycle, parity-pinned in
+    * StreamingSpec. */
+  def streamingSketchTable(stream: DataFrame, keyCol: String, valCol: String,
+                           path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SketchTable.appendBatch(batch, keyCol, valCol, path, batchId)
+      }
+      .start()
+
   /** Streaming signature dedup — the pipeline dedup operator AT INGEST:
     * each document gets its normalized-content hash and its SimHash
     * fingerprint (both pure scalar expressions, so they evaluate inside

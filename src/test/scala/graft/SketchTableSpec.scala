@@ -51,6 +51,30 @@ class SketchTableSpec extends SparkSpec {
       .filter(col("count") > 1).count() shouldBe 0L
   }
 
+  test("streaming maintenance: per-micro-batch sketches union to the exact history") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = TempDirs.path("sketch-spec/stream")
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val q = graft.streaming.Windows.streamingSketchTable(
+      in.toDF().toDF("ts", "k", "v"), "k", "v", path)
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      in.addData((t("2024-01-01 10:00:00"), "a", 1L), (t("2024-01-01 10:01:00"), "a", 2L))
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 11:00:00"), "a", 2L), // dup across batches
+        (t("2024-01-01 11:01:00"), "a", 3L), (t("2024-01-01 11:02:00"), "b", 9L))
+      q.processAllAvailable()
+      val est = SketchTable.estimateDistinct(spark, path)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // small cardinalities are exact; the cross-batch dup counts once
+      est shouldBe Map("a" -> 3L, "b" -> 1L)
+      // one sketch row per (key, micro-batch that saw the key)
+      spark.read.parquet(path).count() shouldBe 3L
+    } finally q.stop()
+  }
+
   test("build batch id is reserved: appends must not collide with -1") {
     val path = TempDirs.path("sketch-spec/reserved")
     an[IllegalArgumentException] should be thrownBy
