@@ -1021,6 +1021,22 @@ object PipelineQueries {
         Vocab.topVocab(docs, "doc_id", "text", 100))
     }),
 
+    // VB4 — heavy hitters WITHOUT the full-vocabulary shuffle: a
+    // mergeable Misra–Gries sketch (custom typed Aggregator) finds the
+    // ≤k candidate superset — every term with count > n/(k+1) is
+    // guaranteed in it — then only candidates are exactly recounted
+    // through a broadcast isin. Exact result, deterministic under any
+    // partitioning, gated by the plain GROUP BY/HAVING oracle; at
+    // 100 TB this exchanges one ≤k-entry map per partition instead of
+    // billions of distinct terms (vb1's plain groupBy is the exact
+    // all-terms form; this is the answer-only form).
+    "vb4_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      graft.operators.FreqItems.heavyHitters(toks, "term", k = 256)
+        .orderBy(desc("n"), col("term"))
+    }),
+
     // VB3 — the BPE merge-step count table: top-20 adjacent-char
     // pairs weighted by token occurrence.
     "vb3_bpe_pairs" -> ((s, dir) => {
@@ -1668,6 +1684,14 @@ object PipelineQueries {
                 CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                 round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
          FROM tok LEFT JOIN v ON tok.term = v.term""",
+    "vb4_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                      FROM documents),
+         tot AS (SELECT count(*) AS n FROM tok)
+         SELECT term, CAST(count(*) AS BIGINT) AS n
+         FROM tok GROUP BY term
+         HAVING count(*) > (SELECT n FROM tot) // 257
+         ORDER BY n DESC, term""",
     "vb3_bpe_pairs" ->
       """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
                       FROM documents),
