@@ -56,6 +56,29 @@ class TablesSpec extends SparkSpec {
     got shouldBe micros
   }
 
+  test("testdata schema contract: the columns and types the operators assume") {
+    // the other silent-breakage surface: a driver-side type flip in
+    // documents/embeddings/events would strand dozens of queries the
+    // way the r9 ts flip stranded four — pin the load-bearing columns
+    val docs = Tables(spark, sf, "documents")
+    docs.schema("doc_id").dataType shouldBe LongType
+    docs.schema("text").dataType shouldBe StringType
+    docs.schema("lang").dataType shouldBe StringType
+    docs.schema("source").dataType shouldBe StringType
+    docs.schema("n_chars").dataType shouldBe LongType
+    val embs = Tables(spark, sf, "embeddings")
+    embs.schema("vec_id").dataType shouldBe LongType
+    // the native vector expressions codegen against float arrays
+    embs.schema("embedding").dataType shouldBe ArrayType(FloatType, containsNull = true)
+    val ev = Tables(spark, sf, "events")
+    ev.schema("event_id").dataType shouldBe LongType
+    ev.schema("ts").dataType shouldBe TimestampType
+    ev.schema("user_id").dataType shouldBe LongType
+    ev.schema("event_type").dataType shouldBe StringType
+    ev.schema("value").dataType shouldBe DoubleType
+    ev.schema("props").dataType shouldBe StringType
+  }
+
   test("bare spark.read.parquet does NOT satisfy the contract (why Tables exists)") {
     val dir = TempDirs.path("tables-spec/bare")
     Seq(micros).toDF("us")
