@@ -659,6 +659,57 @@ object ScaleWorkloads {
           "lang", Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), seed = 13)
         .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
 
+    // Sketch-candidate heavy hitters at sf scale: one ≤k-entry map per
+    // partition to the driver, then a broadcast-filtered exact recount
+    // — never a full-vocabulary exchange.
+    "sx43_heavy_hitters" -> ((s, dir) =>
+      graft.operators.FreqItems.heavyHitters(
+          Tables(s, dir, "documents")
+            .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term")),
+          "term", k = 256)
+        .agg(count(lit(1)).as("n_heavy"), sum("n").as("occurrences"))),
+
+    // Z-order layout WRITE at sf scale: quantize + interleave + ONE
+    // range exchange into sorted files (fresh path per rep — the write
+    // is the thing being timed; the read side is s9 + the gauges).
+    "sx44_zorder_write" -> ((s, dir) => {
+      val out = graft.TempDirs.path(
+        s"zorder-bench/${java.util.UUID.randomUUID()}")
+      graft.operators.ZOrder.writeZOrdered(
+        OsmQueries.withSyntheticLatLon(Tables(s, dir, "events")),
+        "lat", "lon", 46.0, 49.0, -120.0, -116.0, bits = 8, nFiles = 32, out)
+      s.read.parquet(out).agg(count(lit(1)).as("n"))
+    }),
+
+    // Multimodal features at sf scale: every 3rd document becomes a
+    // real PNG (id-derived dims), decoded and nearest-neighbor
+    // featurized to 8×8 — payloads stay partition-local, only feature
+    // rows aggregate.
+    "sx45_media_features" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.syntheticMediaWithImages(
+        Tables(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      Multimodal.imageFeatures(media, 8, 8).toDF()
+        .agg(count(lit(1)).as("n_images"),
+          round(avg("mean_luma"), 4).as("avg_luma"))
+    }),
+
+    // Sketch-table lifecycle at sf scale: build on half the events,
+    // append the other half, estimate per event_type from the stored
+    // sketches alone.
+    "sx46_sketch_table" -> ((s, dir) => {
+      import graft.operators.SketchTable
+      val ev = Tables(s, dir, "events")
+      val path = graft.TempDirs.path(
+        s"sketch-bench/${java.util.UUID.randomUUID()}")
+      SketchTable.build(ev.filter(col("event_id") % 2 === 0),
+        "event_type", "user_id", path)
+      SketchTable.appendBatch(ev.filter(col("event_id") % 2 === 1),
+        "event_type", "user_id", path, 0L)
+      SketchTable.estimateDistinct(s, path)
+        .agg(count(lit(1)).as("n_keys"), sum("estimate").as("est_sum"))
+    }),
+
     // Split-parallel monolith ingest at a bench-visible size: shard the
     // OSM fixture ×200 into one monolithic file once, then parse it
     // byte-range-parallel.
