@@ -33,11 +33,21 @@ object IntervalJoin {
 
   /** Inner-join `points` to `intervals` on ts ∈ [start, end], both
     * ends inclusive. Returns all columns of both frames (names must
-    * not collide). Timestamps compare at microsecond precision. */
+    * not collide). Timestamps compare at microsecond precision.
+    *
+    * `broadcastIntervals = true` is the small-intervals fast path: the
+    * exploded cell rows broadcast and the join becomes a
+    * BroadcastHashJoin — the points side is NEVER shuffled at all
+    * (plan-pinned), which at 100 TB is the difference between a
+    * full-table exchange and a map-side probe. Use when the interval
+    * set (× its cell expansion) fits an executor; the default shuffles
+    * both sides on the cell key and scales to arbitrarily many
+    * intervals. */
   def intervalJoin(points: DataFrame, tsCol: String,
                    intervals: DataFrame, startCol: String, endCol: String,
                    gridMicros: Long,
-                   maxCellsPerInterval: Int = 1 << 16): DataFrame = {
+                   maxCellsPerInterval: Int = 1 << 16,
+                   broadcastIntervals: Boolean = false): DataFrame = {
     require(gridMicros > 0, s"gridMicros must be positive: $gridMicros")
     val pCell = floor(unix_micros(col(tsCol)) / gridMicros)
     val cs = floor(unix_micros(col(startCol)) / gridMicros)
@@ -48,7 +58,8 @@ object IntervalJoin {
           s"gridMicros=$gridMicros — raise the grid: start="),
         col(startCol).cast("string"), lit(" end="), col(endCol).cast("string"))))
     val ip = points.withColumn("_cell", pCell)
-    val ii = intervals.withColumn("_cell", explode(sequence(cs, guardedEnd)))
+    val ii0 = intervals.withColumn("_cell", explode(sequence(cs, guardedEnd)))
+    val ii = if (broadcastIntervals) broadcast(ii0) else ii0
     ip.join(ii, Seq("_cell"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_cell")

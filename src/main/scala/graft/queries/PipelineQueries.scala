@@ -1114,6 +1114,24 @@ object PipelineQueries {
         .orderBy("int_id", "event_id")
     }),
 
+    // IV2 — the same semantics through the BROADCAST plan: the exploded
+    // interval cells broadcast, so the points side is probed in place
+    // with ZERO shuffle (plan-pinned in PlanAuditSpec) — the
+    // small-interval-set fast path (contamination sweeps, benchmark
+    // windows, curated blocklists). Same oracle as iv1: the plan may
+    // never change the answer.
+    "iv2_broadcast_interval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id"), col("ts"))
+      val intervals = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("int_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      IntervalJoin.intervalJoin(points, "ts", intervals, "start_ts", "end_ts",
+          gridMicros = 600L * 1000000, broadcastIntervals = true)
+        .select(col("int_id"), col("event_id"))
+        .orderBy("int_id", "event_id")
+    }),
+
     // Top-k rows PER GROUP without the window plan: `row_number() OVER
     // (PARTITION BY source ORDER BY ...)` shuffles and sorts EVERY doc
     // to the window exchange before dropping all but k per source; the
@@ -1722,6 +1740,13 @@ object PipelineQueries {
            FROM documents)
          WHERE rn = 1 ORDER BY cluster""",
     "iv1_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+         i AS (SELECT event_id AS int_id, epoch_us(ts) AS s_us
+               FROM events WHERE event_id % 97 = 0)
+         SELECT i.int_id, e.event_id
+         FROM e JOIN i ON e.us BETWEEN i.s_us AND i.s_us + 600000000
+         ORDER BY int_id, event_id""",
+    "iv2_broadcast_interval" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
          i AS (SELECT event_id AS int_id, epoch_us(ts) AS s_us
                FROM events WHERE event_id % 97 = 0)

@@ -266,6 +266,26 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("iv2: broadcast interval join probes the points side in place — zero shuffle") {
+    // pin the OPERATOR plan (the declared query's orderBy adds a range
+    // exchange for the oracle dump)
+    val ev = Tables(spark, sf, "events")
+    val out = graft.operators.IntervalJoin.intervalJoin(
+      ev.select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts")), "ts",
+      ev.filter(org.apache.spark.sql.functions.col("event_id") % 97 === 0)
+        .select(org.apache.spark.sql.functions.col("event_id").as("int_id"),
+          org.apache.spark.sql.functions.col("ts").as("start_ts"),
+          (org.apache.spark.sql.functions.col("ts") +
+            org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES")).as("end_ts")),
+      "start_ts", "end_ts", gridMicros = 600L * 1000000,
+      broadcastIntervals = true)
+    val p = out.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "Exchange hashpartitioning"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("gk1: group top-k partial-aggregates the bounded buffer — no Window node") {
     val p = plan("gk1_group_topk")
     p should not include "Window"
