@@ -123,7 +123,6 @@ object AsOf {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state) =>
           val st0 = state.getOption.getOrElse(AsofBufState(Nil, Nil))
-          val fresh = rows.toSeq
           def us(t: java.sql.Timestamp): Long =
             t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           def tsOf(u: Long): java.sql.Timestamp = {
@@ -131,11 +130,19 @@ object AsOf {
             t.setNanos(((u % 1000000L) * 1000L).toInt)
             t
           }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // Spark does NOT watermark-filter the input of
+          // flatMapGroupsWithState (that's only automatic for aggs /
+          // dedup / stream-stream joins) — drop beyond-watermark rows
+          // HERE, explicitly: a late left would otherwise bind against
+          // rights the eviction below already collapsed, emitting a
+          // match batch execution would never produce. Dropping is the
+          // same contract every watermarked operator advertises.
+          val fresh = rows.toSeq.filter(r => us(r.ts) >= wmUs)
           val rights = (st0.rights ++ fresh.filter(_.side == 0)
             .map(r => (us(r.ts), r.tie, r.value))).sorted
           val lefts = (st0.lefts ++ fresh.filter(_.side == 1)
             .map(r => (us(r.ts), r.tie))).sorted
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ripe, pending) = lefts.partition(_._1 <= wmUs)
           val out = ripe.map { case (lts, lid) =>
             val m = rights.filter(_._1 <= lts).lastOption

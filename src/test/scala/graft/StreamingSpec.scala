@@ -680,6 +680,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of drops input behind the watermark (explicit — fMGWS gets no automatic filter)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AsOf, AsofIn}
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[AsofIn]
+    val q = AsOf.streamingAsof(input.toDS(), late = "30 minutes")
+      .writeStream.format("memory").queryName("st_asof_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        AsofIn("u", t("2024-01-01 10:00:00"), 0, 1L, 5.0),
+        AsofIn("u", t("2024-01-01 10:05:00"), 1, 100L, 0.0),
+        AsofIn("u", t("2024-01-01 12:00:00"), 0, 2L, 9.0)) // wm → 11:30
+      q.processAllAvailable()
+      // a left at 10:30 is now 1h behind the watermark: must be DROPPED,
+      // not bound against the collapsed right state
+      input.addData(AsofIn("u", t("2024-01-01 10:30:00"), 1, 101L, 0.0))
+      q.processAllAvailable()
+      input.addData(AsofIn("u", t("2024-01-02 12:00:00"), 0, 3L, 1.0)) // flush
+      q.processAllAvailable()
+      input.addData(AsofIn("u", t("2024-01-02 13:00:00"), 0, 4L, 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("st_asof_late").collect().map(_.getLong(2)).toSet
+      ids should contain(100L)
+      ids should not contain 101L
+    } finally q.stop()
+  }
+
   test("streaming as-of matches the batch asofJoin on the same rows (j4 twin)") {
     val session = spark
     import session.implicits._
