@@ -266,6 +266,26 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("j5: the bucketed join runs with NO exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val (liT, ordT) = graft.queries.RelationalQueries.bucketedTables(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the bucketed SortMergeJoin is what plans —
+      // at sf the small side would otherwise broadcast and hide the
+      // layout's zero-exchange property
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = spark.table(liT)
+        .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val p = out.queryExecution.executedPlan.toString
+      p should include("SortMergeJoin")
+      // the ONLY exchange is the aggregation's — none below the join
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      joinPart should not include "Exchange"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("iv2: broadcast interval join probes the points side in place — zero shuffle") {
     // pin the OPERATOR plan (the declared query's orderBy adds a range
     // exchange for the oracle dump)
