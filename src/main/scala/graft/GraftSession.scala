@@ -52,8 +52,12 @@ object GraftSession {
       // Catalyst extensions: box-PIP→range-predicate optimizer rule +
       // the SQL-callable graft_pip function (graft.plans).
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // keep catalog tables (bucketed-join demos) out of the repo tree
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // catalog tables (bucketed-join demos) live under the per-PROCESS
+      // scratch root: a fixed /tmp path is a cross-JVM race — a fresh
+      // JVM's in-memory catalog doesn't know the table but the old
+      // run's directory exists, and saveAsTable dies with
+      // LOCATION_ALREADY_EXISTS (same lesson as TempDirs itself)
+      .config("spark.sql.warehouse.dir", TempDirs.path("warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
