@@ -63,4 +63,47 @@ object Chunking {
         array_join(slice(col("_ts"), col("_start") + 1, lit(window)), " ")
           .as("chunk"))
   }
+
+  /** STRUCTURE-AWARE chunking: paragraphs (blank-line-separated) are
+    * the atomic unit — a paragraph never splits across chunks — and
+    * consecutive paragraphs pack into a chunk while the RUNNING token
+    * count stays under `budget`. The boundary rule is pure arithmetic
+    * (re-derivable, so another engine can oracle every row):
+    * `chunk_id = ⌊tokens_before_this_paragraph / budget⌋` over the
+    * doc's (whitespace-cleaned) paragraph sequence. That means a chunk
+    * can exceed `budget` only when a SINGLE paragraph does (it is kept
+    * whole — truncating mid-paragraph is [[chunkByTokens]]'s job);
+    * empty / whitespace-only paragraphs vanish; paragraph text
+    * normalizes to single-space tokens re-joined (same
+    * budget-not-bytes contract as [[chunkByTokens]]).
+    *
+    * Scale posture: one narrow explode + ONE keyed window pass
+    * (partitioned by doc — parallel across docs, never a global
+    * window) + one keyed agg. The re-join uses `sort_array` over
+    * (position, text) structs, not raw `collect_list` order, so the
+    * output is deterministic under any shuffle. */
+  def chunkByParagraphs(df: DataFrame, idCol: String, textCol: String,
+                        budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("_para"), "\\s+"), t => length(t) > 0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    df.select(col(idCol),
+        posexplode_outer(split(col(textCol), "\n{2,}")).as(Seq("_pos", "_para")))
+      .withColumn("_ts", toks)
+      .withColumn("_n", coalesce(size(col("_ts")), lit(0)))
+      .filter(col("_n") > 0)
+      .withColumn("_before", coalesce(
+        sum(col("_n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id", floor(col("_before") / budget))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("_n")).as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("_pos"), array_join(col("_ts"), " ").as("_p")))),
+            x => x.getField("_p")),
+          "\n\n").as("chunk"))
+  }
 }

@@ -953,6 +953,18 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("samp_key"), 6).as("samp_key"))
     }),
 
+    // CH2 — structure-aware chunking on the planted multi-paragraph
+    // fixture: paragraphs are atomic (never split), packed while the
+    // running token count stays under budget 8 — the boundary rule is
+    // ⌊tokens_before/budget⌋, so every chunk row (ids, counts, and the
+    // re-joined text) is hand-derivable. Oversize single paragraphs
+    // stay whole; whitespace-only paragraphs vanish.
+    "ch2_paragraph_chunks" -> ((s, _) => {
+      Chunking.chunkByParagraphs(PlantedFixtures.paraDocs(s),
+          "doc_id", "text", budget = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // SP4 — stratified deterministic sampling on the real corpus:
     // per-language keep rates (en 50%, de 25%, zh 10%, rest DROPPED —
     // the allowlist posture), same re-derivable integer gate as sp1,
@@ -1668,6 +1680,16 @@ object PipelineQueries {
                 CAST(least(32, n - start) AS BIGINT) AS n_tokens,
                 array_to_string(ts[start + 1 : start + 32], ' ') AS chunk
          FROM st ORDER BY doc_id, chunk_id""",
+    "ch2_paragraph_chunks" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT),
+            'a1 a2 a3 a4' || chr(10) || chr(10) || 'b1 b2 b3 b4 b5'),
+           (1, 1, 1, 3, 'c1 c2 c3'),
+           (2, 0, 1, 20, 't1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20'),
+           (3, 0, 1, 2, 'p31 p32'),
+           (5, 0, 2, 5, 'x1 x2' || chr(10) || chr(10) || 'y1 y2 y3')
+         ) AS t(doc_id, chunk_id, n_paras, n_tokens, chunk)
+         ORDER BY doc_id, chunk_id""",
     "sp4_stratified_sample" ->
       s"""SELECT doc_id, lang
          FROM (SELECT doc_id, lang,

@@ -166,6 +166,24 @@ object PlantedFixtures {
     * audio/video payloads are utf8 text whose LENGTHS are pinned
     * (video ids 2/5/8 → 20/45/100 bytes → stub frame counts 50/75/130
     * → 5/8/13 sampled frames at stride 10). */
+  /** Multi-paragraph docs for ch2 (the real `documents` text is
+    * single-line, so paragraph structure must be planted): known
+    * per-paragraph token counts → hand-derivable chunk boundaries at
+    * budget 8. Doc 2 is ONE oversize paragraph (kept whole), doc 3
+    * leads with whitespace-only paragraphs (dropped), doc 4 is null
+    * (no rows), doc 5's paragraphs are separated by a 4-newline gap
+    * (one separator, not two). */
+  def paraDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "a1 a2 a3 a4\n\nb1 b2 b3 b4 b5\n\nc1 c2 c3"),
+      (2L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (3L, "  \n\n\t\n\np31 p32"),
+      (5L, "x1 x2\n\n\n\ny1 y2 y3"))
+      .toDF("doc_id", "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+  }
+
   def mediaDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     def text(n: Int): String = ("x" * (n - 1)) + "y"

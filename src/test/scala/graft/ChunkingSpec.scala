@@ -71,4 +71,37 @@ class ChunkingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     p should not include "Exchange"
   }
+
+  test("paragraph chunks: paragraphs are atomic, pack to budget, oversize stays whole") {
+    val df = Seq(
+      (1L, "a1 a2 a3 a4\n\nb1 b2 b3 b4 b5\n\nc1 c2 c3"), // 4+5+3 @ budget 8
+      (2L, (1 to 20).map(i => s"t$i").mkString(" ")))      // one 20-token para
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkByParagraphs(df, "doc_id", "text", budget = 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq shouldBe
+      Seq((1L, 0L, 2L, 9L), (1L, 1L, 1L, 3L), (2L, 0L, 1L, 20L))
+    out(0).getString(4) shouldBe "a1 a2 a3 a4\n\nb1 b2 b3 b4 b5"
+    out(1).getString(4) shouldBe "c1 c2 c3"
+  }
+
+  test("paragraph chunks: whitespace-only and null docs vanish; re-join order is deterministic") {
+    val df = Seq((3L, "  \n\n\t\n\np31 p32"), (5L, "x1 x2\n\n\n\ny1 y2 y3"))
+      .toDF("doc_id", "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = Chunking.chunkByParagraphs(df.repartition(7), "doc_id", "text", 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(3L, 5L)
+    out(0).getString(4) shouldBe "p31 p32"
+    out(1).getString(4) shouldBe "x1 x2\n\ny1 y2 y3" // 4-newline gap = ONE separator
+  }
+
+  test("plan: paragraph chunking shuffles once on the doc key — no global window") {
+    val df = Seq((1L, "a\n\nb")).toDF("doc_id", "text")
+    val p = Chunking.chunkByParagraphs(df, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size should be >= 1
+    p should not include "Exchange SinglePartition"
+    p should not include "Exchange rangepartitioning"
+  }
 }
