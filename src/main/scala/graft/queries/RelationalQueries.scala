@@ -841,6 +841,43 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // A14 — the PERSISTED quantile-sketch table (KLL), completing the
+    // sketch family: per-key sketches built on two disjoint halves
+    // round-trip through parquet as binary rows, MERGE back to one
+    // sketch per key, and the merged p50/p90 estimates must land
+    // within ±2 quantity units of the exact interpolated percentiles
+    // (KLL rank error ~1.7% at k=200 ⇒ ≲1 unit on 1..50 data). The
+    // exact values hash-check against DuckDB; a11 is the one-shot
+    // approx form — this is the persistable/mergeable one the
+    // built-in cannot do.
+    "a14_quantile_sketch_table" -> ((s, dir) => {
+      import graft.operators.QuantileSketch
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_partkey"))
+      val path = graft.TempDirs.path(
+        s"kll/a14/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      QuantileSketch.sketchRows(li.filter(pmod(col("l_partkey"), lit(2)) === 0),
+          "l_returnflag", "l_quantity")
+        .withColumn("batch_id", lit(0L))
+        .unionByName(QuantileSketch.sketchRows(
+            li.filter(pmod(col("l_partkey"), lit(2)) === 1),
+            "l_returnflag", "l_quantity")
+          .withColumn("batch_id", lit(1L)))
+        .write.mode("overwrite").parquet(path)
+      val est = QuantileSketch.mergeSketches(s.read.parquet(path))
+        .select(col("key"),
+          QuantileSketch.quantileOf(col("sketch"), 0.5).as("_p50s"),
+          QuantileSketch.quantileOf(col("sketch"), 0.9).as("_p90s"))
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50_exact"),
+          round(expr("percentile(l_quantity, 0.9D)"), 4).as("p90_exact"))
+        .join(est, col("l_returnflag") === col("key"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
+          (abs(col("_p50s") - col("p50_exact")) <= lit(2.0)).as("p50_within"),
+          (abs(col("_p90s") - col("p90_exact")) <= lit(2.0)).as("p90_within"))
+        .orderBy("l_returnflag")
+    }),
+
     // J5 — BUCKETED co-located join: both fact tables land ONCE as
     // catalog tables bucketed+sorted by the join key, and every later
     // join on that key runs with NO exchange on either side — the
@@ -1257,6 +1294,12 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
                 true AS replay_stable, true AS within_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a14_quantile_sketch_table" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+                round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+                true AS p50_within, true AS p90_within
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "j5_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
                 count(DISTINCT o.o_orderkey) AS n_orders,
