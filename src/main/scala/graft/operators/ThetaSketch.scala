@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketches, Union, UpdateSketch}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Theta sketches — distinct-count estimates that support SET
+  * OPERATIONS: union, intersection, and difference (A-not-B). This is
+  * the capability HLL ([[SketchTable]]) fundamentally lacks: HLL
+  * registers union cleanly but cannot intersect, so "how many users
+  * did BOTH sources see?" over 100 TB needs either a distinct-join
+  * (full shuffle of every id) or a theta sketch per side and a
+  * driver-side intersection over a few KB.
+  *
+  * Same posture as the other sketch operators: per-group sketches are
+  * a few KB of binary, persistable and mergeable; estimates are
+  * deterministic for the given inserted id sets (the sketch hashes
+  * ids, no RNG); exact results below the sketch's nominal capacity
+  * (default lgK=12 ⇒ 4096 retained ids), ~2.5% relative error above
+  * it. The a15 query gates exact-vs-sketch overlap per source pair.
+  */
+object ThetaSketch {
+
+  /** Theta update-sketch over long ids, emitted as compact bytes. */
+  final class ThetaAgg(lgK: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(lgK >= 4 && lgK <= 26, s"bad lgK: $lgK")
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], id: Long): Array[Byte] = {
+      // rebuild-from-compact per row is the simple demonstrative form
+      // (same note as QuantileSketch: a hot path runs one mutable
+      // sketch per partition via mapPartitions, identical outputs)
+      val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
+      sk.update(id)
+      if (b.isEmpty) sk.compact().toByteArray
+      else {
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        u.union(Sketches.wrapSketch(Memory.wrap(b)))
+        u.union(sk.compact())
+        u.getResult.toByteArray
+      }
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      if (b1.isEmpty) b2
+      else if (b2.isEmpty) b1
+      else {
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        u.union(Sketches.wrapSketch(Memory.wrap(b1)))
+        u.union(Sketches.wrapSketch(Memory.wrap(b2)))
+        u.getResult.toByteArray
+      }
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Column form for groupBy.agg. */
+  def thetaAgg(idCol: Column, lgK: Int = 12): Column =
+    udaf(new ThetaAgg(lgK)).apply(idCol)
+
+  private def wrap(b: Array[Byte]): CompactSketch =
+    Sketches.wrapSketch(Memory.wrap(b)).compact()
+
+  /** Distinct estimate of one sketch. */
+  def estimate(b: Array[Byte]): Double =
+    if (b.isEmpty) 0.0 else wrap(b).getEstimate
+
+  /** Distinct estimate of the INTERSECTION of two sketches. */
+  def intersectionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val it: Intersection = SetOperation.builder().buildIntersection()
+    it.intersect(wrap(a), wrap(b)).getEstimate
+  }
+
+  /** Distinct estimate of A \ B (ids in a's set but not b's). */
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.isEmpty) return 0.0
+    if (b.isEmpty) return estimate(a)
+    SetOperation.builder().buildANotB().aNotB(wrap(a), wrap(b)).getEstimate
+  }
+
+  val estimateUdf = udf((b: Array[Byte]) => estimate(b))
+  val intersectionUdf =
+    udf((a: Array[Byte], b: Array[Byte]) => intersectionEstimate(a, b))
+  val aNotBUdf = udf((a: Array[Byte], b: Array[Byte]) => aNotBEstimate(a, b))
+
+  /** One theta sketch of `idCol` per `keyCol` group. */
+  def sketchRows(df: DataFrame, keyCol: String, idCol: String,
+                 lgK: Int = 12): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(thetaAgg(col(idCol).cast("long"), lgK).as("sketch"))
+}

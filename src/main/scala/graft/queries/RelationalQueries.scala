@@ -878,6 +878,31 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // A15 — THETA-sketch set operations: per-event-type user sketches,
+    // then pairwise intersection and A-not-B estimates — the audience
+    // -overlap question HLL cannot answer (HLL unions; it can't
+    // intersect). The pair join is over the 5-row SKETCH table (a few
+    // KB a side), never over the raw ids — at 100 TB that's the whole
+    // point: overlap without a distinct-join shuffle of every id.
+    // Below the sketch's nominal capacity (4096 ids; sf cardinalities
+    // are ~150/type) theta retains every hash, so the estimates are
+    // EXACT and hash-match the oracle's true set algebra; above
+    // capacity the same query returns ~2.5%-error estimates.
+    "a15_theta_overlap" -> ((s, dir) => {
+      import graft.operators.ThetaSketch
+      val sk = ThetaSketch.sketchRows(
+        t(s, dir, "events").select("event_type", "user_id"),
+        "event_type", "user_id")
+      val a = sk.select(col("key").as("type_a"), col("sketch").as("_sa"))
+      val b = sk.select(col("key").as("type_b"), col("sketch").as("_sb"))
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          ThetaSketch.estimateUdf(col("_sa")).cast("long").as("n_a"),
+          ThetaSketch.intersectionUdf(col("_sa"), col("_sb")).cast("long").as("n_both"),
+          ThetaSketch.aNotBUdf(col("_sa"), col("_sb")).cast("long").as("n_only_a"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // J5 — BUCKETED co-located join: both fact tables land ONCE as
     // catalog tables bucketed+sorted by the join key, and every later
     // join on that key runs with NO exchange on either side — the
@@ -1300,6 +1325,23 @@ object RelationalQueries {
                 round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
                 true AS p50_within, true AS p90_within
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a15_theta_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+         c AS (SELECT event_type, count(*) AS n FROM s GROUP BY event_type),
+         pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM c a JOIN c b ON a.event_type < b.event_type),
+         inter AS (SELECT sa.event_type AS ta, sb.event_type AS tb, count(*) AS nb
+                   FROM s sa JOIN s sb ON sa.user_id = sb.user_id
+                    AND sa.event_type < sb.event_type
+                   GROUP BY sa.event_type, sb.event_type)
+         SELECT p.ta AS type_a, p.tb AS type_b,
+                CAST(c.n AS BIGINT) AS n_a,
+                CAST(coalesce(i.nb, 0) AS BIGINT) AS n_both,
+                CAST(c.n - coalesce(i.nb, 0) AS BIGINT) AS n_only_a
+         FROM pairs p
+         JOIN c ON c.event_type = p.ta
+         LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+         ORDER BY type_a, type_b""",
     "j5_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
                 count(DISTINCT o.o_orderkey) AS n_orders,
