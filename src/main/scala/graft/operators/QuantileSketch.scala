@@ -67,11 +67,34 @@ object QuantileSketch {
     quantileUdf(sketch, lit(q))
 
   /** Per-key sketch rows of one batch — the persistable unit (same
-    * batch-partitioned lifecycle as [[SketchTable]]). */
+    * batch-partitioned lifecycle as [[SketchTable]]). Hot-path form:
+    * one MUTABLE KLL per (key × partition) in `mapPartitions` (no
+    * per-row serialize round-trip — [[KllAgg]] stays as the
+    * composable-in-any-agg form), then per-partition sketches merge
+    * per key — the map-side-combine shape, a few hundred bytes per
+    * key per partition on the shuffle. */
   def sketchRows(df: DataFrame, keyCol: String, valCol: String,
-                 k: Int = 200): DataFrame =
-    df.groupBy(col(keyCol).as("key"))
-      .agg(kllAgg(col(valCol).cast("double"), k).as("sketch"))
+                 k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(valCol).cast("double"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap.empty[String, KllDoublesSketch]
+        it.foreach { case (key, v) =>
+          sks.getOrElseUpdate(key, KllDoublesSketch.newHeapInstance(k)).update(v)
+        }
+        sks.iterator.map { case (key, sk) => (key, sk.toByteArray) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val sk = KllDoublesSketch.newHeapInstance(k)
+        rows.foreach(r =>
+          sk.merge(KllDoublesSketch.heapify(Memory.wrap(r._2))))
+        (key, sk.toByteArray)
+      }
+      .toDF("key", "sketch")
+  }
 
   /** Merge stored per-batch sketch rows back to one sketch per key. */
   def mergeSketches(stored: DataFrame): DataFrame = {

@@ -86,9 +86,32 @@ object ThetaSketch {
     udf((a: Array[Byte], b: Array[Byte]) => intersectionEstimate(a, b))
   val aNotBUdf = udf((a: Array[Byte], b: Array[Byte]) => aNotBEstimate(a, b))
 
-  /** One theta sketch of `idCol` per `keyCol` group. */
+  /** One theta sketch of `idCol` per `keyCol` group — the HOT-PATH
+    * form: one MUTABLE UpdateSketch per (key × partition) inside
+    * `mapPartitions` (no per-row serialize round-trip — that's what
+    * makes [[ThetaAgg]] the composable-but-slow form), then the
+    * per-partition compact sketches shuffle (a few KB per key per
+    * partition, the map-side-combine shape) and union per key. */
   def sketchRows(df: DataFrame, keyCol: String, idCol: String,
-                 lgK: Int = 12): DataFrame =
-    df.groupBy(col(keyCol).as("key"))
-      .agg(thetaAgg(col(idCol).cast("long"), lgK).as("sketch"))
+                 lgK: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+        it.foreach { case (k, id) =>
+          sks.getOrElseUpdate(k,
+            UpdateSketch.builder().setLogNominalEntries(lgK).build()).update(id)
+        }
+        sks.iterator.map { case (k, sk) => (k, sk.compact().toByteArray) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        rows.foreach(r => u.union(Sketches.wrapSketch(Memory.wrap(r._2))))
+        (key, u.getResult.toByteArray)
+      }
+      .toDF("key", "sketch")
+  }
 }
