@@ -78,6 +78,27 @@ object Windows {
       }
       .start()
 
+  /** Streaming POSTING-INDEX maintenance — the retrieval twin of the
+    * dedup/sketch ingest loops: each micro-batch of documents appends
+    * its postings/term-df/stats partitions to the persisted BM25 index
+    * ([[graft.operators.Retrieval.appendToPostingIndex]] — batch-keyed
+    * idempotent, df and corpus stats fold additively, so a redelivered
+    * batch replaces itself and never double-counts avgdl). Queries
+    * served from the index ([[graft.operators.Retrieval.bm25TopKIndexed]])
+    * see every ingested document as of the last drained batch —
+    * append ≡ rebuild is pinned in RetrievalSpec, the streaming loop
+    * itself in StreamingSpec. */
+  def streamingPostingIndex(stream: DataFrame, idCol: String, textCol: String,
+                            indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Retrieval.appendToPostingIndex(
+            batch, idCol, textCol, indexPath, batchId)
+      }
+      .start()
+
   /** Streaming signature dedup — the pipeline dedup operator AT INGEST:
     * each document gets its normalized-content hash and its SimHash
     * fingerprint (both pure scalar expressions, so they evaluate inside

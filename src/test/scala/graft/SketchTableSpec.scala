@@ -75,6 +75,39 @@ class SketchTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming posting-index maintenance: served queries equal a fresh build over the drained stream") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "apple banana zebra"), (2L, "apple plain text"),
+      (3L, "apple apple banana"), (4L, "unrelated words here"))
+    val idx = TempDirs.path("posting-stream/idx")
+    // build must exist before appends (params + commit marker)
+    Retrieval.buildPostingIndex(
+      docs.take(1).toDF("doc_id", "text"), "doc_id", "text", idx, nBuckets = 4)
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.Windows.streamingPostingIndex(
+      in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", idx)
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      in.addData(docs.slice(1, 3).map(d => (t("2024-01-01 10:00:00"), d._1, d._2)): _*)
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 11:00:00"), docs(3)._1, docs(3)._2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fresh = TempDirs.path("posting-stream/fresh")
+    Retrieval.buildPostingIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      fresh, nBuckets = 4)
+    val a = Retrieval.bm25TopKIndexed(spark, idx, "doc_id", Seq("apple", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Retrieval.bm25TopKIndexed(spark, fresh, "doc_id", Seq("apple", "banana"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    a.map(_._1).toSeq shouldBe b.map(_._1).toSeq
+    a.zip(b).foreach { case ((_, x), (_, y)) => x shouldBe y +- 1e-12 }
+  }
+
   test("build batch id is reserved: appends must not collide with -1") {
     val path = TempDirs.path("sketch-spec/reserved")
     an[IllegalArgumentException] should be thrownBy
