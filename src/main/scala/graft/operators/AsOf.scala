@@ -143,7 +143,11 @@ object AsOf {
             .map(r => (us(r.ts), r.tie, r.value))).sorted
           val lefts = (st0.lefts ++ fresh.filter(_.side == 1)
             .map(r => (us(r.ts), r.tie))).sorted
-          val (ripe, pending) = lefts.partition(_._1 <= wmUs)
+          // STRICTLY below the watermark: a left AT the watermark must
+          // stay pending, because an equal-ts right is still admissible
+          // input (the fresh filter above keeps ts >= wm) and could win
+          // the tie — emitting now would break batch parity
+          val (ripe, pending) = lefts.partition(_._1 < wmUs)
           val out = ripe.map { case (lts, lid) =>
             val m = rights.filter(_._1 <= lts).lastOption
             AsofOut(key, tsOf(lts), lid, m.map(r => tsOf(r._1)), m.map(_._3))

@@ -70,10 +70,14 @@ object Chunking {
     * count stays under `budget`. The boundary rule is pure arithmetic
     * (re-derivable, so another engine can oracle every row):
     * `chunk_id = ⌊tokens_before_this_paragraph / budget⌋` over the
-    * doc's (whitespace-cleaned) paragraph sequence. That means a chunk
-    * can exceed `budget` only when a SINGLE paragraph does (it is kept
-    * whole — truncating mid-paragraph is [[chunkByTokens]]'s job);
-    * empty / whitespace-only paragraphs vanish; paragraph text
+    * doc's (whitespace-cleaned) paragraph sequence. A chunk closes
+    * only when the running total CROSSES a budget multiple, so a
+    * chunk's token count can overshoot `budget` by up to its final
+    * paragraph's tokens minus one (e.g. paragraphs of 4+5 at budget 8
+    * make one 9-token chunk — pinned in ChunkingSpec); a single
+    * paragraph larger than the whole budget forms its own chunk, kept
+    * whole (truncating mid-paragraph is [[chunkByTokens]]'s job).
+    * Empty / whitespace-only paragraphs vanish; paragraph text
     * normalizes to single-space tokens re-joined (same
     * budget-not-bytes contract as [[chunkByTokens]]).
     *

@@ -77,14 +77,20 @@ object FreqItems {
   def heavyHitters(df: DataFrame, termCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val terms = df.select(col(termCol).cast("string")).as[String]
+    // NULL terms fold to "" in BOTH passes — the sketch's reduce does
+    // it per item, and pass 2 must mirror it or `isin("")` silently
+    // misses every NULL row and the guarantee breaks for null-heavy
+    // columns (a NULL group above n/(k+1) would vanish)
+    val termN = coalesce(col(termCol).cast("string"), lit(""))
+    val terms = df.select(termN.as(termCol)).as[String]
     val (n, summary) = terms.select(new MisraGries(k).toColumn).head()
     val threshold = n / (k + 1) // guarantee bound: count > threshold ⇒ in summary
     val candidates = summary.keys.toSeq
     if (candidates.isEmpty) {
       spark.emptyDataset[(String, Long)].toDF(termCol, "n")
     } else
-      df.filter(col(termCol).isin(candidates: _*))
+      df.select(termN.as(termCol))
+        .filter(col(termCol).isin(candidates: _*))
         .groupBy(col(termCol)).agg(count(lit(1)).as("n"))
         .filter(col("n") > threshold)
   }

@@ -51,11 +51,15 @@ object QuantileSketch {
     udaf(new KllAgg(k)).apply(valCol)
 
   /** Rank-`q` estimate off serialized sketch bytes (driver or
-    * executor side; null-safe). INCLUSIVE rank semantics — matches
-    * DuckDB/Spark `percentile`'s step behavior on discrete data
-    * closely enough for the tolerance gates used in the queries. */
+    * executor side). Null or empty bytes — a left-join miss, or a key
+    * whose stored rows were all empty buffers — yield NaN rather than
+    * an NPE/parse error, so a sparse sketch table stays queryable.
+    * INCLUSIVE rank semantics — matches DuckDB/Spark `percentile`'s
+    * step behavior on discrete data closely enough for the tolerance
+    * gates used in the queries. */
   def estimateQuantile(bytes: Array[Byte], q: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantile(q)
+    if (bytes == null || bytes.isEmpty) Double.NaN
+    else KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantile(q)
 
   private val quantileUdf =
     udf((b: Array[Byte], q: Double) => estimateQuantile(b, q))

@@ -91,6 +91,9 @@ object ZOrder {
           col("b_max") >= bLo && col("b_min") <= bHi, 1L).otherwise(0L))
           .as("hit"))
       .head()
-    env.getLong(1).toDouble / env.getLong(0).toDouble
+    val total = env.getLong(0)
+    // empty layout: zero files, `sum` is NULL — a scan of nothing
+    // touches nothing, not NaN/NPE
+    if (total == 0L) 0.0 else env.getLong(1).toDouble / total.toDouble
   }
 }

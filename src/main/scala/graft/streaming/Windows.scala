@@ -67,16 +67,27 @@ object Windows {
     * the sketch table at ANY time, without a watermark horizon limiting
     * history and without ever re-scanning the stream's past — the
     * streaming twin of the a13 lifecycle, parity-pinned in
-    * StreamingSpec. */
+    * StreamingSpec.
+    *
+    * `checkpoint` is REQUIRED for the redelivery contract across
+    * RESTARTS: without a durable checkpoint a restarted query numbers
+    * its micro-batches from 0 again, and the per-batch overwrite would
+    * replace the old batch-0 partition with different data — silent
+    * history loss. None (tests, exploratory runs) is only safe for a
+    * single query lifetime. */
   def streamingSketchTable(stream: DataFrame, keyCol: String, valCol: String,
-                           path: String)
+                           path: String, checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    withCheckpoint(stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.SketchTable.appendBatch(batch, keyCol, valCol, path, batchId)
-      }
+      }, checkpoint)
       .start()
+
+  private def withCheckpoint(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+                             checkpoint: Option[String]) =
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
 
   /** Streaming POSTING-INDEX maintenance — the retrieval twin of the
     * dedup/sketch ingest loops: each micro-batch of documents appends
@@ -87,16 +98,18 @@ object Windows {
     * served from the index ([[graft.operators.Retrieval.bm25TopKIndexed]])
     * see every ingested document as of the last drained batch —
     * append ≡ rebuild is pinned in RetrievalSpec, the streaming loop
-    * itself in StreamingSpec. */
+    * itself in StreamingSpec. Same `checkpoint` contract as
+    * [[streamingSketchTable]]: REQUIRED across restarts, or batch ids
+    * restart at 0 and overwrite earlier history. */
   def streamingPostingIndex(stream: DataFrame, idCol: String, textCol: String,
-                            indexPath: String)
+                            indexPath: String, checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    withCheckpoint(stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Retrieval.appendToPostingIndex(
             batch, idCol, textCol, indexPath, batchId)
-      }
+      }, checkpoint)
       .start()
 
   /** Streaming signature dedup — the pipeline dedup operator AT INGEST:

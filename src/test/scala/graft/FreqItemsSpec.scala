@@ -37,14 +37,14 @@ class FreqItemsSpec extends SparkSpec {
       .filter(col("term") === "edge").count() shouldBe 0L
   }
 
-  test("null terms fold to the empty string instead of poisoning the sketch") {
+  test("RAW null terms fold to the empty string in both passes") {
+    // n=100, k=1 → threshold 50: the null-group is the one true heavy
+    // hitter, and the operator must find it WITHOUT the caller
+    // pre-coalescing — pass 2 mirrors the sketch's null→"" fold (a
+    // bare isin("") would miss every NULL row and drop the answer)
     val df = (Seq.fill(60)(null.asInstanceOf[String]) ++ Seq.fill(40)("x"))
       .toDF("term")
-    // n=100, k=1 → threshold 50: only the null-group qualifies; the
-    // exact recount sees the ORIGINAL nulls via isin("") miss — so the
-    // operator must surface the empty-string candidate consistently
-    val got = FreqItems.heavyHitters(
-      df.select(coalesce(col("term"), lit("")).as("term")), "term", k = 1)
+    val got = FreqItems.heavyHitters(df, "term", k = 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     got shouldBe Map("" -> 60L)
   }

@@ -43,6 +43,11 @@ class QuantileSketchSpec extends SparkSpec {
     QuantileSketch.estimateQuantile(sk, 0.5) shouldBe 25.0
   }
 
+  test("null and empty sketch bytes estimate NaN, not a crash") {
+    QuantileSketch.estimateQuantile(null, 0.5).isNaN shouldBe true
+    QuantileSketch.estimateQuantile(Array.emptyByteArray, 0.5).isNaN shouldBe true
+  }
+
   test("estimates stay within the rank-error bound well past capacity") {
     // 10k values 1..100 uniform: k=200 KLL ⇒ ~1.7% rank error ⇒ ±~2
     val df = (0 until 10000).map(i => ("k", (i % 100 + 1).toDouble)).toDF("key", "v")

@@ -131,11 +131,13 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val input = MemoryStream[(Timestamp, String)]
-    val sessions = graft.streaming.Windows.session(
-        input.toDF().toDF("ts", "user").withWatermark("ts", "10 minutes"),
-        col("ts"), "30 minutes", col("user"), Seq(count(lit(1)).as("n")))
+    // through the library helper (watermarked, Append-safe) — this is
+    // streamingSessionCounts' coverage, not just session_window's
+    val sessions = graft.streaming.Windows.streamingSessionCounts(
+        input.toDF().toDF("ts", "user"), "ts", gap = "30 minutes",
+        late = "10 minutes", col("user"))
       .select(col("session_window.start").as("ss"),
-        col("session_window.end").as("se"), col("user"), col("n"))
+        col("session_window.end").as("se"), col("user"), col("cnt").as("n"))
 
     val q = sessions.writeStream
       .format("memory").queryName("st_sessions")

@@ -76,6 +76,11 @@ class ZOrderSpec extends SparkSpec {
     zf should be < 0.7
   }
 
+  test("an empty layout scans nothing (0.0, not NaN/NPE)") {
+    val empty = grid.filter(col("event_id") < 0)
+    ZOrder.boxScanFraction(empty, "lat", "lon", 46.0, 49.0, -119.0, -118.6) shouldBe 0.0
+  }
+
   test("a 2-D box scans no more of the Z layout than of the linear layout") {
     val zf = ZOrder.boxScanFraction(spark.read.parquet(zPath), "lat", "lon",
       46.5, 46.8, -119.0, -118.6)
