@@ -186,6 +186,25 @@ object Sampling {
     * literal and agrees on every boundary row. */
   def fractionCutoff(f: Double): Long = (f * Mod.toDouble).toLong
 
+  /** EXACT-size stratified sampling: the k smallest [[idHash]] values
+    * per stratum — the "exactly k docs per language" recipe, where
+    * [[stratifiedSample]]'s rate gate gives only expected sizes. Same
+    * determinism story (re-runs/retries identical; re-derivable via
+    * [[idHashSql]] + per-stratum rank), NESTED in k (the k=10 sample
+    * is a prefix of the k=20 sample under the same seed, because both
+    * are prefixes of the same hash order), and scalable through the
+    * bounded [[GroupTopK]] buffer: at most k rows per stratum ×
+    * partition shuffle — never a per-stratum global sort. Strata with
+    * fewer than k rows return whole. Output: (stratumCol, idCol). */
+  def exactStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                            k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    GroupTopK.topKPerGroup(
+        df.withColumn("_negh", -idHash(col(idCol), seed)),
+        stratumCol, idCol, "_negh", k)
+      .select(col(stratumCol), col(idCol))
+  }
+
   /** Weighted sampling WITHOUT replacement as one top-k pass
     * (Efraimidis–Spirakis A-Res): key(row) = u^(1/w) with
     * u = (hash+1)/2^32 ∈ (0,1], take the k largest keys. Inclusion

@@ -953,6 +953,20 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("samp_key"), 6).as("samp_key"))
     }),
 
+    // SP6 — EXACT-size stratified sampling: exactly 40 docs per
+    // language (whole stratum when smaller), as the k smallest id
+    // hashes per stratum — sp4's rate gate gives expected sizes, this
+    // gives exact ones. Runs through the bounded GroupTopK buffer (k
+    // rows per stratum × partition shuffle, no per-stratum global
+    // sort); the oracle re-derives the same prefix with a rank window
+    // over the identical hash formula.
+    "sp6_exact_stratified" -> ((s, dir) => {
+      Sampling.exactStratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", k = 40, seed = 17)
+        .orderBy("lang", "doc_id")
+    }),
+
     // CH2 — structure-aware chunking on the planted multi-paragraph
     // fixture: paragraphs are atomic (never split), packed while the
     // running token count stays under budget 8 — the boundary rule is
@@ -1680,6 +1694,14 @@ object PipelineQueries {
                 CAST(least(32, n - start) AS BIGINT) AS n_tokens,
                 array_to_string(ts[start + 1 : start + 32], ' ') AS chunk
          FROM st ORDER BY doc_id, chunk_id""",
+    "sp6_exact_stratified" ->
+      s"""SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           FROM (SELECT lang, doc_id,
+                        ${Sampling.idHashSql("doc_id", 17)} AS h
+                 FROM documents))
+         WHERE rn <= 40 ORDER BY lang, doc_id""",
     "ch2_paragraph_chunks" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT),

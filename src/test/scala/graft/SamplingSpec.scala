@@ -127,6 +127,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("exactStratifiedSample: exact sizes, whole small strata, nested in k") {
+    val rows = ((0L until 500L).map((_, "big")) ++ (900L until 910L).map((_, "tiny")))
+      .toDF("id", "g")
+    val s20 = Sampling.exactStratifiedSample(rows, "id", "g", k = 20, seed = 5)
+    val byG = s20.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byG shouldBe Map("big" -> 20L, "tiny" -> 10L) // tiny stratum returns whole
+    // nested: the k=10 sample is a strict subset of the k=20 sample
+    val s10 = Sampling.exactStratifiedSample(rows, "id", "g", k = 10, seed = 5)
+    s10.except(s20).count() shouldBe 0L
+    // deterministic replay under a different partitioning
+    val replay = Sampling.exactStratifiedSample(rows.repartition(11), "id", "g", 20, 5)
+    replay.except(s20).count() shouldBe 0L
+    s20.except(replay).count() shouldBe 0L
+  }
+
   test("idHash: pinned reference values (cross-engine formula contract)") {
     // hand-computed from the published formula (mixSeed + two
     // multiply/xor-shift rounds); any drift here silently invalidates
