@@ -153,12 +153,24 @@ object AsOf {
             AsofOut(key, tsOf(lts), lid, m.map(r => tsOf(r._1)), m.map(_._3))
           }
           val (settled, live) = rights.partition(_._1 <= wmUs)
-          state.update(AsofBufState(settled.takeRight(1) ++ live, pending))
-          // wake this key when the watermark passes its oldest pending
-          // left (ms resolution; +1 keeps the ts strictly ahead of the
-          // current watermark as the API requires)
-          pending.headOption.foreach(p =>
-            state.setTimeoutTimestamp(p._1 / 1000L + 1L))
+          val keptRights = settled.takeRight(1) ++ live
+          if (keptRights.isEmpty && pending.isEmpty) {
+            // nothing buffered and no baseline — a key fed only
+            // dropped-late rows (or timed out before anything settled)
+            // holds no information; drop its state slot entirely
+            state.remove()
+          } else {
+            state.update(AsofBufState(keptRights, pending))
+            // wake this key when the watermark passes its oldest pending
+            // left, or — when no lefts are pending — its oldest LIVE
+            // right, so a key that goes quiet still gets one more
+            // invocation to collapse its in-horizon rights down to the
+            // single settled baseline instead of retaining them forever
+            // (ms resolution; +1 keeps the ts strictly ahead of the
+            // current watermark as the API requires)
+            pending.headOption.map(_._1).orElse(live.headOption.map(_._1))
+              .foreach(us => state.setTimeoutTimestamp(us / 1000L + 1L))
+          }
           out.iterator
       }
   }

@@ -73,7 +73,13 @@ object FreqItems {
 
   /** All items of `termCol` with exact count > n/(k+1), as
     * (term, n) — computed via sketch-candidates + exact recount, never
-    * a full-vocabulary shuffle. Deterministic for any partitioning. */
+    * a full-vocabulary shuffle. The projected term column is persisted
+    * across the two passes, so BOTH see one materialization of the
+    * input: a non-deterministic `df` (rand()-derived, or a source that
+    * mutates between actions) can't make the pass-2 recount disagree
+    * with the pass-1 candidate guarantee and silently drop a true
+    * heavy hitter. The result (≤ k rows by the MG bound) returns as a
+    * local relation so the cache can be released eagerly. */
   def heavyHitters(df: DataFrame, termCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -82,16 +88,24 @@ object FreqItems {
     // misses every NULL row and the guarantee breaks for null-heavy
     // columns (a NULL group above n/(k+1) would vanish)
     val termN = coalesce(col(termCol).cast("string"), lit(""))
-    val terms = df.select(termN.as(termCol)).as[String]
-    val (n, summary) = terms.select(new MisraGries(k).toColumn).head()
-    val threshold = n / (k + 1) // guarantee bound: count > threshold ⇒ in summary
-    val candidates = summary.keys.toSeq
-    if (candidates.isEmpty) {
-      spark.emptyDataset[(String, Long)].toDF(termCol, "n")
-    } else
-      df.select(termN.as(termCol))
-        .filter(col(termCol).isin(candidates: _*))
-        .groupBy(col(termCol)).agg(count(lit(1)).as("n"))
-        .filter(col("n") > threshold)
+    val terms = df.select(termN.as(termCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, summary) = terms.as[String].select(new MisraGries(k).toColumn).head()
+      val threshold = n / (k + 1) // guarantee bound: count > threshold ⇒ in summary
+      val candidates = summary.keys.toSeq
+      if (candidates.isEmpty) {
+        spark.emptyDataset[(String, Long)].toDF(termCol, "n")
+      } else {
+        // ≤ k survivor rows — bounded driver materialization, same
+        // class as the ≤ k-entry summary map pass 1 already collected
+        val hits = terms
+          .filter(col(termCol).isin(candidates: _*))
+          .groupBy(col(termCol)).agg(count(lit(1)).as("n"))
+          .filter(col("n") > threshold)
+          .as[(String, Long)].collect().toSeq
+        hits.toDF(termCol, "n")
+      }
+    } finally terms.unpersist(blocking = false)
   }
 }

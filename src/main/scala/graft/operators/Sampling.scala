@@ -199,10 +199,23 @@ object Sampling {
   def exactStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                             k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // Fail at the API boundary, not deep in GroupTopK's casts: the
+    // bounded top-k buffer keys (string stratum, long id), so a string
+    // doc id or a struct stratum would otherwise come back silently
+    // re-typed (or null out at the cast) instead of erroring here.
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"exactStratifiedSample: idCol '$idCol' must be an integral type " +
+        s"(the id round-trips through the long-keyed top-k buffer), got $idType")
+    require(df.schema(stratumCol).dataType == StringType,
+      s"exactStratifiedSample: stratumCol '$stratumCol' must be string " +
+        s"(it round-trips through the string-keyed buffer), got " +
+        df.schema(stratumCol).dataType)
     GroupTopK.topKPerGroup(
         df.withColumn("_negh", -idHash(col(idCol), seed)),
         stratumCol, idCol, "_negh", k)
-      .select(col(stratumCol), col(idCol))
+      .select(col(stratumCol), col(idCol).cast(idType))
   }
 
   /** Weighted sampling WITHOUT replacement as one top-k pass

@@ -23,35 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object ThetaSketch {
 
-  /** Theta update-sketch over long ids, emitted as compact bytes. */
+  /** Theta update-sketch over long ids, emitted as compact bytes.
+    *
+    * The buffer is the sketch's own UPDATABLE serialization, so
+    * `reduce` is one heapify + one update + one serialize — the same
+    * O(1)-sketch-ops-per-row shape as [[QuantileSketch.KllAgg]], with
+    * no per-row Union/compact round trip (the earlier form rebuilt and
+    * unioned a fresh sketch per row, which at scale would quietly cost
+    * ~10× — [[sketchRows]] remains the mapPartitions hot path; this is
+    * the composable-in-any-agg form). `merge` unions (its output is a
+    * compact image — fine: merge results only meet other merge results
+    * or `finish`, never `reduce`, and [[Sketches.heapifySketch]] reads
+    * both image kinds). `finish` compacts so downstream wrap/estimate
+    * always sees the compact form. */
   final class ThetaAgg(lgK: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
     require(lgK >= 4 && lgK <= 26, s"bad lgK: $lgK")
     override def zero: Array[Byte] = Array.emptyByteArray
     override def reduce(b: Array[Byte], id: Long): Array[Byte] = {
-      // rebuild-from-compact per row is the simple demonstrative form
-      // (same note as QuantileSketch: a hot path runs one mutable
-      // sketch per partition via mapPartitions, identical outputs)
-      val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
+      val sk =
+        if (b.isEmpty) UpdateSketch.builder().setLogNominalEntries(lgK).build()
+        else UpdateSketch.heapify(Memory.wrap(b))
       sk.update(id)
-      if (b.isEmpty) sk.compact().toByteArray
-      else {
-        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-        u.union(Sketches.wrapSketch(Memory.wrap(b)))
-        u.union(sk.compact())
-        u.getResult.toByteArray
-      }
+      sk.toByteArray
     }
     override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
       if (b1.isEmpty) b2
       else if (b2.isEmpty) b1
       else {
         val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-        u.union(Sketches.wrapSketch(Memory.wrap(b1)))
-        u.union(Sketches.wrapSketch(Memory.wrap(b2)))
+        u.union(Sketches.heapifySketch(Memory.wrap(b1)))
+        u.union(Sketches.heapifySketch(Memory.wrap(b2)))
         u.getResult.toByteArray
       }
     }
-    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def finish(b: Array[Byte]): Array[Byte] =
+      if (b.isEmpty) b
+      else Sketches.heapifySketch(Memory.wrap(b)).compact().toByteArray
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
