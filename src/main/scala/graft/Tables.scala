@@ -25,8 +25,7 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Normalize `ts` to session-zoned TimestampType regardless of the
@@ -48,9 +47,32 @@ object Tables {
   def normalizeTs(df: DataFrame, col0: String = "ts"): DataFrame =
     df.schema(col0).dataType match {
       case LongType =>
-        df.withColumn(col0, timestamp_micros(expr(s"$col0 div 1000")))
+        df.withColumn(col0, timestamp_micros(expr(s"`$col0` div 1000")))
       case _: TimestampNTZType =>
         df.withColumn(col0, to_timestamp_ltz(col(col0)))
       case _ => df
     }
+
+  /** [[normalizeTs]] generalized over the whole schema, applied to
+    * EVERY table read (not just `events` by name): any TIMESTAMP_NTZ
+    * column re-anchors to the (UTC-pinned) session zone, and any
+    * LongType column NAMED like a timestamp (`ts`, `*_ts`, `ts_*` —
+    * the nanosAsLong read makes TIMESTAMP(NANOS) indistinguishable
+    * from a genuine long by Spark type alone, so a name contract is
+    * the only safe trigger; `event_id` must never be "normalized")
+    * converts from nanos. A future testdata round that adds a second
+    * time column (e.g. `orders.order_ts`) flows through the same
+    * chokepoint instead of silently missing it — TablesSpec pins the
+    * multi-column case. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val tsNamed = (n: String) =>
+      n == "ts" || n.endsWith("_ts") || n.startsWith("ts_")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: TimestampNTZType => normalizeTs(d, f.name)
+        case LongType if tsNamed(f.name) => normalizeTs(d, f.name)
+        case _ => d
+      }
+    }
+  }
 }

@@ -79,6 +79,38 @@ class TablesSpec extends SparkSpec {
     ev.schema("props").dataType shouldBe StringType
   }
 
+  test("normalizeTimestamps covers EVERY time-typed column, not just events.ts by name") {
+    // the r10 verdict's generality gap: a second timestamp column (e.g.
+    // a future orders.order_ts) must flow through the same chokepoint.
+    // Mixed encodings in one table: NTZ (by type), nanos-long (by the
+    // ts-name contract), and a genuine long id that must NOT convert.
+    val dir = TempDirs.path("tables-spec/multi")
+    Seq((micros, micros * 1000L, 42L)).toDF("us", "order_ts", "order_id")
+      .select(
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("created_at"),
+        col("order_ts"), col("order_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Tables(spark, dir, "orders")
+    out.schema("created_at").dataType shouldBe TimestampType
+    out.schema("order_ts").dataType shouldBe TimestampType
+    out.schema("order_id").dataType shouldBe LongType // untouched
+    val row = out.select(
+      unix_micros(col("created_at")), unix_micros(col("order_ts")),
+      col("order_id")).head()
+    row.getLong(0) shouldBe micros
+    row.getLong(1) shouldBe micros
+    row.getLong(2) shouldBe 42L
+  }
+
+  test("existing tables keep their non-ts long columns untouched") {
+    // doc_id / event_id / n_chars are LongType and must never trip the
+    // nanos heuristic; l_shipdate and o_orderdate (NTZ in the current
+    // testdata) normalize to session-zoned TimestampType
+    Tables(spark, sf, "lineitem").schema("l_shipdate").dataType shouldBe TimestampType
+    Tables(spark, sf, "orders").schema("o_orderkey").dataType shouldBe LongType
+    Tables(spark, sf, "orders").schema("o_orderdate").dataType shouldBe TimestampType
+  }
+
   test("bare spark.read.parquet does NOT satisfy the contract (why Tables exists)") {
     val dir = TempDirs.path("tables-spec/bare")
     Seq(micros).toDF("us")
