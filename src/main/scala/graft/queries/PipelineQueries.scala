@@ -824,15 +824,28 @@ object PipelineQueries {
     // against batch 0's appends in either modality (20 → doc 12's
     // text, 21 → doc 14's vector) → only 22 lands. The sink parquet IS
     // the query result — (batch, doc_id) straight off the partition
-    // layout. Bench cost (~30 s, reproduces isolated) is micro-batch
-    // ENGINE overhead — two real foreachBatch executions, each ~15
-    // tiny jobs (probes, star-CC rounds, appends), plus the batch-1
-    // compactions — not a data-path scale risk: every constituent is
-    // individually benched at sf scale (sx14/sx15 probes, sx13 star
-    // CC, sx16 compaction).
+    // layout. Bench cost is micro-batch ENGINE overhead, measured
+    // (r11, job-level listener): the two foreachBatch executions fire
+    // 246 Spark jobs total (probes over two modalities, star-CC
+    // rounds, two index appends + sink per batch, the batch-1 triple
+    // compaction), averaging ~45 ms in-job with the remainder
+    // driver-side Catalyst planning between jobs — a scheduler+planner
+    // floor intrinsic to running ~30 constituent operators as real
+    // jobs on a 5-row fixture, not a data-path scale risk: every
+    // constituent is individually benched at sf scale (sx14/sx15
+    // probes, sx13 star CC, sx16 compaction). Knobs measured and
+    // rejected: AQE off → fewer jobs but slower (loses runtime
+    // broadcast conversion); codegen off → no change. The one kept:
+    // shuffle partitions scoped DOWN to the micro-batch volume for the
+    // query's lifetime (restored after) — sizing partitions to batch
+    // size is the knob any streaming pipeline tunes; 32-task shuffles
+    // on 5-row batches were pure scheduler tax (~20% of wall-clock).
     "st5_unified_ingest" -> ((s, _) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
       val textIdx = graft.TempDirs.path("minhash-index/st5")
@@ -867,6 +880,7 @@ object PipelineQueries {
       s.read.parquet(out)
         .select(col("batch_id").cast("long").as("batch"), col("doc_id"))
         .orderBy("batch", "doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }),
 
     // COMPACTION round-trip, embedding twin: the colinear cluster
