@@ -164,6 +164,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-closed sessions: append-mode emissions equal the batch result (st6 twin, unbounded posture)") {
+    // st6 gates the same merging-window engine in COMPLETE mode (its
+    // bounded input never closes the final sessions); this is the
+    // UNBOUNDED posture: withWatermark + Append, where a session row
+    // emits exactly once — when the watermark passes its close — and
+    // the full emitted SET must equal the batch session result over
+    // the same rows. 300 deterministic events, 5 users, arithmetic
+    // gaps 5..54 min (so some gaps >= 30 break sessions), fed in
+    // event-time order across 4 micro-batches; a far-future flush
+    // event closes everything, and only the flush's own still-open
+    // session is exempt from the comparison.
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 5).flatMap { u =>
+      var t = base + u * 60000L
+      (0 until 60).map { j =>
+        t += (5 + (j * 7 + u * 3) % 50) * 60000L
+        (new Timestamp(t), s"u$u")
+      }
+    }.sortBy(_._1.getTime)
+
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = graft.streaming.Windows.streamingSessionCounts(
+        input.toDF().toDF("ts", "user"), "ts", gap = "30 minutes",
+        late = "10 minutes", col("user"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user"), col("cnt"))
+    val q = sessions.writeStream
+      .format("memory").queryName("st_sessions_append")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      events.grouped(75).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val flush = new Timestamp(events.map(_._1.getTime).max + 36000000L)
+      input.addData((flush, "u0"))
+      q.processAllAvailable()
+
+      val emitted = spark.table("st_sessions_append")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getString(2), r.getLong(3))).toSet
+      val batch = graft.streaming.Windows.session(
+          events.toDF("ts", "user"), col("ts"), "30 minutes", col("user"),
+          Seq(count(lit(1)).as("cnt")))
+        .select(col("session_window.start"), col("session_window.end"),
+          col("user"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getString(2), r.getLong(3))).toSet
+      batch.size should be > 20 // the fixture really exercises breaks
+      emitted shouldBe batch // flush's own session never emitted (still open)
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicates within watermark") {
     val session = spark
     import session.implicits._
