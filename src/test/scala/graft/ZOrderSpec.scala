@@ -81,6 +81,46 @@ class ZOrderSpec extends SparkSpec {
     ZOrder.boxScanFraction(empty, "lat", "lon", 46.0, 49.0, -119.0, -118.6) shouldBe 0.0
   }
 
+  test("the READ PATH prunes: scan-node rows track the file-stats envelope (footer pruning engages)") {
+    // the envelope gauges prove the LAYOUT is skippable; this pins the
+    // actual reader: with parquet filter pushdown, row-group stats
+    // pruning must keep the scan node's emitted rows within the rows
+    // living in envelope-intersecting files (each written file is one
+    // row group at this size). If footer pruning stops engaging —
+    // pushdown disabled, stats lost by a writer change, filter no
+    // longer reaching the scan — the scan emits ~all 20k rows and this
+    // fails loudly.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val (aLo, aHi, bLo, bHi) = (46.5, 46.8, -119.0, -118.6)
+    val q = spark.read.parquet(zPath)
+      .filter(col("lat") >= aLo && col("lat") <= aHi &&
+        col("lon") >= bLo && col("lon") <= bHi)
+    q.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan).head
+    // the box predicates must actually reach the parquet reader
+    scan.metadata("PushedFilters") should include("GreaterThanOrEqual(lat")
+    val scannedRows = scan.metrics("numOutputRows").value
+    // envelope-side expectation: rows residing in files whose min/max
+    // stats intersect the box — the most a stats-pruning reader reads
+    val full = spark.read.parquet(zPath)
+    val envRows = full.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        min("lat").as("a0"), max("lat").as("a1"),
+        min("lon").as("b0"), max("lon").as("b1"))
+      .filter(col("a1") >= aLo && col("a0") <= aHi &&
+        col("b1") >= bLo && col("b0") <= bHi)
+      .agg(sum("n")).head().getLong(0)
+    val totalRows = full.count()
+    scannedRows should be <= envRows
+    scannedRows.toDouble should be < totalRows.toDouble / 2
+  }
+
   test("a 2-D box scans no more of the Z layout than of the linear layout") {
     val zf = ZOrder.boxScanFraction(spark.read.parquet(zPath), "lat", "lon",
       46.5, 46.8, -119.0, -118.6)
