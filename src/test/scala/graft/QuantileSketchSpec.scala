@@ -43,6 +43,26 @@ class QuantileSketchSpec extends SparkSpec {
     QuantileSketch.estimateQuantile(sk, 0.5) shouldBe 25.0
   }
 
+  test("SQL surface: graft_kll_quantile reads a persisted sketch table from pure SQL") {
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("key", "v")
+    val path = TempDirs.path("kll-spec/sql")
+    QuantileSketch.sketchRows(df, "key", "v")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("kll_sql_view")
+    val r = spark.sql(
+      """SELECT key, graft_kll_quantile(sketch, 0.5) AS p50,
+        |       graft_kll_quantile(sketch, 0.9) AS p90
+        |FROM kll_sql_view""".stripMargin).head()
+    r.getString(0) shouldBe "k"
+    r.getDouble(1) shouldBe 50.0
+    r.getDouble(2) shouldBe 90.0
+    // non-literal rank must fail at analysis, not mis-evaluate
+    intercept[Exception] {
+      spark.sql("SELECT graft_kll_quantile(sketch, CAST(key AS DOUBLE)) FROM kll_sql_view")
+        .collect()
+    }
+  }
+
   test("null and empty sketch bytes estimate NaN, not a crash") {
     QuantileSketch.estimateQuantile(null, 0.5).isNaN shouldBe true
     QuantileSketch.estimateQuantile(Array.emptyByteArray, 0.5).isNaN shouldBe true

@@ -53,6 +53,26 @@ class ThetaSketchSpec extends SparkSpec {
     ThetaSketch.aNotBEstimate(Array.emptyByteArray, a) shouldBe 0.0
   }
 
+  test("SQL surface: graft_theta_* read a persisted sketch table from pure SQL") {
+    // the shared-sketch-table consumer story: sketches land in parquet,
+    // a pure-SQL session estimates/intersects without touching the
+    // Scala operator surface (GraftExtensions descriptors)
+    val path = TempDirs.path("theta-spec/sql")
+    ThetaSketch.sketchRows(rows, "k", "id").write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("theta_sql_view")
+    val est = spark.sql(
+      "SELECT key, graft_theta_estimate(sketch) AS est FROM theta_sql_view ORDER BY key")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    est shouldBe Map("a" -> 100.0, "b" -> 130.0)
+    val pair = spark.sql(
+      """SELECT graft_theta_intersect(a.sketch, b.sketch) AS both,
+        |       graft_theta_anotb(a.sketch, b.sketch) AS only_a
+        |FROM theta_sql_view a JOIN theta_sql_view b
+        |ON a.key = 'a' AND b.key = 'b'""".stripMargin).head()
+    pair.getDouble(0) shouldBe 50.0
+    pair.getDouble(1) shouldBe 50.0
+  }
+
   test("above capacity the estimate stays within the published error band") {
     // 100k distinct ids vs lgK=12 (4096 retained): ~2.5% rse ⇒ ±4σ bound
     val big = (0L until 100000L).map(("k", _)).toDF("k", "id")
