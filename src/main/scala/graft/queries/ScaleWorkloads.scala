@@ -710,6 +710,33 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_keys"), sum("estimate").as("est_sum"))
     }),
 
+    // Skew-mitigation gauge triple: the SAME planted-skew join (90% of
+    // 24M big-side rows on one hot key; 600k-key small side, too big
+    // to broadcast — broadcast disabled for all three because that is
+    // the gauge's premise: when the small side fits, broadcast IS the
+    // skew fix and salting is pointless, per Skew.saltedJoin scaladoc)
+    // measured under the three postures a 100 TB job can take. The
+    // wall-clock triple in BENCH is the measured number the skew story
+    // was missing: naive pays the hot partition serially, salting
+    // spreads it statically, AQE splits it at runtime.
+    "sx47_skew_join_naive" -> ((s, _) => {
+      val c = skewScopedSession(s, skewJoin = false)
+      val (big, small) = skewSides(c)
+      skewAgg(big.join(small, "key"))
+    }),
+
+    "sx48_skew_join_salted" -> ((s, _) => {
+      val c = skewScopedSession(s, skewJoin = false)
+      val (big, small) = skewSides(c)
+      skewAgg(graft.operators.Skew.saltedJoin(big, small, "key", salts = 32))
+    }),
+
+    "sx49_skew_join_aqe" -> ((s, _) => {
+      val c = skewScopedSession(s, skewJoin = true)
+      val (big, small) = skewSides(c)
+      skewAgg(big.join(small, "key"))
+    }),
+
     // Split-parallel monolith ingest at a bench-visible size: shard the
     // OSM fixture ×200 into one monolithic file once, then parse it
     // byte-range-parallel.
@@ -720,6 +747,43 @@ object ScaleWorkloads {
         .groupBy("type").count().orderBy("type")
     })
   )
+
+  /** Planted-skew join sides for the sx47/48/49 gauge triple,
+    * generated (not read) so the skew is deliberate and identical at
+    * every sf: 24M big-side rows with 90% landing on key 0 (hot
+    * partition ≈ 21.6M rows ≈ 350 MB post-shuffle — past AQE's default
+    * 256 MB skewed-partition threshold, so sx49 measures the runtime
+    * split exactly as a cluster would hit it), and a 600k-key small
+    * side whose size rules broadcast out. */
+  private def skewSides(s: SparkSession): (DataFrame, DataFrame) = {
+    val big = s.range(0, 24L * 1000 * 1000, 1, 32)
+      .select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 600000L).as("key"),
+        (col("id") % 97L).as("payload"))
+    val small = s.range(0, 600000L, 1, 8)
+      .select(col("id").as("key"), (col("id") % 1000L).cast("double").as("weight"))
+    (big, small)
+  }
+
+  /** 97-group rollup after the skewed join; grouping on `payload`
+    * (NOT the join key) so the agg inserts its own exchange and AQE's
+    * skew split stays legal for sx49 (OptimizeSkewedJoin refuses when
+    * the parent requires the join's output partitioning). */
+  private def skewAgg(joined: DataFrame): DataFrame =
+    joined.groupBy(col("payload"))
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("w"))
+
+  /** Session clone scoping the gauge's join strategy: broadcast off
+    * (the premise — see the sx47 comment), AQE skew-join split
+    * on/off as the posture under measurement. Clone, not conf.set:
+    * the bench re-asserts only partitions/AQE between reps, so a
+    * leaked threshold would silently deform every later query. */
+  private def skewScopedSession(s: SparkSession, skewJoin: Boolean): SparkSession = {
+    val c = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(s)
+    c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+    c
+  }
 
   /** A ~2 MB monolithic OSM file built once per JVM from the fixture
     * body (unique ids per clone so dedup-free). */
