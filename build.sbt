@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Default `sbt test` skips the ~20 multi-second lifecycle/streaming
+// tests tagged graft.Slow (see SlowTag.scala) so the edit-test loop
+// stays ~2-3 min; `GRAFT_FULL_TESTS=1 sbt test` runs everything (the
+// CI-style full gate — README "Tests").
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_FULL_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,7 +19,7 @@ class AnnSpec extends SparkSpec {
     Ann.bruteForceTopK(embs, "vec_id", "embedding", query, "qv", 20)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
 
-  test("brute-force top-k: self is the top hit with sim 1.0") {
+  test("brute-force top-k: self is the top hit with sim 1.0", Slow) {
     val top = Ann.bruteForceTopK(embs, "vec_id", "embedding", query, "qv", 5)
       .collect()
     top.head.getLong(0) shouldBe 0L
@@ -148,7 +148,7 @@ class AnnSpec extends SparkSpec {
     exHalf.getMessage should include("no readable params/")
   }
 
-  test("batched top-k: one scan serves many queries, matching the single-query ops") {
+  test("batched top-k: one scan serves many queries, matching the single-query ops", Slow) {
     val qids = Seq(0L, 3L, 7L)
     val q = embs.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -197,7 +197,7 @@ class AnnSpec extends SparkSpec {
     plan should not include "Window"
   }
 
-  test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes") {
+  test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes", Slow) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val all = graft.queries.PlantedFixtures.embs(spark)

@@ -384,7 +384,7 @@ class DedupSpec extends SparkSpec {
     ex.getMessage should include("built with bands=16")
   }
 
-  test("appendToMinhashIndex with a batchId is idempotent: a retried batch changes nothing") {
+  test("appendToMinhashIndex with a batchId is idempotent: a retried batch changes nothing", Slow) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val idx = graft.TempDirs.path("minhash-index/idempotent")
@@ -414,7 +414,7 @@ class DedupSpec extends SparkSpec {
     probeHits() shouldBe hitsBefore
   }
 
-  test("replayed batch does not self-match: re-probing after its own append drops nothing") {
+  test("replayed batch does not self-match: re-probing after its own append drops nothing", Slow) {
     import spark.implicits._
     val idx = graft.TempDirs.path("minhash-index/replay")
     Dedup.buildMinhashIndex(
@@ -433,7 +433,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((99L, 10L))
   }
 
-  test("appendToEmbeddingIndex: appended vectors are probe-visible; batchId retry idempotent") {
+  test("appendToEmbeddingIndex: appended vectors are probe-visible; batchId retry idempotent", Slow) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val all = graft.queries.PlantedFixtures.embs(spark)
@@ -462,7 +462,7 @@ class DedupSpec extends SparkSpec {
     probe() shouldBe Set((2L, 0L), (2L, 1L))
   }
 
-  test("probe skips buckets grown over the cap by appends and reports them") {
+  test("probe skips buckets grown over the cap by appends and reports them", Slow) {
     import spark.implicits._
     val idx = graft.TempDirs.path("minhash-index/grown-bucket")
     // build with a TINY cap (2); corpus = one unrelated seed doc
@@ -530,7 +530,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet shouldBe Set(1L, 2L)
   }
 
-  test("compactMinhashIndex: build + appends + compact ≡ one fresh build") {
+  test("compactMinhashIndex: build + appends + compact ≡ one fresh build", Slow) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val all = graft.queries.PlantedFixtures.docs(spark)
@@ -571,7 +571,7 @@ class DedupSpec extends SparkSpec {
     buckets(grown) shouldBe buckets(fresh)
   }
 
-  test("compactEmbeddingIndex: build + appends + compact ≡ one fresh build") {
+  test("compactEmbeddingIndex: build + appends + compact ≡ one fresh build", Slow) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val all = graft.queries.PlantedFixtures.embs(spark)

@@ -64,7 +64,7 @@ class RetrievalSpec extends SparkSpec {
     served.zip(direct).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-12 }
   }
 
-  test("posting-index append folds df and corpus stats exactly: append ≡ rebuild on the union") {
+  test("posting-index append folds df and corpus stats exactly: append ≡ rebuild on the union", Slow) {
     import spark.implicits._
     val batchA = fixture.filter($"doc_id" <= 2)
     val batchB = fixture.filter($"doc_id" > 2)

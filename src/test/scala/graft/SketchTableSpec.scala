@@ -75,7 +75,7 @@ class SketchTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming posting-index maintenance: served queries equal a fresh build over the drained stream") {
+  test("streaming posting-index maintenance: served queries equal a fresh build over the drained stream", Slow) {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Retrieval

@@ -16,7 +16,7 @@ class SpanDedupSpec extends SparkSpec {
     (3L, "one two three four five six seven"))
     .toDF("doc_id", "text")
 
-  test("span removal is idempotent: a cleaned corpus has no duplicated windows") {
+  test("span removal is idempotent: a cleaned corpus has no duplicated windows", Slow) {
     val once = SpanDedup.spanDedup(fixture, "doc_id", "text", n = 5)
       .select(col("doc_id"), col("text"))
     val twice = SpanDedup.spanDedup(once, "doc_id", "text", n = 5)

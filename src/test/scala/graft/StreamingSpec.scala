@@ -359,7 +359,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming corpus dedup: micro-batches probe and grow the persisted index") {
+  test("streaming corpus dedup: micro-batches probe and grow the persisted index", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -388,7 +388,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming corpus dedup: two near-dup docs in ONE micro-batch collapse to the min id") {
+  test("streaming corpus dedup: two near-dup docs in ONE micro-batch collapse to the min id", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -419,7 +419,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("ingest-loop stats: per-batch dedup rates and probe-cap skips surface to the operator") {
+  test("ingest-loop stats: per-batch dedup rates and probe-cap skips surface to the operator", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -456,7 +456,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("compactEvery: the ingest loop folds batch partitions in the serial batch slot") {
+  test("compactEvery: the ingest loop folds batch partitions in the serial batch slot", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -495,7 +495,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming corpus dedup: a 64-link in-batch near-dup chain collapses without killing the stream") {
+  test("streaming corpus dedup: a 64-link in-batch near-dup chain collapses without killing the stream", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -529,7 +529,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming corpus dedup follows the index's stored (non-default) knobs") {
+  test("streaming corpus dedup follows the index's stored (non-default) knobs", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -555,7 +555,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("idempotent sink: a redelivered batch replaces its rows, counts unchanged") {
+  test("idempotent sink: a redelivered batch replaces its rows, counts unchanged", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -596,7 +596,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("unified loop: one stream maintains the text, embedding and IVF serving indexes") {
+  test("unified loop: one stream maintains the text, embedding and IVF serving indexes", Slow) {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
