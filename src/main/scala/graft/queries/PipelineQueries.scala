@@ -365,6 +365,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Trainable quality classifier on the labeled planted fixture:
+    // trains logistic regression over hashed-BoW features on the EVEN
+    // ids only, then predicts ALL 24 docs — the oracle pins pred ==
+    // true label, so the 12 odd docs are a genuine held-out
+    // generalization gate (PlantedFixtures.labeledDocs scaladoc).
+    // Labels (not probabilities) are pinned: the gradient sum's
+    // partition order perturbs weights at ULP level, but the separable
+    // fixture's margins dwarf that noise (QualityClassifier scaladoc).
+    // repartition(2): 12 cached training rows don't need 32 tasks per
+    // gradient step; at real scale the labeled sample fills its
+    // partitions and this coalesce is a no-op posture-wise.
+    "qc1_quality_classifier" -> ((s, _) => {
+      import graft.operators.QualityClassifier
+      val all = PlantedFixtures.labeledDocs(s)
+      val model = QualityClassifier.train(
+        all.filter(col("doc_id") % 2 === 0).repartition(2),
+        "text", "label", dim = 128, iters = 40)
+      QualityClassifier.classify(all, "text", model)
+        .select(col("doc_id"), col("pred"))
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -1289,6 +1311,13 @@ object PipelineQueries {
            (2, round((ln(3/8.0) + ln(2/8.0) - 5.0)/3, 4)),
            (3, round(ln(2/8.0), 4))
          ) AS t(doc_id, unigram_logprob) ORDER BY doc_id""",
+    // pred == true label on all 24 docs (ids 1-12 good=1, 13-24
+    // bad=0), including the 12 held-out odd ids — the generalization
+    // contract of the separable fixture
+    "qc1_quality_classifier" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(CASE WHEN doc_id <= 12 THEN 1 ELSE 0 END AS INTEGER) AS pred
+         FROM range(1, 25) AS t(doc_id) ORDER BY doc_id""",
     "vq1_quantize_int8" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(0.015748 AS DOUBLE), CAST(127 AS INTEGER),

@@ -184,6 +184,51 @@ object PlantedFixtures {
       .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
   }
 
+  /** Labeled quality-classifier fixture (qc1): 12 "good" docs (ids
+    * 1-12, label 1 — prose built from a shared scholarly core vocab:
+    * study/analysis/method/results/evidence/…) and 12 "bad" docs (ids
+    * 13-24, label 0 — spam built from buy/cheap/click/free/bonus/
+    * casino/…). The two core vocabularies are disjoint, so the classes
+    * are linearly separable in hashed-BoW space; function words
+    * ("the", "now", "for") deliberately appear in BOTH classes so
+    * training has something to learn to ignore. The declared query
+    * trains on the EVEN ids only and predicts ALL 24 — every odd doc
+    * shares ≥8 core tokens with its class's training half, so the
+    * pinned oracle (pred == true label) is a genuine held-out
+    * generalization gate, not train-set recall. */
+  def labeledDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val good = Seq(
+      "the study shows that the method works well and the analysis explains the results clearly",
+      "careful analysis of the data shows the approach holds up in every measured detail",
+      "the results are consistent with the evidence and the findings are explained clearly",
+      "we measured the method against strong baselines and the study reports the findings in detail",
+      "the approach is simple and the evidence shows it works well on real data",
+      "this section explains the analysis carefully and presents the measured results",
+      "the findings of the study are clear because the method was evaluated carefully",
+      "strong evidence supports the approach and the results hold across the data",
+      "the analysis shows the method scales well and the study explains why",
+      "detailed results and careful evidence make the findings of this study convincing",
+      "the data supports the approach and the measured results are explained in detail",
+      "clear analysis and strong evidence show that the method performs well")
+    val bad = Seq(
+      "buy cheap deals now click here for free bonus money and fast prizes",
+      "win big money fast at the casino click now for your free bonus offer",
+      "limited offer buy now cheap prices free shipping click here to win",
+      "free money guaranteed click here now to claim your casino bonus prize",
+      "cheap cheap deals buy now win money fast free offer click here",
+      "claim your prize now free bonus guaranteed win money at the casino",
+      "click here buy cheap win fast money free bonus limited casino deals",
+      "fast cash now free prize guaranteed cheap offer click to win big",
+      "big casino bonus free money click now buy cheap win guaranteed offer",
+      "now now now click here free money cheap deals win fast bonus",
+      "guaranteed prize offer buy cheap click here fast free casino money",
+      "win free money now cheap bonus click here guaranteed fast deals offer")
+    (good.zipWithIndex.map { case (t, i) => (i + 1L, t, 1) } ++
+      bad.zipWithIndex.map { case (t, i) => (i + 13L, t, 0) })
+      .toDF("doc_id", "text", "label")
+  }
+
   def mediaDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     def text(n: Int): String = ("x" * (n - 1)) + "y"

@@ -710,6 +710,19 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_keys"), sum("estimate").as("est_sum"))
     }),
 
+    // Corpus sweep of the trained quality classifier: training (a
+    // build step — bounded labeled sample, dim+1-double model) is
+    // cached per JVM; the timed work is the data path, one fused
+    // tokenize→hash→dot→sigmoid expression over every sf document,
+    // zero shuffle up to the 3-row rollup.
+    "sx50_quality_score" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      QualityClassifier.classify(Tables(s, dir, "documents"), "text", qcModel(s))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality_prob")), 6).as("mean_prob"),
+          sum(col("pred")).as("n_predicted_good"))
+    }),
+
     // Skew-mitigation gauge triple: the SAME planted-skew join (90% of
     // 24M big-side rows on one hot key; 600k-key small side, too big
     // to broadcast — broadcast disabled for all three because that is
@@ -747,6 +760,16 @@ object ScaleWorkloads {
         .groupBy("type").count().orderBy("type")
     })
   )
+
+  /** Quality-classifier model for sx50, trained once per JVM on the
+    * labeled fixture (training is a build step; the bench times the
+    * corpus-sweep scoring path). */
+  private val qcModels = TrieMap.empty[String, graft.operators.QualityClassifier.Model]
+  private def qcModel(s: SparkSession): graft.operators.QualityClassifier.Model =
+    qcModels.getOrElseUpdate("model",
+      graft.operators.QualityClassifier.train(
+        PlantedFixtures.labeledDocs(s).repartition(2), "text", "label",
+        dim = 128, iters = 40))
 
   /** Planted-skew join sides for the sx47/48/49 gauge triple,
     * generated (not read) so the skew is deliberate and identical at
