@@ -365,6 +365,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Generic small-files compaction (Compaction scaladoc): a planted
+    // fragmented layout — 10 append passes × 1 task over 4 partition
+    // values = EXACTLY 10 files per partition dir — compacts
+    // out-of-place with a generous target, so every dir's target is 1
+    // and lands as exactly 1 file (all rows of a dir share one shuffle
+    // key). The oracle pins the full layout ledger: files before,
+    // target, files after, and the row count surviving per partition.
+    "cp1_compaction" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Compaction
+      val base = graft.TempDirs.path(
+        s"compaction/cp1-${java.util.UUID.randomUUID()}")
+      val df = (0 until 400)
+        .map(i => (i.toLong, s"payload-$i-" + ("x" * 20),
+          ('a' + i % 4).toChar.toString))
+        .toDF("id", "payload", "part")
+      // slice by (id div 4): independent of part = id % 4, so every
+      // append pass writes one file into EVERY partition dir
+      for (i <- 0 until 10)
+        df.filter(expr("(id div 4) % 10") === i).repartition(1)
+          .write.mode("append").partitionBy("part").parquet(s"$base/in")
+      val stats = Compaction.compact(s, s"$base/in", s"$base/out",
+        targetBytes = 1L << 30, partitionCols = Seq("part"))
+      val rows = s.read.parquet(s"$base/out")
+        .groupBy(concat(lit("part="), col("part")).as("partition"))
+        .agg(count(lit(1)).as("n_rows"))
+      stats.select(col("partition"), col("files_before"),
+          col("target_files"), col("files_after"))
+        .join(rows, Seq("partition"))
+        .orderBy("partition")
+    }),
+
     // Trainable quality classifier on the labeled planted fixture:
     // trains logistic regression over hashed-BoW features on the EVEN
     // ids only, then predicts ALL 24 docs — the oracle pins pred ==
@@ -1311,6 +1343,16 @@ object PipelineQueries {
            (2, round((ln(3/8.0) + ln(2/8.0) - 5.0)/3, 4)),
            (3, round(ln(2/8.0), 4))
          ) AS t(doc_id, unigram_logprob) ORDER BY doc_id""",
+    // 10 planted files per dir → target 1 → exactly 1 after, 100 rows
+    // per partition surviving the rewrite
+    "cp1_compaction" ->
+      """SELECT * FROM (VALUES
+           ('part=a', CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+           ('part=b', 10, 1, 1, 100),
+           ('part=c', 10, 1, 1, 100),
+           ('part=d', 10, 1, 1, 100)
+         ) AS t(partition, files_before, target_files, files_after, n_rows)
+         ORDER BY partition""",
     // pred == true label on all 24 docs (ids 1-12 good=1, 13-24
     // bad=0), including the 12 held-out odd ids — the generalization
     // contract of the separable fixture

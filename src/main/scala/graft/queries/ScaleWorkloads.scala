@@ -710,6 +710,23 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_keys"), sum("estimate").as("est_sum"))
     }),
 
+    // Table-generic small-files compaction at sf scale: the staged
+    // fragmented layout (64 files per event_type dir, built once per
+    // JVM) compacts to ~8 MB targets — the timed work is the listing,
+    // the one data shuffle, and the partitioned rewrite, i.e. the
+    // whole maintenance pass a nightly table service runs.
+    "sx51_compaction" -> ((s, dir) => {
+      import graft.operators.Compaction
+      val in = fragmentedEvents(s, dir)
+      val out = graft.TempDirs.path(
+        s"compaction-bench/out/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      Compaction.compact(s, in, out, targetBytes = 8L << 20,
+          partitionCols = Seq("event_type"))
+        .agg(sum("files_before").as("files_before"),
+          sum("files_after").as("files_after"),
+          sum("bytes_before").as("bytes"))
+    }),
+
     // Corpus sweep of the trained quality classifier: training (a
     // build step — bounded labeled sample, dim+1-double model) is
     // cached per JVM; the timed work is the data path, one fused
@@ -760,6 +777,22 @@ object ScaleWorkloads {
         .groupBy("type").count().orderBy("type")
     })
   )
+
+  /** Fragmented copy of the sf events table for the compaction bench
+    * (sx51), staged once per JVM: event_type-partitioned with 64
+    * write passes → 64 small files per partition dir, the many-small-
+    * appends pathology the compactor exists to fix. */
+  private val fragLayouts = TrieMap.empty[String, String]
+  private def fragmentedEvents(s: SparkSession, dir: String): String =
+    fragLayouts.getOrElseUpdate(dir, {
+      val out = graft.TempDirs.path(
+        s"compaction-bench/in/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      Tables(s, dir, "events")
+        .withColumn("_slice", pmod(col("event_id"), lit(64)))
+        .repartition(64, col("_slice")).drop("_slice")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      out
+    })
 
   /** Quality-classifier model for sx50, trained once per JVM on the
     * labeled fixture (training is a build step; the bench times the

@@ -326,6 +326,20 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("qc: classifier scoring is a zero-shuffle scan-project — no exchange, no join") {
+    // the corpus sweep (sx50 shape, minus its final 1-row rollup):
+    // one fused native expression per row, weights in the task closure
+    val model = graft.operators.QualityClassifier.train(
+      graft.queries.PlantedFixtures.labeledDocs(spark).repartition(2),
+      "text", "label", dim = 64, iters = 5)
+    val p = graft.operators.QualityClassifier
+      .classify(Tables(spark, sf, "documents"), "text", model)
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    p should not include "Join"
+    p should include("graft_quality_score")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
