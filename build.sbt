@@ -16,7 +16,8 @@ run / fork := true
 // stays ~2-3 min; `GRAFT_FULL_TESTS=1 sbt test` runs everything (the
 // CI-style full gate — README "Tests").
 Test / testOptions ++= (
-  if (sys.env.contains("GRAFT_FULL_TESTS")) Seq.empty
+  if (sys.env.get("GRAFT_FULL_TESTS").exists(v => v.nonEmpty && v != "0"))
+    Seq.empty
   else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Generic small-files compaction for partitioned parquet datasets —
@@ -81,34 +81,78 @@ object Compaction {
     require(new Path(inPath) != new Path(outPath),
       "out-of-place only: outPath must differ from inPath (see scaladoc)")
     val before = dirStats(spark, inPath)
-    // nFiles per partition dir, keyed the way the data names it
+    if (partitionCols.isEmpty)
+      require(before.forall(_.partition.isEmpty),
+        s"input has partition subdirectories (${before.map(_.partition).mkString(", ")}) " +
+          "— pass partitionCols, or the layout would be silently flattened")
     val targets: Map[String, Int] = before.map { d =>
       d.partition -> math.max(1, math.ceil(d.bytes.toDouble / targetBytes).toInt)
     }.toMap
-    val df = spark.read.parquet(inPath)
+
+    // Session clone scoping two read/write semantics the rewrite needs:
+    // partition values stay STRINGS (inference would read hour=00 as
+    // int 0 and re-write the dir as hour=0 — a silent layout rename
+    // that would also desync the stats ledger), and the caller's
+    // session conf stays untouched.
+    val sess = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(spark)
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val df = sess.read.parquet(inPath)
+
+    // Deterministic content hash for shard assignment. Map-typed
+    // columns (top-level or nested) are unhashable by xxhash64; the
+    // shard only needs determinism, so rows fall back to to_json of
+    // the full struct when any column contains a map.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    def contentHash(cols: Seq[String]): Column = {
+      val hs = df.schema.fields.filter(f => cols.contains(f.name))
+      if (hs.exists(f => containsMap(f.dataType)))
+        xxhash64(to_json(struct(cols.map(col).toIndexedSeq: _*)))
+      else xxhash64(struct(cols.map(col).toIndexedSeq: _*))
+    }
 
     if (partitionCols.isEmpty) {
-      val n = math.max(1, targets.values.headOption.getOrElse(1))
-      df.withColumn("_shard", pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
-          lit(n.toLong)))
+      val n = targets.getOrElse("", 1)
+      df.withColumn("_shard", pmod(contentHash(df.columns.toIndexedSeq), lit(n.toLong)))
         .repartition(n, col("_shard"))
         .drop("_shard")
         .write.mode("overwrite").parquet(outPath)
     } else {
-      // partition dir name exactly as the writer lays it out, so the
-      // listing's keys and the data's keys agree (escaping aside —
-      // values here are simple scalars; exotic values would need
-      // ExternalCatalogUtils escaping). The literal targets map is
-      // partition-count-bounded driver state — the same size class as
-      // the listing itself.
-      val dirExpr = concat_ws("/",
-        partitionCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*)
+      // Per-row partition-dir key from the file the row CAME from —
+      // input_file_name's parent relative to the root — so the keys
+      // here and the listing's keys are the same strings by
+      // construction (re-deriving the dir name from the VALUES would
+      // break on hive-escaped values and null partitions). The
+      // literal targets map is partition-count-bounded driver state,
+      // the same size class as the listing itself; a miss is
+      // structurally impossible, and raise_error makes sure it could
+      // never silently degrade to 1 file if that ever changes.
+      val root = new Path(inPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // scheme spellings differ between makeQualified ("file:/x") and
+      // input_file_name ("file:///x") — anchor on the PATH portion,
+      // which both agree on; a failed locate degrades to a key the
+      // targets map cannot contain, which the raise_error below turns
+      // into a loud failure instead of a silent 1-file collapse
+      val rootPath = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
+      val fileCol = input_file_name()
+      val dirExpr = regexp_replace(
+        fileCol.substr(locate(rootPath, fileCol) + lit(rootPath.length),
+          lit(1 << 20)),
+        "/[^/]*$", "")
       val targetExpr = element_at(
         map(targets.toSeq.sortBy(_._1).flatMap { case (k, v) =>
           Seq(lit(k), lit(v.toLong)) }: _*), dirExpr)
-      val dataCols = df.columns.filterNot(partitionCols.contains)
-      val shard = pmod(xxhash64(struct(dataCols.map(col).toIndexedSeq: _*)),
-        coalesce(targetExpr, lit(1L)))
+      val guarded = when(targetExpr.isNull,
+        raise_error(concat(lit("compaction: unlisted partition dir "), dirExpr)))
+        .otherwise(targetExpr)
+      val dataCols = df.columns.filterNot(partitionCols.contains).toIndexedSeq
+      val shard = pmod(contentHash(dataCols), guarded)
       // EXPLICIT partition count — one task per intended output file.
       // Column-only repartition would let AQE coalesce the shuffle
       // back to advisory-sized partitions (measured: 3 shards → 1

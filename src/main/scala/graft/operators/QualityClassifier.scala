@@ -112,11 +112,24 @@ object QualityClassifier {
     require(iters > 0 && lr > 0 && dim > 0, s"bad (iters=$iters, lr=$lr, dim=$dim)")
     val spark = df.sparkSession
     import spark.implicits._
-    val feats = df
+    val featsDf = df
       .select(col(labelCol).cast("double").as("y"),
         features(col(textCol), dim, seed).as("x"))
-      .as[(Double, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Loud contract check before any gradient math: a null label would
+    // die deep in the tuple encoder with an opaque NPE, and an
+    // out-of-range label (a score column, a multi-class id) would
+    // train a silently garbage model — the worst failure mode for the
+    // thing that filters the corpus. One cheap agg over the cached
+    // sample.
+    val badLabels = featsDf
+      .filter(col("y").isNull || !col("y").isin(0.0, 1.0)).count()
+    if (badLabels > 0) {
+      featsDf.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"labelCol '$labelCol' must be 0/1 and non-null: $badLabels bad rows")
+    }
+    val feats = featsDf.as[(Double, Array[Double])]
     try {
       var bias = 0.0
       val w = new Array[Double](dim)
@@ -134,7 +147,7 @@ object QualityClassifier {
         it += 1
       }
       (Model(bias, w, seed), losses.result())
-    } finally feats.unpersist(blocking = false)
+    } finally featsDf.unpersist(blocking = false)
   }
 
   def train(df: DataFrame, textCol: String, labelCol: String,

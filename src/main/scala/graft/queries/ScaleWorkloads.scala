@@ -711,7 +711,7 @@ object ScaleWorkloads {
     }),
 
     // Table-generic small-files compaction at sf scale: the staged
-    // fragmented layout (64 files per event_type dir, built once per
+    // fragmented layout (~40 files per event_type dir, built once per
     // JVM) compacts to ~8 MB targets — the timed work is the listing,
     // the one data shuffle, and the partitioned rewrite, i.e. the
     // whole maintenance pass a nightly table service runs.
@@ -779,9 +779,11 @@ object ScaleWorkloads {
   )
 
   /** Fragmented copy of the sf events table for the compaction bench
-    * (sx51), staged once per JVM: event_type-partitioned with 64
-    * write passes → 64 small files per partition dir, the many-small-
-    * appends pathology the compactor exists to fix. */
+    * (sx51), staged once per JVM: event_type-partitioned, 64 slice
+    * groups hashed into 64 tasks — hash collisions leave ~40 nonempty
+    * tasks, so each partition dir lands ~40 small files (tens of
+    * files per dir either way: the many-small-appends pathology the
+    * compactor exists to fix). */
   private val fragLayouts = TrieMap.empty[String, String]
   private def fragmentedEvents(s: SparkSession, dir: String): String =
     fragLayouts.getOrElseUpdate(dir, {

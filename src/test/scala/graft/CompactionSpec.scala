@@ -104,6 +104,50 @@ class CompactionSpec extends SparkSpec {
     counts(s"$base/out1") shouldBe counts(s"$base/out2")
   }
 
+  test("zero-padded partition values keep their dir names and their targets") {
+    // hour=00..hour=03: partition type inference would read these as
+    // int 0..3 and re-write hour=0 — a silent layout rename that also
+    // desyncs every stats key. The scoped inference-off clone plus
+    // file-derived dir keys must keep names AND targeting intact.
+    val base = TempDirs.path("compaction-spec/padded")
+    val df = (0 until 200)
+      .map(i => (i.toLong, s"v$i", f"${i % 4}%02d")).toDF("id", "v", "hour")
+    for (i <- 0 until 4)
+      df.filter(expr("(id div 4) % 4") === i).repartition(1)
+        .write.mode("append").partitionBy("hour").parquet(s"$base/in")
+    val stats = Compaction.compact(spark, s"$base/in", s"$base/out",
+      targetBytes = 1L << 30, partitionCols = Seq("hour")).collect()
+    stats.map(_.getString(0)).sorted shouldBe
+      Array("hour=00", "hour=01", "hour=02", "hour=03")
+    stats.map(r => r.getString(0) -> r.getLong(4)).toMap.values.toSet shouldBe Set(1L)
+    Compaction.dirStats(spark, s"$base/out").map(_.partition).sorted shouldBe
+      Seq("hour=00", "hour=01", "hour=02", "hour=03")
+  }
+
+  test("map-typed columns compact via the json hash fallback") {
+    val base = TempDirs.path("compaction-spec/map")
+    val df = (0 until 120)
+      .map(i => (i.toLong, Map("k" -> s"v$i"), ('a' + i % 2).toChar.toString))
+      .toDF("id", "props", "part")
+    for (i <- 0 until 3)
+      df.filter(expr("(id div 2) % 3") === i).repartition(1)
+        .write.mode("append").partitionBy("part").parquet(s"$base/in")
+    val stats = Compaction.compact(spark, s"$base/in", s"$base/out",
+      targetBytes = 1L << 30, partitionCols = Seq("part")).collect()
+    stats.map(r => r.getString(0) -> r.getLong(4)).toMap shouldBe
+      Map("part=a" -> 1L, "part=b" -> 1L)
+    spark.read.parquet(s"$base/out").count() shouldBe 120L
+  }
+
+  test("a partitioned layout without partitionCols is rejected, not flattened") {
+    val base = TempDirs.path("compaction-spec/missing-cols")
+    plantFragmented(base, 2)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$base/in", s"$base/out", 1L << 30)
+    }
+    e.getMessage should include("partition subdirectories")
+  }
+
   test("in-place compaction is rejected loudly") {
     val base = TempDirs.path("compaction-spec/inplace")
     plantFragmented(base)

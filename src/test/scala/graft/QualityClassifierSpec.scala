@@ -85,6 +85,19 @@ class QualityClassifierSpec extends SparkSpec {
     all(got) shouldBe (prior +- 1e-12)
   }
 
+  test("labels outside {0,1} or null are rejected before any gradient math") {
+    val bad = Seq((1L, "some text", 5), (2L, "more text", 0)).toDF("doc_id", "text", "label")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(bad, "text", "label", dim = 16, iters = 1)
+    }
+    e.getMessage should include("must be 0/1")
+    val withNull = Seq((1L, "a", Some(1)), (2L, "b", None))
+      .toDF("doc_id", "text", "label")
+    intercept[IllegalArgumentException] {
+      QualityClassifier.train(withNull, "text", "label", dim = 16, iters = 1)
+    }
+  }
+
   test("token-bucket map is a pure stable function") {
     HashedBow.bucket("study", 128, 42) shouldBe HashedBow.bucket("study", 128, 42)
     HashedBow.featurize("a b a", 16, 42).sum shouldBe (1.0 +- 1e-12)
