@@ -365,6 +365,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-budget source mixing over the REAL sf documents: weights
+    // derive from the source NAME (srcK → class K%4 ∈ {1,2,6,8}) and
+    // the budget from the data (half the corpus's tokens), so the spec
+    // is sf-independent and the oracle re-derives EVERYTHING — token
+    // counts, availability, the capped closed-form rates, and every
+    // kept row via the idHashSql gate. Weights are integers on
+    // purpose: their sum is exact in double regardless of summation
+    // order, so the rate doubles are bit-identical across engines and
+    // the gate can never flip on a ULP. The water-filling variant
+    // (redistribute=true — the form that actually hits the budget) is
+    // exercised in MixingSpec; this query pins the closed-form path.
+    "mx1_token_budget" -> ((s, dir) => {
+      import graft.operators.Mixing
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", T.tokenCount(col("text")).cast("long"))
+      def weightOf(src: String): Double =
+        src.drop(3).toIntOption.map(_ % 4) match {
+          case Some(0) => 1.0
+          case Some(1) => 2.0
+          case Some(2) => 6.0
+          case Some(3) => 8.0
+          case _ => 1.0
+        }
+      val avail = docs.groupBy(col("source"))
+        .agg(sum(col("toks")).cast("long").as("avail"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budget = math.floor(0.5 * avail.values.sum.toDouble).toLong
+      val weights = avail.keys.map(src => src -> weightOf(src)).toMap
+      val plan = Mixing.tokenBudgetSample(docs, "doc_id", "source", "toks",
+        weights, budget, seed = 7L, redistribute = false)
+      plan.sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+        .withColumn("rate_ppm",
+          floor(element_at(typedLit(plan.rates), col("source")) * 1e6).cast("long"))
+        .orderBy("source")
+    }),
+
     // Generic small-files compaction (Compaction scaladoc): a planted
     // fragmented layout — 10 append passes × 1 task over 4 partition
     // values = EXACTLY 10 files per partition dir — compacts
@@ -1343,6 +1380,30 @@ object PipelineQueries {
            (2, round((ln(3/8.0) + ln(2/8.0) - 5.0)/3, 4)),
            (3, round(ln(2/8.0), 4))
          ) AS t(doc_id, unigram_logprob) ORDER BY doc_id""",
+    // full re-derivation: whitespace token counts, per-source
+    // availability + name-derived integer weights, floor(half the
+    // corpus) budget, capped closed-form rates, and the idHash gate —
+    // agreement here means another engine reproduces the exact mixture
+    "mx1_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+               FROM documents),
+          a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail,
+                 CAST(CASE CAST(substr(source, 4) AS INTEGER) % 4
+                      WHEN 0 THEN 1.0 WHEN 1 THEN 2.0
+                      WHEN 2 THEN 6.0 ELSE 8.0 END AS DOUBLE) AS w
+               FROM d GROUP BY source),
+          t AS (SELECT CAST(floor(0.5 * sum(avail)) AS BIGINT) AS budget,
+                       sum(w) AS sumw FROM a),
+          r AS (SELECT source, least(1.0, budget * w / sumw / avail) AS rate
+               FROM a, t),
+          k AS (SELECT d.source, d.toks, r.rate FROM d JOIN r ON d.source = r.source
+               WHERE ${graft.operators.Sampling.idHashSql("doc_id", 7)}
+                     < rate * 4294967296.0)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(toks) AS BIGINT) AS tokens_kept,
+                 CAST(floor(min(rate) * 1e6) AS BIGINT) AS rate_ppm
+          FROM k GROUP BY source ORDER BY source""",
     // 10 planted files per dir → target 1 → exactly 1 after, 100 rows
     // per partition surviving the rewrite
     "cp1_compaction" ->

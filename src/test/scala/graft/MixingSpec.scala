@@ -64,6 +64,57 @@ class MixingSpec extends SparkSpec {
       Map("web" -> 2.5)).count() shouldBe 100L // clamps to 1.0
   }
 
+  test("water-filling rates deliver the budget; capped rates stop at the shortfall") {
+    // avail: a=1000, b=1000, c=100; weights 1/1/2 → desired 250/250/500
+    // c saturates at 100; its unused 400 redistributes 200/200 → final
+    // water-fill 450/450/100 of a 1000 budget (hand-derived)
+    val avail = Map("a" -> 1000L, "b" -> 1000L, "c" -> 100L)
+    val w = Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0)
+    val wf = Mixing.waterFillRates(avail, w, budget = 1000L)
+    wf("c") shouldBe 1.0
+    wf("a") shouldBe 0.45 +- 1e-12
+    wf("b") shouldBe 0.45 +- 1e-12
+    // delivered tokens = budget exactly (in expectation)
+    avail.map { case (s, a) => wf(s) * a }.sum shouldBe 1000.0 +- 1e-9
+    // capped form keeps c's shortfall undelivered: 250+250+100 = 600
+    val cp = Mixing.cappedTokenRates(avail, w, budget = 1000L)
+    cp("c") shouldBe 1.0
+    cp("a") shouldBe 0.25 +- 1e-12
+    avail.map { case (s, a) => cp(s) * a }.sum shouldBe 600.0 +- 1e-9
+    // no saturation (desired c = 160·2/4 = 80 < 100) → forms agree
+    Mixing.waterFillRates(avail, w, 160L) shouldBe
+      Mixing.cappedTokenRates(avail, w, 160L)
+    // budget ≥ total available → everything kept (weighted sources)
+    Mixing.waterFillRates(avail, w, 10000L).values.toSet shouldBe Set(1.0)
+    // weightless source gets nothing under both forms
+    val w2 = Map("a" -> 1.0)
+    Mixing.waterFillRates(avail, w2, 500L)("b") shouldBe 0.0
+    Mixing.cappedTokenRates(avail, w2, 500L)("c") shouldBe 0.0
+  }
+
+  test("token-budget sample: deterministic gate, saturated source kept whole") {
+    import spark.implicits._
+    val docs = ((0L until 200L).map(i => (i, "w " * 10, "big")) ++
+      (200L until 210L).map(i => (i, "w " * 10, "small")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("toks", lit(10L))
+    // budget 1000 tokens, equal weights: small (100 avail) saturates,
+    // water-fill sends the rest to big
+    val plan = Mixing.tokenBudgetSample(docs, "doc_id", "source", "toks",
+      Map("big" -> 1.0, "small" -> 1.0), budget = 1000L, seed = 3L)
+    plan.rates("small") shouldBe 1.0
+    plan.rates("big") shouldBe 0.45 +- 1e-12
+    val kept = plan.sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("small") shouldBe 10L // rate 1.0 keeps every row
+    kept("big") should (be > 50L and be < 130L) // ~90 expected at 0.45
+    // same seed → identical sample; different seed → decides anew
+    val again = Mixing.tokenBudgetSample(docs, "doc_id", "source", "toks",
+      Map("big" -> 1.0, "small" -> 1.0), budget = 1000L, seed = 3L)
+    again.sampled.collect().map(_.getLong(0)).sorted shouldBe
+      plan.sampled.collect().map(_.getLong(0)).sorted
+  }
+
   test("unigram LM: vocab cut is deterministic, OOV penalized, empty doc null") {
     import spark.implicits._
     import graft.operators.UnigramLM
