@@ -21,7 +21,7 @@ class CompactionSpec extends SparkSpec {
         .write.mode("append").partitionBy("part").parquet(s"$base/in")
   }
 
-  test("fragmented partitions collapse to one file each; content multiset identical") {
+  test("fragmented partitions collapse to one file each; content multiset identical", Slow) {
     val base = TempDirs.path("compaction-spec/basic")
     plantFragmented(base)
     Compaction.dirStats(spark, s"$base/in")

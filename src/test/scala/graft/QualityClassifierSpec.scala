@@ -24,14 +24,14 @@ class QualityClassifierSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
     }
 
-  test("trained on the even half, every doc (held-out odds included) classifies correctly") {
+  test("trained on the even half, every doc (held-out odds included) classifies correctly", Slow) {
     val preds = heldOutPreds()
     preds.size shouldBe 24
     for ((id, p) <- preds)
       withClue(s"doc $id: ") { p shouldBe (if (id <= 12) 1 else 0) }
   }
 
-  test("training loss decreases and the trained model separates with real margin") {
+  test("training loss decreases and the trained model separates with real margin", Slow) {
     val train = fixture.filter(col("doc_id") % 2 === 0).repartition(2)
     val (m, losses) = QualityClassifier.trainWithLoss(
       train, "text", "label", dim = 128, iters = 40)
@@ -62,7 +62,7 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
-  test("predicted labels are invariant to input partitioning") {
+  test("predicted labels are invariant to input partitioning", Slow) {
     val a = heldOutPreds()
     val all = fixture.repartition(7)
     val m = QualityClassifier.train(
