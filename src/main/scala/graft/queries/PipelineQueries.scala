@@ -365,6 +365,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Composition of the round's two new prep stages: the TRAINED
+    // quality classifier gates the corpus (only its positive class
+    // survives — the qc1-pinned held-out contract), then the survivors
+    // flow through token-budget mixing. The oracle re-derives the
+    // whole chain from first principles: the 12 surviving docs and
+    // their hand-countable token counts as VALUES, per-source
+    // availability (alpha ids 1-6 = 82 tokens, beta ids 7-12 = 73),
+    // capped rates for a 100-token budget at weights 1:3 (beta
+    // saturates — the cap is exercised; alpha keeps a strict subset
+    // {1,2,5} under seed 13), and every
+    // kept row via the shared idHashSql gate — so the classifier gate,
+    // the allocation arithmetic, AND the sampling gate must all agree
+    // with an independent engine at once.
+    "pl6_classified_mix" -> ((s, _) => {
+      import graft.operators.{Mixing, QualityClassifier}
+      val all = PlantedFixtures.labeledDocs(s)
+      val model = QualityClassifier.train(
+        all.filter(col("doc_id") % 2 === 0).repartition(2),
+        "text", "label", dim = 128, iters = 40)
+      val kept = QualityClassifier.classify(all, "text", model)
+        .filter(col("pred") === 1)
+        .withColumn("source", when(col("doc_id") <= 6, "alpha").otherwise("beta"))
+        .withColumn("toks", T.tokenCount(col("text")).cast("long"))
+      val plan = Mixing.tokenBudgetSample(kept, "doc_id", "source", "toks",
+        Map("alpha" -> 1.0, "beta" -> 3.0), budget = 100L, seed = 13L,
+        redistribute = false)
+      plan.sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+        .withColumn("rate_ppm",
+          floor(element_at(typedLit(plan.rates), col("source")) * 1e6).cast("long"))
+        .orderBy("source")
+    }),
+
     // Token-budget source mixing over the REAL sf documents: weights
     // derive from the source NAME (srcK → class K%4 ∈ {1,2,6,8}) and
     // the budget from the data (half the corpus's tokens), so the spec
@@ -1380,6 +1413,30 @@ object PipelineQueries {
            (2, round((ln(3/8.0) + ln(2/8.0) - 5.0)/3, 4)),
            (3, round(ln(2/8.0), 4))
          ) AS t(doc_id, unigram_logprob) ORDER BY doc_id""",
+    // survivors = the classifier's positive class (ids 1-12, the qc1
+    // contract); token counts hand-countable from the fixture texts;
+    // then the same budget arithmetic + gate as mx1 on literals
+    "pl6_classified_mix" ->
+      s"""WITH d AS (SELECT * FROM (VALUES
+                 (CAST(1 AS BIGINT), CAST(15 AS BIGINT), 'alpha'),
+                 (2, 14, 'alpha'), (3, 13, 'alpha'), (4, 15, 'alpha'),
+                 (5, 14, 'alpha'), (6, 11, 'alpha'),
+                 (7, 13, 'beta'), (8, 12, 'beta'), (9, 12, 'beta'),
+                 (10, 12, 'beta'), (11, 13, 'beta'), (12, 11, 'beta')
+               ) AS v(doc_id, toks, source)),
+          a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail,
+                 CAST(CASE source WHEN 'alpha' THEN 1.0 ELSE 3.0 END AS DOUBLE) AS w
+               FROM d GROUP BY source),
+          t AS (SELECT CAST(100 AS BIGINT) AS budget, sum(w) AS sumw FROM a),
+          r AS (SELECT source, least(1.0, budget * w / sumw / avail) AS rate
+               FROM a, t),
+          k AS (SELECT d.source, d.toks, r.rate FROM d JOIN r ON d.source = r.source
+               WHERE ${graft.operators.Sampling.idHashSql("doc_id", 13)}
+                     < rate * 4294967296.0)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(toks) AS BIGINT) AS tokens_kept,
+                 CAST(floor(min(rate) * 1e6) AS BIGINT) AS rate_ppm
+          FROM k GROUP BY source ORDER BY source""",
     // full re-derivation: whitespace token counts, per-source
     // availability + name-derived integer weights, floor(half the
     // corpus) budget, capped closed-form rates, and the idHash gate —
