@@ -323,6 +323,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trained classifier scores a stream exactly as batch (model in the closure)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.QualityClassifier
+    import graft.queries.PlantedFixtures
+
+    // train once (batch build step), then the SAME fused scoring
+    // expression gates a stream — weights ride the closure like any
+    // literal, no state store, no extra plan nodes
+    val model = QualityClassifier.train(
+      PlantedFixtures.labeledDocs(spark).repartition(2),
+      "text", "label", dim = 64, iters = 20)
+    val docs = PlantedFixtures.labeledDocs(spark)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val scored = QualityClassifier.classify(
+      in.toDF().toDF("doc_id", "text"), "text", model)
+      .select("doc_id", "quality_prob", "pred")
+    val q = scored.writeStream.format("memory").queryName("st_classifier")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(8)); q.processAllAvailable()
+      in.addData(docs.drop(8)); q.processAllAvailable()
+      val stream = spark.table("st_classifier").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+      val batch = QualityClassifier.classify(
+        PlantedFixtures.labeledDocs(spark), "text", model)
+        .select("doc_id", "quality_prob", "pred").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+      stream shouldBe batch // bit-identical probs, not just labels
+    } finally q.stop()
+  }
+
   test("split assignment and NFC cleanup run unchanged at streaming ingest") {
     val session = spark
     import session.implicits._
