@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Retention for the batch-partitioned table family (MinHash /
+  * embedding / IVF / posting indexes, HLL/KLL sketch tables): every
+  * one of them lands ingest batches as `<table>/batch_id=N`
+  * directories, which makes AGE a partition boundary — so a rolling
+  * window ("distinct users over the last 90 days", "dedup against the
+  * last quarter's corpus") is a metadata-only DELETE of old batch
+  * partitions. No rewrite, no re-scan, no tombstones: the readers all
+  * take the union of whatever batch directories exist.
+  *
+  * This is the lifecycle step build/append/compact were missing —
+  * without it a standing index only ever grows. Composition caveat,
+  * documented here because it bites: COMPACTION folds all batches
+  * into the reserved build batch (-1), destroying the age boundaries
+  * retention cuts on. Rolling tables should retain, then compact the
+  * survivors if fragmentation warrants it — not the other way round.
+  */
+object Retention {
+
+  /** Batch ids present under `path` (from `batch_id=N` dir names). */
+  def batchIds(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+      .sorted
+  }
+
+  /** Drop every batch partition with `batch_id < keepFrom` (ids are
+    * ingest order, so this is "forget everything older than").
+    * Returns the dropped ids. The reserved build batch (-1) is
+    * protected by default: it usually holds the base corpus, and
+    * silently dropping it would empty a freshly-built index — pass
+    * `includeBuild = true` for tables that treat the build as just
+    * another aged batch. Idempotent: re-running drops nothing new. */
+  def dropBatchesBefore(spark: SparkSession, path: String, keepFrom: Long,
+                        includeBuild: Boolean = false): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = batchIds(spark, path)
+      .filter(b => b < keepFrom && (includeBuild || b != -1L))
+    doomed.foreach { b =>
+      fs.delete(new Path(root, s"batch_id=$b"), true)
+    }
+    doomed
+  }
+
+  /** [[dropBatchesBefore]] across a MULTI-TABLE index layout
+    * (`<index>/<table>/batch_id=N` — the MinHash/embedding/posting
+    * shape): applies the cut to every immediate subdirectory holding
+    * batch partitions, and to the root itself for flat layouts.
+    * Dropping whole batch partitions keeps every such index
+    * consistent BY CONSTRUCTION: signatures, buckets, payloads, and
+    * additive stats all live batch-partitioned, so a batch vanishes
+    * from all of them atomically-per-table with no read-modify-write.
+    * Returns (table-relative dir → dropped ids). */
+  def dropBatchesBeforeAllTables(spark: SparkSession, path: String,
+                                 keepFrom: Long, includeBuild: Boolean = false)
+      : Map[String, Seq[Long]] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val children = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filterNot(_.getName.startsWith("batch_id="))
+    val targets = ("" -> path) +: children.map(c => c.getName -> c.toString)
+    targets.map { case (name, dir) =>
+      name -> dropBatchesBefore(spark, dir, keepFrom, includeBuild)
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** Keep only the newest `n` batches (build batch counted unless
+    * protected), dropping the rest. The rolling-window form. */
+  def keepLastBatches(spark: SparkSession, path: String, n: Int,
+                      includeBuild: Boolean = false): Seq[Long] = {
+    require(n >= 0, s"negative keep count: $n")
+    val ids = batchIds(spark, path).filterNot(!includeBuild && _ == -1L)
+    val doomed = ids.dropRight(n)
+    doomed.foreach { b =>
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root, s"batch_id=$b"), true)
+    }
+    doomed
+  }
+}

@@ -960,6 +960,32 @@ object RelationalQueries {
     // idempotent append exactly; `within_bound` pins estimate-vs-truth
     // at 10%. History is never re-scanned — estimation reads only the
     // sketch table.
+    // A16 — RETENTION completes the batch-partitioned lifecycle
+    // (build/append/compact/probe/RETIRE): five planted "daily"
+    // batches of overlapping user ranges, then the rolling cut drops
+    // days 0-1 as a metadata-only partition delete. Estimates are
+    // pinned as bounds against the planted exact counts (a13's
+    // pattern): the kept estimate must track the surviving 160 users
+    // AND visibly forget the dropped days — full-history was ~260.
+    "a16_rolling_retention" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.{Retention, SketchTable}
+      val path = graft.TempDirs.path(
+        s"sketch-table/a16-${java.util.UUID.randomUUID()}")
+      def day(k: Int) = (k * 50 until k * 50 + 60)
+        .map(u => ("all", u.toLong)).toDF("key", "user_id")
+      (0 until 5).foreach(k =>
+        SketchTable.appendBatch(day(k), "key", "user_id", path, k.toLong))
+      // materialize BEFORE the cut (the lazy plan would re-list dirs)
+      val full = SketchTable.estimateDistinct(s, path).head().getLong(1)
+      val dropped = Retention.dropBatchesBefore(s, path, keepFrom = 2L)
+      SketchTable.estimateDistinct(s, path)
+        .select(col("key"),
+          lit(dropped.length).as("n_dropped"),
+          (abs(col("estimate") - 160L) <= 16L).as("kept_within_bound"),
+          (lit(full) - col("estimate") >= 60L).as("forgot_dropped_days"))
+    }),
+
     "a13_sketch_table" -> ((s, dir) => {
       import graft.operators.SketchTable
       val ev = t(s, dir, "events")
@@ -1349,6 +1375,11 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
                 true AS replay_stable, true AS within_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // planted rolling window: 2 dropped days, estimate tracks the 160
+    // surviving users and sits ≥60 below the full-history estimate
+    "a16_rolling_retention" ->
+      """SELECT 'all' AS key, CAST(2 AS INTEGER) AS n_dropped,
+                true AS kept_within_bound, true AS forgot_dropped_days""",
     "a14_quantile_sketch_table" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Retention, SketchTable}
+
+/** Retention: age is a partition boundary — dropping old batch dirs
+  * is the whole rolling-window story, build batch protected, and the
+  * multi-table dedup index stays probe-consistent after a cut. */
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling sketch window: dropping old batches forgets exactly their users") {
+    val path = TempDirs.path("retention-spec/sketch")
+    def day(k: Int) = (k * 50 until k * 50 + 60)
+      .map(u => ("all", u.toLong)).toDF("key", "user_id")
+    (0 until 5).foreach(k =>
+      SketchTable.appendBatch(day(k), "key", "user_id", path, k.toLong))
+    Retention.batchIds(spark, path) shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    def est(): Long = SketchTable.estimateDistinct(spark, path)
+      .head().getLong(1)
+    val full = est() // users 0..259 → 260 distinct
+    Retention.dropBatchesBefore(spark, path, keepFrom = 2L) shouldBe Seq(0L, 1L)
+    Retention.batchIds(spark, path) shouldBe Seq(2L, 3L, 4L)
+    val kept = est() // users 100..259 → 160 distinct
+    math.abs(kept - 160L) should be <= 16L
+    math.abs(full - 260L) should be <= 26L
+    (full - kept) should be >= 60L // the dropped days' users are GONE
+    // idempotent: nothing more to drop
+    Retention.dropBatchesBefore(spark, path, keepFrom = 2L) shouldBe Seq.empty
+  }
+
+  test("the build batch (-1) is protected unless explicitly included") {
+    val path = TempDirs.path("retention-spec/build")
+    SketchTable.build((0L until 10L).map(("k", _)).toDF("key", "u"),
+      "key", "u", path)
+    SketchTable.appendBatch((10L until 20L).map(("k", _)).toDF("key", "u"),
+      "key", "u", path, 0L)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 5L) shouldBe Seq(0L)
+    Retention.batchIds(spark, path) shouldBe Seq(-1L)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 5L,
+      includeBuild = true) shouldBe Seq(-1L)
+    Retention.batchIds(spark, path) shouldBe Seq.empty
+  }
+
+  test("keepLastBatches keeps the newest n") {
+    val path = TempDirs.path("retention-spec/keeplast")
+    (0 until 6).foreach(k =>
+      SketchTable.appendBatch(Seq(("k", k.toLong)).toDF("key", "u"),
+        "key", "u", path, k.toLong))
+    Retention.keepLastBatches(spark, path, 2) shouldBe Seq(0L, 1L, 2L, 3L)
+    Retention.batchIds(spark, path) shouldBe Seq(4L, 5L)
+  }
+
+  test("dedup-index window: a dropped batch's docs stop matching probes", Slow) {
+    val idx = TempDirs.path("retention-spec/minhash")
+    val seed = "unrelated seed corpus document with entirely distinct words here"
+    val dup = "the quick brown fox jumps over the lazy dog tonight again and again"
+    Dedup.buildMinhashIndex(Seq(1L -> seed).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    Dedup.appendToMinhashIndex(Seq(10L -> dup).toDF("doc_id", "text"),
+      "doc_id", "text", idx, batchId = Some(0L))
+    Dedup.appendToMinhashIndex(Seq(20L -> dup).toDF("doc_id", "text"),
+      "doc_id", "text", idx, batchId = Some(1L))
+    def probeHits(): Set[Long] =
+      Dedup.minhashNearDupsAgainstIndex(
+          Seq(99L -> dup).toDF("doc_id", "text"), "doc_id", "text", idx)
+        .select("corpus_doc").collect().map(_.getLong(0)).toSet
+    probeHits() shouldBe Set(10L, 20L)
+    // retire batch 0: doc 10 ages out of the dedup window everywhere
+    // (signatures, buckets, payloads) in one metadata cut
+    val dropped = Retention.dropBatchesBeforeAllTables(spark, idx, keepFrom = 1L)
+    dropped.values.flatten.toSet shouldBe Set(0L)
+    probeHits() shouldBe Set(20L)
+    // the build's seed doc is untouched by default
+    Dedup.minhashNearDupsAgainstIndex(
+        Seq(98L -> (seed + " extra")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      .select("corpus_doc").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+}
