@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+import graft.plans.BpeEncodeExpr
+
+/** BPE tokenizer TRAINING — the full merge loop [[Vocab.bpePairCounts]]
+  * computes one step of. The industrial shape (Sennrich et al., and
+  * what HF tokenizers does): the corpus first collapses to a
+  * word-frequency table (one explode + partial-agged groupBy +
+  * TakeOrdered — the only distributed pass, and the corpus text never
+  * shuffles), then the merge loop runs driver-side over that bounded
+  * table. A 100 TB corpus and a 100 MB corpus train over the same
+  * few-hundred-thousand-row word table; corpus scale only changes the
+  * counts. Driver state = the word table (≤ `maxWords` rows) — the
+  * same bounded-model precedent as the IVF centroids and the
+  * classifier weights.
+  *
+  * Semantics (pinned in BpeSpec on the classic low/lower/newest/widest
+  * fixture): pairs count PER ADJACENT POSITION weighted by word
+  * frequency; the merge chosen each round is max count with
+  * lexicographic (left, right) tie-break; application replaces
+  * non-overlapping occurrences left to right. No end-of-word marker —
+  * tokens never span words (words come from the corpus whitespace
+  * convention, lowercased like [[Vocab]]/[[Retrieval]]).
+  *
+  * The APPLY side ([[encode]]) is the data path: one native expression
+  * per row with the merge ranks in the task closure, zero shuffle —
+  * the same fused-scan shape as the classifier's scorer.
+  */
+object Bpe {
+
+  type Merge = (String, String)
+
+  /** Train `nMerges` merges from a corpus: word-count collapse, then
+    * [[trainFromWordCounts]]. */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  maxWords: Int = 100000): Seq[Merge] = {
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    trainFromWordCounts(words, nMerges)
+  }
+
+  /** The merge loop itself — pure, deterministic driver math over the
+    * bounded word-count table. Stops early when no pair remains (every
+    * word fully merged). */
+  def trainFromWordCounts(words: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 0, s"negative nMerges: $nMerges")
+    var syms: Array[(Array[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray
+    val merges = Seq.newBuilder[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[Merge, Long]
+      syms.foreach { case (ss, n) =>
+        var j = 0
+        while (j < ss.length - 1) {
+          val p = (ss(j), ss(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        syms = syms.map { case (ss, n) => (mergeOnce(ss, best), n) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Replace non-overlapping occurrences of `p` left to right. */
+  private[operators] def mergeOnce(ss: Array[String], p: Merge): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < ss.length) {
+      if (j < ss.length - 1 && ss(j) == p._1 && ss(j + 1) == p._2) {
+        out += ss(j) + ss(j + 1); j += 2
+      } else { out += ss(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Greedy encode of one word: repeatedly apply the LOWEST-rank
+    * applicable merge until none applies — the standard BPE inference
+    * rule, which reproduces training's segmentation for any word
+    * whose pairs the training saw. */
+  def encodeWord(word: String, ranks: Map[Merge, Int]): Seq[String] = {
+    var ss: Array[String] = word.map(_.toString).toArray
+    var continue = ss.length > 1
+    while (continue) {
+      var best: Merge = null
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < ss.length - 1) {
+        val r = ranks.getOrElse((ss(j), ss(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (ss(j), ss(j + 1)) }
+        j += 1
+      }
+      if (best == null) continue = false
+      else ss = mergeOnce(ss, best)
+      if (ss.length < 2) continue = false
+    }
+    ss.toSeq
+  }
+
+  /** text → array<string> of BPE tokens (all words, in order) — the
+    * corpus-sweep column form; ranks ride the closure. */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    column(BpeEncodeExpr(expression(coalesce(text, lit(""))), merges))
+}

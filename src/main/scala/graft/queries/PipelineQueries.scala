@@ -29,6 +29,19 @@ object PipelineQueries {
 
   val EmbDim = 64
 
+  /** The Sennrich BPE corpus (bp1/bp2): word counts low×5 lower×2
+    * newest×6 widest×3 — small enough that every merge is
+    * hand-derivable, famous enough that the expected segmentation
+    * ("lowest" → low + est) is textbook-checkable. */
+  private def bpeCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: normalize → sha256 → one agg pass. Oracle-checked.
@@ -362,6 +375,37 @@ object PipelineQueries {
       docs.select(col("doc_id"),
           graft.operators.UnigramLM.score(col("text"), model, oovLogProb = -5.0)
             .as("unigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer training end to end on the classic Sennrich
+    // corpus (low×5 lower×2 newest×6 widest×3): the full merge loop —
+    // corpus collapses to a word-frequency table in one shuffle, the
+    // loop runs driver-side over that bounded table (Bpe scaladoc) —
+    // with every one of the 8 merges hand-derivable. vb3 pinned one
+    // step's pair counts; this pins the whole trainer.
+    "bp1_bpe_train" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.Bpe.trainMerges(bpeCorpus(s), "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "merge_left", "merge_right")
+        .orderBy("rank")
+    }),
+
+    // Apply side: the trained merges re-segment a probe through the
+    // native encode expression — "lowest" → low + est (the classic
+    // result: a word never seen in training decomposes into trained
+    // subwords), unseen vocab stays characters, multi-word rows
+    // flatten in order.
+    "bp2_bpe_encode" -> ((s, _) => {
+      import s.implicits._
+      val merges = graft.operators.Bpe.trainMerges(bpeCorpus(s), "text", 8)
+      Seq((1L, "lowest newest"), (2L, "wider"), (3L, "low lower"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          concat_ws(" ", graft.operators.Bpe.encode(col("text"), merges))
+            .as("toks"))
         .orderBy("doc_id")
     }),
 
@@ -1413,6 +1457,22 @@ object PipelineQueries {
            (2, round((ln(3/8.0) + ln(2/8.0) - 5.0)/3, 4)),
            (3, round(ln(2/8.0), 4))
          ) AS t(doc_id, unigram_logprob) ORDER BY doc_id""",
+    // the 8 hand-derived Sennrich merges, in training order
+    "bp1_bpe_train" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS INTEGER), 'e', 's'), (1, 'es', 't'),
+           (2, 'l', 'o'), (3, 'lo', 'w'),
+           (4, 'e', 'w'), (5, 'ew', 'est'),
+           (6, 'n', 'ewest'), (7, 'd', 'est')
+         ) AS t(rank, merge_left, merge_right) ORDER BY rank""",
+    // textbook segmentations: unseen "lowest" decomposes into trained
+    // subwords, OOV "wider" stays characters
+    "bp2_bpe_encode" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'low est newest'),
+           (2, 'w i d e r'),
+           (3, 'low low e r')
+         ) AS t(doc_id, toks) ORDER BY doc_id""",
     // survivors = the classifier's positive class (ids 1-12, the qc1
     // contract); token counts hand-countable from the fixture texts;
     // then the same budget arithmetic + gate as mx1 on literals

@@ -727,6 +727,30 @@ object ScaleWorkloads {
           sum("bytes_before").as("bytes"))
     }),
 
+    // BPE training at sf scale: the one distributed word-frequency
+    // collapse plus the driver merge loop over the bounded word table
+    // (Bpe scaladoc) — the timed shape is what a real tokenizer train
+    // pays regardless of corpus size.
+    "sx52_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.trainMerges(
+          Tables(s, dir, "documents"), "text", nMerges = 60, maxWords = 20000)
+        .zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "merge_left", "merge_right")
+    }),
+
+    // Tokenize sweep under the trained merges (cached per JVM): one
+    // fused native expression over every sf document, zero shuffle to
+    // the 1-row rollup.
+    "sx53_bpe_encode" -> ((s, dir) => {
+      graft.operators.Bpe.encode(col("text"), bpeMerges(s, dir)) match {
+        case toks =>
+          Tables(s, dir, "documents")
+            .select(size(toks).as("n"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_bpe_tokens"))
+      }
+    }),
+
     // Corpus sweep of the trained quality classifier: training (a
     // build step — bounded labeled sample, dim+1-double model) is
     // cached per JVM; the timed work is the data path, one fused
@@ -795,6 +819,14 @@ object ScaleWorkloads {
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
       out
     })
+
+  /** BPE merges for sx53, trained once per JVM per sfDir (training is
+    * sx52's own timed workload). */
+  private val bpeModels = TrieMap.empty[String, Seq[(String, String)]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeModels.getOrElseUpdate(dir,
+      graft.operators.Bpe.trainMerges(
+        Tables(s, dir, "documents"), "text", nMerges = 60, maxWords = 20000))
 
   /** Quality-classifier model for sx50, trained once per JVM on the
     * labeled fixture (training is a build step; the bench times the

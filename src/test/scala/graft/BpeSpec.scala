@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Vocab}
+
+/** BPE trainer on the classic Sennrich corpus (low×5 lower×2
+  * newest×6 widest×3): the full hand-derived merge sequence, the
+  * distributed collapse agreeing with the pure driver loop, the
+  * single-step cross-pin against Vocab.bpePairCounts, and apply-side
+  * parity between the driver encoder and the native expression. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordCounts = Seq(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  // merges 1..8, each derivable by hand (object scaladoc semantics)
+  private val expected = Seq(
+    ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+    ("e", "w"), ("ew", "est"), ("n", "ewest"), ("d", "est"))
+
+  private def corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+
+  test("the merge loop reproduces the hand-derived Sennrich sequence") {
+    Bpe.trainFromWordCounts(wordCounts, 8) shouldBe expected
+  }
+
+  test("distributed word collapse trains identically, under any partitioning") {
+    Bpe.trainMerges(corpus, "text", 8) shouldBe expected
+    Bpe.trainMerges(corpus.repartition(7), "text", 8) shouldBe expected
+  }
+
+  test("the first merge is exactly Vocab.bpePairCounts' top pair") {
+    val top = Vocab.bpePairCounts(corpus, "doc_id", "text", 1)
+      .head().getString(0)
+    top shouldBe (expected.head._1 + expected.head._2)
+  }
+
+  test("greedy encode: seen words re-segment as trained, unseen stay chars") {
+    val ranks = expected.zipWithIndex.toMap
+    Bpe.encodeWord("lowest", ranks) shouldBe Seq("low", "est") // the classic
+    Bpe.encodeWord("newest", ranks) shouldBe Seq("newest")
+    Bpe.encodeWord("wider", ranks) shouldBe Seq("w", "i", "d", "e", "r")
+    Bpe.encodeWord("x", ranks) shouldBe Seq("x")
+  }
+
+  test("the native encode expression matches the driver encoder word for word") {
+    val ranks = expected.zipWithIndex.toMap
+    val rows = Seq(
+      (1L, "lowest newest"), (2L, "  low\t lower "), (3L, ""), (4L, "LOWEST"))
+      .toDF("doc_id", "text")
+      .union(Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = rows.select(col("doc_id"),
+        Bpe.encode(col("text"), expected).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def ref(t: String): Seq[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => Bpe.encodeWord(w, ranks))
+    got(1L) shouldBe ref("lowest newest")
+    got(2L) shouldBe ref("low lower")
+    got(3L) shouldBe Seq.empty
+    got(4L) shouldBe ref("lowest") // case-folded like the trainer
+    got(5L) shouldBe Seq.empty     // null → empty, the corpus posture
+  }
+
+  test("training stops when every word is fully merged") {
+    Bpe.trainFromWordCounts(Seq("ab" -> 1L), 10) shouldBe Seq(("a", "b"))
+    Bpe.trainFromWordCounts(Seq("a" -> 5L), 10) shouldBe Seq.empty
+    Bpe.trainFromWordCounts(Seq.empty, 3) shouldBe Seq.empty
+  }
+}
