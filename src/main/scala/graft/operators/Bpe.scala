@@ -44,7 +44,16 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("w")).limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    trainFromWordCounts(words, nMerges)
+    // Locale.ROOT re-fold on the driver: Spark's lower() falls back to
+    // default-locale String.toLowerCase for non-ASCII, while the
+    // encode expression lowercases with Locale.ROOT — training
+    // symbols MUST come out of the identical fold or a trained merge
+    // can never fire at encode (the tr-TR 'İ' trap). ASCII corpora are
+    // untouched; colliding folds combine counts.
+    val folded = words
+      .groupMapReduce(_._1.toLowerCase(java.util.Locale.ROOT))(_._2)(_ + _)
+      .toSeq.sortBy { case (w, n) => (-n, w) }
+    trainFromWordCounts(folded, nMerges)
   }
 
   /** The merge loop itself — pure, deterministic driver math over the

@@ -106,10 +106,18 @@ object Mixing {
   def tokenBudgetSample(df: DataFrame, idCol: String, sourceCol: String,
                         tokenCountCol: String, weights: Map[String, Double],
                         budget: Long, seed: Long = 0L,
-                        redistribute: Boolean = true): TokenBudgetPlan = {
-    val avail = df.groupBy(col(sourceCol))
-      .agg(sum(col(tokenCountCol)).cast("long").as("avail"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+                        redistribute: Boolean = true,
+                        precomputedAvail: Option[Map[String, Long]] = None)
+      : TokenBudgetPlan = {
+    // null source / all-null token group rows carry no budget and get
+    // rate 0 at the gate (element_at on a null key is null → coalesce
+    // 0) — filtered here so they can't NPE the collect or put a null
+    // key into the rates map literal
+    val avail = precomputedAvail.getOrElse(
+      df.filter(col(sourceCol).isNotNull && col(tokenCountCol).isNotNull)
+        .groupBy(col(sourceCol))
+        .agg(sum(col(tokenCountCol)).cast("long").as("avail"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     val rates =
       if (redistribute) waterFillRates(avail, weights, budget)
       else cappedTokenRates(avail, weights, budget)

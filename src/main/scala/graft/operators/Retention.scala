@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Retention {
 
-  /** Batch ids present under `path` (from `batch_id=N` dir names). */
+  /** Batch ids present under `path` (from `batch_id=N` dir names).
+    * Non-numeric ids (a `__HIVE_DEFAULT_PARTITION__` from a null
+    * batch_id, foreign dirs) are SKIPPED, not fatal: one unparsable
+    * dir must never abort the nightly retention pass — and skipping
+    * means retention will also never delete a dir it can't order. */
   def batchIds(spark: SparkSession, path: String): Seq[Long] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -29,9 +33,36 @@ object Retention {
     fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch_id=") =>
-        n.stripPrefix("batch_id=").toLong }
+      .collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=") }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
       .sorted
+  }
+
+  /** A flat-layout call on a multi-table root would silently find no
+    * batch dirs and no-op — the caller would believe the window was
+    * applied while the index grows forever. Fail loudly instead. */
+  private def assertFlatLayout(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val children = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+    val hasRootBatches = children.exists(_.getName.startsWith("batch_id="))
+    lazy val subTableBatches = children
+      .filterNot(_.getName.startsWith("batch_id="))
+      .filter(c => fs.listStatus(c).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
+    require(hasRootBatches || subTableBatches.isEmpty,
+      s"$path holds batch partitions under sub-tables " +
+        s"(${subTableBatches.map(_.getName).mkString(", ")}), not at the root " +
+        "— use dropBatchesBeforeAllTables for multi-table index layouts")
+  }
+
+  private def deleteBatches(spark: SparkSession, path: String,
+                            doomed: Seq[Long]): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(b => fs.delete(new Path(root, s"batch_id=$b"), true))
+    doomed
   }
 
   /** Drop every batch partition with `batch_id < keepFrom` (ids are
@@ -40,17 +71,14 @@ object Retention {
     * protected by default: it usually holds the base corpus, and
     * silently dropping it would empty a freshly-built index — pass
     * `includeBuild = true` for tables that treat the build as just
-    * another aged batch. Idempotent: re-running drops nothing new. */
+    * another aged batch. Idempotent: re-running drops nothing new.
+    * FLAT layouts only — refuses a multi-table root (see
+    * [[dropBatchesBeforeAllTables]]). */
   def dropBatchesBefore(spark: SparkSession, path: String, keepFrom: Long,
                         includeBuild: Boolean = false): Seq[Long] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val doomed = batchIds(spark, path)
-      .filter(b => b < keepFrom && (includeBuild || b != -1L))
-    doomed.foreach { b =>
-      fs.delete(new Path(root, s"batch_id=$b"), true)
-    }
-    doomed
+    assertFlatLayout(spark, path)
+    deleteBatches(spark, path, batchIds(spark, path)
+      .filter(b => b < keepFrom && (includeBuild || b != -1L)))
   }
 
   /** [[dropBatchesBefore]] across a MULTI-TABLE index layout
@@ -72,22 +100,21 @@ object Retention {
       .map(_.getPath).filterNot(_.getName.startsWith("batch_id="))
     val targets = ("" -> path) +: children.map(c => c.getName -> c.toString)
     targets.map { case (name, dir) =>
-      name -> dropBatchesBefore(spark, dir, keepFrom, includeBuild)
+      // unguarded delete: the root of a multi-table layout legitimately
+      // holds no batch dirs (assertFlatLayout would refuse it)
+      name -> deleteBatches(spark, dir, batchIds(spark, dir)
+        .filter(b => b < keepFrom && (includeBuild || b != -1L)))
     }.filter(_._2.nonEmpty).toMap
   }
 
   /** Keep only the newest `n` batches (build batch counted unless
-    * protected), dropping the rest. The rolling-window form. */
+    * protected), dropping the rest. The rolling-window form; flat
+    * layouts only, like [[dropBatchesBefore]]. */
   def keepLastBatches(spark: SparkSession, path: String, n: Int,
                       includeBuild: Boolean = false): Seq[Long] = {
     require(n >= 0, s"negative keep count: $n")
+    assertFlatLayout(spark, path)
     val ids = batchIds(spark, path).filterNot(!includeBuild && _ == -1L)
-    val doomed = ids.dropRight(n)
-    doomed.foreach { b =>
-      val root = new Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(root, s"batch_id=$b"), true)
-    }
-    doomed
+    deleteBatches(spark, path, ids.dropRight(n))
   }
 }

@@ -457,21 +457,24 @@ object PipelineQueries {
       import graft.operators.Mixing
       val docs = t(s, dir, "documents")
         .withColumn("toks", T.tokenCount(col("text")).cast("long"))
-      def weightOf(src: String): Double =
-        src.drop(3).toIntOption.map(_ % 4) match {
-          case Some(0) => 1.0
-          case Some(1) => 2.0
-          case Some(2) => 6.0
-          case Some(3) => 8.0
-          case _ => 1.0
+      def weightOf(src: String): Double = {
+        // the oracle CASTs the suffix and lands in a CASE arm — any
+        // naming drift must fail HERE, loudly, not diverge silently
+        val k = src.drop(3).toIntOption
+        require(src.startsWith("src") && k.exists(_ >= 0),
+          s"unexpected source name '$src' (oracle derives weights from srcK)")
+        k.get % 4 match {
+          case 0 => 1.0; case 1 => 2.0; case 2 => 6.0; case _ => 8.0
         }
+      }
       val avail = docs.groupBy(col("source"))
         .agg(sum(col("toks")).cast("long").as("avail"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val budget = math.floor(0.5 * avail.values.sum.toDouble).toLong
       val weights = avail.keys.map(src => src -> weightOf(src)).toMap
       val plan = Mixing.tokenBudgetSample(docs, "doc_id", "source", "toks",
-        weights, budget, seed = 7L, redistribute = false)
+        weights, budget, seed = 7L, redistribute = false,
+        precomputedAvail = Some(avail))
       plan.sampled.groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
         .withColumn("rate_ppm",

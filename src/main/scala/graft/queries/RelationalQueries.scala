@@ -952,14 +952,6 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
-    // A13 — the PERSISTED sketch-table lifecycle behind a12: build on
-    // half the corpus (batch -1), append the other half (batch 0),
-    // re-append the SAME batch (idempotence: the overwrite of its own
-    // partition must leave estimates bit-identical), then estimate per
-    // key from the stored sketches alone. `replay_stable` pins the
-    // idempotent append exactly; `within_bound` pins estimate-vs-truth
-    // at 10%. History is never re-scanned — estimation reads only the
-    // sketch table.
     // A16 — RETENTION completes the batch-partitioned lifecycle
     // (build/append/compact/probe/RETIRE): five planted "daily"
     // batches of overlapping user ranges, then the rolling cut drops
@@ -986,6 +978,14 @@ object RelationalQueries {
           (lit(full) - col("estimate") >= 60L).as("forgot_dropped_days"))
     }),
 
+    // A13 — the PERSISTED sketch-table lifecycle behind a12: build on
+    // half the corpus (batch -1), append the other half (batch 0),
+    // re-append the SAME batch (idempotence: the overwrite of its own
+    // partition must leave estimates bit-identical), then estimate per
+    // key from the stored sketches alone. `replay_stable` pins the
+    // idempotent append exactly; `within_bound` pins estimate-vs-truth
+    // at 10%. History is never re-scanned — estimation reads only the
+    // sketch table.
     "a13_sketch_table" -> ((s, dir) => {
       import graft.operators.SketchTable
       val ev = t(s, dir, "events")

@@ -743,12 +743,10 @@ object ScaleWorkloads {
     // fused native expression over every sf document, zero shuffle to
     // the 1-row rollup.
     "sx53_bpe_encode" -> ((s, dir) => {
-      graft.operators.Bpe.encode(col("text"), bpeMerges(s, dir)) match {
-        case toks =>
-          Tables(s, dir, "documents")
-            .select(size(toks).as("n"))
-            .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_bpe_tokens"))
-      }
+      val toks = graft.operators.Bpe.encode(col("text"), bpeMerges(s, dir))
+      Tables(s, dir, "documents")
+        .select(size(toks).as("n"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_bpe_tokens"))
     }),
 
     // Corpus sweep of the trained quality classifier: training (a

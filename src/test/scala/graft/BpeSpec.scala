@@ -58,7 +58,8 @@ class BpeSpec extends SparkSpec {
         Bpe.encode(col("text"), expected).as("toks"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     def ref(t: String): Seq[String] =
-      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      t.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq
         .flatMap(w => Bpe.encodeWord(w, ranks))
     got(1L) shouldBe ref("lowest newest")
     got(2L) shouldBe ref("low lower")

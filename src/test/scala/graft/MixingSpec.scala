@@ -115,6 +115,19 @@ class MixingSpec extends SparkSpec {
       plan.sampled.collect().map(_.getLong(0)).sorted
   }
 
+  test("token-budget sample: null source rows carry no budget and never crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", Some(10L)), (2L, null.asInstanceOf[String], Some(10L)),
+      (3L, "a", None))
+      .toDF("doc_id", "source", "toks")
+    val plan = Mixing.tokenBudgetSample(docs, "doc_id", "source", "toks",
+      Map("a" -> 1.0), budget = 1000L)
+    plan.avail shouldBe Map("a" -> 10L) // null source / null toks excluded
+    plan.rates("a") shouldBe 1.0
+    // the null-source row drops at the gate (rate 0), doc 1 survives
+    plan.sampled.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+  }
+
   test("unigram LM: vocab cut is deterministic, OOV penalized, empty doc null") {
     import spark.implicits._
     import graft.operators.UnigramLM

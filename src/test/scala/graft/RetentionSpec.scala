@@ -51,6 +51,34 @@ class RetentionSpec extends SparkSpec {
     Retention.batchIds(spark, path) shouldBe Seq(4L, 5L)
   }
 
+  test("non-numeric batch dirs are skipped, never fatal and never deleted") {
+    val path = TempDirs.path("retention-spec/foreign")
+    SketchTable.appendBatch(Seq(("k", 1L)).toDF("key", "u"), "key", "u", path, 0L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "batch_id=__HIVE_DEFAULT_PARTITION__"))
+    Retention.batchIds(spark, path) shouldBe Seq(0L)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 10L) shouldBe Seq(0L)
+    fs.exists(new org.apache.hadoop.fs.Path(path,
+      "batch_id=__HIVE_DEFAULT_PARTITION__")) shouldBe true
+  }
+
+  test("flat-layout calls on a multi-table root are rejected, not silent no-ops") {
+    val path = TempDirs.path("retention-spec/multitable-misuse")
+    SketchTable.appendBatch(Seq(("k", 1L)).toDF("key", "u"),
+      "key", "u", s"$path/signatures", 0L)
+    val e = intercept[IllegalArgumentException] {
+      Retention.dropBatchesBefore(spark, path, keepFrom = 10L)
+    }
+    e.getMessage should include("dropBatchesBeforeAllTables")
+    intercept[IllegalArgumentException] {
+      Retention.keepLastBatches(spark, path, 1)
+    }
+    // the AllTables form handles it
+    Retention.dropBatchesBeforeAllTables(spark, path, keepFrom = 10L)
+      .shouldBe(Map("signatures" -> Seq(0L)))
+  }
+
   test("dedup-index window: a dropped batch's docs stop matching probes", Slow) {
     val idx = TempDirs.path("retention-spec/minhash")
     val seed = "unrelated seed corpus document with entirely distinct words here"
