@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.thetaIntersectDescriptor)
     ext.injectFunction(GraftExtensions.thetaANotBDescriptor)
     ext.injectFunction(GraftExtensions.kllQuantileDescriptor)
+    ext.injectFunction(GraftExtensions.idHashDescriptor)
   }
 }
 
@@ -249,6 +250,23 @@ object GraftExtensions {
       require(q >= 0.0 && q <= 1.0, s"quantile rank out of [0,1]: $q")
       import org.apache.spark.sql.graftbridge.ColumnBridge._
       toCatalyst(graft.operators.QuantileSketch.quantileOf(column(args(0)), q))
+    })
+
+  /** `graft_id_hash(id, seed)` → the deterministic sampling hash every
+    * split/sample/mix gate decides on ([[graft.operators.Sampling
+    * .idHash]]) — from SQL, so a pure-SQL session can reproduce any
+    * gate ("which split is doc 123 in?", "would this row survive the
+    * 0.3 sample?") without the Scala surface. Seed must be a literal
+    * (it's mixed driver-side into the column constants). */
+  val idHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_id_hash"),
+    new ExpressionInfo(graft.operators.Sampling.getClass.getName, "graft_id_hash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: graft_id_hash(id, seed)")
+      val seed = litDouble(args(1), "seed").toLong
+      import org.apache.spark.sql.graftbridge.ColumnBridge._
+      toCatalyst(graft.operators.Sampling.idHash(
+        column(Cast(args(0), org.apache.spark.sql.types.LongType)), seed))
     })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

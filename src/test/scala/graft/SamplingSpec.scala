@@ -166,4 +166,20 @@ class SamplingSpec extends SparkSpec {
     // float summation may land a hair under 2^32; the otherwise-arm absorbs it
     cuts.last should (be <= (1L << 32) and be >= (1L << 32) - 2)
   }
+
+  test("SQL surface: graft_id_hash equals the Column-form gate hash") {
+    import spark.implicits._
+    (0L until 50L).toDF("id").createOrReplaceTempView("idhash_sql_view")
+    val viaSql = spark.sql(
+      "SELECT id, graft_id_hash(id, 7) AS h FROM idhash_sql_view")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = (0L until 50L).toDF("id")
+      .select(col("id"), Sampling.idHash(col("id"), 7L).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaSql shouldBe viaCol
+    // non-literal seed must fail at analysis, not hash with garbage
+    intercept[Exception] {
+      spark.sql("SELECT graft_id_hash(id, id) FROM idhash_sql_view").collect()
+    }
+  }
 }
