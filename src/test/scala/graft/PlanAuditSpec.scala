@@ -340,6 +340,16 @@ class PlanAuditSpec extends SparkSpec {
     p should include("graft_quality_score")
   }
 
+  test("bpe: the tokenize sweep is a zero-shuffle scan-project (ranks in closure)") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val p = Tables(spark, sf, "documents")
+      .select(graft.operators.Bpe.encode(
+        org.apache.spark.sql.functions.col("text"), merges).as("toks"))
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    p should include("graft_bpe_encode")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
