@@ -409,6 +409,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The tokenizer feeding the packer — train BPE on the Sennrich
+    // corpus, count each probe doc's BPE tokens through the fused
+    // encode expression, and pack those counts into 12-token context
+    // windows. Every number is hand-derivable: lowest→2 tokens
+    // (low+est), newest→1, wider→5, widest→3, lower→3, low→1, and the
+    // next-fit bins follow in doc order (5+3 | 8+4 | 5 | 11).
+    "pl7_bpe_pack" -> ((s, _) => {
+      import s.implicits._
+      val merges = graft.operators.Bpe.trainMerges(bpeCorpus(s), "text", 8)
+      val probe = Seq(
+        (1L, "lowest newest lowest"), (2L, "low low low"),
+        (3L, "wider widest"), (4L, "newest newest newest newest"),
+        (5L, "lower lowest"), (6L, "widest widest wider"))
+        .toDF("doc_id", "text")
+      val counted = probe.select(col("doc_id"),
+        size(graft.operators.Bpe.encode(col("text"), merges))
+          .cast("long").as("n_tokens"))
+      Packing.packSequences(counted, "doc_id", "n_tokens",
+          budget = 12L, shards = 1)
+        .orderBy("doc_id")
+    }),
+
     // Composition of the round's two new prep stages: the TRAINED
     // quality classifier gates the corpus (only its positive class
     // survives — the qc1-pinned held-out contract), then the survivors
@@ -1476,6 +1498,17 @@ object PipelineQueries {
            (2, 'w i d e r'),
            (3, 'low low e r')
          ) AS t(doc_id, toks) ORDER BY doc_id""",
+    // hand-derived BPE counts and next-fit bins (see the query comment)
+    "pl7_bpe_pack" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS INTEGER),
+            CAST(0 AS BIGINT), CAST(0 AS INTEGER)),
+           (2, 3, 0, 0, 0),
+           (3, 8, 0, 1, 0),
+           (4, 4, 0, 1, 0),
+           (5, 5, 0, 2, 0),
+           (6, 11, 0, 3, 0)
+         ) AS t(doc_id, n_tokens, shard, bin, oversize) ORDER BY doc_id""",
     // survivors = the classifier's positive class (ids 1-12, the qc1
     // contract); token counts hand-countable from the fixture texts;
     // then the same budget arithmetic + gate as mx1 on literals
