@@ -126,4 +126,22 @@ object Bpe {
     * corpus-sweep column form; ranks ride the closure. */
   def encode(text: Column, merges: Seq[Merge]): Column =
     column(BpeEncodeExpr(expression(coalesce(text, lit(""))), merges))
+
+  /** Serialize a trained merge list for the SQL surface
+    * (`graft_bpe_encode(text, '<spec>')`): comma-separated merges,
+    * each "left right", in rank order. Round-trips through
+    * [[parseMergesSpec]]. Symbols are whitespace-free by construction
+    * (they come from whitespace-split words), so the format is
+    * unambiguous. */
+  def mergesSpec(merges: Seq[Merge]): String =
+    merges.map { case (l, r) => s"$l $r" }.mkString(",")
+
+  def parseMergesSpec(spec: String): Seq[Merge] =
+    spec.split(",").toSeq.filter(_.nonEmpty).map { m =>
+      m.split(" ") match {
+        case Array(l, r) if l.nonEmpty && r.nonEmpty => (l, r)
+        case _ => throw new IllegalArgumentException(
+          s"bad merge '$m' in spec (want 'left right')")
+      }
+    }
 }

@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.thetaANotBDescriptor)
     ext.injectFunction(GraftExtensions.kllQuantileDescriptor)
     ext.injectFunction(GraftExtensions.idHashDescriptor)
+    ext.injectFunction(GraftExtensions.bpeEncodeDescriptor)
   }
 }
 
@@ -267,6 +268,29 @@ object GraftExtensions {
       import org.apache.spark.sql.graftbridge.ColumnBridge._
       toCatalyst(graft.operators.Sampling.idHash(
         column(Cast(args(0), org.apache.spark.sql.types.LongType)), seed))
+    })
+
+  /** `graft_bpe_encode(text, merges)` → array<string> BPE tokens from
+    * SQL, with the trained merge list as a LITERAL spec string:
+    * comma-separated merges, each "left right" (the exact format
+    * `graft.operators.Bpe.mergesSpec` prints) — so a merge list
+    * trained in Scala serves SQL-only consumers as a pasted literal.
+    */
+  val bpeEncodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: graft_bpe_encode(text, 'l r,l r,...')")
+      val spec = args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other if other.foldable && other.dataType ==
+            org.apache.spark.sql.types.StringType =>
+          other.eval().toString
+        case other =>
+          throw new IllegalArgumentException(
+            s"merge spec must be a string literal, got $other")
+      }
+      BpeEncodeExpr(args(0), graft.operators.Bpe.parseMergesSpec(spec))
     })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -68,6 +68,22 @@ class BpeSpec extends SparkSpec {
     got(5L) shouldBe Seq.empty     // null → empty, the corpus posture
   }
 
+  test("SQL surface: graft_bpe_encode with a literal merge spec equals the Column form") {
+    import spark.implicits._
+    val spec = Bpe.mergesSpec(expected)
+    Bpe.parseMergesSpec(spec) shouldBe expected
+    Seq((1L, "lowest newest"), (2L, "wider"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bpe_sql_view")
+    val got = spark.sql(
+      s"SELECT doc_id, graft_bpe_encode(text, '$spec') AS toks FROM bpe_sql_view")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got(1L) shouldBe Seq("low", "est", "newest")
+    got(2L) shouldBe Seq("w", "i", "d", "e", "r")
+    intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(text, text) FROM bpe_sql_view").collect()
+    }
+  }
+
   test("training stops when every word is fully merged") {
     Bpe.trainFromWordCounts(Seq("ab" -> 1L), 10) shouldBe Seq(("a", "b"))
     Bpe.trainFromWordCounts(Seq("a" -> 5L), 10) shouldBe Seq.empty
