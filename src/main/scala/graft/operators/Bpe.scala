@@ -128,20 +128,26 @@ object Bpe {
     column(BpeEncodeExpr(expression(coalesce(text, lit(""))), merges))
 
   /** Serialize a trained merge list for the SQL surface
-    * (`graft_bpe_encode(text, '<spec>')`): comma-separated merges,
-    * each "left right", in rank order. Round-trips through
-    * [[parseMergesSpec]]. Symbols are whitespace-free by construction
-    * (they come from whitespace-split words), so the format is
-    * unambiguous. */
-  def mergesSpec(merges: Seq[Merge]): String =
-    merges.map { case (l, r) => s"$l $r" }.mkString(",")
-
-  def parseMergesSpec(spec: String): Seq[Merge] =
-    spec.split(",").toSeq.filter(_.nonEmpty).map { m =>
-      m.split(" ") match {
-        case Array(l, r) if l.nonEmpty && r.nonEmpty => (l, r)
-        case _ => throw new IllegalArgumentException(
-          s"bad merge '$m' in spec (want 'left right')")
-      }
+    * (`graft_bpe_encode(text, '<spec>')`): the symbols of all merges
+    * flattened in rank order, space-separated — "l1 r1 l2 r2 …".
+    * WHITESPACE is the one character class guaranteed absent from
+    * symbols (they come from whitespace-split words — but they can
+    * contain commas, pipes, any punctuation, so any other delimiter
+    * would be silently ambiguous: 'ab,x' + ',' delimiters re-parsed
+    * as a DIFFERENT tokenizer). Round-trips through
+    * [[parseMergesSpec]], which rejects odd-length specs loudly. */
+  def mergesSpec(merges: Seq[Merge]): String = {
+    merges.foreach { case (l, r) =>
+      require(!l.exists(_.isWhitespace) && !r.exists(_.isWhitespace),
+        s"merge symbols must be whitespace-free: ('$l', '$r')")
     }
+    merges.flatMap { case (l, r) => Seq(l, r) }.mkString(" ")
+  }
+
+  def parseMergesSpec(spec: String): Seq[Merge] = {
+    val syms = spec.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(syms.length % 2 == 0,
+      s"merge spec must hold left/right pairs, got ${syms.length} symbols")
+    syms.grouped(2).map { case Seq(l, r) => (l, r) }.toSeq
+  }
 }

@@ -264,33 +264,55 @@ object GraftExtensions {
     new ExpressionInfo(graft.operators.Sampling.getClass.getName, "graft_id_hash"),
     (args: Seq[Expression]) => {
       require(args.length == 2, "usage: graft_id_hash(id, seed)")
-      val seed = litDouble(args(1), "seed").toLong
+      // exact integral extraction — routing through a Double would
+      // silently round seeds past 2^53 and truncate fractions, making
+      // the SQL gate disagree with the Scala gate it must reproduce
+      val seed = args(1) match {
+        case Literal(l: Long, org.apache.spark.sql.types.LongType) => l
+        case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i.toLong
+        case other if other.foldable => other.eval() match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case v => throw new IllegalArgumentException(
+            s"seed must be an integral literal, got $v")
+        }
+        case other => throw new IllegalArgumentException(
+          s"seed must be a literal, got $other")
+      }
       import org.apache.spark.sql.graftbridge.ColumnBridge._
       toCatalyst(graft.operators.Sampling.idHash(
         column(Cast(args(0), org.apache.spark.sql.types.LongType)), seed))
     })
 
   /** `graft_bpe_encode(text, merges)` → array<string> BPE tokens from
-    * SQL, with the trained merge list as a LITERAL spec string:
-    * comma-separated merges, each "left right" (the exact format
-    * `graft.operators.Bpe.mergesSpec` prints) — so a merge list
-    * trained in Scala serves SQL-only consumers as a pasted literal.
-    */
+    * SQL, with the trained merge list as a LITERAL spec string — the
+    * space-separated symbol list `graft.operators.Bpe.mergesSpec`
+    * prints — so a merge list trained in Scala serves SQL-only
+    * consumers as a pasted literal. Null text folds to '' (empty
+    * array) exactly like the Column form, via the same Coalesce wrap
+    * `graft_langid` uses. */
   val bpeEncodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_bpe_encode"),
     new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
     (args: Seq[Expression]) => {
-      require(args.length == 2, "usage: graft_bpe_encode(text, 'l r,l r,...')")
+      require(args.length == 2, "usage: graft_bpe_encode(text, 'l1 r1 l2 r2 ...')")
       val spec = args(1) match {
-        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
         case other if other.foldable && other.dataType ==
             org.apache.spark.sql.types.StringType =>
-          other.eval().toString
+          val v = other.eval()
+          if (v == null) throw new IllegalArgumentException(
+            "merge spec must be a non-null string literal")
+          v.toString
         case other =>
           throw new IllegalArgumentException(
             s"merge spec must be a string literal, got $other")
       }
-      BpeEncodeExpr(args(0), graft.operators.Bpe.parseMergesSpec(spec))
+      BpeEncodeExpr(
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(args(0),
+          Literal.create("", org.apache.spark.sql.types.StringType))),
+        graft.operators.Bpe.parseMergesSpec(spec))
     })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -185,13 +185,19 @@ object ScaleWorkloads {
       "ivf_recall_at_10" -> (exact & ivf).size / 10.0,
       "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir),
       "skew_naive_task_imbalance" -> {
+        // QUARTER-size fixture: the max/median ratio is what the gauge
+        // reports and it is size-independent (hot share and partition
+        // fan-out don't change with rows), so the gauges don't re-pay
+        // sx47/sx48's full joins — and the whole gauges future stays
+        // far inside its single PerQueryBudget (a timeout there loses
+        // EVERY gauge for the round, the Bench budget-discipline rule)
         val c = skewScopedSession(s, skewJoin = false)
-        val (b, sm) = skewSides(c)
+        val (b, sm) = skewSides(c, rows = 6L * 1000 * 1000)
         maxMedianTaskRatio(c, skewAgg(b.join(sm, "key")))
       },
       "skew_salted_task_imbalance" -> {
         val c = skewScopedSession(s, skewJoin = false)
-        val (b, sm) = skewSides(c)
+        val (b, sm) = skewSides(c, rows = 6L * 1000 * 1000)
         maxMedianTaskRatio(c,
           skewAgg(graft.operators.Skew.saltedJoin(b, sm, "key", salts = 8)))
       })
@@ -216,7 +222,19 @@ object ScaleWorkloads {
     s.sparkContext.addSparkListener(listener)
     try df.write.format("noop").mode("overwrite").save()
     finally {
-      Thread.sleep(1000) // the listener bus is async; let TaskEnds drain
+      // the listener bus is async — poll until the buffer goes quiet
+      // (two consecutive stable reads) instead of one fixed sleep a
+      // GC-pressured driver could outlast, losing the hot task's very
+      // TaskEnd the ratio depends on; bounded at ~5 s
+      var last = -1
+      var stable = 0
+      var polls = 0
+      while (stable < 2 && polls < 20) {
+        Thread.sleep(250)
+        val n = buf.synchronized(buf.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        polls += 1
+      }
       s.sparkContext.removeSparkListener(listener)
     }
     val byStage = buf.synchronized { buf.toVector }
@@ -890,8 +908,9 @@ object ScaleWorkloads {
     * sx49 measures the runtime split under stock defaults. Naive
     * wall-clock varies ~22-36 s with machine state (spill IO) — the
     * contrast vs ~6-8 s salted/AQE is the stable signal. */
-  private def skewSides(s: SparkSession): (DataFrame, DataFrame) = {
-    val big = s.range(0, 24L * 1000 * 1000, 1, 32)
+  private def skewSides(s: SparkSession,
+                        rows: Long = 24L * 1000 * 1000): (DataFrame, DataFrame) = {
+    val big = s.range(0, rows, 1, 32)
       .select(
         when(col("id") % 10 < 9, 0L).otherwise(col("id") % 600000L).as("key"),
         // xxhash64, NOT a small cycle: a compressible payload lets the

@@ -73,14 +73,31 @@ class BpeSpec extends SparkSpec {
     val spec = Bpe.mergesSpec(expected)
     Bpe.parseMergesSpec(spec) shouldBe expected
     Seq((1L, "lowest newest"), (2L, "wider"))
-      .toDF("doc_id", "text").createOrReplaceTempView("bpe_sql_view")
+      .toDF("doc_id", "text")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .createOrReplaceTempView("bpe_sql_view")
     val got = spark.sql(
       s"SELECT doc_id, graft_bpe_encode(text, '$spec') AS toks FROM bpe_sql_view")
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     got(1L) shouldBe Seq("low", "est", "newest")
     got(2L) shouldBe Seq("w", "i", "d", "e", "r")
+    got(3L) shouldBe Seq.empty // null folds to '' — SAME as the Column form
     intercept[Exception] {
       spark.sql("SELECT graft_bpe_encode(text, text) FROM bpe_sql_view").collect()
+    }
+  }
+
+  test("merge spec round-trips symbols containing punctuation (commas included)") {
+    // symbols are whitespace-free but can hold ANY punctuation —
+    // a comma- or pipe-delimited spec format would re-parse these as
+    // a silently different tokenizer
+    val nasty = Seq(("a", "b,x"), ("ab,x", "c|d"), ("e", "f"))
+    Bpe.parseMergesSpec(Bpe.mergesSpec(nasty)) shouldBe nasty
+    intercept[IllegalArgumentException] {
+      Bpe.mergesSpec(Seq(("a b", "c"))) // whitespace in a symbol
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.parseMergesSpec("a b c") // odd symbol count
     }
   }
 
