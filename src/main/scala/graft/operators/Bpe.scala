@@ -38,11 +38,21 @@ object Bpe {
     * [[trainFromWordCounts]]. */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
                   maxWords: Int = 100000): Seq[Merge] = {
+    // HEADROOM over maxWords at the Spark-side cut: the driver re-fold
+    // below can only MERGE rows, so collecting extra rows lets words
+    // just past the boundary contribute their counts to surviving
+    // fold-mates instead of vanishing; the FINAL cut happens after the
+    // fold, under one consistent (count desc, word asc) Java-String
+    // ordering — the Spark cut's UTF8-binary sort never decides which
+    // folded words survive. (Any finite truncation of an unbounded
+    // vocabulary is heuristic at the outer boundary; the headroom makes
+    // the fold exact for everything the final table keeps.)
+    val headroom = maxWords + math.min(maxWords, 4096)
     val words = docs
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("w")).limit(maxWords)
+      .orderBy(desc("n"), col("w")).limit(headroom)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     // Locale.ROOT re-fold on the driver: Spark's lower() falls back to
     // default-locale String.toLowerCase for non-ASCII, while the
@@ -53,6 +63,7 @@ object Bpe {
     val folded = words
       .groupMapReduce(_._1.toLowerCase(java.util.Locale.ROOT))(_._2)(_ + _)
       .toSeq.sortBy { case (w, n) => (-n, w) }
+      .take(maxWords)
     trainFromWordCounts(folded, nMerges)
   }
 
@@ -134,12 +145,21 @@ object Bpe {
     * symbols (they come from whitespace-split words — but they can
     * contain commas, pipes, any punctuation, so any other delimiter
     * would be silently ambiguous: 'ab,x' + ',' delimiters re-parsed
-    * as a DIFFERENT tokenizer). Round-trips through
-    * [[parseMergesSpec]], which rejects odd-length specs loudly. */
+    * as a DIFFERENT tokenizer). "Whitespace" here means exactly the
+    * Java-regex `\s` class the training word-split and
+    * [[parseMergesSpec]]'s split use — NOT `Character.isWhitespace`:
+    * a Unicode space like U+2028 is not `\s`, so training can
+    * legitimately produce symbols containing it, and the spec
+    * round-trips them intact (the `\s+` re-split never cuts them).
+    * Round-trips through [[parseMergesSpec]], which rejects
+    * odd-length specs loudly. */
   def mergesSpec(merges: Seq[Merge]): String = {
+    // the same class Java regex \s matches (and split("\\s+") cuts on)
+    def regexSpace(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     merges.foreach { case (l, r) =>
-      require(!l.exists(_.isWhitespace) && !r.exists(_.isWhitespace),
-        s"merge symbols must be whitespace-free: ('$l', '$r')")
+      require(!l.exists(regexSpace) && !r.exists(regexSpace),
+        s"merge symbols must be free of regex-\\s whitespace: ('$l', '$r')")
     }
     merges.flatMap { case (l, r) => Seq(l, r) }.mkString(" ")
   }

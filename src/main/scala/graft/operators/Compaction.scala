@@ -78,8 +78,20 @@ object Compaction {
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long, partitionCols: Seq[String] = Nil): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    require(new Path(inPath) != new Path(outPath),
-      "out-of-place only: outPath must differ from inPath (see scaladoc)")
+    // FULLY QUALIFIED comparison: raw Paths treat "/x", "file:///x", and
+    // "x/../x" as different spellings of the same directory, and any of
+    // those aliases would slip past a literal check straight into the
+    // self-overwrite the out-of-place contract exists to prevent.
+    // makeQualified resolves scheme/authority/workdir; URI.normalize
+    // collapses the dot segments makeQualified leaves alone.
+    def qualified(p: String) = {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toUri.normalize()
+    }
+    require(qualified(inPath) != qualified(outPath),
+      s"out-of-place only: outPath must differ from inPath (both resolve " +
+        s"to ${qualified(inPath)} — see scaladoc)")
     val before = dirStats(spark, inPath)
     if (partitionCols.isEmpty)
       require(before.forall(_.partition.isEmpty),

@@ -109,10 +109,14 @@ object Mixing {
                         redistribute: Boolean = true,
                         precomputedAvail: Option[Map[String, Long]] = None)
       : TokenBudgetPlan = {
-    // null source / all-null token group rows carry no budget and get
-    // rate 0 at the gate (element_at on a null key is null → coalesce
-    // 0) — filtered here so they can't NPE the collect or put a null
-    // key into the rates map literal
+    // null source / null token rows carry no budget: they are excluded
+    // from the availability sum (so they can't NPE the collect or put a
+    // null key into the rates map literal) AND dropped at the gate —
+    // a null-source row via rate 0 (element_at on a null key is null →
+    // coalesce 0), a null-TOKEN row via the explicit isNotNull below.
+    // Without that second filter a null-token row of a budgeted source
+    // would sample at its source's full rate while carrying unmetered
+    // tokens, silently overshooting the budget.
     val avail = precomputedAvail.getOrElse(
       df.filter(col(sourceCol).isNotNull && col(tokenCountCol).isNotNull)
         .groupBy(col(sourceCol))
@@ -122,7 +126,7 @@ object Mixing {
       if (redistribute) waterFillRates(avail, weights, budget)
       else cappedTokenRates(avail, weights, budget)
     val rateCol = coalesce(element_at(typedLit(rates), col(sourceCol)), lit(0.0))
-    val sampled = df.filter(
+    val sampled = df.filter(col(tokenCountCol).isNotNull &&
       Sampling.idHash(col(idCol), seed).cast("double") < rateCol * lit(4294967296.0))
     TokenBudgetPlan(budget, avail, rates, sampled)
   }

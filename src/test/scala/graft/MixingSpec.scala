@@ -124,8 +124,10 @@ class MixingSpec extends SparkSpec {
       Map("a" -> 1.0), budget = 1000L)
     plan.avail shouldBe Map("a" -> 10L) // null source / null toks excluded
     plan.rates("a") shouldBe 1.0
-    // the null-source row drops at the gate (rate 0), doc 1 survives
-    plan.sampled.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    // the null-source row drops at the gate (rate 0); the null-TOKEN row
+    // of source "a" drops too — it carries no metered budget, so keeping
+    // it would overshoot the budget by unmetered tokens; doc 1 survives
+    plan.sampled.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
   }
 
   test("unigram LM: vocab cut is deterministic, OOV penalized, empty doc null") {
