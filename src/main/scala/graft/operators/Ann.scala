@@ -385,6 +385,12 @@ object Ann {
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell")
       .parquet(s"$indexPath/vectors/batch_id=$id")
+    // stage-then-publish on a snapshot-enabled vectors table: the batch
+    // is invisible until the manifest lands last (Snapshot scaladoc)
+    val vdir = s"$indexPath/vectors"
+    if (Snapshot.isEnabled(spark, vdir))
+      Snapshot.publish(spark, vdir,
+        (Snapshot.liveBatches(spark, vdir) :+ id).distinct)
   }
 
   /** COMPACT a [[buildIvfIndex]] index in place: fold the build + all
@@ -405,16 +411,21 @@ object Ann {
     val fs = ivfFs(spark, indexPath)
     val tmp = s"$indexPath/_compact_tmp"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    spark.read.parquet(s"$indexPath/vectors")
+    Snapshot.read(spark, s"$indexPath/vectors")
       .drop("batch_id").dropDuplicates()
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell")
       .parquet(s"$tmp/vectors/batch_id=-1")
     Dedup.clearIndexCommitMarker(spark, indexPath) // probes fail loudly
+    // the swap replaces the vectors dir (manifests included): remember
+    // and re-enable, like Dedup.compactIndex — pinned readers do not
+    // survive an index-wide compaction (probes pause for the swap)
+    val wasEnabled = Snapshot.isEnabled(spark, s"$indexPath/vectors")
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/vectors"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/vectors"),
       new org.apache.hadoop.fs.Path(s"$indexPath/vectors"))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    if (wasEnabled) Snapshot.enable(spark, s"$indexPath/vectors")
     Dedup.writeIndexParams(spark, indexPath,
       "n_cells" -> params("n_cells"), "dim" -> params("dim"))
   }
@@ -446,7 +457,7 @@ object Ann {
       .sortBy { case (s, i) => (-s, -i) } // ties: larger index, matching nearestCell
       .take(nProbe).map(_._2)
     val q = broadcast(Seq(Tuple1(queryVec.map(_.toFloat))).toDF("_qvec"))
-    spark.read.parquet(s"$indexPath/vectors")
+    Snapshot.read(spark, s"$indexPath/vectors")
       .filter(col("_cell").isin(probeCells: _*)) // partition-prunes the scan
       .crossJoin(q)
       .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))

@@ -763,13 +763,35 @@ object Dedup {
     case None =>
       // fresh build: batch -1, RESERVED for the build — streaming
       // micro-batch ids start at 0, so an ingest loop's first append
-      // must never be able to replace the corpus build's partition
+      // must never be able to replace the corpus build's partition.
+      // The overwrite wipes any manifests with the rest of the dir; a
+      // previously snapshot-enabled sub-table re-enables afterwards so
+      // readers stay manifest-resolved (build = table reset, the
+      // SketchTable.build convention)
+      val spark = df.sparkSession
+      val wasEnabled = Snapshot.isEnabled(spark, tableDir)
       df.withColumn("batch_id", lit(-1L))
         .write.partitionBy("batch_id").mode("overwrite").parquet(tableDir)
+      if (wasEnabled) Snapshot.enable(spark, tableDir)
     case Some(b) =>
-      // append/replace of one batch: overwrite ITS partition dir only
+      // append/replace of one batch: overwrite ITS partition dir only;
+      // on a snapshot-enabled sub-table the write is a STAGE that only
+      // becomes visible when the manifest publishes last
+      val spark = df.sparkSession
       df.write.mode("overwrite").parquet(s"$tableDir/batch_id=$b")
+      if (Snapshot.isEnabled(spark, tableDir))
+        Snapshot.publish(spark, tableDir,
+          (Snapshot.liveBatches(spark, tableDir) :+ b).distinct)
   }
+
+  /** Manifest-aware read of one index sub-table: snapshot-enabled
+    * directories resolve through their newest manifest
+    * ([[Snapshot.read]]), everything else keeps the plain
+    * directory-union read. One helper so every probe/maintenance read
+    * in this file gets isolation the moment a sub-table is enabled. */
+  private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+                             tableDir: String): DataFrame =
+    Snapshot.read(spark, tableDir)
 
   /** The one write sequence for the minhash index tables — shared by
     * build (batch = None → full overwrite as batch 0) and append
@@ -896,17 +918,26 @@ object Dedup {
     // one row per doc: a doc re-appended under several auto batch ids
     // (legacy no-batchId retries) folds to one copy — compaction IS the
     // reconciliation point for that documented accumulate semantics
-    val rows = spark.read.parquet(s"$path/$dataTable")
+    val rows = readIndexTable(spark, s"$path/$dataTable")
       .select(col("doc"), col(if (dataTable == "shingles") "sh" else "vec"))
       .dropDuplicates("doc")
     rebuild(rows, tmp) // stage the fresh build; live tables untouched
     clearIndexCommitMarker(spark, path) // probes now fail loudly
-    Seq(dataTable, "buckets", "drop_stats").foreach { t =>
+    // the swap replaces each sub-table directory wholesale (manifests
+    // included) — remember which were snapshot-enabled and re-enable
+    // them on the fresh layout, or compaction would silently flip the
+    // index back to listing-is-truth reads. Pinned readers do not
+    // survive an index-wide compaction (probes pause — scaladoc above);
+    // per-sub-table retention isolation resumes on the new manifests.
+    val subTables = Seq(dataTable, "buckets", "drop_stats")
+    val enabled = subTables.filter(t => Snapshot.isEnabled(spark, s"$path/$t"))
+    subTables.foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true)
       fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
         new org.apache.hadoop.fs.Path(s"$path/$t"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    enabled.foreach(t => Snapshot.enable(spark, s"$path/$t"))
   }
 
   /** Compact a [[buildMinhashIndex]] index in place from its own
@@ -1023,7 +1054,7 @@ object Dedup {
         // broadcast semi-join prunes the scan to probed keys; only
         // (key, count) rows aggregate.
         val probed = inBands.select(col("band"), col("bh")).distinct()
-        val grown = spark.read.parquet(s"$indexPath/buckets")
+        val grown = readIndexTable(spark, s"$indexPath/buckets")
           .join(broadcast(probed), Seq("band", "bh"), "left_semi")
           .groupBy(col("band"), col("bh"))
           .agg(countDistinct(col("doc")).as("_bsz"))
@@ -1037,11 +1068,11 @@ object Dedup {
         val inOk = inBands.join(grown.select(col("band"), col("bh")),
           Seq("band", "bh"), "left_anti")
         val cands = broadcast(inOk)
-          .join(spark.read.parquet(s"$indexPath/buckets"), Seq("band", "bh"))
+          .join(readIndexTable(spark, s"$indexPath/buckets"), Seq("band", "bh"))
           .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
           .select(col("in_doc"), col("doc")).distinct()
         val pairs = broadcast(cands)
-          .join(spark.read.parquet(s"$indexPath/shingles"), "doc")
+          .join(readIndexTable(spark, s"$indexPath/shingles"), "doc")
           .join(inSh.select(col("doc").as("in_doc"), col("sh").as("in_sh")), "in_doc")
           .withColumn("jaccard", jaccard(col("in_sh"), col("sh")))
           .filter(col("jaccard") >= threshold)
@@ -1518,7 +1549,7 @@ object Dedup {
         // grown-bucket guard across batch partitions (see the minhash
         // twin's scaladoc): probed keys only, counts only, skip + report
         val probed = inSig.select(col("t"), col("sig")).distinct()
-        val grown = spark.read.parquet(s"$indexPath/buckets")
+        val grown = readIndexTable(spark, s"$indexPath/buckets")
           .join(broadcast(probed), Seq("t", "sig"), "left_semi")
           .groupBy(col("t"), col("sig"))
           .agg(countDistinct(col("doc")).as("_bsz"))
@@ -1532,11 +1563,11 @@ object Dedup {
         val inOk = inSig.join(grown.select(col("t"), col("sig")),
           Seq("t", "sig"), "left_anti")
         val cands = broadcast(inOk)
-          .join(spark.read.parquet(s"$indexPath/buckets"), Seq("t", "sig"))
+          .join(readIndexTable(spark, s"$indexPath/buckets"), Seq("t", "sig"))
           .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
           .select(col("in_doc"), col("doc")).distinct()
         val pairs = broadcast(cands)
-          .join(spark.read.parquet(s"$indexPath/vectors"), "doc")
+          .join(readIndexTable(spark, s"$indexPath/vectors"), "doc")
           .join(inVec, "in_doc")
           .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
           .filter(col("cosine") >= threshold)

@@ -73,11 +73,19 @@ object Retention {
     * `includeBuild = true` for tables that treat the build as just
     * another aged batch. Idempotent: re-running drops nothing new.
     * FLAT layouts only — refuses a multi-table root (see
-    * [[dropBatchesBeforeAllTables]]). */
+    * [[dropBatchesBeforeAllTables]]).
+    *
+    * SNAPSHOT-enabled tables ([[Snapshot.enable]]) retire LOGICALLY: a
+    * new manifest excluding the aged batches publishes and no file is
+    * touched, so concurrent readers of the previous manifest are
+    * unaffected ([[Snapshot.vacuum]] is the later physical sweep).
+    * Non-enabled tables keep the historical in-place delete. */
   def dropBatchesBefore(spark: SparkSession, path: String, keepFrom: Long,
                         includeBuild: Boolean = false): Seq[Long] = {
     assertFlatLayout(spark, path)
-    deleteBatches(spark, path, batchIds(spark, path)
+    if (Snapshot.isEnabled(spark, path))
+      Snapshot.retainFrom(spark, path, keepFrom, includeBuild)
+    else deleteBatches(spark, path, batchIds(spark, path)
       .filter(b => b < keepFrom && (includeBuild || b != -1L)))
   }
 
@@ -101,9 +109,12 @@ object Retention {
     val targets = ("" -> path) +: children.map(c => c.getName -> c.toString)
     targets.map { case (name, dir) =>
       // unguarded delete: the root of a multi-table layout legitimately
-      // holds no batch dirs (assertFlatLayout would refuse it)
-      name -> deleteBatches(spark, dir, batchIds(spark, dir)
-        .filter(b => b < keepFrom && (includeBuild || b != -1L)))
+      // holds no batch dirs (assertFlatLayout would refuse it);
+      // snapshot-enabled sub-tables retire logically, like the flat form
+      name -> (if (Snapshot.isEnabled(spark, dir))
+        Snapshot.retainFrom(spark, dir, keepFrom, includeBuild)
+      else deleteBatches(spark, dir, batchIds(spark, dir)
+        .filter(b => b < keepFrom && (includeBuild || b != -1L))))
     }.filter(_._2.nonEmpty).toMap
   }
 
@@ -114,7 +125,11 @@ object Retention {
                       includeBuild: Boolean = false): Seq[Long] = {
     require(n >= 0, s"negative keep count: $n")
     assertFlatLayout(spark, path)
-    val ids = batchIds(spark, path).filterNot(!includeBuild && _ == -1L)
-    deleteBatches(spark, path, ids.dropRight(n))
+    if (Snapshot.isEnabled(spark, path))
+      Snapshot.keepLast(spark, path, n, includeBuild)
+    else {
+      val ids = batchIds(spark, path).filterNot(!includeBuild && _ == -1L)
+      deleteBatches(spark, path, ids.dropRight(n))
+    }
   }
 }

@@ -105,6 +105,7 @@ object Retrieval {
 
   private def writeBatch(indexPath: String, batchId: Long, postings: DataFrame,
                          termDf: DataFrame, stats: DataFrame): Unit = {
+    val spark = postings.sparkSession
     // repartition on the partition key before partitionBy: one file
     // per bucket, not one per input partition (see buildIvfIndex)
     postings.repartition(col("bucket"))
@@ -115,6 +116,14 @@ object Retrieval {
       .parquet(s"$indexPath/terms/batch_id=$batchId")
     stats.coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/stats/batch_id=$batchId")
+    // stage-then-publish on snapshot-enabled sub-tables: the batch is
+    // invisible to probes until each manifest lands last
+    Seq("postings", "terms", "stats").foreach { t =>
+      val dir = s"$indexPath/$t"
+      if (Snapshot.isEnabled(spark, dir))
+        Snapshot.publish(spark, dir,
+          (Snapshot.liveBatches(spark, dir) :+ batchId).distinct)
+    }
   }
 
   /** Build a PERSISTED BM25 index at `outPath` (build lands as batch
@@ -129,11 +138,17 @@ object Retrieval {
     Dedup.clearIndexCommitMarker(spark, outPath)
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rebuild = table reset: the deletes wipe manifests with the data,
+    // so remember which sub-tables were snapshot-enabled and re-enable
+    // them on the fresh layout (the SketchTable.build convention)
+    val enabled = Seq("postings", "terms", "stats")
+      .filter(t => Snapshot.isEnabled(spark, s"$outPath/$t"))
     Seq("postings", "terms", "stats").foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$t"), true)
     }
     val (postings, termDf, stats) = bucketed(docs, idCol, textCol, nBuckets)
     writeBatch(outPath, -1L, postings, termDf, stats)
+    enabled.foreach(t => Snapshot.enable(spark, s"$outPath/$t"))
     Dedup.writeIndexParams(spark, outPath, "n_buckets" -> nBuckets.toLong)
   }
 
@@ -166,12 +181,12 @@ object Retrieval {
     val buckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("b"))
       .distinct().as[Long].collect().toSeq
-    val post = spark.read.parquet(s"$indexPath/postings")
+    val post = Snapshot.read(spark, s"$indexPath/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-    val termDf = spark.read.parquet(s"$indexPath/terms")
+    val termDf = Snapshot.read(spark, s"$indexPath/terms")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).cast("double").as("_df"))
-    val stats = spark.read.parquet(s"$indexPath/stats")
+    val stats = Snapshot.read(spark, s"$indexPath/stats")
       .agg(sum(col("n_docs")).cast("double").as("_n"),
         (sum(col("dl_sum")) / sum(col("n_docs"))).as("_avgdl"))
     post.join(broadcast(termDf), Seq("term"))

@@ -27,26 +27,45 @@ object SketchTable {
       .agg(expr(s"hll_sketch_agg($valCol)").as("sketch"))
 
   /** Fresh build: per-key sketches of `df` land as batch -1 (reserved
-    * for the build — ingest-loop batch ids start at 0). */
-  def build(df: DataFrame, keyCol: String, valCol: String, path: String): Unit =
+    * for the build — ingest-loop batch ids start at 0). A build is a
+    * TABLE RESET, not a snapshot commit: the overwrite wipes the root
+    * (old manifests included), then — if the table was
+    * snapshot-enabled — a fresh v1 manifest publishes so readers stay
+    * manifest-resolved. Pinned readers do not survive a rebuild. */
+  def build(df: DataFrame, keyCol: String, valCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val wasEnabled = Snapshot.isEnabled(spark, path)
     sketchRows(df, keyCol, valCol).withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id").mode("overwrite").parquet(path)
+    if (wasEnabled) Snapshot.enable(spark, path)
+  }
 
   /** Append one batch: overwrite of ITS partition dir only, so a retry
     * replaces the earlier (possibly partial) write instead of stacking
-    * a duplicate sketch that would bias every later union upward. */
+    * a duplicate sketch that would bias every later union upward. On a
+    * snapshot-enabled table the write is a STAGE — invisible until the
+    * manifest publishing it lands last (the stage-then-publish
+    * protocol; a crash in between leaves an orphan for
+    * [[Snapshot.vacuum]]). */
   def appendBatch(df: DataFrame, keyCol: String, valCol: String,
                   path: String, batchId: Long): Unit = {
     require(batchId >= 0, s"batch ids start at 0 (-1 is the build): $batchId")
+    val spark = df.sparkSession
     sketchRows(df, keyCol, valCol)
       .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    if (Snapshot.isEnabled(spark, path))
+      Snapshot.publish(spark, path,
+        (Snapshot.liveBatches(spark, path) :+ batchId).distinct)
   }
 
-  /** Distinct-count estimates per key across ALL stored batches: one
+  /** Distinct-count estimates per key across the LIVE batches: one
     * scan of the sketch table, one union-agg per key. The estimate is
-    * deterministic for a given set of stored sketches. */
+    * deterministic for a given set of stored sketches.
+    * Snapshot-enabled tables resolve through the newest manifest
+    * (retired-but-unvacuumed and staged batches are invisible);
+    * non-enabled tables read the plain directory union as always. */
   def estimateDistinct(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    Snapshot.read(spark, path)
       .groupBy(col("key"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("estimate"))
 }

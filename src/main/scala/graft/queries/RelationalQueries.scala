@@ -959,6 +959,54 @@ object RelationalQueries {
     // pinned as bounds against the planted exact counts (a13's
     // pattern): the kept estimate must track the surviving 160 users
     // AND visibly forget the dropped days — full-history was ~260.
+    // RT1 — ATOMIC SNAPSHOT ISOLATION for the persisted-table family
+    // (Snapshot scaladoc): the same planted five-day sketch table as
+    // a16, but manifest-governed. Retention retires days 0-1 as a
+    // manifest edit, compaction folds the survivors into one fresh
+    // batch (-2) behind a second manifest flip, and a reader PINNED to
+    // the pre-maintenance manifest — resolved AFTER both publishes —
+    // still computes the original full-history estimate, because no
+    // file it references was touched. Vacuum then physically sweeps
+    // the 5 unreferenced dirs (2 retired + 3 folded), and the live
+    // estimate is identical across retain → compact → vacuum: the
+    // retain/compact/read equivalence, pinned to the same planted
+    // bounds as a16.
+    "rt1_snapshot_isolation" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.{Retention, SketchTable, Snapshot}
+      val path = graft.TempDirs.path(
+        s"sketch-table/rt1-${java.util.UUID.randomUUID()}")
+      def day(k: Int) = (k * 50 until k * 50 + 60)
+        .map(u => ("all", u.toLong)).toDF("key", "user_id")
+      (0 until 5).foreach(k =>
+        SketchTable.appendBatch(day(k), "key", "user_id", path, k.toLong))
+      Snapshot.enable(s, path)
+      val v1 = Snapshot.latestVersion(s, path).get
+      def est(df: org.apache.spark.sql.DataFrame): Long = df
+        .groupBy(col("key"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("e"))
+        .head().getLong(1)
+      val full = est(Snapshot.read(s, path))
+      val dropped = Retention.dropBatchesBefore(s, path, keepFrom = 2L)
+      val afterRetain = est(Snapshot.read(s, path))
+      val folded = Snapshot.compactLive(s, path)
+      val afterCompact = est(Snapshot.read(s, path))
+      // the pinned read resolves v1 only NOW — after both publishes
+      val pinned = est(Snapshot.readAt(s, path, v1))
+      val vacuumed = Snapshot.vacuum(s, path)
+      val afterVacuum = est(Snapshot.read(s, path))
+      Seq((
+        "all", dropped.length, folded,
+        pinned == full,
+        afterRetain == afterCompact && afterCompact == afterVacuum,
+        vacuumed.length,
+        math.abs(afterVacuum - 160L) <= 16L,
+        full - afterVacuum >= 60L
+      )).toDF("key", "n_dropped", "folded_batch", "pinned_stable",
+        "retain_compact_stable", "n_vacuumed", "kept_within_bound",
+        "forgot_dropped_days")
+    }),
+
     "a16_rolling_retention" -> ((s, _) => {
       import s.implicits._
       import graft.operators.{Retention, SketchTable}
@@ -1379,6 +1427,17 @@ object RelationalQueries {
     // surviving users and sits ≥60 below the full-history estimate
     "a16_rolling_retention" ->
       """SELECT 'all' AS key, CAST(2 AS INTEGER) AS n_dropped,
+                true AS kept_within_bound, true AS forgot_dropped_days""",
+    // the snapshot lifecycle's full ledger: 2 batches logically
+    // retired, survivors folded into compaction batch -2, a pinned
+    // pre-maintenance reader bit-stable, the live estimate identical
+    // across retain/compact/vacuum, and exactly 5 dirs (2 retired + 3
+    // folded) physically swept at vacuum
+    "rt1_snapshot_isolation" ->
+      """SELECT 'all' AS key, CAST(2 AS INTEGER) AS n_dropped,
+                CAST(-2 AS BIGINT) AS folded_batch,
+                true AS pinned_stable, true AS retain_compact_stable,
+                CAST(5 AS INTEGER) AS n_vacuumed,
                 true AS kept_within_bound, true AS forgot_dropped_days""",
     "a14_quantile_sketch_table" ->
       """SELECT l_returnflag,

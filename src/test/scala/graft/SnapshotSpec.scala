@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retention, SketchTable, Snapshot}
+
+/** The manifest commit protocol: readers resolve live state through
+  * the newest manifest, a pinned reader's view survives any number of
+  * later publishes (retention AND compaction) until vacuum, and every
+  * lifecycle writer stages first / publishes last. The composed
+  * retain→compact→read equivalence is oracle-gated by
+  * rt1_snapshot_isolation; these cover the protocol edges a VALUES
+  * oracle can't. */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plantSketch(sub: String, days: Int = 5): String = {
+    val path = TempDirs.path(s"snapshot-spec/$sub")
+    def day(k: Int) = (k * 50 until k * 50 + 60)
+      .map(u => ("all", u.toLong)).toDF("key", "user_id")
+    (0 until days).foreach(k =>
+      SketchTable.appendBatch(day(k), "key", "user_id", path, k.toLong))
+    path
+  }
+
+  private def est(path: String): Long =
+    SketchTable.estimateDistinct(spark, path).head().getLong(1)
+
+  private def dirIds(path: String): Seq[Long] = Retention.batchIds(spark, path)
+
+  /** Content fingerprint of (key, sketch) rows — sketch bytes compared
+    * by VALUE (base64), not array identity. */
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    df.select("key", "sketch").collect()
+      .map(r => (r.getString(0),
+        java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))))
+      .toSeq.sorted
+
+  test("enable seeds v1 from the listing; publishes are monotonic and atomic") {
+    val path = plantSketch("enable")
+    Snapshot.isEnabled(spark, path) shouldBe false
+    Snapshot.enable(spark, path) shouldBe 1L
+    Snapshot.isEnabled(spark, path) shouldBe true
+    Snapshot.latest(spark, path).get shouldBe
+      Snapshot.Manifest(1L, Seq(0L, 1L, 2L, 3L, 4L))
+    Snapshot.publish(spark, path, Seq(2L, 3L, 4L)) shouldBe 2L
+    Snapshot.latestVersion(spark, path) shouldBe Some(2L)
+    // no staging litter: only committed v*.json files in _manifests
+    // (dot-files — local-FS .crc sidecars, staged tmps — are hidden by
+    // Hadoop listing convention and excluded here too)
+    val names = Files.list(Paths.get(path, Snapshot.ManifestDir))
+      .toArray.map(_.toString.split("/").last).toSeq
+      .filterNot(_.startsWith("."))
+    names should not be empty
+    all(names) should fullyMatch regex "v\\d{12}\\.json"
+    // older versions remain readable (pinning) until vacuumed
+    Snapshot.readManifest(spark, path, 1L).batches should contain(0L)
+  }
+
+  test("pinned reader is unaffected by concurrent retention AND compaction") {
+    val path = plantSketch("pinned")
+    Snapshot.enable(spark, path)
+    val v1 = Snapshot.latestVersion(spark, path).get
+    val fullBefore = est(path)
+
+    // concurrent maintenance: logical retention then a full compaction
+    Retention.dropBatchesBefore(spark, path, keepFrom = 2L) shouldBe Seq(0L, 1L)
+    val folded = Snapshot.compactLive(spark, path)
+    folded shouldBe -2L
+
+    // the pinned reader resolves v1 AFTER both publishes — no file it
+    // references was touched, so its estimate is the original full one
+    val pinned = Snapshot.readAt(spark, path, v1)
+      .groupBy(col("key"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("estimate"))
+      .head().getLong(1)
+    pinned shouldBe fullBefore
+
+    // the live reader sees the retained-then-compacted view
+    val live = est(path)
+    math.abs(live - 160L) should be <= 16L
+    (fullBefore - live) should be >= 60L
+
+    // dropped + folded dirs are still on disk (logical-only so far)
+    dirIds(path).toSet shouldBe Set(-2L, 0L, 1L, 2L, 3L, 4L)
+    // vacuum expires old pins: only the newest manifest's dirs survive
+    Snapshot.vacuum(spark, path).toSet shouldBe Set(0L, 1L, 2L, 3L, 4L)
+    dirIds(path) shouldBe Seq(-2L)
+    est(path) shouldBe live // post-vacuum live read unchanged
+    // the expired pin now fails loudly, not silently-something-else
+    intercept[Exception] { Snapshot.readAt(spark, path, v1).collect() }
+  }
+
+  test("retention on an enabled table is logical; on a plain table physical") {
+    val enabledPath = plantSketch("logical")
+    Snapshot.enable(spark, enabledPath)
+    Retention.dropBatchesBefore(spark, enabledPath, 2L) shouldBe Seq(0L, 1L)
+    dirIds(enabledPath) shouldBe Seq(0L, 1L, 2L, 3L, 4L) // files untouched
+    Snapshot.liveBatches(spark, enabledPath) shouldBe Seq(2L, 3L, 4L)
+    // idempotent at the manifest level too
+    Retention.dropBatchesBefore(spark, enabledPath, 2L) shouldBe Seq.empty
+
+    val plainPath = plantSketch("physical")
+    Retention.dropBatchesBefore(spark, plainPath, 2L) shouldBe Seq(0L, 1L)
+    dirIds(plainPath) shouldBe Seq(2L, 3L, 4L) // historical in-place delete
+  }
+
+  test("keepLastBatches goes through the manifest and protects the build") {
+    val path = TempDirs.path("snapshot-spec/keeplast")
+    SketchTable.build((0L until 10L).map(("k", _)).toDF("key", "u"),
+      "key", "u", path)
+    (0 until 4).foreach(k => SketchTable.appendBatch(
+      (0L until 5L).map(("k", _)).toDF("key", "u"), "key", "u", path, k.toLong))
+    Snapshot.enable(spark, path)
+    Retention.keepLastBatches(spark, path, n = 2) shouldBe Seq(0L, 1L)
+    Snapshot.liveBatches(spark, path) shouldBe Seq(-1L, 2L, 3L)
+    dirIds(path) shouldBe Seq(-1L, 0L, 1L, 2L, 3L) // logical only
+  }
+
+  test("appendBatch on an enabled table stages then publishes; orphans vacuum") {
+    val path = plantSketch("append", days = 2)
+    Snapshot.enable(spark, path)
+    val before = est(path)
+    SketchTable.appendBatch(
+      (500L until 560L).map(u => ("all", u)).toDF("key", "user_id"),
+      "key", "user_id", path, 2L)
+    Snapshot.liveBatches(spark, path) shouldBe Seq(0L, 1L, 2L)
+    val afterAppend = est(path)
+    (afterAppend - before) should be >= 50L // the new batch is visible
+    // a crashed append = a staged dir with NO manifest: plant one
+    val orphan = (900L until 960L).map(u => ("all", u)).toDF("key", "user_id")
+    orphan.write.mode("overwrite").parquet(s"$path/batch_id=9")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (simulate the crash: the dir exists but was never published)
+    Snapshot.liveBatches(spark, path) should not contain 9L
+    est(path) shouldBe afterAppend // invisible to the manifest-resolved read
+    Snapshot.vacuum(spark, path) shouldBe Seq(9L)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/batch_id=9")) shouldBe false
+  }
+
+  test("compactLive preserves content exactly and descends ids across runs") {
+    val path = plantSketch("compact", days = 3)
+    Snapshot.enable(spark, path)
+    val rowsBefore = rowSet(Snapshot.read(spark, path))
+    Snapshot.compactLive(spark, path) shouldBe -2L
+    rowSet(Snapshot.read(spark, path)) shouldBe rowsBefore
+    // append, compact again WITHOUT vacuuming: the -2 dir is still on
+    // disk, so the next compaction must descend past it
+    SketchTable.appendBatch(
+      (700L until 710L).map(u => ("all", u)).toDF("key", "user_id"),
+      "key", "user_id", path, 5L)
+    Snapshot.compactLive(spark, path) shouldBe -3L
+    Snapshot.liveBatches(spark, path) shouldBe Seq(-3L)
+  }
+
+  test("a fully-retired table reads loudly, never as an empty zero") {
+    val path = plantSketch("retired", days = 2)
+    Snapshot.enable(spark, path)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 10L, includeBuild = true)
+    val e = intercept[IllegalArgumentException] { Snapshot.read(spark, path) }
+    e.getMessage should include("no live batches")
+  }
+
+  test("non-enabled tables fall back to plain discovery everywhere") {
+    val path = plantSketch("fallback", days = 2)
+    rowSet(Snapshot.read(spark, path)) shouldBe rowSet(spark.read.parquet(path))
+    Snapshot.liveBatches(spark, path) shouldBe Seq(0L, 1L)
+  }
+
+  test("build resets an enabled table and republishes a fresh manifest") {
+    val path = plantSketch("rebuild", days = 3)
+    Snapshot.enable(spark, path)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 1L)
+    SketchTable.build((0L until 30L).map(u => ("all", u)).toDF("key", "user_id"),
+      "key", "user_id", path)
+    Snapshot.isEnabled(spark, path) shouldBe true
+    Snapshot.liveBatches(spark, path) shouldBe Seq(-1L)
+    dirIds(path) shouldBe Seq(-1L)
+    math.abs(est(path) - 30L) should be <= 3L
+  }
+}
