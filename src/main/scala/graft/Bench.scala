@@ -184,9 +184,14 @@ object Bench {
       val storage0 = sc.getRDDStorageInfo
       val tOffset = (System.nanoTime() - runStartNanos) / 1e9
       val load0 = loadAvg1()
+      // per-workload rep floor: spill-bound workloads whose first rep
+      // is page-cache-sensitive run extra reps so the recorded min is
+      // steady-state (ScaleWorkloads.extraReps scaladoc)
+      val nReps = math.max(Reps,
+        graft.queries.ScaleWorkloads.extraReps.getOrElse(name, 0))
       val repTimes = scala.collection.mutable.ListBuffer.empty[Double]
       var rep = 0
-      while (rep < Reps && (repTimes.isEmpty || repTimes.last >= 0)) {
+      while (rep < nReps && (repTimes.isEmpty || repTimes.last >= 0)) {
         repTimes += oneRep(rep)
         rep += 1
       }

@@ -67,10 +67,132 @@ object Bpe {
     trainFromWordCounts(folded, nMerges)
   }
 
-  /** The merge loop itself — pure, deterministic driver math over the
-    * bounded word-count table. Stops early when no pair remains (every
-    * word fully merged). */
+  /** The merge loop — pure, deterministic driver math over the bounded
+    * word-count table, INCREMENTAL (Sennrich's production variant):
+    * pair counts build once, then each round touches only the words
+    * that CONTAIN the chosen pair, applying positional count deltas and
+    * keeping candidates in a lazily-invalidated max-heap. Per-round
+    * cost is O(Σ length of affected words + log-factor heap traffic)
+    * instead of the naive O(total symbol positions) full recount — the
+    * difference between fixture-scale-only and a real 32k-merge
+    * vocabulary (the naive rebuild is ~10^10 driver ops there; this is
+    * minutes of deltas). Output is IDENTICAL to the naive loop — same
+    * max-count / lexicographic-(left,right) selection each round —
+    * pinned by BpeSpec's equivalence gates on the classic and a
+    * randomized fixture. Stops early when no pair remains (every word
+    * fully merged). Word counts must be positive: a zero-count word
+    * cannot influence any merge decision and would only blur the
+    * "pair is live iff it occurs" invariant the heap relies on. */
   def trainFromWordCounts(words: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 0, s"negative nMerges: $nMerges")
+    words.foreach { case (w, n) =>
+      require(n > 0, s"non-positive count for word '$w': $n") }
+    val syms: Array[Array[String]] =
+      words.map { case (w, _) => w.map(_.toString).toArray }.toArray
+    val freq: Array[Long] = words.map(_._2).toArray
+
+    val pairCounts = scala.collection.mutable.HashMap.empty[Merge, Long]
+    // pair → indices of words containing it (at >= 1 position)
+    val pairWords = scala.collection.mutable.HashMap.empty[Merge, scala.collection.mutable.BitSet]
+    // max-heap on (count, pair): highest count first, then
+    // lexicographically SMALLEST (left, right) — the naive loop's
+    // minBy((-n, a, b)) ordering. Entries are never removed on count
+    // change; they invalidate lazily (pop-and-check against the live
+    // count), the standard trick that keeps updates O(log n).
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2) // smaller left symbol wins
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
+    def addPair(p: Merge, i: Int, n: Long): Unit = {
+      pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+      pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += i
+    }
+    var i = 0
+    while (i < syms.length) {
+      val ss = syms(i)
+      var j = 0
+      while (j < ss.length - 1) { addPair((ss(j), ss(j + 1)), i, freq(i)); j += 1 }
+      i += 1
+    }
+    pairCounts.foreach { case ((a, b), n) => heap.enqueue((n, a, b)) }
+
+    val merges = Seq.newBuilder[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      // pop stale entries: an entry is live iff its count matches the
+      // pair's CURRENT count (a pair re-reaching an old count re-enqueued
+      // on the way, so equality is sufficient)
+      var best: Merge = null
+      while (best == null && heap.nonEmpty) {
+        val (n, a, b) = heap.dequeue()
+        if (pairCounts.getOrElse((a, b), 0L) == n) best = (a, b)
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        // touched pairs accumulate deltas across all affected words,
+        // then re-enqueue ONCE with their new live count
+        val touched = scala.collection.mutable.HashSet.empty[Merge]
+        val affected = pairWords.getOrElse(best, scala.collection.mutable.BitSet.empty)
+        affected.toArray.foreach { wi =>
+          val old = syms(wi)
+          val nw = mergeOnce(old, best)
+          val n = freq(wi)
+          // positional deltas: subtract every adjacent pair of the old
+          // form, add every adjacent pair of the new — exactly the
+          // naive recount's contribution change for this word
+          var j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1))
+            pairCounts(p) = pairCounts(p) - n
+            touched += p
+            j += 1
+          }
+          j = 0
+          while (j < nw.length - 1) {
+            val p = (nw(j), nw(j + 1))
+            pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+            touched += p
+            j += 1
+          }
+          // membership maintenance: sets must stay exact or a later
+          // merge would miss occurrences and corrupt counts
+          val oldSet = old.iterator.zip(old.iterator.drop(1)).toSet
+          val newSet = nw.iterator.zip(nw.iterator.drop(1)).toSet
+          (oldSet -- newSet).foreach { p =>
+            pairWords.get(p).foreach { s => s -= wi; if (s.isEmpty) pairWords.remove(p) }
+          }
+          (newSet -- oldSet).foreach { p =>
+            pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+          }
+          syms(wi) = nw
+        }
+        touched.foreach { p =>
+          val n = pairCounts.getOrElse(p, 0L)
+          if (n <= 0 || !pairWords.contains(p)) pairCounts.remove(p)
+          else heap.enqueue((n, p._1, p._2))
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The textbook full-recount loop — O(rounds × total symbol
+    * positions), kept as the EQUIVALENCE REFERENCE the incremental
+    * trainer is pinned against in BpeSpec (and the shape a reader
+    * should check the semantics from). */
+  private[graft] def trainFromWordCountsNaive(words: Seq[(String, Long)],
+                                              nMerges: Int): Seq[Merge] = {
     require(nMerges >= 0, s"negative nMerges: $nMerges")
     var syms: Array[(Array[String], Long)] =
       words.map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray

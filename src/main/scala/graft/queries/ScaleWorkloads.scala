@@ -274,6 +274,19 @@ object ScaleWorkloads {
     }
   }
 
+  /** Per-workload MINIMUM rep counts, consulted by Bench on top of the
+    * global SPARK_GRAFT_BENCH_REPS. The pathological skew triple is
+    * spill-bound at 6M planted rows: its FIRST rep's wall-clock swings
+    * with page-cache state (r11 recorded sx49 reps [22.5, 3.3] — a 7×
+    * first-rep outlier on byte-identical code), so two reps leave the
+    * min one cold-cache accident away from reading as a regression.
+    * Three reps make the min a steady-state number; the durable skew
+    * evidence remains the task-imbalance gauge pair either way. */
+  val extraReps: Map[String, Int] = Map(
+    "sx47_skew_join_naive" -> 3,
+    "sx48_skew_join_salted" -> 3,
+    "sx49_skew_join_aqe" -> 3)
+
   val defs: Map[String, Q] = Map(
 
     // Full MinHash-LSH near-dup pass over sf documents, scoped persist:
@@ -796,6 +809,21 @@ object ScaleWorkloads {
           Tables(s, dir, "documents"), "text", nMerges = 60, maxWords = 20000)
         .zipWithIndex.map { case ((l, r), i) => (i, l, r) }
         .toDF("rank", "merge_left", "merge_right")
+    }),
+
+    // DEEP BPE training at sf scale — 512 merges over the full word
+    // table: the depth where the naive per-round recount stops being
+    // viable (rounds × total-positions) and the incremental trainer's
+    // delta bookkeeping is the whole story. Wall-clock here is the
+    // r11-task evidence that vocabulary-scale training is driver-real:
+    // one distributed collapse + sub-second-per-hundreds-of-merges
+    // driver time, not hours.
+    "sx54_bpe_train_deep" -> ((s, dir) => {
+      import s.implicits._
+      val merges = graft.operators.Bpe.trainMerges(
+        Tables(s, dir, "documents"), "text", nMerges = 512, maxWords = 100000)
+      Seq((merges.length, merges.map { case (l, r) => l.length + r.length }.sum))
+        .toDF("n_merges", "total_symbol_chars")
     }),
 
     // Tokenize sweep under the trained merges (cached per JVM): one

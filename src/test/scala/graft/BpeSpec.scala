@@ -106,4 +106,48 @@ class BpeSpec extends SparkSpec {
     Bpe.trainFromWordCounts(Seq("a" -> 5L), 10) shouldBe Seq.empty
     Bpe.trainFromWordCounts(Seq.empty, 3) shouldBe Seq.empty
   }
+
+  test("incremental trainer equals the naive full recount, merge for merge") {
+    // the classic fixture, run to exhaustion in both
+    Bpe.trainFromWordCounts(wordCounts, 64) shouldBe
+      Bpe.trainFromWordCountsNaive(wordCounts, 64)
+    // randomized fixture over a 4-letter alphabet: short words, heavy
+    // count ties, repeated-letter runs (the overlap edge), and enough
+    // rounds that the vocabulary churns — any drift in the delta
+    // bookkeeping or the heap's tie ordering diverges here
+    val rnd = new scala.util.Random(20260814L)
+    val fixture = Seq.fill(400) {
+      val len = 1 + rnd.nextInt(8)
+      (Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString,
+        1L + rnd.nextInt(9))
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+      .toSeq.sortBy(_._1)
+    val inc = Bpe.trainFromWordCounts(fixture, 60)
+    val naive = Bpe.trainFromWordCountsNaive(fixture, 60)
+    inc shouldBe naive
+    inc.length should be > 30 // the fixture genuinely exercises depth
+    // zero-count words are rejected loudly (the naive loop would let
+    // them skew the "pair is live iff it occurs" invariant silently)
+    intercept[IllegalArgumentException] {
+      Bpe.trainFromWordCounts(Seq("ab" -> 0L), 1)
+    }
+  }
+
+  test("incremental trainer handles a 512-merge vocabulary in driver time") {
+    // ~2k distinct pseudo-words over an 8-letter alphabet: the naive
+    // recount would do rounds × total-positions work here; the
+    // incremental loop must finish hundreds of merges interactively
+    // (the sf-scale wall-clock gauge is bench-side: sx54)
+    val rnd = new scala.util.Random(7L)
+    val fixture = Seq.fill(4000) {
+      val len = 2 + rnd.nextInt(10)
+      (Seq.fill(len)(('a' + rnd.nextInt(8)).toChar).mkString,
+        1L + rnd.nextInt(50))
+    }.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainFromWordCounts(fixture, 512)
+    val secs = (System.nanoTime() - t0) / 1e9
+    merges.length shouldBe 512
+    secs should be < 10.0 // generous CI bound; typical is well under 1s
+  }
 }
