@@ -61,8 +61,17 @@ object Compaction {
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
         val rel = rootUri.relativize(fs.makeQualified(f.getPath.getParent).toUri)
           .getPath.stripSuffix("/")
-        val (n, b) = acc.getOrElse(rel, (0L, 0L))
-        acc(rel) = (n + 1, b + f.getLen)
+        // skip files under hidden (_/.-prefixed) DIRECTORIES too —
+        // `_batch_ledger/…/part-*.parquet`, `_manifests/` staging:
+        // Spark's own discovery never reads them, so the compactor
+        // must neither count nor rewrite them (the recursive listFiles
+        // walks into them regardless of the per-FILE hidden check)
+        val hiddenDir = rel.split("/").exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+        if (!hiddenDir) {
+          val (n, b) = acc.getOrElse(rel, (0L, 0L))
+          acc(rel) = (n + 1, b + f.getLen)
+        }
       }
     }
     acc.toSeq.map { case (p, (n, b)) => DirStats(p, n, b) }

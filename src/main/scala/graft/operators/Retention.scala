@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
 
 /** Retention for the batch-partitioned table family (MinHash /
   * embedding / IVF / posting indexes, HLL/KLL sketch tables): every
@@ -116,6 +117,72 @@ object Retention {
       else deleteBatches(spark, dir, batchIds(spark, dir)
         .filter(b => b < keepFrom && (includeBuild || b != -1L))))
     }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** Record one batch's EVENT-TIME bounds into the table's ledger
+    * (`_batch_ledger/batch_id=N`, one (min_ts, max_ts) row) — the
+    * mapping [[dropOlderThan]] resolves "forget everything older than
+    * timestamp T" through. Call it at ingest beside the batch append,
+    * with the SAME batch id; the overwrite makes a redelivered batch's
+    * ledger row replace itself (the family's idempotency convention).
+    * The `_`-prefixed dir is invisible to the table's own readers
+    * (Hadoop hidden-path filter), like `_manifests`. Bounds are one
+    * tiny agg over the batch being appended anyway — no extra scan at
+    * ingest amortization scale. */
+  def recordBatchEventTime(df: DataFrame, tsCol: String, path: String,
+                           batchId: Long): Unit =
+    df.agg(min(col(tsCol)).as("min_ts"), max(col(tsCol)).as("max_ts"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_batch_ledger/batch_id=$batchId")
+
+  /** The stored ledger: batch_id → (min_ts, max_ts). Batches that were
+    * appended without a ledger row simply don't appear — and
+    * [[dropOlderThan]] will never drop them (age unknown ⇒ protected,
+    * the same never-delete-what-you-can't-order rule as
+    * [[batchIds]]). */
+  def batchLedger(spark: SparkSession, path: String)
+      : Map[Long, (java.sql.Timestamp, java.sql.Timestamp)] = {
+    val dir = new Path(s"$path/_batch_ledger")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Map.empty
+    spark.read.parquet(dir.toString).collect().map { r =>
+      r.getAs[Number]("batch_id").longValue() ->
+        (r.getTimestamp(r.fieldIndex("min_ts")),
+          r.getTimestamp(r.fieldIndex("max_ts")))
+    }.toMap
+  }
+
+  /** EVENT-TIME retention — the user-facing contract ("keep the last
+    * 90 days") that batch-count cuts only approximate: drop every live
+    * batch whose ledger `max_ts` is strictly before `cutoff`, i.e.
+    * batches lying ENTIRELY in the forgotten past (a batch straddling
+    * the cutoff is kept whole — retention is a partition-boundary
+    * operation, never a row rewrite). Resolution is through the ledger
+    * ([[recordBatchEventTime]]); unledgered batches and the build
+    * batch (unless `includeBuild`) are protected. Snapshot-enabled
+    * tables retire logically via a manifest publish, others delete in
+    * place — the [[dropBatchesBefore]] split — and the physical path
+    * sweeps the dropped batches' ledger rows with them. Returns the
+    * dropped ids. */
+  def dropOlderThan(spark: SparkSession, path: String,
+                    cutoff: java.sql.Timestamp,
+                    includeBuild: Boolean = false): Seq[Long] = {
+    assertFlatLayout(spark, path)
+    val ledger = batchLedger(spark, path)
+    val live = Snapshot.liveBatches(spark, path)
+    val doomed = live.filter(b => (includeBuild || b != -1L) &&
+      ledger.get(b).exists(_._2.before(cutoff))).sorted
+    if (doomed.isEmpty) Seq.empty
+    else if (Snapshot.isEnabled(spark, path)) {
+      Snapshot.publish(spark, path, live.diff(doomed))
+      doomed
+    } else {
+      deleteBatches(spark, path, doomed)
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      doomed.foreach(b =>
+        fs.delete(new Path(s"$path/_batch_ledger/batch_id=$b"), true))
+      doomed
+    }
   }
 
   /** Keep only the newest `n` batches (build batch counted unless

@@ -504,6 +504,39 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // WATER-FILLING token-budget mixing — the variant that actually
+    // delivers min(budget, Σavail) (Mixing.waterFillRates): a planted
+    // 4-source fixture where alpha (100 avail, weight 2) SATURATES in
+    // round 1 (its weighted share of the 800 budget is 400) and its
+    // unused 300 redistributes over beta/gamma at their weights —
+    // final rates 1.0 / 0.7 / 0.35, delivering the full 800 in
+    // expectation. The structure is fixed by construction (exactly one
+    // round-1 saturation, none in round 2), so the oracle re-derives
+    // BOTH fill rounds in SQL on the same VALUES — weighted shares,
+    // the saturation comparison, the remaining-budget redistribution —
+    // plus every kept row via the shared idHash gate. Integer weights
+    // and token counts keep each arithmetic step exact-or-bit-identical
+    // in double across engines (the mx1 discipline). The weightless
+    // delta source gets rate 0 and vanishes from the output.
+    "mx2_water_fill" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Mixing
+      val docs = (
+        (1L to 4L).map(i => (i, 25L, "alpha")) ++
+        (101L to 120L).map(i => (i, 25L, "beta")) ++
+        (201L to 240L).map(i => (i, 25L, "gamma")) ++
+        (301L to 303L).map(i => (i, 10L, "delta"))
+      ).toDF("doc_id", "toks", "source")
+      val plan = Mixing.tokenBudgetSample(docs, "doc_id", "source", "toks",
+        Map("alpha" -> 2.0, "beta" -> 1.0, "gamma" -> 1.0),
+        budget = 800L, seed = 21L, redistribute = true)
+      plan.sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+        .withColumn("rate_ppm",
+          floor(element_at(typedLit(plan.rates), col("source")) * 1e6).cast("long"))
+        .orderBy("source")
+    }),
+
     // Generic small-files compaction (Compaction scaladoc): a planted
     // fragmented layout — 10 append passes × 1 task over 4 partition
     // values = EXACTLY 10 files per partition dir — compacts
@@ -1552,6 +1585,40 @@ object PipelineQueries {
                FROM a, t),
           k AS (SELECT d.source, d.toks, r.rate FROM d JOIN r ON d.source = r.source
                WHERE ${graft.operators.Sampling.idHashSql("doc_id", 7)}
+                     < rate * 4294967296.0)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(toks) AS BIGINT) AS tokens_kept,
+                 CAST(floor(min(rate) * 1e6) AS BIGINT) AS rate_ppm
+          FROM k GROUP BY source ORDER BY source""",
+    // full water-fill re-derivation on the planted VALUES: round-1
+    // weighted shares + the saturation comparison, round-2
+    // redistribution of the saturated source's unused budget, and the
+    // idHash gate — expression shapes mirror Mixing.waterFillRates
+    // term for term so every double is bit-identical across engines
+    "mx2_water_fill" ->
+      s"""WITH d AS (
+            SELECT doc_id, CAST(25 AS BIGINT) AS toks, 'alpha' AS source
+              FROM range(1, 5) AS t(doc_id)
+            UNION ALL SELECT doc_id, 25, 'beta' FROM range(101, 121) AS t(doc_id)
+            UNION ALL SELECT doc_id, 25, 'gamma' FROM range(201, 241) AS t(doc_id)
+            UNION ALL SELECT doc_id, 10, 'delta' FROM range(301, 304) AS t(doc_id)),
+          a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail,
+                 CAST(CASE source WHEN 'alpha' THEN 2.0 WHEN 'beta' THEN 1.0
+                      WHEN 'gamma' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS w
+               FROM d GROUP BY source),
+          act AS (SELECT * FROM a WHERE w > 0 AND avail > 0),
+          t1 AS (SELECT CAST(800 AS DOUBLE) AS budget, sum(w) AS sumw FROM act),
+          s1 AS (SELECT source, avail, w, budget * w / sumw >= avail AS sat
+                FROM act, t1),
+          t2 AS (SELECT CAST(800 AS DOUBLE)
+                        - sum(CASE WHEN sat THEN avail ELSE 0 END) AS remaining,
+                        sum(CASE WHEN NOT sat THEN w ELSE 0.0 END) AS sumw2
+                FROM s1),
+          r AS (SELECT source, CASE WHEN sat THEN 1.0
+                               ELSE remaining * w / sumw2 / avail END AS rate
+               FROM s1, t2),
+          k AS (SELECT d.source, d.toks, r.rate FROM d JOIN r ON d.source = r.source
+               WHERE ${graft.operators.Sampling.idHashSql("doc_id", 21)}
                      < rate * 4294967296.0)
           SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                  CAST(sum(toks) AS BIGINT) AS tokens_kept,

@@ -959,6 +959,60 @@ object RelationalQueries {
     // pinned as bounds against the planted exact counts (a13's
     // pattern): the kept estimate must track the surviving 160 users
     // AND visibly forget the dropped days — full-history was ~260.
+    // A17 — EVENT-TIME retention over the sketch-table lifecycle: the
+    // "keep the last N days" contract batch-count cuts only
+    // approximate. Weekly ingest batches of (user, day)-pair sketches
+    // land with ledger rows recording each batch's event-time bounds
+    // (Retention.recordBatchEventTime); dropOlderThan(minDay+14)
+    // resolves through the ledger and retires exactly the two whole
+    // weeks lying before the cutoff — a metadata decision, no data
+    // re-scan. The estimate over the survivors must track the exact
+    // distinct (user, day) count of the kept window (within the HLL
+    // band) AND sit visibly below the full-history estimate — the
+    // "forgets the dropped weeks" property user_id alone couldn't
+    // show (every user is active every week in this data).
+    "a17_event_time_retention" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Retention, SketchTable}
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("ts"),
+          to_date(col("ts")).as("day"))
+      val minDay = ev.agg(min(col("day"))).head().getDate(0)
+      val weeks = ev.withColumn("week",
+        floor(datediff(col("day"), lit(minDay)) / 7).cast("long"))
+      val nWeeks = weeks.agg(max(col("week"))).head().getLong(0).toInt + 1
+      val path = graft.TempDirs.path(
+        s"sketch-table/a17/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      (0 until nWeeks).foreach { w =>
+        val batch = weeks.filter(col("week") === w.toLong)
+          .select(col("event_type"),
+            concat_ws(":", col("user_id"), col("day")).as("ud"), col("ts"))
+        SketchTable.appendBatch(batch, "event_type", "ud", path, w.toLong)
+        Retention.recordBatchEventTime(batch, "ts", path, w.toLong)
+      }
+      // full-history estimates, materialized BEFORE the cut
+      val fullEst = SketchTable.estimateDistinct(s, path).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cutoff = java.sql.Timestamp.valueOf(
+        minDay.toLocalDate.plusDays(14).atStartOfDay())
+      val dropped = Retention.dropOlderThan(s, path, cutoff)
+      val fullEstDf = fullEst.toSeq.toDF("event_type", "_full")
+      SketchTable.estimateDistinct(s, path)
+        .withColumnRenamed("key", "event_type")
+        .join(ev.filter(col("day") >= date_add(lit(minDay), 14))
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id"), col("day")).as("n_exact_kept")),
+          "event_type")
+        .join(fullEstDf, "event_type")
+        .select(col("event_type"), col("n_exact_kept"),
+          lit(dropped.length).as("n_dropped"),
+          (abs(col("estimate") - col("n_exact_kept"))
+            <= col("n_exact_kept") * 0.1).as("within_bound"),
+          (col("_full") - col("estimate") >= col("n_exact_kept") * 0.2)
+            .as("forgot_dropped"))
+        .orderBy("event_type")
+    }),
+
     // RT1 — ATOMIC SNAPSHOT ISOLATION for the persisted-table family
     // (Snapshot scaladoc): the same planted five-day sketch table as
     // a16, but manifest-governed. Retention retires days 0-1 as a
@@ -1428,6 +1482,19 @@ object RelationalQueries {
     "a16_rolling_retention" ->
       """SELECT 'all' AS key, CAST(2 AS INTEGER) AS n_dropped,
                 true AS kept_within_bound, true AS forgot_dropped_days""",
+    // weekly batches over a 30-day table: the cutoff (min day + 14)
+    // retires exactly weeks 0-1; the kept-window exact distinct
+    // (user, day) pairs re-derive in SQL; estimate bounds are gated
+    // as flags (the a13/a16 convention for sketch estimates)
+    "a17_event_time_retention" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) + 14 AS cut FROM events)
+         SELECT event_type,
+                CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+                  AS n_exact_kept,
+                CAST(2 AS INTEGER) AS n_dropped,
+                true AS within_bound, true AS forgot_dropped
+         FROM events, b WHERE CAST(ts AS DATE) >= cut
+         GROUP BY event_type ORDER BY event_type""",
     // the snapshot lifecycle's full ledger: 2 batches logically
     // retired, survivors folded into compaction batch -2, a pinned
     // pre-maintenance reader bit-stable, the live estimate identical

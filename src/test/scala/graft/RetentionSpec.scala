@@ -63,6 +63,47 @@ class RetentionSpec extends SparkSpec {
       "batch_id=__HIVE_DEFAULT_PARTITION__")) shouldBe true
   }
 
+  test("dropOlderThan resolves through the ledger: straddlers and unledgered protected") {
+    val path = TempDirs.path("retention-spec/event-time")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    def batch(k: Long, days: Seq[Int]): Unit = {
+      val df = days.map(d => ("k", d.toLong, ts(d))).toDF("key", "u", "ts")
+      SketchTable.appendBatch(df, "key", "u", path, k)
+      Retention.recordBatchEventTime(df, "ts", path, k)
+    }
+    batch(0L, Seq(1, 2, 3))   // entirely before the cutoff → dropped
+    batch(1L, Seq(4, 5, 9))   // STRADDLES day 8 → kept whole
+    batch(2L, Seq(10, 11))    // after → kept
+    // an unledgered batch: age unknown ⇒ never dropped
+    SketchTable.appendBatch(Seq(("k", 99L, ts(2))).toDF("key", "u", "ts")
+      .select("key", "u"), "key", "u", path, 3L)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    Retention.dropOlderThan(spark, path, cutoff) shouldBe Seq(0L)
+    Retention.batchIds(spark, path) shouldBe Seq(1L, 2L, 3L)
+    // physical path swept the dropped batch's ledger row too
+    Retention.batchLedger(spark, path).keySet shouldBe Set(1L, 2L)
+    // idempotent
+    Retention.dropOlderThan(spark, path, cutoff) shouldBe Seq.empty
+  }
+
+  test("dropOlderThan on a snapshot-enabled table is a manifest edit") {
+    import graft.operators.Snapshot
+    val path = TempDirs.path("retention-spec/event-time-snapshot")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    (0 until 3).foreach { k =>
+      val df = Seq(("k", k.toLong, ts(k * 5 + 1))).toDF("key", "u", "ts")
+      SketchTable.appendBatch(df, "key", "u", path, k.toLong)
+      Retention.recordBatchEventTime(df, "ts", path, k.toLong)
+    }
+    Snapshot.enable(spark, path)
+    // batches hold days 1 / 6 / 11 — only batch 0 lies wholly before
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    Retention.dropOlderThan(spark, path, cutoff) shouldBe Seq(0L)
+    Snapshot.liveBatches(spark, path) shouldBe Seq(1L, 2L)
+    Retention.batchIds(spark, path) shouldBe Seq(0L, 1L, 2L) // logical only
+    Retention.batchLedger(spark, path).keySet shouldBe Set(0L, 1L, 2L)
+  }
+
   test("flat-layout calls on a multi-table root are rejected, not silent no-ops") {
     val path = TempDirs.path("retention-spec/multitable-misuse")
     SketchTable.appendBatch(Seq(("k", 1L)).toDF("key", "u"),
