@@ -42,23 +42,47 @@ import graft.plans.{HashedBowExpr, LinearScoreExpr}
 object QualityClassifier {
 
   /** Trained model: `weights(b)` multiplies the averaged count of
-    * bucket `b`; `seed` is part of the model identity (scoring with a
-    * different hash seed than training would silently permute the
-    * feature space). */
-  final case class Model(bias: Double, weights: Array[Double], seed: Int) {
+    * bucket `b`; `seed` AND `ngrams` are part of the model identity
+    * (scoring with a different hash seed or n-gram order than training
+    * would silently permute / truncate the feature space). `ngrams` = 1
+    * hashes unigrams; 2 adds word bigrams (the fastText default order
+    * — the feature that separates what unigram multisets can't). */
+  final case class Model(bias: Double, weights: Array[Double], seed: Int,
+                         ngrams: Int = 1) {
     def dim: Int = weights.length
 
     /** P(label=1) of a text Column — null text scores as empty (class
       * prior), matching the langid null posture. */
     def prob(text: Column): Column =
       column(LinearScoreExpr(
-        expression(coalesce(text, lit(""))), bias, weights, seed))
+        expression(coalesce(text, lit(""))), bias, weights, seed, ngrams))
+
+    /** Literal spec for the SQL surface
+      * (`graft_quality_score(text, '<spec>')`): "seed ngrams bias
+      * w1 … wd", whitespace-separated — the [[graft.operators.Bpe
+      * .mergesSpec]] pattern, so a model trained in Scala serves
+      * SQL-only consumers as a pasted literal. Double.toString
+      * round-trips exactly through parseDouble, so the SQL scorer is
+      * bit-identical to this model. */
+    def spec: String =
+      (Seq(seed.toString, ngrams.toString, bias.toString) ++
+        weights.map(_.toString)).mkString(" ")
+  }
+
+  /** Parse a [[Model.spec]] literal back into a model (the SQL
+    * function's driver-side half). */
+  def parseModelSpec(spec: String): Model = {
+    val parts = spec.trim.split("\\s+").filter(_.nonEmpty)
+    require(parts.length >= 4,
+      s"model spec must be 'seed ngrams bias w1 [w2 …]', got ${parts.length} fields")
+    Model(parts(2).toDouble, parts.drop(3).map(_.toDouble),
+      parts(0).toInt, parts(1).toInt)
   }
 
   /** Hashed-BoW feature Column (training-path surface; scoring never
     * materializes features — see [[Model.prob]]). */
-  def features(text: Column, dim: Int, seed: Int = 42): Column =
-    column(HashedBowExpr(expression(coalesce(text, lit(""))), dim, seed))
+  def features(text: Column, dim: Int, seed: Int = 42, ngrams: Int = 1): Column =
+    column(HashedBowExpr(expression(coalesce(text, lit(""))), dim, seed, ngrams))
 
   /** One gradient step's distributed state: grad(0) is the bias
     * slot, grad(i+1) pairs with weights(i); `loss` is the summed
@@ -108,13 +132,13 @@ object QualityClassifier {
     * loss.head` has a convergence gate for free). */
   def trainWithLoss(df: DataFrame, textCol: String, labelCol: String,
                     dim: Int = 256, iters: Int = 60, lr: Double = 5.0,
-                    seed: Int = 42): (Model, Seq[Double]) = {
+                    seed: Int = 42, ngrams: Int = 1): (Model, Seq[Double]) = {
     require(iters > 0 && lr > 0 && dim > 0, s"bad (iters=$iters, lr=$lr, dim=$dim)")
     val spark = df.sparkSession
     import spark.implicits._
     val featsDf = df
       .select(col(labelCol).cast("double").as("y"),
-        features(col(textCol), dim, seed).as("x"))
+        features(col(textCol), dim, seed, ngrams).as("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Loud contract check before any gradient math: a null label would
     // die deep in the tuple encoder with an opaque NPE, and an
@@ -146,14 +170,14 @@ object QualityClassifier {
         while (i < dim) { w(i) -= lr * g.grad(i + 1) / g.n; i += 1 }
         it += 1
       }
-      (Model(bias, w, seed), losses.result())
+      (Model(bias, w, seed, ngrams), losses.result())
     } finally featsDf.unpersist(blocking = false)
   }
 
   def train(df: DataFrame, textCol: String, labelCol: String,
             dim: Int = 256, iters: Int = 60, lr: Double = 5.0,
-            seed: Int = 42): Model =
-    trainWithLoss(df, textCol, labelCol, dim, iters, lr, seed)._1
+            seed: Int = 42, ngrams: Int = 1): Model =
+    trainWithLoss(df, textCol, labelCol, dim, iters, lr, seed, ngrams)._1
 
   /** Corpus sweep: adds P(label=1) as `probCol` — one fused native
     * expression, zero shuffle. */

@@ -20,25 +20,58 @@ object HashedBow {
   def bucket(tok: String, dim: Int, seed: Int): Int =
     java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(tok, seed), dim)
 
-  /** Length-averaged hashed counts: x(b) = count_b / nTokens. The
-    * averaging (fastText's trick) keeps |w·x| independent of document
-    * length, so one learning rate works for tweets and books alike. */
-  def featurize(s: String, dim: Int, seed: Int): Array[Double] = {
-    val x = new Array[Double](dim)
-    val toks = s.trim.split("\\s+")
-    var n = 0
+  /** Lowercased non-empty tokens, in document order (bigrams need the
+    * order, not just the multiset). */
+  private[plans] def cleanTokens(s: String): Array[String] = {
+    val raw = s.trim.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[String](raw.length)
     var i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) n += 1
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) out += raw(i).toLowerCase(java.util.Locale.ROOT)
       i += 1
     }
-    if (n == 0) return x
-    val inc = 1.0 / n
-    i = 0
+    out.toArray
+  }
+
+  /** A word-BIGRAM feature is the space-joined token pair — tokens come
+    * from a whitespace split, so the space is injective (no unigram
+    * can collide with a bigram's string except through the hash, which
+    * is the point of hashing). */
+  private[plans] def bigram(a: String, b: String): String = a + " " + b
+
+  /** Total gram count of an n-token doc at this n-gram order. */
+  private[plans] def totalGrams(n: Int, wordNgrams: Int): Int =
+    n + (if (wordNgrams >= 2 && n >= 2) n - 1 else 0)
+
+  def featurize(s: String, dim: Int, seed: Int): Array[Double] =
+    featurize(s, dim, seed, 1)
+
+  /** Length-averaged hashed gram counts: x(b) = count_b / nGrams. The
+    * averaging (fastText's trick) keeps |w·x| independent of document
+    * length, so one learning rate works for tweets and books alike.
+    * `wordNgrams` = 1 hashes unigrams only; 2 adds word bigrams (the
+    * fastText default) — the feature that separates classes unigram
+    * multisets can't ("new york" vs "york new"). Orders above 2 are
+    * rejected: they explode the hashed space without a measured win. */
+  def featurize(s: String, dim: Int, seed: Int, wordNgrams: Int): Array[Double] = {
+    require(wordNgrams == 1 || wordNgrams == 2,
+      s"wordNgrams must be 1 or 2: $wordNgrams")
+    val x = new Array[Double](dim)
+    val toks = cleanTokens(s)
+    val total = totalGrams(toks.length, wordNgrams)
+    if (total == 0) return x
+    val inc = 1.0 / total
+    var i = 0
     while (i < toks.length) {
-      if (toks(i).nonEmpty)
-        x(bucket(toks(i).toLowerCase(java.util.Locale.ROOT), dim, seed)) += inc
+      x(bucket(toks(i), dim, seed)) += inc
       i += 1
+    }
+    if (wordNgrams >= 2) {
+      i = 0
+      while (i < toks.length - 1) {
+        x(bucket(bigram(toks(i), toks(i + 1)), dim, seed)) += inc
+        i += 1
+      }
     }
     x
   }
@@ -50,9 +83,12 @@ object HashedBow {
   * Scala UDF would pay SerDe per row, and the labeled sample can
   * still be millions of docs.
   */
-case class HashedBowExpr(child: Expression, dim: Int, seed: Int)
+case class HashedBowExpr(child: Expression, dim: Int, seed: Int,
+                         wordNgrams: Int = 1)
     extends UnaryExpression with CodegenFallback {
   require(dim > 0, s"dim must be positive: $dim")
+  require(wordNgrams == 1 || wordNgrams == 2,
+    s"wordNgrams must be 1 or 2: $wordNgrams")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -64,7 +100,7 @@ case class HashedBowExpr(child: Expression, dim: Int, seed: Int)
 
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(
-      HashedBow.featurize(v.asInstanceOf[UTF8String].toString, dim, seed))
+      HashedBow.featurize(v.asInstanceOf[UTF8String].toString, dim, seed, wordNgrams))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -79,9 +115,12 @@ case class HashedBowExpr(child: Expression, dim: Int, seed: Int)
   * class prior), never a crash.
   */
 case class LinearScoreExpr(child: Expression, bias: Double,
-                           weights: Array[Double], seed: Int)
+                           weights: Array[Double], seed: Int,
+                           wordNgrams: Int = 1)
     extends UnaryExpression with CodegenFallback {
   require(weights.nonEmpty, "empty weight vector")
+  require(wordNgrams == 1 || wordNgrams == 2,
+    s"wordNgrams must be 1 or 2: $wordNgrams")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -93,23 +132,24 @@ case class LinearScoreExpr(child: Expression, bias: Double,
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
-    val toks = s.trim.split("\\s+")
-    var n = 0
-    var i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) n += 1
-      i += 1
-    }
+    val toks = HashedBow.cleanTokens(s)
+    val total = HashedBow.totalGrams(toks.length, wordNgrams)
     var z = bias
-    if (n > 0) {
-      val inc = 1.0 / n
+    if (total > 0) {
+      val inc = 1.0 / total
       var dot = 0.0
-      i = 0
+      var i = 0
       while (i < toks.length) {
-        if (toks(i).nonEmpty)
-          dot += weights(HashedBow.bucket(
-            toks(i).toLowerCase(java.util.Locale.ROOT), weights.length, seed)) * inc
+        dot += weights(HashedBow.bucket(toks(i), weights.length, seed)) * inc
         i += 1
+      }
+      if (wordNgrams >= 2) {
+        i = 0
+        while (i < toks.length - 1) {
+          dot += weights(HashedBow.bucket(
+            HashedBow.bigram(toks(i), toks(i + 1)), weights.length, seed)) * inc
+          i += 1
+        }
       }
       z += dot
     }

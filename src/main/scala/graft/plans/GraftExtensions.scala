@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kllQuantileDescriptor)
     ext.injectFunction(GraftExtensions.idHashDescriptor)
     ext.injectFunction(GraftExtensions.bpeEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.qualityScoreDescriptor)
   }
 }
 
@@ -313,6 +314,38 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(args(0),
           Literal.create("", org.apache.spark.sql.types.StringType))),
         graft.operators.Bpe.parseMergesSpec(spec))
+    })
+
+  /** `graft_quality_score(text, 'seed ngrams bias w1 … wd')` → double
+    * P(label=1) under a trained linear quality model, from SQL — the
+    * literal-spec pattern of `graft_bpe_encode`: the spec is
+    * [[graft.operators.QualityClassifier.Model.spec]]'s whitespace
+    * -separated print, so a classifier trained in Scala filters a
+    * pure-SQL session bit-identically (Double.toString round-trips).
+    * Null text folds to '' and scores the class prior, exactly like
+    * the Column form. */
+  val qualityScoreDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quality_score"),
+    new ExpressionInfo(classOf[LinearScoreExpr].getName, "graft_quality_score"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "usage: graft_quality_score(text, 'seed ngrams bias w1 ...')")
+      val spec = args(1) match {
+        case other if other.foldable && other.dataType ==
+            org.apache.spark.sql.types.StringType =>
+          val v = other.eval()
+          if (v == null) throw new IllegalArgumentException(
+            "model spec must be a non-null string literal")
+          v.toString
+        case other =>
+          throw new IllegalArgumentException(
+            s"model spec must be a string literal, got $other")
+      }
+      val m = graft.operators.QualityClassifier.parseModelSpec(spec)
+      LinearScoreExpr(
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(args(0),
+          Literal.create("", org.apache.spark.sql.types.StringType))),
+        m.bias, m.weights, m.seed, m.ngrams)
     })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

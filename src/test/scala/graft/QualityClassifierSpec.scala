@@ -104,5 +104,67 @@ class QualityClassifierSpec extends SparkSpec {
     HashedBow.featurize("  ", 16, 42).forall(_ == 0.0) shouldBe true
     // case-folding: tokens differing only by case share a bucket
     HashedBow.featurize("Study", 128, 42) shouldBe HashedBow.featurize("study", 128, 42)
+    // bigram features average over ALL grams (n unigrams + n-1 bigrams)
+    HashedBow.featurize("a b a", 64, 42, 2).sum shouldBe (1.0 +- 1e-12)
+    // a single-token doc has no bigrams: orders agree
+    HashedBow.featurize("solo", 64, 42, 2) shouldBe
+      HashedBow.featurize("solo", 64, 42, 1)
+  }
+
+  test("bigrams separate word-order classes that unigram multisets cannot") {
+    // every doc holds exactly the same unigram MULTISET (one alpha,
+    // one beta) — the classes differ only in adjacency: label 1 docs
+    // read 'alpha beta', label 0 docs 'beta alpha'. A unigram
+    // model sees identical feature vectors for both classes, so its
+    // loss is pinned at the ln(2) coin flip; the bigram model separates
+    // perfectly on the exact same inputs.
+    val docs = ((1L to 6L).map(i => (i, "alpha beta", 1)) ++
+      (11L to 16L).map(i => (i, "beta alpha", 0)))
+      .toDF("doc_id", "text", "label")
+    val (uni, uniLoss) = QualityClassifier.trainWithLoss(
+      docs, "text", "label", dim = 128, iters = 30, ngrams = 1)
+    // identical features per class → gradient keeps p at 0.5 exactly
+    uniLoss.last shouldBe (math.log(2.0) +- 1e-9)
+    val (bi, biLoss) = QualityClassifier.trainWithLoss(
+      docs, "text", "label", dim = 128, iters = 60, ngrams = 2)
+    biLoss.last should be < math.log(2.0) / 3.0
+    val preds = QualityClassifier.classify(docs, "text", bi)
+      .select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, p) <- preds)
+      withClue(s"doc $id: ") { p shouldBe (if (id <= 6) 1 else 0) }
+    // the unigram model genuinely can't: both orderings score equal
+    val uniProbs = QualityClassifier.score(docs, "text", uni)
+      .select("quality_prob").collect().map(_.getDouble(0)).distinct
+    uniProbs.length shouldBe 1
+  }
+
+  test("SQL surface: graft_quality_score with a model-spec literal equals the Column form") {
+    val docs = ((1L to 6L).map(i => (i, "alpha beta", 1)) ++
+      (11L to 16L).map(i => (i, "beta alpha", 0)))
+      .toDF("doc_id", "text", "label")
+    val m = QualityClassifier.train(docs, "text", "label",
+      dim = 128, iters = 30, ngrams = 2)
+    // spec round-trips the model exactly (Double.toString ↔ toDouble)
+    val rt = QualityClassifier.parseModelSpec(m.spec)
+    rt.bias shouldBe m.bias
+    rt.seed shouldBe m.seed
+    rt.ngrams shouldBe m.ngrams
+    rt.weights.toSeq shouldBe m.weights.toSeq
+    docs.union(Seq((99L, null.asInstanceOf[String], 0)).toDF("doc_id", "text", "label"))
+      .createOrReplaceTempView("qc_sql_view")
+    val viaSql = spark.sql(
+      s"SELECT doc_id, graft_quality_score(text, '${m.spec}') AS p FROM qc_sql_view")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaColumn = spark.table("qc_sql_view")
+      .select(col("doc_id"), m.prob(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaSql shouldBe viaColumn // bit-identical, nulls included
+    intercept[Exception] {
+      spark.sql("SELECT graft_quality_score(text, text) FROM qc_sql_view").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_quality_score(text, '42 1') FROM qc_sql_view").collect()
+    }
   }
 }
