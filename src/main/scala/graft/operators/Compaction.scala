@@ -33,11 +33,24 @@ import org.apache.spark.sql.functions._
   *  - OUT-OF-PLACE only (`outPath` must differ from `inPath`): reading
   *    and overwriting the same directory in one job is the classic
   *    self-overwrite loss. At scale the swap is a catalog/location
-  *    pointer flip; here it's the caller's `rename`.
+  *    pointer flip; here it's the caller's `rename` — or, for the
+  *    batch-partitioned index/sketch family, [[Snapshot.compactLive]]'s
+  *    atomic manifest flip, which needs no swap at all.
   *
   * Equality contract: compaction never changes CONTENT — row multiset
   * and schema (partition columns included) are identical before and
   * after; only the file layout moves. CompactionSpec pins it.
+  *
+  * EXCLUDED: BUCKETED catalog tables (the `j5_bucketed_join` layout).
+  * Bucketing is a files-to-bucket-ids correspondence recorded in the
+  * catalog: file names carry the bucket id, and every row must sit in
+  * the file of `hash(bucket cols) % nBuckets`. This compactor shards
+  * by a CONTENT hash of all columns and renames files freely — on a
+  * bucketed table that silently breaks the correspondence, and the
+  * exchange-free joins bucketing exists for would return WRONG results
+  * (Spark trusts the catalog and skips the shuffle). Compact bucketed
+  * tables by re-running their `bucketBy` write — the bucket layout IS
+  * the sharding — never through this path.
   */
 object Compaction {
 

@@ -1050,17 +1050,24 @@ object PipelineQueries {
     // against batch 0's appends in either modality (20 → doc 12's
     // text, 21 → doc 14's vector) → only 22 lands. The sink parquet IS
     // the query result — (batch, doc_id) straight off the partition
-    // layout. Bench cost is micro-batch ENGINE overhead, measured
-    // (r11, job-level listener): the two foreachBatch executions fire
-    // 246 Spark jobs total (probes over two modalities, star-CC
-    // rounds, two index appends + sink per batch, the batch-1 triple
-    // compaction), averaging ~45 ms in-job with the remainder
-    // driver-side Catalyst planning between jobs — a scheduler+planner
-    // floor intrinsic to running ~30 constituent operators as real
-    // jobs on a 5-row fixture, not a data-path scale risk: every
-    // constituent is individually benched at sf scale (sx14/sx15
-    // probes, sx13 star CC, sx16 compaction). Knobs measured and
-    // rejected: AQE off → fewer jobs but slower (loses runtime
+    // layout. Bench cost is micro-batch ENGINE overhead, now
+    // MACHINE-RECORDED every round by the st5_overhead_* gauges
+    // (ScaleWorkloads.st5OverheadGauges): the two foreachBatch
+    // executions fire ~250 Spark jobs (probes over two modalities,
+    // star-CC rounds, two index appends + sink per batch, the batch-1
+    // triple compaction), splitting wall-clock into summed in-job
+    // execution vs the driver-side gap between jobs (Catalyst
+    // planning, stream-progress/commit bookkeeping). Measured split
+    // (r12): ~10 s in-job (246 jobs × ~40 ms — task/scheduler floor on
+    // 5-row data, not compute) + ~7 s inter-job driver gap — a
+    // scheduler+planner floor intrinsic to running ~30 constituent
+    // operators as real jobs on a 5-row fixture, not a data-path scale
+    // risk: every constituent is individually benched at sf scale
+    // (sx14/sx15 probes, sx13 star CC, sx16 compaction), and a future
+    // st5 wall-clock move can be read off the gauge pair as execution
+    // (regression) or engine floor (not one). Knobs measured and
+    // rejected (r10/r11 sweep): RocksDB state store ~30% slower on
+    // KB-state; AQE off → fewer jobs but slower (loses runtime
     // broadcast conversion); codegen off → no change. The one kept:
     // shuffle partitions scoped DOWN to the micro-batch volume for the
     // query's lifetime (restored after) — sizing partitions to batch
