@@ -106,6 +106,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.queries.ScaleWorkloads.embeddingIndexPath(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.queries.ScaleWorkloads.pqBooks(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Canonical session conf, re-asserted before every measurement: an
     // abandoned timed-out query thread (e.g. a connected-components

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{VectorFunctions => V}
+import graft.plans.{PqAdcExpr, PqEncodeExpr}
+
+/** PRODUCT QUANTIZATION (Jégou, Douze, Schmid 2011 — the public IVF-PQ
+  * recipe every billion-scale ANN system runs on): each vector splits
+  * into `m` subvectors; each subspace trains its own k-entry codebook
+  * by L2 k-means; a vector is stored as the m BYTES naming its nearest
+  * entry per subspace. A 64-float embedding becomes an 8-byte code —
+  * 32× compression — and query scoring never touches the floats again:
+  * the query expands driver-side into m×k lookup tables (asymmetric
+  * distance computation), and each candidate costs m table adds.
+  *
+  * 100 TB posture, by phase:
+  *  - TRAIN is a build step: init is one bounded distinct-sample per
+  *    subspace, then each Lloyd round is ONE distributed aggregation
+  *    whose partial state is the m×k (count, sum) table — a few KB per
+  *    partition, map-side combined. Driver state = the codebooks
+  *    (k × dim doubles), the IVF-centroid precedent.
+  *  - ENCODE is a fused zero-shuffle scan ([[graft.plans.PqEncodeExpr]],
+  *    codebooks in the task closure) — run once at ingest, the codes
+  *    land beside the ids and the float column never ships again.
+  *  - SCORE reads only the code column: [[graft.plans.PqAdcExpr]] with
+  *    the per-query lookup tables in the closure, top-k via
+  *    TakeOrderedAndProject. At scale this composes with the IVF
+  *    partition pruning ([[Ann.buildIvfIndex]]): probe the nProbe cell
+  *    directories, ADC-score their codes.
+  *
+  * Scoring is approximate COSINE (the family's metric, comparable to
+  * [[Ann.bruteForceTopK]]): both dot(q, x̂) and ‖x̂‖² decompose exactly
+  * over subspaces, so the reconstruction x̂'s cosine computes from the
+  * same m lookups as L2 would. Determinism: init is a
+  * distinct-orderBy-limit sample (no RNG); argmin ties break to the
+  * lowest index everywhere; and on integer-valued planted fixtures the
+  * trained centroids are bit-exact regardless of partition order
+  * (integer sums are exact in double), which is what lets ann9 pin PQ
+  * top-k against a DuckDB exact-cosine oracle.
+  */
+object Pq {
+
+  /** Trained codebooks: `books(s)(j)` is subspace s's j-th centroid
+    * (length dim/m). */
+  final case class Codebooks(dim: Int, books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def k: Int = books(0).length
+    def sub: Int = dim / m
+  }
+
+  /** Per-round distributed state: counts(s*k+j) and
+    * sums(((s*k)+j)*sub .. +sub) accumulate subspace s / cell j. */
+  final case class PqState(counts: Array[Long], sums: Array[Double])
+
+  /** One Lloyd round for ALL subspaces in ONE aggregation: assignment
+    * against the closure-captured codebooks, partial (count, sum)
+    * tables merged elementwise. */
+  private final class PqRoundAgg(books: Array[Array[Array[Double]]], dim: Int)
+      extends Aggregator[Seq[Double], PqState, PqState] {
+    private val m = books.length
+    private val k = books(0).length
+    private val sub = dim / m
+
+    override def zero: PqState =
+      PqState(new Array[Long](m * k), new Array[Double](m * k * sub))
+
+    override def reduce(b: PqState, vec: Seq[Double]): PqState = {
+      val x = vec.toArray
+      var s = 0
+      while (s < m) {
+        val base = s * sub
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          val c = books(s)(j)
+          var d = 0.0
+          var t = 0
+          while (t < sub) { val e = x(base + t) - c(t); d += e * e; t += 1 }
+          if (d < bestD) { bestD = d; best = j } // ties → lowest index
+          j += 1
+        }
+        val cell = s * k + best
+        b.counts(cell) += 1
+        var t = 0
+        while (t < sub) { b.sums(cell * sub + t) += x(base + t); t += 1 }
+        s += 1
+      }
+      b
+    }
+
+    override def merge(a: PqState, b: PqState): PqState = {
+      var i = 0
+      while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+      i = 0
+      while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+      a
+    }
+
+    override def finish(r: PqState): PqState = r
+    override def bufferEncoder: Encoder[PqState] = Encoders.product[PqState]
+    override def outputEncoder: Encoder[PqState] = Encoders.product[PqState]
+  }
+
+  /** Train m codebooks of k entries each. Init: per subspace, the
+    * first k DISTINCT subvectors in array order (deterministic, no
+    * RNG; m bounded driver-side collects at build time) — distinctness
+    * guarantees no two centroids start identical, so separable planted
+    * clusters converge exactly. Fewer than k distinct subvectors pads
+    * by cycling (duplicate centroids are harmless: the strict argmin
+    * never picks one over its lower-index twin). Each round is one
+    * distributed pass; empty cells keep their centroid. */
+  def train(embs: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+            iters: Int = 3): Codebooks = {
+    require(dim > 0 && m > 0 && dim % m == 0,
+      s"dim must split evenly into m subspaces: dim=$dim, m=$m")
+    require(k > 0 && k <= 256, s"byte codes address 1..256 centroids: k=$k")
+    require(iters >= 0, s"negative iters: $iters")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val vecs = embs
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !array_contains(transform(col("v"), e => e.isNull), true))
+      .as[Seq[Double]]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+        val distinctSubs = vecs.toDF("v")
+          .select(slice(col("v"), s * sub + 1, sub).as("sv"))
+          .distinct().orderBy(col("sv")).limit(k)
+          .collect().map(_.getSeq[Double](0).toArray)
+        require(distinctSubs.nonEmpty,
+          s"no trainable vectors in $vecCol (null / wrong-dim rows only)")
+        Array.tabulate(k)(j => distinctSubs(j % distinctSubs.length).clone())
+      }
+      var it = 0
+      while (it < iters) {
+        // clone per round: the closure must capture THIS iterate
+        val snap = books.map(_.map(_.clone()))
+        val st = vecs.select(new PqRoundAgg(snap, dim).toColumn).head()
+        books = Array.tabulate(m) { s =>
+          Array.tabulate(k) { j =>
+            val cell = s * k + j
+            val n = st.counts(cell)
+            if (n == 0) books(s)(j) // empty cell keeps its centroid
+            else Array.tabulate(sub)(t => st.sums(cell * sub + t) / n)
+          }
+        }
+        it += 1
+      }
+      Codebooks(dim, books)
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** vector → m-byte PQ code (fused, zero shuffle; codebooks in the
+    * closure). Null / short / null-element vectors encode as NULL. */
+  def encode(vec: Column, cb: Codebooks): Column =
+    column(PqEncodeExpr(expression(vec), cb.books))
+
+  /** PQ code → approximate cosine against `queryVec`, via the m×k ADC
+    * lookup tables built HERE, driver-side, once per query. */
+  def adcCosine(codes: Column, queryVec: Seq[Double], cb: Codebooks): Column = {
+    require(queryVec.length == cb.dim,
+      s"query dim ${queryVec.length} != codebook dim ${cb.dim}")
+    val q = queryVec.toArray
+    val dotTab = Array.tabulate(cb.m) { s =>
+      Array.tabulate(cb.k) { j =>
+        val c = cb.books(s)(j)
+        var d = 0.0
+        var t = 0
+        while (t < cb.sub) { d += q(s * cb.sub + t) * c(t); t += 1 }
+        d
+      }
+    }
+    val sqTab = Array.tabulate(cb.m) { s =>
+      Array.tabulate(cb.k) { j =>
+        val c = cb.books(s)(j)
+        var d = 0.0
+        var t = 0
+        while (t < cb.sub) { d += c(t) * c(t); t += 1 }
+        d
+      }
+    }
+    val qNorm = math.sqrt(q.map(v => v * v).sum)
+    column(PqAdcExpr(expression(codes), dotTab, sqTab, qNorm))
+  }
+
+  /** Top-k by PQ-approximated cosine with ALREADY-TRAINED codebooks:
+    * one fused encode→ADC projection over the scan, top-k via
+    * TakeOrderedAndProject — the query path a standing corpus pays
+    * (at scale the codes are pre-encoded at ingest; encoding here
+    * keeps the demo self-contained on a float column). */
+  def topK(embs: DataFrame, idCol: String, vecCol: String,
+           queryVec: Seq[Double], k: Int, cb: Codebooks): DataFrame =
+    embs.select(col(idCol),
+        adcCosine(encode(col(vecCol), cb), queryVec, cb).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** SHORTLIST-AND-RERANK — the production PQ recipe: ADC over the
+    * codes ranks a `shortlist`-sized candidate set (default 10·k),
+    * then ONLY those rows' float vectors score exact cosine for the
+    * final top-k. Measured at sf0.1 (64-dim, m=8, k=256): raw ADC
+    * recall@10 is 0.4 on the near-incompressible synthetic embeddings,
+    * while a 100-candidate rerank recovers 1.0 — the
+    * pq_rerank_recall_at_10 gauge pins it every round. Cost shape: the
+    * ranking pass reads m BYTES per vector (codes column only — on a
+    * columnar layout the float column isn't touched), and exact
+    * arithmetic is paid for shortlist rows alone; at 100 TB the rerank
+    * fetch composes with an id-clustered or IVF-cell layout so the
+    * float reads are row-group-pruned too. */
+  def topKReranked(embs: DataFrame, idCol: String, vecCol: String,
+                   queryVec: Seq[Double], k: Int, cb: Codebooks,
+                   shortlist: Int = 0): DataFrame = {
+    val n = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    require(n >= k, s"shortlist $n smaller than k=$k")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cands = topK(embs, idCol, vecCol, queryVec, n, cb).select(col(idCol))
+    val q = broadcast(Seq(Tuple1(queryVec.map(_.toFloat))).toDF("_qvec"))
+    embs.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Train + search in one call (demo/test path — real deployments
+    * train once and [[topK]] per query, the [[Ann.ivfTopKTrained]]
+    * convention). */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+             queryVec: Seq[Double], k: Int, m: Int = 8, kCodes: Int = 16,
+             iters: Int = 3): DataFrame =
+    topK(embs, idCol, vecCol, queryVec, k,
+      train(embs, vecCol, dim, m, kCodes, iters))
+}

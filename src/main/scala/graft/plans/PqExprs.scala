@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, FloatType}
+
+/** Product-quantization expressions ([[graft.operators.Pq]]): the
+  * vector → m-byte code ENCODE sweep and the code → approx-cosine ADC
+  * scoring sweep. Both are fused one-pass native expressions with the
+  * trained tables riding the task closure — the same zero-shuffle
+  * scan-and-project shape as [[LinearScoreExpr]] and [[BpeEncodeExpr]]
+  * — because both ARE the 100 TB data path: encoding compresses the
+  * corpus 32×, and ADC scoring reads only the m-byte codes, never the
+  * float vectors.
+  */
+
+/** array<float|double> (length >= dim) → binary of m bytes: byte s is
+  * the index of the L2-nearest entry of subspace s's codebook
+  * (`books(s)(j)` = a dim/m-length centroid). Ties break to the LOWEST
+  * index — the deterministic argmin [[graft.operators.Pq]] trains
+  * with. Short or null-element vectors yield NULL (the
+  * [[NearestCellExpr]] posture), never a garbage code. */
+case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+  private val m = books.length
+  private val sub = books(0)(0).length
+  private val k = books(0).length
+  require(books.forall(b => b.length == k && b.forall(_.length == sub)),
+    "codebooks must be rectangular: m × k × (dim/m)")
+  require(k <= 256, s"a byte code addresses at most 256 centroids: k=$k")
+  private val dim = m * sub
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.elementType(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${child.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pq_encode"
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat: Boolean =
+    VectorExprs.elementType(child.dataType).contains(FloatType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < k) {
+        val c = books(s)(j)
+        var d = 0.0
+        var t = 0
+        while (t < sub) {
+          if (arr.isNullAt(base + t)) return null
+          val x = (if (isFloat) arr.getFloat(base + t).toDouble
+                   else arr.getDouble(base + t)) - c(t)
+          d += x * x
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j } // strict: ties → lowest j
+        j += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** binary PQ code (m bytes) → double approximate cosine against the
+  * query the lookup tables were built for: `dotTab(s)(j)` =
+  * dot(query subvector s, codebook entry j), `sqTab(s)(j)` = that
+  * entry's squared norm — so the score is table lookups and adds, no
+  * float vector ever touched (asymmetric distance computation, Jégou
+  * et al.). Zero-norm reconstructions or queries score 0.0, matching
+  * the brute-force cosine's convention. Codes of the wrong length
+  * yield NULL — a code from a different (m, k) model must surface,
+  * not silently mis-look-up. */
+case class PqAdcExpr(child: Expression, dotTab: Array[Array[Double]],
+                     sqTab: Array[Array[Double]], qNorm: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  require(dotTab.nonEmpty && dotTab.length == sqTab.length,
+    "dot/sq tables must cover the same subspaces")
+  private val m = dotTab.length
+  private val k = dotTab(0).length
+  require(dotTab.forall(_.length == k) && sqTab.forall(_.length == k),
+    "lookup tables must be rectangular: m × k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary PQ codes, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val code = v.asInstanceOf[Array[Byte]]
+    if (code.length != m) return null
+    var dot = 0.0
+    var sq = 0.0
+    var s = 0
+    while (s < m) {
+      val j = java.lang.Byte.toUnsignedInt(code(s))
+      if (j >= k) return null
+      dot += dotTab(s)(j)
+      sq += sqTab(s)(j)
+      s += 1
+    }
+    val denom = qNorm * math.sqrt(sq)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

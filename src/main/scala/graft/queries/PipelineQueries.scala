@@ -601,6 +601,24 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // ANN9 — PRODUCT QUANTIZATION top-k on the lossless integer
+    // fixture (PlantedFixtures.pqVectors scaladoc): 2 subspaces × 4
+    // integer codewords train back bit-exactly, so 8-byte... here
+    // 2-byte codes reconstruct every vector EXACTLY and the fused
+    // encode→ADC scan's approximate cosine IS the true cosine — which
+    // is what lets a memory-compressed ANN path be pinned against
+    // DuckDB's exact list-math cosine, the ann1 oracle shape. (Lossy
+    // behavior at sf scale is the pq_recall_at_10 gauge; compression
+    // economics are sx55.)
+    "ann9_pq_topk" -> ((s, _) => {
+      import graft.operators.Pq
+      val embs = PlantedFixtures.pqVectors(s)
+      Pq.pqTopK(embs, "vec_id", "embedding", PlantedFixtures.PqFixtureDim,
+          Seq(1.0, 0.0, 5.0, 0.0), 8, m = 2, kCodes = 4, iters = 2)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     // LSH-bucketed ANN on the planted vectors: the scalar-multiple
     // cluster is signature-identical, so ids 0/1/2 at sim 1.0 are
     // guaranteed; the rest of the top-5 pins the SINGLE-table
@@ -1894,6 +1912,31 @@ object PipelineQueries {
       """SELECT doc_id,
                 sha256(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    // EXACT cosine over the lossless PQ fixture VALUES: integer
+    // components make the trained reconstruction exact, so the PQ
+    // path's ADC score must equal true-cosine list math double for
+    // double (PlantedFixtures.pqVectors scaladoc)
+    "ann9_pq_topk" ->
+      """WITH d AS (SELECT * FROM (VALUES
+           (0, [1.0, 0.0, 5.0, 0.0]), (1, [1.0, 0.0, 0.0, 7.0]),
+           (2, [1.0, 0.0, 1.0, 1.0]), (3, [1.0, 0.0, 4.0, 3.0]),
+           (4, [0.0, 1.0, 5.0, 0.0]), (5, [0.0, 1.0, 0.0, 7.0]),
+           (6, [0.0, 1.0, 1.0, 1.0]), (7, [0.0, 1.0, 4.0, 3.0]),
+           (8, [3.0, 4.0, 5.0, 0.0]), (9, [3.0, 4.0, 0.0, 7.0]),
+           (10, [3.0, 4.0, 1.0, 1.0]), (11, [3.0, 4.0, 4.0, 3.0]),
+           (12, [2.0, 2.0, 5.0, 0.0]), (13, [2.0, 2.0, 0.0, 7.0]),
+           (14, [2.0, 2.0, 1.0, 1.0]), (15, [2.0, 2.0, 4.0, 3.0])
+         ) AS v(vec_id, embedding)),
+         q AS (SELECT embedding AS qv FROM d WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                           x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform((SELECT qv FROM q), v -> v * v))) *
+                   sqrt(list_sum(list_transform(embedding, v -> v * v)))) AS sim_raw
+           FROM d)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id, round(sim_raw, 4) AS sim
+         FROM scored ORDER BY sim_raw DESC, vec_id LIMIT 8""",
     "ann1_brute_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
          scored AS (

@@ -141,6 +141,29 @@ object PlantedFixtures {
     */
   val EmbFixtureDim = 8
 
+  /** PQ fixture (ann9, PqSpec): dim 4 = 2 subspaces × 2, every vector
+    * a combination of 4 INTEGER subvalues per subspace (16 vectors,
+    * vec_id = a·4 + b → S(a) ++ T(b)). Integer components make the
+    * whole chain bit-exact across engines: k-means centroids are
+    * integer sums over identical points divided by their count (exact
+    * in double, any partition order), so training recovers S and T
+    * exactly, PQ reconstruction is lossless, and the ADC cosine equals
+    * the true cosine double-for-double — which is what lets the ann9
+    * oracle be DuckDB's EXACT cosine top-k over the same values. */
+  val PqFixtureDim = 4
+  val PqSubvaluesA: Seq[Seq[Double]] =
+    Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(3.0, 4.0), Seq(2.0, 2.0))
+  val PqSubvaluesB: Seq[Seq[Double]] =
+    Seq(Seq(5.0, 0.0), Seq(0.0, 7.0), Seq(1.0, 1.0), Seq(4.0, 3.0))
+
+  def pqVectors(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (a <- 0 until 4; b <- 0 until 4) yield
+      ((a * 4 + b).toLong,
+        (PqSubvaluesA(a) ++ PqSubvaluesB(b)).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
   def embs(s: SparkSession): DataFrame = {
     import s.implicits._
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)

@@ -160,6 +160,19 @@ object ScaleWorkloads {
       finally tuned.unpersist(blocking = false)
     val ivf = ids(Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
       trainedCents(s, dir), nProbe = 2))
+    // PQ recall at the 32× compression point (m=8 byte codes for 64
+    // floats): lossy by design at sf scale — the gauge records what
+    // the compression costs in ranking quality, next to what LSH/IVF
+    // pruning cost. Exactness on the lossless fixture is ann9's pin.
+    val (pq, pqReranked) = {
+      val qv = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val cb = pqBooks(s, dir)
+      (ids(graft.operators.Pq.topK(embs, "vec_id", "embedding", qv, 10, cb)),
+        ids(graft.operators.Pq.topKReranked(embs, "vec_id", "embedding",
+          qv, 10, cb, shortlist = 100)))
+    }
     // NO langid-vs-`lang`-column gauge, deliberately: the generator's
     // `lang` labels sit on synthetic English-ish token soup ("data
     // query small row…" labeled es/de/zh), so label agreement would
@@ -183,6 +196,8 @@ object ScaleWorkloads {
       "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
       "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
       "ivf_recall_at_10" -> (exact & ivf).size / 10.0,
+      "pq_recall_at_10" -> (exact & pq).size / 10.0,
+      "pq_rerank_recall_at_10" -> (exact & pqReranked).size / 10.0,
       "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir),
       "skew_naive_task_imbalance" -> {
         // QUARTER-size fixture: the max/median ratio is what the gauge
@@ -858,6 +873,34 @@ object ScaleWorkloads {
         .toDF("rank", "merge_left", "merge_right")
     }),
 
+    // PQ encode + ADC top-k sweep at sf scale: codebooks (a build
+    // step) are cached per JVM; the timed work is the data path — one
+    // fused encode→table-lookup projection over every sf embedding,
+    // top-k via TakeOrderedAndProject. At 100 TB the codes are
+    // pre-encoded at ingest and this scan reads m bytes per vector
+    // instead of dim floats — the 32× I/O cut is the operator's point;
+    // ranking quality at this compression is the pq_recall_at_10 gauge.
+    "sx55_pq_score" -> ((s, dir) => {
+      val embs = Tables(s, dir, "embeddings")
+      val qv = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      graft.operators.Pq.topK(embs, "vec_id", "embedding", qv, 10,
+        pqBooks(s, dir))
+    }),
+
+    // The production PQ recipe end-to-end: ADC shortlist over codes +
+    // exact rerank of the 100 candidates (recall 1.0 at sf0.1 where
+    // raw ADC is 0.4 — the pq_rerank_recall_at_10 gauge's pin).
+    "sx56_pq_rerank" -> ((s, dir) => {
+      val embs = Tables(s, dir, "embeddings")
+      val qv = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      graft.operators.Pq.topKReranked(embs, "vec_id", "embedding", qv, 10,
+        pqBooks(s, dir), shortlist = 100)
+    }),
+
     // DEEP BPE training at sf scale — 512 merges over the full word
     // table: the depth where the naive per-round recount stops being
     // viable (rounds × total-positions) and the incremental trainer's
@@ -940,6 +983,18 @@ object ScaleWorkloads {
     * tasks, so each partition dir lands ~40 small files (tens of
     * files per dir either way: the many-small-appends pathology the
     * compactor exists to fix). */
+  /** PQ codebooks per sf dir, trained once per JVM (a build step, like
+    * trainedCents): m=8 subspaces × 256 codewords over the 64-dim
+    * embeddings — 8-byte codes at 32× compression, the full byte
+    * range per subspace (measured: k=16 → 0.2 raw recall@10 on the
+    * synthetic embeddings, k=256 → 0.4 raw / 1.0 after a
+    * 100-candidate rerank). */
+  private val pqBooksCache = TrieMap.empty[String, graft.operators.Pq.Codebooks]
+  private[graft] def pqBooks(s: SparkSession, dir: String): graft.operators.Pq.Codebooks =
+    pqBooksCache.getOrElseUpdate(dir,
+      graft.operators.Pq.train(Tables(s, dir, "embeddings"), "embedding",
+        EmbDim, m = 8, k = 256, iters = 3))
+
   private val fragLayouts = TrieMap.empty[String, String]
   private def fragmentedEvents(s: SparkSession, dir: String): String =
     fragLayouts.getOrElseUpdate(dir, {

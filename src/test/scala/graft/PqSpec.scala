@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+import graft.queries.PlantedFixtures
+
+/** Product quantization: exact codebook recovery on the integer
+  * fixture, lossless encode→ADC equal to true cosine double-for-
+  * double, null/shape postures, and the contract guards. The top-k
+  * against a DuckDB exact-cosine oracle is ann9's job; recall at sf
+  * scale is the pq_recall_at_10 bench gauge. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = PlantedFixtures.PqFixtureDim
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+  }
+
+  test("training recovers the planted integer subvalue sets exactly") {
+    val cb = Pq.train(PlantedFixtures.pqVectors(spark), "embedding",
+      dim, m = 2, k = 4, iters = 2)
+    cb.m shouldBe 2
+    cb.k shouldBe 4
+    cb.books(0).map(_.toSeq).toSet shouldBe PlantedFixtures.PqSubvaluesA.toSet
+    cb.books(1).map(_.toSeq).toSet shouldBe PlantedFixtures.PqSubvaluesB.toSet
+    // deterministic: retraining yields the identical codebooks
+    val again = Pq.train(PlantedFixtures.pqVectors(spark), "embedding",
+      dim, m = 2, k = 4, iters = 2)
+    again.books.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      cb.books.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  test("lossless fixture: ADC cosine equals the true cosine, double for double") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
+    val q = Seq(1.0, 0.0, 5.0, 0.0) // vec_id 0's vector
+    val got = embs.select(col("vec_id"),
+        Pq.adcCosine(Pq.encode(col("embedding"), cb), q, cb).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val truth = (for (a <- 0 until 4; b <- 0 until 4) yield
+      (a * 4 + b).toLong -> cosine(
+        PlantedFixtures.PqSubvaluesA(a) ++ PlantedFixtures.PqSubvaluesB(b), q))
+      .toMap
+    got.keySet shouldBe truth.keySet
+    for ((id, sim) <- got)
+      withClue(s"vec $id: ") { sim shouldBe truth(id) } // EXACT, no tolerance
+  }
+
+  test("codes are m bytes; encode handles null / short / padded-codebook inputs") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 1)
+    val codes = embs.select(Pq.encode(col("embedding"), cb).as("c"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    all(codes.map(_.length)) shouldBe 2
+    codes.map(_.toSeq).distinct.length shouldBe 16 // 4×4 combinations
+    // null and wrong-dim vectors encode as NULL, never a garbage code
+    val edge = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("id", "embedding")
+    val nulls = edge.select(Pq.encode(col("embedding"), cb).as("c")).collect()
+    nulls.foreach(_.isNullAt(0) shouldBe true)
+    // fewer distinct subvectors than k: pads by cycling, still encodes
+    val tiny = Seq((1L, Seq(1.0f, 0.0f, 5.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 7.0f))).toDF("id", "embedding")
+    val cb2 = Pq.train(tiny, "embedding", dim, m = 2, k = 4, iters = 1)
+    cb2.k shouldBe 4
+    val sims = tiny.select(
+        Pq.adcCosine(Pq.encode(col("embedding"), cb2),
+          Seq(1.0, 0.0, 5.0, 0.0), cb2).as("s"))
+      .collect().map(_.getDouble(0))
+    // lossless on 2 points; self-cosine is 1.0 up to the sqrt(x)·sqrt(x)
+    // ULP (26/(√26·√26) ≠ exactly 1 in double)
+    sims.head shouldBe 1.0 +- 1e-12
+  }
+
+  test("contract guards: dim split, code width, query dim, foreign codes") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    intercept[IllegalArgumentException] {
+      Pq.train(embs, "embedding", dim, m = 3, k = 4) // 4 % 3 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Pq.train(embs, "embedding", dim, m = 2, k = 300) // > byte range
+    }
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 1)
+    intercept[IllegalArgumentException] {
+      Pq.adcCosine(col("c"), Seq(1.0, 2.0), cb) // query dim mismatch
+    }
+    // a code of the wrong width (different model) scores NULL, loudly
+    // absent rather than silently mis-ranked
+    val foreign = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("c")
+    foreign.select(Pq.adcCosine(col("c"), Seq(1.0, 0.0, 5.0, 0.0), cb).as("s"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("shortlist-and-rerank returns exact-cosine order and scores") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
+    val q = Seq(1.0, 0.0, 5.0, 0.0)
+    val got = Pq.topKReranked(embs, "vec_id", "embedding", q, 5, cb,
+        shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val truth = (for (a <- 0 until 4; b <- 0 until 4) yield
+      ((a * 4 + b).toLong, cosine(
+        PlantedFixtures.PqSubvaluesA(a) ++ PlantedFixtures.PqSubvaluesB(b), q)))
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    got.map(_._1).toSeq shouldBe truth.map(_._1)
+    // rerank scores are EXACT cosine (float-vector arithmetic), within
+    // the float32 storage of the fixture column
+    got.zip(truth).foreach { case ((_, g), (_, t)) => g shouldBe (t +- 1e-6) }
+    intercept[IllegalArgumentException] {
+      Pq.topKReranked(embs, "vec_id", "embedding", q, 5, cb, shortlist = 3)
+    }
+  }
+
+  test("topK ranks by ADC and matches brute-force on the lossless fixture") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
+    val q = Seq(1.0, 0.0, 5.0, 0.0)
+    val pq = Pq.topK(embs, "vec_id", "embedding", q, 5, cb)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = (for (a <- 0 until 4; b <- 0 until 4) yield
+      ((a * 4 + b).toLong, cosine(
+        PlantedFixtures.PqSubvaluesA(a) ++ PlantedFixtures.PqSubvaluesB(b), q)))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    pq shouldBe brute
+  }
+}
