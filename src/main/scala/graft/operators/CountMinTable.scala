@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Persisted per-key COUNT-MIN sketch table — point-FREQUENCY
+  * estimates over unbounded history with bounded state, completing the
+  * sketch family: HLL answers "how many distinct" ([[SketchTable]]),
+  * KLL "what quantile" ([[QuantileSketch]]), theta "how big is the
+  * overlap" ([[ThetaSketch]]), Misra–Gries "which items are heavy"
+  * ([[FreqItems]]) — count-min answers "how often has THIS item
+  * appeared", for items chosen at query time, long after the raw rows
+  * are gone. (Misra–Gries keeps only the top-k survivors; CMS can be
+  * asked about ANY item, at the price of a one-sided overestimate.)
+  *
+  * Same lifecycle as every graft sketch table: one fixed-size sketch
+  * row per key per ingest batch (`batch_id=N` partitions, idempotent
+  * per-batch overwrite), readers merge the LIVE batches' sketches —
+  * counter arrays add elementwise, so merge order never matters —
+  * and [[Snapshot]]-enabled tables get atomic retention/compaction
+  * for free. Estimates are DETERMINISTIC (seeded hashing, additive
+  * counters) and one-sided: estimate ≥ true count always, and
+  * estimate ≤ true + eps·N with the configured confidence — the a18
+  * oracle gates exactly those two properties against exact SQL counts.
+  *
+  * All writes to one table must use the same (eps, confidence, seed):
+  * sketches of different shape refuse to merge loudly
+  * (IncompatibleMergeException) rather than mis-estimate silently.
+  */
+object CountMinTable {
+
+  /** One CMS of `valCol` (as string) per `keyCol` group — the
+    * [[ThetaSketch.sketchRows]] hot-path shape: a mutable sketch per
+    * (key × partition), no per-row serialize; per-partition sketches
+    * shuffle (depth×width longs per key per partition, map-side
+    * combined by construction) and merge per key. */
+  def sketchRows(df: DataFrame, keyCol: String, valCol: String,
+                 eps: Double = 1e-3, confidence: Double = 0.99,
+                 seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(valCol).cast("string"))
+      .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap.empty[String, CountMinSketch]
+        it.foreach { case (k, v) =>
+          sks.getOrElseUpdate(k, CountMinSketch.create(eps, confidence, seed))
+            .addString(v)
+        }
+        sks.iterator.map { case (k, sk) => (k, sk.toByteArray) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val merged = rows.map(r => CountMinSketch.readFrom(r._2))
+          .reduce((a, b) => { a.mergeInPlace(b); a })
+        (key, merged.toByteArray)
+      }
+      .toDF("key", "sketch")
+  }
+
+  /** Fresh build as the reserved batch -1 — a table reset, manifest
+    * republished if the table was snapshot-enabled (the
+    * [[SketchTable.build]] convention). */
+  def build(df: DataFrame, keyCol: String, valCol: String, path: String,
+            eps: Double = 1e-3, confidence: Double = 0.99,
+            seed: Int = 42): Unit = {
+    val spark = df.sparkSession
+    val wasEnabled = Snapshot.isEnabled(spark, path)
+    sketchRows(df, keyCol, valCol, eps, confidence, seed)
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(path)
+    if (wasEnabled) Snapshot.enable(spark, path)
+  }
+
+  /** Append one batch: overwrite of ITS partition only (idempotent
+    * redelivery), staged-then-published on snapshot-enabled tables. */
+  def appendBatch(df: DataFrame, keyCol: String, valCol: String,
+                  path: String, batchId: Long, eps: Double = 1e-3,
+                  confidence: Double = 0.99, seed: Int = 42): Unit = {
+    require(batchId >= 0, s"batch ids start at 0 (-1 is the build): $batchId")
+    val spark = df.sparkSession
+    sketchRows(df, keyCol, valCol, eps, confidence, seed)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    if (Snapshot.isEnabled(spark, path))
+      Snapshot.publish(spark, path,
+        (Snapshot.liveBatches(spark, path) :+ batchId).distinct)
+  }
+
+  /** Frequency estimates for `items` per key across the LIVE batches:
+    * one scan of the sketch table, one merge per key (counter adds —
+    * order-free), then a lookup per item. Output: (key, item,
+    * estimate), one row per key × item. Items ride the closure (a
+    * query-sized list); history is never re-scanned. */
+  def estimateCounts(spark: SparkSession, path: String,
+                     items: Seq[String]): DataFrame = {
+    require(items.nonEmpty, "no items to estimate")
+    import spark.implicits._
+    Snapshot.read(spark, path)
+      .select(col("key").cast("string"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val merged = rows.map(r => CountMinSketch.readFrom(r._2))
+          .reduce((a, b) => { a.mergeInPlace(b); a })
+        items.iterator.map(i => (key, i, merged.estimateCount(i)))
+      }
+      .toDF("key", "item", "estimate")
+  }
+
+  /** Point estimate off one serialized sketch (the SQL surface's
+    * kernel — `graft_cms_estimate(sketch, 'item')`). Null/empty
+    * sketch bytes estimate 0, so left-join misses stay queryable. */
+  def estimate(sketch: Array[Byte], item: String): Long =
+    if (sketch == null || sketch.isEmpty) 0L
+    else CountMinSketch.readFrom(sketch).estimateCount(item)
+
+  val estimateUdf = udf((b: Array[Byte], item: String) => estimate(b, item))
+}

@@ -71,6 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.idHashDescriptor)
     ext.injectFunction(GraftExtensions.bpeEncodeDescriptor)
     ext.injectFunction(GraftExtensions.qualityScoreDescriptor)
+    ext.injectFunction(GraftExtensions.cmsEstimateDescriptor)
   }
 }
 
@@ -238,6 +239,15 @@ object GraftExtensions {
     FunctionIdentifier("graft_theta_anotb"),
     new ExpressionInfo(graft.operators.ThetaSketch.getClass.getName, "graft_theta_anotb"),
     sqlUdf2("graft_theta_anotb", graft.operators.ThetaSketch.aNotBUdf))
+
+  /** `graft_cms_estimate(sketch, item)` → bigint: count-min frequency
+    * estimate of one item off a serialized CMS
+    * ([[graft.operators.CountMinTable]]) — one-sided (never under the
+    * true count); null/empty sketch estimates 0. */
+  val cmsEstimateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cms_estimate"),
+    new ExpressionInfo(graft.operators.CountMinTable.getClass.getName, "graft_cms_estimate"),
+    sqlUdf2("graft_cms_estimate", graft.operators.CountMinTable.estimateUdf))
 
   /** `graft_kll_quantile(sketch, q)` → double: rank-q estimate off a
     * serialized KLL sketch; q must be a literal in [0, 1]. Null/empty

@@ -959,6 +959,45 @@ object RelationalQueries {
     // pinned as bounds against the planted exact counts (a13's
     // pattern): the kept estimate must track the surviving 160 users
     // AND visibly forget the dropped days — full-history was ~260.
+    // A18 — persisted COUNT-MIN sketch table: point-frequency answers
+    // ("how often did user X fire events of type T?") over unbounded
+    // history with bounded per-key state — the sketch-family member
+    // HLL/KLL/theta can't be (they answer distinct/quantile/overlap;
+    // Misra-Gries only answers for its own top-k survivors). Build on
+    // the even events, append the odd batch, REPLAY the append (its
+    // partition overwrite must keep estimates stable — the family's
+    // idempotence), then estimate three specific users per type. CMS
+    // estimates are deterministic (seeded hashes, additive counters)
+    // and one-sided, so the gates are exact properties: never under
+    // the true count, and within the eps·N_key band above it.
+    "a18_cms_table" -> ((s, dir) => {
+      import graft.operators.CountMinTable
+      val ev = t(s, dir, "events")
+      val path = graft.TempDirs.path(
+        s"cms-table/a18/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      val even = ev.filter(col("event_id") % 2 === 0)
+      val odd = ev.filter(col("event_id") % 2 === 1)
+      CountMinTable.build(even, "event_type", "user_id", path)
+      CountMinTable.appendBatch(odd, "event_type", "user_id", path, 0L)
+      CountMinTable.appendBatch(odd, "event_type", "user_id", path, 0L) // replay
+      val items = Seq("1", "2", "3")
+      val exact = ev.filter(col("user_id").cast("string").isin(items: _*))
+        .groupBy(col("event_type").as("key"),
+          col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("n_exact"))
+      val perKey = ev.groupBy(col("event_type").as("key"))
+        .agg(count(lit(1)).as("_n_key"))
+      CountMinTable.estimateCounts(s, path, items)
+        .join(exact, Seq("key", "item"), "left")
+        .na.fill(0L, Seq("n_exact"))
+        .join(perKey, Seq("key"))
+        .select(col("key").as("event_type"), col("item"), col("n_exact"),
+          (col("estimate") >= col("n_exact")).as("never_under"),
+          (col("estimate") <= col("n_exact")
+            + greatest(lit(1.0), lit(1e-3) * col("_n_key"))).as("within_bound"))
+        .orderBy("event_type", "item")
+    }),
+
     // A17 — EVENT-TIME retention over the sketch-table lifecycle: the
     // "keep the last N days" contract batch-count cuts only
     // approximate. Weekly ingest batches of (user, day)-pair sketches
@@ -1482,6 +1521,22 @@ object RelationalQueries {
     "a16_rolling_retention" ->
       """SELECT 'all' AS key, CAST(2 AS INTEGER) AS n_dropped,
                 true AS kept_within_bound, true AS forgot_dropped_days""",
+    // exact per-(type, user) counts re-derived in SQL over every
+    // type × item combination; the CMS one-sided guarantee rides as
+    // flags (the a13 convention for sketch estimates)
+    "a18_cms_table" ->
+      """WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item
+                    FROM events),
+         items(item) AS (VALUES ('1'), ('2'), ('3')),
+         keys AS (SELECT DISTINCT event_type FROM e),
+         combos AS (SELECT event_type, item FROM keys, items),
+         x AS (SELECT event_type, item, count(*) AS n FROM e
+               WHERE item IN ('1', '2', '3') GROUP BY event_type, item)
+         SELECT c.event_type, c.item,
+                CAST(coalesce(x.n, 0) AS BIGINT) AS n_exact,
+                true AS never_under, true AS within_bound
+         FROM combos c LEFT JOIN x USING (event_type, item)
+         ORDER BY event_type, item""",
     // weekly batches over a 30-day table: the cutoff (min day + 14)
     // retires exactly weeks 0-1; the kept-window exact distinct
     // (user, day) pairs re-derive in SQL; estimate bounds are gated
