@@ -381,16 +381,16 @@ object Ann {
     val cents = readIvfCentroids(spark, indexPath, params)
     val id = batchId.getOrElse(
       System.currentTimeMillis() * 1000 + (ivfAppendCounter.incrementAndGet() % 1000))
-    embs.withColumn("_cell", nearestCell(col(vecCol), cents))
-      .repartition(col("_cell"))
-      .write.mode("overwrite").partitionBy("_cell")
-      .parquet(s"$indexPath/vectors/batch_id=$id")
-    // stage-then-publish on a snapshot-enabled vectors table: the batch
-    // is invisible until the manifest lands last (Snapshot scaladoc)
-    val vdir = s"$indexPath/vectors"
-    if (Snapshot.isEnabled(spark, vdir))
-      Snapshot.publish(spark, vdir,
-        (Snapshot.liveBatches(spark, vdir) :+ id).distinct)
+    // vectors/ is this index's ONLY batch table (centroids are a
+    // build artifact), so the per-directory manifest is already the
+    // whole index's atomic commit; stagedAppend also makes a
+    // redelivered committed batch id a no-op (Snapshot scaladoc)
+    Snapshot.stagedAppend(spark, s"$indexPath/vectors", id) {
+      embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+        .repartition(col("_cell"))
+        .write.mode("overwrite").partitionBy("_cell")
+        .parquet(s"$indexPath/vectors/batch_id=$id")
+    }
   }
 
   /** COMPACT a [[buildIvfIndex]] index in place: fold the build + all

@@ -65,27 +65,25 @@ object CountMinTable {
     * [[SketchTable.build]] convention). */
   def build(df: DataFrame, keyCol: String, valCol: String, path: String,
             eps: Double = 1e-3, confidence: Double = 0.99,
-            seed: Int = 42): Unit = {
-    val spark = df.sparkSession
-    val wasEnabled = Snapshot.isEnabled(spark, path)
-    sketchRows(df, keyCol, valCol, eps, confidence, seed)
-      .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id").mode("overwrite").parquet(path)
-    if (wasEnabled) Snapshot.enable(spark, path)
-  }
+            seed: Int = 42): Unit =
+    Snapshot.withTableReset(df.sparkSession, path) {
+      sketchRows(df, keyCol, valCol, eps, confidence, seed)
+        .withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(path)
+    }
 
-  /** Append one batch: overwrite of ITS partition only (idempotent
-    * redelivery), staged-then-published on snapshot-enabled tables. */
+  /** Append one batch under [[Snapshot.stagedAppend]]: plain tables
+    * overwrite their own partition (idempotent redelivery); enabled
+    * tables stage-then-publish, and a redelivered committed id is a
+    * no-op (the [[SketchTable.appendBatch]] contract). */
   def appendBatch(df: DataFrame, keyCol: String, valCol: String,
                   path: String, batchId: Long, eps: Double = 1e-3,
                   confidence: Double = 0.99, seed: Int = 42): Unit = {
     require(batchId >= 0, s"batch ids start at 0 (-1 is the build): $batchId")
-    val spark = df.sparkSession
-    sketchRows(df, keyCol, valCol, eps, confidence, seed)
-      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
-    if (Snapshot.isEnabled(spark, path))
-      Snapshot.publish(spark, path,
-        (Snapshot.liveBatches(spark, path) :+ batchId).distinct)
+    Snapshot.stagedAppend(df.sparkSession, path, batchId) {
+      sketchRows(df, keyCol, valCol, eps, confidence, seed)
+        .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    }
   }
 
   /** Frequency estimates for `items` per key across the LIVE batches:
@@ -111,9 +109,11 @@ object CountMinTable {
 
   /** Point estimate off one serialized sketch (the SQL surface's
     * kernel — `graft_cms_estimate(sketch, 'item')`). Null/empty
-    * sketch bytes estimate 0, so left-join misses stay queryable. */
+    * sketch bytes AND null items estimate 0, so left-join misses on
+    * EITHER side stay queryable instead of killing the job (a null
+    * item would otherwise NPE inside CountMinSketch). */
   def estimate(sketch: Array[Byte], item: String): Long =
-    if (sketch == null || sketch.isEmpty) 0L
+    if (sketch == null || sketch.isEmpty || item == null) 0L
     else CountMinSketch.readFrom(sketch).estimateCount(item)
 
   val estimateUdf = udf((b: Array[Byte], item: String) => estimate(b, item))

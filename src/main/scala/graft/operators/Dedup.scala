@@ -763,35 +763,29 @@ object Dedup {
     case None =>
       // fresh build: batch -1, RESERVED for the build — streaming
       // micro-batch ids start at 0, so an ingest loop's first append
-      // must never be able to replace the corpus build's partition.
-      // The overwrite wipes any manifests with the rest of the dir; a
-      // previously snapshot-enabled sub-table re-enables afterwards so
-      // readers stay manifest-resolved (build = table reset, the
-      // SketchTable.build convention)
-      val spark = df.sparkSession
-      val wasEnabled = Snapshot.isEnabled(spark, tableDir)
+      // must never be able to replace the corpus build's partition
       df.withColumn("batch_id", lit(-1L))
         .write.partitionBy("batch_id").mode("overwrite").parquet(tableDir)
-      if (wasEnabled) Snapshot.enable(spark, tableDir)
     case Some(b) =>
-      // append/replace of one batch: overwrite ITS partition dir only;
-      // on a snapshot-enabled sub-table the write is a STAGE that only
-      // becomes visible when the manifest publishes last
-      val spark = df.sparkSession
+      // append/replace of one batch: overwrite ITS partition dir only.
+      // Manifest governance happens ONE level up — the index's unit of
+      // consistency is the whole sub-table triple, so the commit is a
+      // single Snapshot.stagedAppend around ALL the sub-table writes
+      // (writeMinhashIndexTables / writeEmbeddingIndexTables), never a
+      // per-sub-table publish (three non-atomic flips would let a
+      // probe see batch N's buckets without its shingles).
       df.write.mode("overwrite").parquet(s"$tableDir/batch_id=$b")
-      if (Snapshot.isEnabled(spark, tableDir))
-        Snapshot.publish(spark, tableDir,
-          (Snapshot.liveBatches(spark, tableDir) :+ b).distinct)
   }
 
-  /** Manifest-aware read of one index sub-table: snapshot-enabled
-    * directories resolve through their newest manifest
-    * ([[Snapshot.read]]), everything else keeps the plain
-    * directory-union read. One helper so every probe/maintenance read
-    * in this file gets isolation the moment a sub-table is enabled. */
+  /** Manifest-aware read of one index sub-table: on a snapshot-enabled
+    * index the sub-table resolves through the index's ROOT manifest
+    * ([[Snapshot.readSub]] — one manifest governs the whole triple);
+    * non-enabled indexes keep the plain directory-union read. One
+    * helper so every probe/maintenance read in this file gets
+    * isolation the moment an index is enabled. */
   private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
-                             tableDir: String): DataFrame =
-    Snapshot.read(spark, tableDir)
+                             indexPath: String, table: String): DataFrame =
+    Snapshot.readSub(spark, indexPath, table)
 
   /** The one write sequence for the minhash index tables — shared by
     * build (batch = None → full overwrite as batch 0) and append
@@ -800,14 +794,24 @@ object Dedup {
   private def writeMinhashIndexTables(sh: DataFrame, buckets: DataFrame,
                                       path: String, maxBucket: Int,
                                       batch: Option[Long]): Unit = {
-    writeIndexTable(lshDropStats(buckets, "docs", maxBucket).coalesce(1),
-      s"$path/drop_stats", batch)
-    writeIndexTable(sh, s"$path/shingles", batch)
-    writeIndexTable(
-      buckets.filter(size(col("docs")) <= maxBucket)
-        .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
-        .repartition(col("band"), col("bh")),
-      s"$path/buckets", batch)
+    def writeAll(b: Option[Long]): Unit = {
+      writeIndexTable(lshDropStats(buckets, "docs", maxBucket).coalesce(1),
+        s"$path/drop_stats", b)
+      writeIndexTable(sh, s"$path/shingles", b)
+      writeIndexTable(
+        buckets.filter(size(col("docs")) <= maxBucket)
+          .select(col("band"), col("bh"), explode(col("docs")).as("doc"))
+          .repartition(col("band"), col("bh")),
+        s"$path/buckets", b)
+    }
+    batch match {
+      case None => writeAll(None)
+      case Some(b) =>
+        // ONE root-manifest commit for the whole triple on enabled
+        // indexes; redelivered committed batch ids are a no-op
+        // (Snapshot.stagedAppend)
+        Snapshot.stagedAppend(sh.sparkSession, path, b)(writeAll(Some(b)))
+    }
   }
 
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
@@ -818,6 +822,10 @@ object Dedup {
     // interrupted, not pass it on the stale marker (see
     // [[clearIndexCommitMarker]]); probes pause during a rebuild
     clearIndexCommitMarker(docs.sparkSession, path)
+    // a rebuild resets content to batch -1; a previously enabled
+    // index re-seeds its ROOT manifest afterwards so readers stay
+    // manifest-resolved (probes pause during a rebuild either way)
+    val wasEnabled = Snapshot.isEnabled(docs.sparkSession, path)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
       .persist(lvl)
@@ -826,6 +834,7 @@ object Dedup {
         sh.select(col("doc").as("sid"), col("sh")), numHashes, bands).persist(lvl)
       try {
         writeMinhashIndexTables(sh, buckets, path, maxBucket, batch = None)
+        if (wasEnabled) Snapshot.enableSub(docs.sparkSession, path, "buckets")
         // params LAST: the commit marker
         writeIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
           "num_hashes" -> numHashes, "bands" -> bands, "max_bucket" -> maxBucket)
@@ -918,26 +927,24 @@ object Dedup {
     // one row per doc: a doc re-appended under several auto batch ids
     // (legacy no-batchId retries) folds to one copy — compaction IS the
     // reconciliation point for that documented accumulate semantics
-    val rows = readIndexTable(spark, s"$path/$dataTable")
+    val rows = readIndexTable(spark, path, dataTable)
       .select(col("doc"), col(if (dataTable == "shingles") "sh" else "vec"))
       .dropDuplicates("doc")
     rebuild(rows, tmp) // stage the fresh build; live tables untouched
     clearIndexCommitMarker(spark, path) // probes now fail loudly
-    // the swap replaces each sub-table directory wholesale (manifests
-    // included) — remember which were snapshot-enabled and re-enable
-    // them on the fresh layout, or compaction would silently flip the
-    // index back to listing-is-truth reads. Pinned readers do not
-    // survive an index-wide compaction (probes pause — scaladoc above);
-    // per-sub-table retention isolation resumes on the new manifests.
-    val subTables = Seq(dataTable, "buckets", "drop_stats")
-    val enabled = subTables.filter(t => Snapshot.isEnabled(spark, s"$path/$t"))
-    subTables.foreach { t =>
+    // the swap replaces each sub-table directory wholesale; an enabled
+    // index re-seeds its ROOT manifest on the fresh layout afterwards,
+    // or compaction would leave a stale manifest pointing at batch
+    // dirs the swap just deleted. Pinned readers do not survive an
+    // index-wide compaction (probes pause — scaladoc above).
+    val wasEnabled = Snapshot.isEnabled(spark, path)
+    Seq(dataTable, "buckets", "drop_stats").foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true)
       fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
         new org.apache.hadoop.fs.Path(s"$path/$t"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    enabled.foreach(t => Snapshot.enable(spark, s"$path/$t"))
+    if (wasEnabled) Snapshot.enableSub(spark, path, dataTable)
   }
 
   /** Compact a [[buildMinhashIndex]] index in place from its own
@@ -1054,7 +1061,7 @@ object Dedup {
         // broadcast semi-join prunes the scan to probed keys; only
         // (key, count) rows aggregate.
         val probed = inBands.select(col("band"), col("bh")).distinct()
-        val grown = readIndexTable(spark, s"$indexPath/buckets")
+        val grown = readIndexTable(spark, indexPath, "buckets")
           .join(broadcast(probed), Seq("band", "bh"), "left_semi")
           .groupBy(col("band"), col("bh"))
           .agg(countDistinct(col("doc")).as("_bsz"))
@@ -1068,11 +1075,11 @@ object Dedup {
         val inOk = inBands.join(grown.select(col("band"), col("bh")),
           Seq("band", "bh"), "left_anti")
         val cands = broadcast(inOk)
-          .join(readIndexTable(spark, s"$indexPath/buckets"), Seq("band", "bh"))
+          .join(readIndexTable(spark, indexPath, "buckets"), Seq("band", "bh"))
           .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
           .select(col("in_doc"), col("doc")).distinct()
         val pairs = broadcast(cands)
-          .join(readIndexTable(spark, s"$indexPath/shingles"), "doc")
+          .join(readIndexTable(spark, indexPath, "shingles"), "doc")
           .join(inSh.select(col("doc").as("in_doc"), col("sh").as("in_sh")), "in_doc")
           .withColumn("jaccard", jaccard(col("in_sh"), col("sh")))
           .filter(col("jaccard") >= threshold)
@@ -1442,15 +1449,22 @@ object Dedup {
   private def writeEmbeddingIndexTables(dv: DataFrame, buckets: DataFrame,
                                         path: String, maxBucket: Int,
                                         batch: Option[Long]): Unit = {
-    writeIndexTable(
-      lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig")).coalesce(1),
-      s"$path/drop_stats", batch)
-    writeIndexTable(dv, s"$path/vectors", batch)
-    writeIndexTable(
-      buckets.filter(size(col("docs")) <= maxBucket)
-        .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
-        .repartition(col("t"), col("sig")),
-      s"$path/buckets", batch)
+    def writeAll(b: Option[Long]): Unit = {
+      writeIndexTable(
+        lshDropStats(buckets, "docs", maxBucket, keyCols = Seq("t", "sig")).coalesce(1),
+        s"$path/drop_stats", b)
+      writeIndexTable(dv, s"$path/vectors", b)
+      writeIndexTable(
+        buckets.filter(size(col("docs")) <= maxBucket)
+          .select(col("t"), col("sig"), explode(col("docs")).as("doc"))
+          .repartition(col("t"), col("sig")),
+        s"$path/buckets", b)
+    }
+    batch match {
+      case None => writeAll(None)
+      case Some(b) => // one root-manifest commit for the whole triple
+        Snapshot.stagedAppend(dv.sparkSession, path, b)(writeAll(Some(b)))
+    }
   }
 
   def buildEmbeddingIndex(embs: DataFrame, idCol: String, vecCol: String,
@@ -1458,6 +1472,7 @@ object Dedup {
                           tables: Int = 4, maxBucket: Int = 1000): Unit = {
     // marker-first rebuild discipline — see [[clearIndexCommitMarker]]
     clearIndexCommitMarker(embs.sparkSession, path)
+    val wasEnabled = Snapshot.isEnabled(embs.sparkSession, path) // see buildMinhashIndex
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one corpus scan: the persisted (doc, vec) projection feeds both
     // the signature/bucket pass and the vectors/ write
@@ -1466,6 +1481,7 @@ object Dedup {
       val buckets = embeddingIndexBuckets(dv, bits, dim, tables).persist(lvl)
       try {
         writeEmbeddingIndexTables(dv, buckets, path, maxBucket, batch = None)
+        if (wasEnabled) Snapshot.enableSub(embs.sparkSession, path, "buckets")
         // params LAST: the commit marker
         writeIndexParams(embs.sparkSession, path, "bits" -> bits,
           "tables" -> tables, "dim" -> dim, "max_bucket" -> maxBucket)
@@ -1549,7 +1565,7 @@ object Dedup {
         // grown-bucket guard across batch partitions (see the minhash
         // twin's scaladoc): probed keys only, counts only, skip + report
         val probed = inSig.select(col("t"), col("sig")).distinct()
-        val grown = readIndexTable(spark, s"$indexPath/buckets")
+        val grown = readIndexTable(spark, indexPath, "buckets")
           .join(broadcast(probed), Seq("t", "sig"), "left_semi")
           .groupBy(col("t"), col("sig"))
           .agg(countDistinct(col("doc")).as("_bsz"))
@@ -1563,11 +1579,11 @@ object Dedup {
         val inOk = inSig.join(grown.select(col("t"), col("sig")),
           Seq("t", "sig"), "left_anti")
         val cands = broadcast(inOk)
-          .join(readIndexTable(spark, s"$indexPath/buckets"), Seq("t", "sig"))
+          .join(readIndexTable(spark, indexPath, "buckets"), Seq("t", "sig"))
           .filter(col("in_doc") =!= col("doc")) // replay ≠ duplicate
           .select(col("in_doc"), col("doc")).distinct()
         val pairs = broadcast(cands)
-          .join(readIndexTable(spark, s"$indexPath/vectors"), "doc")
+          .join(readIndexTable(spark, indexPath, "vectors"), "doc")
           .join(inVec, "in_doc")
           .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
           .filter(col("cosine") >= threshold)

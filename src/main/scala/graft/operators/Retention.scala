@@ -68,11 +68,12 @@ object Retention {
 
   /** Drop every batch partition with `batch_id < keepFrom` (ids are
     * ingest order, so this is "forget everything older than").
-    * Returns the dropped ids. The reserved build batch (-1) is
-    * protected by default: it usually holds the base corpus, and
-    * silently dropping it would empty a freshly-built index — pass
-    * `includeBuild = true` for tables that treat the build as just
-    * another aged batch. Idempotent: re-running drops nothing new.
+    * Returns the dropped ids. RESERVED (negative) batch ids — the
+    * build (-1) and [[Snapshot.compactLive]]'s folds (≤ -2) — are
+    * protected by default: they hold the base / compacted corpus, and
+    * silently dropping one would empty the table — pass
+    * `includeBuild = true` for tables that treat the reserved batches
+    * as just more aged data. Idempotent: re-running drops nothing new.
     * FLAT layouts only — refuses a multi-table root (see
     * [[dropBatchesBeforeAllTables]]).
     *
@@ -86,8 +87,12 @@ object Retention {
     assertFlatLayout(spark, path)
     if (Snapshot.isEnabled(spark, path))
       Snapshot.retainFrom(spark, path, keepFrom, includeBuild)
+    // NEGATIVE ids are reserved corpus batches — the build (-1) and
+    // Snapshot.compactLive's folds (≤ -2, which hold the ENTIRE
+    // compacted history). `b < keepFrom` is an age cut over INGEST
+    // ids; it must never be able to retire a fold as "ancient".
     else deleteBatches(spark, path, batchIds(spark, path)
-      .filter(b => b < keepFrom && (includeBuild || b != -1L)))
+      .filter(b => b < keepFrom && (includeBuild || b >= 0)))
   }
 
   /** [[dropBatchesBefore]] across a MULTI-TABLE index layout
@@ -102,6 +107,14 @@ object Retention {
   def dropBatchesBeforeAllTables(spark: SparkSession, path: String,
                                  keepFrom: Long, includeBuild: Boolean = false)
       : Map[String, Seq[Long]] = {
+    // a multi-table index governed by a ROOT manifest (Snapshot
+    // .enableSub) retires with ONE manifest edit — the atomic form:
+    // every sub-table flips together, no per-table window. The result
+    // maps the root ("") to the retired ids.
+    if (Snapshot.isEnabled(spark, path)) {
+      val dropped = Snapshot.retainFrom(spark, path, keepFrom, includeBuild)
+      return if (dropped.isEmpty) Map.empty else Map("" -> dropped)
+    }
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Map.empty
@@ -115,7 +128,7 @@ object Retention {
       name -> (if (Snapshot.isEnabled(spark, dir))
         Snapshot.retainFrom(spark, dir, keepFrom, includeBuild)
       else deleteBatches(spark, dir, batchIds(spark, dir)
-        .filter(b => b < keepFrom && (includeBuild || b != -1L))))
+        .filter(b => b < keepFrom && (includeBuild || b >= 0))))
     }.filter(_._2.nonEmpty).toMap
   }
 
@@ -170,8 +183,12 @@ object Retention {
     assertFlatLayout(spark, path)
     val ledger = batchLedger(spark, path)
     val live = Snapshot.liveBatches(spark, path)
-    val doomed = live.filter(b => (includeBuild || b != -1L) &&
-      ledger.get(b).exists(_._2.before(cutoff))).sorted
+    // null bounds (a ledger row written from an empty / all-null-ts
+    // batch — the global agg still emits one row) mean age unknown ⇒
+    // protected, same as having no ledger row at all; negatives
+    // (build + folds) protected like dropBatchesBefore
+    val doomed = live.filter(b => (includeBuild || b >= 0) &&
+      ledger.get(b).exists(ts => ts._2 != null && ts._2.before(cutoff))).sorted
     if (doomed.isEmpty) Seq.empty
     else if (Snapshot.isEnabled(spark, path)) {
       Snapshot.publish(spark, path, live.diff(doomed))
@@ -195,7 +212,9 @@ object Retention {
     if (Snapshot.isEnabled(spark, path))
       Snapshot.keepLast(spark, path, n, includeBuild)
     else {
-      val ids = batchIds(spark, path).filterNot(!includeBuild && _ == -1L)
+      // negatives (build + compaction folds) protected — see
+      // dropBatchesBefore
+      val ids = batchIds(spark, path).filterNot(!includeBuild && _ < 0)
       deleteBatches(spark, path, ids.dropRight(n))
     }
   }

@@ -105,7 +105,6 @@ object Retrieval {
 
   private def writeBatch(indexPath: String, batchId: Long, postings: DataFrame,
                          termDf: DataFrame, stats: DataFrame): Unit = {
-    val spark = postings.sparkSession
     // repartition on the partition key before partitionBy: one file
     // per bucket, not one per input partition (see buildIvfIndex)
     postings.repartition(col("bucket"))
@@ -116,14 +115,11 @@ object Retrieval {
       .parquet(s"$indexPath/terms/batch_id=$batchId")
     stats.coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/stats/batch_id=$batchId")
-    // stage-then-publish on snapshot-enabled sub-tables: the batch is
-    // invisible to probes until each manifest lands last
-    Seq("postings", "terms", "stats").foreach { t =>
-      val dir = s"$indexPath/$t"
-      if (Snapshot.isEnabled(spark, dir))
-        Snapshot.publish(spark, dir,
-          (Snapshot.liveBatches(spark, dir) :+ batchId).distinct)
-    }
+    // NO manifest work here: the index's unit of consistency is the
+    // postings/terms/stats TRIPLE — a probe must never see batch N's
+    // postings scored with df/N stats that exclude it — so the commit
+    // is ONE Snapshot.stagedAppend at the index root, wrapped by
+    // appendToPostingIndex around this whole write.
   }
 
   /** Build a PERSISTED BM25 index at `outPath` (build lands as batch
@@ -138,17 +134,15 @@ object Retrieval {
     Dedup.clearIndexCommitMarker(spark, outPath)
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // rebuild = table reset: the deletes wipe manifests with the data,
-    // so remember which sub-tables were snapshot-enabled and re-enable
-    // them on the fresh layout (the SketchTable.build convention)
-    val enabled = Seq("postings", "terms", "stats")
-      .filter(t => Snapshot.isEnabled(spark, s"$outPath/$t"))
+    // rebuild = index reset: a previously enabled index re-seeds its
+    // ROOT manifest on the fresh layout (probes pause for a rebuild)
+    val wasEnabled = Snapshot.isEnabled(spark, outPath)
     Seq("postings", "terms", "stats").foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$t"), true)
     }
     val (postings, termDf, stats) = bucketed(docs, idCol, textCol, nBuckets)
     writeBatch(outPath, -1L, postings, termDf, stats)
-    enabled.foreach(t => Snapshot.enable(spark, s"$outPath/$t"))
+    if (wasEnabled) Snapshot.enableSub(spark, outPath, "postings")
     Dedup.writeIndexParams(spark, outPath, "n_buckets" -> nBuckets.toLong)
   }
 
@@ -163,7 +157,11 @@ object Retrieval {
     val spark = docs.sparkSession
     val nBuckets = Dedup.readIndexParams(spark, indexPath)("n_buckets").toInt
     val (postings, termDf, stats) = bucketed(docs, idCol, textCol, nBuckets)
-    writeBatch(indexPath, batchId, postings, termDf, stats)
+    // one root-manifest commit for the whole triple (enabled indexes);
+    // redelivered committed batch ids are a no-op
+    Snapshot.stagedAppend(spark, indexPath, batchId) {
+      writeBatch(indexPath, batchId, postings, termDf, stats)
+    }
   }
 
   /** BM25 top-k served FROM the index: the postings/terms scans are
@@ -181,12 +179,14 @@ object Retrieval {
     val buckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("b"))
       .distinct().as[Long].collect().toSeq
-    val post = Snapshot.read(spark, s"$indexPath/postings")
+    // all three sub-tables resolve through the index's ROOT manifest —
+    // one snapshot, so df/N stats always match the postings scored
+    val post = Snapshot.readSub(spark, indexPath, "postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-    val termDf = Snapshot.read(spark, s"$indexPath/terms")
+    val termDf = Snapshot.readSub(spark, indexPath, "terms")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).cast("double").as("_df"))
-    val stats = Snapshot.read(spark, s"$indexPath/stats")
+    val stats = Snapshot.readSub(spark, indexPath, "stats")
       .agg(sum(col("n_docs")).cast("double").as("_n"),
         (sum(col("dl_sum")) / sum(col("n_docs"))).as("_avgdl"))
     post.join(broadcast(termDf), Seq("term"))

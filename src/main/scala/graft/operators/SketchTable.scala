@@ -32,30 +32,27 @@ object SketchTable {
     * (old manifests included), then — if the table was
     * snapshot-enabled — a fresh v1 manifest publishes so readers stay
     * manifest-resolved. Pinned readers do not survive a rebuild. */
-  def build(df: DataFrame, keyCol: String, valCol: String, path: String): Unit = {
-    val spark = df.sparkSession
-    val wasEnabled = Snapshot.isEnabled(spark, path)
-    sketchRows(df, keyCol, valCol).withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id").mode("overwrite").parquet(path)
-    if (wasEnabled) Snapshot.enable(spark, path)
-  }
+  def build(df: DataFrame, keyCol: String, valCol: String, path: String): Unit =
+    Snapshot.withTableReset(df.sparkSession, path) {
+      sketchRows(df, keyCol, valCol).withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(path)
+    }
 
-  /** Append one batch: overwrite of ITS partition dir only, so a retry
-    * replaces the earlier (possibly partial) write instead of stacking
-    * a duplicate sketch that would bias every later union upward. On a
-    * snapshot-enabled table the write is a STAGE — invisible until the
-    * manifest publishing it lands last (the stage-then-publish
-    * protocol; a crash in between leaves an orphan for
-    * [[Snapshot.vacuum]]). */
+  /** Append one batch under [[Snapshot.stagedAppend]]'s shared
+    * protocol: on a plain table the write overwrites ITS partition dir
+    * (a retry replaces the earlier, possibly partial, write instead of
+    * stacking a duplicate sketch); on a snapshot-enabled table the
+    * write stages invisibly, the manifest publishes LAST, and a
+    * redelivery of an already-committed batch id is a NO-OP — it must
+    * neither rewrite a directory live readers resolve through nor
+    * resurrect a retention-retired batch. */
   def appendBatch(df: DataFrame, keyCol: String, valCol: String,
                   path: String, batchId: Long): Unit = {
     require(batchId >= 0, s"batch ids start at 0 (-1 is the build): $batchId")
-    val spark = df.sparkSession
-    sketchRows(df, keyCol, valCol)
-      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
-    if (Snapshot.isEnabled(spark, path))
-      Snapshot.publish(spark, path,
-        (Snapshot.liveBatches(spark, path) :+ batchId).distinct)
+    Snapshot.stagedAppend(df.sparkSession, path, batchId) {
+      sketchRows(df, keyCol, valCol)
+        .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    }
   }
 
   /** Distinct-count estimates per key across the LIVE batches: one

@@ -110,6 +110,25 @@ object Snapshot {
   def latest(spark: SparkSession, path: String): Option[Manifest] =
     latestVersion(spark, path).map(readManifest(spark, path, _))
 
+  /** Every batch id ANY manifest version has ever published — the
+    * commit history [[stagedAppend]] consults so a redelivered batch
+    * can be recognized even after retention removed it from the live
+    * set (re-appending it would resurrect retired data). Reads every
+    * manifest version: each is a ~100-byte file and versions only grow
+    * by writer actions, so this stays metadata-cheap; a table with
+    * unbounded manifest history would compact manifests first. */
+  def committedBatches(spark: SparkSession, path: String): Set[Long] = {
+    val dir = new Path(path, ManifestDir)
+    val fs = fsFor(spark, path)
+    if (!fs.exists(dir)) return Set.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json") }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .flatMap(v => readManifest(spark, path, v).batches)
+      .toSet
+  }
+
   /** Publish `batches` as the table's new live set. The JSON is staged
     * as a dot-file in `_manifests/` and RENAMED into its final name —
     * the rename is the commit; readers either see the complete new
@@ -191,28 +210,68 @@ object Snapshot {
   /** Logical retention — the manifest edit behind
     * [[Retention.dropBatchesBefore]] on enabled tables: publish
     * live-minus-retired, touch no files. Returns the retired ids
-    * (empty → nothing to do, nothing published). */
+    * (empty → nothing to do, nothing published). NEGATIVE ids — the
+    * reserved build batch (-1) AND [[compactLive]]'s folds (≤ -2) —
+    * are protected unless `includeBuild`: a fold holds the ENTIRE
+    * compacted corpus, and the age cut `b < keepFrom` would otherwise
+    * retire it on the very next routine retention pass. */
   def retainFrom(spark: SparkSession, path: String, keepFrom: Long,
                  includeBuild: Boolean = false): Seq[Long] = {
     val live = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — call enable() first or use " +
         "Retention's physical path")).batches
-    val doomed = live.filter(b => b < keepFrom && (includeBuild || b != -1L))
+    val doomed = live.filter(b => b < keepFrom && (includeBuild || b >= 0))
     if (doomed.nonEmpty) publish(spark, path, live.diff(doomed))
     doomed
   }
 
   /** Logical keep-last-n — [[Retention.keepLastBatches]]'s manifest
-    * form. */
+    * form; negative (reserved) ids protected like [[retainFrom]]. */
   def keepLast(spark: SparkSession, path: String, n: Int,
                includeBuild: Boolean = false): Seq[Long] = {
     require(n >= 0, s"negative keep count: $n")
     val live = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled")).batches
-    val (candidates, protected_) = live.sorted.partition(includeBuild || _ != -1L)
+    val (candidates, protected_) = live.sorted.partition(includeBuild || _ >= 0)
     val doomed = candidates.dropRight(n)
     if (doomed.nonEmpty) publish(spark, path, protected_ ++ candidates.drop(doomed.length))
     doomed
+  }
+
+  /** Commit one batch append under the manifest protocol — the ONE
+    * implementation of stage-then-publish every batch-table writer
+    * shares (SketchTable, CountMinTable, the LSH/IVF/posting indexes):
+    *
+    *  - non-enabled table: just run `write` (the historical overwrite
+    *    idempotency — a redelivery replaces its own partition);
+    *  - enabled, batch never committed: run `write` (invisible — no
+    *    manifest references it), then publish live ∪ {batchId} LAST;
+    *  - enabled, batch in ANY manifest version: **no-op**, returns
+    *    false. The manifest made the original append an exactly-once
+    *    commit, so an at-least-once redelivery must neither overwrite
+    *    a live directory under concurrent readers (the isolation
+    *    tear) nor re-publish a retention-retired id (resurrection).
+    */
+  def stagedAppend(spark: SparkSession, path: String, batchId: Long)
+                  (write: => Unit): Boolean = {
+    if (!isEnabled(spark, path)) { write; true }
+    else if (committedBatches(spark, path).contains(batchId)) false
+    else {
+      write
+      publish(spark, path,
+        (latest(spark, path).map(_.batches).getOrElse(Seq.empty) :+ batchId).distinct)
+      true
+    }
+  }
+
+  /** Run a TABLE RESET (a full rebuild whose overwrite wipes the
+    * directory, manifests included) and re-enable afterwards if the
+    * table was snapshot-governed before — the other shared half of the
+    * writer protocol. Pinned readers do not survive a reset. */
+  def withTableReset(spark: SparkSession, path: String)(write: => Unit): Unit = {
+    val wasEnabled = isEnabled(spark, path)
+    write
+    if (wasEnabled) enable(spark, path)
   }
 
   /** Fold every live batch into ONE fresh directory and flip the
@@ -247,14 +306,74 @@ object Snapshot {
     * orphaned by a crashed append. This is the point where pinned
     * readers of older manifests expire; run it when no reader older
     * than the newest manifest is in flight (the Delta VACUUM
-    * contract). Returns the deleted ids. */
+    * contract). Event-time ledger rows ([[Retention.batchLedger]]) of
+    * swept batches go with them — the logical retention branch leaves
+    * them for exactly this sweep. Returns the deleted ids. */
   def vacuum(spark: SparkSession, path: String): Seq[Long] = {
     val live = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — nothing resolves through a manifest, " +
         "so vacuum would delete live data")).batches.toSet
-    val doomed = Retention.batchIds(spark, path).filterNot(live)
     val fs = fsFor(spark, path)
+    val doomed = Retention.batchIds(spark, path).filterNot(live)
     doomed.foreach(b => fs.delete(new Path(path, s"batch_id=$b"), true))
+    // ledger rows of anything non-live (swept batches, retired ids
+    // whose dirs vacuumed earlier): stale bounds must never be able to
+    // mis-date a future reuse of the id
+    val ledgerDir = new Path(path, "_batch_ledger")
+    if (fs.exists(ledgerDir))
+      Retention.batchLedger(spark, path).keysIterator
+        .filterNot(live)
+        .foreach(b => fs.delete(new Path(ledgerDir, s"batch_id=$b"), true))
     doomed
+  }
+
+  // -------------------------------------------------------------------
+  // MULTI-TABLE indexes: one ROOT manifest governing every sub-table
+  // -------------------------------------------------------------------
+  // The LSH / posting indexes are a TRIPLE of batch-partitioned
+  // sub-tables (buckets/shingles/drop_stats, postings/terms/stats)
+  // whose unit of consistency is the whole index: a probe that sees
+  // batch N's postings but not its term frequencies scores garbage.
+  // Per-sub-table manifests would publish in three non-atomic steps —
+  // so multi-table indexes keep ONE manifest at the index ROOT, and
+  // every sub-table read resolves through it. [[stagedAppend]] on the
+  // root then commits the whole triple with one pointer flip.
+
+  /** Snapshot-enable a multi-table index: seed the ROOT manifest from
+    * one sub-table's batch listing (`probeSub` — any of them; they are
+    * batch-aligned by construction). */
+  def enableSub(spark: SparkSession, rootPath: String, probeSub: String): Long =
+    publish(spark, rootPath,
+      latest(spark, rootPath).map(_.batches)
+        .getOrElse(Retention.batchIds(spark, s"$rootPath/$probeSub")))
+
+  /** Read one sub-table of a multi-table index through the ROOT
+    * manifest (falls back to plain discovery on non-enabled indexes —
+    * every probe keeps its historical semantics until enableSub). */
+  def readSub(spark: SparkSession, rootPath: String, subTable: String): DataFrame =
+    latest(spark, rootPath) match {
+      case None => spark.read.parquet(s"$rootPath/$subTable")
+      case Some(m) =>
+        require(m.batches.nonEmpty,
+          s"manifest v${m.version} of $rootPath lists no live batches — fully " +
+            "retired index; re-build or append before probing")
+        spark.read.option("basePath", s"$rootPath/$subTable")
+          .parquet(batchDirs(s"$rootPath/$subTable", m.batches): _*)
+    }
+
+  /** [[vacuum]] for a multi-table index: sweep every sub-table's batch
+    * directories the newest ROOT manifest does not reference. Returns
+    * (sub-table → deleted ids). */
+  def vacuumAllTables(spark: SparkSession, rootPath: String,
+                      subTables: Seq[String]): Map[String, Seq[Long]] = {
+    val live = latest(spark, rootPath).getOrElse(throw new IllegalStateException(
+      s"$rootPath is not snapshot-enabled")).batches.toSet
+    val fs = fsFor(spark, rootPath)
+    subTables.map { t =>
+      val doomed = Retention.batchIds(spark, s"$rootPath/$t").filterNot(live)
+      doomed.foreach(b =>
+        fs.delete(new Path(s"$rootPath/$t", s"batch_id=$b"), true))
+      t -> doomed
+    }.toMap.filter(_._2.nonEmpty)
   }
 }

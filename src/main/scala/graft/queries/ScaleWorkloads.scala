@@ -242,8 +242,12 @@ object ScaleWorkloads {
     }
     s.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
-    try graft.queries.PipelineQueries.defs("st5_unified_ingest")(s, "").collect()
-    finally {
+    var wallMs = 0.0 // captured BEFORE the quiescence polling below —
+    // the poll sleeps 0.75-5 s, which must not inflate the driver gap
+    try {
+      graft.queries.PipelineQueries.defs("st5_unified_ingest")(s, "").collect()
+      wallMs = (System.nanoTime() - t0) / 1e6
+    } finally {
       // async listener bus: poll to quiescence (maxMedianTaskRatio's
       // two-stable-reads pattern), bounded at ~5 s
       var last = -1
@@ -257,7 +261,6 @@ object ScaleWorkloads {
       }
       s.sparkContext.removeSparkListener(listener)
     }
-    val wallMs = (System.nanoTime() - t0) / 1e6
     val (inJobMs, nJobs) = starts.synchronized((durs.sum.toDouble, durs.size))
     Map(
       "st5_overhead_injob_ms" -> math.rint(inJobMs),

@@ -65,9 +65,12 @@ class CountMinTableSpec extends SparkSpec {
          FROM cms_sql_view""")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     viaSql shouldBe Map("click" -> 7L, "view" -> 5L)
-    // null sketch estimates 0, never crashes
+    // null sketch OR null item estimates 0, never crashes the query
     spark.sql("SELECT graft_cms_estimate(CAST(NULL AS BINARY), '1')")
       .head().getLong(0) shouldBe 0L
+    spark.sql(
+      "SELECT graft_cms_estimate(sketch, CAST(NULL AS STRING)) FROM cms_sql_view")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(0L)
   }
 
   test("composes with snapshot retention: dropped batches forget their counts") {

@@ -77,11 +77,20 @@ class RetentionSpec extends SparkSpec {
     // an unledgered batch: age unknown ⇒ never dropped
     SketchTable.appendBatch(Seq(("k", 99L, ts(2))).toDF("key", "u", "ts")
       .select("key", "u"), "key", "u", path, 3L)
+    // a batch whose ledger row has NULL bounds (recorded from an
+    // empty / all-null-ts batch — the global agg still emits one row):
+    // age unknown ⇒ protected, and it must not crash the pass
+    val emptyBatch = Seq.empty[(String, Long, java.sql.Timestamp)]
+      .toDF("key", "u", "ts")
+    SketchTable.appendBatch(Seq(("k", 50L)).toDF("key", "u"),
+      "key", "u", path, 4L)
+    Retention.recordBatchEventTime(emptyBatch, "ts", path, 4L)
     val cutoff = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
     Retention.dropOlderThan(spark, path, cutoff) shouldBe Seq(0L)
-    Retention.batchIds(spark, path) shouldBe Seq(1L, 2L, 3L)
-    // physical path swept the dropped batch's ledger row too
-    Retention.batchLedger(spark, path).keySet shouldBe Set(1L, 2L)
+    Retention.batchIds(spark, path) shouldBe Seq(1L, 2L, 3L, 4L)
+    // physical path swept the dropped batch's ledger row too (batch 4
+    // keeps its null-bounds row — protected, not dropped)
+    Retention.batchLedger(spark, path).keySet shouldBe Set(1L, 2L, 4L)
     // idempotent
     Retention.dropOlderThan(spark, path, cutoff) shouldBe Seq.empty
   }

@@ -155,6 +155,93 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.liveBatches(spark, path) shouldBe Seq(-3L)
   }
 
+  test("retention never retires a compaction fold as 'ancient'") {
+    val path = plantSketch("fold-protect", days = 3)
+    Snapshot.enable(spark, path)
+    Snapshot.compactLive(spark, path) shouldBe -2L
+    // the fold id (-2) sorts below every ingest id — an age cut must
+    // treat it as RESERVED, or the next routine pass empties the table
+    Retention.dropBatchesBefore(spark, path, keepFrom = 100L) shouldBe Seq.empty
+    Snapshot.liveBatches(spark, path) shouldBe Seq(-2L)
+    SketchTable.appendBatch(
+      (900L until 910L).map(u => ("all", u)).toDF("key", "user_id"),
+      "key", "user_id", path, 7L)
+    Retention.keepLastBatches(spark, path, n = 1) shouldBe Seq.empty
+    Snapshot.liveBatches(spark, path) shouldBe Seq(-2L, 7L)
+    // explicit full retirement still possible
+    Retention.dropBatchesBefore(spark, path, keepFrom = 100L,
+      includeBuild = true) shouldBe Seq(-2L, 7L)
+  }
+
+  test("redelivering a committed batch is a no-op: no overwrite, no resurrection") {
+    val path = plantSketch("redeliver", days = 2)
+    Snapshot.enable(spark, path)
+    val v = Snapshot.latestVersion(spark, path).get
+    val before = est(path)
+    // redeliver the already-committed batch 1 with DIFFERENT content —
+    // the manifest made the original append exactly-once, so nothing
+    // may change: no manifest version, no directory rewrite under
+    // concurrent readers
+    SketchTable.appendBatch(
+      (700L until 760L).map(u => ("all", u)).toDF("key", "user_id"),
+      "key", "user_id", path, 1L)
+    Snapshot.latestVersion(spark, path) shouldBe Some(v)
+    est(path) shouldBe before
+    // retire batch 0, then redeliver it: it must NOT resurrect
+    Retention.dropBatchesBefore(spark, path, keepFrom = 1L) shouldBe Seq(0L)
+    SketchTable.appendBatch(
+      (800L until 860L).map(u => ("all", u)).toDF("key", "user_id"),
+      "key", "user_id", path, 0L)
+    Snapshot.liveBatches(spark, path) shouldBe Seq(1L)
+  }
+
+  test("multi-table root manifest commits the whole triple atomically") {
+    val root = TempDirs.path("snapshot-spec/multitable")
+    def write(sub: String, b: Long, n: Int): Unit =
+      (0 until n).map(i => (b, i)).toDF("b", "i")
+        .write.mode("overwrite").parquet(s"$root/$sub/batch_id=$b")
+    write("t1", 0L, 3); write("t2", 0L, 3)
+    Snapshot.enableSub(spark, root, "t1")
+    // committed append: both sub-tables flip together
+    Snapshot.stagedAppend(spark, root, 1L) {
+      write("t1", 1L, 2); write("t2", 1L, 2)
+    } shouldBe true
+    Snapshot.readSub(spark, root, "t1").count() shouldBe 5
+    Snapshot.readSub(spark, root, "t2").count() shouldBe 5
+    // a crashed append (dirs staged, publish never ran) is invisible
+    // to BOTH sub-tables — no torn postings-without-stats state
+    write("t1", 2L, 9)
+    Snapshot.readSub(spark, root, "t1").count() shouldBe 5
+    // retention via the root is one manifest edit for the whole index
+    Retention.dropBatchesBeforeAllTables(spark, root, keepFrom = 1L)
+      .shouldBe(Map("" -> Seq(0L)))
+    Snapshot.readSub(spark, root, "t1").count() shouldBe 2
+    Snapshot.readSub(spark, root, "t2").count() shouldBe 2
+    // vacuum sweeps every sub-table's unreferenced dirs (incl. the
+    // crashed stage)
+    Snapshot.vacuumAllTables(spark, root, Seq("t1", "t2")) shouldBe
+      Map("t1" -> Seq(0L, 2L), "t2" -> Seq(0L))
+  }
+
+  test("vacuum sweeps event-time ledger rows of non-live batches") {
+    val path = plantSketch("ledger-vacuum", days = 3)
+    (0 until 3).foreach { k =>
+      Retention.recordBatchEventTime(
+        (k * 50 until k * 50 + 60).map(u => ("all", u.toLong))
+          .toDF("key", "user_id")
+          .withColumn("ts", lit(java.sql.Timestamp.valueOf(
+            f"2024-01-${k + 1}%02d 12:00:00"))),
+        "ts", path, k.toLong)
+    }
+    Snapshot.enable(spark, path)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 2L) shouldBe Seq(0L, 1L)
+    // logical drop leaves the ledger rows; vacuum sweeps them with the
+    // dirs so a reused id can never inherit stale bounds
+    Retention.batchLedger(spark, path).keySet shouldBe Set(0L, 1L, 2L)
+    Snapshot.vacuum(spark, path).toSet shouldBe Set(0L, 1L)
+    Retention.batchLedger(spark, path).keySet shouldBe Set(2L)
+  }
+
   test("a fully-retired table reads loudly, never as an empty zero") {
     val path = plantSketch("retired", days = 2)
     Snapshot.enable(spark, path)
