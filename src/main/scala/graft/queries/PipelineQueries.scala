@@ -1298,6 +1298,41 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
+    // RET4 — the posting index under SNAPSHOT governance, end to end:
+    // build on the even docs, enable the ROOT manifest (one manifest
+    // for the postings/terms/stats triple — Snapshot scaladoc), append
+    // the odd docs as batch 0, then REDELIVER batch 0 with different
+    // content: the manifest made the original append exactly-once, so
+    // the redelivery must be a no-op (a double-land would double df/N
+    // and shift every score — the 'full' phase hash would catch it).
+    // Then retention retires batch 0 as a manifest edit and vacuum
+    // sweeps all three sub-tables; the 'retired' phase must score
+    // exactly the even-doc corpus — stats, df, and postings all
+    // flipped together, which is the point of the root manifest.
+    "ret4_snapshot_index" -> ((s, dir) => {
+      import graft.operators.{Retention, Snapshot}
+      val idx = graft.TempDirs.path(
+        s"posting-index/ret4-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      val docs = t(s, dir, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      Retrieval.buildPostingIndex(even, "doc_id", "text", idx, nBuckets = 16)
+      Snapshot.enableSub(s, idx, "postings")
+      Retrieval.appendToPostingIndex(odd, "doc_id", "text", idx, batchId = 0L)
+      // redelivery with DIFFERENT docs: committed id ⇒ no-op
+      Retrieval.appendToPostingIndex(odd.limit(50), "doc_id", "text", idx,
+        batchId = 0L)
+      val terms = Seq("spark", "window", "join")
+      def probe(phase: String) = Retrieval.bm25TopKIndexed(s, idx, "doc_id", terms, 10)
+        .select(lit(phase).as("phase"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+      val full = probe("full").localCheckpoint(true) // BEFORE the cut
+      // multi-table retention = ONE root-manifest edit
+      Retention.dropBatchesBeforeAllTables(s, idx, keepFrom = 1L)
+      Snapshot.vacuumAllTables(s, idx, Seq("postings", "terms", "stats"))
+      full.union(probe("retired")).orderBy("phase", "doc_id")
+    }),
+
     // VB1 — term heavy hitters: top-20 by document frequency with
     // corpus frequency alongside; the stopword-induction scan.
     "vb1_term_stats" -> ((s, dir) => {
@@ -2041,6 +2076,41 @@ object PipelineQueries {
                 GROUP BY tf.doc_id)
          SELECT doc_id, round(score, 4) AS score FROM bm
          ORDER BY score DESC, doc_id LIMIT 10""",
+    // ret4: the same BM25 re-derivation twice — 'full' over every doc
+    // (pins the exactly-once append: a redelivered batch double-landing
+    // would shift df/N), 'retired' over the even docs only (pins the
+    // root-manifest retention + vacuum flipping postings/terms/stats
+    // together)
+    "ret4_snapshot_index" ->
+      """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+                              doc_id % 2 = 0 AS is_even
+                       FROM documents),
+         phases(phase) AS (VALUES ('full'), ('retired')),
+         d AS (SELECT phase, doc_id, t FROM base, phases
+               WHERE phase = 'full' OR is_even),
+         dl AS (SELECT phase, doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
+         st AS (SELECT phase, CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                FROM dl GROUP BY phase),
+         tf AS (SELECT phase, doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT phase, doc_id, unnest(t) AS term FROM d)
+                WHERE term IN ('spark', 'window', 'join')
+                GROUP BY phase, doc_id, term),
+         df AS (SELECT phase, term, CAST(count(*) AS DOUBLE) AS df
+                FROM tf GROUP BY phase, term),
+         bm AS (SELECT tf.phase, tf.doc_id,
+                       sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+                           (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+                FROM tf
+                JOIN df ON tf.phase = df.phase AND tf.term = df.term
+                JOIN dl ON tf.phase = dl.phase AND tf.doc_id = dl.doc_id
+                JOIN st ON tf.phase = st.phase
+                GROUP BY tf.phase, tf.doc_id),
+         k AS (SELECT phase, doc_id, score,
+                      row_number() OVER (PARTITION BY phase
+                        ORDER BY score DESC, doc_id) AS rn
+               FROM bm)
+         SELECT phase, doc_id, round(score, 4) AS score FROM k
+         WHERE rn <= 10 ORDER BY phase, doc_id""",
     "ret2_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
          dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
