@@ -448,4 +448,13 @@ object TextFunctions {
       sentencesOk.cast("int").as("sentences_ok"),
       (noLorem && noBrace && sentencesOk).cast("int").as("pass"))
   }
+
+  /** Canonical URL form for URL-level dedup — the crawl pipeline's
+    * cheapest dedup tier, upstream of any content hashing (rules +
+    * safety rationale: [[graft.plans.UrlCanon]] scaladoc). One fused
+    * native pass per row; null propagates. */
+  def canonicalUrl(url: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.UrlCanonExpr(ColumnBridge.expression(url)))
+  }
 }

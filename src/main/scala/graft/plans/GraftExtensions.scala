@@ -72,6 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeEncodeDescriptor)
     ext.injectFunction(GraftExtensions.qualityScoreDescriptor)
     ext.injectFunction(GraftExtensions.cmsEstimateDescriptor)
+    ext.injectFunction(GraftExtensions.canonicalUrlDescriptor)
   }
 }
 
@@ -239,6 +240,16 @@ object GraftExtensions {
     FunctionIdentifier("graft_theta_anotb"),
     new ExpressionInfo(graft.operators.ThetaSketch.getClass.getName, "graft_theta_anotb"),
     sqlUdf2("graft_theta_anotb", graft.operators.ThetaSketch.aNotBUdf))
+
+  /** `graft_canonical_url(url)` → string: the URL-dedup canonical form
+    * ([[UrlCanon]] scaladoc) from SQL. Null propagates. */
+  val canonicalUrlDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_canonical_url"),
+    new ExpressionInfo(classOf[UrlCanonExpr].getName, "graft_canonical_url"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "usage: graft_canonical_url(url)")
+      UrlCanonExpr(args.head)
+    })
 
   /** `graft_cms_estimate(sketch, item)` → bigint: count-min frequency
     * estimate of one item off a serialized CMS

@@ -1388,6 +1388,32 @@ object PipelineQueries {
     // the source's numeric suffix (curated-beats-crawl stand-in). The
     // cluster column is a deterministic doc_id fold so the oracle can
     // re-derive it; real pipelines feed star-CC components in.
+    // CD3 — URL-level dedup via canonicalization (UrlCanon scaladoc):
+    // the crawl pipeline's cheapest dedup tier. A planted manifest of
+    // URL spellings — case, default ports, fragments, tracking params,
+    // param order, trailing slashes, a non-http scheme, a relative
+    // string — groups by canonical form with keep-first; every
+    // canonical string and group is hand-derived in the VALUES oracle.
+    "cd3_url_dedup" -> ((s, _) => {
+      import s.implicits._
+      val urls = Seq(
+        (1L, "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag"),
+        (2L, "http://example.com/a?a=1&b=2"),
+        (3L, "https://Example.com/a"),
+        (4L, "https://example.com:443/a/"),
+        (5L, "http://example.com/"),
+        (6L, "http://example.com"),
+        (7L, "relative/path?x=1"),
+        (8L, "ftp://Files.example.com/Data"),
+        (9L, "http://example.com/b?gclid=zzz"),
+        (10L, "http://example.com/b"),
+        (11L, "http://user@EXAMPLE.com:8080/x")
+      ).toDF("doc_id", "url")
+      urls.groupBy(T.canonicalUrl(col("url")).as("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("canonical_url")
+    }),
+
     "cd2_canonical_per_cluster" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(pmod(col("doc_id"), lit(50L)).as("cluster"), col("doc_id"),
@@ -2261,6 +2287,20 @@ object PipelineQueries {
          FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
          WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
          ORDER BY doc_id""",
+    // every canonical form hand-derived from the planted spellings:
+    // case/port/fragment/tracking/order/trailing-slash all collapse,
+    // scheme changes don't, relative + non-http strings pass through
+    "cd3_url_dedup" ->
+      """SELECT * FROM (VALUES
+           ('ftp://Files.example.com/Data', CAST(1 AS BIGINT), CAST(8 AS BIGINT)),
+           ('http://example.com/', 2, 5),
+           ('http://example.com/a?a=1&b=2', 2, 1),
+           ('http://example.com/b', 2, 9),
+           ('http://user@example.com:8080/x', 1, 11),
+           ('https://example.com/a', 2, 3),
+           ('relative/path?x=1', 1, 7)
+         ) AS t(canonical_url, n_docs, keeper)
+         ORDER BY canonical_url""",
     "cd2_canonical_per_cluster" ->
       """SELECT cluster, doc_id, priority FROM (
            SELECT doc_id % 50 AS cluster, doc_id,
