@@ -590,6 +590,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot-enabled index makes the ingest loop's appends exactly-once", Slow) {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Snapshot}
+    val idx = graft.TempDirs.path("minhash-index/streaming-snapshot")
+    val out = graft.TempDirs.path("sink/streaming-snapshot")
+    Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    Snapshot.enableSub(spark, idx, "buckets") // ROOT manifest governs the triple
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDedupAgainstIndexKeyed(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx)(
+      graft.streaming.Windows.idempotentParquetSink(out))
+    try {
+      in.addData((10L, "a novel document body with fresh words"),
+        (11L, "another entirely different novel document"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the loop's append committed micro-batch 0 through the manifest
+    Snapshot.liveBatches(spark, idx).toSet shouldBe Set(-1L, 0L)
+    val v = Snapshot.latestVersion(spark, idx).get
+    def probeHits(): Long = Dedup.minhashNearDupsAgainstIndex(
+      Seq(20L -> "a novel document body with fresh words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx).count()
+    probeHits() should be >= 1L // doc 10 is in the index
+    // at-least-once REDELIVERY of micro-batch 0 (crash after the index
+    // append, before the offset commit — the loop re-runs the batch):
+    // the committed id makes the re-append a NO-OP — no manifest bump,
+    // no directory rewrite under concurrent probes, identical probes
+    Dedup.appendToMinhashIndex(
+      Seq(10L -> "a novel document body with fresh words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx,
+      batchId = Some(0L))
+    Snapshot.latestVersion(spark, idx) shouldBe Some(v)
+    Snapshot.liveBatches(spark, idx).toSet shouldBe Set(-1L, 0L)
+    probeHits() should be >= 1L
+  }
+
   test("idempotent sink: a redelivered batch replaces its rows, counts unchanged", Slow) {
     val session = spark
     import session.implicits._
