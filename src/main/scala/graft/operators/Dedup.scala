@@ -822,10 +822,15 @@ object Dedup {
     // interrupted, not pass it on the stale marker (see
     // [[clearIndexCommitMarker]]); probes pause during a rebuild
     clearIndexCommitMarker(docs.sparkSession, path)
-    // a rebuild resets content to batch -1; a previously enabled
-    // index re-seeds its ROOT manifest afterwards so readers stay
-    // manifest-resolved (probes pause during a rebuild either way)
+    // a rebuild resets content to batch -1 AND resets the manifest
+    // HISTORY (Snapshot.clearManifests): a surviving stale root
+    // manifest would point readers at deleted batch dirs and make
+    // stagedAppend silently no-op post-rebuild appends that reuse
+    // micro-batch ids. A previously enabled index re-seeds a fresh
+    // root manifest from the rebuilt layout afterwards (probes pause
+    // during a rebuild either way).
     val wasEnabled = Snapshot.isEnabled(docs.sparkSession, path)
+    Snapshot.clearManifests(docs.sparkSession, path)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
       .persist(lvl)
@@ -938,6 +943,7 @@ object Dedup {
     // dirs the swap just deleted. Pinned readers do not survive an
     // index-wide compaction (probes pause — scaladoc above).
     val wasEnabled = Snapshot.isEnabled(spark, path)
+    Snapshot.clearManifests(spark, path) // history resets with the fold
     Seq(dataTable, "buckets", "drop_stats").foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true)
       fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
@@ -1473,6 +1479,7 @@ object Dedup {
     // marker-first rebuild discipline — see [[clearIndexCommitMarker]]
     clearIndexCommitMarker(embs.sparkSession, path)
     val wasEnabled = Snapshot.isEnabled(embs.sparkSession, path) // see buildMinhashIndex
+    Snapshot.clearManifests(embs.sparkSession, path)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one corpus scan: the persisted (doc, vec) projection feeds both
     // the signature/bucket pass and the vectors/ write

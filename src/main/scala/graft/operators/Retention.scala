@@ -158,6 +158,12 @@ object Retention {
     val dir = new Path(s"$path/_batch_ledger")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Map.empty
+    // a fully-swept ledger (dir exists, no batch rows) reads as empty,
+    // not as an unable-to-infer-schema failure — retention must stay
+    // idempotent across vacuum cycles
+    if (!fs.listStatus(dir).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
+      return Map.empty
     spark.read.parquet(dir.toString).collect().map { r =>
       r.getAs[Number]("batch_id").longValue() ->
         (r.getTimestamp(r.fieldIndex("min_ts")),

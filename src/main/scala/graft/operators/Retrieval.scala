@@ -137,6 +137,7 @@ object Retrieval {
     // rebuild = index reset: a previously enabled index re-seeds its
     // ROOT manifest on the fresh layout (probes pause for a rebuild)
     val wasEnabled = Snapshot.isEnabled(spark, outPath)
+    Snapshot.clearManifests(spark, outPath) // history resets with the rebuild
     Seq("postings", "terms", "stats").foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$t"), true)
     }

@@ -58,9 +58,16 @@ object Snapshot {
 
   val ManifestDir = "_manifests"
 
-  /** One published table state: the batch ids whose directories are
-    * live at `version`. */
-  final case class Manifest(version: Long, batches: Seq[Long])
+  /** One published table state: `batches` are the ids whose
+    * directories are live at `version`; `committed` is the CUMULATIVE
+    * set of ids any version up to this one ever published (batches ⊆
+    * committed). Carrying the history forward in each manifest is what
+    * lets [[stagedAppend]] answer "was this batch ever committed?"
+    * from the single newest manifest instead of re-reading every
+    * version on every append — ids are 8 bytes, so even a
+    * 100k-batch-lifetime table keeps the manifest under a MB. */
+  final case class Manifest(version: Long, batches: Seq[Long],
+                            committed: Seq[Long])
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -102,31 +109,38 @@ object Snapshot {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
     require(node.hasNonNull("version") && node.hasNonNull("batches"),
       s"malformed manifest $f: $text")
-    Manifest(node.get("version").asLong(),
-      node.get("batches").elements().asScala.map(_.asLong()).toSeq)
+    val batches = node.get("batches").elements().asScala.map(_.asLong()).toSeq
+    val committed =
+      if (node.hasNonNull("committed"))
+        node.get("committed").elements().asScala.map(_.asLong()).toSeq
+      else batches // pre-committed-field manifests: history = live set
+    Manifest(node.get("version").asLong(), batches, committed)
   }
 
   /** The newest manifest, if the table is enabled. */
   def latest(spark: SparkSession, path: String): Option[Manifest] =
     latestVersion(spark, path).map(readManifest(spark, path, _))
 
-  /** Every batch id ANY manifest version has ever published — the
-    * commit history [[stagedAppend]] consults so a redelivered batch
-    * can be recognized even after retention removed it from the live
-    * set (re-appending it would resurrect retired data). Reads every
-    * manifest version: each is a ~100-byte file and versions only grow
-    * by writer actions, so this stays metadata-cheap; a table with
-    * unbounded manifest history would compact manifests first. */
-  def committedBatches(spark: SparkSession, path: String): Set[Long] = {
-    val dir = new Path(path, ManifestDir)
+  /** Every batch id any manifest version ever published — the commit
+    * history [[stagedAppend]] consults so a redelivered batch is
+    * recognized even after retention removed it from the live set
+    * (re-appending it would resurrect retired data). ONE manifest
+    * read: the newest manifest carries the cumulative history in its
+    * `committed` field. */
+  def committedBatches(spark: SparkSession, path: String): Set[Long] =
+    latest(spark, path)
+      .map(m => (m.batches ++ m.committed).toSet)
+      .getOrElse(Set.empty)
+
+  /** Drop the manifest HISTORY — the reset primitive for multi-table
+    * index rebuilds, whose sub-table overwrites don't touch the root
+    * `_manifests` dir: a surviving stale manifest would point readers
+    * at deleted batch dirs AND make [[stagedAppend]] silently no-op
+    * the first post-rebuild appends that reuse micro-batch ids. A
+    * rebuild is a table reset: history restarts with it. */
+  def clearManifests(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
-    if (!fs.exists(dir)) return Set.empty
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json") }
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .flatMap(v => readManifest(spark, path, v).batches)
-      .toSet
+    fs.delete(new Path(path, ManifestDir), true)
   }
 
   /** Publish `batches` as the table's new live set. The JSON is staged
@@ -138,16 +152,20 @@ object Snapshot {
     * last-write-win silently). */
   def publish(spark: SparkSession, path: String, batches: Seq[Long]): Long = {
     val fs = fsFor(spark, path)
-    val v = latestVersion(spark, path).getOrElse(0L) + 1
+    val prev = latest(spark, path)
+    val v = prev.map(_.version).getOrElse(0L) + 1
     val dst = manifestFile(path, v)
     require(!fs.exists(dst),
       s"manifest v$v already exists under $path — concurrent writer?")
     val sorted = batches.distinct.sorted
+    val committed = (prev.map(m => m.committed ++ m.batches).getOrElse(Seq.empty)
+      ++ sorted).distinct.sorted
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     try out.write(
-      s"""{"version":$v,"batches":[${sorted.mkString(",")}]}"""
+      (s"""{"version":$v,"batches":[${sorted.mkString(",")}],""" +
+        s""""committed":[${committed.mkString(",")}]}""")
         .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, dst)) {
@@ -253,16 +271,15 @@ object Snapshot {
     *    tear) nor re-publish a retention-retired id (resurrection).
     */
   def stagedAppend(spark: SparkSession, path: String, batchId: Long)
-                  (write: => Unit): Boolean = {
-    if (!isEnabled(spark, path)) { write; true }
-    else if (committedBatches(spark, path).contains(batchId)) false
-    else {
-      write
-      publish(spark, path,
-        (latest(spark, path).map(_.batches).getOrElse(Seq.empty) :+ batchId).distinct)
-      true
+                  (write: => Unit): Boolean =
+    latest(spark, path) match { // ONE manifest read decides everything
+      case None => write; true
+      case Some(m) if (m.batches ++ m.committed).contains(batchId) => false
+      case Some(m) =>
+        write
+        publish(spark, path, (m.batches :+ batchId).distinct)
+        true
     }
-  }
 
   /** Run a TABLE RESET (a full rebuild whose overwrite wipes the
     * directory, manifests included) and re-enable afterwards if the
@@ -318,12 +335,16 @@ object Snapshot {
     doomed.foreach(b => fs.delete(new Path(path, s"batch_id=$b"), true))
     // ledger rows of anything non-live (swept batches, retired ids
     // whose dirs vacuumed earlier): stale bounds must never be able to
-    // mis-date a future reuse of the id
+    // mis-date a future reuse of the id. A fully-swept ledger dir is
+    // removed outright, keeping vacuum idempotent (an empty parquet
+    // dir would fail the next batchLedger read).
     val ledgerDir = new Path(path, "_batch_ledger")
-    if (fs.exists(ledgerDir))
+    if (fs.exists(ledgerDir)) {
       Retention.batchLedger(spark, path).keysIterator
         .filterNot(live)
         .foreach(b => fs.delete(new Path(ledgerDir, s"batch_id=$b"), true))
+      if (fs.listStatus(ledgerDir).isEmpty) fs.delete(ledgerDir, true)
+    }
     doomed
   }
 
@@ -348,11 +369,14 @@ object Snapshot {
         .getOrElse(Retention.batchIds(spark, s"$rootPath/$probeSub")))
 
   /** Read one sub-table of a multi-table index through the ROOT
-    * manifest (falls back to plain discovery on non-enabled indexes —
-    * every probe keeps its historical semantics until enableSub). */
+    * manifest. A manifest-less root falls back to [[read]] on the
+    * sub-table itself — which honors a per-SUB-TABLE manifest if one
+    * exists (the earlier wiring generation), so upgrading to root
+    * governance can never silently resurrect batches a sub-table
+    * manifest had retired; plain directories keep plain discovery. */
   def readSub(spark: SparkSession, rootPath: String, subTable: String): DataFrame =
     latest(spark, rootPath) match {
-      case None => spark.read.parquet(s"$rootPath/$subTable")
+      case None => read(spark, s"$rootPath/$subTable")
       case Some(m) =>
         require(m.batches.nonEmpty,
           s"manifest v${m.version} of $rootPath lists no live batches — fully " +

@@ -43,9 +43,13 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.enable(spark, path) shouldBe 1L
     Snapshot.isEnabled(spark, path) shouldBe true
     Snapshot.latest(spark, path).get shouldBe
-      Snapshot.Manifest(1L, Seq(0L, 1L, 2L, 3L, 4L))
+      Snapshot.Manifest(1L, Seq(0L, 1L, 2L, 3L, 4L), Seq(0L, 1L, 2L, 3L, 4L))
     Snapshot.publish(spark, path, Seq(2L, 3L, 4L)) shouldBe 2L
     Snapshot.latestVersion(spark, path) shouldBe Some(2L)
+    // the committed HISTORY rides every manifest: retired ids stay
+    // known to stagedAppend through the single newest manifest
+    Snapshot.latest(spark, path).get.committed shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    Snapshot.committedBatches(spark, path) shouldBe Set(0L, 1L, 2L, 3L, 4L)
     // no staging litter: only committed v*.json files in _manifests
     // (dot-files — local-FS .crc sidecars, staged tmps — are hidden by
     // Hadoop listing convention and excluded here too)
@@ -223,6 +227,31 @@ class SnapshotSpec extends SparkSpec {
       Map("t1" -> Seq(0L, 2L), "t2" -> Seq(0L))
   }
 
+  test("an index rebuild resets manifest history: reused batch ids land again") {
+    import graft.operators.Retrieval
+    val idx = TempDirs.path("snapshot-spec/rebuild-index")
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    Retrieval.buildPostingIndex(docs, "doc_id", "text", idx, nBuckets = 4)
+    Snapshot.enableSub(spark, idx, "postings")
+    Retrieval.appendToPostingIndex(
+      Seq((3L, "alpha zeta")).toDF("doc_id", "text"), "doc_id", "text", idx, 0L)
+    Snapshot.latest(spark, idx).get.batches shouldBe Seq(-1L, 0L)
+    // rebuild: the stale root manifest must die with the data it
+    // governed — a survivor would point probes at deleted batch dirs
+    // AND silently no-op the first post-rebuild append below
+    Retrieval.buildPostingIndex(docs, "doc_id", "text", idx, nBuckets = 4)
+    Snapshot.latest(spark, idx).get.batches shouldBe Seq(-1L)
+    Snapshot.committedBatches(spark, idx) shouldBe Set(-1L)
+    // a REUSED micro-batch id (checkpoint restarted with the rebuild)
+    // is a fresh commit, not a redelivery no-op
+    Retrieval.appendToPostingIndex(
+      Seq((4L, "alpha eta")).toDF("doc_id", "text"), "doc_id", "text", idx, 0L)
+    Snapshot.latest(spark, idx).get.batches shouldBe Seq(-1L, 0L)
+    Retrieval.bm25TopKIndexed(spark, idx, "doc_id", Seq("eta"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
+  }
+
   test("vacuum sweeps event-time ledger rows of non-live batches") {
     val path = plantSketch("ledger-vacuum", days = 3)
     (0 until 3).foreach { k =>
@@ -240,6 +269,12 @@ class SnapshotSpec extends SparkSpec {
     Retention.batchLedger(spark, path).keySet shouldBe Set(0L, 1L, 2L)
     Snapshot.vacuum(spark, path).toSet shouldBe Set(0L, 1L)
     Retention.batchLedger(spark, path).keySet shouldBe Set(2L)
+    // vacuum stays idempotent even after a FULL retire sweeps every
+    // ledger row (the emptied dir must not fail the next maintenance)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 10L)
+    Snapshot.vacuum(spark, path) shouldBe Seq(2L)
+    Retention.batchLedger(spark, path) shouldBe Map.empty
+    Snapshot.vacuum(spark, path) shouldBe Seq.empty // second pass: no-op
   }
 
   test("a fully-retired table reads loudly, never as an empty zero") {
