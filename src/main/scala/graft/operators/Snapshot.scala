@@ -81,19 +81,23 @@ object Snapshot {
   def isEnabled(spark: SparkSession, path: String): Boolean =
     latestVersion(spark, path).isDefined
 
-  /** Newest published version, if any. Dot-prefixed staging files are
+  /** All published versions, ascending. Dot-prefixed staging files are
     * never listed (Hadoop hides them), so a crashed publish is
     * invisible here. */
-  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+  def listVersions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(path, ManifestDir)
     val fs = fsFor(spark, path)
-    if (!fs.exists(dir)) return None
-    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json") }
       .flatMap(n => scala.util.Try(n.toLong).toOption)
-    if (vs.isEmpty) None else Some(vs.max)
+      .sorted
   }
+
+  /** Newest published version, if any. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    listVersions(spark, path).lastOption
 
   /** Parse one published manifest. Fails loudly on a missing version —
     * a pinned reader must know its snapshot expired (vacuumed or never
@@ -345,6 +349,22 @@ object Snapshot {
         .foreach(b => fs.delete(new Path(ledgerDir, s"batch_id=$b"), true))
       if (fs.listStatus(ledgerDir).isEmpty) fs.delete(ledgerDir, true)
     }
+    doomed
+  }
+
+  /** Delete manifest versions older than the newest `keepLast` — the
+    * maintenance that stops version files accumulating forever (the
+    * `committed` field already keeps the SEMANTIC history in the
+    * newest manifest, so nothing but time travel depth is lost).
+    * `keepLast` is the pinned-reader horizon: a [[readAt]] older than
+    * it fails loudly afterwards, the [[vacuum]] contract applied to
+    * metadata. Returns the expired versions. */
+  def expireManifests(spark: SparkSession, path: String,
+                      keepLast: Int = 8): Seq[Long] = {
+    require(keepLast >= 1, s"must keep at least the newest manifest: $keepLast")
+    val fs = fsFor(spark, path)
+    val doomed = listVersions(spark, path).dropRight(keepLast)
+    doomed.foreach(v => fs.delete(manifestFile(path, v), false))
     doomed
   }
 

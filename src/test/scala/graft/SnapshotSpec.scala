@@ -60,6 +60,15 @@ class SnapshotSpec extends SparkSpec {
     all(names) should fullyMatch regex "v\\d{12}\\.json"
     // older versions remain readable (pinning) until vacuumed
     Snapshot.readManifest(spark, path, 1L).batches should contain(0L)
+    // manifest expiry: versions older than the keep horizon go; the
+    // newest keeps the full committed history, so redelivery detection
+    // survives the metadata cleanup
+    (3 to 6).foreach(i => Snapshot.publish(spark, path, Seq(2L, 3L, 4L, i.toLong)))
+    Snapshot.expireManifests(spark, path, keepLast = 2) shouldBe Seq(1L, 2L, 3L, 4L)
+    Snapshot.listVersions(spark, path) shouldBe Seq(5L, 6L)
+    Snapshot.committedBatches(spark, path) shouldBe Set(0L, 1L, 2L, 3L, 4L, 5L, 6L)
+    intercept[Exception] { Snapshot.readManifest(spark, path, 1L) } // pin expired
+    Snapshot.expireManifests(spark, path, keepLast = 2) shouldBe Seq.empty
   }
 
   test("pinned reader is unaffected by concurrent retention AND compaction") {
