@@ -234,6 +234,22 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // EXACT all-pairs Jaccard join via prefix filtering (SimilarityJoin
+    // scaladoc): unlike dd3/dd5's LSH banding, candidate generation is
+    // LOSSLESS, so at the 0.5 gate the result must be exactly the
+    // planted all-pairs truth — the cluster-A triangle (27/29, 25/31,
+    // 24/32), the byte-identical pair (4,5) at 1.0, and the four-edit
+    // pair (6,7) at 26/50 = 0.52 — while the token-PERMUTED doc 8
+    // shares no 3-shingle with doc 4 and stays out. The oracle is a
+    // FULL DuckDB all-pairs re-derivation (shingle → intersect → union
+    // arithmetic) over the same inline corpus, not pinned VALUES, so
+    // it gates completeness independently of the fixture notes.
+    "dd18_exact_jaccard_join" -> ((s, _) => {
+      graft.operators.SimilarityJoin.jaccardJoin(
+          PlantedFixtures.docs(s), "doc_id", "text", threshold = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
     // Benchmark-contamination sweep on the planted corpus: benchmark =
     // re-keyed copies of cluster representatives 1/4/6 (ids
     // 901/904/906); train = the full planted corpus. At the 0.7 gate
@@ -1574,6 +1590,26 @@ object PipelineQueries {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id
          FROM (VALUES (2), (3), (8)) AS t(doc_id)
          ORDER BY doc_id""",
+    "dd18_exact_jaccard_join" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                     FROM ${PlantedFixtures.docsValuesSql}),
+          pos AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+                  FROM t),
+          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS tok
+                 FROM pos),
+          n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+                    FROM sh x JOIN sh y ON y.tok = x.tok AND y.doc_id > x.doc_id
+                    GROUP BY 1, 2)
+          SELECT id1, id2,
+                 round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 4) AS jaccard
+          FROM inter
+          JOIN n n1 ON n1.doc_id = id1
+          JOIN n n2 ON n2.doc_id = id2
+          WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.5
+          ORDER BY id1, id2""",
+
     "ct1_contamination" ->
       """SELECT * FROM (VALUES
            (CAST(1 AS BIGINT), CAST(901 AS BIGINT), CAST(1.0 AS DOUBLE)),

@@ -47,18 +47,30 @@ object PlantedFixtures {
   private val c2 = cWords.updated(4, "x1").updated(14, "x2")
     .updated(24, "x3").updated(34, "x4").mkString(" ")
 
-  /** (doc_id, text) corpus — see object scaladoc for the planted truth. */
-  def docs(s: SparkSession): DataFrame = {
-    import s.implicits._
-    (Seq(
+  private val corpusRows: Seq[(Long, String)] =
+    Seq(
       1L -> a1, 2L -> a2, 3L -> a3,
       4L -> bText, 5L -> bText,
       6L -> c1, 7L -> c2,
       8L -> bPerm) ++
       (0 until 12).map(i => (100L + i) ->
-        s"filler f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f f${i}g f${i}h f${i}i f${i}j"))
-      .toDF("doc_id", "text")
+        s"filler f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f f${i}g f${i}h f${i}i f${i}j")
+
+  /** (doc_id, text) corpus — see object scaladoc for the planted truth. */
+  def docs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    corpusRows.toDF("doc_id", "text")
   }
+
+  /** The SAME corpus as a DuckDB `(VALUES ...) AS docs(doc_id, text)`
+    * clause, so full re-derivation oracles (dd18's all-pairs Jaccard)
+    * run against byte-identical inputs without a second copy of the
+    * fixture to drift. Texts contain no quotes — plain '' inlining. */
+  def docsValuesSql: String =
+    corpusRows.map { case (id, t) =>
+      require(!t.contains("'"), s"fixture text must be quote-free: $t")
+      s"(CAST($id AS BIGINT), '$t')"
+    }.mkString("(VALUES\n           ", ",\n           ", ") AS docs(doc_id, text)")
 
   /** Benchmark fixture for the contamination sweep: re-keyed copies of
     * cluster representatives 1/4/6 (bench ids 901/904/906), so every

@@ -199,6 +199,18 @@ object ScaleWorkloads {
       "pq_recall_at_10" -> (exact & pq).size / 10.0,
       "pq_rerank_recall_at_10" -> (exact & pqReranked).size / 10.0,
       "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir),
+      // Prefix-filter pruning power at sf scale: fraction of the
+      // quadratic pair space the exact Jaccard join verified (1.0
+      // would mean the filter bought nothing and the join is
+      // effectively all-pairs). Uses a QUARTER of the corpus for the
+      // same budget-discipline reason as the skew gauges — the
+      // fraction is threshold/corpus-shape-driven, not size-driven.
+      "jaccard_join_candidate_frac" -> {
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        val (_, stats) = graft.operators.SimilarityJoin.jaccardJoinWithStats(
+          docs, "doc_id", "text", threshold = 0.8)
+        stats.select(col("candidate_frac")).head().getDouble(0)
+      },
       "skew_naive_task_imbalance" -> {
         // QUARTER-size fixture: the max/median ratio is what the gauge
         // reports and it is size-independent (hot share and partition
@@ -902,6 +914,19 @@ object ScaleWorkloads {
         .head().getSeq[Double](0).toSeq
       graft.operators.Pq.topKReranked(embs, "vec_id", "embedding", qv, 10,
         pqBooks(s, dir), shortlist = 100)
+    }),
+
+    // EXACT all-pairs Jaccard join at sf scale (prefix filtering).
+    // The contract here is COMPLETENESS — every pair ≥ 0.8 with no LSH
+    // banding miss — so the scale evidence is the stats row itself:
+    // candidate_frac records what fraction of the quadratic pair space
+    // the rarest-first prefix filter actually had to verify (also a
+    // per-round gauge). At 100 TB this is the eval-set-guarantee /
+    // contamination-audit path; LSH (sx1) remains the cheap bulk path.
+    "sx57_exact_jaccard_join" -> ((s, dir) => {
+      val (_, stats) = graft.operators.SimilarityJoin.jaccardJoinWithStats(
+        Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+      stats
     }),
 
     // DEEP BPE training at sf scale — 512 merges over the full word
