@@ -1454,6 +1454,25 @@ object PipelineQueries {
         .orderBy("bin")
     }),
 
+    // DRIFT report between two snapshots of lineitem: ref = the full
+    // table, cur = the low-quantity half (l_quantity <= 25) — a real
+    // planted covariate shift. l_quantity must read as SHIFTED (its
+    // upper bins vanish: psi ≈ 5.3, jsd ≈ 0.18), while
+    // l_extendedprice / l_returnflag / l_linestatus are independent
+    // of quantity in this data and must stay STABLE (psi ≤ 1e-4) —
+    // the negative controls that make the shifted row meaningful.
+    // Oracle = full DuckDB re-derivation of the binning, ε-smoothed
+    // PSI and 0·ln0-convention JSD — same formulas, independent
+    // engine.
+    "pf3_drift_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Drift.driftReport(
+          li, li.filter(col("l_quantity") <= 25),
+          numeric = Seq("l_quantity" -> 10L, "l_extendedprice" -> 10000L),
+          categorical = Seq("l_returnflag", "l_linestatus"))
+        .orderBy("col_name")
+    }),
+
     // TX10 — NFC + control-strip + space-collapse cleanup over real
     // text with a PLANTED decomposed suffix ("cafe" + combining acute
     // U+0301, a BEL control, doubled spaces, a kept tab): both engines
@@ -2392,6 +2411,44 @@ object PipelineQueries {
     "pf2_length_histogram" ->
       """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin, count(*) AS n
          FROM documents WHERE n_chars IS NOT NULL
-         GROUP BY 1 ORDER BY bin"""
+         GROUP BY 1 ORDER BY bin""",
+
+    "pf3_drift_report" ->
+      """WITH cur AS (SELECT * FROM lineitem WHERE l_quantity <= 25),
+         rk AS (SELECT col_name, key, count(*) AS nr FROM (
+             SELECT 'l_quantity' AS col_name, CAST(floor(l_quantity / 10) AS VARCHAR) AS key FROM lineitem
+             UNION ALL SELECT 'l_extendedprice', CAST(floor(l_extendedprice / 10000) AS VARCHAR) FROM lineitem
+             UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+             UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem)
+           WHERE key IS NOT NULL GROUP BY 1, 2),
+         ck AS (SELECT col_name, key, count(*) AS nc FROM (
+             SELECT 'l_quantity' AS col_name, CAST(floor(l_quantity / 10) AS VARCHAR) AS key FROM cur
+             UNION ALL SELECT 'l_extendedprice', CAST(floor(l_extendedprice / 10000) AS VARCHAR) FROM cur
+             UNION ALL SELECT 'l_returnflag', l_returnflag FROM cur
+             UNION ALL SELECT 'l_linestatus', l_linestatus FROM cur)
+           WHERE key IS NOT NULL GROUP BY 1, 2),
+         j AS (SELECT coalesce(rk.col_name, ck.col_name) AS col_name,
+                      coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+               FROM rk FULL OUTER JOIN ck
+                 ON ck.col_name = rk.col_name AND ck.key = rk.key),
+         t AS (SELECT col_name, CAST(sum(nr) AS BIGINT) AS n_ref,
+                      CAST(sum(nc) AS BIGINT) AS n_cur
+               FROM j GROUP BY 1),
+         x AS (SELECT j.col_name, n_ref, n_cur,
+                      CASE WHEN n_ref > 0 THEN CAST(nr AS DOUBLE) / n_ref ELSE 0 END AS p,
+                      CASE WHEN n_cur > 0 THEN CAST(nc AS DOUBLE) / n_cur ELSE 0 END AS q
+               FROM j JOIN t ON t.col_name = j.col_name),
+         terms AS (SELECT col_name, n_ref, n_cur,
+                     (greatest(p, 1e-6) - greatest(q, 1e-6))
+                       * ln(greatest(p, 1e-6) / greatest(q, 1e-6)) AS psit,
+                     (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                      + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2 AS jsdt
+                   FROM x)
+         SELECT col_name, n_ref, n_cur,
+                round(sum(psit), 4) AS psi, round(sum(jsdt), 4) AS jsd,
+                CASE WHEN sum(psit) < 0.1 THEN 'stable'
+                     WHEN sum(psit) < 0.25 THEN 'moderate'
+                     ELSE 'shifted' END AS verdict
+         FROM terms GROUP BY 1, 2, 3 ORDER BY col_name"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -929,6 +929,20 @@ object ScaleWorkloads {
       stats
     }),
 
+    // Drift report at sf scale: 4 columns, both sides of the snapshot
+    // pair scanned ONCE each (all columns explode into one partial-agg
+    // pass per side — the Profile one-scan trick), per-key frames
+    // persisted at their few-hundred-row aggregated size. Wall-clock
+    // here is two lineitem scans + small-frame arithmetic; a
+    // per-column-scan implementation would show up as ~4× this.
+    "sx58_drift_report" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      graft.operators.Drift.driftReport(
+        li, li.filter(col("l_quantity") <= 25),
+        numeric = Seq("l_quantity" -> 10L, "l_extendedprice" -> 10000L),
+        categorical = Seq("l_returnflag", "l_linestatus"))
+    }),
+
     // DEEP BPE training at sf scale — 512 merges over the full word
     // table: the depth where the naive per-round recount stops being
     // viable (rounds × total-positions) and the incremental trainer's
