@@ -1180,6 +1180,68 @@ object RelationalQueries {
           min(col("n_tokens")).as("min_tokens"),
           max(col("n_tokens")).as("max_tokens"))
         .orderBy("bin")
+    }),
+
+    // A19 — ROLLUP subtotals: detail rows + per-returnflag subtotals +
+    // grand total in ONE pass. Catalyst plans this as a single Expand
+    // (each input row replicated once per grouping set) feeding one
+    // hash aggregate — no per-level re-scan of the fact table, which is
+    // the whole point at 100 TB (3 grouping sets = 3× shuffle rows of
+    // ALREADY-PARTIAL aggregates, not 3× input scans). grouping_id()
+    // bit order (first grouping col = MSB) matches DuckDB's
+    // GROUPING(a,b) exactly — pinned by the oracle. Money sums use the
+    // cents pattern so partial-agg order can't flip a digit.
+    "a19_rollup_subtotals" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sum(cents(col("l_quantity"))).as("qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A20 — CUBE: the full 2^2 grouping-set lattice over order status ×
+    // priority (detail, two 1-D margins, grand total), again one Expand
+    // + one aggregate. The status×priority margin matrix is the OLAP
+    // "matrix report" a9 builds manually with when()-counts — cube is
+    // the declarative form and scales the same way.
+    "a20_cube_matrix" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // A21 — PIVOT to wide: per-linestatus row, one column per return
+    // flag. The pivot value list is PINNED (Seq("A","N","R")) — never
+    // the two-pass values-discovery collect, which at 100 TB is an
+    // extra full scan just to learn the column set. Absent cells stay
+    // NULL (F×N is empty in TPC-H), matching the oracle's FILTER form.
+    "a21_pivot_wide" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(cents(col("l_quantity"))))
+        .select(col("l_linestatus"), col("A").as("a_qty"),
+          col("N").as("n_qty"), col("R").as("r_qty"))
+        .orderBy("l_linestatus")
+    }),
+
+    // A22 — UNPIVOT (melt) back to long: the wide per-flag metric pair
+    // becomes (flag, metric, value) rows. unpivot is a zero-shuffle
+    // per-row Expand (2 output rows per input row) — the aggregation
+    // shuffle happens once BEFORE the melt on the tiny aggregated
+    // frame, never on the fact table.
+    "a22_unpivot_long" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty_cents"), col("price_cents")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
     })
   )
 
@@ -1602,6 +1664,44 @@ object RelationalQueries {
                   + CAST(n_tokens > c3 AS INTEGER) AS bin,
                 count(*) AS n_docs, min(n_tokens) AS min_tokens,
                 max(n_tokens) AS max_tokens
-         FROM d, c GROUP BY bin ORDER BY bin"""
+         FROM d, c GROUP BY bin ORDER BY bin""",
+    "a19_rollup_subtotals" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS cnt,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS qty_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS price_cents
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "a20_cube_matrix" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
+    "a21_pivot_wide" ->
+      """SELECT l_linestatus,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                  FILTER (l_returnflag = 'A') AS BIGINT) AS a_qty,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                  FILTER (l_returnflag = 'N') AS BIGINT) AS n_qty,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                  FILTER (l_returnflag = 'R') AS BIGINT) AS r_qty
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "a22_unpivot_long" ->
+      """WITH w AS (SELECT l_returnflag,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS qty_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS price_cents
+              FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, 'price_cents' AS metric, price_cents AS value FROM w
+         ORDER BY l_returnflag, metric"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -350,6 +350,36 @@ class PlanAuditSpec extends SparkSpec {
     p should include("graft_bpe_encode")
   }
 
+  test("a19/a20: rollup and cube are ONE Expand + one aggregate pair — no per-grouping-set re-scan") {
+    for (name <- Seq("a19_rollup_subtotals", "a20_cube_matrix")) {
+      val p = plan(name)
+      "Expand".r.findAllIn(p).size shouldBe 1
+      // one partial/final HashAggregate pair over the single Expand;
+      // a per-level union-of-scans plan would multiply the Scan count
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+      p should include("Exchange hashpartitioning")
+    }
+  }
+
+  test("a21: pinned-values pivot is a single aggregate pass — no values-discovery job, one scan") {
+    val p = plan("a21_pivot_wide")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  test("a22: unpivot melts AFTER aggregation — the Expand sits above the tiny agg, not the fact scan") {
+    val df = SparkEntry.queries("a22_unpivot_long")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Expand present (the melt), and the scan still prunes to the two
+    // aggregated columns + key, proving the melt never saw raw rows
+    p should include("Expand")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("l_quantity")
+    readSchema should include("l_extendedprice")
+    readSchema should not include "l_orderkey"
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
