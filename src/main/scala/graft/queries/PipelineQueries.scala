@@ -1529,6 +1529,34 @@ object PipelineQueries {
       graft.operators.GroupTopK.topKPerGroup(
           t(s, dir, "documents"), "source", "doc_id", "n_chars", 3)
         .orderBy("source", "doc_id")
+    }),
+
+    // DQ1 — the declarative expectations suite (Validate scaladoc): 5
+    // row-local checks fuse into ONE scan of orders (plan-pinned in
+    // ValidateSpec), uniqueness is a keys-only aggregate, and the
+    // lineitem→orders relationship is a distinct-keys anti join. The
+    // suite deliberately mixes passing checks with two real failures
+    // at this SF (totalprice cap exceeded, repeat customers) — the
+    // report must count them exactly, not just flag them.
+    "dq1_expectations" -> ((s, dir) => {
+      import graft.operators.Validate
+      import graft.operators.Validate._
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      Validate.run(ord, Seq(
+          NotNull("custkey_not_null", "o_custkey"),
+          InRange("totalprice_range", "o_totalprice", 0.0, 300000.0),
+          AcceptedValues("status_domain", "o_orderstatus",
+            Seq("F", "O", "P")),
+          MatchesRegex("priority_format", "o_orderpriority", "^[1-5]-"),
+          Expect("date_in_epoch",
+            col("o_orderdate") >= lit("1992-01-01").cast("date")),
+          Unique("orderkey_unique", Seq("o_orderkey")),
+          Unique("custkey_unique", Seq("o_custkey"))))
+        .unionByName(Validate.run(li, Seq(
+          ForeignKey("orderkey_fk", Seq("l_orderkey"),
+            ord, Seq("o_orderkey")))))
+        .orderBy("check_name")
     })
   )
 
@@ -2449,6 +2477,45 @@ object PipelineQueries {
                 CASE WHEN sum(psit) < 0.1 THEN 'stable'
                      WHEN sum(psit) < 0.25 THEN 'moderate'
                      ELSE 'shifted' END AS verdict
-         FROM terms GROUP BY 1, 2, 3 ORDER BY col_name"""
+         FROM terms GROUP BY 1, 2, 3 ORDER BY col_name""",
+    "dq1_expectations" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders),
+         nl AS (SELECT count(*) AS c FROM lineitem),
+         r AS (
+           SELECT 'custkey_not_null' AS check_name, 'not_null' AS kind,
+                  (SELECT c FROM n) AS n_rows,
+                  (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                    AS n_violations
+           UNION ALL
+           SELECT 'totalprice_range', 'in_range', (SELECT c FROM n),
+                  (SELECT count(*) FROM orders WHERE o_totalprice IS NULL
+                     OR NOT (o_totalprice >= 0 AND o_totalprice <= 300000))
+           UNION ALL
+           SELECT 'status_domain', 'accepted_values', (SELECT c FROM n),
+                  (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('F', 'O', 'P'))
+           UNION ALL
+           SELECT 'priority_format', 'matches_regex', (SELECT c FROM n),
+                  (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL
+                     OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+           UNION ALL
+           SELECT 'date_in_epoch', 'expect', (SELECT c FROM n),
+                  (SELECT count(*) FROM orders WHERE o_orderdate IS NULL
+                     OR NOT (o_orderdate >= DATE '1992-01-01'))
+           UNION ALL
+           SELECT 'orderkey_unique', 'unique', (SELECT c FROM n),
+                  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+           UNION ALL
+           SELECT 'custkey_unique', 'unique', (SELECT c FROM n),
+                  (SELECT count(*) - count(DISTINCT o_custkey) FROM orders)
+           UNION ALL
+           SELECT 'orderkey_fk', 'foreign_key', (SELECT c FROM nl),
+                  (SELECT count(DISTINCT l_orderkey) FROM lineitem
+                   WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                     (SELECT o_orderkey FROM orders)))
+         SELECT check_name, kind, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_violations AS BIGINT) AS n_violations,
+                n_violations = 0 AS passed
+         FROM r ORDER BY check_name"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
