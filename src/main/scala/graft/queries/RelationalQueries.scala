@@ -1242,6 +1242,41 @@ object RelationalQueries {
           Array(col("qty_cents"), col("price_cents")),
           "metric", "value")
         .orderBy("l_returnflag", "metric")
+    }),
+
+    // TS1 — resample + forward-fill (TimeSeries scaladoc): the sparse
+    // high-value event stream (≈300 observations per type over a
+    // 4300-bucket month) becomes a dense per-type 10-minute series,
+    // gaps carried forward in ONE window pass over the ALREADY
+    // AGGREGATED grid — the raw stream is bucketed down first, and
+    // each type's grid spans its own observed range only.
+    "ts1_resample_ffill" -> ((s, dir) => {
+      import graft.operators.TimeSeries
+      TimeSeries.resample(
+          t(s, dir, "events").filter(col("value") > 90),
+          "event_type", "ts", "value", intervalMicros = 600L * 1000000,
+          fill = TimeSeries.ForwardFill)
+        .select(col("key").as("event_type"), col("bucket"),
+          round(col("value"), 6).as("value"), col("observed"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // TS2 — linear interpolation on a PLANTED two-series fixture whose
+    // gap values are exact binary fractions (15/20/25 and 28.5), so
+    // the hand-derived oracle pins the interpolation arithmetic
+    // bit-for-bit, including the single-point-series degenerate grid.
+    "ts2_linear_interp" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.TimeSeries
+      val fx = Seq(("a", 0L, 10.0), ("a", 4L, 30.0), ("a", 6L, 27.0),
+          ("b", 2L, 5.0)).toDF("series", "bucket", "v")
+        .select(col("series"),
+          timestamp_micros(col("bucket") * 60000000L).as("ts"), col("v"))
+      TimeSeries.resample(fx, "series", "ts", "v",
+          intervalMicros = 60000000L, fill = TimeSeries.LinearFill)
+        .select(col("key").as("series"), col("bucket"), col("value"),
+          col("observed"))
+        .orderBy("series", "bucket")
     })
   )
 
@@ -1702,6 +1737,29 @@ object RelationalQueries {
          SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value FROM w
          UNION ALL
          SELECT l_returnflag, 'price_cents' AS metric, price_cents AS value FROM w
-         ORDER BY l_returnflag, metric"""
+         ORDER BY l_returnflag, metric""",
+    "ts1_resample_ffill" ->
+      """WITH o AS (SELECT event_type,
+                CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b,
+                avg(value) AS v
+              FROM events WHERE value > 90 GROUP BY 1, 2),
+         s AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM o GROUP BY 1),
+         g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS b FROM s),
+         j AS (SELECT g.event_type, g.b, o.v FROM g
+               LEFT JOIN o ON o.event_type = g.event_type AND o.b = g.b)
+         SELECT event_type, b AS bucket,
+                round(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+                  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  6) AS value,
+                v IS NOT NULL AS observed
+         FROM j ORDER BY event_type, bucket""",
+    "ts2_linear_interp" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(0 AS BIGINT), 10.0, true), ('a', 1, 15.0, false),
+           ('a', 2, 20.0, false), ('a', 3, 25.0, false),
+           ('a', 4, 30.0, true), ('a', 5, 28.5, false),
+           ('a', 6, 27.0, true), ('b', 2, 5.0, true))
+         t(series, bucket, value, observed)
+         ORDER BY series, bucket"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
