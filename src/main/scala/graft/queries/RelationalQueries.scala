@@ -1277,6 +1277,38 @@ object RelationalQueries {
         .select(col("key").as("series"), col("bucket"), col("value"),
           col("observed"))
         .orderBy("series", "bucket")
+    }),
+
+    // MA1 — incremental MATERIALIZED AGGREGATE (MaterializedAgg
+    // scaladoc): orders arrive as three disjoint ingest batches; each
+    // refresh aggregates ONLY its batch into per-status partials
+    // (count/sum/min/max on exact cents), batch 1 is redelivered to
+    // pin idempotence, and the final rollup is merged from the stored
+    // partials alone — the oracle recomputes the identical stats from
+    // the raw table in one pass, so partial-merge must equal direct.
+    "ma1_materialized_agg" -> ((s, dir) => {
+      import graft.operators.MaterializedAgg
+      val ord = t(s, dir, "orders").select(col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderkey"))
+      def part(m: Int) =
+        ord.filter(col("o_orderkey") % 3 === m).drop("o_orderkey")
+      val path = graft.TempDirs.path(
+        s"matagg/ma1/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      MaterializedAgg.build(part(0), Seq("o_orderstatus"),
+        Seq("price_cents"), path)
+      MaterializedAgg.appendBatch(part(1), Seq("o_orderstatus"),
+        Seq("price_cents"), path, batchId = 0L)
+      MaterializedAgg.appendBatch(part(2), Seq("o_orderstatus"),
+        Seq("price_cents"), path, batchId = 1L)
+      // at-least-once redelivery of batch 1: must replace, not stack
+      MaterializedAgg.appendBatch(part(2), Seq("o_orderstatus"),
+        Seq("price_cents"), path, batchId = 1L)
+      MaterializedAgg.read(s, path)
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("price_cents_cnt"), col("price_cents_sum"),
+          col("price_cents_min"), col("price_cents_max"),
+          round(col("price_cents_avg"), 6).as("price_cents_avg"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -1760,6 +1792,18 @@ object RelationalQueries {
            ('a', 4, 30.0, true), ('a', 5, 28.5, false),
            ('a', 6, 27.0, true), ('b', 2, 5.0, true))
          t(series, bucket, value, observed)
-         ORDER BY series, bucket"""
+         ORDER BY series, bucket""",
+    "ma1_materialized_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+                count(*) AS price_cents_cnt,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS price_cents_sum,
+                min(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS price_cents_min,
+                max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS price_cents_max,
+                round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / count(*), 6) AS price_cents_avg
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
