@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** ATOMIC SNAPSHOT COMMIT for the batch-partitioned table family
   * (MinHash / embedding / IVF / posting indexes, HLL/KLL sketch
@@ -350,6 +351,49 @@ object Snapshot {
       if (fs.listStatus(ledgerDir).isEmpty) fs.delete(ledgerDir, true)
     }
     doomed
+  }
+
+  /** CHANGE-DATA-CAPTURE between two pinned versions: the multiset row
+    * difference `readAt(fromVersion)` → `readAt(toVersion)`, tagged
+    * 'delete' / 'insert'. Both snapshots must still be resolvable
+    * (within the [[expireManifests]] horizon, constituent dirs not
+    * [[vacuum]]ed).
+    *
+    * The scale property: batch directories are IMMUTABLE once
+    * published, so rows in batches live in BOTH manifests appear
+    * identically on both sides and cancel in the multiset difference —
+    * algebraically, v_from = common ⊎ A and v_to = common ⊎ B gives
+    * v_from ∖ v_to = A ∖ B. The diff therefore reads ONLY the
+    * symmetric difference of the two live sets (pinned by inputFiles
+    * in SnapshotSpec): diffing across a retention edit reads nothing
+    * from surviving history, diffing across an append reads just the
+    * new batch, and diffing across a compaction reads the folded
+    * directory + its constituents and returns EMPTY — compaction moves
+    * rows between batches without changing the table, and the diff
+    * says exactly that. `batch_id` is excluded from row identity for
+    * the same reason.
+    */
+  def diffVersions(spark: SparkSession, path: String,
+                   fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = readManifest(spark, path, fromVersion)
+    val to = readManifest(spark, path, toVersion)
+    val onlyFrom = from.batches.diff(to.batches)
+    val onlyTo = to.batches.diff(from.batches)
+    val anyBatch = (from.batches ++ to.batches).headOption.getOrElse(
+      throw new IllegalStateException(s"both manifests v$fromVersion and " +
+        s"v$toVersion of $path are empty — no schema to diff under"))
+    def side(batches: Seq[Long]): DataFrame = {
+      val template = spark.read.option("basePath", path)
+        .parquet(batchDirs(path, Seq(anyBatch)): _*).drop("batch_id")
+      if (batches.isEmpty) template.limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(batchDirs(path, batches): _*).drop("batch_id")
+    }
+    val (a, b) = (side(onlyFrom), side(onlyTo))
+    val rowCols = a.columns.map(col).toSeq
+    a.exceptAll(b).select(lit("delete").as("change_type") +: rowCols: _*)
+      .unionByName(
+        b.exceptAll(a).select(lit("insert").as("change_type") +: rowCols: _*))
   }
 
   /** Delete manifest versions older than the newest `keepLast` — the

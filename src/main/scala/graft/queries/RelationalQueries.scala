@@ -1309,6 +1309,44 @@ object RelationalQueries {
           col("price_cents_min"), col("price_cents_max"),
           round(col("price_cents_avg"), 6).as("price_cents_avg"))
         .orderBy("o_orderstatus")
+    }),
+
+    // RT2 — CDC between pinned snapshots (Snapshot.diffVersions): a
+    // planted three-batch table goes through retention (v1→v2), an
+    // append (v2→v3), and a compaction (v3→v4). The row-level diffs
+    // must report exactly the retired rows as deletes, exactly the new
+    // batch as inserts, and — the flagship property — compaction as NO
+    // change: rows moved between batch directories without the table
+    // changing. Each diff reads only the symmetric difference of the
+    // two live sets (inputFiles-pinned in SnapshotSpec).
+    "rt2_version_diff" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt2-${java.util.UUID.randomUUID()}")
+      def batch(id: Long, ks: String*): Unit = {
+        val df = ks.map(k => (k, id)).toDF("k", "born_batch")
+        Snapshot.stagedAppend(s, path, id) {
+          df.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+        }
+      }
+      batch(0L, "a", "b"); batch(1L, "c"); batch(2L, "d", "e")
+      Snapshot.enable(s, path)
+      val v1 = Snapshot.latestVersion(s, path).get
+      Snapshot.retainFrom(s, path, keepFrom = 1L) // retire batch 0
+      val v2 = Snapshot.latestVersion(s, path).get
+      batch(3L, "f", "a") // "a" returns in a NEW batch → a real insert
+      val v3 = Snapshot.latestVersion(s, path).get
+      Snapshot.compactLive(s, path)
+      val v4 = Snapshot.latestVersion(s, path).get
+      Seq(("retention", v1, v2), ("append", v2, v3), ("compaction", v3, v4))
+        .map { case (step, a, b) =>
+          Snapshot.diffVersions(s, path, a, b)
+            .select(lit(step).as("step"), col("change_type"), col("k"),
+              col("born_batch"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("step", "change_type", "k")
     })
   )
 
@@ -1804,6 +1842,14 @@ object RelationalQueries {
                   AS price_cents_max,
                 round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
                   AS DOUBLE) / count(*), 6) AS price_cents_avg
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "rt2_version_diff" ->
+      """SELECT * FROM (VALUES
+           ('retention', 'delete', 'a', CAST(0 AS BIGINT)),
+           ('retention', 'delete', 'b', 0),
+           ('append', 'insert', 'a', 3),
+           ('append', 'insert', 'f', 3))
+         t(step, change_type, k, born_batch)
+         ORDER BY step, change_type, k"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

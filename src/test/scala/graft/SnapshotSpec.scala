@@ -300,6 +300,57 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.liveBatches(spark, path) shouldBe Seq(0L, 1L)
   }
 
+  test("diffVersions prunes to the symmetric difference and sees through compaction") {
+    val path = TempDirs.path(s"snapshot-spec/diff-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, ks: String*): Unit = Snapshot.stagedAppend(spark, path, id) {
+      ks.map(k => (k, id)).toDF("k", "born").write
+        .mode("overwrite").parquet(s"$path/batch_id=$id")
+    }
+    batch(0L, "a", "b"); batch(1L, "c")
+    Snapshot.enable(spark, path)
+    val v1 = Snapshot.latestVersion(spark, path).get
+    batch(2L, "d")
+    val v2 = Snapshot.latestVersion(spark, path).get
+
+    // append diff: only batch 2 read — batches 0/1 are common and pruned
+    val d12 = Snapshot.diffVersions(spark, path, v1, v2)
+    d12.inputFiles.foreach(_ should include("batch_id=2"))
+    d12.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("insert", "d"))
+
+    // identical versions diff empty without reading data files
+    Snapshot.publish(spark, path, Snapshot.latest(spark, path).get.batches)
+    val v3 = Snapshot.latestVersion(spark, path).get
+    Snapshot.diffVersions(spark, path, v2, v3).count() shouldBe 0L
+
+    // compaction: every row moves directories, the diff reports nothing
+    Snapshot.compactLive(spark, path)
+    val v4 = Snapshot.latestVersion(spark, path).get
+    Snapshot.diffVersions(spark, path, v3, v4).count() shouldBe 0L
+
+    // retention diff reports the retired rows as deletes, reverse
+    // direction reports them as inserts (diff is directional)
+    Snapshot.diffVersions(spark, path, v1, v4).count() shouldBe 1L // just d
+    val back = Snapshot.diffVersions(spark, path, v4, v1)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    back shouldBe Array(("delete", "d"))
+  }
+
+  test("diffVersions catches duplicate-row multiplicity changes (multiset, not set, semantics)") {
+    val path = TempDirs.path(s"snapshot-spec/dup-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, ks: String*): Unit = Snapshot.stagedAppend(spark, path, id) {
+      // constant payload: the same logical row can appear in many batches
+      ks.map(k => (k, 1)).toDF("k", "p").write
+        .mode("overwrite").parquet(s"$path/batch_id=$id")
+    }
+    batch(0L, "x"); Snapshot.enable(spark, path)
+    val v1 = Snapshot.latestVersion(spark, path).get
+    batch(1L, "x") // second copy of the identical row
+    val v2 = Snapshot.latestVersion(spark, path).get
+    Snapshot.diffVersions(spark, path, v1, v2)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("insert")
+  }
+
   test("build resets an enabled table and republishes a fresh manifest") {
     val path = plantSketch("rebuild", days = 3)
     Snapshot.enable(spark, path)
