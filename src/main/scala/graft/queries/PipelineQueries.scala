@@ -1557,6 +1557,23 @@ object PipelineQueries {
           ForeignKey("orderkey_fk", Seq("l_orderkey"),
             ord, Seq("o_orderkey")))))
         .orderBy("check_name")
+    }),
+
+    // GR1 — PageRank by distributed power iteration (Graph scaladoc)
+    // on a planted 5-node graph with a genuine dangling node (e has no
+    // out-links, so its mass redistributes uniformly each step — drop
+    // that term and ranks leak below 1). Oracle = the hand-derived
+    // 10-iteration fixed point, every value ≥8e-6 away from its
+    // round-4 boundary so cross-engine float noise cannot flip a
+    // digit. Node symmetry (a and e both receive c/2 + the dangling
+    // share) is a free structural pin: their ranks must tie exactly.
+    "gr1_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("c", "e")).toDF("src", "dst")
+      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 10)
+        .select(col("id"), round(col("rank"), 4).as("rank"))
+        .orderBy("id")
     })
   )
 
@@ -2516,6 +2533,11 @@ object PipelineQueries {
          SELECT check_name, kind, CAST(n_rows AS BIGINT) AS n_rows,
                 CAST(n_violations AS BIGINT) AS n_violations,
                 n_violations = 0 AS passed
-         FROM r ORDER BY check_name"""
+         FROM r ORDER BY check_name""",
+    "gr1_pagerank" ->
+      """SELECT * FROM (VALUES
+           ('a', 0.2143), ('b', 0.1569), ('c', 0.3482),
+           ('d', 0.0663), ('e', 0.2143))
+         t(id, rank) ORDER BY id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
