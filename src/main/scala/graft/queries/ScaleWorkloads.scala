@@ -1016,7 +1016,66 @@ object ScaleWorkloads {
       graft.sources.OsmSource.elementsSplit(s, path, splitBytes = 256 * 1024,
           cleanStreets = true, includeRelations = true)
         .groupBy("type").count().orderBy("type")
-    })
+    }),
+
+    // Dense-grid resample at sf scale: per-type MINUTE buckets over the
+    // full month (5 × ~43k grid rows from ~100k raw events at sf0.1).
+    // The cost profile to watch: one (key,bucket) aggregate + the
+    // sequence-explode densify + one per-key window — gap-fill never
+    // touches the raw stream.
+    "sx59_resample_minute" -> ((s, dir) => {
+      graft.operators.TimeSeries.resample(
+          Tables(s, dir, "events"), "event_type", "ts", "value",
+          intervalMicros = 60L * 1000000)
+        .agg(count(lit(1)).as("grid_rows"),
+          sum(when(col("observed"), 1L).otherwise(0L)).as("observed_rows"),
+          round(avg(col("value")), 6).as("mean_filled"))
+    }),
+
+    // PageRank at sf scale on a derived deterministic link graph
+    // (~events-count edges, user_id → hashed successor in a 4k-node id
+    // space): 8 power iterations = 8 join+agg rounds over the cached
+    // edge layout. Wall-clock here is the per-iteration shuffle floor;
+    // the localCheckpoint truncation keeps planning time flat across
+    // iterations (GraphSpec's bounded-plan pin).
+    "sx60_pagerank" -> ((s, dir) => {
+      val edges = Tables(s, dir, "events")
+        .select((col("user_id") % 4096).as("src"),
+          pmod(xxhash64(col("event_id")), lit(4096)).as("dst"))
+      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 8)
+        .agg(count(lit(1)).as("n_nodes"),
+          round(sum(col("rank")), 6).as("total_mass"),
+          round(max(col("rank")), 6).as("max_rank"))
+    }),
+
+    // Materialized-agg refresh cycle at sf scale: build + 3 incremental
+    // refreshes + rollup on orders. The number that matters at 100 TB
+    // is refresh ∝ batch (each append aggregates ONLY its slice);
+    // the rollup reads the few-row partial table, never orders.
+    "sx61_matagg_lifecycle" -> ((s, dir) => {
+      import graft.operators.MaterializedAgg
+      val ord = Tables(s, dir, "orders").select(col("o_orderstatus"),
+        col("o_orderpriority"),
+        (col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderkey"))
+      val path = graft.TempDirs.path(
+        s"matagg-sx/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}-${java.util.UUID.randomUUID()}")
+      def slice(m: Int) = ord.filter(col("o_orderkey") % 4 === m)
+        .drop("o_orderkey")
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      MaterializedAgg.build(slice(0), keys, Seq("price_cents"), path)
+      (1 to 3).foreach(m => MaterializedAgg.appendBatch(
+        slice(m), keys, Seq("price_cents"), path, m.toLong))
+      MaterializedAgg.read(s, path)
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n_rows"))
+    }),
+
+    // Expectations suite at sf scale: 5 fused row-local checks + 2
+    // uniqueness aggregates + the lineitem→orders FK anti join — the
+    // per-ingest data-quality gate a 100 TB pipeline runs on every
+    // batch. One orders scan carries all the row-local checks.
+    "sx62_expectations" -> ((s, dir) =>
+      PipelineQueries.defs("dq1_expectations")(s, dir))
   )
 
   /** Fragmented copy of the sf events table for the compaction bench
