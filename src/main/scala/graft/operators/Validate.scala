@@ -89,6 +89,32 @@ object Validate {
     case _: ForeignKey     => "foreign_key"
   }
 
+  /** Row-level annotation — the QUARANTINE-ROUTING form of the suite:
+    * every ROW-LOCAL check evaluates inline (same fused, codegen'd
+    * expressions as [[run]], zero extra scans or shuffles) and each
+    * row gains `violations` (csv of failed check names, declaration
+    * order) and `passed`. Callers split good/bad with a filter — in a
+    * `foreachBatch` ingest loop, cache the annotated batch and write
+    * both routes from the one evaluation. `Unique`/`ForeignKey` are
+    * table-level facts, not row properties — declaring one here fails
+    * loudly rather than silently skipping it. */
+  def annotate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    val tableLevel = checks.collect {
+      case c: Unique => c.name
+      case c: ForeignKey => c.name
+    }
+    require(tableLevel.isEmpty, "annotate takes row-local checks only; " +
+      s"table-level: ${tableLevel.mkString(", ")}")
+    val names = checks.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val flags = checks.map(c => when(violation(c), lit(c.name)))
+    df.withColumn("violations",
+        concat_ws(",", flags: _*))
+      .withColumn("passed", col("violations") === "")
+  }
+
   /** Run all checks; returns the report
     * (check_name, kind, n_rows, n_violations, passed),
     * one row per check, ordered by check_name. */

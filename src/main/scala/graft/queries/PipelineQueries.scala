@@ -1574,6 +1574,57 @@ object PipelineQueries {
       graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 10)
         .select(col("id"), round(col("rank"), 4).as("rank"))
         .orderBy("id")
+    }),
+
+    // DQ2 — QUARANTINE ROUTING (Validate.annotate): the row-level form
+    // of dq1's suite — every row carries the csv of checks it failed,
+    // evaluated inline in the scan's codegen with zero extra passes.
+    // The grouped tally pins multi-violation rows (an over-cap price
+    // AND a 4-/5- priority), the declaration-order csv, and the empty
+    // string for clean rows.
+    "dq2_quarantine" -> ((s, dir) => {
+      import graft.operators.Validate
+      import graft.operators.Validate._
+      Validate.annotate(t(s, dir, "orders"), Seq(
+          InRange("price_cap", "o_totalprice", 0.0, 300000.0),
+          MatchesRegex("priority_13", "o_orderpriority", "^[1-3]-"),
+          AcceptedValues("status_fo", "o_orderstatus", Seq("F", "O"))))
+        .groupBy(col("violations"), col("passed"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("violations")
+    }),
+
+    // PF4 — correlation profiling: per-group Pearson corr + sample
+    // covariance + stddevs in ONE aggregate pass (all four moments
+    // partial-agg; no per-pair re-scan). The qty↔price correlation per
+    // return flag is the classic "is this feature informative" probe
+    // before training-mix decisions.
+    "pf4_correlation" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3)
+            .as("covar_qty_price"),
+          round(stddev(col("l_quantity")), 6).as("sd_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // FE1 — per-group z-score normalization: group stats come from one
+    // tiny aggregate BROADCAST back onto the fact rows — the
+    // feature-scaling shape that avoids the window plan's full
+    // per-group sort+shuffle of every row (same no-Window doctrine as
+    // cur1/gk1), so it survives groups of any size.
+    "fe1_group_zscore" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val stats = d.groupBy(col("source"))
+        .agg(avg(col("n_chars")).as("mu"),
+          stddev(col("n_chars")).as("sd"))
+      d.join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"),
+          round((col("n_chars") - col("mu")) / col("sd"), 6).as("z"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2538,6 +2589,34 @@ object PipelineQueries {
       """SELECT * FROM (VALUES
            ('a', 0.2143), ('b', 0.1569), ('c', 0.3482),
            ('d', 0.0663), ('e', 0.2143))
-         t(id, rank) ORDER BY id"""
+         t(id, rank) ORDER BY id""",
+    "dq2_quarantine" ->
+      """WITH a AS (SELECT concat_ws(',',
+             CASE WHEN o_totalprice IS NULL
+                    OR NOT (o_totalprice >= 0 AND o_totalprice <= 300000)
+                  THEN 'price_cap' END,
+             CASE WHEN o_orderpriority IS NULL
+                    OR NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                  THEN 'priority_13' END,
+             CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('F', 'O')
+                  THEN 'status_fo' END) AS violations
+           FROM orders)
+         SELECT violations, violations = '' AS passed, count(*) AS n
+         FROM a GROUP BY 1, 2 ORDER BY violations""",
+    "pf4_correlation" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_extendedprice), 3)
+                  AS covar_qty_price,
+                round(stddev_samp(l_quantity), 6) AS sd_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fe1_group_zscore" ->
+      """WITH s AS (SELECT source, avg(n_chars) AS mu,
+                stddev_samp(n_chars) AS sd
+              FROM documents GROUP BY source)
+         SELECT doc_id, d.source, round((n_chars - mu) / sd, 6) AS z
+         FROM documents d JOIN s ON s.source = d.source
+         ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

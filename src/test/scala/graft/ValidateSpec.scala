@@ -70,6 +70,32 @@ class ValidateSpec extends SparkSpec {
     e.getMessage should include("duplicate check names")
   }
 
+  test("annotate tags each row with its failed checks in declaration order, inline") {
+    val annotated = Validate.annotate(planted, Seq(
+      InRange("range", "value", 0.0, 100.0),
+      AcceptedValues("domain", "cat", Seq("a", "b")),
+      MatchesRegex("format", "label", "^ok-")
+    ))
+    val byId = annotated.collect()
+      .map(r => (r.getLong(0), r.getString(2)) ->
+        (r.getAs[String]("violations"), r.getAs[Boolean]("passed"))).toMap
+    byId((1L, "a")) shouldBe (("", true))
+    byId((2L, "b")) shouldBe (("range", false))
+    byId((3L, "a")) shouldBe (("range,format", false)) // null value + bad label
+    byId((3L, "z")) shouldBe (("domain", false))
+    byId((4L, "a")) shouldBe (("format", false)) // null label violates regex
+    // zero extra passes: the annotation is a projection over one scan
+    val p = annotated.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    p should not include "Exchange"
+  }
+
+  test("annotate rejects table-level checks loudly") {
+    intercept[IllegalArgumentException] {
+      Validate.annotate(planted, Seq(Unique("u", Seq("id"))))
+    }.getMessage should include("row-local")
+  }
+
   test("report kinds and ordering are stable") {
     val rows = Validate.run(planted, Seq(
       Unique("b_unique", Seq("id")),
