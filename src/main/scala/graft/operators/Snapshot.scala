@@ -66,9 +66,46 @@ object Snapshot {
     * lets [[stagedAppend]] answer "was this batch ever committed?"
     * from the single newest manifest instead of re-reading every
     * version on every append — ids are 8 bytes, so even a
-    * 100k-batch-lifetime table keeps the manifest under a MB. */
+    * 100k-batch-lifetime table keeps the manifest under a MB.
+    *
+    * `schemaJson` is the table's SCHEMA AS OF this version (StructType
+    * JSON, data columns only — `batch_id` stays a partition column):
+    * captured once at [[enable]], widened by [[stagedAppend]] when a
+    * batch adds columns, applied explicitly by readers so old batches
+    * null-fill new columns instead of the first-footer lottery
+    * silently dropping them. Time travel therefore pins schema too —
+    * a pinned reader sees the columns its version knew. Absent on
+    * pre-schema manifests (readers fall back to plain inference). */
   final case class Manifest(version: Long, batches: Seq[Long],
-                            committed: Seq[Long])
+                            committed: Seq[Long],
+                            schemaJson: Option[String] = None)
+
+  private def structOf(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Widen `prev` with any fields `next` adds (appended in next's
+    * order, everything nullable — old batches have no values for
+    * them). Same-name fields must agree on type: a silent cast at
+    * 100 TB is data corruption, so a type CHANGE fails the append
+    * loudly instead. */
+  private[operators] def mergeSchemaJson(prev: Option[String],
+      next: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.StructType
+    val merged = prev.map(structOf).map { old =>
+      next.fields.foreach { nf =>
+        old.fields.find(_.name == nf.name).foreach { of =>
+          require(of.dataType == nf.dataType,
+            s"schema evolution type conflict on '${nf.name}': table has " +
+              s"${of.dataType.simpleString}, batch brings " +
+              s"${nf.dataType.simpleString} — rewrite, don't cast silently")
+        }
+      }
+      StructType(old.fields ++ next.fields.filterNot(f =>
+        old.fieldNames.contains(f.name)))
+    }.getOrElse(next)
+    StructType(merged.fields.map(_.copy(nullable = true))).json
+  }
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -119,7 +156,9 @@ object Snapshot {
       if (node.hasNonNull("committed"))
         node.get("committed").elements().asScala.map(_.asLong()).toSeq
       else batches // pre-committed-field manifests: history = live set
-    Manifest(node.get("version").asLong(), batches, committed)
+    val schema =
+      if (node.hasNonNull("schema")) Some(node.get("schema").toString) else None
+    Manifest(node.get("version").asLong(), batches, committed, schema)
   }
 
   /** The newest manifest, if the table is enabled. */
@@ -155,7 +194,8 @@ object Snapshot {
     * new version. Refuses to overwrite an existing version (two
     * concurrent writers racing the same version must surface, not
     * last-write-win silently). */
-  def publish(spark: SparkSession, path: String, batches: Seq[Long]): Long = {
+  def publish(spark: SparkSession, path: String, batches: Seq[Long],
+              schemaJson: Option[String] = None): Long = {
     val fs = fsFor(spark, path)
     val prev = latest(spark, path)
     val v = prev.map(_.version).getOrElse(0L) + 1
@@ -165,12 +205,16 @@ object Snapshot {
     val sorted = batches.distinct.sorted
     val committed = (prev.map(m => m.committed ++ m.batches).getOrElse(Seq.empty)
       ++ sorted).distinct.sorted
+    // schema: explicit wins; otherwise carried forward unchanged, so
+    // retention/compaction/keep-last publishes never lose it
+    val schema = schemaJson.orElse(prev.flatMap(_.schemaJson))
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     try out.write(
       (s"""{"version":$v,"batches":[${sorted.mkString(",")}],""" +
-        s""""committed":[${committed.mkString(",")}]}""")
+        s""""committed":[${committed.mkString(",")}]""" +
+        schema.map(s => s""","schema":$s""").getOrElse("") + "}")
         .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, dst)) {
@@ -185,10 +229,22 @@ object Snapshot {
     * from the current directory listing (the last time a listing is
     * ever trusted). Idempotent-ish: enabling an already-enabled table
     * publishes a fresh version of the CURRENT live set, a no-op for
-    * readers. */
-  def enable(spark: SparkSession, path: String): Long =
+    * readers. The table's merged schema is captured here (one-off
+    * footer sweep across current files — the only time one ever
+    * happens; every later evolution is an O(one-batch) merge in
+    * [[stagedAppend]]). */
+  def enable(spark: SparkSession, path: String): Long = {
+    val prev = latest(spark, path)
+    val schema = prev.flatMap(_.schemaJson).getOrElse {
+      mergeSchemaJson(None,
+        org.apache.spark.sql.types.StructType(
+          spark.read.option("mergeSchema", "true").parquet(path)
+            .schema.fields.filterNot(_.name == "batch_id")))
+    }
     publish(spark, path,
-      latest(spark, path).map(_.batches).getOrElse(Retention.batchIds(spark, path)))
+      prev.map(_.batches).getOrElse(Retention.batchIds(spark, path)),
+      Some(schema))
+  }
 
   /** Live batch ids: the newest manifest when enabled, the directory
     * listing otherwise (the historical behavior every non-enabled
@@ -226,7 +282,10 @@ object Snapshot {
     require(m.batches.nonEmpty,
       s"manifest v${m.version} of $path lists no live batches — fully " +
         "retired table; re-build or append before reading")
-    spark.read.option("basePath", path)
+    val rdr = spark.read.option("basePath", path)
+    // manifest-governed schema: batches written before a column
+    // existed null-fill it; `batch_id` re-appends as partition column
+    m.schemaJson.map(j => rdr.schema(structOf(j))).getOrElse(rdr)
       .parquet(batchDirs(path, m.batches): _*)
   }
 
@@ -282,7 +341,14 @@ object Snapshot {
       case Some(m) if (m.batches ++ m.committed).contains(batchId) => false
       case Some(m) =>
         write
-        publish(spark, path, (m.batches :+ batchId).distinct)
+        // schema evolution rides the same commit: merge THIS batch's
+        // footer schema (one leaf-dir read) into the manifest's, so a
+        // batch that adds columns widens the table atomically with its
+        // publish — and a type conflict aborts BEFORE the publish,
+        // leaving an orphan dir for vacuum, never a half-typed table
+        val schema = m.schemaJson.map(j => mergeSchemaJson(Some(j),
+          spark.read.parquet(s"$path/batch_id=$batchId").schema))
+        publish(spark, path, (m.batches :+ batchId).distinct, schema)
         true
     }
 
@@ -352,6 +418,118 @@ object Snapshot {
     }
     doomed
   }
+
+  /** Result of a [[merge]] / [[deleteWhere]]: rows matched/affected,
+    * rows inserted, batches rewritten, and the new manifest version
+    * (None when the operation was a no-op and nothing published). */
+  final case class MergeStats(matched: Long, inserted: Long,
+                              rewrittenBatches: Seq[Long],
+                              version: Option[Long])
+
+  /** Fresh fold id strictly below every id on disk or live — shared by
+    * [[compactLive]] / [[merge]] / [[deleteWhere]] so no rewrite can
+    * ever land in a directory any manifest referenced. */
+  private def freshFoldId(spark: SparkSession, path: String,
+                          m: Manifest): Long =
+    math.min(-2L, (Retention.batchIds(spark, path) ++ m.batches).min - 1)
+
+  /** COPY-ON-WRITE MERGE (upsert) — the keyed mutation primitive the
+    * append-only family was missing: rows of `updates` whose key tuple
+    * exists in the live table REPLACE those rows; the rest INSERT.
+    *
+    * Execution, Delta-style copy-on-write scoped to the manifest:
+    *  1. find AFFECTED batches with one keys-only semi-join scan of
+    *     the live table (column-pruned to the key columns — the only
+    *     full-table touch, and the cheapest possible one);
+    *  2. rewrite ONLY the affected batches: their unmatched rows union
+    *     all update rows land as one fresh fold directory (ids descend
+    *     from -2, like [[compactLive]]);
+    *  3. publish live − affected + fold. Untouched batches are never
+    *     read past their key columns and never rewritten — a merge
+    *     touching 1 of 10k batches costs 1 batch of IO plus the key
+    *     scan (inputFiles-pinned in SnapshotSpec).
+    *
+    * Readers see the old or the new state atomically; a crash leaves
+    * at worst an orphan fold for [[vacuum]]. Update keys must be
+    * unique ("which of two updates wins" must never be partition
+    * order) and update columns must match the manifest schema's data
+    * columns — widen the table via [[stagedAppend]] first if the
+    * updates bring new columns. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keyCols: Seq[String]): MergeStats = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — merge needs a manifest to flip"))
+    m.schemaJson.foreach { j =>
+      val table = structOf(j).fieldNames.toSet
+      val upd = updates.columns.toSet
+      require(upd == table, s"merge schema mismatch: updates bring " +
+        s"${(upd -- table).mkString(",")} / miss ${(table -- upd).mkString(",")}" +
+        " — evolve the table via stagedAppend first")
+    }
+    val missing = keyCols.filterNot(updates.columns.contains)
+    require(missing.isEmpty, s"updates lack key columns: ${missing.mkString(",")}")
+    val nUpdates = updates.count()
+    if (nUpdates == 0) return MergeStats(0L, 0L, Seq.empty, None)
+    require(updates.select(keyCols.map(col): _*).distinct().count() == nUpdates,
+      "duplicate keys in updates — which copy wins would be partition-order " +
+        "nondeterminism; dedupe upstream")
+
+    val live = readBatches(spark, path, m)
+    val keys = updates.select(keyCols.map(col): _*)
+    // 1. keys-only scan to find affected batches (bounded driver state:
+    //    one row per batch id)
+    val affected = live.join(keys, keyCols, "left_semi")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val matched = live.filter(col("batch_id").isin(affected: _*))
+      .join(keys, keyCols, "left_semi").count()
+    // 2. rewrite affected batches only + all updates as ONE fold
+    val foldId = freshFoldId(spark, path, m)
+    val survivors =
+      if (affected.isEmpty) updates
+      else live.filter(col("batch_id").isin(affected: _*))
+        .join(keys, keyCols, "left_anti").drop("batch_id")
+        .unionByName(updates)
+    survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
+    // 3. the pointer flip
+    val v = publish(spark, path, m.batches.diff(affected) :+ foldId)
+    MergeStats(matched, nUpdates - matched, affected, Some(v))
+  }
+
+  /** COPY-ON-WRITE DELETE: remove rows where `predicate` is TRUE
+    * (NULL keeps, SQL WHERE semantics), rewriting only the batches
+    * that contain matching rows — same find-affected + fold + flip
+    * shape as [[merge]]. A predicate matching nothing publishes
+    * nothing; a batch deleted empty simply leaves the fold smaller. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): MergeStats = {
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — deleteWhere needs a manifest to flip"))
+    val live = readBatches(spark, path, m)
+    val affected = live.filter(predicate)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.isEmpty) return MergeStats(0L, 0L, Seq.empty, None)
+    val inAffected = live.filter(col("batch_id").isin(affected: _*))
+    val deleted = inAffected.filter(predicate).count()
+    val survivors = inAffected
+      .filter(!coalesceBool(predicate)).drop("batch_id")
+    val remaining = m.batches.diff(affected)
+    val v =
+      if (survivors.isEmpty && remaining.nonEmpty) {
+        publish(spark, path, remaining)
+      } else {
+        val foldId = freshFoldId(spark, path, m)
+        survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
+        publish(spark, path, remaining :+ foldId)
+      }
+    MergeStats(deleted, 0L, affected, Some(v))
+  }
+
+  private def coalesceBool(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.coalesce(c,
+      org.apache.spark.sql.functions.lit(false))
 
   /** CHANGE-DATA-CAPTURE between two pinned versions: the multiset row
     * difference `readAt(fromVersion)` → `readAt(toVersion)`, tagged

@@ -1347,6 +1347,34 @@ object RelationalQueries {
         }
         .reduce(_ unionByName _)
         .orderBy("step", "change_type", "k")
+    }),
+
+    // RT3 — SCHEMA EVOLUTION governed by the manifest (Snapshot
+    // scaladoc): batch 1 arrives with a new `lang` column; the widened
+    // schema publishes atomically with the batch, the live read
+    // null-fills batch 0, the v1-pinned read still shows v1's columns
+    // (surfaced here as that read's column csv), and a compaction
+    // later carries the widened schema forward — all hash-pinned
+    // against a hand-derived oracle.
+    "rt3_schema_evolution" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt3-${java.util.UUID.randomUUID()}")
+      Seq(("a", 10L), ("b", 20L)).toDF("k", "n")
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      val v1 = Snapshot.latestVersion(s, path).get
+      Snapshot.stagedAppend(s, path, 1L) {
+        Seq(("c", 30L, "en")).toDF("k", "n", "lang")
+          .write.mode("overwrite").parquet(s"$path/batch_id=1")
+      }
+      Snapshot.compactLive(s, path)
+      val pinnedCols = Snapshot.readAt(s, path, v1).columns.mkString(",")
+      Snapshot.read(s, path)
+        .select(col("k"), col("n"), col("lang"),
+          lit(pinnedCols).as("v1_columns"))
+        .orderBy("k")
     })
   )
 
@@ -1850,6 +1878,12 @@ object RelationalQueries {
            ('append', 'insert', 'a', 3),
            ('append', 'insert', 'f', 3))
          t(step, change_type, k, born_batch)
-         ORDER BY step, change_type, k"""
+         ORDER BY step, change_type, k""",
+    "rt3_schema_evolution" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), 'k,n,batch_id'),
+           ('b', 20, NULL, 'k,n,batch_id'),
+           ('c', 30, 'en', 'k,n,batch_id'))
+         t(k, n, lang, v1_columns) ORDER BY k"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

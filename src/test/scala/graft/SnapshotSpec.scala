@@ -42,8 +42,12 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.isEnabled(spark, path) shouldBe false
     Snapshot.enable(spark, path) shouldBe 1L
     Snapshot.isEnabled(spark, path) shouldBe true
-    Snapshot.latest(spark, path).get shouldBe
+    val m1 = Snapshot.latest(spark, path).get
+    m1.copy(schemaJson = None) shouldBe
       Snapshot.Manifest(1L, Seq(0L, 1L, 2L, 3L, 4L), Seq(0L, 1L, 2L, 3L, 4L))
+    // enable captured the table schema (data columns only)
+    m1.schemaJson.get should include("\"key\"")
+    m1.schemaJson.get should not include "batch_id"
     Snapshot.publish(spark, path, Seq(2L, 3L, 4L)) shouldBe 2L
     Snapshot.latestVersion(spark, path) shouldBe Some(2L)
     // the committed HISTORY rides every manifest: retired ids stay
@@ -334,6 +338,42 @@ class SnapshotSpec extends SparkSpec {
     val back = Snapshot.diffVersions(spark, path, v4, v1)
       .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
     back shouldBe Array(("delete", "d"))
+  }
+
+  test("schema evolution rides the manifest: new columns null-fill old batches, time travel pins schema, type conflicts abort") {
+    val path = TempDirs.path(s"snapshot-spec/evolve-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L)).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    val v1 = Snapshot.latestVersion(spark, path).get
+    // batch 1 brings a new column
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq(("b", 2L, "en")).toDF("k", "n", "lang").write
+        .mode("overwrite").parquet(s"$path/batch_id=1")
+    }
+    val now = Snapshot.read(spark, path)
+    now.columns.toSeq shouldBe Seq("k", "n", "lang", "batch_id")
+    now.orderBy("k").collect().map(r =>
+      (r.getString(0), r.getLong(1), Option(r.getString(2)))) shouldBe
+      Array(("a", 1L, None), ("b", 2L, Some("en")))
+    // the pinned v1 reader sees the columns ITS version knew
+    Snapshot.readAt(spark, path, v1).columns.toSeq shouldBe Seq("k", "n", "batch_id")
+    // retention and compaction carry the widened schema forward
+    Snapshot.retainFrom(spark, path, keepFrom = 1L)
+    Snapshot.compactLive(spark, path)
+    Snapshot.read(spark, path).columns.toSeq shouldBe
+      Seq("k", "n", "lang", "batch_id")
+    // a type change on an existing column must abort BEFORE publish
+    val before = Snapshot.latestVersion(spark, path).get
+    intercept[IllegalArgumentException] {
+      Snapshot.stagedAppend(spark, path, 9L) {
+        Seq(("c", "oops", "de")).toDF("k", "n", "lang").write
+          .mode("overwrite").parquet(s"$path/batch_id=9")
+      }
+    }.getMessage should include("type conflict")
+    Snapshot.latestVersion(spark, path).get shouldBe before
+    // the orphaned conflicting dir is exactly what vacuum sweeps
+    Snapshot.vacuum(spark, path) should contain(9L)
   }
 
   test("diffVersions catches duplicate-row multiplicity changes (multiset, not set, semantics)") {
