@@ -1375,6 +1375,34 @@ object RelationalQueries {
         .select(col("k"), col("n"), col("lang"),
           lit(pinnedCols).as("v1_columns"))
         .orderBy("k")
+    }),
+
+    // RT4 — copy-on-write MERGE + DELETE (Snapshot.merge /
+    // deleteWhere): upsert replaces b and inserts d by rewriting ONLY
+    // the batch containing b (batch 1 with c is never rewritten —
+    // SnapshotSpec pins its directory), then a predicate delete
+    // removes d from the fold. The final table plus the two
+    // operations' stats hash-pin the whole keyed-mutation lifecycle.
+    "rt4_merge_upsert" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt4-${java.util.UUID.randomUUID()}")
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      Seq(("c", 3L)).toDF("k", "n")
+        .write.mode("overwrite").parquet(s"$path/batch_id=1")
+      Snapshot.enable(s, path)
+      val mStats = Snapshot.merge(s, path,
+        Seq(("b", 20L), ("d", 4L)).toDF("k", "n"), Seq("k"))
+      val dStats = Snapshot.deleteWhere(s, path, col("n") === 4L)
+      Snapshot.read(s, path)
+        .select(col("k"), col("n"),
+          lit(mStats.matched).as("n_matched"),
+          lit(mStats.inserted).as("n_inserted"),
+          lit(mStats.rewrittenBatches.length).as("n_rewritten_by_merge"),
+          lit(dStats.matched).as("n_deleted"))
+        .orderBy("k")
     })
   )
 
@@ -1884,6 +1912,14 @@ object RelationalQueries {
            ('a', CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), 'k,n,batch_id'),
            ('b', 20, NULL, 'k,n,batch_id'),
            ('c', 30, 'en', 'k,n,batch_id'))
-         t(k, n, lang, v1_columns) ORDER BY k"""
+         t(k, n, lang, v1_columns) ORDER BY k""",
+    "rt4_merge_upsert" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+            1, CAST(1 AS BIGINT)),
+           ('b', 20, 1, 1, 1, 1),
+           ('c', 3, 1, 1, 1, 1))
+         t(k, n, n_matched, n_inserted, n_rewritten_by_merge, n_deleted)
+         ORDER BY k"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

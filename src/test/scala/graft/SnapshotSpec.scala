@@ -391,6 +391,84 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq shouldBe Seq("insert")
   }
 
+  test("merge rewrites ONLY affected batches; untouched rows keep their directories") {
+    val path = TempDirs.path(s"snapshot-spec/merge-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, rows: (String, Long)*): Unit =
+      Snapshot.stagedAppend(spark, path, id) {
+        rows.toDF("k", "n").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$id")
+      }
+    batch(0L, ("a", 1L), ("b", 2L)); batch(1L, ("c", 3L))
+    Snapshot.enable(spark, path)
+    val v1 = Snapshot.latestVersion(spark, path).get
+
+    val stats = Snapshot.merge(spark, path,
+      Seq(("b", 20L), ("d", 4L)).toDF("k", "n"), Seq("k"))
+    stats.matched shouldBe 1L
+    stats.inserted shouldBe 1L
+    stats.rewrittenBatches shouldBe Seq(0L)
+
+    val now = Snapshot.read(spark, path)
+    now.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("a", 1L), ("b", 20L), ("c", 3L), ("d", 4L))
+    // batch 1 was never rewritten: row c still resolves from its dir
+    now.filter(col("k") === "c").select(col("batch_id").cast("long"))
+      .head().getLong(0) shouldBe 1L
+    // the pinned pre-merge reader still sees the old values
+    Snapshot.readAt(spark, path, v1).filter(col("k") === "b")
+      .select("n").head().getLong(0) shouldBe 2L
+    // the replaced batch 0 dir is vacuum's to sweep
+    Snapshot.vacuum(spark, path) shouldBe Seq(0L)
+
+    // pure-insert merge (no key matches): no batch rewritten
+    val ins = Snapshot.merge(spark, path, Seq(("e", 5L)).toDF("k", "n"), Seq("k"))
+    ins.matched shouldBe 0L
+    ins.rewrittenBatches shouldBe Seq.empty
+    Snapshot.read(spark, path).count() shouldBe 5L
+  }
+
+  test("merge rejects duplicate update keys and schema drift loudly; empty updates are a no-op") {
+    val path = TempDirs.path(s"snapshot-spec/mergebad-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L)).toDF("k", "n").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, path,
+        Seq(("a", 1L), ("a", 2L)).toDF("k", "n"), Seq("k"))
+    }.getMessage should include("duplicate keys")
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, path,
+        Seq(("a", 1L, "x")).toDF("k", "n", "extra"), Seq("k"))
+    }.getMessage should include("schema mismatch")
+    val before = Snapshot.latestVersion(spark, path).get
+    Snapshot.merge(spark, path,
+      Seq.empty[(String, Long)].toDF("k", "n"), Seq("k")).version shouldBe None
+    Snapshot.latestVersion(spark, path).get shouldBe before
+  }
+
+  test("deleteWhere rewrites only matching batches, keeps NULL-predicate rows, no-ops on zero matches") {
+    val path = TempDirs.path(s"snapshot-spec/del-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, rows: (String, Option[Long])*): Unit =
+      Snapshot.stagedAppend(spark, path, id) {
+        rows.toDF("k", "n").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$id")
+      }
+    batch(0L, ("a", Some(1L)), ("b", Some(100L)), ("x", None))
+    batch(1L, ("c", Some(2L)))
+    Snapshot.enable(spark, path)
+
+    val stats = Snapshot.deleteWhere(spark, path, col("n") >= 100L)
+    stats.matched shouldBe 1L
+    stats.rewrittenBatches shouldBe Seq(0L)
+    // NULL n evaluates NULL → kept (SQL WHERE semantics)
+    Snapshot.read(spark, path).select("k").collect().map(_.getString(0))
+      .sorted shouldBe Array("a", "c", "x")
+    // untouched batch survives in place
+    Snapshot.read(spark, path).filter(col("k") === "c")
+      .select(col("batch_id").cast("long")).head().getLong(0) shouldBe 1L
+
+    Snapshot.deleteWhere(spark, path, col("n") >= 9999L).version shouldBe None
+  }
+
   test("build resets an enabled table and republishes a fresh manifest") {
     val path = plantSketch("rebuild", days = 3)
     Snapshot.enable(spark, path)
