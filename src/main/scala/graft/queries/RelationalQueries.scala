@@ -1403,6 +1403,81 @@ object RelationalQueries {
           lit(mStats.rewrittenBatches.length).as("n_rewritten_by_merge"),
           lit(dStats.matched).as("n_deleted"))
         .orderBy("k")
+    }),
+
+    // TQ1 — the TPC-H Q1 pricing-summary shape: the classic wide
+    // aggregate every OLAP engine is judged on. One pushed-filter scan
+    // → partial hash agg → 4-group final. All money sums are exact
+    // cents (the multiplication chains written in the SAME
+    // left-associative order both engines execute, so per-row doubles
+    // are bit-identical before the integer sum).
+    "tq1_pricing_summary" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(disc)).as("sum_disc_cents"),
+          sum(cents(charge)).as("sum_charge_cents"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TQ3 — the TPC-H Q3 shipping-priority shape: segment-filtered
+    // customers BROADCAST into the orders⋈lineitem join, group by
+    // order, top-10 by revenue with an explicit orderkey tie-break so
+    // the cut is total. Order date surfaces as epoch-µs (the repo's
+    // w3 convention for timestamp outputs).
+    "tq3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_micros(col("o_orderdate")).as("odate_us"),
+          col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TQ5 — the TPC-H Q5 local-supplier shape: the 6-table star with
+    // the c_nationkey = s_nationkey co-nationality constraint. Every
+    // dimension broadcasts; the only shuffle is the fact-side
+    // orders⋈lineitem key and the final 5-row nation rollup.
+    "tq5_local_supplier" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("n_name"))
     })
   )
 
@@ -1920,6 +1995,51 @@ object RelationalQueries {
            ('b', 20, 1, 1, 1, 1),
            ('c', 3, 1, 1, 1, 1))
          t(k, n, n_matched, n_inserted, n_rewritten_by_merge, n_deleted)
-         ORDER BY k"""
+         ORDER BY k""",
+    "tq1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS sum_qty_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sum_base_cents,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+                  0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                  * (1.0 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS sum_charge_cents,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS n
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "tq3_shipping_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us,
+                o_orderpriority,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+                  0) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "tq5_local_supplier" ->
+      """SELECT n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+                  0) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue_cents DESC, n_name"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

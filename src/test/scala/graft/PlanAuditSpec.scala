@@ -380,6 +380,14 @@ class PlanAuditSpec extends SparkSpec {
     readSchema should not include "l_orderkey"
   }
 
+  test("tq5: the 6-table star broadcasts every dimension — one fact-side shuffle join at most") {
+    val p = plan("tq5_local_supplier")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 3
+    p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]")
+    // the only sort-merge join permitted is the fact-fact orders⋈lineitem
+    "SortMergeJoin".r.findAllIn(p).size should be <= 1
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
