@@ -383,7 +383,7 @@ class PlanAuditSpec extends SparkSpec {
   test("tq5: the 6-table star broadcasts every dimension — one fact-side shuffle join at most") {
     val p = plan("tq5_local_supplier")
     "BroadcastHashJoin".r.findAllIn(p).size should be >= 3
-    p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]")
+    p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
     // the only sort-merge join permitted is the fact-fact orders⋈lineitem
     "SortMergeJoin".r.findAllIn(p).size should be <= 1
   }
