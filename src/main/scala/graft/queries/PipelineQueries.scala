@@ -1625,6 +1625,48 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           round((col("n_chars") - col("mu")) / col("sd"), 6).as("z"))
         .orderBy("doc_id")
+    }),
+
+    // ST8 — STREAMING quarantine routing (the dq2 suite at ingest,
+    // engine-end-to-end like st4/st5): each micro-batch is annotated
+    // ONCE (cached), then split into the good landing zone and the
+    // quarantine zone — both batch-keyed idempotent sinks — so a row
+    // is evaluated exactly once however many routes it feeds. The
+    // materialized union of the two zones must hash-match the
+    // hand-derived oracle, multi-violation csv included.
+    "st8_quarantine_stream" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.operators.Validate
+      import graft.operators.Validate._
+      val good = graft.TempDirs.path("sink/st8-good")
+      val bad = graft.TempDirs.path("sink/st8-bad")
+      val checks = Seq(
+        InRange("pos", "v", 0.0, 100.0),
+        Expect("ident", col("id") < 100L))
+      val in = MemoryStream[(Long, Option[Double])]
+      val q = in.toDF().toDF("id", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val annotated = Validate.annotate(batch, checks).cache()
+          try {
+            annotated.filter(col("passed")).drop("violations", "passed")
+              .write.mode("overwrite").parquet(s"$good/batch_id=$bid")
+            annotated.filter(!col("passed")).drop("passed")
+              .write.mode("overwrite").parquet(s"$bad/batch_id=$bid")
+          } finally annotated.unpersist(blocking = false)
+        }.start()
+      try {
+        in.addData((1L, Some(5.0)), (2L, Some(500.0)), (3L, None))
+        q.processAllAvailable()
+        in.addData((4L, Some(50.0)), (105L, Some(-1.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(good)
+        .select(col("id"), lit("good").as("route"), lit("").as("violations"))
+        .unionByName(s.read.parquet(bad)
+          .select(col("id"), lit("bad").as("route"), col("violations")))
+        .orderBy("id")
     })
   )
 
@@ -2617,6 +2659,14 @@ object PipelineQueries {
               FROM documents GROUP BY source)
          SELECT doc_id, d.source, round((n_chars - mu) / sd, 6) AS z
          FROM documents d JOIN s ON s.source = d.source
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "st8_quarantine_stream" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'good', ''),
+           (2, 'bad', 'pos'),
+           (3, 'bad', 'pos'),
+           (4, 'good', ''),
+           (105, 'bad', 'pos,ident'))
+         t(id, route, violations) ORDER BY id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
