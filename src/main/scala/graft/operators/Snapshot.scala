@@ -78,7 +78,9 @@ object Snapshot {
     * pre-schema manifests (readers fall back to plain inference). */
   final case class Manifest(version: Long, batches: Seq[Long],
                             committed: Seq[Long],
-                            schemaJson: Option[String] = None)
+                            schemaJson: Option[String] = None,
+                            stats: Map[Long, Map[String, (String, String)]] =
+                              Map.empty)
 
   private def structOf(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
@@ -106,6 +108,70 @@ object Snapshot {
     }.getOrElse(next)
     StructType(merged.fields.map(_.copy(nullable = true))).json
   }
+
+  // -------------------------------------------------------------------
+  // ZONE MAPS: per-batch min/max column stats in the manifest
+  // -------------------------------------------------------------------
+  // The Delta data-skipping primitive: each committed batch carries the
+  // [min,max] of its numeric and timestamp columns (strings are stored
+  // but NEVER pruned on — Spark orders strings by UTF-8 bytes, the JVM
+  // by UTF-16 code units, and a pruning decision taken under the wrong
+  // collation is silent data loss, not a slow query). Stats cost one
+  // tiny aggregate of the batch being committed; they let [[merge]]
+  // skip batches whose key ranges cannot overlap the updates and
+  // [[readRange]] skip batches outside a scan range — metadata
+  // decisions, no file IO. A batch with no stats (pre-stats manifests)
+  // is never skipped: pruning is only ever an optimization.
+
+  private def statable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+  /** Render a stat column for min/max capture: timestamps as epoch-µs
+    * longs so comparisons are collation-free; numerics as their
+    * canonical string. */
+  private def statCol(f: org.apache.spark.sql.types.StructField) =
+    f.dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        org.apache.spark.sql.functions.unix_micros(col(f.name))
+      case _ => col(f.name)
+    }
+
+  /** One-pass min/max of a freshly written batch directory. */
+  private def computeBatchStats(spark: SparkSession, path: String,
+      batchId: Long): Map[String, (String, String)] = {
+    val df = spark.read.parquet(s"$path/batch_id=$batchId")
+    val fields = df.schema.fields.filter(f => statable(f.dataType))
+    if (fields.isEmpty || df.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val aggs = fields.flatMap(f => Seq(
+      fmin(statCol(f)).cast("string").as(s"__mn_${f.name}"),
+      fmax(statCol(f)).cast("string").as(s"__mx_${f.name}")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    fields.zipWithIndex.flatMap { case (f, i) =>
+      (Option(row.getString(2 * i)), Option(row.getString(2 * i + 1))) match {
+        case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
+        case _ => None // all-null column: no stat, never pruned
+      }
+    }.toMap
+  }
+
+  /** Can a batch with stats `st` possibly hold a row whose `column`
+    * lies in [lo, hi]? Missing stats → yes (never skip blind). */
+  private[operators] def mayOverlap(st: Map[String, (String, String)],
+      column: String, lo: BigDecimal, hi: BigDecimal): Boolean =
+    st.get(column) match {
+      case Some((mn, mx)) =>
+        (scala.util.Try(BigDecimal(mn)).toOption,
+          scala.util.Try(BigDecimal(mx)).toOption) match {
+          case (Some(bMn), Some(bMx)) => bMx >= lo && bMn <= hi
+          case _ => true // non-numeric stat (string column): no pruning
+        }
+      case None => true
+    }
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -158,7 +224,17 @@ object Snapshot {
       else batches // pre-committed-field manifests: history = live set
     val schema =
       if (node.hasNonNull("schema")) Some(node.get("schema").toString) else None
-    Manifest(node.get("version").asLong(), batches, committed, schema)
+    val stats =
+      if (node.hasNonNull("stats")) {
+        val s = node.get("stats")
+        s.fieldNames().asScala.map { id =>
+          val bn = s.get(id)
+          id.toLong -> bn.fieldNames().asScala.map { c =>
+            c -> (bn.get(c).get(0).asText(), bn.get(c).get(1).asText())
+          }.toMap
+        }.toMap
+      } else Map.empty[Long, Map[String, (String, String)]]
+    Manifest(node.get("version").asLong(), batches, committed, schema, stats)
   }
 
   /** The newest manifest, if the table is enabled. */
@@ -195,7 +271,9 @@ object Snapshot {
     * concurrent writers racing the same version must surface, not
     * last-write-win silently). */
   def publish(spark: SparkSession, path: String, batches: Seq[Long],
-              schemaJson: Option[String] = None): Long = {
+              schemaJson: Option[String] = None,
+              newStats: Map[Long, Map[String, (String, String)]] = Map.empty)
+      : Long = {
     val fs = fsFor(spark, path)
     val prev = latest(spark, path)
     val v = prev.map(_.version).getOrElse(0L) + 1
@@ -208,13 +286,32 @@ object Snapshot {
     // schema: explicit wins; otherwise carried forward unchanged, so
     // retention/compaction/keep-last publishes never lose it
     val schema = schemaJson.orElse(prev.flatMap(_.schemaJson))
+    // zone maps: carry the previous stats forward for ids still live,
+    // overlay the new ones, and drop stats of retired ids (they would
+    // only bloat the pointer)
+    val stats = (prev.map(_.stats).getOrElse(Map.empty) ++ newStats)
+      .filter { case (id, st) => sorted.contains(id) && st.nonEmpty }
+    val statsJson =
+      if (stats.isEmpty) ""
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.createObjectNode()
+        stats.toSeq.sortBy(_._1).foreach { case (id, cols) =>
+          val n = root.putObject(id.toString)
+          cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val arr = n.putArray(c); arr.add(mn); arr.add(mx)
+          }
+        }
+        s""","stats":${mapper.writeValueAsString(root)}"""
+      }
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     try out.write(
       (s"""{"version":$v,"batches":[${sorted.mkString(",")}],""" +
         s""""committed":[${committed.mkString(",")}]""" +
-        schema.map(s => s""","schema":$s""").getOrElse("") + "}")
+        schema.map(s => s""","schema":$s""").getOrElse("") +
+        statsJson + "}")
         .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, dst)) {
@@ -348,7 +445,17 @@ object Snapshot {
         // leaving an orphan dir for vacuum, never a half-typed table
         val schema = m.schemaJson.map(j => mergeSchemaJson(Some(j),
           spark.read.parquet(s"$path/batch_id=$batchId").schema))
-        publish(spark, path, (m.batches :+ batchId).distinct, schema)
+        // zone maps ride it too: one tiny min/max aggregate of the
+        // batch just written. Guarded on the flat `batch_id=N` layout:
+        // a multi-table ROOT manifest's write lands inside sub-tables,
+        // so there is no single batch dir to stat (same reason its
+        // schemaJson stays None above).
+        val st =
+          if (fsFor(spark, path).exists(new Path(path, s"batch_id=$batchId")))
+            computeBatchStats(spark, path, batchId)
+          else Map.empty[String, (String, String)]
+        publish(spark, path, (m.batches :+ batchId).distinct, schema,
+          if (st.isEmpty) Map.empty else Map(batchId -> st))
         true
     }
 
@@ -475,15 +582,49 @@ object Snapshot {
       "duplicate keys in updates — which copy wins would be partition-order " +
         "nondeterminism; dedupe upstream")
 
-    val live = readBatches(spark, path, m)
+    // zone-map prune BEFORE any scan: a live batch whose key-column
+    // range cannot overlap the updates' key range (one tiny agg over
+    // the updates) is excluded even from the keys-only scan — for
+    // time- or id-ordered ingest this reduces merge's only full-table
+    // touch to the handful of overlapping batches. Numeric/timestamp
+    // keys only; anything else keeps every batch a candidate.
+    val numericKeys = keyCols.filter(k =>
+      updates.schema.fields.exists(f => f.name == k && statable(f.dataType)))
+    val keyBounds: Seq[(String, BigDecimal, BigDecimal)] =
+      if (numericKeys.isEmpty) Seq.empty
+      else {
+        val aggs = numericKeys.flatMap(k => Seq(
+          org.apache.spark.sql.functions.min(statCol(updates.schema(k)))
+            .cast("string").as(s"__mn_$k"),
+          org.apache.spark.sql.functions.max(statCol(updates.schema(k)))
+            .cast("string").as(s"__mx_$k")))
+        val row = updates.agg(aggs.head, aggs.tail: _*).head()
+        numericKeys.zipWithIndex.flatMap { case (k, i) =>
+          (Option(row.getString(2 * i)), Option(row.getString(2 * i + 1))) match {
+            case (Some(mn), Some(mx)) =>
+              scala.util.Try((k, BigDecimal(mn), BigDecimal(mx))).toOption
+            case _ => None
+          }
+        }
+      }
+    val candidates = m.batches.filter(b => keyBounds.forall {
+      case (c, lo, hi) => mayOverlap(m.stats.getOrElse(b, Map.empty), c, lo, hi)
+    })
     val keys = updates.select(keyCols.map(col): _*)
-    // 1. keys-only scan to find affected batches (bounded driver state:
-    //    one row per batch id)
-    val affected = live.join(keys, keyCols, "left_semi")
-      .select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val matched = live.filter(col("batch_id").isin(affected: _*))
-      .join(keys, keyCols, "left_semi").count()
+    // 1. keys-only scan of the CANDIDATE batches to find affected ones
+    //    (bounded driver state: one row per batch id)
+    val live =
+      if (candidates.isEmpty) null
+      else readBatches(spark, path, m.copy(batches = candidates))
+    val affected =
+      if (candidates.isEmpty) Seq.empty[Long]
+      else live.join(keys, keyCols, "left_semi")
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val matched =
+      if (affected.isEmpty) 0L
+      else live.filter(col("batch_id").isin(affected: _*))
+        .join(keys, keyCols, "left_semi").count()
     // 2. rewrite affected batches only + all updates as ONE fold
     val foldId = freshFoldId(spark, path, m)
     val survivors =
@@ -530,6 +671,40 @@ object Snapshot {
   private def coalesceBool(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.coalesce(c,
       org.apache.spark.sql.functions.lit(false))
+
+  /** Zone-map-pruned RANGE SCAN: rows with `column` in [lo, hi]
+    * (inclusive), reading ONLY the live batches whose manifest stats
+    * overlap the range — a metadata decision before any file IO, on
+    * top of which parquet's own row-group pushdown still applies
+    * inside the surviving batches. Numeric and timestamp columns
+    * (timestamp bounds as epoch-µs); batches without stats are always
+    * read. For integral/timestamp columns the bounds' integer parts
+    * are used. */
+  def readRange(spark: SparkSession, path: String, column: String,
+                lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    require(lo <= hi, s"empty range: $lo > $hi")
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — readRange resolves through manifest stats"))
+    val full = readBatches(spark, path, m)
+    val dt = full.schema(column).dataType
+    require(statable(dt), s"readRange needs a numeric/timestamp column; " +
+      s"'$column' is ${dt.simpleString}")
+    val cond = dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        org.apache.spark.sql.functions.unix_micros(col(column))
+          .between(lo.toLong, hi.toLong)
+      case org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType =>
+        col(column).between(lo.toLong, hi.toLong)
+      case _ => col(column).between(lo.toDouble, hi.toDouble)
+    }
+    val candidates = m.batches.filter(b =>
+      mayOverlap(m.stats.getOrElse(b, Map.empty), column, lo, hi))
+    if (candidates.isEmpty) full.limit(0).filter(cond)
+    else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
+  }
 
   /** CHANGE-DATA-CAPTURE between two pinned versions: the multiset row
     * difference `readAt(fromVersion)` → `readAt(toVersion)`, tagged

@@ -1405,6 +1405,42 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // RT5 — ZONE-MAP DATA SKIPPING (Snapshot scaladoc): appends carry
+    // per-batch min/max stats in the manifest; range reads prune
+    // non-overlapping batches BEFORE any file IO. Batch 0 predates
+    // stats (enable-listed) so it is never prunable — probe a (its
+    // range empty there) still reads it plus the matching batch 1;
+    // probe b overlaps nothing stat-ful and collapses to the one
+    // blind batch; probe c's rows live in the blind batch itself and
+    // both stat-ful batches prune away. n_dirs_read comes off the
+    // actual inputFiles, so the pin is physical, not declarative.
+    "rt5_data_skipping" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt5-${java.util.UUID.randomUUID()}")
+      Seq((100L, "x"), (200L, "y")).toDF("n", "k")
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      def batch(id: Long, rows: (Long, String)*): Unit =
+        Snapshot.stagedAppend(s, path, id) {
+          rows.toDF("n", "k").write.mode("overwrite")
+            .parquet(s"$path/batch_id=$id")
+        }
+      batch(1L, (1L, "a"), (10L, "b"))
+      batch(2L, (1000L, "e"), (2000L, "f"))
+      def probe(tag: String, lo: Long, hi: Long) = {
+        val r = Snapshot.readRange(s, path, "n", BigDecimal(lo), BigDecimal(hi))
+        val dirs = r.inputFiles
+          .map(f => f.split("batch_id=")(1).split("/")(0)).distinct.length
+        (tag, r.count(), dirs)
+      }
+      Seq(probe("a", 1L, 10L), probe("b", 500L, 800L),
+        probe("c", 90L, 250L))
+        .toDF("probe", "n_rows", "n_dirs_read")
+        .orderBy("probe")
+    }),
+
     // TQ1 — the TPC-H Q1 pricing-summary shape: the classic wide
     // aggregate every OLAP engine is judged on. One pushed-filter scan
     // → partial hash agg → 4-group final. All money sums are exact
@@ -1996,6 +2032,10 @@ object RelationalQueries {
            ('c', 3, 1, 1, 1, 1))
          t(k, n, n_matched, n_inserted, n_rewritten_by_merge, n_deleted)
          ORDER BY k""",
+    "rt5_data_skipping" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(2 AS BIGINT), 2), ('b', 0, 1), ('c', 2, 1))
+         t(probe, n_rows, n_dirs_read) ORDER BY probe""",
     "tq1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)

@@ -469,6 +469,47 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.deleteWhere(spark, path, col("n") >= 9999L).version shouldBe None
   }
 
+  test("zone maps: readRange and merge prune non-overlapping batches by metadata alone") {
+    val path = TempDirs.path(s"snapshot-spec/zone-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, rows: (Long, String)*): Unit =
+      Snapshot.stagedAppend(spark, path, id) {
+        rows.toDF("n", "k").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$id")
+      }
+    Seq((1L, "a"), (10L, "b")).toDF("n", "k").write
+      .mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    batch(1L, (100L, "c"), (200L, "d"))
+    batch(2L, (1000L, "e"), (2000L, "f"))
+    // enable captured no stats for batch 0 (pre-stats listing); appends
+    // did — batch 0 must therefore NEVER be pruned (blind ≠ skippable)
+    val m = Snapshot.latest(spark, path).get
+    m.stats.keySet shouldBe Set(1L, 2L)
+    m.stats(1L)("n") shouldBe (("100", "200"))
+
+    val r = Snapshot.readRange(spark, path, "n", BigDecimal(120), BigDecimal(150))
+    r.inputFiles.foreach { f =>
+      f should not include "batch_id=2" // pruned by stats
+    }
+    r.collect() shouldBe empty // no rows fall inside [120,150]
+    Snapshot.readRange(spark, path, "n", BigDecimal(100), BigDecimal(1000))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(100L, 200L, 1000L)
+
+    // the decisive pin: physically delete batch 2's files, then run a
+    // merge whose update keys live entirely in batch 1's range — if
+    // pruning failed to exclude batch 2 from even the keys-only scan,
+    // the merge would crash on the missing files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "batch_id=2"), true)
+    val stats = Snapshot.merge(spark, path,
+      Seq((200L, "D2")).toDF("n", "k"), Seq("n"))
+    stats.matched shouldBe 1L
+    // batch 0 (no stats — never prunable) was scanned but unaffected;
+    // only the overlapping batch 1 was rewritten
+    stats.rewrittenBatches shouldBe Seq(1L)
+  }
+
   test("build resets an enabled table and republishes a fresh manifest") {
     val path = plantSketch("rebuild", days = 3)
     Snapshot.enable(spark, path)
