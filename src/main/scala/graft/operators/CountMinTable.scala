@@ -107,6 +107,90 @@ object CountMinTable {
       .toDF("key", "item", "estimate")
   }
 
+  /** Decoded Spark CMS V1 serialization: `writeTo` emits version(int),
+    * totalCount(long), depth(int), width(int), hashA(depth longs),
+    * table(depth × width longs). The format is versioned and public
+    * (it IS the bytes the sketch table persists); decoding is guarded
+    * by the version check and by CountMinTableSpec's round-trip pins
+    * (decoded totalCount == sketch.totalCount, decoded row sums ==
+    * totalCount), so a format bump fails loudly, never silently. */
+  private final case class CmsParts(totalCount: Long, depth: Int,
+      width: Int, hashA: Array[Long], table: Array[Array[Long]])
+
+  private def decode(bytes: Array[Byte]): CmsParts = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1, s"unknown CountMinSketch serialization v$version")
+    val total = in.readLong()
+    val depth = in.readInt()
+    val width = in.readInt()
+    val hashA = Array.fill(depth)(in.readLong())
+    val table = Array.fill(depth)(Array.fill(width)(in.readLong()))
+    CmsParts(total, depth, width, hashA, table)
+  }
+
+  private[graft] def decodedTotal(bytes: Array[Byte]): Long =
+    decode(bytes).totalCount
+  private[graft] def decodedRowSums(bytes: Array[Byte]): Seq[Long] =
+    decode(bytes).table.map(_.sum).toSeq
+
+  /** JOIN-SIZE ESTIMATE from two sketches over the join column — the
+    * classic count-min inner product: |A ⋈ B| = Σ_v fA(v)·fB(v) is
+    * estimated by min over hash rows of Σ_c tableA[r][c]·tableB[r][c].
+    * One-sided like the point estimate (≥ true) with error ≤
+    * eps·N_A·N_B at the sketches' confidence. THE pre-join sanity
+    * probe at 100 TB: both sides' sketches are a few KB of standing
+    * metadata, so "would this join explode" is answered without
+    * touching either table. Sketches must share (eps, confidence,
+    * seed) — a shape mismatch errors rather than mis-estimating. */
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    val (pa, pb) = (decode(a), decode(b))
+    require(pa.depth == pb.depth && pa.width == pb.width
+      && java.util.Arrays.equals(pa.hashA, pb.hashA),
+      "sketch shape/seed mismatch — join-size estimation needs both " +
+        "tables sketched with the same (eps, confidence, seed)")
+    (0 until pa.depth).map { r =>
+      var s = 0L
+      var c = 0
+      while (c < pa.width) {
+        s = math.addExact(s, math.multiplyExact(pa.table(r)(c), pb.table(r)(c)))
+        c += 1
+      }
+      s
+    }.min
+  }
+
+  /** Per-key merged live sketch of a table — the shared kernel of
+    * [[estimateCounts]] and [[joinSizeByKey]]. */
+  private def mergedSketches(spark: SparkSession, path: String) = {
+    import spark.implicits._
+    Snapshot.read(spark, path)
+      .select(col("key").cast("string"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val merged = rows.map(r => CountMinSketch.readFrom(r._2))
+          .reduce((a, b) => { a.mergeInPlace(b); a })
+        (key, merged.toByteArray)
+      }
+  }
+
+  /** Estimated equi-join row counts PER KEY between two persisted CMS
+    * tables sketched over their respective join columns: for each key
+    * present in both, the inner-product estimate of joining the two
+    * key-slices on the sketched value. Reads only the two sketch
+    * tables (KBs), never the fact tables. */
+  def joinSizeByKey(spark: SparkSession, pathA: String,
+                    pathB: String): DataFrame = {
+    import spark.implicits._
+    mergedSketches(spark, pathA).toDF("key", "__a")
+      .join(mergedSketches(spark, pathB).toDF("key", "__b"), "key")
+      .as[(String, Array[Byte], Array[Byte])]
+      .map { case (k, a, b) => (k, innerProduct(a, b)) }
+      .toDF("key", "est_join_rows")
+  }
+
   /** Point estimate off one serialized sketch (the SQL surface's
     * kernel — `graft_cms_estimate(sketch, 'item')`). Null/empty
     * sketch bytes AND null items estimate 0, so left-join misses on

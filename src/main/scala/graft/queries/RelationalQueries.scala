@@ -1405,6 +1405,38 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // A23 — JOIN-SIZE ESTIMATION from standing CMS sketches (the
+    // classic count-min inner product, CountMinTable.innerProduct):
+    // "how many rows would A ⋈ B produce" answered from two KB-sized
+    // sketch tables without touching either side — the pre-join
+    // explosion probe a 100 TB planner wants. The planted
+    // multiplicities (3·2 + 2·1 = 8) are collision-free at the default
+    // width, so the one-sided estimate must equal the exact join count
+    // bit-for-bit, and the sketch tables go through the full
+    // build+append lifecycle first.
+    "a23_join_cardinality" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.CountMinTable
+      val a = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L))
+        .map(("g", _)).toDF("grp", "uid")
+      val b = (Seq.fill(2)(1L) ++ Seq(2L) ++ Seq.fill(5)(4L))
+        .map(("g", _)).toDF("grp", "uid")
+      val pa = graft.TempDirs.path(
+        s"cms/a23a-${java.util.UUID.randomUUID()}")
+      val pb = graft.TempDirs.path(
+        s"cms/a23b-${java.util.UUID.randomUUID()}")
+      CountMinTable.build(a.filter(col("uid") <= 1), "grp", "uid", pa)
+      CountMinTable.appendBatch(a.filter(col("uid") > 1), "grp", "uid", pa, 0L)
+      CountMinTable.build(b, "grp", "uid", pb)
+      val exact = a.join(b.select(col("uid")), "uid")
+        .groupBy(col("grp").as("key")).agg(count(lit(1)).as("exact_rows"))
+      CountMinTable.joinSizeByKey(s, pa, pb)
+        .join(exact, "key")
+        .select(col("key"), col("est_join_rows"), col("exact_rows"),
+          (col("est_join_rows") === col("exact_rows")).as("est_exact"))
+        .orderBy("key")
+    }),
+
     // RT5 — ZONE-MAP DATA SKIPPING (Snapshot scaladoc): appends carry
     // per-batch min/max stats in the manifest; range reads prune
     // non-overlapping batches BEFORE any file IO. Batch 0 predates
@@ -2036,6 +2068,13 @@ object RelationalQueries {
       """SELECT * FROM (VALUES
            ('a', CAST(2 AS BIGINT), 2), ('b', 0, 1), ('c', 2, 1))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
+    "a23_join_cardinality" ->
+      """WITH a(uid) AS (SELECT uid FROM (VALUES (1),(1),(1),(2),(2),(3)) t(uid)),
+         b(uid) AS (SELECT uid FROM (VALUES (1),(1),(2),(4),(4),(4),(4),(4)) s(uid)),
+         j AS (SELECT count(*) AS c FROM a, b WHERE a.uid = b.uid)
+         SELECT 'g' AS key, CAST(c AS BIGINT) AS est_join_rows,
+                CAST(c AS BIGINT) AS exact_rows, true AS est_exact
+         FROM j""",
     "tq1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)

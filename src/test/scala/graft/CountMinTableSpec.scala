@@ -73,6 +73,43 @@ class CountMinTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe Set(0L)
   }
 
+  test("the V1 decode is pinned against the sketch's own accessors") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val sk = CountMinSketch.create(0.01, 0.95, 7)
+    (1 to 100).foreach(i => sk.addString(s"item-${i % 10}"))
+    val bytes = sk.toByteArray
+    CountMinTable.decodedTotal(bytes) shouldBe sk.totalCount()
+    // every hash row holds every increment exactly once
+    CountMinTable.decodedRowSums(bytes).foreach(_ shouldBe sk.totalCount())
+  }
+
+  test("inner-product join-size estimate: exact on collision-free data, one-sided + bounded at sf scale") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def sketchOf(vals: Seq[Long], eps: Double = 1e-3) = {
+      val sk = CountMinSketch.create(eps, 0.99, 42)
+      vals.foreach(v => sk.addString(v.toString))
+      sk.toByteArray
+    }
+    // planted: sum of f_a * f_b = 3*2 + 2*1 = 8, no collisions
+    CountMinTable.innerProduct(
+      sketchOf(Seq(1L, 1L, 1L, 2L, 2L, 3L)),
+      sketchOf(Seq(1L, 1L, 2L, 4L, 4L, 4L, 4L, 4L))) shouldBe 8L
+    // shape mismatch is loud
+    intercept[IllegalArgumentException] {
+      CountMinTable.innerProduct(sketchOf(Seq(1L)), sketchOf(Seq(1L), eps = 0.01))
+    }.getMessage should include("shape/seed mismatch")
+    // sf-scale self-join of events.user_id: estimate >= exact (one-
+    // sided) and within the eps*N*N analytic bound
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val exact = users.groupBy(identity).map { case (_, v) =>
+      v.size.toLong * v.size }.sum
+    val est = CountMinTable.innerProduct(sketchOf(users), sketchOf(users))
+    est should be >= exact
+    val bound = (2.0 / math.ceil(2 / 1e-3)) * users.size.toDouble * users.size
+    (est - exact).toDouble should be <= bound
+  }
+
   test("composes with snapshot retention: dropped batches forget their counts") {
     val path = TempDirs.path("cms-spec/retention")
     CountMinTable.appendBatch(fixture, "event_type", "user_id", path, 0L)
