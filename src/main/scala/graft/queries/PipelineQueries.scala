@@ -1667,6 +1667,45 @@ object PipelineQueries {
         .unionByName(s.read.parquet(bad)
           .select(col("id"), lit("bad").as("route"), col("violations")))
         .orderBy("id")
+    }),
+
+    // ST9 — STREAMING maintenance of the materialized aggregate (the
+    // ma1 table fed by the engine): the table is snapshot-ENABLED
+    // before the stream starts, so each micro-batch's partial-agg
+    // append commits exactly-once through the manifest — and the query
+    // pins that by REDELIVERING batch 0's rows as a manual append
+    // after the drain: the no-op must leave the rollup bit-identical.
+    // Refresh work per micro-batch is one aggregate of that batch
+    // alone; the final rollup reads only the partial table.
+    "st9_streaming_matagg" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.operators.{MaterializedAgg, Snapshot}
+      val path = graft.TempDirs.path(
+        s"matagg/st9-${java.util.UUID.randomUUID()}")
+      MaterializedAgg.build(
+        Seq(("a", 10L), ("b", 5L)).toDF("k", "v"), Seq("k"), Seq("v"), path)
+      Snapshot.enable(s, path)
+      val in = MemoryStream[(String, Long)]
+      val q = in.toDF().toDF("k", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          MaterializedAgg.appendBatch(batch, Seq("k"), Seq("v"), path, bid)
+        }.start()
+      val firstBatch = Seq(("a", 2L), ("c", 7L))
+      try {
+        in.addData(firstBatch: _*)
+        q.processAllAvailable()
+        in.addData(("b", 1L), ("c", 3L))
+        q.processAllAvailable()
+      } finally q.stop()
+      // at-least-once redelivery of micro-batch 0: exactly-once no-op
+      MaterializedAgg.appendBatch(firstBatch.toDF("k", "v"),
+        Seq("k"), Seq("v"), path, 0L)
+      MaterializedAgg.read(s, path)
+        .select(col("k"), col("n_rows"), col("v_sum"), col("v_min"),
+          col("v_max"), round(col("v_avg"), 6).as("v_avg"))
+        .orderBy("k")
     })
   )
 
@@ -2667,6 +2706,13 @@ object PipelineQueries {
            (3, 'bad', 'pos'),
            (4, 'good', ''),
            (105, 'bad', 'pos,ident'))
-         t(id, route, violations) ORDER BY id"""
+         t(id, route, violations) ORDER BY id""",
+    "st9_streaming_matagg" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(2 AS BIGINT), CAST(12 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(10 AS BIGINT), 6.0),
+           ('b', 2, 6, 1, 5, 3.0),
+           ('c', 2, 10, 3, 7, 5.0))
+         t(k, n_rows, v_sum, v_min, v_max, v_avg) ORDER BY k"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
