@@ -1405,6 +1405,84 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // W4 — the rest of the window-function surface in one query:
+    // lag/lead navigation, percent_rank, and ntile(4) binning per
+    // event_type over a TOTAL order (value, event_id — the tie-break
+    // makes every function deterministic). One window exchange serves
+    // all four functions.
+    "w4_window_navigation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          lag(cents(col("value")), 1).over(w).as("prev_cents"),
+          lead(cents(col("value")), 1).over(w).as("next_cents"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    }),
+
+    // S10 — ORC round trip: the engine reads/writes ORC as a first-
+    // class columnar format (readers pushed down + pruned exactly like
+    // parquet); the re-read aggregate must match the parquet-derived
+    // oracle bit-for-bit.
+    "s10_orc_roundtrip" -> ((s, dir) => {
+      val out = graft.TempDirs.path(
+        s"orc/s10-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      t(s, dir, "documents").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("source", "lang")
+    }),
+
+    // S11 — CSV round trip with an EXPLICIT schema on re-read (header
+    // inference at 100 TB is an extra full scan AND a type lottery —
+    // the declared-schema read is the only scalable form). Doubles
+    // survive textually (shortest-round-trip rendering), pinned by the
+    // exact cents sum.
+    "s11_csv_roundtrip" -> ((s, dir) => {
+      val out = graft.TempDirs.path(
+        s"csv/s11-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      t(s, dir, "events").select("event_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
+    // SCD1 — slowly-changing-dimension TYPE 2 enrichment as an AS-OF
+    // join (AsOf scaladoc: union + ONE window pass, no join node): the
+    // planted tier dimension changes twice for clicks and once for
+    // views over the event month, and every fact picks the tier
+    // effective AT ITS TIMESTAMP (boundary events take the new tier —
+    // rights sort before lefts at equal ts). The oracle re-derives the
+    // effective ranges with a lead() window and an interval join — the
+    // classic warehouse formulation; same rows, different plan.
+    "scd1_point_in_time" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "2024-01-01", 1L, "bronze"),
+        ("click", "2024-01-11", 2L, "silver"),
+        ("click", "2024-01-21", 3L, "gold"),
+        ("view", "2024-01-01", 4L, "basic"),
+        ("view", "2024-01-16", 5L, "plus"))
+        .toDF("event_type", "eff", "chg_id", "tier")
+        .select(col("event_type"), col("eff").cast("timestamp").as("ts"),
+          col("chg_id"), col("tier"))
+      val facts = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      graft.operators.AsOf.asofJoin(facts, dim, "event_type", "ts",
+          Seq("tier"), "chg_id")
+        .groupBy(col("event_type"), col("asof_tier"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type", "asof_tier")
+    }),
+
     // A23 — JOIN-SIZE ESTIMATION from standing CMS sketches (the
     // classic count-min inner product, CountMinTable.innerProduct):
     // "how many rows would A ⋈ B produce" answered from two KB-sized
@@ -2068,6 +2146,46 @@ object RelationalQueries {
       """SELECT * FROM (VALUES
            ('a', CAST(2 AS BIGINT), 2), ('b', 0, 1), ('c', 2, 1))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
+    "w4_window_navigation" ->
+      """SELECT event_id, event_type,
+                lag(CAST(round(value * 100, 0) AS BIGINT), 1)
+                  OVER w AS prev_cents,
+                lead(CAST(round(value * 100, 0) AS BIGINT), 1)
+                  OVER w AS next_cents,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                ntile(4) OVER w AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_id""",
+    "s10_orc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "s11_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "scd1_point_in_time" ->
+      """WITH dim(event_type, eff, tier) AS (VALUES
+             ('click', TIMESTAMP '2024-01-01', 'bronze'),
+             ('click', TIMESTAMP '2024-01-11', 'silver'),
+             ('click', TIMESTAMP '2024-01-21', 'gold'),
+             ('view', TIMESTAMP '2024-01-01', 'basic'),
+             ('view', TIMESTAMP '2024-01-16', 'plus')),
+         r AS (SELECT event_type, eff,
+                      lead(eff) OVER (PARTITION BY event_type ORDER BY eff)
+                        AS eff_end,
+                      tier
+               FROM dim)
+         SELECT f.event_type, r.tier AS asof_tier, count(*) AS n,
+                CAST(sum(CAST(round(f.value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM events f
+         JOIN r ON r.event_type = f.event_type AND f.ts >= r.eff
+               AND (r.eff_end IS NULL OR f.ts < r.eff_end)
+         WHERE f.event_type IN ('click', 'view')
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "a23_join_cardinality" ->
       """WITH a(uid) AS (SELECT uid FROM (VALUES (1),(1),(1),(2),(2),(3)) t(uid)),
          b(uid) AS (SELECT uid FROM (VALUES (1),(1),(2),(4),(4),(4),(4),(4)) s(uid)),
