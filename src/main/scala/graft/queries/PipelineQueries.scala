@@ -1706,6 +1706,42 @@ object PipelineQueries {
         .select(col("k"), col("n_rows"), col("v_sum"), col("v_min"),
           col("v_max"), round(col("v_avg"), 6).as("v_avg"))
         .orderBy("k")
+    }),
+
+    // MR1 — MODEL REGISTRY with time travel (ModelRegistry scaladoc):
+    // tokenizer v1 trains on a corpus where (a,a) dominates, v2 on one
+    // where the added "ab" mass flips the first merge to (a,b) — so
+    // the same word segments differently under the two versions. The
+    // registry pins v1 at its manifest version BEFORE v2 registers;
+    // scoring with the pinned spec vs the latest spec must reproduce
+    // both segmentations, and a RETRIED registration of run 1 with
+    // garbage must be the exactly-once no-op (were it not, the latest
+    // spec would fail to parse and the query with it).
+    "mr1_model_registry" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.{Bpe, ModelRegistry, Snapshot}
+      val reg = graft.TempDirs.path(
+        s"registry/mr1-${java.util.UUID.randomUUID()}")
+      val corpusA = Seq.fill(4)("aaab").toDF("text")
+      val v1Merges = Bpe.trainMerges(corpusA, "text", nMerges = 2,
+        maxWords = 100)
+      ModelRegistry.register(s, reg, "tok", "bpe",
+        Bpe.mergesSpec(v1Merges), runId = 0L)
+      val v1 = Snapshot.latestVersion(s, reg).get
+      val corpusB = corpusA.union(Seq.fill(10)("ab").toDF("text"))
+      val v2Merges = Bpe.trainMerges(corpusB, "text", nMerges = 2,
+        maxWords = 100)
+      ModelRegistry.register(s, reg, "tok", "bpe",
+        Bpe.mergesSpec(v2Merges), runId = 1L)
+      // at-least-once retry of run 1: must NOT overwrite the model
+      ModelRegistry.register(s, reg, "tok", "bpe", "GARBAGE", runId = 1L)
+      val pinned = Bpe.parseMergesSpec(ModelRegistry.specAt(s, reg, "tok", v1))
+      val latest = Bpe.parseMergesSpec(ModelRegistry.latestSpec(s, reg, "tok"))
+      Seq("aaab", "ab", "aab").toDF("word")
+        .select(col("word"),
+          concat_ws("|", Bpe.encode(col("word"), pinned)).as("v1_tokens"),
+          concat_ws("|", Bpe.encode(col("word"), latest)).as("v2_tokens"))
+        .orderBy("word")
     })
   )
 
@@ -2713,6 +2749,12 @@ object PipelineQueries {
             CAST(10 AS BIGINT), 6.0),
            ('b', 2, 6, 1, 5, 3.0),
            ('c', 2, 10, 3, 7, 5.0))
-         t(k, n_rows, v_sum, v_min, v_max, v_avg) ORDER BY k"""
+         t(k, n_rows, v_sum, v_min, v_max, v_avg) ORDER BY k""",
+    "mr1_model_registry" ->
+      """SELECT * FROM (VALUES
+           ('aaab', 'aa|ab', 'aa|ab'),
+           ('aab', 'aa|b', 'a|ab'),
+           ('ab', 'ab', 'ab'))
+         t(word, v1_tokens, v2_tokens) ORDER BY word"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }
