@@ -485,15 +485,43 @@ object Snapshot {
     val m = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — compactLive needs a manifest to flip"))
     require(m.batches.nonEmpty, s"nothing to compact under $path")
-    // fresh id below everything on disk or in the live set: unvacuumed
-    // prior compactions are on disk, so min over BOTH never reuses one
-    val known = (Retention.batchIds(spark, path) ++ m.batches)
-    val newId = math.min(-2L, known.min - 1)
+    val newId = freshFoldId(spark, path, m)
     readBatches(spark, path, m)
       .drop("batch_id") // the new directory name IS the partition value
       .write.mode("overwrite").parquet(s"$path/batch_id=$newId")
-    publish(spark, path, Seq(newId))
+    publish(spark, path, Seq(newId),
+      newStats = Map(newId -> computeBatchStats(spark, path, newId)))
     newId
+  }
+
+  /** SIZE-TIERED compaction — the OPTIMIZE/bin-pack half of
+    * [[compactLive]]: fold ONLY the live batches whose on-disk size is
+    * at most `smallBytes` into one fresh directory; larger batches
+    * keep their directories untouched (zero IO for them, and their
+    * zone-map stats survive verbatim). This is the maintenance loop's
+    * steady-state form at 100 TB: streaming ingest accretes small
+    * batches forever, and folding EVERYTHING (compactLive) would
+    * rewrite the whole table to fix a small-files problem that lives
+    * in the newest 1%. Returns the folded ids (fewer than two small
+    * batches → nothing to gain, nothing published). Age boundaries of
+    * the folded batches collapse, so retain first, then compact (the
+    * standing [[Retention]] caveat). */
+  def compactSmall(spark: SparkSession, path: String,
+                   smallBytes: Long): Seq[Long] = {
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — compactSmall needs a manifest to flip"))
+    val fs = fsFor(spark, path)
+    val smalls = m.batches.filter { b =>
+      fs.getContentSummary(new Path(path, s"batch_id=$b")).getLength <= smallBytes
+    }
+    if (smalls.size < 2) return Seq.empty
+    val newId = freshFoldId(spark, path, m)
+    readBatches(spark, path, m.copy(batches = smalls))
+      .drop("batch_id")
+      .write.mode("overwrite").parquet(s"$path/batch_id=$newId")
+    publish(spark, path, m.batches.diff(smalls) :+ newId,
+      newStats = Map(newId -> computeBatchStats(spark, path, newId)))
+    smalls
   }
 
   /** Physically delete batch directories the NEWEST manifest does not
@@ -633,8 +661,9 @@ object Snapshot {
         .join(keys, keyCols, "left_anti").drop("batch_id")
         .unionByName(updates)
     survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
-    // 3. the pointer flip
-    val v = publish(spark, path, m.batches.diff(affected) :+ foldId)
+    // 3. the pointer flip (fold stats ride it so zone maps stay whole)
+    val v = publish(spark, path, m.batches.diff(affected) :+ foldId,
+      newStats = Map(foldId -> computeBatchStats(spark, path, foldId)))
     MergeStats(matched, nUpdates - matched, affected, Some(v))
   }
 
@@ -663,7 +692,8 @@ object Snapshot {
       } else {
         val foldId = freshFoldId(spark, path, m)
         survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
-        publish(spark, path, remaining :+ foldId)
+        publish(spark, path, remaining :+ foldId,
+          newStats = Map(foldId -> computeBatchStats(spark, path, foldId)))
       }
     MergeStats(deleted, 0L, affected, Some(v))
   }

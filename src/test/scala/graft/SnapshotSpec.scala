@@ -510,6 +510,40 @@ class SnapshotSpec extends SparkSpec {
     stats.rewrittenBatches shouldBe Seq(1L)
   }
 
+  test("compactSmall folds only sub-threshold batches; big batches and their stats survive untouched") {
+    val path = TempDirs.path(s"snapshot-spec/tiered-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, n: Int): Unit = Snapshot.stagedAppend(spark, path, id) {
+      (0 until n).map(i => (id * 1000 + i, "x" * 200)).toDF("n", "pad")
+        .write.mode("overwrite").parquet(s"$path/batch_id=$id")
+    }
+    Seq((1L, "seed")).toDF("n", "pad").write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    batch(1L, 5000) // big
+    batch(2L, 3)    // small
+    batch(3L, 2)    // small
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigSize = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path, "batch_id=1")).getLength
+    val before = Snapshot.read(spark, path).select("n", "pad")
+      .orderBy("n").collect()
+
+    val folded = Snapshot.compactSmall(spark, path, smallBytes = bigSize - 1)
+    folded should contain theSameElementsAs Seq(0L, 2L, 3L)
+    val m = Snapshot.latest(spark, path).get
+    m.batches should contain(1L) // big batch kept in place, zero IO
+    m.stats(1L)("n") shouldBe (("1000", "5999")) // carried verbatim
+    // the fold got fresh stats spanning the folded rows
+    val foldId = m.batches.filterNot(Seq(1L).contains).head
+    BigDecimal(m.stats(foldId)("n")._1) shouldBe BigDecimal(1)
+    // content preserved exactly (batch_id moves for folded rows, by design)
+    Snapshot.read(spark, path).select("n", "pad")
+      .orderBy("n").collect() shouldBe before
+    // a single small batch left → nothing to gain, nothing published
+    Snapshot.compactSmall(spark, path, smallBytes = 1L) shouldBe Seq.empty
+  }
+
   test("build resets an enabled table and republishes a fresh manifest") {
     val path = plantSketch("rebuild", days = 3)
     Snapshot.enable(spark, path)
