@@ -59,6 +59,13 @@ object Validate {
     * reports 0 and each extra copy counts once. */
   final case class Unique(name: String, cols: Seq[String]) extends Check
 
+  /** TABLE-level freshness: max(tsCol) must be at or after
+    * `noOlderThan` (an explicit reference instant — never wall-clock,
+    * which would make the suite nondeterministic). Violations: 1 when
+    * stale or empty/all-null, else 0. */
+  final case class Freshness(name: String, tsCol: String,
+      noOlderThan: java.sql.Timestamp) extends Check
+
   /** Every non-null child key tuple exists in the parent. Violations =
     * DISTINCT orphaned child tuples (metadata-sized, not row-count-
     * sized: a billion rows pointing at one missing parent is ONE
@@ -87,6 +94,7 @@ object Validate {
     case _: Expect         => "expect"
     case _: Unique         => "unique"
     case _: ForeignKey     => "foreign_key"
+    case _: Freshness      => "freshness"
   }
 
   /** Row-level annotation — the QUARANTINE-ROUTING form of the suite:
@@ -103,6 +111,7 @@ object Validate {
     val tableLevel = checks.collect {
       case c: Unique => c.name
       case c: ForeignKey => c.name
+      case c: Freshness => c.name
     }
     require(tableLevel.isEmpty, "annotate takes row-local checks only; " +
       s"table-level: ${tableLevel.mkString(", ")}")
@@ -129,7 +138,7 @@ object Validate {
     val kinds = checks.map(c => (c.name, kindOf(c))).toDF("check_name", "kind")
 
     val rowLocal = checks.filter {
-      case _: Unique | _: ForeignKey => false
+      case _: Unique | _: ForeignKey | _: Freshness => false
       case _                         => true
     }
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -153,6 +162,12 @@ object Validate {
           coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
           coalesce(sum(col("__cnt")) - count(lit(1)), lit(0L)).as("n_violations"))
           .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+      case Freshness(name, tsCol0, t0) =>
+        parts += df.agg(count(lit(1)).as("n_rows"),
+            max(col(tsCol0)).as("__mx"))
+          .select(lit(name).as("check_name"), col("n_rows"),
+            when(col("__mx").isNull || col("__mx") < lit(t0), 1L)
+              .otherwise(0L).as("n_violations"))
       case ForeignKey(name, cols0, parent, pCols) =>
         require(cols0.size == pCols.size, s"$name: key arity mismatch")
         val childKeys = df.select(cols0.map(col): _*)

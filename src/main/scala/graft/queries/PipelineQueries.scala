@@ -1559,6 +1559,21 @@ object PipelineQueries {
         .orderBy("check_name")
     }),
 
+    // DQ3 — FRESHNESS (table-level, explicit reference instant — never
+    // wall-clock): the events table is "fresh as of Jan 15" (its max
+    // ts is Jan 30) but stale against a 2030 bar; both verdicts ride
+    // the same tiny max-aggregate and land in the standard report.
+    "dq3_freshness" -> ((s, dir) => {
+      import graft.operators.Validate
+      import graft.operators.Validate._
+      Validate.run(t(s, dir, "events"), Seq(
+          Freshness("fresh_jan15", "ts",
+            java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+          Freshness("fresh_2030", "ts",
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))))
+        .orderBy("check_name")
+    }),
+
     // GR1 — PageRank by distributed power iteration (Graph scaladoc)
     // on a planted 5-node graph with a genuine dangling node (e has no
     // out-links, so its mass redistributes uniformly each step — drop
@@ -2702,6 +2717,23 @@ object PipelineQueries {
                 CAST(n_violations AS BIGINT) AS n_violations,
                 n_violations = 0 AS passed
          FROM r ORDER BY check_name""",
+    "dq3_freshness" ->
+      """WITH n AS (SELECT count(*) AS c, max(ts) AS mx FROM events)
+         SELECT 'fresh_2030' AS check_name, 'freshness' AS kind,
+                CAST(c AS BIGINT) AS n_rows,
+                CAST(CASE WHEN mx IS NULL
+                       OR mx < TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_violations,
+                NOT (mx IS NULL OR mx < TIMESTAMP '2030-01-01') AS passed
+         FROM n
+         UNION ALL
+         SELECT 'fresh_jan15', 'freshness', CAST(c AS BIGINT),
+                CAST(CASE WHEN mx IS NULL
+                       OR mx < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END
+                  AS BIGINT),
+                NOT (mx IS NULL OR mx < TIMESTAMP '2024-01-15')
+         FROM n
+         ORDER BY check_name""",
     "gr1_pagerank" ->
       """SELECT * FROM (VALUES
            ('a', 0.2143), ('b', 0.1569), ('c', 0.3482),

@@ -1075,7 +1075,45 @@ object ScaleWorkloads {
     // per-ingest data-quality gate a 100 TB pipeline runs on every
     // batch. One orders scan carries all the row-local checks.
     "sx62_expectations" -> ((s, dir) =>
-      PipelineQueries.defs("dq1_expectations")(s, dir))
+      PipelineQueries.defs("dq1_expectations")(s, dir)),
+
+    // Copy-on-write MERGE at sf scale: orders lands as 4 key-ranged
+    // batches, then 1000 repriced rows in the TOP key range upsert.
+    // The zone maps prune the three non-overlapping ranged batches
+    // from even the keys-only scan, and only the top batch rewrites —
+    // `n_rewritten` pins it at 1 every run. Wall-clock = the staging
+    // writes (the honest setup cost) + one pruned scan + one batch of
+    // rewrite IO; an unpruned merge would scan and rewrite 4×.
+    "sx63_cow_merge" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val ord = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val bounds = ord.stat.approxQuantile("o_orderkey",
+        Array(0.25, 0.5, 0.75), 0.001)
+      val path = graft.TempDirs.path(
+        s"cow/sx63-${java.util.UUID.randomUUID()}")
+      ord.filter(col("o_orderkey") <= bounds(0))
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      Seq((bounds(0), bounds(1), 1L), (bounds(1), bounds(2), 2L))
+        .foreach { case (lo, hi, id) =>
+          Snapshot.stagedAppend(s, path, id) {
+            ord.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+              .write.mode("overwrite").parquet(s"$path/batch_id=$id")
+          }
+        }
+      Snapshot.stagedAppend(s, path, 3L) {
+        ord.filter(col("o_orderkey") > bounds(2))
+          .write.mode("overwrite").parquet(s"$path/batch_id=3")
+      }
+      val updates = ord.filter(col("o_orderkey") > bounds(2))
+        .orderBy(desc("o_orderkey")).limit(1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val st = Snapshot.merge(s, path, updates, Seq("o_orderkey"))
+      Seq((st.matched, st.inserted, st.rewrittenBatches.length))
+        .toDF("n_matched", "n_inserted", "n_rewritten")
+    })
   )
 
   /** Fragmented copy of the sf events table for the compaction bench
