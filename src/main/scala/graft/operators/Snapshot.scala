@@ -589,7 +589,17 @@ object Snapshot {
     * unique ("which of two updates wins" must never be partition
     * order) and update columns must match the manifest schema's data
     * columns — widen the table via [[stagedAppend]] first if the
-    * updates bring new columns. */
+    * updates bring new columns.
+    *
+    * ORDERING caveat (unlike [[stagedAppend]], merge is NOT
+    * replay-idempotent): re-applying an OLD update batch after a newer
+    * one regresses the row — last merge wins. A CDC-apply loop under
+    * at-least-once delivery must therefore either dedupe replays
+    * upstream (e.g. track applied batch ids beside the table) or make
+    * updates commutative (carry a monotonic version column and merge
+    * only rows newer than the current — the st10 query's ordered
+    * micro-batch apply sidesteps it because foreachBatch replays
+    * re-run the SAME ordered sequence). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): MergeStats = {
     require(keyCols.nonEmpty, "at least one key column")

@@ -1483,6 +1483,69 @@ object RelationalQueries {
         .orderBy("event_type", "asof_tier")
     }),
 
+    // F15 — fuzzy matching via edit distance with PREFIX BLOCKING: the
+    // street-typo reconciliation the reference does with hand regexes,
+    // generalized. The self-join is blocked on the first character so
+    // candidate pairs come from a keyed equi-join, never an all-pairs
+    // cartesian (the same never-quadratic doctrine as the LSH family —
+    // at corpus scale the block key would be a phonetic/ngram bucket).
+    // Both engines' levenshtein must agree exactly.
+    "f15_edit_distance" -> ((s, _) => {
+      import s.implicits._
+      val names = Seq((1L, "Main Street"), (2L, "Main Stret"),
+        (3L, "Mian Street"), (4L, "Oak Avenue"), (5L, "Oak Avenu"),
+        (6L, "Pine Road")).toDF("id", "name")
+        .withColumn("blk", substring(col("name"), 1, 1))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ST10 — STREAMING CDC APPLY: a keyed upsert stream drives
+    // copy-on-write merges per micro-batch (the Delta "streaming MERGE
+    // INTO" shape). Each merge flips the manifest once, so the version
+    // chain IS the change history: the final diff v_seed → v_latest
+    // must report exactly the old images out and the new images in —
+    // and it reads only changed batches (the rt2 pruning). Ordering
+    // caveat documented at Snapshot.merge: replays re-run the SAME
+    // ordered sequence here, which is why foreachBatch + merge is
+    // sound without a version column.
+    "st10_streaming_upsert" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/st10-${java.util.UUID.randomUUID()}")
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      val v1 = Snapshot.latestVersion(s, path).get
+      val in = MemoryStream[(String, Long)]
+      val q = in.toDF().toDF("k", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Snapshot.merge(s, path, batch, Seq("k")): Unit
+        }.start()
+      try {
+        in.addData(("a", 10L), ("c", 3L))
+        q.processAllAvailable()
+        in.addData(("b", 20L), ("a", 11L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val vN = Snapshot.latestVersion(s, path).get
+      val d = Snapshot.diffVersions(s, path, v1, vN)
+        .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Snapshot.read(s, path)
+        .select(col("k"), col("v"),
+          lit(d.getOrElse("delete", 0L)).as("n_old_images_out"),
+          lit(d.getOrElse("insert", 0L)).as("n_new_images_in"))
+        .orderBy("k")
+    }),
+
     // A23 — JOIN-SIZE ESTIMATION from standing CMS sketches (the
     // classic count-min inner product, CountMinTable.innerProduct):
     // "how many rows would A ⋈ B produce" answered from two KB-sized
@@ -2186,6 +2249,22 @@ object RelationalQueries {
                AND (r.eff_end IS NULL OR f.ts < r.eff_end)
          WHERE f.event_type IN ('click', 'view')
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "f15_edit_distance" ->
+      """WITH n(id, name) AS (VALUES
+           (CAST(1 AS BIGINT), 'Main Street'), (2, 'Main Stret'),
+           (3, 'Mian Street'), (4, 'Oak Avenue'), (5, 'Oak Avenu'),
+           (6, 'Pine Road'))
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM n a JOIN n b
+           ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY id_a, id_b""",
+    "st10_streaming_upsert" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+           ('b', 20, 2, 3), ('c', 3, 2, 3))
+         t(k, v, n_old_images_out, n_new_images_in) ORDER BY k""",
     "a23_join_cardinality" ->
       """WITH a(uid) AS (SELECT uid FROM (VALUES (1),(1),(1),(2),(2),(3)) t(uid)),
          b(uid) AS (SELECT uid FROM (VALUES (1),(1),(2),(4),(4),(4),(4),(4)) s(uid)),
