@@ -1659,6 +1659,39 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TQ6 — the TPC-H Q6 forecasting-revenue shape: the pure
+    // filter-and-sum probe. Every predicate (date range, discount
+    // band, quantity cap) pushes to the parquet scan; the answer is
+    // one exact-cents row.
+    "tq6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents"), count(lit(1)).as("n"))
+    }),
+
+    // TQ18 — the TPC-H Q18 large-volume-customer shape: the
+    // aggregate-HAVING-then-join pattern. The big-order keys come from
+    // one partial-agged lineitem pass (no raw rows survive the
+    // HAVING), then a keyed join back to orders and a total-ordered
+    // top 10.
+    "tq18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+        .filter(col("qty_cents") > 300L * 100)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate")).as("odate_us"),
+          cents(col("o_totalprice")).as("total_cents"), col("qty_cents"))
+        .orderBy(desc("total_cents"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
     // TQ5 — the TPC-H Q5 local-supplier shape: the 6-table star with
     // the c_nationkey = s_nationkey co-nationality constraint. Every
     // dimension broadcasts; the only shuffle is the fact-side
@@ -2302,6 +2335,26 @@ object RelationalQueries {
            AND l_shipdate > TIMESTAMP '1998-01-01'
          GROUP BY 1, 2, 3
          ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "tq6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "tq18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS qty_cents
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 30000)
+         SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS odate_us,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+                qty_cents
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         ORDER BY total_cents DESC, o_orderkey LIMIT 10""",
     "tq5_local_supplier" ->
       """SELECT n_name,
                 CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
