@@ -16,7 +16,7 @@ class GraphSpec extends SparkSpec {
     r.keySet shouldBe Set("a", "b", "c", "d")
   }
 
-  test("a symmetric cycle fixes at the exact uniform distribution") {
+  test("a symmetric cycle fixes at the exact uniform distribution", Slow) {
     val r = ranks(Seq(("a", "b"), ("b", "c"), ("c", "a")), iters = 25)
     r.values.foreach(_ shouldBe (1.0 / 3) +- 1e-12)
   }
@@ -40,7 +40,7 @@ class GraphSpec extends SparkSpec {
     r("b") should be > r("a")
   }
 
-  test("iteration plans stay bounded: lineage is truncated per step") {
+  test("iteration plans stay bounded: lineage is truncated per step", Slow) {
     val df = Graph.pagerank(
       Seq(("a", "b"), ("b", "a")).toDF("s", "d"), "s", "d", iterations = 8)
     // localCheckpoint per iteration keeps the final plan shallow — a

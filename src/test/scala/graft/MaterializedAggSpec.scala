@@ -42,7 +42,7 @@ class MaterializedAggSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 5L
   }
 
-  test("snapshot composition: a pinned reader is unaffected by a later refresh") {
+  test("snapshot composition: a pinned reader is unaffected by a later refresh", Slow) {
     val path = fresh("snap")
     MaterializedAgg.build(batch1, Seq("k"), Seq("v"), path)
     Snapshot.enable(spark, path)

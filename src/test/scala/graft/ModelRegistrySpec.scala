@@ -30,7 +30,7 @@ class ModelRegistrySpec extends SparkSpec {
     ModelRegistry.latestSpec(spark, path, "m") shouldBe "good"
   }
 
-  test("missing models fail loudly; retention retires old runs") {
+  test("missing models fail loudly; retention retires old runs", Slow) {
     val path = fresh()
     ModelRegistry.register(spark, path, "m", "k", "v0", 0L)
     intercept[IllegalStateException] {

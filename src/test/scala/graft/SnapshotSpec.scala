@@ -304,7 +304,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.liveBatches(spark, path) shouldBe Seq(0L, 1L)
   }
 
-  test("diffVersions prunes to the symmetric difference and sees through compaction") {
+  test("diffVersions prunes to the symmetric difference and sees through compaction", Slow) {
     val path = TempDirs.path(s"snapshot-spec/diff-${java.util.UUID.randomUUID()}")
     def batch(id: Long, ks: String*): Unit = Snapshot.stagedAppend(spark, path, id) {
       ks.map(k => (k, id)).toDF("k", "born").write
@@ -340,7 +340,7 @@ class SnapshotSpec extends SparkSpec {
     back shouldBe Array(("delete", "d"))
   }
 
-  test("schema evolution rides the manifest: new columns null-fill old batches, time travel pins schema, type conflicts abort") {
+  test("schema evolution rides the manifest: new columns null-fill old batches, time travel pins schema, type conflicts abort", Slow) {
     val path = TempDirs.path(s"snapshot-spec/evolve-${java.util.UUID.randomUUID()}")
     Seq(("a", 1L)).toDF("k", "n").write.mode("overwrite")
       .parquet(s"$path/batch_id=0")
@@ -376,7 +376,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.vacuum(spark, path) should contain(9L)
   }
 
-  test("diffVersions catches duplicate-row multiplicity changes (multiset, not set, semantics)") {
+  test("diffVersions catches duplicate-row multiplicity changes (multiset, not set, semantics)", Slow) {
     val path = TempDirs.path(s"snapshot-spec/dup-${java.util.UUID.randomUUID()}")
     def batch(id: Long, ks: String*): Unit = Snapshot.stagedAppend(spark, path, id) {
       // constant payload: the same logical row can appear in many batches
@@ -391,7 +391,7 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq shouldBe Seq("insert")
   }
 
-  test("merge rewrites ONLY affected batches; untouched rows keep their directories") {
+  test("merge rewrites ONLY affected batches; untouched rows keep their directories", Slow) {
     val path = TempDirs.path(s"snapshot-spec/merge-${java.util.UUID.randomUUID()}")
     def batch(id: Long, rows: (String, Long)*): Unit =
       Snapshot.stagedAppend(spark, path, id) {
@@ -427,7 +427,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.read(spark, path).count() shouldBe 5L
   }
 
-  test("merge rejects duplicate update keys and schema drift loudly; empty updates are a no-op") {
+  test("merge rejects duplicate update keys and schema drift loudly; empty updates are a no-op", Slow) {
     val path = TempDirs.path(s"snapshot-spec/mergebad-${java.util.UUID.randomUUID()}")
     Seq(("a", 1L)).toDF("k", "n").write.parquet(s"$path/batch_id=0")
     Snapshot.enable(spark, path)
@@ -445,7 +445,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.latestVersion(spark, path).get shouldBe before
   }
 
-  test("deleteWhere rewrites only matching batches, keeps NULL-predicate rows, no-ops on zero matches") {
+  test("deleteWhere rewrites only matching batches, keeps NULL-predicate rows, no-ops on zero matches", Slow) {
     val path = TempDirs.path(s"snapshot-spec/del-${java.util.UUID.randomUUID()}")
     def batch(id: Long, rows: (String, Option[Long])*): Unit =
       Snapshot.stagedAppend(spark, path, id) {
@@ -510,7 +510,7 @@ class SnapshotSpec extends SparkSpec {
     stats.rewrittenBatches shouldBe Seq(1L)
   }
 
-  test("compactSmall folds only sub-threshold batches; big batches and their stats survive untouched") {
+  test("compactSmall folds only sub-threshold batches; big batches and their stats survive untouched", Slow) {
     val path = TempDirs.path(s"snapshot-spec/tiered-${java.util.UUID.randomUUID()}")
     def batch(id: Long, n: Int): Unit = Snapshot.stagedAppend(spark, path, id) {
       (0 until n).map(i => (id * 1000 + i, "x" * 200)).toDF("n", "pad")

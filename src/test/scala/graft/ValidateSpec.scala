@@ -48,7 +48,7 @@ class ValidateSpec extends SparkSpec {
     report("id_fk") shouldBe ((2L, false))
   }
 
-  test("all row-local checks fuse into ONE scan of the table") {
+  test("all row-local checks fuse into ONE scan of the table", Slow) {
     val df = SparkEntry.queries("dq1_expectations")(spark, sf)
     df.collect()
     // the AQE plan string appends an "== Initial Plan ==" duplicate —
