@@ -197,7 +197,10 @@ object Retention {
       ledger.get(b).exists(ts => ts._2 != null && ts._2.before(cutoff))).sorted
     if (doomed.isEmpty) Seq.empty
     else if (Snapshot.isEnabled(spark, path)) {
-      Snapshot.publish(spark, path, live.diff(doomed))
+      // retention edit under the optimistic commit: commutes with a
+      // concurrent append or another removal (Snapshot.commitEdit)
+      Snapshot.commitEdit(spark, path, Snapshot.latest(spark, path).get,
+        remove = doomed, tolerateConcurrentRemoves = true)
       doomed
     } else {
       deleteBatches(spark, path, doomed)

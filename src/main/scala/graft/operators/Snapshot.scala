@@ -43,9 +43,14 @@ import org.apache.spark.sql.functions.{col, lit}
   * published by staged-write + rename — atomic on HDFS and local
   * filesystems, and tiny enough that "write the new pointer last" is
   * the entire commit protocol. Versions are monotonic; readers take
-  * max. Single concurrent WRITER per table is assumed (the family's
-  * standing assumption — ingest loops are one streaming query);
-  * readers are unlimited and never coordinate.
+  * max and never coordinate. Writers commit OPTIMISTICALLY
+  * ([[commitEdit]]): a maintenance job racing the ingest loop's
+  * [[stagedAppend]] re-reads the newest manifest on a version
+  * conflict, verifies the edits commute, rebases, and retries — only
+  * genuinely non-commuting races (a fold whose input was concurrently
+  * retired, a merge racing an append) fail loudly. Fold OUTPUT
+  * directories remain single-writer: run one fold-producing
+  * maintenance job (compact/merge/delete) at a time per table.
   *
   * OPT-IN per table: [[enable]] seeds v1 from the current directory
   * listing. Non-enabled tables keep their historical
@@ -113,10 +118,13 @@ object Snapshot {
   // ZONE MAPS: per-batch min/max column stats in the manifest
   // -------------------------------------------------------------------
   // The Delta data-skipping primitive: each committed batch carries the
-  // [min,max] of its numeric and timestamp columns (strings are stored
-  // but NEVER pruned on — Spark orders strings by UTF-8 bytes, the JVM
-  // by UTF-16 code units, and a pruning decision taken under the wrong
-  // collation is silent data loss, not a slow query). Stats cost one
+  // [min,max] of its numeric and timestamp columns. String columns
+  // carry NO stats at all ([[statable]] excludes them by design): Spark
+  // orders strings by UTF-8 bytes, the JVM by UTF-16 code units, and a
+  // pruning decision taken under the wrong collation is silent data
+  // loss, not a slow query — so rather than store string bounds and
+  // trust every future reader to remember not to prune on them, the
+  // manifest never contains them. Stats cost one
   // tiny aggregate of the batch being committed; they let [[merge]]
   // skip batches whose key ranges cannot overlap the updates and
   // [[readRange]] skip batches outside a scan range — metadata
@@ -168,7 +176,7 @@ object Snapshot {
         (scala.util.Try(BigDecimal(mn)).toOption,
           scala.util.Try(BigDecimal(mx)).toOption) match {
           case (Some(bMn), Some(bMx)) => bMx >= lo && bMn <= hi
-          case _ => true // non-numeric stat (string column): no pruning
+          case _ => true // defensive: an unparsable stat never prunes
         }
       case None => true
     }
@@ -263,23 +271,45 @@ object Snapshot {
     fs.delete(new Path(path, ManifestDir), true)
   }
 
-  /** Publish `batches` as the table's new live set. The JSON is staged
-    * as a dot-file in `_manifests/` and RENAMED into its final name —
-    * the rename is the commit; readers either see the complete new
-    * manifest or the old newest one, never a partial file. Returns the
-    * new version. Refuses to overwrite an existing version (two
-    * concurrent writers racing the same version must surface, not
-    * last-write-win silently). */
+  /** A [[publishAt]]/[[commitEdit]] lost the version race: another
+    * writer published the version this commit was about to take.
+    * Distinct from plain IllegalStateException so [[commitEdit]] can
+    * catch EXACTLY the retryable condition and rebase — any other
+    * failure propagates untouched. */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Publish `batches` as the table's new live set, based on the
+    * CURRENT newest manifest. The JSON is staged as a dot-file in
+    * `_manifests/` and RENAMED into its final name — the rename is the
+    * commit; readers either see the complete new manifest or the old
+    * newest one, never a partial file. Returns the new version. Throws
+    * [[CommitConflictException]] if the version it would take already
+    * exists (a concurrent writer won the race) — callers that can
+    * rebase should use [[commitEdit]] instead of retrying this
+    * last-write-wins primitive blindly. */
   def publish(spark: SparkSession, path: String, batches: Seq[Long],
               schemaJson: Option[String] = None,
               newStats: Map[Long, Map[String, (String, String)]] = Map.empty)
-      : Long = {
+      : Long =
+    publishAt(spark, path, latest(spark, path), batches, schemaJson, newStats)
+
+  /** [[publish]] pinned to an explicit base manifest: writes version
+    * `prev.version + 1` (v1 when None) or throws
+    * [[CommitConflictException]] — the optimistic-concurrency
+    * primitive. Publishing "at" a stale base can never silently clobber
+    * a concurrent edit, because the version the stale base implies is
+    * already taken and the exclusive create/rename surfaces it. */
+  private def publishAt(spark: SparkSession, path: String,
+              prev: Option[Manifest], batches: Seq[Long],
+              schemaJson: Option[String],
+              newStats: Map[Long, Map[String, (String, String)]]): Long = {
     val fs = fsFor(spark, path)
-    val prev = latest(spark, path)
     val v = prev.map(_.version).getOrElse(0L) + 1
     val dst = manifestFile(path, v)
-    require(!fs.exists(dst),
-      s"manifest v$v already exists under $path — concurrent writer?")
+    if (fs.exists(dst)) throw new CommitConflictException(
+      s"manifest v$v already exists under $path — a concurrent writer " +
+        "published first")
     val sorted = batches.distinct.sorted
     val committed = (prev.map(m => m.committed ++ m.batches).getOrElse(Seq.empty)
       ++ sorted).distinct.sorted
@@ -316,10 +346,100 @@ object Snapshot {
     finally out.close()
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"manifest publish rename failed for v$v under $path — concurrent writer?")
+      throw new CommitConflictException(
+        s"manifest publish rename failed for v$v under $path — a " +
+          "concurrent writer committed the version first")
     }
     v
+  }
+
+  // -------------------------------------------------------------------
+  // OPTIMISTIC CONCURRENCY: rebase-retry commits (VERDICT r12 task #1)
+  // -------------------------------------------------------------------
+  // The protocol's writers are no longer required to serialize
+  // themselves: a maintenance job (retention, size-tiered compaction)
+  // racing the ingest loop's stagedAppend no longer aborts after its
+  // work is staged. Each writer expresses its publish as a structured
+  // EDIT relative to the manifest it read (adds + removes), and on a
+  // version conflict re-reads the newest manifest, verifies the edits
+  // COMMUTE, rebases, and retries — the Delta/Iceberg optimistic commit
+  // loop. What commutes is explicit per edit kind:
+  //  - an APPEND commutes with anything that did not commit the same
+  //    batch id (if one did — a redelivery race — the append is a no-op,
+  //    preserving exactly-once);
+  //  - a RETENTION edit commutes with appends and with other removals
+  //    (an id someone else already retired is simply no longer ours to
+  //    retire);
+  //  - a FOLD edit (compaction / merge / delete — its output CONTAINS
+  //    rows of the batches it removes) requires every input batch still
+  //    live: a concurrent retirement of an input would be resurrected
+  //    by the fold, so that race fails loudly (non-commuting);
+  //  - a PREDICATE edit (merge/delete — correctness depends on having
+  //    seen the WHOLE table) additionally refuses concurrent appends:
+  //    the new batch may hold matching rows the fold never saw (the
+  //    classic write-skew), and silently keeping both sides would
+  //    corrupt keyed state.
+  // Fold OUTPUT directories stay single-writer: two concurrent
+  // fold-producing jobs could stage the same fresh id before either
+  // publishes. The conflict IS detected at publish (their input sets
+  // overlap → one aborts) — but run one maintenance job at a time per
+  // table; the OCC loop exists so maintenance and INGEST interleave.
+
+  /** Commit `add`/`remove` against `basedOn`, rebasing over concurrent
+    * publishes per the commutativity rules above. Returns Some(version)
+    * on success, None when every added id was concurrently committed by
+    * another writer (the redelivery race — exactly-once preserved).
+    * `schemaOf` recomputes the published schema against the CURRENT
+    * base on every attempt, so an append's schema merge rebases too.
+    * Throws [[CommitConflictException]] on a non-commuting race or
+    * after `maxAttempts` lost races. */
+  def commitEdit(spark: SparkSession, path: String, basedOn: Manifest,
+      add: Seq[Long] = Seq.empty, remove: Seq[Long] = Seq.empty,
+      schemaOf: Manifest => Option[String] = _ => None,
+      newStats: Map[Long, Map[String, (String, String)]] = Map.empty,
+      allowConcurrentAdds: Boolean = true,
+      tolerateConcurrentRemoves: Boolean = false,
+      maxAttempts: Int = 5): Option[Long] = {
+    var base = basedOn
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val history = (base.batches ++ base.committed).toSet
+      if (add.nonEmpty && add.forall(history)) return None // redelivery race
+      require(!add.exists(history), // half-committed add set: never valid
+        s"ids ${add.filter(history).mkString(",")} already committed under " +
+          s"$path but ${add.filterNot(history).mkString(",")} not — " +
+          "an edit's added ids must be all-new or all-committed")
+      val effRemove =
+        if (tolerateConcurrentRemoves) remove.filter(base.batches.contains)
+        else {
+          val gone = remove.filterNot(base.batches.contains)
+          if (gone.nonEmpty) throw new CommitConflictException(
+            s"batches ${gone.mkString(",")} are no longer live at " +
+              s"v${base.version} of $path — a concurrent writer retired or " +
+              "folded this edit's inputs; re-run against the current state")
+          remove
+        }
+      try {
+        return Some(publishAt(spark, path, Some(base),
+          base.batches.diff(effRemove) ++ add, schemaOf(base), newStats))
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw new CommitConflictException(
+            s"gave up after $maxAttempts lost commit races under $path: " +
+              e.getMessage)
+          val newBase = latest(spark, path).getOrElse(throw e)
+          val concurrentAdds = newBase.batches.diff(base.batches).diff(add)
+          if (concurrentAdds.nonEmpty && !allowConcurrentAdds)
+            throw new CommitConflictException(
+              s"batches ${concurrentAdds.mkString(",")} were appended " +
+                s"concurrently under $path — this edit's result depends on " +
+                "the whole table (merge/delete), so it cannot rebase over " +
+                "rows it never saw; re-run against the current state")
+          base = newBase
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Snapshot-enable an existing batch-partitioned table: publish v1
@@ -396,11 +516,14 @@ object Snapshot {
     * retire it on the very next routine retention pass. */
   def retainFrom(spark: SparkSession, path: String, keepFrom: Long,
                  includeBuild: Boolean = false): Seq[Long] = {
-    val live = latest(spark, path).getOrElse(throw new IllegalStateException(
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — call enable() first or use " +
-        "Retention's physical path")).batches
-    val doomed = live.filter(b => b < keepFrom && (includeBuild || b >= 0))
-    if (doomed.nonEmpty) publish(spark, path, live.diff(doomed))
+        "Retention's physical path"))
+    val doomed = m.batches.filter(b => b < keepFrom && (includeBuild || b >= 0))
+    // retention commutes with concurrent appends AND with concurrent
+    // removals (an id someone else retired is no longer ours to retire)
+    if (doomed.nonEmpty) commitEdit(spark, path, m, remove = doomed,
+      tolerateConcurrentRemoves = true)
     doomed
   }
 
@@ -409,11 +532,12 @@ object Snapshot {
   def keepLast(spark: SparkSession, path: String, n: Int,
                includeBuild: Boolean = false): Seq[Long] = {
     require(n >= 0, s"negative keep count: $n")
-    val live = latest(spark, path).getOrElse(throw new IllegalStateException(
-      s"$path is not snapshot-enabled")).batches
-    val (candidates, protected_) = live.sorted.partition(includeBuild || _ >= 0)
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled"))
+    val (candidates, _) = m.batches.sorted.partition(includeBuild || _ >= 0)
     val doomed = candidates.dropRight(n)
-    if (doomed.nonEmpty) publish(spark, path, protected_ ++ candidates.drop(doomed.length))
+    if (doomed.nonEmpty) commitEdit(spark, path, m, remove = doomed,
+      tolerateConcurrentRemoves = true)
     doomed
   }
 
@@ -438,25 +562,28 @@ object Snapshot {
       case Some(m) if (m.batches ++ m.committed).contains(batchId) => false
       case Some(m) =>
         write
-        // schema evolution rides the same commit: merge THIS batch's
-        // footer schema (one leaf-dir read) into the manifest's, so a
-        // batch that adds columns widens the table atomically with its
-        // publish — and a type conflict aborts BEFORE the publish,
-        // leaving an orphan dir for vacuum, never a half-typed table
-        val schema = m.schemaJson.map(j => mergeSchemaJson(Some(j),
-          spark.read.parquet(s"$path/batch_id=$batchId").schema))
-        // zone maps ride it too: one tiny min/max aggregate of the
+        // zone maps ride the commit: one tiny min/max aggregate of the
         // batch just written. Guarded on the flat `batch_id=N` layout:
         // a multi-table ROOT manifest's write lands inside sub-tables,
         // so there is no single batch dir to stat (same reason its
-        // schemaJson stays None above).
+        // schemaJson stays None below).
         val st =
           if (fsFor(spark, path).exists(new Path(path, s"batch_id=$batchId")))
             computeBatchStats(spark, path, batchId)
           else Map.empty[String, (String, String)]
-        publish(spark, path, (m.batches :+ batchId).distinct, schema,
-          if (st.isEmpty) Map.empty else Map(batchId -> st))
-        true
+        // schema evolution rides the same commit: merge THIS batch's
+        // footer schema (one leaf-dir read) into the manifest's, so a
+        // batch that adds columns widens the table atomically with its
+        // publish — and a type conflict aborts BEFORE the publish,
+        // leaving an orphan dir for vacuum, never a half-typed table.
+        // Computed as a FUNCTION of the base so a rebase (concurrent
+        // retention/compaction published first) re-merges against the
+        // schema the winning writer left, not the one we first read.
+        commitEdit(spark, path, m, add = Seq(batchId),
+          schemaOf = mm => mm.schemaJson.map(j => mergeSchemaJson(Some(j),
+            spark.read.parquet(s"$path/batch_id=$batchId").schema)),
+          newStats = if (st.isEmpty) Map.empty else Map(batchId -> st))
+          .isDefined
     }
 
   /** Run a TABLE RESET (a full rebuild whose overwrite wipes the
@@ -489,7 +616,10 @@ object Snapshot {
     readBatches(spark, path, m)
       .drop("batch_id") // the new directory name IS the partition value
       .write.mode("overwrite").parquet(s"$path/batch_id=$newId")
-    publish(spark, path, Seq(newId),
+    // fold edit: inputs must still be live (a concurrently-retired input
+    // would be resurrected by the fold); concurrent APPENDS commute —
+    // the rebase keeps the new batch live beside the fold
+    commitEdit(spark, path, m, add = Seq(newId), remove = m.batches,
       newStats = Map(newId -> computeBatchStats(spark, path, newId)))
     newId
   }
@@ -519,7 +649,10 @@ object Snapshot {
     readBatches(spark, path, m.copy(batches = smalls))
       .drop("batch_id")
       .write.mode("overwrite").parquet(s"$path/batch_id=$newId")
-    publish(spark, path, m.batches.diff(smalls) :+ newId,
+    // fold edit, same commutativity as compactLive: concurrent appends
+    // rebase cleanly (the new small batch just isn't folded this round);
+    // concurrent retirement of a fold INPUT aborts loudly
+    commitEdit(spark, path, m, add = Seq(newId), remove = smalls,
       newStats = Map(newId -> computeBatchStats(spark, path, newId)))
     smalls
   }
@@ -589,19 +722,37 @@ object Snapshot {
     * unique ("which of two updates wins" must never be partition
     * order) and update columns must match the manifest schema's data
     * columns — widen the table via [[stagedAppend]] first if the
-    * updates bring new columns.
+    * updates bring new columns. The live table is EXPECTED to have
+    * unique keys too (that is what merge maintains); if a table
+    * acquired duplicate-key rows some other way, merge collapses every
+    * copy of a matched key into the single update row — a documented
+    * dedupe side effect, and `matched` counts the KEY once, not each
+    * copy, so `inserted` can never go negative.
     *
-    * ORDERING caveat (unlike [[stagedAppend]], merge is NOT
-    * replay-idempotent): re-applying an OLD update batch after a newer
-    * one regresses the row — last merge wins. A CDC-apply loop under
-    * at-least-once delivery must therefore either dedupe replays
-    * upstream (e.g. track applied batch ids beside the table) or make
-    * updates commutative (carry a monotonic version column and merge
-    * only rows newer than the current — the st10 query's ordered
-    * micro-batch apply sidesteps it because foreachBatch replays
-    * re-run the SAME ordered sequence). */
+    * DETERMINISM requirement (the one Delta documents for MERGE):
+    * `updates` is evaluated by SEVERAL independent Spark jobs (count,
+    * distinct-key check, key-bounds aggregate, semi/anti joins, the
+    * fold write). A non-deterministic updates frame — a fresh sample,
+    * an unordered limit, a non-deterministic UDF — can make the fold
+    * disagree with the reported stats or the affected-batch set.
+    * Materialize such a frame first (`localCheckpoint()` or write it
+    * out) before merging; deterministic frames need nothing.
+    *
+    * ORDERING: in the default mode merge is NOT replay-idempotent —
+    * re-applying an OLD update batch after a newer one regresses the
+    * row (last merge wins; the st10 query's ordered micro-batch apply
+    * is safe because foreachBatch replays re-run the SAME ordered
+    * sequence). Pass `versionCol` for the COMMUTATIVE mode: each
+    * matched key keeps whichever row has the GREATER version
+    * (update wins ties), so replaying an old update batch after a
+    * newer one is a per-row no-op and a CDC-apply loop under
+    * at-least-once, out-of-order delivery converges to the same state
+    * in any order. The version column must be part of the row schema
+    * and monotonic per key at the source (a CDC log sequence number,
+    * an event timestamp). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            keyCols: Seq[String]): MergeStats = {
+            keyCols: Seq[String],
+            versionCol: Option[String] = None): MergeStats = {
     require(keyCols.nonEmpty, "at least one key column")
     val m = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — merge needs a manifest to flip"))
@@ -614,6 +765,10 @@ object Snapshot {
     }
     val missing = keyCols.filterNot(updates.columns.contains)
     require(missing.isEmpty, s"updates lack key columns: ${missing.mkString(",")}")
+    versionCol.foreach { v =>
+      require(updates.columns.contains(v), s"version column '$v' not in updates")
+      require(!keyCols.contains(v), s"version column '$v' cannot be a key")
+    }
     val nUpdates = updates.count()
     if (nUpdates == 0) return MergeStats(0L, 0L, Seq.empty, None)
     require(updates.select(keyCols.map(col): _*).distinct().count() == nUpdates,
@@ -659,51 +814,129 @@ object Snapshot {
       else live.join(keys, keyCols, "left_semi")
         .select(col("batch_id").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
+    // matched counts DISTINCT key tuples, not rows: a table that
+    // acquired duplicate-key copies reports the key once (and the merge
+    // collapses the copies — the documented dedupe side effect), so
+    // `inserted = nUpdates - matched` stays non-negative
     val matched =
       if (affected.isEmpty) 0L
       else live.filter(col("batch_id").isin(affected: _*))
-        .join(keys, keyCols, "left_semi").count()
+        .join(keys, keyCols, "left_semi")
+        .select(keyCols.map(col): _*).distinct().count()
     // 2. rewrite affected batches only + all updates as ONE fold
     val foldId = freshFoldId(spark, path, m)
     val survivors =
       if (affected.isEmpty) updates
-      else live.filter(col("batch_id").isin(affected: _*))
-        .join(keys, keyCols, "left_anti").drop("batch_id")
-        .unionByName(updates)
+      else versionCol match {
+        case None =>
+          live.filter(col("batch_id").isin(affected: _*))
+            .join(keys, keyCols, "left_anti").drop("batch_id")
+            .unionByName(updates)
+        case Some(vc) =>
+          // COMMUTATIVE mode: pool the affected batches' rows with the
+          // updates and keep, per key, the row with the greatest
+          // (version, is-update) — one hash aggregate, update wins
+          // version ties, unmatched rows pass through as groups of one.
+          // Replaying an OLD update loses to the live row it would have
+          // regressed, making CDC apply order-free.
+          import org.apache.spark.sql.functions.{lit => flit, max_by, struct}
+          val dataCols = updates.columns.toSeq
+          val pool = live.filter(col("batch_id").isin(affected: _*))
+            .drop("batch_id").select(dataCols.map(col): _*)
+            .withColumn("__src", flit(0))
+            .unionByName(updates.withColumn("__src", flit(1)))
+          pool.groupBy(keyCols.map(col): _*)
+            .agg(max_by(struct(dataCols.map(col): _*),
+              struct(col(vc), col("__src"))).as("__row"))
+            .select(dataCols.map(c => col(s"__row.`$c`").as(c)): _*)
+      }
     survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
-    // 3. the pointer flip (fold stats ride it so zone maps stay whole)
-    val v = publish(spark, path, m.batches.diff(affected) :+ foldId,
-      newStats = Map(foldId -> computeBatchStats(spark, path, foldId)))
+    // 3. the pointer flip (fold stats ride it so zone maps stay whole);
+    // optimistic commit: commutes with concurrent retention of OTHER
+    // batches, refuses concurrent appends (write-skew) and retirement
+    // of an affected batch (resurrection) — see commitEdit
+    val v = commitEdit(spark, path, m, add = Seq(foldId), remove = affected,
+      newStats = Map(foldId -> computeBatchStats(spark, path, foldId)),
+      allowConcurrentAdds = false).get
     MergeStats(matched, nUpdates - matched, affected, Some(v))
   }
 
   /** COPY-ON-WRITE DELETE: remove rows where `predicate` is TRUE
     * (NULL keeps, SQL WHERE semantics), rewriting only the batches
     * that contain matching rows — same find-affected + fold + flip
-    * shape as [[merge]]. A predicate matching nothing publishes
-    * nothing; a batch deleted empty simply leaves the fold smaller. */
+    * shape as [[merge]], and the same DETERMINISM requirement on the
+    * predicate (it is evaluated by several independent jobs; a
+    * non-deterministic predicate — rand(), a sampling UDF — can fold a
+    * different row set than the one counted). A predicate matching
+    * nothing publishes nothing; a batch deleted empty simply leaves
+    * the fold smaller.
+    *
+    * An opaque Column cannot be compared against manifest zone maps,
+    * so every live batch is scanned to FIND the affected ones (the
+    * rewrites themselves still touch only affected batches). For the
+    * common retention-by-range case use [[deleteRange]], which prunes
+    * the find-affected scan by metadata alone. */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column): MergeStats = {
     val m = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — deleteWhere needs a manifest to flip"))
-    val live = readBatches(spark, path, m)
-    val affected = live.filter(predicate)
+    deleteFrom(spark, path, m, m.batches, predicate)
+  }
+
+  /** Zone-map-pruned DELETE: remove rows with `column` in [lo, hi]
+    * (inclusive; timestamp bounds as epoch-µs, like [[readRange]]) —
+    * [[deleteWhere]] for the range shape, with the property deletes
+    * were missing at 100 TB: batches whose manifest stats cannot
+    * overlap the range are excluded from even the find-affected scan,
+    * a metadata decision before any file IO. The common
+    * "delete everything older than T" retention case on a
+    * time-ordered table touches only the overlapping head batches
+    * (SnapshotSpec pins that a non-overlapping batch's files are
+    * never read). Batches without stats are always candidates —
+    * pruning is only ever an optimization. */
+  def deleteRange(spark: SparkSession, path: String, column: String,
+                  lo: BigDecimal, hi: BigDecimal): MergeStats = {
+    require(lo <= hi, s"empty range: $lo > $hi")
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — deleteRange needs a manifest to flip"))
+    val dt = m.schemaJson.map(j => structOf(j)(column).dataType).getOrElse {
+      readBatches(spark, path, m).schema(column).dataType
+    }
+    require(statable(dt), s"deleteRange needs a numeric/timestamp column; " +
+      s"'$column' is ${dt.simpleString} — use deleteWhere")
+    val cond = rangeCond(column, dt, lo, hi)
+    val candidates = m.batches.filter(b =>
+      mayOverlap(m.stats.getOrElse(b, Map.empty), column, lo, hi))
+    deleteFrom(spark, path, m, candidates, cond)
+  }
+
+  /** Shared find-affected + fold + flip tail of [[deleteWhere]] /
+    * [[deleteRange]]: scan only `candidates` for matches, rewrite only
+    * the batches that have them, commit optimistically (fold edit, no
+    * concurrent adds — predicate semantics saw the whole table). */
+  private def deleteFrom(spark: SparkSession, path: String, m: Manifest,
+      candidates: Seq[Long],
+      predicate: org.apache.spark.sql.Column): MergeStats = {
+    if (candidates.isEmpty) return MergeStats(0L, 0L, Seq.empty, None)
+    val cand = readBatches(spark, path, m.copy(batches = candidates))
+    val affected = cand.filter(predicate)
       .select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (affected.isEmpty) return MergeStats(0L, 0L, Seq.empty, None)
-    val inAffected = live.filter(col("batch_id").isin(affected: _*))
+    val inAffected = cand.filter(col("batch_id").isin(affected: _*))
     val deleted = inAffected.filter(predicate).count()
     val survivors = inAffected
       .filter(!coalesceBool(predicate)).drop("batch_id")
-    val remaining = m.batches.diff(affected)
     val v =
-      if (survivors.isEmpty && remaining.nonEmpty) {
-        publish(spark, path, remaining)
+      if (survivors.isEmpty && m.batches.size > affected.size) {
+        commitEdit(spark, path, m, remove = affected,
+          allowConcurrentAdds = false).get
       } else {
         val foldId = freshFoldId(spark, path, m)
         survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
-        publish(spark, path, remaining :+ foldId,
-          newStats = Map(foldId -> computeBatchStats(spark, path, foldId)))
+        commitEdit(spark, path, m, add = Seq(foldId), remove = affected,
+          newStats = Map(foldId -> computeBatchStats(spark, path, foldId)),
+          allowConcurrentAdds = false).get
       }
     MergeStats(deleted, 0L, affected, Some(v))
   }
@@ -725,11 +958,33 @@ object Snapshot {
     require(lo <= hi, s"empty range: $lo > $hi")
     val m = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — readRange resolves through manifest stats"))
-    val full = readBatches(spark, path, m)
-    val dt = full.schema(column).dataType
+    // resolve the column's type from the MANIFEST schema when it is
+    // there — planning the full table just to learn a dtype would touch
+    // (and demand the existence of) every live batch dir, defeating the
+    // metadata-only promise. Pre-schema manifests fall back to planning.
+    val dt = m.schemaJson.map(j => structOf(j)(column).dataType)
+      .getOrElse(readBatches(spark, path, m).schema(column).dataType)
     require(statable(dt), s"readRange needs a numeric/timestamp column; " +
       s"'$column' is ${dt.simpleString}")
-    val cond = dt match {
+    val cond = rangeCond(column, dt, lo, hi)
+    val candidates = m.batches.filter(b =>
+      mayOverlap(m.stats.getOrElse(b, Map.empty), column, lo, hi))
+    if (candidates.isEmpty) m.schemaJson match {
+      case Some(j) => // schema-only empty frame: zero file IO
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), structOf(j))
+          .withColumn("batch_id", lit(null).cast("int")).filter(cond)
+      case None => readBatches(spark, path, m).limit(0).filter(cond)
+    }
+    else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
+  }
+
+  /** The inclusive [lo,hi] predicate [[readRange]]/[[deleteRange]]
+    * share: timestamps compare as epoch-µs, integrals by integer part. */
+  private def rangeCond(column: String,
+      dt: org.apache.spark.sql.types.DataType,
+      lo: BigDecimal, hi: BigDecimal): org.apache.spark.sql.Column =
+    dt match {
       case org.apache.spark.sql.types.TimestampType =>
         org.apache.spark.sql.functions.unix_micros(col(column))
           .between(lo.toLong, hi.toLong)
@@ -740,11 +995,6 @@ object Snapshot {
         col(column).between(lo.toLong, hi.toLong)
       case _ => col(column).between(lo.toDouble, hi.toDouble)
     }
-    val candidates = m.batches.filter(b =>
-      mayOverlap(m.stats.getOrElse(b, Map.empty), column, lo, hi))
-    if (candidates.isEmpty) full.limit(0).filter(cond)
-    else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
-  }
 
   /** CHANGE-DATA-CAPTURE between two pinned versions: the multiset row
     * difference `readAt(fromVersion)` → `readAt(toVersion)`, tagged
@@ -772,17 +1022,46 @@ object Snapshot {
     val to = readManifest(spark, path, toVersion)
     val onlyFrom = from.batches.diff(to.batches)
     val onlyTo = to.batches.diff(from.batches)
+    // each side reads under ITS manifest's schema (exactly like readAt:
+    // heterogeneous footers within the side null-fill instead of
+    // playing the first-footer lottery), then both sides WIDEN to the
+    // merged column set — diffing across a schema-evolution boundary
+    // reports the old rows' new columns as null, same as readAt would
+    // show them, instead of an exceptAll arity error. Columns align by
+    // NAME in the merged order on both sides.
+    val mergedSchema: Option[org.apache.spark.sql.types.StructType] =
+      (from.schemaJson, to.schemaJson) match {
+        case (Some(f), Some(t0)) =>
+          Some(structOf(mergeSchemaJson(Some(f), structOf(t0))))
+        case (f, t0) => f.orElse(t0).map(structOf)
+      }
     val anyBatch = (from.batches ++ to.batches).headOption.getOrElse(
       throw new IllegalStateException(s"both manifests v$fromVersion and " +
         s"v$toVersion of $path are empty — no schema to diff under"))
-    def side(batches: Seq[Long]): DataFrame = {
-      val template = spark.read.option("basePath", path)
-        .parquet(batchDirs(path, Seq(anyBatch)): _*).drop("batch_id")
-      if (batches.isEmpty) template.limit(0)
-      else spark.read.option("basePath", path)
-        .parquet(batchDirs(path, batches): _*).drop("batch_id")
+    def side(batches: Seq[Long], own: Option[String]): DataFrame = {
+      val raw =
+        if (batches.isEmpty) own.map(structOf).orElse(mergedSchema) match {
+          case Some(st) => // schema-only empty frame: zero file reads
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+          case None => // pre-schema manifests: template from any batch
+            spark.read.option("basePath", path)
+              .parquet(batchDirs(path, Seq(anyBatch)): _*)
+              .drop("batch_id").limit(0)
+        }
+        else {
+          val rdr = spark.read.option("basePath", path)
+          own.map(j => rdr.schema(structOf(j))).getOrElse(rdr)
+            .parquet(batchDirs(path, batches): _*).drop("batch_id")
+        }
+      mergedSchema match {
+        case Some(mst) => raw.select(mst.fields.toSeq.map(f =>
+          (if (raw.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+        case None => raw
+      }
     }
-    val (a, b) = (side(onlyFrom), side(onlyTo))
+    val (a, b) = (side(onlyFrom, from.schemaJson), side(onlyTo, to.schemaJson))
     val rowCols = a.columns.map(col).toSeq
     a.exceptAll(b).select(lit("delete").as("change_type") +: rowCols: _*)
       .unionByName(

@@ -144,9 +144,13 @@ object Validate {
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     if (rowLocal.nonEmpty) {
-      // one fused scan: count(*) + one conditional sum per check
+      // one fused scan: count(*) + one conditional sum per check.
+      // coalesce: sum() over ZERO rows is NULL, and a NULL violation
+      // count makes `passed` NULL too — an empty ingest batch must
+      // report 0 violations / passed=true, not vanish from both sides
+      // of a passed/!passed gate.
       val aggs = count(lit(1)).as("__n_rows") +: rowLocal.map(c =>
-        sum(when(violation(c), 1L).otherwise(0L)).as(c.name))
+        coalesce(sum(when(violation(c), 1L).otherwise(0L)), lit(0L)).as(c.name))
       val wide = df.agg(aggs.head, aggs.tail: _*)
       parts += wide
         .unpivot(Array(col("__n_rows")), rowLocal.map(c => col(c.name)).toArray,

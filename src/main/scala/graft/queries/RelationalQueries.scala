@@ -1405,6 +1405,64 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // RT6 — zone-map-pruned DELETE (Snapshot.deleteRange): three
+    // batches with disjoint n-ranges; a range delete over the middle
+    // range rewrites ONLY the overlapping batch (the non-overlapping
+    // one is excluded from even the find-affected scan by manifest
+    // stats — SnapshotSpec pins that physically). Final rows + the
+    // operation's stats hash-pin the behavior.
+    "rt6_delete_range" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt6-${java.util.UUID.randomUUID()}")
+      def batch(id: Long, rows: (Long, String)*): Unit = {
+        Snapshot.stagedAppend(s, path, id) {
+          rows.toDF("n", "k").write.mode("overwrite")
+            .parquet(s"$path/batch_id=$id")
+        }: Unit
+      }
+      Seq((1L, "a"), (5L, "b")).toDF("n", "k").write.mode("overwrite")
+        .parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      batch(1L, (100L, "c"), (150L, "d"))
+      batch(2L, (1000L, "e"))
+      val st = Snapshot.deleteRange(s, path, "n",
+        BigDecimal(120), BigDecimal(500))
+      Snapshot.read(s, path)
+        .select(col("k"), col("n"), lit(st.matched).as("n_deleted"),
+          lit(st.rewrittenBatches.length).as("n_rewritten"))
+        .orderBy("k")
+    }),
+
+    // RT7 — OPTIMISTIC CONCURRENCY (Snapshot.commitEdit): an append
+    // stages its batch, and BEFORE its publish a maintenance job
+    // commits retention. The append loses the version race, REBASES
+    // onto the retention's manifest, and commits — the append is not
+    // lost AND the retention holds (pre-r13 the losing writer aborted
+    // after staging). The final live set and both rows pin it.
+    "rt7_concurrent_commit" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt7-${java.util.UUID.randomUUID()}")
+      def write(id: Long): Unit =
+        Seq((s"r$id", id)).toDF("k", "n").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$id")
+      write(0L)
+      Snapshot.enable(s, path)
+      Snapshot.stagedAppend(s, path, 1L)(write(1L))
+      val committed = Snapshot.stagedAppend(s, path, 2L) {
+        write(2L)
+        Snapshot.retainFrom(s, path, keepFrom = 1L): Unit
+      }
+      Snapshot.read(s, path)
+        .select(col("k"), col("n"), lit(committed).as("append_committed"),
+          lit(Snapshot.latest(s, path).get.batches.mkString(","))
+            .as("live_batches"))
+        .orderBy("k")
+    }),
+
     // W4 — the rest of the window-function surface in one query:
     // lag/lead navigation, percent_rank, and ntile(4) binning per
     // event_type over a TOTAL order (value, event_id — the tie-break
@@ -2242,6 +2300,16 @@ object RelationalQueries {
       """SELECT * FROM (VALUES
            ('a', CAST(2 AS BIGINT), 2), ('b', 0, 1), ('c', 2, 1))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
+    "rt6_delete_range" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1),
+           ('b', 5, 1, 1), ('c', 100, 1, 1), ('e', 1000, 1, 1))
+         t(k, n, n_deleted, n_rewritten) ORDER BY k""",
+    "rt7_concurrent_commit" ->
+      """SELECT * FROM (VALUES
+           ('r1', CAST(1 AS BIGINT), true, '1,2'),
+           ('r2', 2, true, '1,2'))
+         t(k, n, append_committed, live_batches) ORDER BY k""",
     "w4_window_navigation" ->
       """SELECT event_id, event_type,
                 lag(CAST(round(value * 100, 0) AS BIGINT), 1)

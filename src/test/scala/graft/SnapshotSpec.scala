@@ -544,6 +544,166 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.compactSmall(spark, path, smallBytes = 1L) shouldBe Seq.empty
   }
 
+  test("optimistic commit: an append racing retention/compaction rebases and BOTH edits hold", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/occ-${java.util.UUID.randomUUID()}")
+    def write(id: Long): Unit =
+      Seq((s"r$id", id)).toDF("k", "n").write.mode("overwrite")
+        .parquet(s"$path/batch_id=$id")
+    write(0L)
+    Snapshot.enable(spark, path)
+    Snapshot.stagedAppend(spark, path, 1L) { write(1L) } shouldBe true
+    // interleave: stagedAppend reads the manifest and stages its dir,
+    // and BEFORE its publish (inside the write closure) a maintenance
+    // job publishes retention. The append's publish loses the version
+    // race, rebases, and commits — the append is not lost AND the
+    // retention holds.
+    Snapshot.stagedAppend(spark, path, 2L) {
+      write(2L)
+      Snapshot.retainFrom(spark, path, keepFrom = 1L) shouldBe Seq(0L)
+    } shouldBe true
+    Snapshot.latest(spark, path).get.batches shouldBe Seq(1L, 2L)
+    // same interleave against SIZE-TIERED COMPACTION: the fold commits
+    // first, the append rebases over it — fold and append both live
+    Snapshot.stagedAppend(spark, path, 3L) {
+      write(3L)
+      Snapshot.compactSmall(spark, path, smallBytes = Long.MaxValue)
+        .toSet shouldBe Set(1L, 2L)
+    } shouldBe true
+    Snapshot.latest(spark, path).get.batches.toSet shouldBe Set(-2L, 3L)
+    Snapshot.read(spark, path).select("k").collect().map(_.getString(0))
+      .sorted shouldBe Array("r1", "r2", "r3")
+
+    // EXACTLY-ONCE survives the race: a commit whose added id was
+    // concurrently committed by another writer is a no-op (None)
+    val base1 = Snapshot.latest(spark, path).get
+    Snapshot.stagedAppend(spark, path, 7L) { write(7L) } shouldBe true
+    Snapshot.commitEdit(spark, path, base1, add = Seq(7L)) shouldBe None
+
+    // NON-COMMUTING: a fold whose input batch was concurrently retired
+    // must abort loudly — publishing it would resurrect retired rows
+    val base2 = Snapshot.latest(spark, path).get // live: -2, 3, 7
+    Snapshot.retainFrom(spark, path, keepFrom = 4L) shouldBe Seq(3L)
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitEdit(spark, path, base2,
+        add = Seq(-9L), remove = Seq(3L))
+    }.getMessage should include("no longer live")
+
+    // NON-COMMUTING: a whole-table predicate edit (merge/delete shape)
+    // refuses to rebase over a concurrent append it never saw
+    val base3 = Snapshot.latest(spark, path).get
+    Snapshot.stagedAppend(spark, path, 8L) { write(8L) } shouldBe true
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitEdit(spark, path, base3, add = Seq(-10L),
+        allowConcurrentAdds = false)
+    }.getMessage should include("appended concurrently")
+  }
+
+  test("deleteRange prunes the find-affected scan by zone maps alone", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/delrange-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, rows: (Long, String)*): Unit =
+      Snapshot.stagedAppend(spark, path, id) {
+        rows.toDF("n", "k").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$id")
+      }
+    Seq((1L, "a"), (10L, "b")).toDF("n", "k").write
+      .mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // batch 0: no stats, never prunable
+    batch(1L, (100L, "c"), (200L, "d"))
+    batch(2L, (1000L, "e"), (2000L, "f"))
+    // the physical pin: delete batch 2's FILES; a deleteRange whose
+    // range overlaps only batch 1 must succeed anyway — if pruning
+    // failed to exclude batch 2 from the find-affected scan, the job
+    // would crash on the missing files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "batch_id=2"), true)
+    val stats = Snapshot.deleteRange(spark, path, "n",
+      BigDecimal(150), BigDecimal(250))
+    stats.matched shouldBe 1L // only n=200
+    stats.rewrittenBatches shouldBe Seq(1L) // batch 0 scanned, unaffected
+    // verify through the pruned reader (a full read would plan over the
+    // deliberately-deleted batch 2 dirs)
+    Snapshot.readRange(spark, path, "n", BigDecimal(0), BigDecimal(500))
+      .select("n").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 10L, 100L)
+    // a range matching nothing publishes nothing
+    Snapshot.deleteRange(spark, path, "n",
+      BigDecimal(300), BigDecimal(400)).version shouldBe None
+    // string columns refuse loudly (no stats, no collation-safe bounds)
+    intercept[IllegalArgumentException] {
+      Snapshot.deleteRange(spark, path, "k", BigDecimal(0), BigDecimal(1))
+    }.getMessage should include("numeric/timestamp")
+  }
+
+  test("versioned merge is commutative: replaying an OLD update after a newer one never regresses", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/vmerge-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("k", "n", "ver")
+      .write.mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    def state(): Seq[(String, Long, Long)] =
+      Snapshot.read(spark, path).select("k", "n", "ver").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // newer update applies
+    Snapshot.merge(spark, path, Seq(("a", 100L, 20L)).toDF("k", "n", "ver"),
+      Seq("k"), versionCol = Some("ver"))
+    state() shouldBe Seq(("a", 100L, 20L), ("b", 2L, 10L))
+    // REPLAY of an older update: per-row no-op, no regression
+    Snapshot.merge(spark, path, Seq(("a", 50L, 15L)).toDF("k", "n", "ver"),
+      Seq("k"), versionCol = Some("ver"))
+    state() shouldBe Seq(("a", 100L, 20L), ("b", 2L, 10L))
+    // version tie: the UPDATE wins deterministically
+    Snapshot.merge(spark, path, Seq(("b", 999L, 10L)).toDF("k", "n", "ver"),
+      Seq("k"), versionCol = Some("ver"))
+    state() shouldBe Seq(("a", 100L, 20L), ("b", 999L, 10L))
+    // inserts still insert under version mode
+    Snapshot.merge(spark, path, Seq(("c", 3L, 5L)).toDF("k", "n", "ver"),
+      Seq("k"), versionCol = Some("ver"))
+    state() shouldBe Seq(("a", 100L, 20L), ("b", 999L, 10L), ("c", 3L, 5L))
+    // ORDER-FREE convergence: applying {v=30} then {v=25} equals
+    // applying {v=25} then {v=30}
+    val other = TempDirs.path(s"snapshot-spec/vmerge2-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L, 10L)).toDF("k", "n", "ver")
+      .write.mode("overwrite").parquet(s"$other/batch_id=0")
+    Snapshot.enable(spark, other)
+    val u25 = Seq(("a", 25L, 25L)).toDF("k", "n", "ver")
+    val u30 = Seq(("a", 30L, 30L)).toDF("k", "n", "ver")
+    Snapshot.merge(spark, other, u30, Seq("k"), versionCol = Some("ver"))
+    Snapshot.merge(spark, other, u25, Seq("k"), versionCol = Some("ver"))
+    Snapshot.read(spark, other).select("n").head().getLong(0) shouldBe 30L
+  }
+
+  test("diffVersions across a schema-evolution boundary widens both sides with null-fill", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/diffevo-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L)).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    val v1 = Snapshot.latestVersion(spark, path).get
+    // batch 1 brings a new `lang` column — the evolution boundary
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq(("b", 2L, "en")).toDF("k", "n", "lang").write
+        .mode("overwrite").parquet(s"$path/batch_id=1")
+    }
+    val v2 = Snapshot.latestVersion(spark, path).get
+    val d = Snapshot.diffVersions(spark, path, v1, v2)
+    d.columns.toSeq shouldBe Seq("change_type", "k", "n", "lang")
+    d.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      Option(r.getString(3)))).toSeq shouldBe
+      Seq(("insert", "b", 2L, Some("en")))
+    // reverse direction: the old side's rows null-fill the new column
+    Snapshot.diffVersions(spark, path, v2, v1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(3)))).toSeq shouldBe
+      Seq(("delete", "b", Some("en")))
+    // retire the old batch and diff ACROSS the boundary from v1: the
+    // deleted row reports its `lang` as null, exactly as readAt shows it
+    Snapshot.retainFrom(spark, path, keepFrom = 1L)
+    val v3 = Snapshot.latestVersion(spark, path).get
+    Snapshot.diffVersions(spark, path, v1, v3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(3)))).toSeq.sorted shouldBe
+      Seq(("delete", "a", None), ("insert", "b", Some("en")))
+  }
+
   test("build resets an enabled table and republishes a fresh manifest") {
     val path = plantSketch("rebuild", days = 3)
     Snapshot.enable(spark, path)
