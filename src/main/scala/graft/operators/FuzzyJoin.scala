@@ -91,9 +91,8 @@ object FuzzyJoin {
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxLen: Int = 256): DataFrame = {
     val p = build(df, idCol, strCol, maxDist, maxLen)
-    val out = p.verified.localCheckpoint(true)
-    p.base.unpersist(blocking = false)
-    out
+    try p.verified.localCheckpoint(true)
+    finally p.base.unpersist(blocking = false)
   }
 
   /** [[selfJoin]] plus the scale evidence: one stats row
@@ -105,18 +104,21 @@ object FuzzyJoin {
       maxDist: Int, maxLen: Int = 256): (DataFrame, DataFrame) = {
     val p = build(df, idCol, strCol, maxDist, maxLen)
     val cand = p.cand.persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = p.verifiedFrom(cand).localCheckpoint(true)
-    val nRows = p.base.count()
-    val nCand = cand.count()
-    val nPairs = pairs.count()
-    cand.unpersist(blocking = false)
-    p.base.unpersist(blocking = false)
-    val allPairs = math.max(nRows * (nRows - 1) / 2, 1L).toDouble
-    val spark = df.sparkSession
-    import spark.implicits._
-    val stats = Seq((nRows, nCand, nPairs, nCand / allPairs))
-      .toDF("n_rows", "n_candidates", "n_pairs", "candidate_frac")
-    (pairs, stats)
+    try {
+      val pairs = p.verifiedFrom(cand).localCheckpoint(true)
+      val nRows = p.base.count()
+      val nCand = cand.count()
+      val nPairs = pairs.count()
+      val allPairs = math.max(nRows * (nRows - 1) / 2, 1L).toDouble
+      val spark = df.sparkSession
+      import spark.implicits._
+      val stats = Seq((nRows, nCand, nPairs, nCand / allPairs))
+        .toDF("n_rows", "n_candidates", "n_pairs", "candidate_frac")
+      (pairs, stats)
+    } finally { // a failed action must not leak cached partitions
+      cand.unpersist(blocking = false)
+      p.base.unpersist(blocking = false)
+    }
   }
 
   /** Two-table fuzzy match: all `(left_id, right_id, dist)` with
@@ -129,25 +131,27 @@ object FuzzyJoin {
       maxDist: Int, maxLen: Int = 256): DataFrame = {
     val lb = sideOf(left, leftId, leftStr).persist(StorageLevel.MEMORY_AND_DISK)
     val rb = sideOf(right, rightId, rightStr).persist(StorageLevel.MEMORY_AND_DISK)
-    guard(lb, leftStr, maxDist, maxLen)
-    guard(rb, rightStr, maxDist, maxLen)
-    val cand = keysOf(lb, maxDist)
-      .select(col("key"), col("id").as("left_id"), col("n").as("n1"))
-      .join(keysOf(rb, maxDist)
-        .select(col("key"), col("id").as("right_id"), col("n").as("n2")),
-        Seq("key"))
-      .filter(abs(col("n1") - col("n2")) <= maxDist)
-      .select("left_id", "right_id").distinct()
-    val out = cand
-      .join(lb.select(col("id").as("left_id"), col("s").as("s1")), "left_id")
-      .join(rb.select(col("id").as("right_id"), col("s").as("s2")), "right_id")
-      .withColumn("dist", levenshtein(col("s1"), col("s2")))
-      .filter(col("dist") <= maxDist)
-      .select(col("left_id"), col("right_id"), col("dist"))
-      .localCheckpoint(true)
-    lb.unpersist(blocking = false)
-    rb.unpersist(blocking = false)
-    out
+    try { // guard() or any action may throw: never leak the caches
+      guard(lb, leftStr, maxDist, maxLen)
+      guard(rb, rightStr, maxDist, maxLen)
+      val cand = keysOf(lb, maxDist)
+        .select(col("key"), col("id").as("left_id"), col("n").as("n1"))
+        .join(keysOf(rb, maxDist)
+          .select(col("key"), col("id").as("right_id"), col("n").as("n2")),
+          Seq("key"))
+        .filter(abs(col("n1") - col("n2")) <= maxDist)
+        .select("left_id", "right_id").distinct()
+      cand
+        .join(lb.select(col("id").as("left_id"), col("s").as("s1")), "left_id")
+        .join(rb.select(col("id").as("right_id"), col("s").as("s2")), "right_id")
+        .withColumn("dist", levenshtein(col("s1"), col("s2")))
+        .filter(col("dist") <= maxDist)
+        .select(col("left_id"), col("right_id"), col("dist"))
+        .localCheckpoint(true)
+    } finally {
+      lb.unpersist(blocking = false)
+      rb.unpersist(blocking = false)
+    }
   }
 
   private def sideOf(df: DataFrame, idCol: String, strCol: String): DataFrame =
@@ -169,7 +173,8 @@ object FuzzyJoin {
   private def build(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxLen: Int): Pipeline = {
     val base = sideOf(df, idCol, strCol).persist(StorageLevel.MEMORY_AND_DISK)
-    guard(base, strCol, maxDist, maxLen)
+    try guard(base, strCol, maxDist, maxLen)
+    catch { case e: Throwable => base.unpersist(blocking = false); throw e }
     val keys = keysOf(base, maxDist)
     val cand = keys.select(col("key"), col("id").as("id1"), col("n").as("n1"))
       .join(keys.select(col("key"), col("id").as("id2"), col("n").as("n2")),

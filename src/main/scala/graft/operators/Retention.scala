@@ -198,10 +198,12 @@ object Retention {
     if (doomed.isEmpty) Seq.empty
     else if (Snapshot.isEnabled(spark, path)) {
       // retention edit under the optimistic commit: commutes with a
-      // concurrent append or another removal (Snapshot.commitEdit)
+      // concurrent append or another RETIREMENT (a concurrent fold of
+      // a target aborts loudly inside commitEdit); report only the ids
+      // this edit actually dropped
       Snapshot.commitEdit(spark, path, Snapshot.latest(spark, path).get,
         remove = doomed, tolerateConcurrentRemoves = true)
-      doomed
+        .map(_.removed).getOrElse(Seq.empty)
     } else {
       deleteBatches(spark, path, doomed)
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -85,7 +85,19 @@ object Snapshot {
                             committed: Seq[Long],
                             schemaJson: Option[String] = None,
                             stats: Map[Long, Map[String, (String, String)]] =
-                              Map.empty)
+                              Map.empty,
+                            folded: Seq[Long] = Seq.empty) {
+    /** Ids that left the live set as FOLD INPUTS (compaction / merge /
+      * delete-with-survivors) — their ROWS SURVIVE inside a fold
+      * output, unlike retired ids whose rows are logically gone. The
+      * cumulative set rides every manifest (ids are never reused, so
+      * membership is permanent) and is what lets [[commitEdit]] tell a
+      * commuting retention race ("someone else already retired it")
+      * from a NON-commuting one ("someone folded it — retiring the id
+      * would not drop its rows"). Pre-fold-field manifests read as
+      * empty: the old behavior, documented as unable to distinguish. */
+    def foldedSet: Set[Long] = folded.toSet
+  }
 
   private def structOf(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
@@ -242,7 +254,12 @@ object Snapshot {
           }.toMap
         }.toMap
       } else Map.empty[Long, Map[String, (String, String)]]
-    Manifest(node.get("version").asLong(), batches, committed, schema, stats)
+    val folded =
+      if (node.hasNonNull("folded"))
+        node.get("folded").elements().asScala.map(_.asLong()).toSeq
+      else Seq.empty[Long] // pre-fold-field manifests
+    Manifest(node.get("version").asLong(), batches, committed, schema, stats,
+      folded)
   }
 
   /** The newest manifest, if the table is enabled. */
@@ -303,7 +320,8 @@ object Snapshot {
   private def publishAt(spark: SparkSession, path: String,
               prev: Option[Manifest], batches: Seq[Long],
               schemaJson: Option[String],
-              newStats: Map[Long, Map[String, (String, String)]]): Long = {
+              newStats: Map[Long, Map[String, (String, String)]],
+              foldedNew: Seq[Long] = Seq.empty): Long = {
     val fs = fsFor(spark, path)
     val v = prev.map(_.version).getOrElse(0L) + 1
     val dst = manifestFile(path, v)
@@ -313,6 +331,9 @@ object Snapshot {
     val sorted = batches.distinct.sorted
     val committed = (prev.map(m => m.committed ++ m.batches).getOrElse(Seq.empty)
       ++ sorted).distinct.sorted
+    // fold provenance is cumulative like `committed` (ids never reused)
+    val foldedAll = (prev.map(_.folded).getOrElse(Seq.empty) ++ foldedNew)
+      .distinct.sorted
     // schema: explicit wins; otherwise carried forward unchanged, so
     // retention/compaction/keep-last publishes never lose it
     val schema = schemaJson.orElse(prev.flatMap(_.schemaJson))
@@ -340,6 +361,8 @@ object Snapshot {
     try out.write(
       (s"""{"version":$v,"batches":[${sorted.mkString(",")}],""" +
         s""""committed":[${committed.mkString(",")}]""" +
+        (if (foldedAll.isEmpty) ""
+         else s""","folded":[${foldedAll.mkString(",")}]""") +
         schema.map(s => s""","schema":$s""").getOrElse("") +
         statsJson + "}")
         .getBytes("UTF-8"))
@@ -367,9 +390,13 @@ object Snapshot {
   //  - an APPEND commutes with anything that did not commit the same
   //    batch id (if one did — a redelivery race — the append is a no-op,
   //    preserving exactly-once);
-  //  - a RETENTION edit commutes with appends and with other removals
-  //    (an id someone else already retired is simply no longer ours to
-  //    retire);
+  //  - a RETENTION edit commutes with appends and with other
+  //    RETIREMENTS (an id someone else already retired is simply no
+  //    longer ours to retire) — but NOT with a concurrent FOLD of its
+  //    target: the fold output still holds the rows, so "I dropped
+  //    this id" would be a silent retention failure (TTL/GDPR); the
+  //    manifest's cumulative `folded` set is what tells the two
+  //    apart, and a fold race fails loudly;
   //  - a FOLD edit (compaction / merge / delete — its output CONTAINS
   //    rows of the batches it removes) requires every input batch still
   //    live: a concurrent retirement of an input would be resurrected
@@ -379,27 +406,42 @@ object Snapshot {
   //    the new batch may hold matching rows the fold never saw (the
   //    classic write-skew), and silently keeping both sides would
   //    corrupt keyed state.
-  // Fold OUTPUT directories stay single-writer: two concurrent
-  // fold-producing jobs could stage the same fresh id before either
-  // publishes. The conflict IS detected at publish (their input sets
-  // overlap → one aborts) — but run one maintenance job at a time per
-  // table; the OCC loop exists so maintenance and INGEST interleave.
+  // Fold OUTPUT ids are made collision-free BEFORE any data is
+  // written: [[freshFoldId]] reserves its id by exclusively creating a
+  // `_manifests/fold-reserve-<n>` marker (create-no-overwrite is the
+  // mutual exclusion), so two concurrent fold jobs — even from the
+  // same base manifest, even with disjoint inputs — can never stage
+  // into the same directory and the loser can never clobber the
+  // winner's committed fold. Overlapping-INPUT folds still conflict at
+  // publish (the second one's inputs are no longer live → loud abort).
+
+  /** A successful [[commitEdit]]: the published `version` and the ids
+    * this edit ACTUALLY removed from the live set — after a rebase
+    * over a concurrent retirement, `removed` can be a strict subset of
+    * the requested removes, and callers that report "what I dropped"
+    * (retention) must report THIS, not what they asked for. */
+  final case class Commit(version: Long, removed: Seq[Long])
 
   /** Commit `add`/`remove` against `basedOn`, rebasing over concurrent
-    * publishes per the commutativity rules above. Returns Some(version)
-    * on success, None when every added id was concurrently committed by
-    * another writer (the redelivery race — exactly-once preserved).
-    * `schemaOf` recomputes the published schema against the CURRENT
-    * base on every attempt, so an append's schema merge rebases too.
-    * Throws [[CommitConflictException]] on a non-commuting race or
-    * after `maxAttempts` lost races. */
+    * publishes per the commutativity rules above. Returns
+    * Some([[Commit]]) on success; None when there was nothing left to
+    * publish — every added id was concurrently committed by another
+    * writer (the redelivery race — exactly-once preserved), or an
+    * add-less edit's removes were all concurrently retired. `schemaOf`
+    * recomputes the published schema against the CURRENT base on every
+    * attempt, so an append's schema merge rebases too. `removeIsFold`
+    * marks the removes as FOLD INPUTS (their rows survive in an added
+    * fold output) so future retention races can distinguish them from
+    * retirements. Throws [[CommitConflictException]] on a non-commuting
+    * race or after `maxAttempts` lost races. */
   def commitEdit(spark: SparkSession, path: String, basedOn: Manifest,
       add: Seq[Long] = Seq.empty, remove: Seq[Long] = Seq.empty,
       schemaOf: Manifest => Option[String] = _ => None,
       newStats: Map[Long, Map[String, (String, String)]] = Map.empty,
       allowConcurrentAdds: Boolean = true,
       tolerateConcurrentRemoves: Boolean = false,
-      maxAttempts: Int = 5): Option[Long] = {
+      removeIsFold: Boolean = false,
+      maxAttempts: Int = 5): Option[Commit] = {
     var base = basedOn
     var attempt = 0
     while (true) {
@@ -411,8 +453,20 @@ object Snapshot {
           s"$path but ${add.filterNot(history).mkString(",")} not — " +
           "an edit's added ids must be all-new or all-committed")
       val effRemove =
-        if (tolerateConcurrentRemoves) remove.filter(base.batches.contains)
-        else {
+        if (tolerateConcurrentRemoves) {
+          // a gone id someone RETIRED is no longer ours to remove (the
+          // commuting case) — but a gone id someone FOLDED still has
+          // its rows inside the fold output, so claiming to have
+          // dropped it would be a silent retention failure: abort.
+          val gone = remove.filterNot(base.batches.contains)
+          val foldedGone = gone.filter(base.foldedSet)
+          if (foldedGone.nonEmpty) throw new CommitConflictException(
+            s"batches ${foldedGone.mkString(",")} were concurrently FOLDED " +
+              s"(compaction/merge/delete) under $path — their rows survive " +
+              "in the fold output, so this removal cannot claim to have " +
+              "dropped them; re-run against the current state")
+          remove.filter(base.batches.contains)
+        } else {
           val gone = remove.filterNot(base.batches.contains)
           if (gone.nonEmpty) throw new CommitConflictException(
             s"batches ${gone.mkString(",")} are no longer live at " +
@@ -420,9 +474,13 @@ object Snapshot {
               "folded this edit's inputs; re-run against the current state")
           remove
         }
+      if (add.isEmpty && effRemove.isEmpty) return None // nothing left to do
       try {
-        return Some(publishAt(spark, path, Some(base),
-          base.batches.diff(effRemove) ++ add, schemaOf(base), newStats))
+        return Some(Commit(
+          publishAt(spark, path, Some(base),
+            base.batches.diff(effRemove) ++ add, schemaOf(base), newStats,
+            foldedNew = if (removeIsFold) effRemove else Seq.empty),
+          effRemove))
       } catch {
         case e: CommitConflictException =>
           if (attempt >= maxAttempts) throw new CommitConflictException(
@@ -521,10 +579,12 @@ object Snapshot {
         "Retention's physical path"))
     val doomed = m.batches.filter(b => b < keepFrom && (includeBuild || b >= 0))
     // retention commutes with concurrent appends AND with concurrent
-    // removals (an id someone else retired is no longer ours to retire)
-    if (doomed.nonEmpty) commitEdit(spark, path, m, remove = doomed,
-      tolerateConcurrentRemoves = true)
-    doomed
+    // RETIREMENTS (an id someone else retired is no longer ours to
+    // retire — commitEdit reports only what THIS edit dropped); a
+    // concurrent FOLD of a target aborts loudly inside commitEdit
+    if (doomed.isEmpty) Seq.empty
+    else commitEdit(spark, path, m, remove = doomed,
+      tolerateConcurrentRemoves = true).map(_.removed).getOrElse(Seq.empty)
   }
 
   /** Logical keep-last-n — [[Retention.keepLastBatches]]'s manifest
@@ -536,9 +596,9 @@ object Snapshot {
       s"$path is not snapshot-enabled"))
     val (candidates, _) = m.batches.sorted.partition(includeBuild || _ >= 0)
     val doomed = candidates.dropRight(n)
-    if (doomed.nonEmpty) commitEdit(spark, path, m, remove = doomed,
-      tolerateConcurrentRemoves = true)
-    doomed
+    if (doomed.isEmpty) Seq.empty
+    else commitEdit(spark, path, m, remove = doomed,
+      tolerateConcurrentRemoves = true).map(_.removed).getOrElse(Seq.empty)
   }
 
   /** Commit one batch append under the manifest protocol — the ONE
@@ -618,9 +678,15 @@ object Snapshot {
       .write.mode("overwrite").parquet(s"$path/batch_id=$newId")
     // fold edit: inputs must still be live (a concurrently-retired input
     // would be resurrected by the fold); concurrent APPENDS commute —
-    // the rebase keeps the new batch live beside the fold
+    // the rebase keeps the new batch live beside the fold. A None here
+    // would mean the fresh fold id was somehow committed before — id
+    // reuse, which the reservation makes impossible — so surface it
+    // loudly instead of returning success with nothing published.
     commitEdit(spark, path, m, add = Seq(newId), remove = m.batches,
-      newStats = Map(newId -> computeBatchStats(spark, path, newId)))
+      newStats = Map(newId -> computeBatchStats(spark, path, newId)),
+      removeIsFold = true).getOrElse(throw new IllegalStateException(
+      s"fold commit of batch_id=$newId under $path was discarded as a " +
+        "redelivery — fold ids must be fresh; reservation invariant broken"))
     newId
   }
 
@@ -653,7 +719,10 @@ object Snapshot {
     // rebase cleanly (the new small batch just isn't folded this round);
     // concurrent retirement of a fold INPUT aborts loudly
     commitEdit(spark, path, m, add = Seq(newId), remove = smalls,
-      newStats = Map(newId -> computeBatchStats(spark, path, newId)))
+      newStats = Map(newId -> computeBatchStats(spark, path, newId)),
+      removeIsFold = true).getOrElse(throw new IllegalStateException(
+      s"fold commit of batch_id=$newId under $path was discarded as a " +
+        "redelivery — fold ids must be fresh; reservation invariant broken"))
     smalls
   }
 
@@ -694,12 +763,49 @@ object Snapshot {
                               rewrittenBatches: Seq[Long],
                               version: Option[Long])
 
-  /** Fresh fold id strictly below every id on disk or live — shared by
-    * [[compactLive]] / [[merge]] / [[deleteWhere]] so no rewrite can
-    * ever land in a directory any manifest referenced. */
-  private def freshFoldId(spark: SparkSession, path: String,
-                          m: Manifest): Long =
-    math.min(-2L, (Retention.batchIds(spark, path) ++ m.batches).min - 1)
+  /** Fresh fold id strictly below every id on disk, live, EVER
+    * committed, or ever reserved — shared by [[compactLive]] /
+    * [[compactSmall]] / [[merge]] / [[deleteWhere]] so no rewrite can
+    * ever land in a directory any manifest referenced.
+    *
+    * COLLISION-FREE across concurrent writers: before returning, the
+    * id is claimed by exclusively creating a
+    * `_manifests/fold-reserve-<n>` marker (`fs.create(…, overwrite =
+    * false)` — atomic create-if-absent on HDFS and local filesystems).
+    * Two fold jobs racing from the same base manifest therefore get
+    * DIFFERENT ids: the loser's create throws and it decrements —
+    * without this, the loser's `write.mode(overwrite)` would clobber
+    * the winner's already-committed fold directory before any publish
+    * check could notice. Markers are a few bytes and are kept forever
+    * (an id must never be reusable, even after its batch is retired
+    * and vacuumed); [[listVersions]] ignores them by name. */
+  private[graft] def freshFoldId(spark: SparkSession, path: String,
+                          m: Manifest): Long = {
+    val fs = fsFor(spark, path)
+    val dir = new Path(path, ManifestDir)
+    val reserved =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("fold-reserve-") =>
+          n.stripPrefix("fold-reserve-") }
+        .flatMap(n => scala.util.Try(-n.toLong).toOption)
+    var id = math.min(-2L,
+      (Retention.batchIds(spark, path) ++ m.batches ++ m.committed ++
+        reserved :+ -1L).min - 1)
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      try {
+        fs.create(new Path(dir, s"fold-reserve-${-id}"), false).close()
+        return id
+      } catch { // another writer claimed it between the listing and now
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => id -= 1
+        case _: java.nio.file.FileAlreadyExistsException => id -= 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not reserve a fold id under $path after $attempts attempts")
+  }
 
   /** COPY-ON-WRITE MERGE (upsert) — the keyed mutation primitive the
     * append-only family was missing: rows of `updates` whose key tuple
@@ -841,14 +947,22 @@ object Snapshot {
           // regressed, making CDC apply order-free.
           import org.apache.spark.sql.functions.{lit => flit, max_by, struct}
           val dataCols = updates.columns.toSeq
+          // scratch names must not shadow a REAL column (a data column
+          // literally named "__src" would be silently replaced by the
+          // source flag, corrupting the fold): extend with underscores
+          // until free — deterministic, collision-free by construction
+          def fresh(seed: String): String =
+            Iterator.iterate(seed)(_ + "_").dropWhile(dataCols.contains).next()
+          val srcCol = fresh("__src")
+          val rowCol = fresh("__row")
           val pool = live.filter(col("batch_id").isin(affected: _*))
             .drop("batch_id").select(dataCols.map(col): _*)
-            .withColumn("__src", flit(0))
-            .unionByName(updates.withColumn("__src", flit(1)))
+            .withColumn(srcCol, flit(0))
+            .unionByName(updates.withColumn(srcCol, flit(1)))
           pool.groupBy(keyCols.map(col): _*)
             .agg(max_by(struct(dataCols.map(col): _*),
-              struct(col(vc), col("__src"))).as("__row"))
-            .select(dataCols.map(c => col(s"__row.`$c`").as(c)): _*)
+              struct(col(vc), col(srcCol))).as(rowCol))
+            .select(dataCols.map(c => col(s"`$rowCol`.`$c`").as(c)): _*)
       }
     survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
     // 3. the pointer flip (fold stats ride it so zone maps stay whole);
@@ -857,7 +971,7 @@ object Snapshot {
     // of an affected batch (resurrection) — see commitEdit
     val v = commitEdit(spark, path, m, add = Seq(foldId), remove = affected,
       newStats = Map(foldId -> computeBatchStats(spark, path, foldId)),
-      allowConcurrentAdds = false).get
+      allowConcurrentAdds = false, removeIsFold = true).get.version
     MergeStats(matched, nUpdates - matched, affected, Some(v))
   }
 
@@ -904,9 +1018,14 @@ object Snapshot {
     }
     require(statable(dt), s"deleteRange needs a numeric/timestamp column; " +
       s"'$column' is ${dt.simpleString} — use deleteWhere")
-    val cond = rangeCond(column, dt, lo, hi)
+    // one normalization feeds BOTH the row predicate and the prune, so
+    // fractional bounds on an integral column can never make the two
+    // disagree; an inward-rounded-empty range deletes nothing
+    val (nlo, nhi) = normRange(dt, lo, hi)
+    if (nlo > nhi) return MergeStats(0L, 0L, Seq.empty, None)
+    val cond = rangeCond(column, dt, nlo, nhi)
     val candidates = m.batches.filter(b =>
-      mayOverlap(m.stats.getOrElse(b, Map.empty), column, lo, hi))
+      mayOverlap(m.stats.getOrElse(b, Map.empty), column, nlo, nhi))
     deleteFrom(spark, path, m, candidates, cond)
   }
 
@@ -929,14 +1048,17 @@ object Snapshot {
       .filter(!coalesceBool(predicate)).drop("batch_id")
     val v =
       if (survivors.isEmpty && m.batches.size > affected.size) {
+        // pure removal, NOT a fold: every row of the affected batches
+        // matched the predicate, so the rows are genuinely gone — a
+        // racing retention of these ids would be merely redundant
         commitEdit(spark, path, m, remove = affected,
-          allowConcurrentAdds = false).get
+          allowConcurrentAdds = false).get.version
       } else {
         val foldId = freshFoldId(spark, path, m)
         survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
         commitEdit(spark, path, m, add = Seq(foldId), remove = affected,
           newStats = Map(foldId -> computeBatchStats(spark, path, foldId)),
-          allowConcurrentAdds = false).get
+          allowConcurrentAdds = false, removeIsFold = true).get.version
       }
     MergeStats(deleted, 0L, affected, Some(v))
   }
@@ -966,9 +1088,12 @@ object Snapshot {
       .getOrElse(readBatches(spark, path, m).schema(column).dataType)
     require(statable(dt), s"readRange needs a numeric/timestamp column; " +
       s"'$column' is ${dt.simpleString}")
-    val cond = rangeCond(column, dt, lo, hi)
-    val candidates = m.batches.filter(b =>
-      mayOverlap(m.stats.getOrElse(b, Map.empty), column, lo, hi))
+    val (nlo, nhi) = normRange(dt, lo, hi)
+    val cond = rangeCond(column, dt, nlo, nhi)
+    val candidates =
+      if (nlo > nhi) Seq.empty[Long] // inward-rounded empty: zero IO
+      else m.batches.filter(b =>
+        mayOverlap(m.stats.getOrElse(b, Map.empty), column, nlo, nhi))
     if (candidates.isEmpty) m.schemaJson match {
       case Some(j) => // schema-only empty frame: zero file IO
         spark.createDataFrame(
@@ -979,8 +1104,31 @@ object Snapshot {
     else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
   }
 
+  /** Normalize [lo,hi] to the column's value domain so the ROW
+    * predicate ([[rangeCond]]) and the ZONE-MAP prune ([[mayOverlap]])
+    * agree on exactly the same range: for integral/timestamp columns a
+    * fractional bound is tightened INWARD (lo rounds up, hi rounds
+    * down — [120.5, 500.7] means the integers [121, 500]). Without
+    * this, rangeCond's truncation would select n=120 while the zone
+    * maps pruned on 120.5 — which rows matched would depend on whether
+    * a batch happened to carry stats. A normalized lo > hi is a
+    * legitimately empty range. */
+  private def normRange(dt: org.apache.spark.sql.types.DataType,
+      lo: BigDecimal, hi: BigDecimal): (BigDecimal, BigDecimal) =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType
+           | org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType =>
+        (lo.setScale(0, BigDecimal.RoundingMode.CEILING),
+          hi.setScale(0, BigDecimal.RoundingMode.FLOOR))
+      case _ => (lo, hi)
+    }
+
   /** The inclusive [lo,hi] predicate [[readRange]]/[[deleteRange]]
-    * share: timestamps compare as epoch-µs, integrals by integer part. */
+    * share: timestamps compare as epoch-µs, integrals by integer part
+    * (exact — callers pass [[normRange]]-normalized bounds). */
   private def rangeCond(column: String,
       dt: org.apache.spark.sql.types.DataType,
       lo: BigDecimal, hi: BigDecimal): org.apache.spark.sql.Column =

@@ -1541,24 +1541,26 @@ object RelationalQueries {
         .orderBy("event_type", "asof_tier")
     }),
 
-    // F15 — fuzzy matching via edit distance with PREFIX BLOCKING: the
-    // street-typo reconciliation the reference does with hand regexes,
-    // generalized. The self-join is blocked on the first character so
-    // candidate pairs come from a keyed equi-join, never an all-pairs
-    // cartesian (the same never-quadratic doctrine as the LSH family —
-    // at corpus scale the block key would be a phonetic/ngram bucket).
-    // Both engines' levenshtein must agree exactly.
+    // F15 — fuzzy matching via edit distance through the FuzzyJoin
+    // operator: deletion-neighborhood (FastSS) blocking, which is
+    // RECALL-COMPLETE — unlike the r12 demo's first-character block,
+    // a pair whose edit touches position 0 ("Smith"/"mith", planted
+    // below) is still found, because if ed(a,b) <= k the two deletion
+    // neighborhoods always intersect. Candidates come from an
+    // equi-join on hashed variant keys, never an all-pairs cartesian
+    // (the same never-quadratic doctrine as the LSH family), and the
+    // oracle is the UNBLOCKED brute-force pair set — completeness is
+    // exactly what the hash compare gates. Both engines' levenshtein
+    // must agree exactly.
     "f15_edit_distance" -> ((s, _) => {
       import s.implicits._
       val names = Seq((1L, "Main Street"), (2L, "Main Stret"),
         (3L, "Mian Street"), (4L, "Oak Avenue"), (5L, "Oak Avenu"),
-        (6L, "Pine Road")).toDF("id", "name")
-        .withColumn("blk", substring(col("name"), 1, 1))
-      names.as("a").join(names.as("b"),
-          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          levenshtein(col("a.name"), col("b.name")).as("dist"))
-        .filter(col("dist") <= 2)
+        (6L, "Pine Road"), (7L, "Smith"), (8L, "mith"), (9L, "Smyth"))
+        .toDF("id", "name")
+      graft.operators.FuzzyJoin.selfJoin(names, "id", "name", maxDist = 2)
+        .select(col("id1").as("id_a"), col("id2").as("id_b"),
+          col("dist").cast("int").as("dist"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2354,11 +2356,10 @@ object RelationalQueries {
       """WITH n(id, name) AS (VALUES
            (CAST(1 AS BIGINT), 'Main Street'), (2, 'Main Stret'),
            (3, 'Mian Street'), (4, 'Oak Avenue'), (5, 'Oak Avenu'),
-           (6, 'Pine Road'))
+           (6, 'Pine Road'), (7, 'Smith'), (8, 'mith'), (9, 'Smyth'))
          SELECT a.id AS id_a, b.id AS id_b,
                 CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
-         FROM n a JOIN n b
-           ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.id < b.id
+         FROM n a JOIN n b ON a.id < b.id
          WHERE levenshtein(a.name, b.name) <= 2
          ORDER BY id_a, id_b""",
     "st10_streaming_upsert" ->

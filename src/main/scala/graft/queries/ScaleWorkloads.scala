@@ -211,6 +211,19 @@ object ScaleWorkloads {
           docs, "doc_id", "text", threshold = 0.8)
         stats.select(col("candidate_frac")).head().getDouble(0)
       },
+      // Deletion-neighborhood pruning power: fraction of the quadratic
+      // pair space FuzzyJoin verified (quarter slice, same budget
+      // discipline as the jaccard gauge — the fraction is
+      // key-shape-driven, not size-driven; completeness itself is
+      // FuzzyJoinSpec's brute parity, this keeps the COST honest).
+      "fuzzy_join_candidate_frac" -> {
+        val cust = Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 4 === 0)
+        val (_, stats) = graft.operators.FuzzyJoin.selfJoinWithStats(
+          cust, "c_custkey", "c_name", maxDist = 1)
+        val f = stats.select(col("candidate_frac")).head().getDouble(0)
+        math.rint(f * 100000) / 100000
+      },
       "skew_naive_task_imbalance" -> {
         // QUARTER-size fixture: the max/median ratio is what the gauge
         // reports and it is size-independent (hot share and partition
@@ -1113,6 +1126,20 @@ object ScaleWorkloads {
       val st = Snapshot.merge(s, path, updates, Seq("o_orderkey"))
       Seq((st.matched, st.inserted, st.rewrittenBatches.length))
         .toDF("n_matched", "n_inserted", "n_rewritten")
+    }),
+
+    // FuzzyJoin at sf scale: edit-distance-1 self-match over every
+    // customer name (15k short keys at sf0.1 — the entity-resolution
+    // shape). The deletion-neighborhood block is recall-COMPLETE
+    // (FuzzyJoinSpec brute parity), so the scale evidence is the stats
+    // row: candidate_frac is the fraction of the ~112M-pair quadratic
+    // space actually verified (also a per-round gauge on a quarter
+    // slice). At 100 TB the variant keys shuffle as 8-byte hashes and
+    // the verify join touches full strings exactly once.
+    "sx64_fuzzy_join" -> ((s, dir) => {
+      val (_, stats) = graft.operators.FuzzyJoin.selfJoinWithStats(
+        Tables(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+      stats
     })
   )
 

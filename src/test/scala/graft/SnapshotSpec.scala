@@ -704,6 +704,125 @@ class SnapshotSpec extends SparkSpec {
       Seq(("delete", "a", None), ("insert", "b", Some("en")))
   }
 
+  test("retention racing a FOLD aborts; racing a RETIREMENT reports only its own drops", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/foldrace-${java.util.UUID.randomUUID()}")
+    def write(id: Long): Unit =
+      Seq((s"r$id", id)).toDF("k", "n").write.mode("overwrite")
+        .parquet(s"$path/batch_id=$id")
+    write(0L)
+    Snapshot.enable(spark, path)
+    Snapshot.stagedAppend(spark, path, 1L) { write(1L) } shouldBe true
+    Snapshot.stagedAppend(spark, path, 2L) { write(2L) } shouldBe true
+    // a retention edit based on a manifest read BEFORE a fold commits:
+    val stale = Snapshot.latest(spark, path).get // live: 0, 1, 2
+    Snapshot.compactSmall(spark, path, smallBytes = Long.MaxValue)
+      .toSet shouldBe Set(0L, 1L, 2L)
+    // the fold output holds every row of 0/1/2 — claiming to have
+    // dropped 0 now would be a silent retention failure (TTL/GDPR),
+    // so the rebase must abort loudly, not filter silently
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitEdit(spark, path, stale, remove = Seq(0L),
+        tolerateConcurrentRemoves = true)
+    }.getMessage should include("FOLDED")
+    // a TRUE retirement race still commutes — and the commit reports
+    // only the ids THIS edit dropped, not everything it asked for
+    Snapshot.stagedAppend(spark, path, 3L) { write(3L) } shouldBe true
+    Snapshot.stagedAppend(spark, path, 4L) { write(4L) } shouldBe true
+    val stale2 = Snapshot.latest(spark, path).get // live: fold, 3, 4
+    Snapshot.retainFrom(spark, path, keepFrom = 4L) shouldBe Seq(3L)
+    val c = Snapshot.commitEdit(spark, path, stale2, remove = Seq(3L, 4L),
+      tolerateConcurrentRemoves = true)
+    c.get.removed shouldBe Seq(4L)
+    Snapshot.latest(spark, path).get.batches.forall(_ < 0) shouldBe true
+    // an add-less edit whose removes were ALL concurrently retired has
+    // nothing left to publish
+    Snapshot.commitEdit(spark, path, stale2, remove = Seq(3L),
+      tolerateConcurrentRemoves = true) shouldBe None
+  }
+
+  test("concurrent folds from the same base reserve DIFFERENT output ids", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/foldid-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L)).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq(("b", 2L)).toDF("k", "n").write.mode("overwrite")
+        .parquet(s"$path/batch_id=1")
+    }
+    val m = Snapshot.latest(spark, path).get
+    // two fold jobs planning from the SAME manifest (the disjoint-input
+    // concurrent-fold race): the exclusive reservation hands each a
+    // different directory, so neither can clobber the other's output
+    val id1 = Snapshot.freshFoldId(spark, path, m)
+    val id2 = Snapshot.freshFoldId(spark, path, m)
+    id1 should be < -1L
+    id2 should be < id1
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path,
+      s"_manifests/fold-reserve-${-id1}")) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(path,
+      s"_manifests/fold-reserve-${-id2}")) shouldBe true
+    // a real fold AFTER the reservations skips both claimed ids
+    Snapshot.compactSmall(spark, path, smallBytes = Long.MaxValue)
+      .toSet shouldBe Set(0L, 1L)
+    val foldBatch = Snapshot.latest(spark, path).get.batches.head
+    foldBatch should be < id2
+    // reservation files never read as manifest versions
+    Snapshot.listVersions(spark, path).size should be >= 3
+    Snapshot.read(spark, path).count() shouldBe 2L
+  }
+
+  test("deleteRange fractional bounds round INWARD, agreeing with zone maps", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/delfrac-${java.util.UUID.randomUUID()}")
+    Seq((120L, "x")).toDF("n", "k").write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // batch 0: enable-seeded, NO stats
+    Snapshot.stagedAppend(spark, path, 1L) { // batch 1: stats [120, 300]
+      Seq((120L, "y"), (300L, "z")).toDF("n", "k").write.mode("overwrite")
+        .parquet(s"$path/batch_id=1")
+    }
+    // [120.5, 500.7] on a bigint column means the integers [121, 500]:
+    // n=120 must survive in BOTH batches — the one the zone maps see
+    // and the one they don't — and n=300 goes
+    val st = Snapshot.deleteRange(spark, path, "n",
+      BigDecimal("120.5"), BigDecimal("500.7"))
+    st.matched shouldBe 1L
+    Snapshot.read(spark, path).select("n").collect().map(_.getLong(0))
+      .sorted shouldBe Array(120L, 120L)
+    // a range whose inward rounding empties it deletes nothing
+    Snapshot.deleteRange(spark, path, "n",
+      BigDecimal("120.1"), BigDecimal("120.9")).version shouldBe None
+    // readRange agrees with the same normalization
+    Snapshot.readRange(spark, path, "n",
+      BigDecimal("119.5"), BigDecimal("120.2")).count() shouldBe 2L
+    Snapshot.readRange(spark, path, "n",
+      BigDecimal("120.1"), BigDecimal("120.9")).count() shouldBe 0L
+  }
+
+  test("versioned merge tolerates a data column named like its scratch columns", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/scratch-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L, 10L, "keep")).toDF("k", "n", "ver", "__src")
+      .write.mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    def state(): Seq[(String, Long, Long, String)] =
+      Snapshot.read(spark, path).select("k", "n", "ver", "__src").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq.sorted
+    // the REAL `__src` column must survive verbatim — not be replaced
+    // by the merge's internal source flag
+    Snapshot.merge(spark, path,
+      Seq(("a", 100L, 20L, "upd"), ("b", 2L, 5L, "new"))
+        .toDF("k", "n", "ver", "__src"),
+      Seq("k"), versionCol = Some("ver"))
+    state() shouldBe Seq(("a", 100L, 20L, "upd"), ("b", 2L, 5L, "new"))
+    // replay of an older version: no regression, `__src` untouched
+    Snapshot.merge(spark, path,
+      Seq(("a", 50L, 15L, "old")).toDF("k", "n", "ver", "__src"),
+      Seq("k"), versionCol = Some("ver"))
+    state() shouldBe Seq(("a", 100L, 20L, "upd"), ("b", 2L, 5L, "new"))
+  }
+
   test("build resets an enabled table and republishes a fresh manifest") {
     val path = plantSketch("rebuild", days = 3)
     Snapshot.enable(spark, path)
