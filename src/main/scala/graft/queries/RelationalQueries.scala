@@ -1780,6 +1780,32 @@ object RelationalQueries {
         .agg(sum(cents(col("l_extendedprice")
           * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
         .orderBy(desc("revenue_cents"), asc("n_name"))
+    }),
+
+    // TQ17 — the TPC-H Q17 small-quantity-order shape: the classic
+    // CORRELATED SCALAR SUBQUERY ("rows below 20% of their part's
+    // average quantity"), written as genuinely correlated SQL and left
+    // to Catalyst's RewriteCorrelatedScalarSubquery to DECORRELATE
+    // into one per-partkey aggregate joined back on the correlation
+    // key — the plan is agg + equi-join, never a per-row nested-loop
+    // re-scan of lineitem (PlanAuditSpec pins no NestedLoop/Cartesian;
+    // at 100 TB the difference is one shuffle vs |lineitem| rescans).
+    // Determinism: l_quantity is integer-valued, so avg = exact-sum /
+    // count is one IEEE division and `0.2 * avg` one multiply — both
+    // engines compute bit-identical thresholds; revenue sums as exact
+    // cents.
+    "tq17_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("tq17_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("tq17_part")
+      s.sql("""
+        SELECT count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS revenue_cents
+        FROM tq17_lineitem l JOIN tq17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM tq17_lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)""")
     })
   )
 
@@ -2438,6 +2464,15 @@ object RelationalQueries {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY n_name ORDER BY revenue_cents DESC, n_name"""
+         GROUP BY n_name ORDER BY revenue_cents DESC, n_name""",
+    "tq17_small_qty_revenue" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#1'
+           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

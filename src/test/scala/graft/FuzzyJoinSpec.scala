@@ -96,7 +96,12 @@ class FuzzyJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FuzzyJoin.selfJoin(df, "id", "name", maxDist = 3)
     }.getMessage should include("maxDist")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // start the leak check from an empty cache: a leftover block from
+    // an EARLIER test can be reaped by the ContextCleaner mid-test,
+    // making an exact before/after equality flaky (r15 one-off fail)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     intercept[IllegalArgumentException] {
       FuzzyJoin.selfJoin(df, "id", "name", maxDist = 2)
     }.getMessage should include("maxLen")
@@ -105,6 +110,6 @@ class FuzzyJoinSpec extends SparkSpec {
     }.getMessage should include("maxLen")
     // the guard threw AFTER the inputs were persisted: every exit path
     // must unpersist (ADVICE r13 cached-partition leak)
-    spark.sparkContext.getPersistentRDDs.size shouldBe before
+    spark.sparkContext.getPersistentRDDs.size shouldBe 0
   }
 }

@@ -157,6 +157,18 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("tq17: correlated scalar subquery decorrelates to agg + equi-join — " +
+      "no nested-loop, no cartesian, no per-row rescan") {
+    val p = plan("tq17_small_qty_revenue")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the rewrite's shape: the subquery became a per-partkey aggregate
+    // joined back on the correlation key
+    p should include("HashAggregate")
+    (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+  }
+
   test("dd15: n-gram span dedup has no cartesian; dup-set joins are keyed") {
     val p = plan("dd15_ngram_spans")
     p should not include "Cartesian"
