@@ -834,4 +834,121 @@ class SnapshotSpec extends SparkSpec {
     dirIds(path) shouldBe Seq(-1L)
     math.abs(est(path) - 30L) should be <= 3L
   }
+
+  test("vacuum racing a staged append leaves the staged dir; the append then commits", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/vacrace-${java.util.UUID.randomUUID()}")
+    def rows(id: Long) = Seq((s"r$id", id)).toDF("k", "n")
+    rows(0L).write.mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    Retention.dropBatchesBefore(spark, path, keepFrom = 1L) // 0 retired, dir stays
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // THE RACE (r14 verdict #1): maintenance vacuums while an append is
+    // between stage and publish — the write closure runs exactly in
+    // that window, so calling vacuum inside it IS the interleaving
+    var sweptDuringStage: Seq[Long] = null
+    Snapshot.stagedAppend(spark, path, 5L) {
+      rows(5L).write.mode("overwrite").parquet(s"$path/batch_id=5")
+      sweptDuringStage = Snapshot.vacuum(spark, path)
+    } shouldBe true
+    // the concurrent vacuum swept the RETIRED dir but honored the
+    // intent marker on the staged-not-yet-committed one
+    sweptDuringStage shouldBe Seq(0L)
+    Snapshot.liveBatches(spark, path) shouldBe Seq(5L)
+    Snapshot.read(spark, path).select("k").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("r5")
+    // the marker was released at publish: nothing protected remains
+    fs.exists(new org.apache.hadoop.fs.Path(path,
+      "_manifests/append-intent-5")) shouldBe false
+    Snapshot.vacuum(spark, path) shouldBe Seq.empty
+  }
+
+  test("vacuum: crashed protocol writers are protected for the grace window, then swept", Slow) {
+    val path = TempDirs.path(s"snapshot-spec/vacgrace-${java.util.UUID.randomUUID()}")
+    Seq(("a", 1L)).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a HARD-crashed append: dir staged, intent marker still held
+    // (the in-JVM abort path releases the marker; only a crash leaves it)
+    Seq(("x", 9L)).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$path/batch_id=9")
+    fs.create(new org.apache.hadoop.fs.Path(path,
+      "_manifests/append-intent-9"), true).close()
+    // a crashed FOLD: id reserved, output dir written, commit never ran
+    val foldId = Snapshot.freshFoldId(spark, path, Snapshot.latest(spark, path).get)
+    Seq(("y", 2L)).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$path/batch_id=$foldId")
+    // within grace both are protected — the writer MIGHT still publish
+    Snapshot.vacuum(spark, path) shouldBe Seq.empty
+    // past grace both are garbage: swept, and the crashed append's
+    // expired marker goes with its dir (the fold-reserve marker is
+    // permanent — the id must never be reusable)
+    Snapshot.vacuum(spark, path, graceMs = 0L).toSet shouldBe Set(foldId, 9L)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/batch_id=9")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(path,
+      "_manifests/append-intent-9")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(path,
+      s"_manifests/fold-reserve-${-foldId}")) shouldBe true
+    // an UNMARKED orphan (pre-protocol write) still sweeps immediately
+    Seq(("z", 3L)).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$path/batch_id=7")
+    Snapshot.vacuum(spark, path) shouldBe Seq(7L)
+  }
+
+  test("root manifest: vacuumAllTables honors a staged multi-table append's intent marker", Slow) {
+    val root = TempDirs.path(s"snapshot-spec/rootvac-${java.util.UUID.randomUUID()}")
+    def write(sub: String, b: Long): Unit =
+      Seq((b, sub)).toDF("b", "s").write.mode("overwrite")
+        .parquet(s"$root/$sub/batch_id=$b")
+    write("t1", 0L); write("t2", 0L)
+    Snapshot.enableSub(spark, root, "t1")
+    Retention.dropBatchesBeforeAllTables(spark, root, keepFrom = 1L)
+    // vacuum races the staged append of the WHOLE triple: the one root
+    // marker must protect every sub-table's staged dir
+    var sweptDuringStage: Map[String, Seq[Long]] = null
+    Snapshot.stagedAppend(spark, root, 1L) {
+      write("t1", 1L); write("t2", 1L)
+      sweptDuringStage = Snapshot.vacuumAllTables(spark, root, Seq("t1", "t2"))
+    } shouldBe true
+    sweptDuringStage shouldBe Map("t1" -> Seq(0L), "t2" -> Seq(0L))
+    Snapshot.readSub(spark, root, "t1").count() shouldBe 1L
+    Snapshot.readSub(spark, root, "t2").count() shouldBe 1L
+    // post-publish: nothing protected, nothing left to sweep
+    Snapshot.vacuumAllTables(spark, root, Seq("t1", "t2")) shouldBe Map.empty
+  }
+
+  test("root manifest: retention racing a FOLD aborts (multi-table twin)", Slow) {
+    // the flat-table fold-race abort (above) through the ROOT-manifest
+    // path the index family (ret4, vacuumAllTables) shares: a stale
+    // retention edit must see its target was FOLDED — its rows live on
+    // inside the fold output across EVERY sub-table — and abort loudly
+    // rather than report a TTL/GDPR drop that didn't happen
+    val root = TempDirs.path(s"snapshot-spec/rootfold-${java.util.UUID.randomUUID()}")
+    def write(sub: String, b: Long): Unit =
+      Seq((b, sub)).toDF("b", "s").write.mode("overwrite")
+        .parquet(s"$root/$sub/batch_id=$b")
+    write("t1", 0L); write("t2", 0L)
+    Snapshot.enableSub(spark, root, "t1")
+    Snapshot.stagedAppend(spark, root, 1L) {
+      write("t1", 1L); write("t2", 1L)
+    } shouldBe true
+    val stale = Snapshot.latest(spark, root).get // live: 0, 1
+    // a root-level fold: both sub-tables' batches 0+1 rewritten into
+    // one fresh reserved id, committed as a fold edit on the root
+    val foldId = Snapshot.freshFoldId(spark, root, stale)
+    write("t1", foldId); write("t2", foldId)
+    Snapshot.commitEdit(spark, root, stale, add = Seq(foldId),
+      remove = Seq(0L, 1L), removeIsFold = true).isDefined shouldBe true
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitEdit(spark, root, stale, remove = Seq(0L),
+        tolerateConcurrentRemoves = true)
+    }.getMessage should include("FOLDED")
+    // a true retirement race on the root still commutes
+    Snapshot.stagedAppend(spark, root, 2L) { write("t1", 2L); write("t2", 2L) }
+    val stale2 = Snapshot.latest(spark, root).get
+    Snapshot.commitEdit(spark, root, stale2, remove = Seq(2L),
+      tolerateConcurrentRemoves = true).get.removed shouldBe Seq(2L)
+  }
 }
