@@ -50,11 +50,13 @@ class AnnSpec extends SparkSpec {
   }
 
   test("LSH top-k auto-sizing: out-of-box call reaches high recall") {
-    // no bits/tables passed: the 2^bits ≈ n/80 rule + 8 tables apply
-    // themselves. On these near-uniform embeddings (per-bit agreement
-    // ≈ 0.61) the auto config's per-table hit probability compounds
-    // across 8 tables to ≈1 — the out-of-box user must not get the
-    // 0.4-recall neighbors the old bits=8/tables=1 default shipped.
+    // no bits/tables passed: the out-of-box path is signature RANKING
+    // (504-bit sketches, Hamming-ranked shortlist, exact cosine on the
+    // shortlist only) — recall-robust even on these near-uniform
+    // embeddings, where every bucketed config needs ≥0.5 scan fraction
+    // for 0.9 recall (the r15 grid; see lshTopK's scaladoc). The
+    // out-of-box user must not get the 0.4-recall neighbors the old
+    // bits=8/tables=1 default shipped.
     val got = Ann.lshTopK(embs, "vec_id", "embedding", dim, query, "qv", 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))
     val truth = exactTop20.take(10).toSet
@@ -188,6 +190,20 @@ class AnnSpec extends SparkSpec {
           "qv", 5, bits = 2, tables = 4)
         .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
       lshBatch.filter(_._1 == qid).toSet shouldBe single
+    }
+    // signature-RANKING batch (the out-of-box default, no
+    // bits/tables): same per-query parity against the single-query
+    // ranking path — shortlist tie-break (equal Hamming → smaller id)
+    // must agree between TakeOrderedAndProject and TopKByScore
+    val rankBatch = Ann.lshTopKBatch(embs, "vec_id", "embedding", dim,
+        q, "qid", "qv", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (qid <- qids) {
+      val single = Ann.lshTopK(embs, "vec_id", "embedding", dim,
+          embs.filter(col("vec_id") === qid).select(col("embedding").as("qv")),
+          "qv", 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
+      rankBatch.filter(_._1 == qid).toSet shouldBe single
     }
     // the batched reduction partial-aggregates (bounded buffers) and
     // never window-sorts the scored cross product
