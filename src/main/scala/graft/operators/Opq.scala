@@ -1,0 +1,384 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.storage.StorageLevel
+
+import graft.plans.RotateVecExpr
+
+/** OPTIMIZED PRODUCT QUANTIZATION (Ge, He, Ke, Sun, CVPR'13 — the
+  * "OPQ-NP" non-parametric alternation): learn an orthogonal rotation
+  * R jointly with the PQ codebooks so the subspace split happens in a
+  * basis where quantization error is minimal, instead of whatever
+  * basis the embedding model shipped. Alternation:
+  *
+  *  1. codebooks ← [[Pq.train]] on the ROTATED vectors y = R·x
+  *     (each Lloyd round stays the one-distributed-aggregation shape);
+  *  2. R ← argmin over orthogonal R of Σ‖R·x − ŷ‖², the orthogonal
+  *     Procrustes problem: with M = Σ ŷ·xᵀ (one distributed pass, a
+  *     dim² partial buffer — 32 KB at dim 64) and SVD M = U·S·Vᵀ,
+  *     the minimizer is R = U·Vᵀ (driver-side SVD of a dim×dim
+  *     matrix via breeze — Spark's own bundled linalg).
+  *
+  * Rotation is ORTHOGONAL, so cosine is preserved exactly
+  * (cos(Rx, Rq) = cos(x, q)): the query path rotates the query once
+  * driver-side, encodes/scores in rotated space with the unchanged
+  * [[Pq]] ADC machinery, and compares against the same exact-cosine
+  * truth.
+  *
+  * WHEN IT HELPS, measured honestly: OPQ exploits anisotropy —
+  * correlated dimensions / a non-flat covariance spectrum. The bench
+  * corpus's synthetic embeddings measure ISOTROPIC (r15: mean
+  * |dim-correlation| 0.017, flat eigenspectrum — uniform on the
+  * sphere), where NO rotation can beat the axis-aligned split; the
+  * `pq_opq_recall_at_10` gauge records the two paths tying there, and
+  * OpqSpec pins the real lift on a planted anisotropic fixture (the
+  * geometry actual model embeddings have). The shortlist-and-rerank
+  * recipe ([[Pq.topKReranked]]) remains the recall floor either way.
+  *
+  * The alternation runs from TWO deterministic inits — identity and
+  * eigenvalue-allocation (Ge et al.'s parametric OPQ-P) — keeping the
+  * measured-lower quantization error; see [[train]] for why each init
+  * owns a geometry the other cannot reach.
+  *
+  * Identity-rotation convergence: on a fixture the codebooks quantize
+  * EXACTLY (ann9's lossless planted vectors), reconstruction equals
+  * input, so M = Σ x·xᵀ is symmetric PSD and U·Vᵀ = I — the
+  * identity branch provably stays at the identity with error ZERO,
+  * beats-or-ties the eigen branch, and OPQ scores equal PQ scores
+  * equal true cosine, which is what lets `ann10_opq_topk` be pinned
+  * against a DuckDB exact-cosine oracle. */
+object Opq {
+
+  /** Trained OPQ model: the orthogonal rotation + codebooks trained in
+    * the rotated basis. */
+  final case class OpqModel(rotation: Array[Array[Double]], cb: Pq.Codebooks) {
+    def dim: Int = cb.dim
+  }
+
+  /** y = R·x as a fused in-plan expression. */
+  def rotate(vec: Column, rotation: Array[Array[Double]]): Column =
+    column(RotateVecExpr(expression(vec), rotation))
+
+  private def rotateLocal(r: Array[Array[Double]], x: Seq[Double]): Seq[Double] = {
+    val xa = x.toArray
+    r.map { row =>
+      var s = 0.0
+      var t = 0
+      while (t < row.length) { s += row(t) * xa(t); t += 1 }
+      s
+    }.toSeq
+  }
+
+  private def identity(dim: Int): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** Per-partition buffer of the Procrustes pass: M = Σ ŷ·xᵀ flattened
+    * row-major. */
+  final case class MState(m: Array[Double])
+
+  /** One distributed pass accumulating M = Σ ŷ·xᵀ under (R, books):
+    * per row, rotate, assign each subspace, and outer-product the
+    * reconstruction against the ORIGINAL vector. Partial state is the
+    * dim² buffer, map-side combined — the [[Pq.train]] round shape. */
+  private final class ProcrustesAgg(rot: Array[Array[Double]],
+                                    books: Array[Array[Array[Double]]], dim: Int)
+      extends Aggregator[Seq[Double], MState, MState] {
+    private val m = books.length
+    private val k = books(0).length
+    private val sub = dim / m
+
+    override def zero: MState = MState(new Array[Double](dim * dim))
+
+    override def reduce(b: MState, vec: Seq[Double]): MState = {
+      val x = vec.toArray
+      // y = R x
+      val y = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val row = rot(i)
+        var s = 0.0
+        var t = 0
+        while (t < dim) { s += row(t) * x(t); t += 1 }
+        y(i) = s
+        i += 1
+      }
+      // ŷ = per-subspace nearest centroid, concatenated
+      val yh = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        val base = s * sub
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          val c = books(s)(j)
+          var d = 0.0
+          var t = 0
+          while (t < sub) { val e = y(base + t) - c(t); d += e * e; t += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        val c = books(s)(best)
+        var t = 0
+        while (t < sub) { yh(base + t) = c(t); t += 1 }
+        s += 1
+      }
+      // M += ŷ xᵀ
+      i = 0
+      while (i < dim) {
+        val yi = yh(i)
+        if (yi != 0.0) {
+          val off = i * dim
+          var j = 0
+          while (j < dim) { b.m(off + j) += yi * x(j); j += 1 }
+        }
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: MState, b: MState): MState = {
+      var i = 0
+      while (i < a.m.length) { a.m(i) += b.m(i); i += 1 }
+      a
+    }
+
+    override def finish(r: MState): MState = r
+    override def bufferEncoder: Encoder[MState] = Encoders.product[MState]
+    override def outputEncoder: Encoder[MState] = Encoders.product[MState]
+  }
+
+  /** Per-partition buffer of the covariance pass: count, Σx, Σx·xᵀ
+    * flattened row-major. */
+  final case class CovState(n: Long, s: Array[Double], ss: Array[Double])
+
+  /** One distributed pass for the (uncentered-sum) covariance inputs;
+    * the dim²+dim buffer is the [[ProcrustesAgg]] class of partial
+    * state. */
+  private final class CovAgg(dim: Int)
+      extends Aggregator[Seq[Double], CovState, CovState] {
+    override def zero: CovState =
+      CovState(0L, new Array[Double](dim), new Array[Double](dim * dim))
+    override def reduce(b: CovState, vec: Seq[Double]): CovState = {
+      val x = vec.toArray
+      var i = 0
+      while (i < dim) {
+        b.s(i) += x(i)
+        val off = i * dim
+        var j = 0
+        while (j < dim) { b.ss(off + j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+      CovState(b.n + 1, b.s, b.ss)
+    }
+    override def merge(a: CovState, b: CovState): CovState = {
+      var i = 0
+      while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+      i = 0
+      while (i < a.ss.length) { a.ss(i) += b.ss(i); i += 1 }
+      CovState(a.n + b.n, a.s, a.ss)
+    }
+    override def finish(r: CovState): CovState = r
+    override def bufferEncoder: Encoder[CovState] = Encoders.product[CovState]
+    override def outputEncoder: Encoder[CovState] = Encoders.product[CovState]
+  }
+
+  /** EIGENVALUE-ALLOCATION init (Ge et al.'s parametric OPQ-P, used
+    * here as the alternation's starting point): eigendecompose the
+    * covariance, then greedily pack eigenvectors into the m subspaces
+    * balancing each bucket's log-eigenvalue sum (= balancing the
+    * variance PRODUCT, the paper's independence-assumption optimum).
+    * The returned rows are orthonormal eigenvectors — an orthogonal R.
+    * This is the init that ESCAPES the axis-aligned local minimum the
+    * non-parametric alternation gets stuck in on correlated data: from
+    * the identity, Procrustes sees an already-self-consistent
+    * (codebooks, R) pair and stays put. */
+  private def eigenAllocationInit(cov: Array[Array[Double]], dim: Int,
+                                  m: Int): Array[Array[Double]] = {
+    val sub = dim / m
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(dim, dim, cov.flatten) // symmetric: layout moot
+    )
+    // descending eigenvalue order
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    val bucketLog = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (i <- order) {
+      val lg = math.log(math.max(es.eigenvalues(i), 1e-12))
+      // smallest current log-sum among non-full buckets; ties → lowest
+      // index (deterministic)
+      val b = (0 until m).filter(buckets(_).length < sub)
+        .minBy(j => (bucketLog(j), j))
+      bucketLog(b) += lg
+      buckets(b) += i
+    }
+    // row r of R = eigenvector buckets(s)(t) (rows are the rotated
+    // basis; eigSym's eigenvectors sit in COLUMNS)
+    Array.tabulate(dim) { r =>
+      val i = buckets(r / sub)(r % sub)
+      Array.tabulate(dim)(t => es.eigenvectors(t, i))
+    }
+  }
+
+  /** One distributed pass: Σ‖R·x − ŷ‖² under (R, books) — the
+    * objective both inits are judged by. */
+  private final class QErrAgg(rot: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]], dim: Int)
+      extends Aggregator[Seq[Double], Double, Double] {
+    private val m = books.length
+    private val k = books(0).length
+    private val sub = dim / m
+    override def zero: Double = 0.0
+    override def reduce(acc: Double, vec: Seq[Double]): Double = {
+      val x = vec.toArray
+      val y = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val row = rot(i)
+        var s = 0.0
+        var t = 0
+        while (t < dim) { s += row(t) * x(t); t += 1 }
+        y(i) = s
+        i += 1
+      }
+      var err = 0.0
+      var s = 0
+      while (s < m) {
+        val base = s * sub
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          val c = books(s)(j)
+          var d = 0.0
+          var t = 0
+          while (t < sub) { val e = y(base + t) - c(t); d += e * e; t += 1 }
+          if (d < bestD) bestD = d
+          j += 1
+        }
+        err += bestD
+        s += 1
+      }
+      acc + err
+    }
+    override def merge(a: Double, b: Double): Double = a + b
+    override def finish(r: Double): Double = r
+    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** R = U·Vᵀ from SVD(M) — the orthogonal Procrustes minimizer. */
+  private def procrustes(mFlat: Array[Double], dim: Int): Array[Array[Double]] = {
+    // breeze DenseMatrix is COLUMN-major while mFlat is row-major
+    // (M(i,j) at i·dim+j), so the raw construction holds Mᵀ; the .t
+    // below recovers M itself before the SVD.
+    val mt = new breeze.linalg.DenseMatrix(dim, dim, mFlat.clone())
+    val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mt.t)
+    val r = u * vt
+    Array.tabulate(dim, dim)((i, j) => r(i, j))
+  }
+
+  /** OPQ-NP alternation from a given starting rotation: `opqIters`
+    * alternations, each re-training codebooks in the current rotated
+    * basis (`lloydIters` Lloyd rounds) then one Procrustes pass and
+    * rotation update; the final alternation keeps the codebooks
+    * aligned with the final R. Returns the model plus its measured
+    * Σ‖R·x − ŷ‖² (one extra pass). */
+  private def trainFrom(vecs: DataFrame, r0: Array[Array[Double]], dim: Int,
+                        m: Int, k: Int, lloydIters: Int,
+                        opqIters: Int): (OpqModel, Double) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var r = r0
+    var cb: Pq.Codebooks = null
+    var it = 0
+    while (it < opqIters) {
+      cb = Pq.train(vecs.toDF("v").select(rotate(col("v"), r).as("_rv")),
+        "_rv", dim, m, k, lloydIters)
+      if (it < opqIters - 1) {
+        val snapR = r.map(_.clone())
+        val snapB = cb.books.map(_.map(_.clone()))
+        val st = vecs.as[Seq[Double]]
+          .select(new ProcrustesAgg(snapR, snapB, dim).toColumn).head()
+        r = procrustes(st.m, dim)
+      }
+      it += 1
+    }
+    val err = vecs.as[Seq[Double]]
+      .select(new QErrAgg(r.map(_.clone()), cb.books.map(_.map(_.clone())), dim)
+        .toColumn).head()
+    (OpqModel(r, cb), err)
+  }
+
+  /** Train rotation + codebooks by OPQ-NP alternation, run from TWO
+    * deterministic inits — the identity and the eigenvalue-allocation
+    * basis ([[eigenAllocationInit]]) — keeping whichever ends with the
+    * lower measured quantization error (ties → identity). Why both:
+    * the alternation only refines LOCALLY, and the two inits own
+    * complementary geometries. On data a PQ split already quantizes
+    * exactly (ann10's lossless fixture), the identity is a provable
+    * fixed point with error zero — eigen-init can only tie, so the
+    * identity branch wins and the `ann10_opq_topk` exact-cosine oracle
+    * premise (scaladoc above) holds BY CONSTRUCTION, not by luck. On
+    * correlated data (OpqSpec's anisotropic fixture), the identity
+    * start sits in the axis-aligned local minimum and the eigen start
+    * is the published escape (Ge et al. §4: the parametric solution
+    * initializes the non-parametric one). Everything is deterministic
+    * end to end: RNG-free [[Pq.train]] seeding, deterministic
+    * covariance/Procrustes accumulations, LAPACK on fixed inputs.
+    * Training cost is 2× the single-init alternation plus two error
+    * passes — paid once per standing corpus at build time (the
+    * codebook-training class of cost, amortized over every query). */
+  def train(embs: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+            lloydIters: Int = 2, opqIters: Int = 3): OpqModel = {
+    require(opqIters >= 1, s"opqIters must be >= 1: $opqIters")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val vecs = embs
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !array_contains(transform(col("v"), e => e.isNull), true))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cs = vecs.as[Seq[Double]].select(new CovAgg(dim).toColumn).head()
+      require(cs.n > 0, s"no trainable vectors in $vecCol")
+      val cov = Array.tabulate(dim, dim) { (i, j) =>
+        cs.ss(i * dim + j) / cs.n - (cs.s(i) / cs.n) * (cs.s(j) / cs.n)
+      }
+      val (idModel, idErr) =
+        trainFrom(vecs, identity(dim), dim, m, k, lloydIters, opqIters)
+      val (eigModel, eigErr) =
+        trainFrom(vecs, eigenAllocationInit(cov, dim, m), dim, m, k,
+          lloydIters, opqIters)
+      if (eigErr < idErr) eigModel else idModel
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Top-k by OPQ-approximated cosine: rotate the query driver-side,
+    * fuse rotate→encode→ADC over the scan — the [[Pq.topK]] shape with
+    * one extra in-plan matrix-vector product (at scale the rotated
+    * codes are pre-encoded at ingest and the rotation is paid once,
+    * exactly like plain PQ encoding). */
+  def topK(embs: DataFrame, idCol: String, vecCol: String,
+           queryVec: Seq[Double], k: Int, model: OpqModel): DataFrame = {
+    require(queryVec.length == model.dim,
+      s"query dim ${queryVec.length} != model dim ${model.dim}")
+    val rq = rotateLocal(model.rotation, queryVec)
+    embs.select(col(idCol),
+        Pq.adcCosine(Pq.encode(rotate(col(vecCol), model.rotation), model.cb),
+          rq, model.cb).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Train + search in one call (demo/test path, the [[Pq.pqTopK]]
+    * convention). */
+  def opqTopK(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+              queryVec: Seq[Double], k: Int, m: Int = 8, kCodes: Int = 16,
+              lloydIters: Int = 2, opqIters: Int = 3): DataFrame =
+    topK(embs, idCol, vecCol, queryVec, k,
+      train(embs, vecCol, dim, m, kCodes, lloydIters, opqIters))
+}

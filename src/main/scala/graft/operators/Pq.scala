@@ -107,14 +107,69 @@ object Pq {
     override def outputEncoder: Encoder[PqState] = Encoders.product[PqState]
   }
 
-  /** Train m codebooks of k entries each. Init: per subspace, the
-    * first k DISTINCT subvectors in array order (deterministic, no
-    * RNG; m bounded driver-side collects at build time) — distinctness
-    * guarantees no two centroids start identical, so separable planted
-    * clusters converge exactly. Fewer than k distinct subvectors pads
-    * by cycling (duplicate centroids are harmless: the strict argmin
-    * never picks one over its lower-index twin). Each round is one
-    * distributed pass; empty cells keep their centroid. */
+  /** Train m codebooks of k entries each. Init: per subspace, greedy
+    * FARTHEST-POINT (k-center) seeds over a bounded sample of the
+    * distinct subvectors — deterministic, no RNG. The sample is
+    * min(n, max(4096, k)) rows at evenly-spaced ranks of the
+    * value-ordered distinct set (a distributed sort + zipWithIndex;
+    * the collect is ≤4096 sub-dim rows, the codebook class of driver
+    * state); the traversal starts at the value-smallest sample row and
+    * repeatedly adds the sample row farthest from the chosen set
+    * (ties → lowest rank). Why k-center, not "k value-smallest" (the
+    * pre-r15 rule) or bare even-spread ranks: when the input is an
+    * ε-perturbed rotation of clustered data (the [[Opq]] alternation's
+    * second round), each true cluster explodes into an ε-diameter blob
+    * of distinct subvectors and the k value-smallest seeds all land in
+    * the lowest blob — degenerate codebooks that Lloyd's
+    * empty-cell-keeps-centroid rule never recovers from; k-center
+    * provably covers every cluster when k ≥ #clusters and separations
+    * exceed diameters, so separable planted clusters converge exactly.
+    * And on real spread-out corpora, rank spacing over a LEXICOGRAPHIC
+    * sort only diversifies the leading dimension (measured: it cost
+    * −0.1 raw / −0.2 rerank recall@10 vs the old rule at sf scale)
+    * while k-center spreads seeds in the full sub-dim geometry.
+    * Fewer than k distinct subvectors pads by cycling (duplicate
+    * centroids are harmless: the strict argmin never picks one over
+    * its lower-index twin). Each Lloyd round is one distributed pass;
+    * empty cells keep their centroid. */
+  /** Greedy farthest-point traversal on the driver-side sample: start
+    * at the value-smallest row, repeatedly add the row maximizing the
+    * distance to the chosen set (ties → lowest rank). O(k·|sample|·sub)
+    * driver arithmetic — ≤ 256·4096·64 ≈ 67M flops worst case. */
+  private def kCenterSeeds(sample: Array[Array[Double]], k: Int,
+                           sub: Int): Array[Array[Double]] = {
+    val minD = new Array[Double](sample.length)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var t = 0
+      while (t < sub) { val e = a(t) - b(t); s += e * e; t += 1 }
+      s
+    }
+    val seeds = new Array[Array[Double]](k)
+    seeds(0) = sample(0).clone()
+    var i = 0
+    while (i < sample.length) { minD(i) = d2(sample(i), seeds(0)); i += 1 }
+    var c = 1
+    while (c < k) {
+      var best = 0
+      var bestD = -1.0
+      i = 0
+      while (i < sample.length) {
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      seeds(c) = sample(best).clone()
+      i = 0
+      while (i < sample.length) {
+        val nd = d2(sample(i), seeds(c))
+        if (nd < minD(i)) minD(i) = nd
+        i += 1
+      }
+      c += 1
+    }
+    seeds
+  }
+
   def train(embs: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
             iters: Int = 3): Codebooks = {
     require(dim > 0 && m > 0 && dim % m == 0,
@@ -132,13 +187,28 @@ object Pq {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-        val distinctSubs = vecs.toDF("v")
+        val sorted = vecs.toDF("v")
           .select(slice(col("v"), s * sub + 1, sub).as("sv"))
-          .distinct().orderBy(col("sv")).limit(k)
-          .collect().map(_.getSeq[Double](0).toArray)
-        require(distinctSubs.nonEmpty,
+          .distinct().orderBy(col("sv"))
+        val n = sorted.count()
+        require(n > 0,
           s"no trainable vectors in $vecCol (null / wrong-dim rows only)")
-        Array.tabulate(k)(j => distinctSubs(j % distinctSubs.length).clone())
+        if (n <= k) {
+          val all = sorted.collect().map(_.getSeq[Double](0).toArray)
+          Array.tabulate(k)(j => all(j % all.length).clone())
+        } else {
+          // bounded sample at evenly-spaced ranks of the global sort;
+          // the sorted plan is range-partitioned, so zipWithIndex ids
+          // ARE the ranks
+          val sampleSize = math.min(n, math.max(4096L, k.toLong)).toInt
+          val targets = (0 until sampleSize).map(j => j.toLong * n / sampleSize).toSet
+          val sample = sorted.rdd.zipWithIndex()
+            .filter { case (_, i) => targets.contains(i) }
+            .map { case (row, i) => (i, row.getSeq[Double](0).toArray) }
+            .collect().sortBy(_._1).map(_._2)
+          assert(sample.length >= k, s"seed sample: ${sample.length} < $k")
+          kCenterSeeds(sample, k, sub)
+        }
       }
       var it = 0
       while (it < iters) {
@@ -205,12 +275,25 @@ object Pq {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
 
+  /** Shortlist sizing recipe for [[topKReranked]]:
+    * max(100, 10·k, ⌈0.1·n⌉) capped at 100k. The corpus-fraction term
+    * is the small/medium-corpus guard — where ADC rank noise is large
+    * RELATIVE to the corpus, a fixed candidate count under-covers (a
+    * fixed 100 was 5% of the sf0.1 corpus and measured 0.9 recall@10;
+    * 10% restores 1.0) — and the cap keeps the exact-rerank pass
+    * bounded at billions of rows, where ADC's top-100k is far looser
+    * than any real top-k needs. */
+  def rerankShortlist(nCorpus: Long, k: Int): Int =
+    math.max(math.max(100, 10 * k),
+      math.min(math.ceil(0.1 * nCorpus).toLong, 100000L).toInt)
+
   /** SHORTLIST-AND-RERANK — the production PQ recipe: ADC over the
-    * codes ranks a `shortlist`-sized candidate set (default 10·k),
-    * then ONLY those rows' float vectors score exact cosine for the
-    * final top-k. Measured at sf0.1 (64-dim, m=8, k=256): raw ADC
-    * recall@10 is 0.4 on the near-incompressible synthetic embeddings,
-    * while a 100-candidate rerank recovers 1.0 — the
+    * codes ranks a `shortlist`-sized candidate set (default 10·k;
+    * size standing corpora with [[rerankShortlist]]), then ONLY those
+    * rows' float vectors score exact cosine for the final top-k.
+    * Measured at sf0.1 (64-dim, m=8, k=256): raw ADC recall@10 is 0.5
+    * on the near-incompressible synthetic embeddings, while a
+    * [[rerankShortlist]]-sized rerank recovers 1.0 — the
     * pq_rerank_recall_at_10 gauge pins it every round. Cost shape: the
     * ranking pass reads m BYTES per vector (codes column only — on a
     * columnar layout the float column isn't touched), and exact

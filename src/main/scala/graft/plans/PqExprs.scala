@@ -131,3 +131,58 @@ case class PqAdcExpr(child: Expression, dotTab: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** array<float|double> (length >= dim) → array<double> of length dim:
+  * y = R·x, the OPQ rotation applied in-plan before subspace split
+  * ([[graft.operators.Opq]]). One fused pass, rotation matrix in the
+  * task closure (dim² doubles — 32 KB at dim=64, the codebook class
+  * of broadcast state). Short or null-element vectors yield NULL,
+  * the [[PqEncodeExpr]] posture. */
+case class RotateVecExpr(child: Expression, rot: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  private val dim = rot.length
+  require(dim > 0 && rot.forall(_.length == dim),
+    "rotation must be a square dim × dim matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.elementType(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${child.dataType.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_opq_rotate"
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat: Boolean =
+    VectorExprs.elementType(child.dataType).contains(FloatType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (arr.isNullAt(j)) return null
+      x(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    val y = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val row = rot(i)
+      var s = 0.0
+      var t = 0
+      while (t < dim) { s += row(t) * x(t); t += 1 }
+      y(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
