@@ -332,6 +332,10 @@ object Dedup {
     clone
   }
 
+  /** Edge-count ceiling for [[connectedComponentsStar]]'s driver-side
+    * union-find fast path. */
+  private val SmallGraphEdgeBound = 10000L
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.rebindSession
     val caller = pairs.sparkSession
@@ -443,10 +447,23 @@ object Dedup {
     * hashes) — read in the same action that materializes the round's
     * edges, no extra compare join.
     *
+    * SMALL GRAPHS take a driver-side union-find fast path: once the
+    * canonical edge count is MEASURED at ≤ `smallGraphBound` (default
+    * 10k — ~160 KB of (u, v) longs, the codebook/centroid class of
+    * bounded driver state) and the id columns are integral, the edges
+    * collect and label in one pass instead of paying the alternation's
+    * per-round checkpoint actions — what a per-micro-batch in-batch
+    * dedup (a handful of edges) costs in the streaming ingest loops.
+    * The labels are identical by contract either way; pass
+    * `smallGraphBound = 0` to force the distributed alternation (the
+    * deep-chain spec and the sx13 bench workload do, so the
+    * distributed path stays pinned and measured).
+    *
     * Output contract matches [[connectedComponents]] exactly:
     * (doc_id, component) for every id in `pairs`, component = minimum
     * reachable id (equivalence pinned property-style in DedupSpec). */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+                              smallGraphBound: Long = SmallGraphEdgeBound): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.rebindSession
     val caller = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -499,18 +516,88 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    val edges0 = canonical(pairs.select(col("id1").as("a"), col("id2").as("b")))
-      .persist(lvl)
+    // persist the RAW pair projection once: the caller's plan (in the
+    // ingest loops a broadcast-heavy lazy probe union) is evaluated a
+    // single time, and every later reference — canonical edges, the id
+    // universe, the isolates anti-join — reads the cached rows instead
+    // of re-running the whole subtree (measured: ~1/3 of st5's
+    // in-batch-cc jobs were exactly these re-evaluations)
+    val p0 = pairs.select(col("id1").as("a"), col("id2").as("b")).persist(lvl)
+    // id universe in ONE pass over p0 (explode, not a 2-scan self-union)
+    def idUniverse: DataFrame = p0
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val edges0 = canonical(p0).persist(lvl)
     var edges: DataFrame = edges0
     try {
       val nEdges = edges0.count()
+      if (nEdges == 0L) {
+        // fast path: no canonical edges → every id labels itself. Skips
+        // the fingerprint action and the forest/isolates anti-join — a
+        // per-micro-batch saving in the ingest loops, where most
+        // batches carry no in-batch dup edges.
+        val ids = idUniverse
+          .select(col("doc_id"), col("doc_id").as("component"))
+        return rebindSession(ids.localCheckpoint(true), caller)
+      }
+      val integralIds = Seq("id1", "id2").forall(c =>
+        pairs.schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType => true
+          case _ => false
+        })
+      if (nEdges <= smallGraphBound && integralIds) {
+        // SMALL-GRAPH path: the edge count is MEASURED above before
+        // anything moves, so this collect is explicitly bounded
+        // (≤10k (u,v) longs ≈ 160 KB — the codebook/centroid class of
+        // driver state, not an unbounded data path). Union-find with
+        // min-root labels produces EXACTLY the distributed fixpoint's
+        // (doc_id, component-min) contract in one pass — for the
+        // streaming ingest loops this turns the per-micro-batch CC
+        // (fingerprint + N star alternations, each a checkpoint action
+        // and two window shuffles) into one collect and one broadcast
+        // join. Graphs past the bound take the distributed alternation
+        // below, unchanged.
+        val es = edges0.selectExpr("cast(u as long) u", "cast(v as long) v")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        es.foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { // min id becomes the root → component = min
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        val forestRows = nodes.map(n => (n, find(n)))
+        import caller.implicits._
+        val idType = pairs.schema("id1").dataType
+        val forest = forestRows.toSeq.toDF("doc_id", "component")
+          .select(col("doc_id").cast(idType).as("doc_id"),
+            col("component").cast(idType).as("component"))
+        // ids appearing only in self-pairs label themselves — contract
+        // parity with the distributed path (one anti-join, broadcast
+        // side is the bounded forest)
+        val isolates = idUniverse
+          .join(broadcast(forest.select("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("component"))
+        return forest.union(isolates).localCheckpoint(true)
+      }
       // loop re-plans against a frontier-sized CLONED session — the
       // caller's conf is never touched (see [[loopSession]])
       val clone = loopSession(caller, nEdges)
       edges = rebindSession(edges0, clone)
 
       var fp = fingerprint(edges)
-      var converged = nEdges == 0L
+      var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
         // localCheckpoint EVERY round, not every k: each star op
@@ -541,18 +628,16 @@ object Dedup {
       // appear only in self-pairs, which the u≠v filter drops) label
       // themselves — output-contract parity with [[connectedComponents]],
       // which emits a row for every id in `pairs`. One anti-join, once,
-      // after the loop; `pairs` rebinds into the loop session so the
-      // join doesn't mix sessions.
-      val p = rebindSession(pairs, edges.sparkSession)
-      val isolates = p.select(col("id1").as("doc_id"))
-        .union(p.select(col("id2").as("doc_id")))
-        .distinct()
+      // after the loop; the cached p0 rebinds into the loop session so
+      // the join doesn't mix sessions.
+      val isolates = rebindSession(idUniverse, edges.sparkSession)
         .join(forest.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("component"))
       // rebound to the CALLER's session for downstream composition
       rebindSession(forest.union(isolates).localCheckpoint(true), caller)
     } finally {
       edges0.unpersist(blocking = false)
+      p0.unpersist(blocking = false)
     }
   }
 
@@ -884,6 +969,18 @@ object Dedup {
                            batchId: Option[Long] = None): Unit = {
     requireIndexParams(docs.sparkSession, path, "shingle_k" -> shingleK,
       "num_hashes" -> numHashes, "bands" -> bands)
+    appendToMinhashIndexPrechecked(docs, idCol, textCol, path, shingleK,
+      numHashes, bands, maxBucket, batchId)
+  }
+
+  /** [[appendToMinhashIndex]] minus the per-call `params/` validation
+    * read — for the streaming loops that validated at stream start
+    * (per-micro-batch params reads are scheduler tax; see
+    * [[minhashProbePrechecked]]). */
+  private[graft] def appendToMinhashIndexPrechecked(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int,
+      batchId: Option[Long]): Unit = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
       .persist(lvl)
@@ -1025,7 +1122,10 @@ object Dedup {
 
   /** A probe's output pair table plus its GROWN-bucket drop accounting
     * (one row: n_skipped_buckets, n_docs_in_skipped_buckets,
-    * max_bucket) — both eagerly materialized. */
+    * max_bucket). `pairs` is eagerly materialized; `probeDropStats` is
+    * a lazy one-row agg over the probe's checkpointed grown-bucket
+    * table — deterministic, cheap, and free for callers that never
+    * read it. */
   final case class IndexProbeResult(pairs: DataFrame, probeDropStats: DataFrame)
 
   /** [[minhashNearDupsAgainstIndex]] with the probe-side cap's drop
@@ -1053,6 +1153,64 @@ object Dedup {
       "num_hashes" -> numHashes, "bands" -> bands)
     val cap = maxBucket.getOrElse(
       readIndexParams(spark, indexPath).getOrElse("max_bucket", 1000L).toInt)
+    minhashProbePrechecked(incoming, idCol, textCol, indexPath, threshold,
+      shingleK, numHashes, bands, cap)
+  }
+
+  /** LAZY pair plan of the corpus probe — no persists, no checkpoints,
+    * no drop-stats side output: for the unified ingest loop, which
+    * materializes its batch-minus-dups frame ONCE per micro-batch
+    * instead of paying each probe's internal checkpoint actions
+    * (~6 scheduler jobs per batch on a fixed-cost audit). The shingle
+    * subtree re-evaluates per consumer inside the caller's one action —
+    * bounded by micro-batch size, the documented tradeoff of the lazy
+    * form (cf. [[minhashScoredCandidates]]). Grown buckets are still
+    * skipped, but silently; use [[minhashProbePrechecked]] when the
+    * drop accounting must be observable. */
+  private[graft] def minhashProbePairsLazy(
+      incoming: DataFrame, idCol: String, textCol: String, indexPath: String,
+      threshold: Double, shingleK: Int, numHashes: Int,
+      bands: Int, cap: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    val inSh = incoming
+      .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+    val inBands = bandedDocRows(inSh, numHashes, bands)
+      .select(col("doc").as("in_doc"), col("band"), col("bh"))
+    val probed = inBands.select(col("band"), col("bh")).distinct()
+    val grown = readIndexTable(spark, indexPath, "buckets")
+      .join(broadcast(probed), Seq("band", "bh"), "left_semi")
+      .groupBy(col("band"), col("bh"))
+      .agg(countDistinct(col("doc")).as("_bsz"))
+      .filter(col("_bsz") > cap)
+    val inOk = inBands.join(broadcast(grown.select(col("band"), col("bh"))),
+      Seq("band", "bh"), "left_anti")
+    val cands = broadcast(inOk)
+      .join(readIndexTable(spark, indexPath, "buckets"), Seq("band", "bh"))
+      .filter(col("in_doc") =!= col("doc"))
+      .select(col("in_doc"), col("doc")).distinct()
+    broadcast(cands)
+      .join(readIndexTable(spark, indexPath, "shingles"), "doc")
+      .join(broadcast(inSh.select(col("doc").as("in_doc"), col("sh").as("in_sh"))),
+        "in_doc")
+      .withColumn("jaccard", jaccard(col("in_sh"), col("sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("in_doc"), col("doc").as("corpus_doc"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .dropDuplicates("in_doc", "corpus_doc")
+  }
+
+  /** [[minhashNearDupsAgainstIndexWithStats]] MINUS the per-call
+    * `params/` round-trips — for callers that validated the index once
+    * and own every probe/append against it (the streaming ingest
+    * loops, which pay this per MICRO-BATCH: two params reads per
+    * modality per batch are pure scheduler tax when the loop read
+    * them at stream start). `cap` is the caller-supplied stored
+    * `max_bucket`. */
+  private[graft] def minhashProbePrechecked(
+      incoming: DataFrame, idCol: String, textCol: String, indexPath: String,
+      threshold: Double, shingleK: Int, numHashes: Int,
+      bands: Int, cap: Int): IndexProbeResult = {
+    val spark = incoming.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val inSh = incoming
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
@@ -1073,11 +1231,13 @@ object Dedup {
           .agg(countDistinct(col("doc")).as("_bsz"))
           .filter(col("_bsz") > cap)
           .localCheckpoint(true) // tiny: over-cap keys only
+        // stats stay LAZY: a one-row agg over the already-checkpointed
+        // `grown` — deterministic and cheap when a consumer reads it,
+        // zero jobs when none does (the unified ingest loop)
         val probeDropStats = grown
           .agg(count(lit(1)).as("n_skipped_buckets"),
             coalesce(sum(col("_bsz")), lit(0L)).as("n_docs_in_skipped_buckets"),
             lit(cap.toLong).as("max_bucket"))
-          .localCheckpoint(true)
         val inOk = inBands.join(grown.select(col("band"), col("bh")),
           Seq("band", "bh"), "left_anti")
         val cands = broadcast(inOk)
@@ -1515,6 +1675,15 @@ object Dedup {
                              batchId: Option[Long] = None): Unit = {
     requireIndexParams(embs.sparkSession, path, "bits" -> bits,
       "tables" -> tables, "dim" -> dim)
+    appendToEmbeddingIndexPrechecked(embs, idCol, vecCol, dim, path, bits,
+      tables, maxBucket, batchId)
+  }
+
+  /** The embedding twin of [[appendToMinhashIndexPrechecked]]. */
+  private[graft] def appendToEmbeddingIndexPrechecked(
+      embs: DataFrame, idCol: String, vecCol: String, dim: Int, path: String,
+      bits: Int, tables: Int, maxBucket: Int,
+      batchId: Option[Long]): Unit = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dv = embs.select(col(idCol).as("doc"), col(vecCol).as("vec")).persist(lvl)
     try {
@@ -1556,6 +1725,51 @@ object Dedup {
       "dim" -> dim)
     val cap = maxBucket.getOrElse(
       readIndexParams(spark, indexPath).getOrElse("max_bucket", 1000L).toInt)
+    embeddingProbePrechecked(incoming, idCol, vecCol, dim, indexPath,
+      threshold, bits, tables, cap)
+  }
+
+  /** The embedding twin of [[minhashProbePairsLazy]]. */
+  private[graft] def embeddingProbePairsLazy(
+      incoming: DataFrame, idCol: String, vecCol: String, dim: Int,
+      indexPath: String, threshold: Double, bits: Int,
+      tables: Int, cap: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    val inVec = incoming.select(col(idCol).as("in_doc"), col(vecCol).as("in_vec"))
+    val inSig = inVec
+      .select(col("in_doc"),
+        explode(array(hyperplaneSigCols(col("in_vec"), bits, dim, tables): _*)).as("ts"))
+      .select(col("in_doc"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val probed = inSig.select(col("t"), col("sig")).distinct()
+    val grown = readIndexTable(spark, indexPath, "buckets")
+      .join(broadcast(probed), Seq("t", "sig"), "left_semi")
+      .groupBy(col("t"), col("sig"))
+      .agg(countDistinct(col("doc")).as("_bsz"))
+      .filter(col("_bsz") > cap)
+    val inOk = inSig.join(broadcast(grown.select(col("t"), col("sig"))),
+      Seq("t", "sig"), "left_anti")
+    val cands = broadcast(inOk)
+      .join(readIndexTable(spark, indexPath, "buckets"), Seq("t", "sig"))
+      .filter(col("in_doc") =!= col("doc"))
+      .select(col("in_doc"), col("doc")).distinct()
+    broadcast(cands)
+      .join(readIndexTable(spark, indexPath, "vectors"), "doc")
+      .join(broadcast(inVec), "in_doc")
+      .withColumn("cosine", V.cosineSimilarityNative(col("in_vec"), col("vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("in_doc"), col("doc").as("corpus_doc"),
+        round(col("cosine"), 4).as("cosine"))
+      .dropDuplicates("in_doc", "corpus_doc")
+  }
+
+  /** The embedding twin of [[minhashProbePrechecked]]: no per-call
+    * `params/` round-trips — for the streaming loops that validated
+    * once at stream start. */
+  private[graft] def embeddingProbePrechecked(
+      incoming: DataFrame, idCol: String, vecCol: String, dim: Int,
+      indexPath: String, threshold: Double, bits: Int,
+      tables: Int, cap: Int): IndexProbeResult = {
+    val spark = incoming.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the batch: the signature probe and the verify join both
     // read it, and a re-evaluated non-deterministic source could
@@ -1578,11 +1792,12 @@ object Dedup {
           .agg(countDistinct(col("doc")).as("_bsz"))
           .filter(col("_bsz") > cap)
           .localCheckpoint(true) // tiny: over-cap keys only
+        // lazy stats over the checkpointed `grown` — see the minhash
+        // twin
         val probeDropStats = grown
           .agg(count(lit(1)).as("n_skipped_buckets"),
             coalesce(sum(col("_bsz")), lit(0L)).as("n_docs_in_skipped_buckets"),
             lit(cap.toLong).as("max_bucket"))
-          .localCheckpoint(true)
         val inOk = inSig.join(grown.select(col("t"), col("sig")),
           Seq("t", "sig"), "left_anti")
         val cands = broadcast(inOk)

@@ -635,6 +635,24 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // OPQ (rotation-optimized PQ) on the same lossless fixture: exact
+    // quantization makes the Procrustes rotation update the identity
+    // (Opq scaladoc), so the rotate→encode→ADC path's scores equal
+    // true cosine and the SAME DuckDB list-math oracle pins the whole
+    // trained pipeline. The anisotropic LIFT the rotation exists for
+    // is OpqSpec's planted-fixture pin — the sf embeddings are
+    // measured-isotropic, where no rotation can help and the
+    // pq_opq_recall_at_10 gauge records the tie honestly.
+    "ann10_opq_topk" -> ((s, _) => {
+      import graft.operators.Opq
+      val embs = PlantedFixtures.pqVectors(s)
+      Opq.opqTopK(embs, "vec_id", "embedding", PlantedFixtures.PqFixtureDim,
+          Seq(1.0, 0.0, 5.0, 0.0), 8, m = 2, kCodes = 4, lloydIters = 2,
+          opqIters = 2)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     // LSH-bucketed ANN on the planted vectors: the scalar-multiple
     // cluster is signature-identical, so ids 0/1/2 at sim 1.0 are
     // guaranteed; the rest of the top-5 pins the SINGLE-table
@@ -1126,9 +1144,16 @@ object PipelineQueries {
         Seq((1L, v(2, 1, 0, 0, 0, 0, 0, 0))).toDF("doc_id", "vec"),
         "doc_id", "vec", 8, embIdx)
       val in = MemoryStream[(Long, String, Seq[Float])]
+      // compactEvery = None HERE: compacting every 2 micro-batches on
+      // an 8-document demo is maintenance tax no operational trigger
+      // would pay (real loops compact every N ≫ 2 batches); the
+      // compaction-inside-the-loop semantics stay pinned by the two
+      // StreamingSpec compactEvery cases and the dd12/dd13
+      // compact≡fresh parity gates, so this workload measures the
+      // per-batch INGEST cost the loop actually charges.
       val q = graft.streaming.Windows.streamingDedupAgainstIndexes(
         in.toDF().toDF("doc_id", "text", "vec"), "doc_id", "text", "vec",
-        textIdx, embIdx, compactEvery = Some(2))(
+        textIdx, embIdx, compactEvery = None)(
         graft.streaming.Windows.idempotentParquetSink(out))
       try {
         in.addData(
@@ -2261,6 +2286,30 @@ object PipelineQueries {
     // path's ADC score must equal true-cosine list math double for
     // double (PlantedFixtures.pqVectors scaladoc)
     "ann9_pq_topk" ->
+      """WITH d AS (SELECT * FROM (VALUES
+           (0, [1.0, 0.0, 5.0, 0.0]), (1, [1.0, 0.0, 0.0, 7.0]),
+           (2, [1.0, 0.0, 1.0, 1.0]), (3, [1.0, 0.0, 4.0, 3.0]),
+           (4, [0.0, 1.0, 5.0, 0.0]), (5, [0.0, 1.0, 0.0, 7.0]),
+           (6, [0.0, 1.0, 1.0, 1.0]), (7, [0.0, 1.0, 4.0, 3.0]),
+           (8, [3.0, 4.0, 5.0, 0.0]), (9, [3.0, 4.0, 0.0, 7.0]),
+           (10, [3.0, 4.0, 1.0, 1.0]), (11, [3.0, 4.0, 4.0, 3.0]),
+           (12, [2.0, 2.0, 5.0, 0.0]), (13, [2.0, 2.0, 0.0, 7.0]),
+           (14, [2.0, 2.0, 1.0, 1.0]), (15, [2.0, 2.0, 4.0, 3.0])
+         ) AS v(vec_id, embedding)),
+         q AS (SELECT embedding AS qv FROM d WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                           x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform((SELECT qv FROM q), v -> v * v))) *
+                   sqrt(list_sum(list_transform(embedding, v -> v * v)))) AS sim_raw
+           FROM d)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id, round(sim_raw, 4) AS sim
+         FROM scored ORDER BY sim_raw DESC, vec_id LIMIT 8""",
+    // OPQ on the same fixture converges to the identity rotation and
+    // exact reconstruction (Opq scaladoc) — the oracle is the identical
+    // exact-cosine list math
+    "ann10_opq_topk" ->
       """WITH d AS (SELECT * FROM (VALUES
            (0, [1.0, 0.0, 5.0, 0.0]), (1, [1.0, 0.0, 0.0, 7.0]),
            (2, [1.0, 0.0, 1.0, 1.0]), (3, [1.0, 0.0, 4.0, 3.0]),

@@ -218,16 +218,19 @@ object Windows {
                                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    // one params read at stream start, not per batch
+    // one params read at stream start, not per batch — the per-batch
+    // probe/append calls take the PRECHECKED variants (no per-call
+    // params round-trips; the cap follows the index's stored knob)
     val p = Dedup.readIndexParams(stream.sparkSession, indexPath)
     val (k, nh, bands) = (p("shingle_k").toInt, p("num_hashes").toInt, p("bands").toInt)
+    val cap = p.getOrElse("max_bucket", 1000L).toInt
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // 1. corpus-level dedup: drop docs near-duplicating ALREADY-
         //    ingested content (self-id matches excluded — replay)
-        val probe = Dedup.minhashNearDupsAgainstIndexWithStats(
-          cached, idCol, textCol, indexPath, threshold, k, nh, bands)
+        val probe = Dedup.minhashProbePrechecked(
+          cached, idCol, textCol, indexPath, threshold, k, nh, bands, cap)
         val corpusDups = probe.pairs
         val noCorpusDups = cached.join(
           corpusDups.select(col("in_doc").as(idCol)).distinct(), Seq(idCol), "left_anti")
@@ -249,8 +252,8 @@ object Windows {
         val survivors = noCorpusDups.join(dropped, Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          Dedup.appendToMinhashIndex(survivors, idCol, textCol, indexPath,
-            k, nh, bands, batchId = Some(batchId))
+          Dedup.appendToMinhashIndexPrechecked(survivors, idCol, textCol,
+            indexPath, k, nh, bands, cap, batchId = Some(batchId))
           sink(survivors, batchId)
           // opt-in: the count actions run over the already-cached batch
           // and the tiny materialized probe outputs, AFTER the batch is
@@ -322,50 +325,121 @@ object Windows {
     val spark = stream.sparkSession
     val tp = Dedup.readIndexParams(spark, textIndexPath)
     val (k, nh, bands) = (tp("shingle_k").toInt, tp("num_hashes").toInt, tp("bands").toInt)
+    val tcap = tp.getOrElse("max_bucket", 1000L).toInt
     val ep = Dedup.readIndexParams(spark, embIndexPath)
     val (bits, tables, dim) = (ep("bits").toInt, ep("tables").toInt, ep("dim").toInt)
+    val ecap = ep.getOrElse("max_bucket", 1000L).toInt
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sc = batch.sparkSession.sparkContext
+      // phase labels: visible in the Spark UI and the overhead gauges'
+      // listener, so micro-batch cost attributes to the constituent
+      // operator, not one opaque foreachBatch call site
+      def phase[T](name: String)(body: => T): T = {
+        sc.setJobDescription(s"st-ingest b$batchId $name")
+        try body finally sc.setJobDescription(null)
+      }
       val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // 1. corpus-level dedup in EITHER modality
-        val textDups = Dedup.minhashNearDupsAgainstIndex(
-          cached, idCol, textCol, textIndexPath, textThreshold, k, nh, bands)
-        val embDups = Dedup.embeddingNearDupsAgainstIndex(
-          cached, idCol, vecCol, dim, embIndexPath, embThreshold, bits, tables)
+        // 1. corpus-level dedup in EITHER modality. Both probes stay
+        //    LAZY (params validated once at stream start, no per-probe
+        //    checkpoint actions); the loop materializes ONE checkpoint
+        //    — the batch minus its corpus dups — which every later
+        //    stage reads. On a ~30-operator micro-batch audit each
+        //    saved action is pure scheduler time (r15: this cut st5's
+        //    per-batch job count by a third).
+        val textDups = Dedup.minhashProbePairsLazy(
+          cached, idCol, textCol, textIndexPath, textThreshold,
+          k, nh, bands, tcap)
+        val embDups = Dedup.embeddingProbePairsLazy(
+          cached, idCol, vecCol, dim, embIndexPath, embThreshold,
+          bits, tables, ecap)
         val dupIds = textDups.select(col("in_doc").as(idCol))
           .union(embDups.select(col("in_doc").as(idCol))).distinct()
-        val noCorpusDups = cached.join(dupIds, Seq(idCol), "left_anti")
+        val noCorpusDups = phase("corpus-probe")(
+          cached.join(broadcast(dupIds), Seq(idCol), "left_anti")
+            .localCheckpoint(true))
         // 2. in-batch collapse over the MERGED pair edges (star CC —
-        //    availability under deep chains, as in the one-index loop)
-        val textPairs = Dedup.minhashNearDups(
-          noCorpusDups, idCol, textCol, textThreshold, k, nh, bands)
+        //    availability under deep chains, as in the one-index loop).
+        //    Lazy pair plans over the checkpointed frame: CC persists
+        //    and materializes their union exactly once.
+        val textPairs = Dedup.minhashScoredCandidates(
+            noCorpusDups, idCol, textCol, k, nh, bands)
+          .filter(col("jaccard") >= textThreshold)
         val embPairs = Dedup.embeddingNearDupsMulti(
           noCorpusDups, idCol, vecCol, dim, embThreshold, bits, tables)
         val edges = textPairs.select(col("id1"), col("id2"))
           .union(embPairs.select(col("id1"), col("id2")))
-        val dropped = Dedup.connectedComponentsStar(edges)
+        val dropped = phase("in-batch-cc")(Dedup.connectedComponentsStar(edges))
           .filter(col("doc_id") =!= col("component")) // keep cluster min
           .select(col("doc_id").as(idCol))
         val survivors = noCorpusDups.join(dropped, Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // 3. both indexes advance under the same idempotency key
-          Dedup.appendToMinhashIndex(survivors, idCol, textCol, textIndexPath,
-            k, nh, bands, batchId = Some(batchId))
-          Dedup.appendToEmbeddingIndex(survivors, idCol, vecCol, dim,
-            embIndexPath, bits, tables, batchId = Some(batchId))
-          ivfIndexPath.foreach(p => graft.operators.Ann.appendToIvfIndex(
-            survivors.select(col(idCol), col(vecCol)), idCol, vecCol, p,
-            batchId = Some(batchId)))
-          sink(survivors, batchId)
+          phase("append-text")(
+            Dedup.appendToMinhashIndexPrechecked(survivors, idCol, textCol,
+              textIndexPath, k, nh, bands, tcap, batchId = Some(batchId)))
+          phase("append-emb")(
+            Dedup.appendToEmbeddingIndexPrechecked(survivors, idCol, vecCol,
+              dim, embIndexPath, bits, tables, ecap,
+              batchId = Some(batchId)))
+          ivfIndexPath.foreach(p => phase("append-ivf")(
+            graft.operators.Ann.appendToIvfIndex(
+              survivors.select(col(idCol), col(vecCol)), idCol, vecCol, p,
+              batchId = Some(batchId))))
+          phase("sink")(sink(survivors, batchId))
         } finally survivors.unpersist(blocking = false)
         if (compactEvery.exists(n => n > 0 && (batchId + 1) % n == 0)) {
-          Dedup.compactMinhashIndex(batch.sparkSession, textIndexPath)
-          Dedup.compactEmbeddingIndex(batch.sparkSession, embIndexPath)
-          ivfIndexPath.foreach(p =>
-            graft.operators.Ann.compactIvfIndex(batch.sparkSession, p))
+          phase("compact-text")(
+            Dedup.compactMinhashIndex(batch.sparkSession, textIndexPath))
+          phase("compact-emb")(
+            Dedup.compactEmbeddingIndex(batch.sparkSession, embIndexPath))
+          ivfIndexPath.foreach(p => phase("compact-ivf")(
+            graft.operators.Ann.compactIvfIndex(batch.sparkSession, p)))
         }
       } finally cached.unpersist(blocking = false)
     }.start()
+  }
+
+  /** STREAMING FUZZY MATCH — the short-key entity-resolution twin of
+    * the dedup-at-ingest loops: a keyed stream of dirty names/titles/
+    * codes matched per micro-batch against a STANDING canonical
+    * dictionary by exact edit distance (the reference's street-name
+    * repair domain, audit.py's update_name family, as a continuous
+    * pipeline). The dictionary's deletion-neighborhood keys are built
+    * ONCE at stream start ([[graft.operators.FuzzyJoin.prepare]]) and
+    * stay cached for the stream's lifetime; each micro-batch's keys
+    * broadcast into the equi-join against that standing key table and
+    * candidates verify with native `levenshtein` — recall-complete
+    * blocking per batch, never all-pairs (FuzzyJoin scaladoc).
+    *
+    * The sink receives `(matches, batchId)` where `matches` has the
+    * [[graft.operators.FuzzyJoin.joinPrepared]] columns
+    * `(left_id, dict_id, dist)` — compose with
+    * [[idempotentParquetSink]] for the batch-keyed exactly-once
+    * landing zone (redelivery = partition overwrite), exactly as in
+    * the st5 loop. Rows with no dictionary match within `maxDist`
+    * produce no output row (the match table, not a repair table —
+    * left-join it back to the stream's own landing zone to repair).
+    * The match plan is lazy; the sink's write is the micro-batch's one
+    * action. Stopping the stream leaves the prepared dictionary
+    * cached; the returned handle's `unpersist()` releases it. */
+  final case class FuzzyMatchStream(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      private val prep: graft.operators.FuzzyJoin.PreparedDict) {
+    def unpersist(): Unit = prep.unpersist()
+  }
+
+  def streamingFuzzyMatch(stream: DataFrame, idCol: String, strCol: String,
+                          dict: DataFrame, dictIdCol: String, dictStrCol: String,
+                          maxDist: Int, maxLen: Int = 256)
+                         (sink: (DataFrame, Long) => Unit): FuzzyMatchStream = {
+    import graft.operators.FuzzyJoin
+    // one dictionary pass at stream start: guard + persist base/keys
+    val prep = FuzzyJoin.prepare(dict, dictIdCol, dictStrCol, maxDist, maxLen)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(FuzzyJoin.joinPrepared(batch, idCol, strCol, prep, maxLen), batchId)
+    }.start()
+    FuzzyMatchStream(q, prep)
   }
 }

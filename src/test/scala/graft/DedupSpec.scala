@@ -263,12 +263,18 @@ class DedupSpec extends SparkSpec {
   test("large-star/small-star closes a deep chain min-label propagation cannot") {
     import spark.implicits._
     // a 401-node chain (diameter 400): min-label would need ~130+
-    // rounds even with the shortcut; the star alternation is O(log n)
+    // rounds even with the shortcut; the star alternation is O(log n).
+    // smallGraphBound = 0 pins the DISTRIBUTED alternation — the
+    // union-find fast path would otherwise absorb a 400-edge graph.
     val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val comp = Dedup.connectedComponentsStar(chain)
+    val comp = Dedup.connectedComponentsStar(chain, smallGraphBound = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     comp.length shouldBe 401
     comp.map(_._2).toSet shouldBe Set(0L)
+    // the small-graph union-find path must produce the identical labels
+    val small = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    small.toMap shouldBe comp.toMap
   }
 
   test("large-star/small-star matches min-label propagation on a mixed graph") {
@@ -287,8 +293,11 @@ class DedupSpec extends SparkSpec {
     val pairs = (base ++ rand ++ rand.map(_.swap)).toDF("id1", "id2")
     def labelMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    labelMap(Dedup.connectedComponentsStar(pairs)) shouldBe
-      labelMap(Dedup.connectedComponents(pairs))
+    val minLabel = labelMap(Dedup.connectedComponents(pairs))
+    // both star paths — the union-find fast path (default bound) and
+    // the forced distributed alternation — must match min-label exactly
+    labelMap(Dedup.connectedComponentsStar(pairs)) shouldBe minLabel
+    labelMap(Dedup.connectedComponentsStar(pairs, smallGraphBound = 0L)) shouldBe minLabel
   }
 
   test("multi-table LSH with one table matches the single-table path (verify-order parity)") {

@@ -912,4 +912,59 @@ class StreamingSpec extends SparkSpec {
         (103L, Some(3.5)), (104L, Some(9.0)))
     } finally q.stop()
   }
+
+  test("streaming fuzzy match: micro-batches match a standing dictionary exactly as batch", Slow) {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.FuzzyJoin
+    // the reference's street-name repair domain as a continuous
+    // pipeline: dirty names stream in, the canonical dictionary is
+    // standing (its deletion-neighborhood keys built once at stream
+    // start), matches land batch-keyed in the idempotent sink
+    val dict = Seq((1L, "North Bond Street"), (2L, "Main Street"),
+      (3L, "Pennsylvania Avenue"), (4L, "Smith")).toDF("dict_id", "name")
+    val out = graft.TempDirs.path("sink/fuzzy-match")
+    val sink = graft.streaming.Windows.idempotentParquetSink(out)
+    val in = MemoryStream[(Long, String)]
+    val fm = graft.streaming.Windows.streamingFuzzyMatch(
+      in.toDF().toDF("row_id", "dirty"), "row_id", "dirty",
+      dict, "dict_id", "name", maxDist = 2)(sink)
+    try {
+      // batch 0 carries a position-0 edit ("mith"/"Smith" — the block
+      // the pre-FastSS demo missed) and a no-match row
+      in.addData((10L, "North Bond Stret"), (11L, "mith"),
+        (12L, "unmatchable zzz"))
+      fm.query.processAllAvailable()
+      in.addData((20L, "Main Steet"), (21L, "Pennsylvania Avenue"))
+      fm.query.processAllAvailable()
+    } finally fm.query.stop()
+    try {
+      val streamed = spark.read.parquet(out)
+        .select("left_id", "dict_id", "dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // batch twin over the SAME rows through the production two-table
+      // join — identical matches regardless of micro-batch slicing
+      val allRows = Seq((10L, "North Bond Stret"), (11L, "mith"),
+        (12L, "unmatchable zzz"), (20L, "Main Steet"),
+        (21L, "Pennsylvania Avenue")).toDF("row_id", "dirty")
+      val expect = FuzzyJoin.join(allRows, "row_id", "dirty",
+          dict, "dict_id", "name", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      streamed shouldBe expect
+      // planted: position-0 edit found, exact match at dist 0, the
+      // no-match row emits nothing
+      streamed should contain ((11L, 4L, 1))
+      streamed should contain ((21L, 3L, 0))
+      streamed.map(_._1) should not contain 12L
+      // exactly-once sink semantics, as in the st5 loop: an
+      // at-least-once redelivery of batch 0's matches is a partition
+      // replace, not a second copy
+      val before = spark.read.parquet(out).count()
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      sink(b0.toDF("left_id", "dict_id", "dist"), 0L)
+      spark.read.parquet(out).count() shouldBe before
+    } finally fm.unpersist()
+  }
 }
