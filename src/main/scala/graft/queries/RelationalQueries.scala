@@ -1806,6 +1806,39 @@ object RelationalQueries {
           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                               FROM tq17_lineitem l2
                               WHERE l2.l_partkey = l.l_partkey)""")
+    }),
+
+    // TPC-H Q20-family NESTED correlated shape ("suppliers with
+    // above-average shipments of a brand's parts in a nation band"):
+    // an IN whose subquery itself contains BOTH another IN and a
+    // correlated scalar subquery — the three decorrelations composed
+    // in one query. Catalyst rewrites outer/inner IN → left-semi
+    // equi-joins and the correlated scalar → one per-suppkey aggregate
+    // joined back on the correlation key; the plan must stay
+    // semi-join + agg + equi-join with NO nested-loop/cartesian
+    // (PlanAuditSpec — at 100 TB a per-row rescan of lineitem inside
+    // an IN is the difference between one shuffle and |supplier|
+    // rescans). Same determinism discipline as tq17: integer-valued
+    // l_quantity makes avg one exact-sum IEEE division, 0.8·avg one
+    // multiply — bit-identical thresholds in both engines.
+    "tq20_excess_shippers" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("tq20_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("tq20_part")
+      t(s, dir, "supplier").createOrReplaceTempView("tq20_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("tq20_nation")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM tq20_supplier s JOIN tq20_nation n
+          ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name LIKE 'NATION_1%'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM tq20_lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM tq20_part
+                                  WHERE p_brand = 'Brand#1')
+              AND l.l_quantity > (SELECT 0.8 * avg(l2.l_quantity)
+                                  FROM tq20_lineitem l2
+                                  WHERE l2.l_suppkey = l.l_suppkey))
+        ORDER BY s_suppkey""")
     })
   )
 
@@ -2473,6 +2506,18 @@ object RelationalQueries {
          WHERE p.p_brand = 'Brand#1'
            AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                                FROM lineitem l2
-                               WHERE l2.l_partkey = l.l_partkey)"""
+                               WHERE l2.l_partkey = l.l_partkey)""",
+    "tq20_excess_shippers" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name LIKE 'NATION_1%'
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM lineitem l
+             WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_brand = 'Brand#1')
+               AND l.l_quantity > (SELECT 0.8 * avg(l2.l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_suppkey = l.l_suppkey))
+         ORDER BY s_suppkey"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

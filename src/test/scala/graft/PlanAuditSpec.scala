@@ -169,6 +169,19 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("ShuffledHashJoin")) shouldBe true
   }
 
+  test("tq20: nested IN + correlated scalar decorrelate to semi-joins + agg — " +
+      "no nested-loop, no cartesian") {
+    val p = plan("tq20_excess_shippers")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // both INs became keyed semi-joins and the correlated scalar a
+    // per-suppkey aggregate joined back on the correlation key
+    p should include("LeftSemi")
+    p should include("HashAggregate")
+    (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+  }
+
   test("dd15: n-gram span dedup has no cartesian; dup-set joins are keyed") {
     val p = plan("dd15_ngram_spans")
     p should not include "Cartesian"
