@@ -213,6 +213,36 @@ class AnnSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("signature ranking: malformed vectors sink below every real row, never in top-k") {
+    import spark.implicits._
+    // null vector, wrong-dim vector, and a null-element vector ride in
+    // the corpus: their sketches hash to NULL → null Hamming distance,
+    // which the asc_nulls_last shortlist sort must sink (plain asc
+    // would put nulls FIRST and flood the shortlist with garbage)
+    val fix = graft.queries.PlantedFixtures.embs(spark)
+      .select("vec_id", "embedding")
+    val dimF = graft.queries.PlantedFixtures.EmbFixtureDim
+    val bad = Seq(
+      (100L, null.asInstanceOf[Seq[Float]]),
+      (101L, Seq(1.0f, 2.0f)),
+      (102L, Seq.tabulate(dimF)(i => if (i == 3) null.asInstanceOf[Float] else 1.0f))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        when(col("vec_id") === 102L,
+          // rebuild with a real SQL NULL element (Seq[Float] can't hold one)
+          expr(s"transform(embedding, (x, i) -> IF(i = 3, CAST(NULL AS FLOAT), x))"))
+          .otherwise(col("embedding")).as("embedding"))
+    val corpus = fix.unionByName(bad)
+    val q = fix.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val got = Ann.lshTopK(corpus, "vec_id", "embedding", dimF, q, "qv", 12)
+      .collect().map(_.getLong(0)).toSet
+    got.intersect(Set(100L, 101L, 102L)) shouldBe Set.empty
+    // and the clean fixture's results are unchanged by the bad rows
+    val clean = Ann.lshTopK(fix, "vec_id", "embedding", dimF, q, "qv", 12)
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe clean
+  }
+
   test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes", Slow) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -72,6 +72,30 @@ class OpqSpec extends SparkSpec {
     opq.toSeq shouldBe pq.toSeq
   }
 
+  test("guards: query-dim mismatch throws; null / wrong-dim rows are filtered from training") {
+    import spark.implicits._
+    val dim = graft.queries.PlantedFixtures.PqFixtureDim
+    val dirty = graft.queries.PlantedFixtures.pqVectors(spark).unionByName(
+      Seq((100L, null.asInstanceOf[Seq[Float]]), (101L, Seq(1.0f, 2.0f)))
+        .toDF("vec_id", "embedding"))
+    // training ignores the malformed rows: identical model to the clean fixture
+    val clean = Opq.train(graft.queries.PlantedFixtures.pqVectors(spark),
+      "embedding", dim, m = 2, k = 4, lloydIters = 2, opqIters = 2)
+    val model = Opq.train(dirty, "embedding", dim, m = 2, k = 4,
+      lloydIters = 2, opqIters = 2)
+    model.rotation.map(_.toSeq).toSeq shouldBe clean.rotation.map(_.toSeq).toSeq
+    model.cb.books.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      clean.cb.books.map(_.map(_.toSeq).toSeq).toSeq
+    intercept[IllegalArgumentException] {
+      Opq.topK(dirty, "vec_id", "embedding", Seq(1.0, 0.0), 5, model)
+    }
+    // malformed rows encode NULL through the rotate→encode path and
+    // never rank
+    val got = Opq.topK(dirty, "vec_id", "embedding",
+      Seq(1.0, 0.0, 5.0, 0.0), 16, model).collect().map(_.getLong(0)).toSet
+    got.intersect(Set(100L, 101L)) shouldBe Set.empty
+  }
+
   test("anisotropic fixture: OPQ rotation lifts raw-ADC agreement over axis-aligned PQ", Slow) {
     val embs = anisotropic().cache()
     val dim = 4
