@@ -111,7 +111,9 @@ object Ann {
     * `IndexLSH` recipe): every row carries a 504-bit sketch (8×63-bit
     * signature longs, 64 B vs 256 B of floats), a query sweeps the
     * sketches with XOR+popcount only, and full-precision cosine is
-    * paid for just the top `max(64, 0.15·n)` rows by Hamming rank.
+    * paid for just the top `min(100k, max(64, 0.15·n))` rows by
+    * Hamming rank (the cap is the scale fence — see the constants'
+    * scaladoc).
     * Why not buckets by default: bucketing prunes only when true
     * neighbors are CLOSE (small angle → signatures agree on almost
     * every bit). On the bench corpus — measured isotropic: mean
@@ -159,13 +161,22 @@ object Ann {
 
   /** Ranking-sketch constants: 8 longs × 63 hyperplane bits = a
     * 504-bit signature (seeds 42..49, shared with the bucketed
-    * family), shortlist = 15% of the corpus floored at 64 rows —
-    * the measured ≥0.9-recall-everywhere configuration (see
-    * [[lshTopK]]). */
+    * family), shortlist = 15% of the corpus floored at 64 rows and
+    * CAPPED at 100k — the measured ≥0.9-recall-everywhere
+    * configuration (see [[lshTopK]]). The cap is the scale fence: an
+    * uncapped 0.15·n at 10⁹ rows would be a 150M-row top-k (past
+    * Spark's TakeOrdered fallback threshold that's a global sort
+    * feeding a single-partition limit — gigabytes through one task),
+    * while 100k exact-cosine rows stay a bounded
+    * TakeOrderedAndProject and at that corpus size Hamming rank is
+    * far tighter in ABSOLUTE candidate terms than any real top-k
+    * needs; the [[graft.operators.Pq.rerankShortlist]] recipe draws
+    * the same fence for the same reason. */
   private val RankSigTables = 8
   private val RankSigBits = 63
   private val RankShortlistFrac = 0.15
   private val RankShortlistFloor = 64L
+  private val RankShortlistCap = 100000L
 
   /** array<long> of the ranking sketch's signature words. */
   private def rankSigArr(vec: Column, dim: Int): Column = {
@@ -184,8 +195,8 @@ object Ann {
       .reduce(_ + _)
 
   private def rankShortlistSize(n: Long): Int =
-    math.min(n, math.max(RankShortlistFloor,
-      math.ceil(n * RankShortlistFrac).toLong)).toInt
+    math.min(n, math.min(RankShortlistCap, math.max(RankShortlistFloor,
+      math.ceil(n * RankShortlistFrac).toLong))).toInt
 
   /** The signature-ranking default of [[lshTopK]]: Hamming-rank the
     * 64 B sketches, exact-cosine only the top-C shortlist
