@@ -1175,6 +1175,44 @@ object PipelineQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }),
 
+    // STREAMING FUZZY MATCH (the st5 family's short-key entity-
+    // resolution twin): a dirty-name stream matched per micro-batch
+    // against a STANDING dictionary whose deletion-neighborhood keys
+    // are built once at stream start; matches land batch-keyed in the
+    // idempotent sink. The fixture plants a position-0 edit
+    // ("mith"/"Smith" — the block a first-character scheme misses), an
+    // exact dist-0 match, and a no-match row that must emit nothing;
+    // the oracle is the hand-derived match table (levenshtein counts
+    // verified in StreamingSpec against the batch FuzzyJoin.join).
+    "st11_streaming_fuzzy" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val dict = Seq((1L, "North Bond Street"), (2L, "Main Street"),
+          (3L, "Pennsylvania Avenue"), (4L, "Smith")).toDF("dict_id", "name")
+        val out = graft.TempDirs.path("sink/st11")
+        val in = MemoryStream[(Long, String)]
+        val fm = graft.streaming.Windows.streamingFuzzyMatch(
+          in.toDF().toDF("row_id", "dirty"), "row_id", "dirty",
+          dict, "dict_id", "name", maxDist = 2)(
+          graft.streaming.Windows.idempotentParquetSink(out))
+        try {
+          in.addData((10L, "North Bond Stret"), (11L, "mith"),
+            (12L, "unmatchable zzz"))
+          fm.query.processAllAvailable()
+          in.addData((20L, "Main Steet"), (21L, "Pennsylvania Avenue"))
+          fm.query.processAllAvailable()
+        } finally { fm.query.stop(); fm.unpersist() }
+        s.read.parquet(out)
+          .select(col("batch_id").cast("long").as("batch"), col("left_id"),
+            col("dict_id"), col("dist"))
+          .orderBy("batch", "left_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }),
+
     // COMPACTION round-trip, embedding twin: the colinear cluster
     // (vectors 1, 2 = scalar multiples of 0) lands across build + two
     // appends; after compactEmbeddingIndex a probe with vector 0 finds
@@ -2264,6 +2302,18 @@ object PipelineQueries {
            (0, 14),
            (1, 22)
          ) AS t(batch, doc_id) ORDER BY batch, doc_id""",
+    // hand-derived levenshtein match table: "North Bond Stret" is one
+    // deletion from dict 1; "mith" one position-0 insertion from
+    // "Smith" (dict 4); "Main Steet" one deletion from dict 2;
+    // "Pennsylvania Avenue" exact vs dict 3; "unmatchable zzz" emits
+    // nothing within maxDist 2
+    "st11_streaming_fuzzy" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS INTEGER)),
+           (0, 11, 4, 1),
+           (1, 20, 2, 1),
+           (1, 21, 3, 0)
+         ) AS t(batch, left_id, dict_id, dist) ORDER BY batch, left_id""",
     // ---- SQL-expressible oracles over the shared sf tables ----
     "gk1_group_topk" ->
       """SELECT source, doc_id, score FROM (
