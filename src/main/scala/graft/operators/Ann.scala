@@ -111,8 +111,9 @@ object Ann {
     * `IndexLSH` recipe): every row carries a 504-bit sketch (8×63-bit
     * signature longs, 64 B vs 256 B of floats), a query sweeps the
     * sketches with XOR+popcount only, and full-precision cosine is
-    * paid for just the top `min(100k, max(64, 0.15·n))` rows by
-    * Hamming rank (the cap is the scale fence — see the constants'
+    * paid for just the top `min(10k, max(64, 0.15·n))` rows by
+    * Hamming rank (the cap keeps the shortlist selection inside
+    * TakeOrderedAndProject at every corpus size — see the constants'
     * scaladoc).
     * Why not buckets by default: bucketing prunes only when true
     * neighbors are CLOSE (small angle → signatures agree on almost
@@ -162,21 +163,26 @@ object Ann {
   /** Ranking-sketch constants: 8 longs × 63 hyperplane bits = a
     * 504-bit signature (seeds 42..49, shared with the bucketed
     * family), shortlist = 15% of the corpus floored at 64 rows and
-    * CAPPED at 100k — the measured ≥0.9-recall-everywhere
-    * configuration (see [[lshTopK]]). The cap is the scale fence: an
-    * uncapped 0.15·n at 10⁹ rows would be a 150M-row top-k (past
-    * Spark's TakeOrdered fallback threshold that's a global sort
-    * feeding a single-partition limit — gigabytes through one task),
-    * while 100k exact-cosine rows stay a bounded
-    * TakeOrderedAndProject and at that corpus size Hamming rank is
-    * far tighter in ABSOLUTE candidate terms than any real top-k
-    * needs; the [[graft.operators.Pq.rerankShortlist]] recipe draws
-    * the same fence for the same reason. */
+    * CAPPED just under the session's `topKSortFallbackThreshold`
+    * (default 10000) — the measured ≥0.9-recall-everywhere
+    * configuration (see [[lshTopK]]). The cap is the scale fence:
+    * STRICTLY below the threshold, `orderBy(…).limit(c)` plans as
+    * TakeOrderedAndProject — a per-partition c-row heap, only
+    * c·numPartitions rows ever move — while AT it (the planner's
+    * comparison is `limit < threshold`) the same query becomes a FULL
+    * global sort of the corpus' sketch rows (a range-exchange of all
+    * n rows feeding a limit), exactly the corpus-wide shuffle the
+    * ranking design exists to avoid. ~10k exact-cosine candidates for
+    * a top-≈10 stays generous at any corpus size (the fraction term
+    * only binds below ~67k rows, where rank noise is large relative
+    * to the corpus); the [[graft.operators.Pq.rerankShortlist]]
+    * recipe draws the same fence for the same reason. */
   private val RankSigTables = 8
   private val RankSigBits = 63
   private val RankShortlistFrac = 0.15
   private val RankShortlistFloor = 64L
-  private val RankShortlistCap = 100000L
+  private def rankShortlistCap: Long = math.max(RankShortlistFloor,
+    org.apache.spark.sql.internal.SQLConf.get.topKSortFallbackThreshold - 1L)
 
   /** array<long> of the ranking sketch's signature words. */
   private def rankSigArr(vec: Column, dim: Int): Column = {
@@ -195,7 +201,7 @@ object Ann {
       .reduce(_ + _)
 
   private def rankShortlistSize(n: Long): Int =
-    math.min(n, math.min(RankShortlistCap, math.max(RankShortlistFloor,
+    math.min(n, math.min(rankShortlistCap, math.max(RankShortlistFloor,
       math.ceil(n * RankShortlistFrac).toLong))).toInt
 
   /** The signature-ranking default of [[lshTopK]]: Hamming-rank the

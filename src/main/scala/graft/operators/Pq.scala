@@ -276,16 +276,24 @@ object Pq {
       .limit(k)
 
   /** Shortlist sizing recipe for [[topKReranked]]:
-    * max(100, 10·k, ⌈0.1·n⌉) capped at 100k. The corpus-fraction term
+    * max(100, 10·k, ⌈0.1·n⌉) capped at 10k. The corpus-fraction term
     * is the small/medium-corpus guard — where ADC rank noise is large
     * RELATIVE to the corpus, a fixed candidate count under-covers (a
     * fixed 100 was 5% of the sf0.1 corpus and measured 0.9 recall@10;
-    * 10% restores 1.0) — and the cap keeps the exact-rerank pass
-    * bounded at billions of rows, where ADC's top-100k is far looser
-    * than any real top-k needs. */
-  def rerankShortlist(nCorpus: Long, k: Int): Int =
+    * 10% restores 1.0). The cap sits just under the session's
+    * `topKSortFallbackThreshold` (default 10000): the ADC ranking
+    * pass is an `orderBy(…).limit(shortlist)`, which plans as a
+    * bounded per-partition TakeOrderedAndProject heap STRICTLY below
+    * that value (the planner's comparison is `limit < threshold`) and
+    * as a FULL global sort of the scored corpus at it — and ADC's
+    * top-~10k is far looser than any real top-k needs at the sizes
+    * where the cap binds (n > ~100k). */
+  def rerankShortlist(nCorpus: Long, k: Int): Int = {
+    val cap = math.max(100L,
+      org.apache.spark.sql.internal.SQLConf.get.topKSortFallbackThreshold - 1L)
     math.max(math.max(100, 10 * k),
-      math.min(math.ceil(0.1 * nCorpus).toLong, 100000L).toInt)
+      math.min(math.ceil(0.1 * nCorpus).toLong, cap).toInt)
+  }
 
   /** SHORTLIST-AND-RERANK — the production PQ recipe: ADC over the
     * codes ranks a `shortlist`-sized candidate set (default 10·k;

@@ -243,6 +243,27 @@ class AnnSpec extends SparkSpec {
     got shouldBe clean
   }
 
+  test("signature ranking: shortlist selection stays TakeOrderedAndProject at the cap", Slow) {
+    // 70k rows push 0.15n past the cap (just under Spark's
+    // topKSortFallbackThreshold); the shortlist limit must still plan
+    // as a bounded per-partition heap — one row more and Spark swaps
+    // in a FULL global sort of the corpus (planner comparison is
+    // limit < threshold), the corpus-wide shuffle the ranking design
+    // exists to avoid
+    val dimS = 8
+    val big = spark.range(70000).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dimS - 1}), " +
+        "x -> cast(pmod(hash(id, x), 97) - 48 as float))").as("embedding"))
+    val q = big.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val df = Ann.lshTopK(big, "vec_id", "embedding", dimS, q, "qv", 10)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("TakeOrderedAndProject")
+    // and it executes: k rows back, self among them at sim 1.0
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    got.length shouldBe 10
+    got.find(_._1 == 0L).map(_._2).getOrElse(0.0) shouldBe 1.0 +- 1e-6
+  }
+
   test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes", Slow) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
