@@ -331,15 +331,19 @@ object Opq {
     * Training cost is 2× the single-init alternation plus two error
     * passes — paid once per standing corpus at build time (the
     * codebook-training class of cost, amortized over every query). */
+  /** `maxTrainRows` mirrors [[Pq.train]]'s 100 TB knob: the rotation
+    * and codebooks are estimates, and every alternation pass
+    * (covariance, Lloyd rounds, Procrustes, the error comparison)
+    * otherwise scans the full corpus TWICE over (two inits). 0 =
+    * train on everything; > 0 gates deterministically before any
+    * pass. The query path is unaffected. */
   def train(embs: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
-            lloydIters: Int = 2, opqIters: Int = 3): OpqModel = {
+            lloydIters: Int = 2, opqIters: Int = 3,
+            maxTrainRows: Long = 0): OpqModel = {
     require(opqIters >= 1, s"opqIters must be >= 1: $opqIters")
     val spark = embs.sparkSession
     import spark.implicits._
-    val vecs = embs
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && size(col("v")) === dim &&
-        !array_contains(transform(col("v"), e => e.isNull), true))
+    val vecs = Pq.trainingSet(embs, vecCol, dim, maxTrainRows)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val cs = vecs.as[Seq[Double]].select(new CovAgg(dim).toColumn).head()

@@ -132,6 +132,28 @@ object Pq {
     * centroids are harmless: the strict argmin never picks one over
     * its lower-index twin). Each Lloyd round is one distributed pass;
     * empty cells keep their centroid. */
+  /** Valid-vector projection, optionally hash-gated down to
+    * ≈ `maxTrainRows` training rows (deterministic: the gate is a
+    * modulus of xxhash64 over the vector itself, so the same corpus
+    * always trains on the same rows regardless of partitioning). One
+    * count when the gate is requested; none otherwise. */
+  private[graft] def trainingSet(embs: DataFrame, vecCol: String, dim: Int,
+                                 maxTrainRows: Long): DataFrame = {
+    val base = embs
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !array_contains(transform(col("v"), e => e.isNull), true))
+    if (maxTrainRows <= 0) base
+    else {
+      val n = base.count()
+      if (n <= maxTrainRows) base
+      else {
+        val den = math.max(2L, math.round(n.toDouble / maxTrainRows))
+        base.filter(pmod(xxhash64(col("v")), lit(den)) === 0)
+      }
+    }
+  }
+
   /** Greedy farthest-point traversal on the driver-side sample: start
     * at the value-smallest row, repeatedly add the row maximizing the
     * distance to the chosen set (ties → lowest rank). O(k·|sample|·sub)
@@ -170,8 +192,16 @@ object Pq {
     seeds
   }
 
+  /** `maxTrainRows` is the 100 TB knob: codebooks are ESTIMATES, and
+    * the published practice (FAISS trains k-means on ≤ ~256 points
+    * per centroid) is to fit them on a bounded sample and encode the
+    * full corpus — every Lloyd round and the seeding sort otherwise
+    * scan all of it. 0 (default) trains on everything (the fixture /
+    * oracle path); > 0 gates rows by a deterministic vector hash down
+    * to ≈ that many before any training pass. Encoding ([[encode]] /
+    * [[topK]]) is unaffected — it always covers every row. */
   def train(embs: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
-            iters: Int = 3): Codebooks = {
+            iters: Int = 3, maxTrainRows: Long = 0): Codebooks = {
     require(dim > 0 && m > 0 && dim % m == 0,
       s"dim must split evenly into m subspaces: dim=$dim, m=$m")
     require(k > 0 && k <= 256, s"byte codes address 1..256 centroids: k=$k")
@@ -179,10 +209,7 @@ object Pq {
     val spark = embs.sparkSession
     import spark.implicits._
     val sub = dim / m
-    val vecs = embs
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && size(col("v")) === dim &&
-        !array_contains(transform(col("v"), e => e.isNull), true))
+    val vecs = trainingSet(embs, vecCol, dim, maxTrainRows)
       .as[Seq[Double]]
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

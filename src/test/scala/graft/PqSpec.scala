@@ -96,6 +96,39 @@ class PqSpec extends SparkSpec {
       .collect().head.isNullAt(0) shouldBe true
   }
 
+  test("maxTrainRows: bounded training set is deterministic; encoding still covers every row") {
+    // 64 distinct vectors, train on a hash-gated ~16: the 100 TB knob —
+    // codebooks fit on the sample, encode covers the full corpus
+    val corpus = (0 until 64).map(i =>
+        (i.toLong, Seq(i % 8, i / 8, (i * 3) % 8, (i * 5) % 8).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val sampled = Pq.trainingSet(corpus, "embedding", dim, 16L)
+    val nSampled = sampled.count()
+    nSampled should be > 0L
+    nSampled should be < 64L
+    // gate is a hash of the vector itself: same rows every call
+    sampled.collect().map(_.getSeq[Double](0)).toSet shouldBe
+      Pq.trainingSet(corpus, "embedding", dim, 16L)
+        .collect().map(_.getSeq[Double](0)).toSet
+    val cb = Pq.train(corpus, "embedding", dim, m = 2, k = 4, iters = 2,
+      maxTrainRows = 16L)
+    val again = Pq.train(corpus, "embedding", dim, m = 2, k = 4, iters = 2,
+      maxTrainRows = 16L)
+    again.books.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      cb.books.map(_.map(_.toSeq).toSeq).toSeq
+    // every corpus row encodes (codes are total over the corpus even
+    // though training saw a fraction of it)
+    val codes = corpus.select(Pq.encode(col("embedding"), cb).as("c")).collect()
+    codes.foreach(_.isNullAt(0) shouldBe false)
+    codes.map(_.getAs[Array[Byte]](0).length).toSet shouldBe Set(2)
+    // maxTrainRows >= n is the identity gate: codebooks equal the full run
+    val full = Pq.train(corpus, "embedding", dim, m = 2, k = 4, iters = 2)
+    val capped = Pq.train(corpus, "embedding", dim, m = 2, k = 4, iters = 2,
+      maxTrainRows = 1000L)
+    capped.books.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      full.books.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
   test("shortlist-and-rerank returns exact-cosine order and scores") {
     val embs = PlantedFixtures.pqVectors(spark)
     val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
