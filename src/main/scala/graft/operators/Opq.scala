@@ -186,6 +186,24 @@ object Opq {
     override def outputEncoder: Encoder[CovState] = Encoders.product[CovState]
   }
 
+  /** Covariance of the valid vectors — one distributed pass. Exposed
+    * for the isotropy GAUGES ([[graft.queries.ScaleWorkloads]]): the
+    * claim "no rotation can beat the axis-aligned split on this
+    * corpus" rests on the covariance being ~diagonal with a ~flat
+    * spectrum, and a claim that gates a recall expectation should be
+    * machine-measured every round, not asserted in prose. */
+  private[graft] def covariance(embs: DataFrame, vecCol: String,
+                                dim: Int): Array[Array[Double]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cs = Pq.trainingSet(embs, vecCol, dim, 0L)
+      .as[Seq[Double]].select(new CovAgg(dim).toColumn).head()
+    require(cs.n > 0, s"no valid vectors in $vecCol")
+    Array.tabulate(dim, dim) { (i, j) =>
+      cs.ss(i * dim + j) / cs.n - (cs.s(i) / cs.n) * (cs.s(j) / cs.n)
+    }
+  }
+
   /** EIGENVALUE-ALLOCATION init (Ge et al.'s parametric OPQ-P, used
     * here as the alternation's starting point): eigendecompose the
     * covariance, then greedily pack eigenvectors into the m subspaces

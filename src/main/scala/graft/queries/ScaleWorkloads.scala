@@ -202,6 +202,28 @@ object ScaleWorkloads {
       }
       (recalls.map(_._1).sum / qids.length, recalls.map(_._2).sum / qids.length)
     }
+    // ISOTROPY gauges: the OPQ-ties-PQ expectation above rests on the
+    // corpus geometry (near-diagonal covariance, near-flat spectrum) —
+    // machine-measure it every round instead of asserting it in prose.
+    // Near-zero mean |off-diagonal correlation| and a top/median
+    // eigenvalue ratio near 1 mean no orthogonal rotation can beat the
+    // axis-aligned subspace split; if a future generator ships
+    // correlated embeddings, these gauges move first and the tie
+    // expectation above stops being the right read.
+    val (isoCorr, isoEigenRatio) = {
+      val cov = graft.operators.Opq.covariance(embs, "embedding", EmbDim)
+      val d = cov.length
+      var sum = 0.0
+      var cnt = 0
+      for (i <- 0 until d; j <- 0 until d if i != j) {
+        val denom = math.sqrt(cov(i)(i) * cov(j)(j))
+        if (denom > 0) { sum += math.abs(cov(i)(j) / denom); cnt += 1 }
+      }
+      val es = breeze.linalg.eigSym(
+        new breeze.linalg.DenseMatrix(d, d, cov.flatten))
+      val ev = (0 until d).map(es.eigenvalues(_)).sorted
+      (sum / math.max(1, cnt), ev.last / ev(d / 2))
+    }
     // NO langid-vs-`lang`-column gauge, deliberately: the generator's
     // `lang` labels sit on synthetic English-ish token soup ("data
     // query small row…" labeled es/de/zh), so label agreement would
@@ -232,6 +254,8 @@ object ScaleWorkloads {
       // so both sides are published at the same (averaged) precision
       "pq_opq_recall_at_10" -> math.rint(opqMean * 1000) / 1000,
       "pq_mean_recall_at_10" -> math.rint(pqMean * 1000) / 1000,
+      "emb_mean_abs_dim_corr" -> math.rint(isoCorr * 10000) / 10000,
+      "emb_eigen_top_over_median" -> math.rint(isoEigenRatio * 1000) / 1000,
       "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir),
       // Prefix-filter pruning power at sf scale: fraction of the
       // quadratic pair space the exact Jaccard join verified (1.0
