@@ -262,6 +262,12 @@ class AnnSpec extends SparkSpec {
     val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1))
     got.length shouldBe 10
     got.find(_._1 == 0L).map(_._2).getOrElse(0.0) shouldBe 1.0 +- 1e-6
+    // recall in the CAPPED regime (shortlist 9999 of 70k = 14%): the
+    // 504-bit sketches must still put the true top-10 inside the
+    // Hamming shortlist — the cap claim is about plan shape AND recall
+    val exact = Ann.bruteForceTopK(big, "vec_id", "embedding", q, "qv", 10)
+      .collect().map(_.getLong(0)).toSet
+    (exact & got.map(_._1).toSet).size should be >= 9
   }
 
   test("IVF index appends: batch-keyed idempotent growth, compaction preserves probes", Slow) {
