@@ -352,6 +352,71 @@ object Pq {
       .limit(k)
   }
 
+  /** Serialize codebooks to a [[ModelRegistry]]-storable spec string.
+    * Plain `Double.toString` components (exact round-trip per the Java
+    * spec), so [[fromSpec]] reproduces the books double-for-double —
+    * the train-once / publish / query-later lifecycle every other
+    * trainable in the repo gets (classifier weights, BPE merges). */
+  def spec(cb: Codebooks): String =
+    s"pqv1;${cb.dim};${cb.m};${cb.k};" +
+      cb.books.map(_.map(_.mkString(",")).mkString("|")).mkString(";")
+
+  /** Parse a [[spec]] string back into codebooks — loud on anything
+    * that isn't one. */
+  def fromSpec(s: String): Codebooks = {
+    val parts = s.split(";", -1)
+    require(parts.length >= 5 && parts(0) == "pqv1",
+      s"not a pq codebook spec: '${s.take(24)}…'")
+    val (dim, m, k) = (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+    val books = parts.drop(4).map(
+      _.split("\\|", -1).map(_.split(",", -1).map(_.toDouble)))
+    require(books.length == m && books.forall(b =>
+      b.length == k && b.forall(_.length == dim / m)),
+      s"malformed pq spec: m=$m k=$k sub=${dim / m} vs parsed " +
+        s"${books.length}/${books.headOption.map(_.length)}")
+    Codebooks(dim, books)
+  }
+
+  /** Persist the PRE-ENCODED corpus: (id, vec, pq_code) — the standing
+    * layout the ADC cost story assumes. The ranking pass of
+    * [[topKEncoded]] then touches ONLY the m-byte `pq_code` column
+    * (parquet column pruning — ReadSchema excludes the float vector,
+    * pinned in PqSpec), and the floats are read just for rerank
+    * shortlist rows. Encode once at ingest, not per query. */
+  def writeEncodedTable(embs: DataFrame, idCol: String, vecCol: String,
+                        cb: Codebooks, path: String): Unit =
+    embs.select(col(idCol), col(vecCol), encode(col(vecCol), cb).as("pq_code"))
+      .write.mode("overwrite").parquet(path)
+
+  /** ADC ranking over a pre-encoded table ([[writeEncodedTable]]):
+    * reads the `pq_code` column alone — m bytes per row of I/O. */
+  def topKEncoded(encoded: DataFrame, idCol: String, queryVec: Seq[Double],
+                  k: Int, cb: Codebooks): DataFrame =
+    encoded.select(col(idCol), adcCosine(col("pq_code"), queryVec, cb).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** Shortlist-and-rerank over a pre-encoded table: the codes column
+    * ranks the shortlist, then only those rows' float vectors are
+    * fetched (semi-join back into the same table) for exact cosine. */
+  def topKEncodedReranked(encoded: DataFrame, idCol: String, vecCol: String,
+                          queryVec: Seq[Double], k: Int, cb: Codebooks,
+                          shortlist: Int = 0): DataFrame = {
+    val n = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    require(n >= k, s"shortlist $n smaller than k=$k")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cands = topKEncoded(encoded, idCol, queryVec, n, cb).select(col(idCol))
+    val q = broadcast(Seq(Tuple1(queryVec.map(_.toFloat))).toDF("_qvec"))
+    encoded.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Train + search in one call (demo/test path — real deployments
     * train once and [[topK]] per query, the [[Ann.ivfTopKTrained]]
     * convention). */

@@ -659,6 +659,31 @@ object PipelineQueries {
     // multiprobe behavior (tables pinned explicitly — the out-of-box
     // auto-sizing default is 8 tables, gauged by lsh_recall_at_10 and
     // pinned in AnnSpec; this oracle pins the one-table candidate set).
+    // The STANDING-CORPUS PQ lifecycle end-to-end: train → publish the
+    // codebooks through the ModelRegistry (atomic, versioned, time-
+    // travelable like every other trainable) → load the spec back →
+    // pre-encode the corpus into an (id, vec, pq_code) table → rank by
+    // the m-byte codes column alone (ReadSchema pruning pinned in
+    // PqSpec) → rerank the shortlist's floats to exact cosine. On the
+    // lossless fixture the rerank is exact, so ann9's exact-cosine
+    // oracle gates the WHOLE lifecycle including the spec round-trip.
+    "ann11_pq_codes_topk" -> ((s, _) => {
+      import graft.operators.{ModelRegistry, Pq}
+      val embs = PlantedFixtures.pqVectors(s)
+      val cb = Pq.train(embs, "embedding", PlantedFixtures.PqFixtureDim,
+        m = 2, k = 4, iters = 2)
+      val reg = graft.TempDirs.path("model-registry/ann11")
+      ModelRegistry.register(s, reg, "pq-ann11", "pq-codebooks",
+        Pq.spec(cb), runId = 0L)
+      val loaded = Pq.fromSpec(ModelRegistry.latestSpec(s, reg, "pq-ann11"))
+      val tbl = graft.TempDirs.path("pq-codes/ann11")
+      Pq.writeEncodedTable(embs, "vec_id", "embedding", loaded, tbl)
+      Pq.topKEncodedReranked(s.read.parquet(tbl), "vec_id", "embedding",
+          Seq(1.0, 0.0, 5.0, 0.0), 8, loaded, shortlist = 16)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     "ann2_lsh_topk" -> ((s, _) => {
       val embs = PlantedFixtures.embs(s)
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -1823,7 +1848,14 @@ object PipelineQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] =
+    oraclesBase +
+      // ann11's rerank is exact cosine on the same lossless fixture, so
+      // ann9's exact-cosine oracle independently derives it too (the
+      // f14b convention)
+      ("ann11_pq_codes_topk" -> oraclesBase("ann9_pq_topk"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     // ---- planted-fixture VALUES oracles (hand-derived ground truth;
     // see PlantedFixtures scaladoc for the arithmetic) ----
     "dd3_minhash_lsh" ->

@@ -149,6 +149,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("codebook spec round-trips exactly; encoded table ranks from the codes column alone") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
+    // registry-storable spec: double-for-double round trip
+    val rt = Pq.fromSpec(Pq.spec(cb))
+    rt.dim shouldBe cb.dim
+    rt.books.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      cb.books.map(_.map(_.toSeq).toSeq).toSeq
+    intercept[IllegalArgumentException] { Pq.fromSpec("not-a-spec") }
+    // pre-encoded table: the ranking pass's parquet scan must read the
+    // m-byte pq_code column and NOT the float vector (column pruning —
+    // the I/O claim of the ADC cost story)
+    val tbl = graft.TempDirs.path("pq-codes/spec-test")
+    Pq.writeEncodedTable(embs, "vec_id", "embedding", cb, tbl)
+    val enc = spark.read.parquet(tbl)
+    val q = Seq(1.0, 0.0, 5.0, 0.0)
+    val rankPlan = Pq.topKEncoded(enc, "vec_id", q, 8, cb)
+      .queryExecution.executedPlan.toString
+    rankPlan should include("pq_code")
+    rankPlan should not include "embedding"
+    // rerank over the encoded table equals the on-the-fly rerank path
+    val got = Pq.topKEncodedReranked(enc, "vec_id", "embedding", q, 5, cb,
+        shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Pq.topKReranked(embs, "vec_id", "embedding", q, 5, cb,
+        shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got shouldBe direct
+  }
+
   test("topK ranks by ADC and matches brute-force on the lossless fixture") {
     val embs = PlantedFixtures.pqVectors(spark)
     val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
