@@ -518,6 +518,12 @@ object Ann {
     val params = Dedup.readIndexParams(spark, indexPath)
     require(params.contains("n_cells") && params.contains("dim"),
       s"params/ under $indexPath is not an IVF index record")
+    // an IVF-PQ index's rows carry a pq_code column this append would
+    // not produce — NULL codes would silently vanish from ADC ranking;
+    // fail loudly instead (use appendToIvfPqIndex)
+    require(!params.contains("pq_m"),
+      s"$indexPath is an IVF-PQ index — append through appendToIvfPqIndex " +
+        "so new rows carry their codes")
     val cents = readIvfCentroids(spark, indexPath, params)
     val id = batchId.getOrElse(
       System.currentTimeMillis() * 1000 + (ivfAppendCounter.incrementAndGet() % 1000))
@@ -614,6 +620,112 @@ object Ann {
                      nCells: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame =
     ivfSearch(embs, idCol, vecCol, dim, query, queryVecCol, k,
       trainIvfCells(embs, idCol, vecCol, dim, nCells, iters), nProbe)
+
+  /** IVF-PQ composite index — the FAISS IVFADC architecture, raw-vector
+    * variant: IVF cells give PARTITION pruning (the probe reads only
+    * nProbe cell directories), PQ codes give COLUMN pruning inside
+    * them (the ADC ranking pass reads the m-byte `pq_code` column, not
+    * the floats), and the rerank fetches full vectors for shortlist
+    * rows alone. Per-query I/O at 100 TB ≈ (probed fraction of the
+    * corpus) × m bytes + shortlist × vector bytes — the two pruning
+    * axes compose multiplicatively. Codes encode RAW vectors, not
+    * per-cell residuals (the classic ADC refinement needs a residual
+    * inner-product decomposition the cosine expression doesn't carry);
+    * the shortlist rerank is the recall floor either way, exactly as
+    * in [[Pq.topKReranked]]. The codebook spec persists INSIDE the
+    * index (`pqspec/`), so search rebuilds the exact books from disk —
+    * params carry (pq_m, pq_k) and gate [[appendToIvfIndex]] loudly.
+    * Same marker-first rebuild discipline as [[buildIvfIndex]]. */
+  def buildIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nCells: Int, m: Int, kCodes: Int,
+                      outPath: String, iters: Int = 3, lloydIters: Int = 3,
+                      maxTrainRows: Long = 0): Seq[Seq[Double]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    Dedup.clearIndexCommitMarker(spark, outPath)
+    val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
+    val cb = Pq.train(embs, vecCol, dim, m, kCodes, lloydIters, maxTrainRows)
+    ivfFs(spark, outPath).delete(
+      new org.apache.hadoop.fs.Path(s"$outPath/vectors"), true)
+    embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+      .withColumn("pq_code", Pq.encode(col(vecCol), cb))
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$outPath/vectors/batch_id=-1")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
+    Seq(Tuple1(Pq.spec(cb))).toDF("spec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/pqspec")
+    Dedup.writeIndexParams(spark, outPath, "n_cells" -> nCells.toLong,
+      "dim" -> dim.toLong, "pq_m" -> m.toLong, "pq_k" -> kCodes.toLong)
+    cents
+  }
+
+  /** Append to an IVF-PQ index: rows are cell-assigned AND encoded
+    * with the index's own persisted codebooks before landing — the
+    * [[appendToIvfIndex]] idempotency contract otherwise. */
+  def appendToIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String,
+                         batchId: Option[Long] = None): Unit = {
+    val spark = embs.sparkSession
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("pq_m"),
+      s"params/ under $indexPath is not an IVF-PQ index record")
+    val cents = readIvfCentroids(spark, indexPath, params)
+    val cb = Pq.fromSpec(
+      spark.read.parquet(s"$indexPath/pqspec").head().getString(0))
+    val id = batchId.getOrElse(
+      System.currentTimeMillis() * 1000 + (ivfAppendCounter.incrementAndGet() % 1000))
+    Snapshot.stagedAppend(spark, s"$indexPath/vectors", id) {
+      embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+        .withColumn("pq_code", Pq.encode(col(vecCol), cb))
+        .repartition(col("_cell"))
+        .write.mode("overwrite").partitionBy("_cell")
+        .parquet(s"$indexPath/vectors/batch_id=$id")
+    }
+  }
+
+  /** Search a [[buildIvfPqIndex]] index: driver-side probe selection
+    * (nCells×dim doubles of state), `_cell IN (probes)` partition
+    * filter, ADC over `pq_code` ranks a `shortlist` (default
+    * max(10·k, 100)), exact cosine reranks only those rows. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, idCol: String, vecCol: String,
+                       queryVec: Seq[Double], k: Int, nProbe: Int = 2,
+                       shortlist: Int = 0): DataFrame = {
+    import spark.implicits._
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("pq_m") && params.contains("n_cells"),
+      s"params/ under $indexPath is not an IVF-PQ index record")
+    require(params("dim") == queryVec.length.toLong,
+      s"IVF-PQ index at $indexPath was built with dim=${params("dim")} but " +
+        s"queried with a ${queryVec.length}-dim vector")
+    val n = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    require(n >= k, s"shortlist $n smaller than k=$k")
+    val cents = readIvfCentroids(spark, indexPath, params)
+    val cb = Pq.fromSpec(
+      spark.read.parquet(s"$indexPath/pqspec").head().getString(0))
+    val qUnit = unit(queryVec)
+    val probeCells = cents.map(unit).zipWithIndex
+      .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, -i) } // ties: larger index, matching nearestCell
+      .take(nProbe).map(_._2)
+    val base = Snapshot.read(spark, s"$indexPath/vectors")
+      .filter(col("_cell").isin(probeCells: _*)) // partition-prunes the scan
+    val cands = base
+      .select(col(idCol), Pq.adcCosine(col("pq_code"), queryVec, cb).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(desc("sim"), col(idCol)).limit(n)
+      .select(col(idCol))
+    val q = broadcast(Seq(Tuple1(queryVec.map(_.toFloat))).toDF("_qvec"))
+    base.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .withColumn("sim", V.cosineSimilarityNative(col(vecCol), col("_qvec")))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
 
   /** IVF-style coarse quantization using label/partition assignment:
     * group vectors by an existing coarse key (e.g. a cluster id column),

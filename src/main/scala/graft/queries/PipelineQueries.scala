@@ -684,6 +684,28 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // IVF-PQ composite (FAISS IVFADC shape): build the persisted
+    // index — IVF cells for partition pruning, PQ codes for column
+    // pruning, codebook spec stored inside the index — then search
+    // with every cell probed and a full-cover shortlist so the exact-
+    // cosine rerank makes ann9's oracle gate the WHOLE lifecycle
+    // (train both quantizers, persist, reload spec from disk, ADC
+    // rank, rerank). The PRUNING axes (partition filter at nProbe <
+    // nCells, codes-only ReadSchema) are AnnSpec's inputFiles/plan
+    // pins — an oracle can't see I/O.
+    "ann12_ivfpq_topk" -> ((s, _) => {
+      import graft.operators.{Ann, Pq}
+      val embs = PlantedFixtures.pqVectors(s)
+      val idx = graft.TempDirs.path("ivfpq-index/ann12")
+      Ann.buildIvfPqIndex(embs, "vec_id", "embedding",
+        PlantedFixtures.PqFixtureDim, nCells = 2, m = 2, kCodes = 4,
+        outPath = idx, iters = 2, lloydIters = 2)
+      Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding",
+          Seq(1.0, 0.0, 5.0, 0.0), 8, nProbe = 2, shortlist = 16)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     "ann2_lsh_topk" -> ((s, _) => {
       val embs = PlantedFixtures.embs(s)
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -1853,7 +1875,10 @@ object PipelineQueries {
       // ann11's rerank is exact cosine on the same lossless fixture, so
       // ann9's exact-cosine oracle independently derives it too (the
       // f14b convention)
-      ("ann11_pq_codes_topk" -> oraclesBase("ann9_pq_topk"))
+      ("ann11_pq_codes_topk" -> oraclesBase("ann9_pq_topk")) +
+      // ann12 probes every cell and full-covers the shortlist, so its
+      // exact-cosine rerank derives the same list math
+      ("ann12_ivfpq_topk" -> oraclesBase("ann9_pq_topk"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // ---- planted-fixture VALUES oracles (hand-derived ground truth;

@@ -116,6 +116,20 @@ object ScaleWorkloads {
       out
     })
 
+  /** Persisted IVF-PQ composite index per sfDir (cells for partition
+    * pruning, byte codes for column pruning), built once per JVM. */
+  private val ivfPqIndexes = TrieMap.empty[String, String]
+
+  def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    ivfPqIndexes.getOrElseUpdate(dir, {
+      val out = graft.TempDirs.path(
+        s"ivfpq-index/sf-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      Ann.buildIvfPqIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        EmbDim, nCells = 8, m = 8, kCodes = 256, outPath = out,
+        iters = 3, lloydIters = 8)
+      out
+    })
+
   /** Bench-visible QUALITY gauges (name → scalar), reported per round
     * in the BENCH json under `"gauges"`: recall@10 of each approximate
     * ANN path against the exact brute-force ranking on the sf
@@ -163,6 +177,15 @@ object ScaleWorkloads {
       finally tuned.unpersist(blocking = false)
     val ivf = ids(Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
       trainedCents(s, dir), nProbe = 2))
+    // the composite path: BOTH prunings + rerank — recall must hold
+    // through cell pruning AND code compression together
+    val ivfpq = {
+      val qv = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      ids(Ann.searchIvfPqIndex(s, ivfPqIndexPath(s, dir), "vec_id",
+        "embedding", qv, 10, nProbe = 2, shortlist = 200))
+    }
     // PQ recall at the 32× compression point (m=8 byte codes for 64
     // floats): lossy by design at sf scale — the gauge records what
     // the compression costs in ranking quality, next to what LSH/IVF
@@ -247,6 +270,7 @@ object ScaleWorkloads {
       "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
       "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
       "ivf_recall_at_10" -> (exact & ivf).size / 10.0,
+      "ivfpq_recall_at_10" -> (exact & ivfpq).size / 10.0,
       "pq_recall_at_10" -> (exact & pq).size / 10.0,
       "pq_rerank_recall_at_10" -> (exact & pqReranked).size / 10.0,
       // mean-over-8-queries pair (see the opqMean comment): the tie
@@ -564,6 +588,21 @@ object ScaleWorkloads {
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0).map(_.toDouble).toSeq
       Ann.searchIvfIndex(s, idx, "vec_id", "embedding", qv, k = 10, nProbe = 2)
+        .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
+    }),
+
+    // IVF-PQ composite search against the persisted index: partition
+    // pruning (nProbe of 8 cell dirs) × column pruning (the ADC rank
+    // reads the 8-byte code column) × bounded rerank — the per-query
+    // I/O shape a 100 TB serving corpus pays. Recall vs brute force is
+    // the ivfpq_recall_at_10 gauge.
+    "sx65_ivfpq_index_search" -> ((s, dir) => {
+      val idx = ivfPqIndexPath(s, dir)
+      val qv = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding", qv, k = 10,
+          nProbe = 2, shortlist = 200)
         .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
     }),
 

@@ -321,6 +321,57 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index: partition + column pruning compose; appends carry codes; plain append rejected", Slow) {
+    import org.apache.spark.sql.functions.col
+    val fix = graft.queries.PlantedFixtures.pqVectors(spark)
+    val dimF = graft.queries.PlantedFixtures.PqFixtureDim
+    val idx = graft.TempDirs.path("ivfpq-index/spec")
+    Ann.buildIvfPqIndex(fix.filter(col("vec_id") < 12), "vec_id", "embedding",
+      dimF, nCells = 2, m = 2, kCodes = 4, outPath = idx,
+      iters = 2, lloydIters = 2)
+    // appends go through the PQ-aware path (codes from the index's own
+    // persisted spec); the code-less append is rejected loudly
+    Ann.appendToIvfPqIndex(fix.filter(col("vec_id") >= 12),
+      "vec_id", "embedding", idx, batchId = Some(0L))
+    intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(fix.filter(col("vec_id") >= 12),
+        "vec_id", "embedding", idx)
+    }
+    val q = Seq(1.0, 0.0, 5.0, 0.0)
+    // full probe + full shortlist: rerank is exact cosine over ALL rows
+    // (build + append) — brute-force parity
+    val got = Ann.searchIvfPqIndex(spark, idx, "vec_id", "embedding", q, 5,
+        nProbe = 2, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Ann.bruteForceTopK(fix, "vec_id", "embedding",
+        fix.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+        "qv", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.map(_._1).toSeq shouldBe brute.map(_._1).toSeq
+    got.zip(brute).foreach { case ((_, g), (_, b)) => g shouldBe b +- 1e-6 }
+    // PARTITION pruning: at nProbe = 1 every file scan carries the
+    // `_cell IN (probe)` PARTITION filter (inputFiles would lie — it
+    // reports the relation pre-pruning; the scan metadata doesn't)
+    val pruned = Ann.searchIvfPqIndex(spark, idx, "vec_id", "embedding", q, 3,
+      nProbe = 1, shortlist = 8)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    pruned.collect() // materialize so AQE finalizes the scans
+    val ss = scans(pruned.queryExecution.executedPlan)
+    ss should not be empty
+    ss.foreach(_.metadata("PartitionFilters") should include("_cell"))
+    // COLUMN pruning: the ADC ranking scan reads pq_code WITHOUT the
+    // float vector (only the rerank's scan touches it)
+    ss.map(_.metadata("ReadSchema")).exists(r =>
+      r.contains("pq_code") && !r.contains("embedding")) shouldBe true
+  }
+
   test("graft_cosine / graft_hyperplane_sig are SQL-callable") {
     import spark.implicits._
     Seq((Seq(3.0f, 4.0f), Seq(6.0f, 8.0f))).toDF("a", "b")
