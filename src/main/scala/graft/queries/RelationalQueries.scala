@@ -1839,6 +1839,37 @@ object RelationalQueries {
                                   FROM tq20_lineitem l2
                                   WHERE l2.l_suppkey = l.l_suppkey))
         ORDER BY s_suppkey""")
+    }),
+
+    // TPC-H Q21-family shape ("suppliers who were the SOLE failure on
+    // a multi-supplier order") — the hardest classic decorrelation:
+    // correlated EXISTS and NOT EXISTS against the SAME fact table,
+    // each carrying a non-equi conjunct (l2.l_suppkey <> l1.l_suppkey)
+    // beside the correlation key. Catalyst turns them into a left-SEMI
+    // and a left-ANTI hash join on l_orderkey with the <> as a join
+    // condition — never a per-row rescan (PlanAuditSpec). The
+    // testdata's lineitem has no receipt/commit dates, so "failed"
+    // here is l_returnflag = 'R' — the decorrelation shape, which is
+    // what this query pins, is identical. */
+    "tq21_sole_failing_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("tq21_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("tq21_orders")
+      t(s, dir, "supplier").createOrReplaceTempView("tq21_supplier")
+      s.sql("""
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM tq21_supplier, tq21_lineitem l1, tq21_orders o
+        WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM tq21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM tq21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey LIMIT 20""")
     })
   )
 
@@ -2518,6 +2549,21 @@ object RelationalQueries {
                AND l.l_quantity > (SELECT 0.8 * avg(l2.l_quantity)
                                    FROM lineitem l2
                                    WHERE l2.l_suppkey = l.l_suppkey))
-         ORDER BY s_suppkey"""
+         ORDER BY s_suppkey""",
+    "tq21_sole_failing_supplier" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders o
+         WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+           AND o.o_orderstatus = 'F'
+           AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_suppkey, s_name
+         ORDER BY numwait DESC, s_suppkey LIMIT 20"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -182,6 +182,17 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("ShuffledHashJoin")) shouldBe true
   }
 
+  test("tq21: correlated EXISTS + NOT EXISTS decorrelate to semi + anti hash joins") {
+    val p = plan("tq21_sole_failing_supplier")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // both subqueries hash-join on the correlation key, the <> riding
+    // as a join condition — the EXISTS a LeftSemi, the NOT EXISTS a
+    // LeftAnti
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+  }
+
   test("dd15: n-gram span dedup has no cartesian; dup-set joins are keyed") {
     val p = plan("dd15_ngram_spans")
     p should not include "Cartesian"
