@@ -378,6 +378,29 @@ object Opq {
     } finally vecs.unpersist(blocking = false)
   }
 
+  /** Serialize an [[OpqModel]] to a [[ModelRegistry]]-storable spec
+    * string: the rotation rows (exact `Double.toString` round-trip)
+    * prepended to the [[Pq.spec]] of the codebooks — the same
+    * train-once / publish / query-later lifecycle as every other
+    * trainable in the repo. */
+  def spec(model: OpqModel): String =
+    "opqv1~" + model.rotation.map(_.mkString(",")).mkString("|") +
+      "~" + Pq.spec(model.cb)
+
+  /** Parse a [[spec]] string back into a model — loud on anything that
+    * isn't one, including a rotation that is not dim × dim. */
+  def fromSpec(s: String): OpqModel = {
+    val parts = s.split("~", 3)
+    require(parts.length == 3 && parts(0) == "opqv1",
+      s"not an opq model spec: '${s.take(24)}…'")
+    val rot = parts(1).split("\\|", -1).map(_.split(",", -1).map(_.toDouble))
+    val cb = Pq.fromSpec(parts(2))
+    require(rot.length == cb.dim && rot.forall(_.length == cb.dim),
+      s"malformed opq spec: rotation ${rot.length}×" +
+        s"${rot.headOption.map(_.length)} vs dim ${cb.dim}")
+    OpqModel(rot, cb)
+  }
+
   /** Top-k by OPQ-approximated cosine: rotate the query driver-side,
     * fuse rotate→encode→ADC over the scan — the [[Pq.topK]] shape with
     * one extra in-plan matrix-vector product (at scale the rotated

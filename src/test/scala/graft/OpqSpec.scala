@@ -96,6 +96,23 @@ class OpqSpec extends SparkSpec {
     got.intersect(Set(100L, 101L)) shouldBe Set.empty
   }
 
+  test("model spec round-trips exactly and queries identically") {
+    val embs = graft.queries.PlantedFixtures.pqVectors(spark)
+    val model = Opq.train(embs, "embedding",
+      graft.queries.PlantedFixtures.PqFixtureDim, m = 2, k = 4,
+      lloydIters = 2, opqIters = 2)
+    val rt = Opq.fromSpec(Opq.spec(model))
+    rt.rotation.map(_.toSeq).toSeq shouldBe model.rotation.map(_.toSeq).toSeq
+    rt.cb.books.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      model.cb.books.map(_.map(_.toSeq).toSeq).toSeq
+    intercept[IllegalArgumentException] { Opq.fromSpec("pqv1;4;2;4;x") }
+    val q = Seq(1.0, 0.0, 5.0, 0.0)
+    Opq.topK(embs, "vec_id", "embedding", q, 8, rt)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      Opq.topK(embs, "vec_id", "embedding", q, 8, model)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
   test("anisotropic fixture: OPQ rotation lifts raw-ADC agreement over axis-aligned PQ", Slow) {
     val embs = anisotropic().cache()
     val dim = 4
