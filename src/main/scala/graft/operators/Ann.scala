@@ -727,6 +727,62 @@ object Ann {
       .limit(k)
   }
 
+  /** Batched twin of [[searchIvfPqIndex]]: every query's nProbe cells
+    * come from the broadcast centroid literals in-plan (the
+    * [[ivfSearchBatch]] machinery), the ADC ranking rides
+    * decode→cosine over the codes column ([[Pq.decode]] — per-query
+    * driver-side ADC tables are impossible for a query SET, and cosine
+    * against the reconstruction is the same quantity), per-query
+    * shortlists are the bounded [[TopKByScore]] reduction, and only
+    * shortlist rows join back to the floats for the exact rerank. */
+  def searchIvfPqIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, idCol: String, vecCol: String,
+                            queries: DataFrame, qidCol: String, qvecCol: String,
+                            k: Int, nProbe: Int = 2,
+                            shortlist: Int = 0): DataFrame = {
+    import spark.implicits._
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("pq_m") && params.contains("n_cells"),
+      s"params/ under $indexPath is not an IVF-PQ index record")
+    val n = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    require(n >= k, s"shortlist $n smaller than k=$k")
+    val cents = readIvfCentroids(spark, indexPath, params)
+    val cb = Pq.fromSpec(
+      spark.read.parquet(s"$indexPath/pqspec").head().getString(0))
+    val unitCents = cents.map(unit)
+    val probes = queries
+      .select(col(qidCol).cast("long").as("_qid"), col(qvecCol).as("_qvec"),
+        explode(slice(reverse(array_sort(array(unitCents.zipWithIndex.map { case (c, i) =>
+          struct(V.dotUnrolled(col(qvecCol), typedLit(c), c.length).as("s"), lit(i).as("i"))
+        }: _*))), 1, nProbe)).as("_p"))
+      .select(col("_qid"), col("_qvec"), col("_p.i").as("_probe_cell"))
+    val base = Snapshot.read(spark, s"$indexPath/vectors")
+    val short = base
+      .select(col(idCol).cast("long").as("_rid"), col("_cell"),
+        Pq.decode(col("pq_code"), cb).as("_rec"))
+      .join(broadcast(probes), col("_cell") === col("_probe_cell"))
+      .select(col("_qid").as("qid"), col("_rid").as("id"),
+        V.cosineSimilarityNative(col("_rec"), col("_qvec")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .as[QueryScored]
+      .groupByKey(_.qid)
+      .agg(new TopKByScore(n).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id)) }
+      .toDF("_sqid", "_sid")
+    val scored = short
+      .join(base.select(col(idCol).cast("long").as("_sid"), col(vecCol)), "_sid")
+      .join(broadcast(queries.select(col(qidCol).cast("long").as("_sqid"),
+        col(qvecCol).as("_qvec2"))), "_sqid")
+      .select(col("_sqid").as("qid"), col("_sid").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_qvec2")).as("sim"))
+      .as[QueryScored]
+    scored.groupByKey(_.qid)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
+      .toDF("query_id", idCol, "sim")
+      .orderBy("query_id", idCol)
+  }
+
   /** IVF-style coarse quantization using label/partition assignment:
     * group vectors by an existing coarse key (e.g. a cluster id column),
     * compute per-cell centroids, then restrict search to the nProbe

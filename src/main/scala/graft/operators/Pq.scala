@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{VectorFunctions => V}
-import graft.plans.{PqAdcExpr, PqEncodeExpr}
+import graft.plans.{PqAdcExpr, PqDecodeExpr, PqEncodeExpr}
 
 /** PRODUCT QUANTIZATION (Jégou, Douze, Schmid 2011 — the public IVF-PQ
   * recipe every billion-scale ANN system runs on): each vector splits
@@ -260,6 +260,13 @@ object Pq {
     * closure). Null / short / null-element vectors encode as NULL. */
   def encode(vec: Column, cb: Codebooks): Column =
     column(PqEncodeExpr(expression(vec), cb.books))
+
+  /** PQ code → the codebook reconstruction ŷ (array<double>). Cosine
+    * against ŷ equals the ADC cosine; this form serves BATCH query
+    * paths where per-query driver-side ADC tables are impossible —
+    * scoring rides decode→cosine in-plan instead. */
+  def decode(codes: Column, cb: Codebooks): Column =
+    column(PqDecodeExpr(expression(codes), cb.books))
 
   /** PQ code → approximate cosine against `queryVec`, via the m×k ADC
     * lookup tables built HERE, driver-side, once per query. */

@@ -186,3 +186,54 @@ case class RotateVecExpr(child: Expression, rot: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** binary PQ code (m bytes) → array<double> of length dim: the
+  * codebook reconstruction ŷ (subspace s's centroid `books(s)(code(s))`
+  * concatenated). Cosine against a reconstruction IS the ADC cosine
+  * ([[PqAdcExpr]] computes the same quantity from per-query lookup
+  * tables) — this form exists for BATCH query paths, where the ADC
+  * tables cannot be built driver-side per query and the scoring rides
+  * `decode → cosine` in-plan instead. Wrong-width or null codes yield
+  * NULL, the [[PqAdcExpr]] posture. */
+case class PqDecodeExpr(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+  private val m = books.length
+  private val sub = books(0)(0).length
+  private val k = books(0).length
+  require(books.forall(b => b.length == k && b.forall(_.length == sub)),
+    "codebooks must be rectangular: m × k × (dim/m)")
+  private val dim = m * sub
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary PQ codes, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_decode"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val code = v.asInstanceOf[Array[Byte]]
+    if (code.length != m) return null
+    val y = new Array[Double](dim)
+    var s = 0
+    while (s < m) {
+      val j = code(s) & 0xff
+      if (j >= k) return null // foreign code from a bigger model
+      val c = books(s)(j)
+      var t = 0
+      while (t < sub) { y(s * sub + t) = c(t); t += 1 }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

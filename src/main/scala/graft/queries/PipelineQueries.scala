@@ -706,6 +706,26 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // Batched IVF-PQ: per-query probes from the broadcast centroids,
+    // decode→cosine ADC shortlists via the bounded TopKByScore
+    // reduction, exact rerank — every cell probed and the shortlist
+    // full-cover, so the per-query results are exact cosine and the
+    // oracle re-derives them with window math over the planted VALUES.
+    "ann13_ivfpq_batch" -> ((s, _) => {
+      import graft.operators.Ann
+      val embs = PlantedFixtures.pqVectors(s)
+      val idx = graft.TempDirs.path("ivfpq-index/ann13")
+      Ann.buildIvfPqIndex(embs, "vec_id", "embedding",
+        PlantedFixtures.PqFixtureDim, nCells = 2, m = 2, kCodes = 4,
+        outPath = idx, iters = 2, lloydIters = 2)
+      val q = embs.filter(col("vec_id").isin(0L, 5L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.searchIvfPqIndexBatch(s, idx, "vec_id", "embedding",
+          q, "qid", "qv", 5, nProbe = 2, shortlist = 16)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     "ann2_lsh_topk" -> ((s, _) => {
       val embs = PlantedFixtures.embs(s)
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -2239,6 +2259,36 @@ object PipelineQueries {
            (1, 1.0, 1),
            (2, 1.0, 1)
          ) AS t(vec_id, sim, n_batches) ORDER BY vec_id""",
+    // full-probe + full-cover shortlist batched IVF-PQ = exact cosine
+    // per query over the lossless planted vectors
+    "ann13_ivfpq_batch" ->
+      """WITH d AS (SELECT * FROM (VALUES
+           (0, [1.0, 0.0, 5.0, 0.0]), (1, [1.0, 0.0, 0.0, 7.0]),
+           (2, [1.0, 0.0, 1.0, 1.0]), (3, [1.0, 0.0, 4.0, 3.0]),
+           (4, [0.0, 1.0, 5.0, 0.0]), (5, [0.0, 1.0, 0.0, 7.0]),
+           (6, [0.0, 1.0, 1.0, 1.0]), (7, [0.0, 1.0, 4.0, 3.0]),
+           (8, [3.0, 4.0, 5.0, 0.0]), (9, [3.0, 4.0, 0.0, 7.0]),
+           (10, [3.0, 4.0, 1.0, 1.0]), (11, [3.0, 4.0, 4.0, 3.0]),
+           (12, [2.0, 2.0, 5.0, 0.0]), (13, [2.0, 2.0, 0.0, 7.0]),
+           (14, [2.0, 2.0, 1.0, 1.0]), (15, [2.0, 2.0, 4.0, 3.0])
+         ) AS v(vec_id, embedding)),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM d
+               WHERE vec_id IN (0, 5)),
+         scored AS (
+           SELECT q.query_id, d.vec_id,
+                  list_sum(list_transform(list_zip(d.embedding, q.qv),
+                           x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform(d.embedding, v -> v * v))) *
+                   sqrt(list_sum(list_transform(q.qv, v -> v * v)))) AS sim_raw
+           FROM d CROSS JOIN q)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+                CAST(vec_id AS BIGINT) AS vec_id, round(sim_raw, 4) AS sim
+         FROM (SELECT query_id, vec_id, sim_raw,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim_raw DESC, vec_id) AS rn
+               FROM scored)
+         WHERE rn <= 5
+         ORDER BY query_id, vec_id""",
     "ann7_brute_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id IN (0, 1, 2)),

@@ -372,6 +372,31 @@ class AnnSpec extends SparkSpec {
       r.contains("pq_code") && !r.contains("embedding")) shouldBe true
   }
 
+  test("IVF-PQ batch search matches the single-query path per query", Slow) {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fix = graft.queries.PlantedFixtures.pqVectors(spark)
+    val dimF = graft.queries.PlantedFixtures.PqFixtureDim
+    val idx = graft.TempDirs.path("ivfpq-index/batch")
+    Ann.buildIvfPqIndex(fix, "vec_id", "embedding", dimF, nCells = 2,
+      m = 2, kCodes = 4, outPath = idx, iters = 2, lloydIters = 2)
+    val qids = Seq(0L, 5L, 10L)
+    val q = fix.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Ann.searchIvfPqIndexBatch(spark, idx, "vec_id", "embedding",
+        q, "qid", "qv", 5, nProbe = 2, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (qid <- qids) {
+      val qv = fix.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val single = Ann.searchIvfPqIndex(spark, idx, "vec_id", "embedding",
+          qv, 5, nProbe = 2, shortlist = 16)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
+      batch.filter(_._1 == qid).toSet shouldBe single
+    }
+  }
+
   test("graft_cosine / graft_hyperplane_sig are SQL-callable") {
     import spark.implicits._
     Seq((Seq(3.0f, 4.0f), Seq(6.0f, 8.0f))).toDF("a", "b")

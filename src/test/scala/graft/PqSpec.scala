@@ -179,6 +179,26 @@ class PqSpec extends SparkSpec {
     got shouldBe direct
   }
 
+  test("decode reconstructs centroids; cosine against the reconstruction equals ADC") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
+    val q = Seq(1.0, 0.0, 5.0, 0.0)
+    val qlit = array(q.map(lit): _*)
+    val rows = embs.select(col("vec_id"),
+        Pq.adcCosine(Pq.encode(col("embedding"), cb), q, cb).as("adc"),
+        graft.functions.VectorFunctions.cosineSimilarityNative(
+          Pq.decode(Pq.encode(col("embedding"), cb), cb), qlit).as("via_decode"))
+      .collect()
+    rows.foreach { r =>
+      r.getDouble(2) shouldBe r.getDouble(1) +- 1e-12 // assoc-order ULPs only
+    }
+    // wrong-width and foreign codes decode to NULL, never garbage
+    val edge = Seq(Tuple1(Array[Byte](1, 2, 3)), Tuple1(Array[Byte](7, 0)))
+      .toDF("c")
+    edge.select(Pq.decode(col("c"), cb).as("d")).collect()
+      .foreach(_.isNullAt(0) shouldBe true) // wrong width / code >= k
+  }
+
   test("topK ranks by ADC and matches brute-force on the lossless fixture") {
     val embs = PlantedFixtures.pqVectors(spark)
     val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
