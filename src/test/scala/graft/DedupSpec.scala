@@ -508,6 +508,49 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet shouldBe Set(10L, 11L, 12L)
   }
 
+  test("lazy probe pairs equal the stats-bearing probe's pairs, grown-bucket skip included", Slow) {
+    import spark.implicits._
+    // the LAZY form is what the unified ingest loop runs per
+    // micro-batch (no internal checkpoints, silent grown-bucket skip);
+    // its PAIR SEMANTICS must stay identical to the stats-bearing
+    // form, including which buckets get skipped — pin it on the same
+    // grown-bucket fixture shape as the test above
+    val idx = graft.TempDirs.path("minhash-index/lazy-parity")
+    Dedup.buildMinhashIndex(
+      Seq(1L -> "unrelated corpus seed document with entirely distinct words")
+        .toDF("doc_id", "text"), "doc_id", "text", idx, maxBucket = 2)
+    Seq(10L, 11L, 12L).zipWithIndex.foreach { case (id, b) =>
+      Dedup.appendToMinhashIndex(Seq(id -> base).toDF("doc_id", "text"),
+        "doc_id", "text", idx, maxBucket = 2, batchId = Some(b.toLong))
+    }
+    val incoming = Seq(99L -> base,
+      98L -> "unrelated corpus seed document with entirely distinct words extra")
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val eager = rows(Dedup.minhashNearDupsAgainstIndexWithStats(
+      incoming, "doc_id", "text", idx).pairs)
+    val lazyPairs = rows(Dedup.minhashProbePairsLazy(
+      incoming, "doc_id", "text", idx, threshold = 0.8,
+      shingleK = 3, numHashes = 64, bands = 16, cap = 2))
+    lazyPairs shouldBe eager
+    lazyPairs.map(t => (t._1, t._2)) shouldBe Set((98L, 1L)) // grown buckets skipped
+    // embedding twin: lazy ≡ eager on the planted fixture
+    val all = graft.queries.PlantedFixtures.embs(spark)
+    val dimF = graft.queries.PlantedFixtures.EmbFixtureDim
+    val eidx = graft.TempDirs.path("embedding-index/lazy-parity")
+    Dedup.buildEmbeddingIndex(all.filter(col("vec_id") < 8), "vec_id",
+      "embedding", dimF, eidx, bits = 4, tables = 12)
+    val probe = all.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding"))
+    def erows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    erows(Dedup.embeddingProbePairsLazy(probe, "vec_id", "embedding", dimF,
+      eidx, threshold = 0.9, bits = 4, tables = 12, cap = 1000)) shouldBe
+      erows(Dedup.embeddingNearDupsAgainstIndex(probe, "vec_id", "embedding",
+        dimF, eidx, threshold = 0.9, bits = 4, tables = 12))
+  }
+
   test("embedding probe skips buckets grown over the cap across appends") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
