@@ -112,4 +112,38 @@ class FuzzyJoinSpec extends SparkSpec {
     // must unpersist (ADVICE r13 cached-partition leak)
     spark.sparkContext.getPersistentRDDs.size shouldBe 0
   }
+
+  test("prepared dictionary: probe parity with join; dict guard eager; probe maxLen guard in-plan") {
+    val dict = Seq((1L, "Main Street"), (2L, "Smith")).toDF("dict_id", "name")
+    // dictionary-side guard fires at PREPARE time (eager, before any
+    // stream starts) and leaks no cache
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.prepare(Seq((9L, "x" * 300)).toDF("dict_id", "name"),
+        "dict_id", "name", maxDist = 2)
+    }.getMessage should include("maxLen")
+    spark.sparkContext.getPersistentRDDs.size shouldBe 0
+    val prep = FuzzyJoin.prepare(dict, "dict_id", "name", maxDist = 2)
+    try {
+      val left = Seq((10L, "Main Steet"), (11L, "mith"), (12L, "zzz zzz"))
+        .toDF("row_id", "dirty")
+      val viaPrep = FuzzyJoin.joinPrepared(left, "row_id", "dirty", prep)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = FuzzyJoin.join(left, "row_id", "dirty",
+          dict, "dict_id", "name", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      viaPrep shouldBe direct
+      viaPrep shouldBe Set((10L, 1L, 1), (11L, 2L, 1))
+      // PROBE-side maxLen guard rides IN-PLAN (raise_error): it fails
+      // the micro-batch at materialization, loudly naming the limit —
+      // there is no driver-side pre-scan of a stream's batch
+      val bad = Seq((13L, "y" * 300)).toDF("row_id", "dirty")
+      val e = intercept[Exception] {
+        FuzzyJoin.joinPrepared(bad, "row_id", "dirty", prep).collect()
+      }
+      e.getMessage should include("maxLen")
+    } finally prep.unpersist()
+  }
 }
