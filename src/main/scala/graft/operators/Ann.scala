@@ -769,8 +769,15 @@ object Ann {
       .agg(new TopKByScore(n).toColumn.name("hits"))
       .flatMap { case (qid, hits) => hits.map(h => (qid, h.id)) }
       .toDF("_sqid", "_sid")
-    val scored = short
-      .join(base.select(col(idCol).cast("long").as("_sid"), col(vecCol)), "_sid")
+    // rerank floats come ONLY from the union of probed cells (every
+    // shortlist row lives there by construction): the cell semi-join
+    // keeps the second scan's I/O proportional to probed cells — a
+    // bare id join would read the whole table's float column back
+    val probedCells = probes.select(col("_probe_cell").as("_cell")).distinct()
+    val scored = base
+      .join(broadcast(probedCells), Seq("_cell"), "left_semi")
+      .select(col(idCol).cast("long").as("_sid"), col(vecCol))
+      .join(broadcast(short), "_sid")
       .join(broadcast(queries.select(col(qidCol).cast("long").as("_sqid"),
         col(qvecCol).as("_qvec2"))), "_sqid")
       .select(col("_sqid").as("qid"), col("_sid").as("id"),
