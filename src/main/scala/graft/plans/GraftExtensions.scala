@@ -73,6 +73,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.qualityScoreDescriptor)
     ext.injectFunction(GraftExtensions.cmsEstimateDescriptor)
     ext.injectFunction(GraftExtensions.canonicalUrlDescriptor)
+    ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.pqDecodeDescriptor)
   }
 }
 
@@ -367,6 +369,45 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(args(0),
           Literal.create("", org.apache.spark.sql.types.StringType))),
         m.bias, m.weights, m.seed, m.ngrams)
+    })
+
+  private def literalSpec(e: Expression, what: String): String = e match {
+    case other if other.foldable && other.dataType ==
+        org.apache.spark.sql.types.StringType =>
+      val v = other.eval()
+      if (v == null) throw new IllegalArgumentException(
+        s"$what must be a non-null string literal")
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+  }
+
+  /** `graft_pq_encode(vec, '<Pq.spec string>')` → binary m-byte PQ
+    * code and `graft_pq_decode(code, '<Pq.spec string>')` → the
+    * reconstruction, from SQL — the literal-spec pattern of
+    * `graft_bpe_encode`: codebooks trained in Scala and published
+    * through the model registry serve SQL-only consumers as a pasted
+    * spec (exact `Double.toString` round-trip). A SQL session can
+    * therefore compress, rank (via `graft_cosine` against the decoded
+    * reconstruction — the ADC quantity), and audit PQ codes with no
+    * Scala on the path. */
+  val pqEncodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: graft_pq_encode(vec, '<pq spec>')")
+      PqEncodeExpr(args(0),
+        graft.operators.Pq.fromSpec(literalSpec(args(1), "pq codebook spec")).books)
+    })
+
+  val pqDecodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_decode"),
+    new ExpressionInfo(classOf[PqDecodeExpr].getName, "graft_pq_decode"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: graft_pq_decode(code, '<pq spec>')")
+      PqDecodeExpr(args(0),
+        graft.operators.Pq.fromSpec(literalSpec(args(1), "pq codebook spec")).books)
     })
 
   val pipDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

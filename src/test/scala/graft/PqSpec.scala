@@ -199,6 +199,39 @@ class PqSpec extends SparkSpec {
       .foreach(_.isNullAt(0) shouldBe true) // wrong width / code >= k
   }
 
+  test("graft_pq_encode / graft_pq_decode are SQL-callable with a pasted spec") {
+    val embs = PlantedFixtures.pqVectors(spark)
+    val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
+    val spec = Pq.spec(cb)
+    embs.createOrReplaceTempView("pq_sql_fixture")
+    // SQL round trip equals the Column forms value-for-value; cosine
+    // against the SQL-decoded reconstruction is the ADC quantity
+    val sql = spark.sql(
+      s"""SELECT vec_id,
+             graft_pq_encode(embedding, '$spec') AS c,
+             graft_cosine(graft_pq_decode(graft_pq_encode(embedding, '$spec'),
+                          '$spec'),
+                          array(1.0D, 0.0D, 5.0D, 0.0D)) AS sim
+          FROM pq_sql_fixture""")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toMap
+    val col = embs.select(org.apache.spark.sql.functions.col("vec_id"),
+        Pq.encode(org.apache.spark.sql.functions.col("embedding"), cb).as("c"),
+        Pq.adcCosine(Pq.encode(
+          org.apache.spark.sql.functions.col("embedding"), cb),
+          Seq(1.0, 0.0, 5.0, 0.0), cb).as("sim"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))
+    col.foreach { case (id, code, adc) =>
+      sql(id)._1 shouldBe code
+      sql(id)._2 shouldBe adc +- 1e-12
+    }
+    // a malformed pasted spec fails at PLAN time, loudly
+    intercept[Exception] {
+      spark.sql("SELECT graft_pq_encode(array(1.0D), 'nope')").collect()
+    }.getMessage should include("pq")
+  }
+
   test("topK ranks by ADC and matches brute-force on the lossless fixture") {
     val embs = PlantedFixtures.pqVectors(spark)
     val cb = Pq.train(embs, "embedding", dim, m = 2, k = 4, iters = 2)
