@@ -75,6 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.canonicalUrlDescriptor)
     ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
     ext.injectFunction(GraftExtensions.pqDecodeDescriptor)
+    // materialized-aggregate query rewrite (no-op while nothing is
+    // registered — MatAggRewrite scaladoc)
+    ext.injectOptimizerRule(s => new MatAggRewrite(s))
   }
 }
 

@@ -659,6 +659,47 @@ object PipelineQueries {
     // multiprobe behavior (tables pinned explicitly — the out-of-box
     // auto-sizing default is 8 tables, gauged by lsh_recall_at_10 and
     // pinned in AnnSpec; this oracle pins the one-table candidate set).
+    // AUTOMATIC QUERY REWRITE to the materialized aggregate (the IVM
+    // read side as a Catalyst optimizer rule): the query below is
+    // written against the BASE table, the registered exact-grain
+    // aggregate rewrites to the partial table transparently, and the
+    // def REQUIREs the rewrite fired (optimized plan reads the agg
+    // table) — a silent fall-through to the base scan would also pass
+    // the oracle, and the point is that it didn't. The DuckDB oracle
+    // computes from the base rows, so the gate IS rewrite correctness:
+    // identical answers from 1/n_batches of the data. Base is a
+    // private copy, so the registration can never touch another
+    // query's plan; strict-shape stand-downs are MatAggRewriteSpec's.
+    "ma2_agg_rewrite" -> ((s, dir) => {
+      import graft.operators.MaterializedAgg
+      import graft.plans.MatAggRewrite
+      val base = graft.TempDirs.path("matagg-rewrite/ma2-base")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(base)
+      val aggT = graft.TempDirs.path("matagg-rewrite/ma2-agg")
+      MaterializedAgg.build(s.read.parquet(base), Seq("source"),
+        Seq("n_chars"), aggT)
+      MatAggRewrite.enable(base, aggT, Seq("source"), Seq("n_chars"))
+      val df = s.read.parquet(base).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("n_chars")).as("n_vals"),
+          sum("n_chars").as("sum_chars"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"), avg("n_chars").as("avg_chars"))
+        .orderBy("source")
+      // the plan's printed form omits file paths — walk the relations
+      val firedOnAgg = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("ma2-agg"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(firedOnAgg,
+        "materialized-agg rewrite did not fire for the registered grain")
+      df
+    }),
+
     // The STANDING-CORPUS PQ lifecycle end-to-end: train → publish the
     // codebooks through the ModelRegistry (atomic, versioned, time-
     // travelable like every other trainable) → load the spec back →
@@ -2259,6 +2300,17 @@ object PipelineQueries {
            (1, 1.0, 1),
            (2, 1.0, 1)
          ) AS t(vec_id, sim, n_batches) ORDER BY vec_id""",
+    // the rewrite's answers must equal base-table SQL exactly — DuckDB
+    // computes from the raw rows the rewritten plan never reads
+    "ma2_agg_rewrite" ->
+      """SELECT source,
+                count(*) AS n_docs,
+                count(n_chars) AS n_vals,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars,
+                avg(n_chars) AS avg_chars
+         FROM documents GROUP BY source ORDER BY source""",
     // full-probe + full-cover shortlist batched IVF-PQ = exact cosine
     // per query over the lossless planted vectors
     "ann13_ivfpq_batch" ->
