@@ -96,53 +96,96 @@ class MatAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** None = any part of the query is outside the view's algebra; the
-    * aggregate stands and scans the base table as written. */
+    * aggregate stands and scans the base table as written.
+    *
+    * Two grains rewrite. EXACT grain (grouping = the view's key set)
+    * becomes a bare Project over the read plan. A SUBSET grain
+    * (grouping ⊂ keys, the rollup-dashboard shape — including the
+    * GLOBAL aggregate) re-aggregates the read plan's merged partials:
+    * count → sum of counts (coalesced to 0 so a global count over an
+    * empty table stays 0, not NULL), sum → sum of sums, min/max →
+    * min/max of minima/maxima, avg → guarded sum-of-sums over
+    * sum-of-counts — all algebraic, so the coarser answer is exact
+    * wherever the fine one was. */
   private def tryRewrite(agg: Aggregate, groupExprs: Seq[Expression],
                          aggExprs: Seq[NamedExpression],
                          reg: Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Divide, EqualTo, If}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val keyNames = groupExprs.map {
       case a: AttributeReference => a.name
       case _ => return None // computed grouping keys: not the view's grain
     }
-    if (keyNames.toSet != reg.keys.toSet) return None
+    val exact = keyNames.toSet == reg.keys.toSet
+    if (!exact && !keyNames.toSet.subsetOf(reg.keys.toSet)) return None
     val readPlan = graft.operators.MaterializedAgg
       .read(session, reg.aggPath).queryExecution.analyzed
     def outCol(name: String): Option[Attribute] =
       readPlan.output.find(_.name == name)
-    def mapped(src: NamedExpression, col: String): Option[NamedExpression] =
-      outCol(col).collect {
-        // type equality is the guard against silent re-agg widening
-        case a if a.dataType == src.dataType =>
-          Alias(a, src.name)(exprId = src.exprId)
-      }
+    def typed(src: NamedExpression)(e: Expression): Option[NamedExpression] =
+      // type equality is the guard against silent re-agg widening
+      if (e.dataType == src.dataType) Some(Alias(e, src.name)(exprId = src.exprId))
+      else None
     def valueCol(e: Expression): Option[String] = e match {
       case a: AttributeReference
           if reg.values.contains(a.name) &&
             !a.dataType.isInstanceOf[DecimalType] => Some(a.name)
       case _ => None
     }
-    val rewritten = aggExprs.map {
+    def sumOf(col: String): Option[Expression] =
+      outCol(col).map(a => Sum(a).toAggregateExpression())
+    def sumCount(col: String): Option[Expression] =
+      sumOf(col).map(s => Coalesce(Seq(s, Literal(0L, LongType))))
+    // per original output: the exact-grain column read, or the
+    // subset-grain re-aggregation over it
+    def rewriteOne(src: NamedExpression): Option[NamedExpression] = src match {
       case a: AttributeReference if keyNames.contains(a.name) =>
-        mapped(a, a.name)
+        outCol(a.name).flatMap(typed(a))
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
+        def re(col: String, f: Attribute => Expression): Option[NamedExpression] =
+          outCol(col).flatMap(a => typed(al)(
+            if (exact) a else f(a)))
         ae.aggregateFunction match {
           case c: Count if c.children == Seq(Literal(1)) =>
-            mapped(al, "n_rows")
+            if (exact) outCol("n_rows").flatMap(typed(al))
+            else sumCount("n_rows").flatMap(typed(al))
           case c: Count => c.children match {
-            case Seq(e) => valueCol(e).flatMap(v => mapped(al, s"${v}_cnt"))
+            case Seq(e) => valueCol(e).flatMap { v =>
+              if (exact) outCol(s"${v}_cnt").flatMap(typed(al))
+              else sumCount(s"${v}_cnt").flatMap(typed(al))
+            }
             case _ => None
           }
-          case s: Sum => valueCol(s.child).flatMap(v => mapped(al, s"${v}_sum"))
-          case m: Min => valueCol(m.child).flatMap(v => mapped(al, s"${v}_min"))
-          case m: Max => valueCol(m.child).flatMap(v => mapped(al, s"${v}_max"))
-          case a: Average =>
-            valueCol(a.child).flatMap(v => mapped(al, s"${v}_avg"))
+          case s: Sum => valueCol(s.child).flatMap(v =>
+            re(s"${v}_sum", a => Sum(a).toAggregateExpression()))
+          case m: Min => valueCol(m.child).flatMap(v =>
+            re(s"${v}_min", a => Min(a).toAggregateExpression()))
+          case m: Max => valueCol(m.child).flatMap(v =>
+            re(s"${v}_max", a => Max(a).toAggregateExpression()))
+          case a: Average => valueCol(a.child).flatMap { v =>
+            if (exact) outCol(s"${v}_avg").flatMap(typed(al))
+            else (sumOf(s"${v}_sum"), sumOf(s"${v}_cnt")) match {
+              case (Some(ss), Some(sc)) =>
+                // avg = Σsum / Σcnt, NULL when no non-null values — an
+                // If guard, not bare division (ANSI div-by-zero)
+                typed(al)(If(EqualTo(sc, Literal(0L, LongType)),
+                  Literal(null, DoubleType),
+                  Divide(Cast(ss, DoubleType), Cast(sc, DoubleType))))
+              case _ => None
+            }
+          }
           case _ => None
         }
       case _ => None
     }
+    val rewritten = aggExprs.map(rewriteOne)
     if (rewritten.exists(_.isEmpty)) None
-    else Some(Project(rewritten.map(_.get), readPlan))
+    else if (exact) Some(Project(rewritten.map(_.get), readPlan))
+    else {
+      val newKeys = keyNames.flatMap(outCol)
+      if (newKeys.length != keyNames.length) None
+      else Some(Aggregate(newKeys, rewritten.map(_.get), readPlan))
+    }
   }
 }

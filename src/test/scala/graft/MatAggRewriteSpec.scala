@@ -60,6 +60,46 @@ class MatAggRewriteSpec extends SparkSpec {
     scanPaths(q).exists(_.contains("matagg-rewrite/base")) shouldBe true
   }
 
+  test("subset-grain rollup and the global aggregate re-aggregate the partials") {
+    val base = graft.TempDirs.path("matagg-rewrite/base3")
+    val aggT = graft.TempDirs.path("matagg-rewrite/agg3")
+    // two keys, integer values (exact re-association), a null value,
+    // and a (k1,k2) group whose v is all-null — the avg guard's case
+    val rows = Seq(("a", "x", Some(10L)), ("a", "x", Some(2L)),
+      ("a", "y", None), ("b", "x", Some(5L)), ("b", "y", Some(3L)))
+    rows.toDF("k1", "k2", "v").write.mode("overwrite").parquet(base)
+    MaterializedAgg.build(spark.read.parquet(base), Seq("k1", "k2"),
+      Seq("v"), aggT)
+    MatAggRewrite.enable(base, aggT, Seq("k1", "k2"), Seq("v"))
+    try {
+      def q(keys: String*) = {
+        val g = spark.read.parquet(base).groupBy(keys.map(col): _*)
+        g.agg(count(lit(1)).as("n"), count(col("v")).as("vc"),
+          sum("v").as("vs"), min("v").as("vmin"), max("v").as("vmax"),
+          avg("v").as("vavg"))
+      }
+      for (keys <- Seq(Seq("k1"), Seq("k2"), Seq("k1", "k2"))) {
+        val df = if (keys.isEmpty) q() else q(keys: _*).orderBy(keys.map(col): _*)
+        val viaView = df.collect().map(_.toSeq)
+        MatAggRewrite.disable(base)
+        val direct = try df.collect().map(_.toSeq)
+        finally MatAggRewrite.enable(base, aggT, Seq("k1", "k2"), Seq("v"))
+        withClue(s"grain $keys: ") { viaView shouldBe direct }
+        withClue(s"grain $keys scans: ") {
+          scanPaths(df).exists(_.contains("matagg-rewrite/agg3")) shouldBe true
+        }
+      }
+      // the GLOBAL aggregate (no grouping) also rewrites
+      val global = q()
+      val gv = global.collect().map(_.toSeq)
+      MatAggRewrite.disable(base)
+      val gd = try q().collect().map(_.toSeq)
+      finally MatAggRewrite.enable(base, aggT, Seq("k1", "k2"), Seq("v"))
+      gv shouldBe gd
+      scanPaths(global).exists(_.contains("matagg-rewrite/agg3")) shouldBe true
+    } finally MatAggRewrite.disable(base)
+  }
+
   test("shapes outside the view's algebra stand down and scan the base") {
     val base = graft.TempDirs.path("matagg-rewrite/base2")
     val aggT = graft.TempDirs.path("matagg-rewrite/agg2")
