@@ -701,8 +701,13 @@ object Ann {
     require(params("dim") == queryVec.length.toLong,
       s"IVF-PQ index at $indexPath was built with dim=${params("dim")} but " +
         s"queried with a ${queryVec.length}-dim vector")
-    val n = if (shortlist > 0) shortlist else math.max(10 * k, 100)
-    require(n >= k, s"shortlist $n smaller than k=$k")
+    val requested = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    require(requested >= k, s"shortlist $requested smaller than k=$k")
+    // cap caller-supplied shortlists under the TakeOrderedAndProject
+    // fence (rankShortlistCap scaladoc): an uncapped shortlist AT the
+    // threshold silently flips the ADC ranking into a corpus-wide
+    // global sort. k itself wins if the caller truly asked past the cap.
+    val n = math.max(k.toLong, math.min(requested.toLong, rankShortlistCap)).toInt
     val cents = readIvfCentroids(spark, indexPath, params)
     val cb = Pq.fromSpec(
       spark.read.parquet(s"$indexPath/pqspec").head().getString(0))
@@ -744,8 +749,12 @@ object Ann {
     val params = Dedup.readIndexParams(spark, indexPath)
     require(params.contains("pq_m") && params.contains("n_cells"),
       s"params/ under $indexPath is not an IVF-PQ index record")
-    val n = if (shortlist > 0) shortlist else math.max(10 * k, 100)
-    require(n >= k, s"shortlist $n smaller than k=$k")
+    val requested = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    require(requested >= k, s"shortlist $requested smaller than k=$k")
+    // same cap as the single-query path: the TopKByScore heap is
+    // bounded per query, and per-query shortlists past the fence are
+    // never useful — they only grow the rerank join
+    val n = math.max(k.toLong, math.min(requested.toLong, rankShortlistCap)).toInt
     val cents = readIvfCentroids(spark, indexPath, params)
     val cb = Pq.fromSpec(
       spark.read.parquet(s"$indexPath/pqspec").head().getString(0))

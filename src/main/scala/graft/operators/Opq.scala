@@ -398,6 +398,29 @@ object Opq {
     require(rot.length == cb.dim && rot.forall(_.length == cb.dim),
       s"malformed opq spec: rotation ${rot.length}×" +
         s"${rot.headOption.map(_.length)} vs dim ${cb.dim}")
+    // the spec is explicitly a pasteable string, so a hand-edited or
+    // truncated rotation parses fine — but everything downstream
+    // relies on R preserving cosine, i.e. R·Rᵀ = I. Cheap driver-side
+    // check (dim² flops), loud like the other malformed-spec cases.
+    val dim = cb.dim
+    var maxDev = 0.0
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var dot = 0.0
+        var t = 0
+        while (t < dim) { dot += rot(i)(t) * rot(j)(t); t += 1 }
+        val dev = math.abs(dot - (if (i == j) 1.0 else 0.0))
+        if (dev > maxDev) maxDev = dev
+        j += 1
+      }
+      i += 1
+    }
+    require(maxDev < 1e-6,
+      f"malformed opq spec: rotation is not orthonormal (max |R·Rᵀ - I| " +
+        f"= $maxDev%.2e) — truncated or hand-edited rotation rows no " +
+        "longer preserve cosine")
     OpqModel(rot, cb)
   }
 

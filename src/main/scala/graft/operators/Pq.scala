@@ -325,8 +325,12 @@ object Pq {
   def rerankShortlist(nCorpus: Long, k: Int): Int = {
     val cap = math.max(100L,
       org.apache.spark.sql.internal.SQLConf.get.topKSortFallbackThreshold - 1L)
-    math.max(math.max(100, 10 * k),
-      math.min(math.ceil(0.1 * nCorpus).toLong, cap).toInt)
+    // the cap binds the FINAL max — every term, including 10·k: a
+    // k ≥ 1000 would otherwise return a shortlist at/over the fence
+    // and the documented TakeOrderedAndProject plan would silently
+    // degrade to a full global sort of the scored corpus
+    math.min(cap, math.max(math.max(100L, 10L * k),
+      math.ceil(0.1 * nCorpus).toLong)).toInt
   }
 
   /** SHORTLIST-AND-RERANK — the production PQ recipe: ADC over the

@@ -27,6 +27,29 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Does `df`'s OPTIMIZED plan scan a file relation whose root path
+    * contains `fragment`? The printed plan omits paths, so the ma*
+    * rewrite-fired REQUIREs walk the relations directly. */
+  private def scansPath(df: DataFrame, fragment: String): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(fragment))
+          case _ => false
+        }
+    }.exists(identity)
+
+  /** Collect `df` through ITS OWN (already-forced) query execution and
+    * re-wrap the rows as a local relation: the ma* queries return this
+    * so the values the driver compares are exactly the ones the
+    * rewritten plan produced, while the registration is released in
+    * the enclosing finally (a later re-plan could not reproduce it). */
+  private def localized(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   val EmbDim = 64
 
   /** The Sennrich BPE corpus (bp1/bp2): word counts low×5 lower×2
@@ -680,24 +703,113 @@ object PipelineQueries {
       val aggT = graft.TempDirs.path("matagg-rewrite/ma2-agg")
       MaterializedAgg.build(s.read.parquet(base), Seq("source"),
         Seq("n_chars"), aggT)
-      MatAggRewrite.enable(base, aggT, Seq("source"), Seq("n_chars"))
-      val df = s.read.parquet(base).groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), count(col("n_chars")).as("n_vals"),
-          sum("n_chars").as("sum_chars"), min("n_chars").as("min_chars"),
-          max("n_chars").as("max_chars"), avg("n_chars").as("avg_chars"))
-        .orderBy("source")
-      // the plan's printed form omits file paths — walk the relations
-      val firedOnAgg = df.queryExecution.optimizedPlan.collect {
-        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          l.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.exists(_.toString.contains("ma2-agg"))
-            case _ => false
-          }
-      }.exists(identity)
-      require(firedOnAgg,
-        "materialized-agg rewrite did not fire for the registered grain")
-      df
+      MatAggRewrite.enable(s, base, aggT, Seq("source"), Seq("n_chars"))
+      try {
+        val df = s.read.parquet(base).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), count(col("n_chars")).as("n_vals"),
+            sum("n_chars").as("sum_chars"), min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"), avg("n_chars").as("avg_chars"))
+          .orderBy("source")
+        require(scansPath(df, "ma2-agg"),
+          "materialized-agg rewrite did not fire for the registered grain")
+        // materialize THROUGH the rewritten plan (the values compared
+        // to DuckDB are the rewrite's), then release the registration
+        // in finally — enable() always pairs with disable()
+        localized(s, df)
+      } finally MatAggRewrite.disable(s, base)
+    }),
+
+    // MA3 — the rewrite COMPOSED with the snapshot layer: the base is
+    // a manifest-GOVERNED table (Snapshot.read resolves it to a
+    // multi-root batch scan), the rollup mirrors its batch ids (build
+    // = the initial batch -1 content, appendBatch N per base batch N —
+    // the st9 maintenance shape), and the rule fires ONLY while the
+    // scanned batch set equals the rollup's refreshed set. The def
+    // REQUIREs all three gate positions: fires when fresh, stands
+    // DOWN the moment an unrefreshed base append exists (stale
+    // partials must not answer), fires again once that batch is
+    // refreshed. DuckDB computes from the raw documents rows — rows
+    // the final rewritten plan never reads.
+    "ma3_agg_rewrite_governed" -> ((s, dir) => {
+      import graft.operators.{MaterializedAgg, Snapshot}
+      import graft.plans.MatAggRewrite
+      val id = java.util.UUID.randomUUID()
+      val base = graft.TempDirs.path(s"matagg-rewrite/ma3-base-$id")
+      val aggT = graft.TempDirs.path(s"matagg-rewrite/ma3-agg-$id")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+      def slice(m: Int) = docs.filter(col("doc_id") % 4 === m)
+      // governed base: initial content lands as batch -1, then enable;
+      // batches 1-2 append through the manifest protocol
+      slice(0).write.mode("overwrite").parquet(s"$base/batch_id=-1")
+      Snapshot.enable(s, base)
+      Seq(1, 2).foreach(m => Snapshot.stagedAppend(s, base, m.toLong) {
+        slice(m).write.mode("overwrite").parquet(s"$base/batch_id=$m")
+      })
+      // id-mirrored rollup maintenance (the freshness contract)
+      MaterializedAgg.build(slice(0), Seq("source"), Seq("n_chars"), aggT)
+      Seq(1, 2).foreach(m => MaterializedAgg.appendBatch(slice(m),
+        Seq("source"), Seq("n_chars"), aggT, m.toLong))
+      MatAggRewrite.enable(s, base, aggT, Seq("source"), Seq("n_chars"))
+      try {
+        def q = Snapshot.read(s, base).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+            avg("n_chars").as("avg_chars"))
+          .orderBy("source")
+        require(scansPath(q, "ma3-agg"),
+          "governed-base rewrite did not fire on the fresh batch set")
+        // base moves ahead of the rollup: batch 3 appended, NOT
+        // refreshed — serving the partials now would be a stale answer
+        Snapshot.stagedAppend(s, base, 3L) {
+          slice(3).write.mode("overwrite").parquet(s"$base/batch_id=3")
+        }
+        require(!scansPath(q, "ma3-agg"),
+          "rewrite fired on a base batch the rollup has not refreshed")
+        MaterializedAgg.appendBatch(slice(3), Seq("source"),
+          Seq("n_chars"), aggT, 3L)
+        val fresh = q
+        require(scansPath(fresh, "ma3-agg"),
+          "rewrite did not re-fire after the mirrored refresh")
+        localized(s, fresh)
+      } finally MatAggRewrite.disable(s, base)
+    }),
+
+    // MA4 — KEY-FILTER SUBSUMPTION: a predicate referencing only
+    // registered KEY columns is answerable from the partials with the
+    // same filter re-applied (each partial row carries its full key
+    // tuple), here at SUBSET grain — `WHERE lang-prefix GROUP BY
+    // source` over a (source, lang) registration. The def REQUIREs the
+    // rewrite fired AND that a value-column predicate still stands
+    // down; DuckDB answers from the base rows.
+    "ma4_agg_rewrite_keyfilter" -> ((s, dir) => {
+      import graft.operators.MaterializedAgg
+      import graft.plans.MatAggRewrite
+      val base = graft.TempDirs.path("matagg-rewrite/ma4-base")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "lang", "n_chars")
+        .write.mode("overwrite").parquet(base)
+      val aggT = graft.TempDirs.path("matagg-rewrite/ma4-agg")
+      MaterializedAgg.build(s.read.parquet(base), Seq("source", "lang"),
+        Seq("n_chars"), aggT)
+      MatAggRewrite.enable(s, base, aggT, Seq("source", "lang"),
+        Seq("n_chars"))
+      try {
+        val df = s.read.parquet(base).filter(col("lang") =!= "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            avg("n_chars").as("avg_chars"))
+          .orderBy("source")
+        require(scansPath(df, "ma4-agg"),
+          "key-only filter did not subsume into the rewrite")
+        // a VALUE-column predicate is not answerable from partials
+        val valueFiltered = s.read.parquet(base)
+          .filter(col("n_chars") > 100).groupBy("source")
+          .agg(sum("n_chars").as("sum_chars"))
+        require(!scansPath(valueFiltered, "ma4-agg"),
+          "value-column filter must stand down to the base scan")
+        localized(s, df)
+      } finally MatAggRewrite.disable(s, base)
     }),
 
     // The STANDING-CORPUS PQ lifecycle end-to-end: train → publish the
@@ -2311,6 +2423,26 @@ object PipelineQueries {
                 max(n_chars) AS max_chars,
                 avg(n_chars) AS avg_chars
          FROM documents GROUP BY source ORDER BY source""",
+    // ma3's governed base holds ALL documents rows once batch 3 is
+    // refreshed (the doc_id%4 slices partition the table), so the
+    // oracle is the plain base-table rollup the rewritten plan never
+    // computes from raw rows
+    "ma3_agg_rewrite_governed" ->
+      """SELECT source,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars,
+                avg(n_chars) AS avg_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    // ma4: the key-only filter applies to base rows here, to partial
+    // rows in the rewritten plan — identical answers required
+    "ma4_agg_rewrite_keyfilter" ->
+      """SELECT source,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                avg(n_chars) AS avg_chars
+         FROM documents WHERE lang <> 'en' GROUP BY source ORDER BY source""",
     // full-probe + full-cover shortlist batched IVF-PQ = exact cosine
     // per query over the lossless planted vectors
     "ann13_ivfpq_batch" ->
