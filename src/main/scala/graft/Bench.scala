@@ -73,15 +73,51 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+  /** (machine total ticks, machine idle ticks, this-process ticks)
+    * from /proc — the raw counters behind [[extCpuShare]]. */
+  private def cpuTicks(): Option[(Long, Long, Long)] =
+    try {
+      val stat = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = stat(3) + (if (stat.length > 4) stat(4) else 0L)
+      val self = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/self/stat")).split("\\s+")
+      Some((stat.sum, idle, self(13).toLong + self(14).toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** EXTERNAL CPU share across a rep: of all machine CPU capacity over
+    * [before, after], the fraction burned by processes OTHER than this
+    * JVM. load1 can't answer this — it decays over minutes and is
+    * dominated by our own just-finished burst; this is measured over
+    * exactly the interval being timed, so "the fastest rep ran
+    * co-scheduled with another Spark/sbt" is machine-readable per rep
+    * (the r15 sx47 18.7/14.4/23.4 spread, adjudicated by hand there). */
+  private def extCpuShare(before: Option[(Long, Long, Long)],
+                          after: Option[(Long, Long, Long)]): Double =
+    (before, after) match {
+      case (Some((t0, i0, s0)), Some((t1, i1, s1))) if t1 > t0 =>
+        math.max(0.0, ((t1 - t0) - (i1 - i0) - (s1 - s0)).toDouble / (t1 - t0))
+      case _ => -1.0
+    }
+
+  /** A rep whose external-CPU share exceeds this is treated as
+    * contended: its time is ambient-load noise, not plan cost. 0.15 of
+    * a 32-thread box ≈ 5 cores of foreign work. */
+  private val ExtCpuContended =
+    sys.env.get("SPARK_GRAFT_EXT_CPU_MAX").map(_.toDouble).getOrElse(0.15)
+
   /** One evidence record per query, rendered straight to JSON. */
   private final case class Evidence(reps: Seq[Double], gcMs: Long, jitMs: Long,
                                     rddBlocksBefore: Int, storageMbBefore: Long,
-                                    load1: Double, tOffsetS: Double) {
+                                    load1: Double, tOffsetS: Double,
+                                    repExtCpu: Seq[Double]) {
     def json: String =
       s"""{"reps":[${reps.map(t => f"$t%.4f").mkString(",")}],""" +
         s""""gc_ms":$gcMs,"jit_ms":$jitMs,"rdds_cached":$rddBlocksBefore,""" +
         s""""storage_mb":$storageMbBefore,"load1":$load1,""" +
-        f""""t_offset_s":$tOffsetS%.1f}"""
+        f""""t_offset_s":$tOffsetS%.1f,""" +
+        s""""rep_ext_cpu":[${repExtCpu.map(e => f"$e%.3f").mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,10 +182,11 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_.split(",").exists(name.startsWith)))
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => System.err.println(s"[bench] explain $name: $e") }
-      def oneRep(rep: Int): Double = {
+      def oneRep(rep: Int): (Double, Double) = {
         spark.conf.set("spark.sql.shuffle.partitions", canonicalParts)
         spark.conf.set("spark.sql.adaptive.enabled", canonicalAqe)
         clearSparkState() // every rep starts from empty storage
+        val ticks0 = cpuTicks()
         val t0 = System.nanoTime()
         def elapsed: Double = (System.nanoTime() - t0) / 1e9
         val fut = Future {
@@ -157,7 +194,10 @@ object Bench {
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           finally sc.clearJobGroup()
         }
-        try { Await.result(fut, PerQueryBudget); elapsed }
+        try {
+          Await.result(fut, PerQueryBudget)
+          (elapsed, extCpuShare(ticks0, cpuTicks()))
+        }
         catch {
           case _: TimeoutException =>
             sc.cancelJobGroup(name)
@@ -174,10 +214,10 @@ object Bench {
             watchdog.setDaemon(true)
             watchdog.start()
             System.err.println(f"[bench] $name TIMEOUT after $elapsed%.1fs (rep $rep)")
-            -2.0
+            (-2.0, -1.0)
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage} (rep $rep)")
-            -1.0
+            (-1.0, -1.0)
         }
       }
       // min over reps; a failing/timing-out rep short-circuits the
@@ -192,15 +232,35 @@ object Bench {
       val nReps = math.max(Reps,
         graft.queries.ScaleWorkloads.extraReps.getOrElse(name, 0))
       val repTimes = scala.collection.mutable.ListBuffer.empty[Double]
+      val repExt = scala.collection.mutable.ListBuffer.empty[Double]
       var rep = 0
       while (rep < nReps && (repTimes.isEmpty || repTimes.last >= 0)) {
-        repTimes += oneRep(rep)
+        val (t, e) = oneRep(rep)
+        repTimes += t; repExt += e
+        rep += 1
+      }
+      // CONTENTION SELF-HEAL: min-of-reps is only a plan cost if the
+      // fastest rep ran on a quiet machine. If it was co-scheduled
+      // with external CPU load (rep_ext_cpu above the threshold), buy
+      // up to 2 extra reps — time is spent only when contention
+      // actually occurred, and the recorded evidence shows exactly why
+      // (the r15 like-for-like +6.7% was this noise, adjudicated by
+      // hand; now it is machine-readable and mostly self-corrects).
+      def minRepContended: Boolean = {
+        val ok = repTimes.zip(repExt).filter(_._1 >= 0)
+        ok.nonEmpty && ok.minBy(_._1)._2 > ExtCpuContended
+      }
+      while (repTimes.last >= 0 && minRepContended && rep < nReps + 2) {
+        System.err.println(f"[bench] $name rerun: fastest rep contended " +
+          f"(ext cpu ${repTimes.zip(repExt).filter(_._1 >= 0).minBy(_._1)._2}%.2f)")
+        val (t, e) = oneRep(rep)
+        repTimes += t; repExt += e
         rep += 1
       }
       evidence(name) = Evidence(repTimes.toSeq,
         gcMillis() - gc0, if (jit0 < 0) -1 else jitMillis() - jit0,
         storage0.length, storage0.map(i => i.memSize + i.diskSize).sum >> 20,
-        load0, tOffset)
+        load0, tOffset, repExt.toSeq)
       val v = if (repTimes.exists(_ < 0)) repTimes.filter(_ < 0).head
               else repTimes.min
       if (v >= 0)

@@ -397,6 +397,42 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: an oversized caller shortlist is capped under the sort fallback", Slow) {
+    import org.apache.spark.sql.functions.col
+    val fix = graft.queries.PlantedFixtures.pqVectors(spark)
+    val dimF = graft.queries.PlantedFixtures.PqFixtureDim
+    val idx = graft.TempDirs.path("ivfpq-index/cap")
+    Ann.buildIvfPqIndex(fix, "vec_id", "embedding", dimF, nCells = 2,
+      m = 2, kCodes = 4, outPath = idx, iters = 2, lloydIters = 2)
+    val q = Seq(1.0, 0.0, 5.0, 0.0)
+    // shortlist == topKSortFallbackThreshold (default 10000): uncapped,
+    // the ADC ranking's orderBy().limit() would plan a FULL global sort
+    // (range exchange) of the scored cells; the cap keeps it a bounded
+    // TakeOrderedAndProject heap
+    val thr = org.apache.spark.sql.internal.SQLConf.get.topKSortFallbackThreshold
+    val df = Ann.searchIvfPqIndex(spark, idx, "vec_id", "embedding", q,
+      k = 5, nProbe = 2, shortlist = thr)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("TakeOrderedAndProject")
+    p.toLowerCase should not include "rangepartitioning"
+    // results unchanged vs the in-cap full-cover shortlist
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ref = Ann.searchIvfPqIndex(spark, idx, "vec_id", "embedding", q,
+        k = 5, nProbe = 2, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got.map(_._1) shouldBe ref.map(_._1)
+    // the batch twin accepts the same oversized value (TopKByScore heap
+    // size is bounded by the same cap) and still matches per query
+    import spark.implicits._
+    val qdf = fix.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Ann.searchIvfPqIndexBatch(spark, idx, "vec_id", "embedding",
+        qdf, "qid", "qv", 5, nProbe = 2, shortlist = thr)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    batch.map(_._1).toSet shouldBe ref.map(_._1).toSet // batch orders by id
+  }
+
   test("graft_cosine / graft_hyperplane_sig are SQL-callable") {
     import spark.implicits._
     Seq((Seq(3.0f, 4.0f), Seq(6.0f, 8.0f))).toDF("a", "b")
