@@ -1870,6 +1870,40 @@ object RelationalQueries {
                             AND l3.l_returnflag = 'R')
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_suppkey LIMIT 20""")
+    }),
+
+    // TQ22 — NOT IN with NULLs: the last classic decorrelation hazard.
+    // `x NOT IN (S)` is three-valued — one NULL in S makes it never
+    // TRUE (x=v is UNKNOWN for the null element), so the whole outer
+    // result must collapse to zero rows, which a naive anti-join
+    // rewrite gets WRONG (it would treat NULL as a non-match and leak
+    // rows through). Three variants pin the ladder: an anti-join whose
+    // inner is an AGGREGATE (HAVING-filtered groups), a null-free NOT
+    // IN (real rows), and a planted-NULL NOT IN (must count 0).
+    // Spark plans the single-key NOT IN as a null-aware anti join —
+    // a broadcast hash join with the null check fused
+    // (PlanAuditSpec pins no cartesian/nested-loop). Scale note: NAAJ
+    // REQUIRES broadcasting the inner (null-awareness can't shuffle);
+    // at 100 TB phrase non-null-key exclusions as NOT EXISTS — it
+    // decorrelates to a shuffled left-anti equi-join with no broadcast
+    // ceiling, which is why tq21 is written that way.
+    "tq22_not_in_nulls" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("tq22_customer")
+      t(s, dir, "orders").createOrReplaceTempView("tq22_orders")
+      s.sql("""
+        SELECT 'agg_anti' AS variant, count(*) AS n FROM tq22_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM tq22_orders
+                                GROUP BY o_custkey HAVING count(*) >= 3)
+        UNION ALL
+        SELECT 'no_nulls', count(*) FROM tq22_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM tq22_orders
+                                WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'with_null', count(*) FROM tq22_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM tq22_orders
+                                  WHERE o_orderstatus = 'F'
+                                UNION ALL SELECT CAST(NULL AS BIGINT))
+        ORDER BY variant""")
     })
   )
 
@@ -2564,6 +2598,20 @@ object RelationalQueries {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_returnflag = 'R')
          GROUP BY s_suppkey, s_name
-         ORDER BY numwait DESC, s_suppkey LIMIT 20"""
+         ORDER BY numwait DESC, s_suppkey LIMIT 20""",
+    "tq22_not_in_nulls" ->
+      """SELECT 'agg_anti' AS variant, CAST(count(*) AS BIGINT) AS n FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 GROUP BY o_custkey HAVING count(*) >= 3)
+         UNION ALL
+         SELECT 'no_nulls', CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+         UNION ALL
+         SELECT 'with_null', CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_orderstatus = 'F'
+                                 UNION ALL SELECT CAST(NULL AS BIGINT))
+         ORDER BY variant"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

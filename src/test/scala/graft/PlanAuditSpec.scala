@@ -193,6 +193,16 @@ class PlanAuditSpec extends SparkSpec {
     p should include("LeftAnti")
   }
 
+  test("tq22: NOT IN plans as null-aware anti hash joins — no cartesian") {
+    val p = plan("tq22_not_in_nulls")
+    p should not include "CartesianProduct"
+    // single-key NOT IN → null-aware BroadcastHashJoin LeftAnti (the
+    // trailing `true` flag), never the pre-NAAJ nested-loop rewrite
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("LeftAnti")
+    p should include("BroadcastHashJoin")
+  }
+
   test("dd15: n-gram span dedup has no cartesian; dup-set joins are keyed") {
     val p = plan("dd15_ngram_spans")
     p should not include "Cartesian"
