@@ -636,19 +636,55 @@ object Ann {
     * index (`pqspec/`), so search rebuilds the exact books from disk —
     * params carry (pq_m, pq_k) and gate [[appendToIvfIndex]] loudly.
     * Same marker-first rebuild discipline as [[buildIvfIndex]]. */
+  /** r = x − cent(cell): the residual the IVFADC codes quantize. The
+    * centroid table rides the plan as a literal (nCells × dim doubles
+    * — broadcast-class state); `zip_with` keeps the subtraction inside
+    * codegen. */
+  private def residualCol(vec: org.apache.spark.sql.Column,
+                          cell: org.apache.spark.sql.Column,
+                          cents: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    zip_with(vec.cast("array<double>"),
+      element_at(typedLit(cents), cell.cast("int") + 1),
+      (a, b) => a - b)
+
+  /** x̂ = cent(cell) + r̂: reconstruction from a residual code — the
+    * batch query path's scoring form ([[Pq.decode]] scaladoc). */
+  private def reconstructResidual(codes: org.apache.spark.sql.Column,
+                                  cell: org.apache.spark.sql.Column,
+                                  cb: Pq.Codebooks,
+                                  cents: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    zip_with(element_at(typedLit(cents), cell.cast("int") + 1),
+      Pq.decode(codes, cb), (a, b) => a + b)
+
   def buildIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
                       dim: Int, nCells: Int, m: Int, kCodes: Int,
                       outPath: String, iters: Int = 3, lloydIters: Int = 3,
-                      maxTrainRows: Long = 0): Seq[Seq[Double]] = {
+                      maxTrainRows: Long = 0,
+                      residual: Boolean = false): Seq[Seq[Double]] = {
     val spark = embs.sparkSession
     import spark.implicits._
     Dedup.clearIndexCommitMarker(spark, outPath)
     val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
-    val cb = Pq.train(embs, vecCol, dim, m, kCodes, lloydIters, maxTrainRows)
+    // residual=true trains the codebooks on r = x − cent(cell) pooled
+    // across cells (classic IVFADC): the k entries describe the tight
+    // within-cell offsets instead of re-describing cell placement, so
+    // ADC-only precision rises at the same m — measured on the planted
+    // clustered fixture (AnnSpec) and gauged per round
+    // (ivfpq_adc_recall_res vs ivfpq_adc_recall_raw).
+    val trainSrc =
+      if (!residual) embs
+      else embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+        .withColumn("_res", residualCol(col(vecCol), col("_cell"), cents))
+    val trainCol = if (residual) "_res" else vecCol
+    val cb = Pq.train(trainSrc, trainCol, dim, m, kCodes, lloydIters,
+      maxTrainRows)
     ivfFs(spark, outPath).delete(
       new org.apache.hadoop.fs.Path(s"$outPath/vectors"), true)
-    embs.withColumn("_cell", nearestCell(col(vecCol), cents))
-      .withColumn("pq_code", Pq.encode(col(vecCol), cb))
+    val assigned = embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+    assigned
+      .withColumn("pq_code", Pq.encode(
+        if (residual) residualCol(col(vecCol), col("_cell"), cents)
+        else col(vecCol), cb))
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell")
       .parquet(s"$outPath/vectors/batch_id=-1")
@@ -658,7 +694,8 @@ object Ann {
     Seq(Tuple1(Pq.spec(cb))).toDF("spec")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/pqspec")
     Dedup.writeIndexParams(spark, outPath, "n_cells" -> nCells.toLong,
-      "dim" -> dim.toLong, "pq_m" -> m.toLong, "pq_k" -> kCodes.toLong)
+      "dim" -> dim.toLong, "pq_m" -> m.toLong, "pq_k" -> kCodes.toLong,
+      "pq_residual" -> (if (residual) 1L else 0L))
     cents
   }
 
@@ -677,9 +714,12 @@ object Ann {
       spark.read.parquet(s"$indexPath/pqspec").head().getString(0))
     val id = batchId.getOrElse(
       System.currentTimeMillis() * 1000 + (ivfAppendCounter.incrementAndGet() % 1000))
+    val residual = params.getOrElse("pq_residual", 0L) == 1L
     Snapshot.stagedAppend(spark, s"$indexPath/vectors", id) {
       embs.withColumn("_cell", nearestCell(col(vecCol), cents))
-        .withColumn("pq_code", Pq.encode(col(vecCol), cb))
+        .withColumn("pq_code", Pq.encode(
+          if (residual) residualCol(col(vecCol), col("_cell"), cents)
+          else col(vecCol), cb))
         .repartition(col("_cell"))
         .write.mode("overwrite").partitionBy("_cell")
         .parquet(s"$indexPath/vectors/batch_id=$id")
@@ -718,8 +758,16 @@ object Ann {
       .take(nProbe).map(_._2)
     val base = Snapshot.read(spark, s"$indexPath/vectors")
       .filter(col("_cell").isin(probeCells: _*)) // partition-prunes the scan
+    // residual indexes rank via the IVFADC decomposition (per-probed-
+    // cell scalars + the same m lookups — Pq.adcCosineResidual); raw
+    // indexes keep the cell-free tables
+    val adc =
+      if (params.getOrElse("pq_residual", 0L) == 1L)
+        Pq.adcCosineResidual(col("pq_code"), col("_cell"), queryVec, cb,
+          cents, probeCells)
+      else Pq.adcCosine(col("pq_code"), queryVec, cb)
     val cands = base
-      .select(col(idCol), Pq.adcCosine(col("pq_code"), queryVec, cb).as("sim"))
+      .select(col(idCol), adc.as("sim"))
       .filter(col("sim").isNotNull)
       .orderBy(desc("sim"), col(idCol)).limit(n)
       .select(col(idCol))
@@ -766,9 +814,16 @@ object Ann {
         }: _*))), 1, nProbe)).as("_p"))
       .select(col("_qid"), col("_qvec"), col("_p.i").as("_probe_cell"))
     val base = Snapshot.read(spark, s"$indexPath/vectors")
+    // batch scoring rides decode→cosine (per-query driver-side tables
+    // are impossible for a query SET); a residual index reconstructs
+    // x̂ = cent(_cell) + r̂ in-plan before the cosine
+    val rec =
+      if (params.getOrElse("pq_residual", 0L) == 1L)
+        reconstructResidual(col("pq_code"), col("_cell"), cb, cents)
+      else Pq.decode(col("pq_code"), cb)
     val short = base
       .select(col(idCol).cast("long").as("_rid"), col("_cell"),
-        Pq.decode(col("pq_code"), cb).as("_rec"))
+        rec.as("_rec"))
       .join(broadcast(probes), col("_cell") === col("_probe_cell"))
       .select(col("_qid").as("qid"), col("_rid").as("id"),
         V.cosineSimilarityNative(col("_rec"), col("_qvec")).as("sim"))

@@ -296,6 +296,47 @@ object Pq {
     column(PqAdcExpr(expression(codes), dotTab, sqTab, qNorm))
   }
 
+  /** RESIDUAL-code ADC ([[graft.plans.PqResidualAdcExpr]]): approximate
+    * cosine for codes that quantize r = x − cent(cell) — the classic
+    * IVFADC refinement, where quantization spends its k entries on the
+    * (much tighter) within-cell offsets instead of re-describing cell
+    * placement the IVF assignment already knows. Tables built HERE,
+    * driver-side, once per query: the global q·r̂ / ‖r̂‖² m×k pair plus,
+    * per PROBED cell, q·cent, ‖cent‖² and the cent·r̂ m×k table that
+    * completes the ‖cent + r̂‖² decomposition. `cell` must be the
+    * index's int cell column. */
+  def adcCosineResidual(codes: Column, cell: Column, queryVec: Seq[Double],
+                        cb: Codebooks, cents: Seq[Seq[Double]],
+                        probedCells: Seq[Int]): Column = {
+    require(queryVec.length == cb.dim,
+      s"query dim ${queryVec.length} != codebook dim ${cb.dim}")
+    require(probedCells.forall(c => c >= 0 && c < cents.length),
+      s"probed cells ${probedCells.mkString(",")} outside 0..${cents.length - 1}")
+    require(cents.forall(_.length == cb.dim),
+      s"centroid dim ${cents.headOption.map(_.length)} != codebook dim ${cb.dim}")
+    val q = queryVec.toArray
+    def subDot(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
+      var d = 0.0
+      var t = 0
+      while (t < cb.sub) { d += a(aOff + t) * b(t); t += 1 }
+      d
+    }
+    val dotTab = Array.tabulate(cb.m)(s => Array.tabulate(cb.k)(j =>
+      subDot(q, s * cb.sub, cb.books(s)(j))))
+    val sqTab = Array.tabulate(cb.m)(s => Array.tabulate(cb.k)(j =>
+      subDot(cb.books(s)(j), 0, cb.books(s)(j))))
+    val cellIds = probedCells.toArray
+    val centArr = cellIds.map(c => cents(c).toArray)
+    val qDotC = centArr.map(c => c.zip(q).map { case (a, b) => a * b }.sum)
+    val cNorm2 = centArr.map(c => c.map(v => v * v).sum)
+    val cDotTab = centArr.map(c => Array.tabulate(cb.m)(s =>
+      Array.tabulate(cb.k)(j => subDot(c, s * cb.sub, cb.books(s)(j)))))
+    val qNorm = math.sqrt(q.map(v => v * v).sum)
+    column(graft.plans.PqResidualAdcExpr(expression(codes),
+      expression(cell.cast("int")), dotTab, sqTab, qNorm,
+      cellIds, qDotC, cNorm2, cDotTab))
+  }
+
   /** Top-k by PQ-approximated cosine with ALREADY-TRAINED codebooks:
     * one fused encode→ADC projection over the scan, top-k via
     * TakeOrderedAndProject — the query path a standing corpus pays

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, FloatType}
@@ -130,6 +130,83 @@ case class PqAdcExpr(child: Expression, dotTab: Array[Array[Double]],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** (binary RESIDUAL PQ code, IVF cell id) → double approximate cosine
+  * against the query — the classic IVFADC decomposition (Jégou et al.
+  * 2011 §IV): codes quantize r = x − cent(cell), so the reconstruction
+  * is x̂ = cent + r̂ and the cosine decomposes into per-CELL scalars
+  * plus the same m table lookups as [[PqAdcExpr]]:
+  *
+  *   dot(q, x̂)  = q·cent                      (per cell, driver-side)
+  *              + Σₛ dotTab(s)(code(s))        (q·r̂, global tables)
+  *   ‖x̂‖²       = ‖cent‖²                     (per cell)
+  *              + 2·Σₛ cDotTab(cell)(s)(code(s)) (cent·r̂, per probed cell)
+  *              + Σₛ sqTab(s)(code(s))         (‖r̂‖², global)
+  *
+  * The per-cell tables cover only the PROBED cells (nProbe × m × k
+  * doubles — driver state in the codebook class); a row whose cell is
+  * not in the probe set scores NULL, surfacing a scan that was not
+  * cell-pruned rather than silently mis-scoring it. Wrong-width codes
+  * yield NULL, the [[PqAdcExpr]] posture. */
+case class PqResidualAdcExpr(code: Expression, cell: Expression,
+    dotTab: Array[Array[Double]], sqTab: Array[Array[Double]], qNorm: Double,
+    cellIds: Array[Int], qDotC: Array[Double], cNorm2: Array[Double],
+    cDotTab: Array[Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  require(dotTab.nonEmpty && dotTab.length == sqTab.length,
+    "dot/sq tables must cover the same subspaces")
+  private val m = dotTab.length
+  private val k = dotTab(0).length
+  require(dotTab.forall(_.length == k) && sqTab.forall(_.length == k),
+    "lookup tables must be rectangular: m × k")
+  require(cellIds.length == qDotC.length && cellIds.length == cNorm2.length &&
+    cellIds.length == cDotTab.length && cDotTab.forall(t =>
+      t.length == m && t.forall(_.length == k)),
+    "per-cell tables must cover the probed cells × m × k")
+
+  override def left: Expression = code
+  override def right: Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (code.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary PQ codes, got ${code.dataType.simpleString}")
+    else if (cell.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an int cell id, got ${cell.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_residual_adc"
+  override def nullable: Boolean = true
+
+  @transient private lazy val cellIndex: Map[Int, Int] =
+    cellIds.zipWithIndex.toMap
+
+  override def nullSafeEval(codeV: Any, cellV: Any): Any = {
+    val c = codeV.asInstanceOf[Array[Byte]]
+    if (c.length != m) return null
+    val ci = cellIndex.getOrElse(cellV.asInstanceOf[Int], -1)
+    if (ci < 0) return null // not a probed cell: never silently mis-score
+    val cdt = cDotTab(ci)
+    var dot = qDotC(ci)
+    var sq = cNorm2(ci)
+    var s = 0
+    while (s < m) {
+      val j = java.lang.Byte.toUnsignedInt(c(s))
+      if (j >= k) return null
+      dot += dotTab(s)(j)
+      sq += 2.0 * cdt(s)(j) + sqTab(s)(j)
+      s += 1
+    }
+    val denom = qNorm * math.sqrt(math.max(0.0, sq))
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(code = newLeft, cell = newRight)
 }
 
 /** array<float|double> (length >= dim) → array<double> of length dim:

@@ -859,6 +859,27 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // RESIDUAL IVF-PQ (classic IVFADC): codes quantize r = x −
+    // cent(cell), ranking rides the per-cell + per-code decomposition
+    // (PqResidualAdcExpr). Full probe + full-cover shortlist → the
+    // exact-cosine rerank makes ann9's oracle gate the WHOLE residual
+    // lifecycle (train cells, train residual codebooks, encode
+    // residuals, residual-ADC rank, rerank). The residual-vs-raw
+    // ADC-only LIFT is AnnSpec's planted-fixture pin and the
+    // ivfpq_adc_recall_{raw,res} gauge pair.
+    "ann14_ivfpq_residual" -> ((s, _) => {
+      import graft.operators.Ann
+      val embs = PlantedFixtures.pqVectors(s)
+      val idx = graft.TempDirs.path("ivfpq-index/ann14")
+      Ann.buildIvfPqIndex(embs, "vec_id", "embedding",
+        PlantedFixtures.PqFixtureDim, nCells = 2, m = 2, kCodes = 4,
+        outPath = idx, iters = 2, lloydIters = 2, residual = true)
+      Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding",
+          Seq(1.0, 0.0, 5.0, 0.0), 8, nProbe = 2, shortlist = 16)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     // Batched IVF-PQ: per-query probes from the broadcast centroids,
     // decode→cosine ADC shortlists via the bounded TopKByScore
     // reduction, exact rerank — every cell probed and the shortlist
@@ -2051,7 +2072,10 @@ object PipelineQueries {
       ("ann11_pq_codes_topk" -> oraclesBase("ann9_pq_topk")) +
       // ann12 probes every cell and full-covers the shortlist, so its
       // exact-cosine rerank derives the same list math
-      ("ann12_ivfpq_topk" -> oraclesBase("ann9_pq_topk"))
+      ("ann12_ivfpq_topk" -> oraclesBase("ann9_pq_topk")) +
+      // ann14's residual codes change only the RANKING pass; the
+      // full-probe + full-cover rerank is the same exact cosine
+      ("ann14_ivfpq_residual" -> oraclesBase("ann9_pq_topk"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // ---- planted-fixture VALUES oracles (hand-derived ground truth;

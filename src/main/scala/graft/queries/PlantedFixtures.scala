@@ -176,6 +176,31 @@ object PlantedFixtures {
       .toDF("vec_id", "embedding")
   }
 
+  /** RESIDUAL-PQ fixture (AnnSpec, ivfpq_adc_recall gauges): 16 vectors
+    * in 4 planted clusters over dim 8 = 2 subspaces of 4. Member t of
+    * cluster c is `40·e_c + 5·e_{(c+t) mod 4}` — cluster placement and
+    * within-cluster offsets SHARE subspace 0, which is exactly where
+    * raw-code PQ breaks: a k=4 subspace-0 codebook must spend all its
+    * entries on the four 40-magnitude cluster directions, so every
+    * member of a cluster collapses to one code and ADC cannot rank
+    * within or across clusters by offset. The RESIDUALS, though, are
+    * the SAME four vectors for every cluster (member − cluster mean =
+    * 5·e_d − 1.25·(1,1,1,1) padded with zeros; the 40·e_c cancels), so
+    * a k=4 residual codebook represents them exactly and residual ADC
+    * equals true cosine. This is the anisotropic/clustered geometry the
+    * IVFADC residual refinement exists for, planted so the lift is
+    * deterministic. */
+  val ResidualFixtureDim = 8
+  def residualClusters(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (c <- 0 until 4; t <- 0 until 4) yield {
+      val v = Array.fill(ResidualFixtureDim)(0.0f)
+      v(c) += 40.0f
+      v((c + t) % 4) += 5.0f
+      ((c * 4 + t).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+  }
+
   def embs(s: SparkSession): DataFrame = {
     import s.implicits._
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)

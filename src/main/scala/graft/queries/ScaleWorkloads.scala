@@ -310,6 +310,17 @@ object ScaleWorkloads {
         val f = stats.select(col("candidate_frac")).head().getDouble(0)
         math.rint(f * 100000) / 100000
       },
+      // RESIDUAL-vs-RAW IVFADC codes on the planted clustered fixture
+      // (PlantedFixtures.residualClusters scaladoc): residual codes
+      // quantize within-cell offsets and are LOSSLESS there (expect
+      // 1.0); raw codes spend subspace entries re-describing cluster
+      // placement (measured 0.80). The pair is the machine-read proof
+      // the residual refinement lifts ADC-only precision at the same m
+      // on clustered geometry — the sf embeddings are isotropic (the
+      // emb_* gauges), where neither variant can shine, so the fixture
+      // carries this gauge exactly like the OpqSpec anisotropy pin.
+      "ivfpq_adc_recall_raw" -> residualAdcRecall(s, residual = false),
+      "ivfpq_adc_recall_res" -> residualAdcRecall(s, residual = true),
       "skew_naive_task_imbalance" -> {
         // QUARTER-size fixture: the max/median ratio is what the gauge
         // reports and it is size-independent (hot share and partition
@@ -327,6 +338,38 @@ object ScaleWorkloads {
         maxMedianTaskRatio(c,
           skewAgg(graft.operators.Skew.saltedJoin(b, sm, "key", salts = 8)))
       }) ++ st5OverheadGauges(s)
+  }
+
+  /** Mean ADC-only set recall@7 over every fixture vector as query:
+    * build a tiny IVF-PQ index (raw or residual codes) on the planted
+    * clustered fixture, rank with shortlist = k so the returned set is
+    * exactly ADC's top-7, all cells probed (the AnnSpec residual test,
+    * as a per-round gauge). */
+  private def residualAdcRecall(s: SparkSession, residual: Boolean): Double = {
+    import org.apache.spark.sql.functions.{col, desc}
+    val fix = PlantedFixtures.residualClusters(s)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dimF = PlantedFixtures.ResidualFixtureDim
+      val idx = graft.TempDirs.path(
+        s"ivfpq-gauge/${if (residual) "res" else "raw"}-${java.util.UUID.randomUUID()}")
+      Ann.buildIvfPqIndex(fix, "vec_id", "embedding", dimF, nCells = 4,
+        m = 2, kCodes = 4, outPath = idx, iters = 3, lloydIters = 3,
+        residual = residual)
+      val r = (0L until 16L).map { qid =>
+        val qdf = fix.filter(col("vec_id") === qid)
+        val qv = qdf.select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val truth = Ann.bruteForceTopK(fix, "vec_id", "embedding",
+            qdf.select(col("embedding").as("qv")), "qv", 7)
+          .collect().map(_.getLong(0)).toSet
+        val got = Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding",
+            qv, 7, nProbe = 4, shortlist = 7)
+          .collect().map(_.getLong(0)).toSet
+        (truth & got).size / 7.0
+      }.sum / 16.0
+      math.rint(r * 1000) / 1000
+    } finally fix.unpersist(blocking = false)
   }
 
   /** st5's wall-clock DECOMPOSED, machine-recorded per round: run the
