@@ -137,6 +137,28 @@ class MatAggRewriteSpec extends SparkSpec {
           scanPaths(ordered).exists(_.contains("agg4")) shouldBe true
         }
       }
+      // the subsumed filter keeps PUSHING: after the rewrite it reaches
+      // the PARTIAL table's parquet scan (PushedFilters), so at scale
+      // the rollup read is row-group-pruned exactly like a hand-written
+      // query against the agg table would be
+      val pushed = spark.read.parquet(base).filter(col("k1") === "a")
+        .groupBy("k1").agg(sum("v").as("vs"))
+      pushed.collect()
+      val scans = {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def go(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case s: QueryStageExec => go(s.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(go)
+        }
+        go(pushed.queryExecution.executedPlan)
+      }
+      val aggScan = scans.find(
+        _.relation.location.rootPaths.exists(_.toString.contains("agg4")))
+      aggScan should not be empty
+      aggScan.get.metadata("PushedFilters") should include("EqualTo(k1,a)")
       // value-column predicate: partials cannot answer → base scan
       scanPaths(spark.read.parquet(base).filter(col("v") > 2)
           .groupBy("k1").agg(sum("v")))
