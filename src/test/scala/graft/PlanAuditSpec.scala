@@ -203,6 +203,62 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("tq2: multi-table correlated scalar MIN decorrelates to agg + equi-join") {
+    val p = plan("tq2_min_cost_supplier")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the correlated min became a per-partkey aggregate joined back
+    p should include("HashAggregate")
+    p should include("min(")
+  }
+
+  test("tq13: outer-join count keeps LeftOuter — the non-join predicate lives " +
+      "in the join, zero-order customers survive") {
+    val p = plan("tq13_cust_distribution")
+    p should include("LeftOuter")
+    p should not include "CartesianProduct"
+    // two aggregate levels (per-customer count, then the distribution),
+    // each partial+final
+    "HashAggregate".r.findAllIn(p).size should be >= 4
+  }
+
+  test("tq15: view reused as join input and under scalar max — no nested loop") {
+    val p = plan("tq15_top_supplier")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+  }
+
+  test("tq19: OR-of-ANDs derives per-side pushed filters; join stays broadcast hash") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("tq19_or_of_ands")(spark, sf)
+    val p = df.queryExecution.executedPlan
+    def scans(n: SparkPlan): Seq[FileSourceScanExec] = n match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val all = scans(p)
+    p.toString should include("BroadcastHashJoin")
+    p.toString should not include "CartesianProduct"
+    // Catalyst extracts the convertible per-side implications of the
+    // disjunction: the part scan prunes to the three brands, the
+    // lineitem scan to the union quantity band — at 100 TB that is
+    // three brands' row groups read instead of every part
+    val partScan = all.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("part.parquet")))
+    partScan should not be empty
+    partScan.get.metadata("PushedFilters") should include("p_brand")
+    val liScan = all.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("lineitem.parquet")))
+    liScan should not be empty
+    liScan.get.metadata("PushedFilters") should include("l_quantity")
+  }
+
   test("dd15: n-gram span dedup has no cartesian; dup-set joins are keyed") {
     val p = plan("dd15_ngram_spans")
     p should not include "Cartesian"
