@@ -660,11 +660,31 @@ object Ann {
                       dim: Int, nCells: Int, m: Int, kCodes: Int,
                       outPath: String, iters: Int = 3, lloydIters: Int = 3,
                       maxTrainRows: Long = 0,
-                      residual: Boolean = false): Seq[Seq[Double]] = {
+                      residual: Boolean = false,
+                      rotate: Boolean = false): Seq[Seq[Double]] = {
     val spark = embs.sparkSession
     import spark.implicits._
     Dedup.clearIndexCommitMarker(spark, outPath)
-    val cents = trainIvfCells(embs, idCol, vecCol, dim, nCells, iters)
+    // rotate=true is the OPQ pretransform (Faiss "OPQ_d,IVFx,PQm"
+    // lineage): an orthogonal R learned once on the raw vectors
+    // (Opq.train's alternation — we keep the rotation, the IVF cells
+    // and codebooks retrain in the ROTATED basis below), then the
+    // whole index — cells, residuals, codes — lives in rotated space.
+    // Because R is orthogonal, rotated-space cosine IS raw cosine, so
+    // the rerank still reads the raw float column and the result
+    // contract is unchanged; what changes is ADC-only precision on
+    // cross-subspace-correlated data (the anisotropic-grid gauge
+    // pair ivfpq_adc_recall_grid_{res,opq} measures it per round).
+    val rot: Option[Array[Array[Double]]] =
+      if (!rotate) None
+      else Some(Opq.train(embs, vecCol, dim, m, kCodes, lloydIters,
+        opqIters = 3, maxTrainRows = maxTrainRows).rotation)
+    val workEmbs = rot match {
+      case Some(r) => embs.withColumn("_rvec", Opq.rotate(col(vecCol), r))
+      case None => embs
+    }
+    val workVecCol = if (rotate) "_rvec" else vecCol
+    val cents = trainIvfCells(workEmbs, idCol, workVecCol, dim, nCells, iters)
     // residual=true trains the codebooks on r = x − cent(cell) pooled
     // across cells (classic IVFADC): the k entries describe the tight
     // within-cell offsets instead of re-describing cell placement, so
@@ -672,19 +692,21 @@ object Ann {
     // clustered fixture (AnnSpec) and gauged per round
     // (ivfpq_adc_recall_res vs ivfpq_adc_recall_raw).
     val trainSrc =
-      if (!residual) embs
-      else embs.withColumn("_cell", nearestCell(col(vecCol), cents))
-        .withColumn("_res", residualCol(col(vecCol), col("_cell"), cents))
-    val trainCol = if (residual) "_res" else vecCol
+      if (!residual) workEmbs
+      else workEmbs.withColumn("_cell", nearestCell(col(workVecCol), cents))
+        .withColumn("_res", residualCol(col(workVecCol), col("_cell"), cents))
+    val trainCol = if (residual) "_res" else workVecCol
     val cb = Pq.train(trainSrc, trainCol, dim, m, kCodes, lloydIters,
       maxTrainRows)
     ivfFs(spark, outPath).delete(
       new org.apache.hadoop.fs.Path(s"$outPath/vectors"), true)
-    val assigned = embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+    val assigned = workEmbs.withColumn("_cell",
+      nearestCell(col(workVecCol), cents))
     assigned
       .withColumn("pq_code", Pq.encode(
-        if (residual) residualCol(col(vecCol), col("_cell"), cents)
-        else col(vecCol), cb))
+        if (residual) residualCol(col(workVecCol), col("_cell"), cents)
+        else col(workVecCol), cb))
+      .drop("_rvec") // the stored float column stays RAW — rerank reads it
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell")
       .parquet(s"$outPath/vectors/batch_id=-1")
@@ -693,11 +715,26 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
     Seq(Tuple1(Pq.spec(cb))).toDF("spec")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/pqspec")
+    rot.foreach { r =>
+      Seq(Tuple1(Opq.rotationSpec(r))).toDF("spec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/opqspec")
+    }
     Dedup.writeIndexParams(spark, outPath, "n_cells" -> nCells.toLong,
       "dim" -> dim.toLong, "pq_m" -> m.toLong, "pq_k" -> kCodes.toLong,
-      "pq_residual" -> (if (residual) 1L else 0L))
+      "pq_residual" -> (if (residual) 1L else 0L),
+      "pq_rotate" -> (if (rotate) 1L else 0L))
     cents
   }
+
+  /** The persisted OPQ rotation of a rotate=true index, None otherwise
+    * — the `pq_rotate` param is the authority, `opqspec/` the artifact
+    * (orthonormality re-checked on every load). */
+  private def readIvfRotation(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              params: Map[String, Long]): Option[Array[Array[Double]]] =
+    if (params.getOrElse("pq_rotate", 0L) != 1L) None
+    else Some(Opq.rotationFromSpec(
+      spark.read.parquet(s"$indexPath/opqspec").head().getString(0)))
 
   /** Append to an IVF-PQ index: rows are cell-assigned AND encoded
     * with the index's own persisted codebooks before landing — the
@@ -715,11 +752,20 @@ object Ann {
     val id = batchId.getOrElse(
       System.currentTimeMillis() * 1000 + (ivfAppendCounter.incrementAndGet() % 1000))
     val residual = params.getOrElse("pq_residual", 0L) == 1L
+    // a rotate=true index's appends go through the SAME stored
+    // rotation: assign + encode in rotated space, store raw floats
+    val rot = readIvfRotation(spark, indexPath, params)
+    val workEmbs = rot match {
+      case Some(r) => embs.withColumn("_rvec", Opq.rotate(col(vecCol), r))
+      case None => embs
+    }
+    val wv = if (rot.isDefined) "_rvec" else vecCol
     Snapshot.stagedAppend(spark, s"$indexPath/vectors", id) {
-      embs.withColumn("_cell", nearestCell(col(vecCol), cents))
+      workEmbs.withColumn("_cell", nearestCell(col(wv), cents))
         .withColumn("pq_code", Pq.encode(
-          if (residual) residualCol(col(vecCol), col("_cell"), cents)
-          else col(vecCol), cb))
+          if (residual) residualCol(col(wv), col("_cell"), cents)
+          else col(wv), cb))
+        .drop("_rvec")
         .repartition(col("_cell"))
         .write.mode("overwrite").partitionBy("_cell")
         .parquet(s"$indexPath/vectors/batch_id=$id")
@@ -751,7 +797,13 @@ object Ann {
     val cents = readIvfCentroids(spark, indexPath, params)
     val cb = Pq.fromSpec(
       spark.read.parquet(s"$indexPath/pqspec").head().getString(0))
-    val qUnit = unit(queryVec)
+    // a rotate=true index lives wholly in rotated space (cells, codes,
+    // centroids) — rotate the query driver-side (one dim² mat-vec) and
+    // probe/rank with it; the rerank below stays RAW query vs RAW
+    // floats, because the orthogonal R preserves cosine exactly
+    val qRanked = readIvfRotation(spark, indexPath, params)
+      .map(r => Opq.rotateLocal(r, queryVec)).getOrElse(queryVec)
+    val qUnit = unit(qRanked)
     val probeCells = cents.map(unit).zipWithIndex
       .map { case (c, i) => (c.zip(qUnit).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (s, i) => (-s, -i) } // ties: larger index, matching nearestCell
@@ -763,9 +815,9 @@ object Ann {
     // indexes keep the cell-free tables
     val adc =
       if (params.getOrElse("pq_residual", 0L) == 1L)
-        Pq.adcCosineResidual(col("pq_code"), col("_cell"), queryVec, cb,
+        Pq.adcCosineResidual(col("pq_code"), col("_cell"), qRanked, cb,
           cents, probeCells)
-      else Pq.adcCosine(col("pq_code"), queryVec, cb)
+      else Pq.adcCosine(col("pq_code"), qRanked, cb)
     val cands = base
       .select(col(idCol), adc.as("sim"))
       .filter(col("sim").isNotNull)
@@ -807,10 +859,19 @@ object Ann {
     val cb = Pq.fromSpec(
       spark.read.parquet(s"$indexPath/pqspec").head().getString(0))
     val unitCents = cents.map(unit)
+    // rotate=true: every query rotates IN-PLAN (one fused mat-vec per
+    // query row — broadcast-class work, the query set is small by
+    // contract) and probes/ranks against the rotated-space centroids
+    // and reconstructions; the rerank keeps raw qvec vs raw floats
+    val rot = readIvfRotation(spark, indexPath, params)
+    val rankVec: Column = rot match {
+      case Some(r) => Opq.rotate(col(qvecCol), r)
+      case None => col(qvecCol)
+    }
     val probes = queries
-      .select(col(qidCol).cast("long").as("_qid"), col(qvecCol).as("_qvec"),
+      .select(col(qidCol).cast("long").as("_qid"), rankVec.as("_qvec"),
         explode(slice(reverse(array_sort(array(unitCents.zipWithIndex.map { case (c, i) =>
-          struct(V.dotUnrolled(col(qvecCol), typedLit(c), c.length).as("s"), lit(i).as("i"))
+          struct(V.dotUnrolled(rankVec, typedLit(c), c.length).as("s"), lit(i).as("i"))
         }: _*))), 1, nProbe)).as("_p"))
       .select(col("_qid"), col("_qvec"), col("_p.i").as("_probe_cell"))
     val base = Snapshot.read(spark, s"$indexPath/vectors")

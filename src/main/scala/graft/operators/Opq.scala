@@ -62,7 +62,7 @@ object Opq {
   def rotate(vec: Column, rotation: Array[Array[Double]]): Column =
     column(RotateVecExpr(expression(vec), rotation))
 
-  private def rotateLocal(r: Array[Array[Double]], x: Seq[Double]): Seq[Double] = {
+  private[graft] def rotateLocal(r: Array[Array[Double]], x: Seq[Double]): Seq[Double] = {
     val xa = x.toArray
     r.map { row =>
       var s = 0.0
@@ -422,6 +422,45 @@ object Opq {
         f"= $maxDev%.2e) — truncated or hand-edited rotation rows no " +
         "longer preserve cosine")
     OpqModel(rot, cb)
+  }
+
+  /** Rotation-only spec (no codebooks): what an OPQ-rotated IVF-PQ
+    * index persists beside its own `pqspec` — the rotation pretrains
+    * once and the IVF + residual codebooks train in the rotated basis,
+    * so the two artifacts version independently. Exact
+    * `Double.toString` round-trip like [[spec]]. */
+  def rotationSpec(rotation: Array[Array[Double]]): String =
+    "opqrotv1~" + rotation.map(_.mkString(",")).mkString("|")
+
+  /** Parse a [[rotationSpec]] string — loud on malformed input and on
+    * a rotation that no longer preserves cosine (same R·Rᵀ ≈ I check
+    * as [[fromSpec]]). */
+  def rotationFromSpec(s: String): Array[Array[Double]] = {
+    val parts = s.split("~", 2)
+    require(parts.length == 2 && parts(0) == "opqrotv1",
+      s"not an opq rotation spec: '${s.take(24)}…'")
+    val rot = parts(1).split("\\|", -1).map(_.split(",", -1).map(_.toDouble))
+    val dim = rot.length
+    require(rot.forall(_.length == dim),
+      s"malformed opq rotation spec: ragged rows (${rot.map(_.length).distinct.mkString(",")})")
+    var maxDev = 0.0
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var dot = 0.0
+        var t = 0
+        while (t < dim) { dot += rot(i)(t) * rot(j)(t); t += 1 }
+        val dev = math.abs(dot - (if (i == j) 1.0 else 0.0))
+        if (dev > maxDev) maxDev = dev
+        j += 1
+      }
+      i += 1
+    }
+    require(maxDev < 1e-6,
+      f"malformed opq rotation spec: rotation is not orthonormal (max " +
+        f"|R·Rᵀ - I| = $maxDev%.2e)")
+    rot
   }
 
   /** Top-k by OPQ-approximated cosine: rotate the query driver-side,

@@ -880,6 +880,32 @@ object PipelineQueries {
         .orderBy(desc("sim"), asc("vec_id"))
     }),
 
+    // OPQ-ROTATED residual IVF-PQ — the full Faiss "OPQ,IVF,PQ"
+    // lineage composed: an orthogonal rotation pretrained on the raw
+    // vectors, IVF cells + residual codebooks trained in the ROTATED
+    // basis, the query rotated driver-side at search. Full probe +
+    // full-cover shortlist → the exact-cosine rerank (raw floats vs
+    // raw query — R preserves cosine) makes ann9's oracle gate the
+    // WHOLE rotated lifecycle: rotation train/persist/reload (with
+    // the orthonormality check), rotated cell assignment, rotated
+    // residual encode, rotated-query ADC rank, raw rerank. The
+    // ADC-only LIFT rotation buys on cross-subspace-correlated data
+    // is AnnSpec's anisotropic-grid pin and the
+    // ivfpq_adc_recall_grid_{res,opq} gauge pair.
+    "ann15_ivfpq_opq" -> ((s, _) => {
+      import graft.operators.Ann
+      val embs = PlantedFixtures.pqVectors(s)
+      val idx = graft.TempDirs.path("ivfpq-index/ann15")
+      Ann.buildIvfPqIndex(embs, "vec_id", "embedding",
+        PlantedFixtures.PqFixtureDim, nCells = 2, m = 2, kCodes = 4,
+        outPath = idx, iters = 2, lloydIters = 2, residual = true,
+        rotate = true)
+      Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding",
+          Seq(1.0, 0.0, 5.0, 0.0), 8, nProbe = 2, shortlist = 16)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+    }),
+
     // Batched IVF-PQ: per-query probes from the broadcast centroids,
     // decode→cosine ADC shortlists via the bounded TopKByScore
     // reduction, exact rerank — every cell probed and the shortlist
@@ -2075,7 +2101,11 @@ object PipelineQueries {
       ("ann12_ivfpq_topk" -> oraclesBase("ann9_pq_topk")) +
       // ann14's residual codes change only the RANKING pass; the
       // full-probe + full-cover rerank is the same exact cosine
-      ("ann14_ivfpq_residual" -> oraclesBase("ann9_pq_topk"))
+      ("ann14_ivfpq_residual" -> oraclesBase("ann9_pq_topk")) +
+      // ann15's rotation changes only which codes rank (R preserves
+      // cosine); the full-probe + full-cover raw-float rerank is the
+      // same exact cosine again
+      ("ann15_ivfpq_opq" -> oraclesBase("ann9_pq_topk"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // ---- planted-fixture VALUES oracles (hand-derived ground truth;

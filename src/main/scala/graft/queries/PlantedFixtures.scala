@@ -201,6 +201,31 @@ object PlantedFixtures {
     }).toDF("vec_id", "embedding")
   }
 
+  /** Anisotropic cross-subspace-correlated grid (OpqSpec's geometry,
+    * shared here so the OPQ-rotated IVF-PQ spec + gauges measure the
+    * same planted lift): x = (u, 0.6·v, u, 0.6·v) for u, v on an 8×8
+    * grid with a deterministic jitter keeping rankings strict. An
+    * axis-aligned m=2 split must describe a 2-D 64-point grid with 8
+    * codes per subspace; the rotation OPQ learns maps the (x0+x2)/√2
+    * and (x1+x3)/√2 directions into separate subspaces, making each
+    * effectively 1-D with exactly 8 levels. The 0.6 scale keeps the
+    * covariance spectrum non-degenerate (OpqSpec scaladoc). Shifted
+    * +1 off the origin: the (0,0) corner would otherwise be the zero
+    * vector, which cosine cell assignment can't place (a zero Lloyd
+    * seed empties its cell) — the shift changes no covariance, so the
+    * rotation geometry is identical. */
+  val AnisotropicGridDim = 4
+  def anisotropicGrid(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = for (u <- 0 until 8; v <- 0 until 8) yield {
+      val id = (u * 8 + v).toLong
+      val ju = (u + 1) + 0.013 * ((id * 7) % 5)
+      val jv = 0.6 * ((v + 1) + 0.017 * ((id * 11) % 3))
+      (id, Seq(ju, jv, ju, jv).map(_.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
   def embs(s: SparkSession): DataFrame = {
     import s.implicits._
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)

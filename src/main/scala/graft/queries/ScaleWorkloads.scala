@@ -321,6 +321,8 @@ object ScaleWorkloads {
       // carries this gauge exactly like the OpqSpec anisotropy pin.
       "ivfpq_adc_recall_raw" -> residualAdcRecall(s, residual = false),
       "ivfpq_adc_recall_res" -> residualAdcRecall(s, residual = true),
+      "ivfpq_adc_recall_grid_res" -> gridAdcRecall(s, rotate = false),
+      "ivfpq_adc_recall_grid_opq" -> gridAdcRecall(s, rotate = true),
       "skew_naive_task_imbalance" -> {
         // QUARTER-size fixture: the max/median ratio is what the gauge
         // reports and it is size-independent (hot share and partition
@@ -368,6 +370,42 @@ object ScaleWorkloads {
           .collect().map(_.getLong(0)).toSet
         (truth & got).size / 7.0
       }.sum / 16.0
+      math.rint(r * 1000) / 1000
+    } finally fix.unpersist(blocking = false)
+  }
+
+  /** ADC-only recall@10 of residual IVF-PQ on the anisotropic grid
+    * (cross-subspace-correlated geometry — PlantedFixtures
+    * .anisotropicGrid), with and without the OPQ rotation: the
+    * measured lift the rotate=true pretransform buys when the data's
+    * variance CROSSES subspace boundaries (on the isotropic bench
+    * embeddings no rotation can help — the ivfpq_adc_recall_{raw,res}
+    * pair covers that regime). shortlist = k isolates the ranking
+    * pass; both cells probed so cell pruning is not a factor. */
+  private def gridAdcRecall(s: SparkSession, rotate: Boolean): Double = {
+    import org.apache.spark.sql.functions.col
+    val fix = PlantedFixtures.anisotropicGrid(s)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idx = graft.TempDirs.path(
+        s"ivfpq-gauge/grid-${if (rotate) "opq" else "res"}-${java.util.UUID.randomUUID()}")
+      Ann.buildIvfPqIndex(fix, "vec_id", "embedding",
+        PlantedFixtures.AnisotropicGridDim, nCells = 2, m = 2, kCodes = 16,
+        outPath = idx, iters = 3, lloydIters = 4, residual = true,
+        rotate = rotate)
+      val qids = Seq(9L, 18L, 27L, 36L, 45L, 54L) // interior diagonal
+      val r = qids.map { qid =>
+        val qdf = fix.filter(col("vec_id") === qid)
+        val qv = qdf.select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toSeq
+        val truth = Ann.bruteForceTopK(fix, "vec_id", "embedding",
+            qdf.select(col("embedding").as("qv")), "qv", 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding",
+            qv, 10, nProbe = 2, shortlist = 10)
+          .collect().map(_.getLong(0)).toSet
+        (truth & got).size / 10.0
+      }.sum / qids.size
       math.rint(r * 1000) / 1000
     } finally fix.unpersist(blocking = false)
   }

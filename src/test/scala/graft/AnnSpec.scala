@@ -507,6 +507,80 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("OPQ-rotated residual IVF-PQ: rotation lifts ADC-only recall on the " +
+      "anisotropic grid; rerank parity; appends and batch go through the rotation", Slow) {
+    import org.apache.spark.sql.functions.col
+    val fix = graft.queries.PlantedFixtures.anisotropicGrid(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dimF = graft.queries.PlantedFixtures.AnisotropicGridDim
+    def qvOf(qid: Long): Seq[Double] = fix.filter(col("vec_id") === qid)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    def truthOf(qid: Long): Set[Long] = Ann.bruteForceTopK(fix, "vec_id",
+        "embedding", fix.filter(col("vec_id") === qid)
+          .select(col("embedding").as("qv")), "qv", 10)
+      .collect().map(_.getLong(0)).toSet
+    val resIdx = graft.TempDirs.path("ivfpq-index/grid-res")
+    val opqIdx = graft.TempDirs.path("ivfpq-index/grid-opq")
+    Ann.buildIvfPqIndex(fix, "vec_id", "embedding", dimF, nCells = 2,
+      m = 2, kCodes = 16, outPath = resIdx, iters = 3, lloydIters = 4,
+      residual = true)
+    Ann.buildIvfPqIndex(fix, "vec_id", "embedding", dimF, nCells = 2,
+      m = 2, kCodes = 16, outPath = opqIdx, iters = 3, lloydIters = 4,
+      residual = true, rotate = true)
+    // shortlist = k isolates the RANKING pass (rerank can only
+    // reorder); both cells probed, so the score is pure code quality.
+    // Axis-aligned residual codes must describe the correlated 2-D
+    // grid; the rotation separates it into two 1-D 8-level axes.
+    def adcRecall(idx: String): Double = {
+      val qids = Seq(9L, 18L, 27L, 36L, 45L, 54L)
+      qids.map { qid =>
+        val got = Ann.searchIvfPqIndex(spark, idx, "vec_id", "embedding",
+            qvOf(qid), 10, nProbe = 2, shortlist = 10)
+          .collect().map(_.getLong(0)).toSet
+        (truthOf(qid) & got).size / 10.0
+      }.sum / qids.size
+    }
+    val res = adcRecall(resIdx)
+    val opq = adcRecall(opqIdx)
+    withClue(s"res=$res opq=$opq: ") {
+      opq should be >= res
+      opq should be >= 0.8
+    }
+    // rerank parity: generous shortlist restores exact top-k — the
+    // raw-float rerank against the UNROTATED query is exact because
+    // the orthogonal R preserves cosine
+    Ann.searchIvfPqIndex(spark, opqIdx, "vec_id", "embedding",
+        qvOf(27L), 10, nProbe = 2, shortlist = 64)
+      .collect().map(_.getLong(0)).toSet shouldBe truthOf(27L)
+    // appends re-encode through the PERSISTED rotation (params +
+    // opqspec round trip): withhold a corner, append it, find it
+    val appIdx = graft.TempDirs.path("ivfpq-index/grid-opq-append")
+    Ann.buildIvfPqIndex(fix.filter(col("vec_id") =!= 63L), "vec_id",
+      "embedding", dimF, nCells = 2, m = 2, kCodes = 16, outPath = appIdx,
+      iters = 3, lloydIters = 4, residual = true, rotate = true)
+    Ann.appendToIvfPqIndex(fix.filter(col("vec_id") === 63L), "vec_id",
+      "embedding", appIdx, batchId = Some(0L))
+    Ann.searchIvfPqIndex(spark, appIdx, "vec_id", "embedding",
+        qvOf(63L), 3, nProbe = 2, shortlist = 64)
+      .collect().map(_.getLong(0)) should contain(63L)
+    // batch twin rotates queries IN-PLAN: per-query parity with the
+    // single path on the rotated index
+    import spark.implicits._
+    val qdf = fix.filter(col("vec_id").isin(9L, 54L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Ann.searchIvfPqIndexBatch(spark, opqIdx, "vec_id",
+        "embedding", qdf, "qid", "qv", 5, nProbe = 2, shortlist = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    for (qid <- Seq(9L, 54L)) {
+      val single = Ann.searchIvfPqIndex(spark, opqIdx, "vec_id",
+          "embedding", qvOf(qid), 5, nProbe = 2, shortlist = 64)
+        .collect().map(_.getLong(0)).toSet
+      batch(qid).map(_._2).toSet shouldBe single
+    }
+    fix.unpersist(blocking = false)
+  }
+
   test("graft_cosine / graft_hyperplane_sig are SQL-callable") {
     import spark.implicits._
     Seq((Seq(3.0f, 4.0f), Seq(6.0f, 8.0f))).toDF("a", "b")
