@@ -1481,6 +1481,22 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // W5 — time-series GAP FILL + forward fill (Timeseries.gapFill):
+    // events resample to a per-type daily grid with the EMPTY days
+    // materialized as rows (count 0, is_gap true) and the last
+    // non-null daily sum carried forward across them. Three
+    // distributed stages — bucket agg, sequence+explode grid, one
+    // running-frame window — scale notes on the operator. Sums round
+    // to 4 dp BEFORE the fill so both engines forward the identical
+    // doubles.
+    "w5_gapfill" -> ((s, dir) => {
+      graft.operators.Timeseries
+        .gapFill(t(s, dir, "events"), "event_type", "ts", "value")
+        .select(col("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n"), col("v_sum"), col("v_ffill"), col("is_gap"))
+        .orderBy("event_type", "bucket_us")
+    }),
+
     // S10 — ORC round trip: the engine reads/writes ORC as a first-
     // class columnar format (readers pushed down + pruned exactly like
     // parquet); the re-read aggregate must match the parquet-derived
@@ -2785,6 +2801,26 @@ object RelationalQueries {
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
          ORDER BY event_id""",
+    "w5_gapfill" ->
+      """WITH b AS (
+           SELECT event_type, date_trunc('day', ts) AS bucket,
+                  count(*) AS n, round(sum(value), 4) AS v_sum
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type,
+                  unnest(generate_series(min(bucket), max(bucket),
+                    INTERVAL 1 DAY)) AS bucket
+           FROM b GROUP BY event_type)
+         SELECT g.event_type, epoch_us(g.bucket) AS bucket_us,
+                COALESCE(b.n, 0) AS n, b.v_sum,
+                last_value(b.v_sum IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS v_ffill,
+                b.n IS NULL AS is_gap
+         FROM g LEFT JOIN b
+           ON g.event_type = b.event_type AND g.bucket = b.bucket
+         ORDER BY g.event_type, bucket_us""",
     "s10_orc_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars
