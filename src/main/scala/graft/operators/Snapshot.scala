@@ -112,7 +112,7 @@ object Snapshot {
     def foldedSet: Set[Long] = folded.toSet
   }
 
-  private def structOf(json: String): org.apache.spark.sql.types.StructType =
+  private[operators] def structOf(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
@@ -565,7 +565,7 @@ object Snapshot {
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
     readBatches(spark, path, readManifest(spark, path, version))
 
-  private def readBatches(spark: SparkSession, path: String,
+  private[operators] def readBatches(spark: SparkSession, path: String,
                           m: Manifest): DataFrame = {
     require(m.batches.nonEmpty,
       s"manifest v${m.version} of $path lists no live batches — fully " +

@@ -1690,6 +1690,48 @@ object RelationalQueries {
         .orderBy("probe")
     }),
 
+    // RT8 — BLOOM POINT-LOOKUP INDEX (BloomIndex scaladoc): the
+    // equality complement to rt5's zone maps — per-batch bloom
+    // sidecars prune `id = v` lookups on a high-cardinality column
+    // whose values scatter across every batch's min/max span (where
+    // zone maps can never prune). Probe a: value in batch 1 → reads
+    // batch 1 plus the not-yet-indexed batch 3 (conservative). Probe
+    // b: absent value → only the unindexed batch. Probe c: after a
+    // second (incremental) refresh covers batch 3, the absent value
+    // excludes EVERY batch — a schema-only empty frame, zero file IO.
+    // n_dirs_read comes off the actual inputFiles: physical, not
+    // declarative.
+    "rt8_bloom_point" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.{BloomIndex, Snapshot}
+      BloomIndex.clearCache()
+      val path = graft.TempDirs.path(
+        s"snapshot/rt8-${java.util.UUID.randomUUID()}")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      def batch(bid: Long, rows: (Long, String)*): Unit =
+        Snapshot.stagedAppend(s, path, bid) {
+          rows.toDF("id", "k").write.mode("overwrite")
+            .parquet(s"$path/batch_id=$bid")
+        }
+      batch(1L, (10L, "c"), (11L, "d"))
+      batch(2L, (20L, "e"), (21L, "f"))
+      BloomIndex.refresh(s, path, "id")
+      batch(3L, (30L, "g")) // post-refresh: unindexed until the next one
+      def probe(tag: String, v: Long) = {
+        val r = BloomIndex.readPoint(s, path, "id", v)
+        val dirs = r.inputFiles
+          .map(f => f.split("batch_id=")(1).split("/")(0)).distinct.length
+        (tag, r.count(), dirs)
+      }
+      val a = probe("a", 10L)
+      val b = probe("b", 999L)
+      BloomIndex.refresh(s, path, "id") // incremental: indexes batch 3
+      val c = probe("c", 999L)
+      Seq(a, b, c).toDF("probe", "n_rows", "n_dirs_read").orderBy("probe")
+    }),
+
     // TQ1 — the TPC-H Q1 pricing-summary shape: the classic wide
     // aggregate every OLAP engine is judged on. One pushed-filter scan
     // → partial hash agg → 4-group final. All money sums are exact
@@ -2779,6 +2821,10 @@ object RelationalQueries {
     "rt5_data_skipping" ->
       """SELECT * FROM (VALUES
            ('a', CAST(2 AS BIGINT), 2), ('b', 0, 1), ('c', 2, 1))
+         t(probe, n_rows, n_dirs_read) ORDER BY probe""",
+    "rt8_bloom_point" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(1 AS BIGINT), 2), ('b', 0, 1), ('c', 0, 0))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
     "rt6_delete_range" ->
       """SELECT * FROM (VALUES
