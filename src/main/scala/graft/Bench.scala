@@ -52,6 +52,52 @@ object Bench {
     sys.env.get("SPARK_GRAFT_QUERY_BUDGET_S").map(_.toInt.seconds).getOrElse(90.seconds)
   val Reps: Int =
     sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+  /** Per-GROUP gauge deadline: each named gauge group gets its own
+    * budget so one straggler can't starve the rest (r16 lost the
+    * entire round's gauge record to one shared all-or-nothing 90 s
+    * Await — VERDICT r16 #1). Most groups finish in single-digit
+    * seconds; the index-building fixture groups dominate. */
+  val GaugeBudget: FiniteDuration =
+    sys.env.get("SPARK_GRAFT_GAUGE_BUDGET_S").map(_.toInt.seconds).getOrElse(45.seconds)
+
+  /** Run each named gauge group under its own job group + deadline,
+    * ACCUMULATING into one map: a group that times out records
+    * `gauge_<name>_error` = -2 (and its in-flight jobs are cancelled,
+    * with the same keep-cancelling watchdog as the timed queries), a
+    * group that throws records -1 — and in both cases every entry
+    * already computed by OTHER groups is KEPT. Factored out of main so
+    * BenchGaugeSpec can prove a planted slow group loses only itself. */
+  def runGauges(sc: org.apache.spark.SparkContext,
+                defs: Seq[(String, () => Map[String, Double])],
+                budget: FiniteDuration)
+               (implicit ec: ExecutionContext): Map[String, Double] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    defs.foreach { case (gname, thunk) =>
+      val jg = s"gauge-$gname"
+      val fut = Future {
+        sc.setJobGroup(jg, jg, interruptOnCancel = true)
+        try thunk() finally sc.clearJobGroup()
+      }
+      try acc ++= Await.result(fut, budget)
+      catch {
+        case _: TimeoutException =>
+          sc.cancelJobGroup(jg)
+          // the abandoned thread may submit further jobs in its group
+          // between driver-side steps — keep cancelling until it exits
+          val watchdog = new Thread(() => {
+            while (!fut.isCompleted) { sc.cancelJobGroup(jg); Thread.sleep(2000) }
+          }, s"bench-cancel-$jg")
+          watchdog.setDaemon(true)
+          watchdog.start()
+          System.err.println(s"[bench] gauge group $gname TIMEOUT")
+          acc(s"gauge_${gname}_error") = -2.0
+        case e: Throwable =>
+          System.err.println(s"[bench] gauge group $gname FAILED: ${e.getMessage}")
+          acc(s"gauge_${gname}_error") = -1.0
+      }
+    }
+    acc.toMap
+  }
 
   /** Cumulative stop-the-world GC milliseconds across all collectors. */
   private def gcMillis(): Long =
@@ -250,6 +296,7 @@ object Bench {
         val ok = repTimes.zip(repExt).filter(_._1 >= 0)
         ok.nonEmpty && ok.minBy(_._1)._2 > ExtCpuContended
       }
+      val baseCount = rep // reps before self-heal: these decide pass/fail
       while (repTimes.last >= 0 && minRepContended && rep < nReps + 2) {
         System.err.println(f"[bench] $name rerun: fastest rep contended " +
           f"(ext cpu ${repTimes.zip(repExt).filter(_._1 >= 0).minBy(_._1)._2}%.2f)")
@@ -261,8 +308,14 @@ object Bench {
         gcMillis() - gc0, if (jit0 < 0) -1 else jitMillis() - jit0,
         storage0.length, storage0.map(i => i.memSize + i.diskSize).sum >> 20,
         load0, tOffset, repExt.toSeq)
-      val v = if (repTimes.exists(_ < 0)) repTimes.filter(_ < 0).head
-              else repTimes.min
+      // only BASE reps can fail the query: a bought self-heal rep that
+      // times out (more likely on exactly the contended box that
+      // triggered it) is dropped, keeping the already-valid base min —
+      // it must not convert a measured query into a recorded failure
+      val baseTimes = repTimes.take(baseCount)
+      val extraOk = repTimes.drop(baseCount).filter(_ >= 0)
+      val v = if (baseTimes.exists(_ < 0)) baseTimes.filter(_ < 0).head
+              else (baseTimes ++ extraOk).min
       if (v >= 0)
         System.err.println(f"[bench] $name ok in $v%.2fs " +
           repTimes.map(t => f"$t%.2f").mkString("(reps: ", ", ", ")"))
@@ -274,27 +327,12 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     // quality gauges (ANN recall@10 at sf scale) ride the same JSON
     // line: timing says "fast", gauges say "still finding the right
-    // neighbors". They run under the SAME job-group + budget discipline
-    // as the timed queries — a hung gauge must cost its budget and
-    // record an error, never stall the run past the harness deadline
-    // and lose every already-measured timing (the BENCH_r02 lesson).
-    val gauges = {
-      val fut = Future {
-        sc.setJobGroup("gauges", "gauges", interruptOnCancel = true)
-        try graft.queries.ScaleWorkloads.gauges(spark, sfDir)
-        finally sc.clearJobGroup()
-      }
-      try Await.result(fut, PerQueryBudget)
-      catch {
-        case _: TimeoutException =>
-          sc.cancelJobGroup("gauges")
-          System.err.println("[bench] gauges TIMEOUT")
-          Map("gauge_error" -> -2.0)
-        case e: Throwable =>
-          System.err.println(s"[bench] gauges FAILED: ${e.getMessage}")
-          Map("gauge_error" -> -1.0)
-      }
-    }
+    // neighbors". Each GROUP runs under its own job group + deadline
+    // via runGauges — a hung group costs its budget, records its own
+    // error entry, and never loses the rest (r16 lost every gauge to
+    // one shared Await; BENCH_r02 lost the whole run the same way).
+    val gauges = runGauges(sc,
+      graft.queries.ScaleWorkloads.gaugeDefs(spark, sfDir), GaugeBudget)
     val gs = gauges.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ev = evidence.map { case (k, e) => "\"" + k + "\":" + e.json }

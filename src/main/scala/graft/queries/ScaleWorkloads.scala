@@ -130,169 +130,92 @@ object ScaleWorkloads {
       out
     })
 
-  /** Bench-visible QUALITY gauges (name → scalar), reported per round
-    * in the BENCH json under `"gauges"`: recall@10 of each approximate
-    * ANN path against the exact brute-force ranking on the sf
-    * embeddings. The fixture recall tests (AnnSpec) pin 12 vectors;
-    * these run at sf scale, so a silently-bad `bits`/`nProbe` default
-    * shows up as a dropped gauge instead of hiding behind green
-    * correctness. Driver-side state is 3×10 result ids — gauge math,
-    * not a data path. */
-  def gauges(s: SparkSession, dir: String): Map[String, Double] = {
-    val embs = Tables(s, dir, "embeddings")
-    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    def ids(df: DataFrame): Set[Long] =
-      df.select("vec_id").collect().map(_.getLong(0)).toSet
-    val n = embs.count().toDouble
-    val exact = ids(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10))
-    // OUT-OF-BOX config: no bits/tables passed — the gauge measures
-    // what a user gets from the default (the r8 verdict's 0.4-recall
-    // finding was exactly this gauge on the old hand-set
-    // bits=8/tables=1 default). Since r15 the default is signature
-    // RANKING (Ann.lshTopK scaladoc): scan_frac here counts the rows
-    // that reach FULL-PRECISION cosine (the Hamming-ranked shortlist,
-    // 0.15·n); the sketch sweep itself touches every row's 64-byte
-    // signature column — the PQ-ADC cost shape, reported honestly as
-    // such rather than pretending bucket pruning that measured grids
-    // show cannot hold 0.9 recall on this isotropic corpus.
-    val dflt = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", n.toInt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (lsh1, dfltScanned) =
-      try (ids(dflt.orderBy(desc("sim"), col("vec_id")).limit(10)),
-        dflt.count().toDouble)
-      finally dflt.unpersist(blocking = false)
-    // the recall-bearing config (sx4): bits sized to the corpus
-    // (2^bits ≈ n/80 buckets), independent tables for the rest. The
-    // scan-fraction gauge keeps the tradeoff honest — recall bought by
-    // probing most of a tiny corpus must show up as a high fraction.
-    // ONE pipeline run (k=n ranking, persisted for the scope): the
-    // candidate count aggregates distributedly and only the top-10 ids
-    // come back to the driver.
-    val tuned = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv",
-      n.toInt, bits = 6, tables = 8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (tunedTop10, tunedScanned) =
-      try (ids(tuned.orderBy(desc("sim"), col("vec_id")).limit(10)),
-        tuned.count().toDouble)
-      finally tuned.unpersist(blocking = false)
-    val ivf = ids(Ann.ivfSearch(embs, "vec_id", "embedding", EmbDim, q, "qv", 10,
-      trainedCents(s, dir), nProbe = 2))
-    // the composite path: BOTH prunings + rerank — recall must hold
-    // through cell pruning AND code compression together
-    val ivfpq = {
-      val qv = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toSeq
-      ids(Ann.searchIvfPqIndex(s, ivfPqIndexPath(s, dir), "vec_id",
-        "embedding", qv, 10, nProbe = 2, shortlist = 200))
-    }
-    // PQ recall at the 32× compression point (m=8 byte codes for 64
-    // floats): lossy by design at sf scale — the gauge records what
-    // the compression costs in ranking quality, next to what LSH/IVF
-    // pruning cost. Exactness on the lossless fixture is ann9's pin.
-    val (pq, pqReranked) = {
-      val qv = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toSeq
-      val cb = pqBooks(s, dir)
-      (ids(graft.operators.Pq.topK(embs, "vec_id", "embedding", qv, 10, cb)),
-        ids(graft.operators.Pq.topKReranked(embs, "vec_id", "embedding",
-          qv, 10, cb,
-          shortlist = graft.operators.Pq.rerankShortlist(n.toLong, 10))))
-    }
-    // OPQ vs PQ at the same compression point, as a MEAN over 8 fixed
-    // queries: on this corpus — measured ISOTROPIC (r15: mean
-    // |dim-corr| 0.017, flat spectrum) — no orthogonal rotation can
-    // beat the axis-aligned split, so the honest expectation is a TIE
-    // (delta ≈ 0), and recall@10 of a SINGLE query is ±0.1-0.2 noise
-    // on bunched cosines — too coarse to show one. The anisotropic
-    // lift OPQ exists for is OpqSpec's planted-fixture pin; rerank
-    // stays the recall floor for isotropic data.
-    val (opqMean, pqMean) = {
-      val cb = pqBooks(s, dir)
-      val om = opqModel(s, dir)
-      val qids = Seq(0L, 250L, 500L, 750L, 1000L, 1250L, 1500L, 1750L)
-      val recalls = qids.map { qid =>
-        val qdf = embs.filter(col("vec_id") === qid)
-        val qv = qdf.select(col("embedding").cast("array<double>"))
-          .head().getSeq[Double](0).toSeq
-        val truth = ids(Ann.bruteForceTopK(embs, "vec_id", "embedding",
-          qdf.select(col("embedding").as("qv")), "qv", 10))
-        ((truth & ids(graft.operators.Opq.topK(
-            embs, "vec_id", "embedding", qv, 10, om))).size / 10.0,
-          (truth & ids(graft.operators.Pq.topK(
-            embs, "vec_id", "embedding", qv, 10, cb))).size / 10.0)
-      }
-      (recalls.map(_._1).sum / qids.length, recalls.map(_._2).sum / qids.length)
-    }
-    // ISOTROPY gauges: the OPQ-ties-PQ expectation above rests on the
-    // corpus geometry (near-diagonal covariance, near-flat spectrum) —
-    // machine-measure it every round instead of asserting it in prose.
-    // Near-zero mean |off-diagonal correlation| and a top/median
-    // eigenvalue ratio near 1 mean no orthogonal rotation can beat the
-    // axis-aligned subspace split; if a future generator ships
-    // correlated embeddings, these gauges move first and the tie
-    // expectation above stops being the right read.
-    val (isoCorr, isoEigenRatio) = {
-      val cov = graft.operators.Opq.covariance(embs, "embedding", EmbDim)
-      val d = cov.length
-      var sum = 0.0
-      var cnt = 0
-      for (i <- 0 until d; j <- 0 until d if i != j) {
-        val denom = math.sqrt(cov(i)(i) * cov(j)(j))
-        if (denom > 0) { sum += math.abs(cov(i)(j) / denom); cnt += 1 }
-      }
-      val es = breeze.linalg.eigSym(
-        new breeze.linalg.DenseMatrix(d, d, cov.flatten))
-      val ev = (0 until d).map(es.eigenvalues(_)).sorted
-      (sum / math.max(1, cnt), ev.last / ev(d / 2))
-    }
-    // NO langid-vs-`lang`-column gauge, deliberately: the generator's
-    // `lang` labels sit on synthetic English-ish token soup ("data
-    // query small row…" labeled es/de/zh), so label agreement would
-    // measure generator noise, not language-ID quality — which stays
-    // pinned on real multilingual text in TextFunctionsSpec instead.
-    // layout-quality gauges: scan fraction a stats-pruning reader pays
-    // for a second-dimension band over the Z-ordered events layout vs
-    // the same data sorted linearly by the leading dim (which CANNOT
-    // prune that band — its gauge pins at 1.0 as the honest contrast)
-    val zdf = s.read.parquet(OsmQueries.zLayout(s, dir))
-    val linPath = linearLayout(s, dir)
-    val zFrac = graft.operators.ZOrder.boxScanFraction(
-      zdf, "lat", "lon", 46.0, 49.0, -119.0, -118.6)
-    val linFrac = graft.operators.ZOrder.boxScanFraction(
-      s.read.parquet(linPath), "lat", "lon", 46.0, 49.0, -119.0, -118.6)
-    Map(
-      "zorder_band_scan_frac" -> math.rint(zFrac * 1000) / 1000,
-      "linear_band_scan_frac" -> math.rint(linFrac * 1000) / 1000,
-      "lsh_recall_at_10" -> (exact & lsh1).size / 10.0,
-      "lsh_default_scan_frac" -> math.rint(dfltScanned / n * 1000) / 1000,
-      "lsh_tuned_recall_at_10" -> (exact & tunedTop10).size / 10.0,
-      "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
-      "ivf_recall_at_10" -> (exact & ivf).size / 10.0,
-      "ivfpq_recall_at_10" -> (exact & ivfpq).size / 10.0,
-      "pq_recall_at_10" -> (exact & pq).size / 10.0,
-      "pq_rerank_recall_at_10" -> (exact & pqReranked).size / 10.0,
-      // mean-over-8-queries pair (see the opqMean comment): the tie
-      // between OPQ and PQ on isotropic data is the CLAIM under test,
-      // so both sides are published at the same (averaged) precision
-      "pq_opq_recall_at_10" -> math.rint(opqMean * 1000) / 1000,
-      "pq_mean_recall_at_10" -> math.rint(pqMean * 1000) / 1000,
-      "emb_mean_abs_dim_corr" -> math.rint(isoCorr * 10000) / 10000,
-      "emb_eigen_top_over_median" -> math.rint(isoEigenRatio * 1000) / 1000,
-      "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir),
+  /** Shared lazy state across gauge groups: corpus handle, size, and
+    * the exact top-10 truth for query vec_id=0 — computed once by
+    * whichever group first needs it (a failed init re-attempts on the
+    * next access, Scala lazy-val semantics, so one flaky truth job
+    * can't poison every later group). */
+  private final class GaugeCtx(val s: SparkSession, val dir: String) {
+    val embs: DataFrame = Tables(s, dir, "embeddings")
+    def q: DataFrame =
+      embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    lazy val n: Double = embs.count().toDouble
+    lazy val exact: Set[Long] =
+      gaugeIds(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10))
+    lazy val q0vec: Seq[Double] = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+  }
+
+  private def gaugeIds(df: DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+  /** (query_id → result-id set) from a batch top-k frame
+    * ([[Ann.bruteForceTopKBatch]] / [[Ann.searchIvfPqIndexBatch]]
+    * output shape). Gauge math: k ids per query reach the driver. */
+  private def batchSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(df.columns(0), df.columns(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  /** Mean per-query set recall@k of `got` against `truth`. */
+  private def meanRecall(truth: Map[Long, Set[Long]],
+                         got: Map[Long, Set[Long]], k: Int): Double =
+    if (truth.isEmpty) 0.0
+    else truth.map { case (qid, ts) =>
+      (ts & got.getOrElse(qid, Set.empty[Long])).size.toDouble / k
+    }.sum / truth.size
+
+  /** Bench-visible QUALITY gauge GROUPS (group name → thunk → scalar
+    * entries), reported per round in the BENCH json under `"gauges"`:
+    * recall@10 of each approximate ANN path against the exact
+    * brute-force ranking on the sf embeddings, layout/pruning scan
+    * fractions, skew task-imbalance, st5 overhead decomposition. The
+    * fixture recall tests (AnnSpec) pin point vectors; these run at sf
+    * scale, so a silently-bad `bits`/`nProbe` default shows up as a
+    * dropped gauge instead of hiding behind green correctness.
+    * Driver-side state is gauge math (top-k id sets), not a data path.
+    *
+    * STRUCTURE (r17, VERDICT r16 #1): each named group runs under its
+    * OWN job group + deadline in [[graft.Bench.runGauges]] and
+    * accumulates into the round's map incrementally, so a straggling
+    * group records `gauge_<group>_error` and loses ONLY ITSELF. r16
+    * lost the round's ENTIRE gauge record when four new index-building
+    * gauges blew the single shared 90 s budget and the all-or-nothing
+    * Await discarded everything already computed — exactly the failure
+    * mode the old single-future comment here predicted. */
+  def gaugeDefs(s: SparkSession, dir: String): Seq[(String, () => Map[String, Double])] = {
+    val ctx = new GaugeCtx(s, dir)
+    Seq(
+      "lsh" -> (() => lshGauges(ctx)),
+      "ivf" -> (() => Map("ivf_recall_at_10" ->
+        (ctx.exact & gaugeIds(Ann.ivfSearch(ctx.embs, "vec_id", "embedding",
+          EmbDim, ctx.q, "qv", 10, trainedCents(s, dir), nProbe = 2))).size / 10.0)),
+      // the composite path: BOTH prunings + rerank — recall must hold
+      // through cell pruning AND code compression together
+      "ivfpq" -> (() => Map("ivfpq_recall_at_10" ->
+        (ctx.exact & gaugeIds(Ann.searchIvfPqIndex(s, ivfPqIndexPath(s, dir),
+          "vec_id", "embedding", ctx.q0vec, 10, nProbe = 2,
+          shortlist = 200))).size / 10.0)),
+      "ivfpq_nprobe" -> (() => ivfPqNProbeGauges(ctx)),
+      "pq" -> (() => pqGauges(ctx)),
+      "opq_mean" -> (() => opqMeanGauges(ctx)),
+      "isotropy" -> (() => isotropyGauges(ctx)),
+      "zorder" -> (() => zorderGauges(ctx)),
+      "minhash" -> (() => Map(
+        "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir))),
       // Prefix-filter pruning power at sf scale: fraction of the
       // quadratic pair space the exact Jaccard join verified (1.0
       // would mean the filter bought nothing and the join is
       // effectively all-pairs). Uses a QUARTER of the corpus for the
       // same budget-discipline reason as the skew gauges — the
       // fraction is threshold/corpus-shape-driven, not size-driven.
-      "jaccard_join_candidate_frac" -> {
+      "jaccard" -> (() => Map("jaccard_join_candidate_frac" -> {
         val docs = Tables(s, dir, "documents").filter(col("doc_id") % 4 === 0)
         val (_, stats) = graft.operators.SimilarityJoin.jaccardJoinWithStats(
           docs, "doc_id", "text", threshold = 0.8)
         stats.select(col("candidate_frac")).head().getDouble(0)
-      },
+      })),
       // Deletion-neighborhood pruning power: fraction of the quadratic
       // pair space FuzzyJoin verified (quarter slice, same budget
       // discipline as the jaccard gauge). NOTE the fraction is only
@@ -302,14 +225,14 @@ object ScaleWorkloads {
       // quarter slice reads ~4× a full-corpus run (r14 ADVICE).
       // Completeness itself is FuzzyJoinSpec's brute parity; this
       // keeps the COST honest for the fixed fixture.
-      "fuzzy_join_candidate_frac" -> {
+      "fuzzy" -> (() => Map("fuzzy_join_candidate_frac" -> {
         val cust = Tables(s, dir, "customer")
           .filter(col("c_custkey") % 4 === 0)
         val (_, stats) = graft.operators.FuzzyJoin.selfJoinWithStats(
           cust, "c_custkey", "c_name", maxDist = 1)
         val f = stats.select(col("candidate_frac")).head().getDouble(0)
         math.rint(f * 100000) / 100000
-      },
+      })),
       // RESIDUAL-vs-RAW IVFADC codes on the planted clustered fixture
       // (PlantedFixtures.residualClusters scaladoc): residual codes
       // quantize within-cell offsets and are LOSSLESS there (expect
@@ -319,36 +242,216 @@ object ScaleWorkloads {
       // on clustered geometry — the sf embeddings are isotropic (the
       // emb_* gauges), where neither variant can shine, so the fixture
       // carries this gauge exactly like the OpqSpec anisotropy pin.
-      "ivfpq_adc_recall_raw" -> residualAdcRecall(s, residual = false),
-      "ivfpq_adc_recall_res" -> residualAdcRecall(s, residual = true),
-      "ivfpq_adc_recall_grid_res" -> gridAdcRecall(s, rotate = false),
-      "ivfpq_adc_recall_grid_opq" -> gridAdcRecall(s, rotate = true),
-      "skew_naive_task_imbalance" -> {
-        // QUARTER-size fixture: the max/median ratio is what the gauge
-        // reports and it is size-independent (hot share and partition
-        // fan-out don't change with rows), so the gauges don't re-pay
-        // sx47/sx48's full joins — and the whole gauges future stays
-        // far inside its single PerQueryBudget (a timeout there loses
-        // EVERY gauge for the round, the Bench budget-discipline rule)
-        val c = skewScopedSession(s, skewJoin = false)
-        val (b, sm) = skewSides(c, rows = 6L * 1000 * 1000)
-        maxMedianTaskRatio(c, skewAgg(b.join(sm, "key")))
-      },
-      "skew_salted_task_imbalance" -> {
-        val c = skewScopedSession(s, skewJoin = false)
-        val (b, sm) = skewSides(c, rows = 6L * 1000 * 1000)
-        maxMedianTaskRatio(c,
-          skewAgg(graft.operators.Skew.saltedJoin(b, sm, "key", salts = 8)))
-      }) ++ st5OverheadGauges(s)
+      "adc_fixture" -> (() => Map(
+        "ivfpq_adc_recall_raw" -> residualAdcRecall(s, residual = false),
+        "ivfpq_adc_recall_res" -> residualAdcRecall(s, residual = true))),
+      "adc_grid" -> (() => Map(
+        "ivfpq_adc_recall_grid_res" -> gridAdcRecall(s, rotate = false),
+        "ivfpq_adc_recall_grid_opq" -> gridAdcRecall(s, rotate = true))),
+      "skew" -> (() => skewGauges(s)),
+      "st5_overhead" -> (() => st5OverheadGauges(s)))
+  }
+
+  /** LSH recall + scan-fraction quartet (shares the truth set with the
+    * other ANN groups via [[GaugeCtx.exact]]).
+    *
+    * OUT-OF-BOX config first: no bits/tables passed — the gauge
+    * measures what a user gets from the default (the r8 verdict's
+    * 0.4-recall finding was exactly this gauge on the old hand-set
+    * bits=8/tables=1 default). Since r15 the default is signature
+    * RANKING (Ann.lshTopK scaladoc): scan_frac here counts the rows
+    * that reach FULL-PRECISION cosine (the Hamming-ranked shortlist,
+    * 0.15·n); the sketch sweep itself touches every row's 64-byte
+    * signature column — the PQ-ADC cost shape, reported honestly as
+    * such rather than pretending bucket pruning that measured grids
+    * show cannot hold 0.9 recall on this isotropic corpus.
+    *
+    * Then the recall-bearing config (sx4): bits sized to the corpus
+    * (2^bits ≈ n/80 buckets), independent tables for the rest. The
+    * scan-fraction gauge keeps the tradeoff honest — recall bought by
+    * probing most of a tiny corpus must show up as a high fraction.
+    * ONE pipeline run each (k=n ranking, persisted for the scope): the
+    * candidate count aggregates distributedly and only the top-10 ids
+    * come back to the driver. */
+  private def lshGauges(ctx: GaugeCtx): Map[String, Double] = {
+    val embs = ctx.embs
+    val n = ctx.n
+    val dflt = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, ctx.q, "qv", n.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (lsh1, dfltScanned) =
+      try (gaugeIds(dflt.orderBy(desc("sim"), col("vec_id")).limit(10)),
+        dflt.count().toDouble)
+      finally dflt.unpersist(blocking = false)
+    val tuned = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, ctx.q, "qv",
+      n.toInt, bits = 6, tables = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (tunedTop10, tunedScanned) =
+      try (gaugeIds(tuned.orderBy(desc("sim"), col("vec_id")).limit(10)),
+        tuned.count().toDouble)
+      finally tuned.unpersist(blocking = false)
+    Map(
+      "lsh_recall_at_10" -> (ctx.exact & lsh1).size / 10.0,
+      "lsh_default_scan_frac" -> math.rint(dfltScanned / n * 1000) / 1000,
+      "lsh_tuned_recall_at_10" -> (ctx.exact & tunedTop10).size / 10.0,
+      "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000)
+  }
+
+  /** Query ids for the mean-recall gauges that need more resolution
+    * than a single query (recall@10 of ONE query moves in 0.1 steps —
+    * ±1-2 neighbors of noise on bunched cosines). Spread across the
+    * corpus; fixed so rounds compare. */
+  private val MeanGaugeQids = Seq(0L, 250L, 500L, 750L, 1000L, 1250L, 1500L, 1750L)
+
+  /** Serving-time knob record (VERDICT r16 #6): mean recall@10 of the
+    * STANDING sf IVF-PQ index at nProbe 1/2/4 over the 8 fixed
+    * queries, all through the BATCH path — one shared truth job plus
+    * one search pipeline per setting, not a driver query loop. Read as
+    * a curve: what the nProbe serving knob buys per probe (nProbe=2 is
+    * the default `ivfpq_recall_at_10` publishes on q0 alone). */
+  private def ivfPqNProbeGauges(ctx: GaugeCtx): Map[String, Double] = {
+    val qs = ctx.embs.filter(col("vec_id").isin(MeanGaugeQids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = batchSets(Ann.bruteForceTopKBatch(
+      ctx.embs, "vec_id", "embedding", qs, "qid", "qvec", 10))
+    val idx = ivfPqIndexPath(ctx.s, ctx.dir)
+    Seq(1, 2, 4).map { np =>
+      val got = batchSets(Ann.searchIvfPqIndexBatch(ctx.s, idx, "vec_id",
+        "embedding", qs, "qid", "qvec", 10, nProbe = np, shortlist = 200))
+      s"ivfpq_recall_nprobe_$np" ->
+        math.rint(meanRecall(truth, got, 10) * 1000) / 1000
+    }.toMap
+  }
+
+  /** PQ recall at the 32× compression point (m=8 byte codes for 64
+    * floats): lossy by design at sf scale — the gauge records what
+    * the compression costs in ranking quality, next to what LSH/IVF
+    * pruning cost. Exactness on the lossless fixture is ann9's pin. */
+  private def pqGauges(ctx: GaugeCtx): Map[String, Double] = {
+    val cb = pqBooks(ctx.s, ctx.dir)
+    val pq = gaugeIds(graft.operators.Pq.topK(
+      ctx.embs, "vec_id", "embedding", ctx.q0vec, 10, cb))
+    val pqReranked = gaugeIds(graft.operators.Pq.topKReranked(
+      ctx.embs, "vec_id", "embedding", ctx.q0vec, 10, cb,
+      shortlist = graft.operators.Pq.rerankShortlist(ctx.n.toLong, 10)))
+    Map(
+      "pq_recall_at_10" -> (ctx.exact & pq).size / 10.0,
+      "pq_rerank_recall_at_10" -> (ctx.exact & pqReranked).size / 10.0)
+  }
+
+  /** OPQ vs PQ at the same compression point, as a MEAN over 8 fixed
+    * queries: on this corpus — measured ISOTROPIC (r15: mean
+    * |dim-corr| 0.017, flat spectrum; the isotropy group re-measures
+    * every round) — no orthogonal rotation can beat the axis-aligned
+    * split, so the honest expectation is a TIE (delta ≈ 0). The
+    * anisotropic lift OPQ exists for is OpqSpec's planted-fixture pin
+    * plus the adc_grid group; rerank stays the recall floor for
+    * isotropic data. Truth comes from ONE bruteForceTopKBatch job
+    * (r17 — was 8 driver-looped brute scans); the OPQ/PQ rankings are
+    * single-query paths by API shape and stay a bounded 16-query loop
+    * inside this group's own budget. */
+  private def opqMeanGauges(ctx: GaugeCtx): Map[String, Double] = {
+    val embs = ctx.embs
+    val cb = pqBooks(ctx.s, ctx.dir)
+    val om = opqModel(ctx.s, ctx.dir)
+    val qs = embs.filter(col("vec_id").isin(MeanGaugeQids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = batchSets(Ann.bruteForceTopKBatch(
+      embs, "vec_id", "embedding", qs, "qid", "qvec", 10))
+    val qvecs = qs.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val recalls = qvecs.map { case (qid, qv) =>
+      val ts = truth.getOrElse(qid, Set.empty[Long])
+      ((ts & gaugeIds(graft.operators.Opq.topK(
+          embs, "vec_id", "embedding", qv, 10, om))).size / 10.0,
+        (ts & gaugeIds(graft.operators.Pq.topK(
+          embs, "vec_id", "embedding", qv, 10, cb))).size / 10.0)
+    }
+    // the tie between OPQ and PQ on isotropic data is the CLAIM under
+    // test, so both sides publish at the same (averaged) precision
+    Map(
+      "pq_opq_recall_at_10" ->
+        math.rint(recalls.map(_._1).sum / recalls.length * 1000) / 1000,
+      "pq_mean_recall_at_10" ->
+        math.rint(recalls.map(_._2).sum / recalls.length * 1000) / 1000)
+  }
+
+  /** ISOTROPY gauges: the OPQ-ties-PQ expectation rests on the corpus
+    * geometry (near-diagonal covariance, near-flat spectrum) —
+    * machine-measure it every round instead of asserting it in prose.
+    * Near-zero mean |off-diagonal correlation| and a top/median
+    * eigenvalue ratio near 1 mean no orthogonal rotation can beat the
+    * axis-aligned subspace split; if a future generator ships
+    * correlated embeddings, these gauges move first and the tie
+    * expectation stops being the right read. */
+  private def isotropyGauges(ctx: GaugeCtx): Map[String, Double] = {
+    val cov = graft.operators.Opq.covariance(ctx.embs, "embedding", EmbDim)
+    val d = cov.length
+    var sum = 0.0
+    var cnt = 0
+    for (i <- 0 until d; j <- 0 until d if i != j) {
+      val denom = math.sqrt(cov(i)(i) * cov(j)(j))
+      if (denom > 0) { sum += math.abs(cov(i)(j) / denom); cnt += 1 }
+    }
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(d, d, cov.flatten))
+    val ev = (0 until d).map(es.eigenvalues(_)).sorted
+    Map(
+      "emb_mean_abs_dim_corr" -> math.rint(sum / math.max(1, cnt) * 10000) / 10000,
+      "emb_eigen_top_over_median" -> math.rint(ev.last / ev(d / 2) * 1000) / 1000)
+  }
+
+  // NO langid-vs-`lang`-column gauge, deliberately: the generator's
+  // `lang` labels sit on synthetic English-ish token soup ("data
+  // query small row…" labeled es/de/zh), so label agreement would
+  // measure generator noise, not language-ID quality — which stays
+  // pinned on real multilingual text in TextFunctionsSpec instead.
+
+  /** Layout-quality gauges: scan fraction a stats-pruning reader pays
+    * for a second-dimension band over the Z-ordered events layout vs
+    * the same data sorted linearly by the leading dim (which CANNOT
+    * prune that band — its gauge pins at 1.0 as the honest contrast). */
+  private def zorderGauges(ctx: GaugeCtx): Map[String, Double] = {
+    val s = ctx.s
+    val zdf = s.read.parquet(OsmQueries.zLayout(s, ctx.dir))
+    val zFrac = graft.operators.ZOrder.boxScanFraction(
+      zdf, "lat", "lon", 46.0, 49.0, -119.0, -118.6)
+    val linFrac = graft.operators.ZOrder.boxScanFraction(
+      s.read.parquet(linearLayout(s, ctx.dir)), "lat", "lon",
+      46.0, 49.0, -119.0, -118.6)
+    Map(
+      "zorder_band_scan_frac" -> math.rint(zFrac * 1000) / 1000,
+      "linear_band_scan_frac" -> math.rint(linFrac * 1000) / 1000)
+  }
+
+  /** Skew task-imbalance pair on the QUARTER-size fixture: the
+    * max/median ratio is what the gauge reports and it is
+    * size-independent (hot share and partition fan-out don't change
+    * with rows), so the gauges don't re-pay sx47/sx48's full joins —
+    * and the group stays far inside its per-group budget. */
+  private def skewGauges(s: SparkSession): Map[String, Double] = {
+    val c = skewScopedSession(s, skewJoin = false)
+    val (b, sm) = skewSides(c, rows = 6L * 1000 * 1000)
+    val naive = maxMedianTaskRatio(c, skewAgg(b.join(sm, "key")))
+    val (b2, sm2) = skewSides(c, rows = 6L * 1000 * 1000)
+    val salted = maxMedianTaskRatio(c,
+      skewAgg(graft.operators.Skew.saltedJoin(b2, sm2, "key", salts = 8)))
+    Map(
+      "skew_naive_task_imbalance" -> naive,
+      "skew_salted_task_imbalance" -> salted)
   }
 
   /** Mean ADC-only set recall@7 over every fixture vector as query:
     * build a tiny IVF-PQ index (raw or residual codes) on the planted
     * clustered fixture, rank with shortlist = k so the returned set is
-    * exactly ADC's top-7, all cells probed (the AnnSpec residual test,
-    * as a per-round gauge). */
+    * exactly ADC's top-7 (the float rerank can only reorder WITHIN
+    * it), all cells probed (the AnnSpec residual test, as a per-round
+    * gauge). BATCHED (r17, VERDICT r16 #1): one
+    * [[Ann.bruteForceTopKBatch]] pipeline for all 16 truths and one
+    * [[Ann.searchIvfPqIndexBatch]] pipeline for all 16 ADC rankings —
+    * the r16 form drove 16×2 driver-looped collects per variant and
+    * blew the shared gauge budget. */
   private def residualAdcRecall(s: SparkSession, residual: Boolean): Double = {
-    import org.apache.spark.sql.functions.{col, desc}
+    import org.apache.spark.sql.functions.col
     val fix = PlantedFixtures.residualClusters(s)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -358,19 +461,12 @@ object ScaleWorkloads {
       Ann.buildIvfPqIndex(fix, "vec_id", "embedding", dimF, nCells = 4,
         m = 2, kCodes = 4, outPath = idx, iters = 3, lloydIters = 3,
         residual = residual)
-      val r = (0L until 16L).map { qid =>
-        val qdf = fix.filter(col("vec_id") === qid)
-        val qv = qdf.select(col("embedding").cast("array<double>"))
-          .head().getSeq[Double](0).toSeq
-        val truth = Ann.bruteForceTopK(fix, "vec_id", "embedding",
-            qdf.select(col("embedding").as("qv")), "qv", 7)
-          .collect().map(_.getLong(0)).toSet
-        val got = Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding",
-            qv, 7, nProbe = 4, shortlist = 7)
-          .collect().map(_.getLong(0)).toSet
-        (truth & got).size / 7.0
-      }.sum / 16.0
-      math.rint(r * 1000) / 1000
+      val qs = fix.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = batchSets(Ann.bruteForceTopKBatch(
+        fix, "vec_id", "embedding", qs, "qid", "qvec", 7))
+      val got = batchSets(Ann.searchIvfPqIndexBatch(s, idx, "vec_id",
+        "embedding", qs, "qid", "qvec", 7, nProbe = 4, shortlist = 7))
+      math.rint(meanRecall(truth, got, 7) * 1000) / 1000
     } finally fix.unpersist(blocking = false)
   }
 
@@ -381,7 +477,9 @@ object ScaleWorkloads {
     * variance CROSSES subspace boundaries (on the isotropic bench
     * embeddings no rotation can help — the ivfpq_adc_recall_{raw,res}
     * pair covers that regime). shortlist = k isolates the ranking
-    * pass; both cells probed so cell pruning is not a factor. */
+    * pass; both cells probed so cell pruning is not a factor. BATCHED
+    * (r17): one truth pipeline + one search pipeline over the 6
+    * diagonal queries, replacing the 6×2 driver-looped collects. */
   private def gridAdcRecall(s: SparkSession, rotate: Boolean): Double = {
     import org.apache.spark.sql.functions.col
     val fix = PlantedFixtures.anisotropicGrid(s)
@@ -394,19 +492,13 @@ object ScaleWorkloads {
         outPath = idx, iters = 3, lloydIters = 4, residual = true,
         rotate = rotate)
       val qids = Seq(9L, 18L, 27L, 36L, 45L, 54L) // interior diagonal
-      val r = qids.map { qid =>
-        val qdf = fix.filter(col("vec_id") === qid)
-        val qv = qdf.select(col("embedding").cast("array<double>"))
-          .head().getSeq[Double](0).toSeq
-        val truth = Ann.bruteForceTopK(fix, "vec_id", "embedding",
-            qdf.select(col("embedding").as("qv")), "qv", 10)
-          .collect().map(_.getLong(0)).toSet
-        val got = Ann.searchIvfPqIndex(s, idx, "vec_id", "embedding",
-            qv, 10, nProbe = 2, shortlist = 10)
-          .collect().map(_.getLong(0)).toSet
-        (truth & got).size / 10.0
-      }.sum / qids.size
-      math.rint(r * 1000) / 1000
+      val qs = fix.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = batchSets(Ann.bruteForceTopKBatch(
+        fix, "vec_id", "embedding", qs, "qid", "qvec", 10))
+      val got = batchSets(Ann.searchIvfPqIndexBatch(s, idx, "vec_id",
+        "embedding", qs, "qid", "qvec", 10, nProbe = 2, shortlist = 10))
+      math.rint(meanRecall(truth, got, 10) * 1000) / 1000
     } finally fix.unpersist(blocking = false)
   }
 
