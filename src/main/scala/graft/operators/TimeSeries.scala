@@ -112,4 +112,55 @@ object TimeSeries {
       col("bucket"), col("__f").as("value"),
       col("value").isNotNull.as("observed"))
   }
+
+  /** Gap-filled per-`keyCol` time series of `valueCol`, bucketed by
+    * `date_trunc(unit, tsCol)` with one row per `step` between each
+    * key's first and last bucket — the calendar-grid twin of
+    * [[resample]] (same three-stage shape: bucket aggregate → in-plan
+    * `sequence()`/explode grid → one running-frame window), keeping
+    * timestamp buckets where resample keeps integer ones.
+    *
+    * Output: key, `bucket` (timestamp), `n` (events in bucket, 0 on
+    * gaps), `v_sum` (4-dp rounded bucket sum, null on gaps — rounded
+    * BEFORE the fill so filled values propagate the exact same doubles
+    * any other engine computes from the same buckets), `v_ffill` (last
+    * non-null v_sum at or before the bucket), `is_gap`. `step` must
+    * match `unit` (e.g. unit="day", step="interval 1 day") — it is the
+    * grid the SEQUENCE walks, while unit is the truncation the events
+    * collapse to.
+    *
+    * Same `maxBucketsPerKey` guard as [[resample]] (r16 verdict #2 —
+    * the standalone Timeseries.scala form lacked it): a key whose
+    * span exceeds the bound raises executor-side WITH the key, folded
+    * into the sequence's upper bound so pruning can't drop it. The
+    * step length is measured in-plan (epoch + step), so the guard
+    * tracks whatever interval the caller grids by. */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, unit: String = "day",
+              step: String = "interval 1 day",
+              maxBucketsPerKey: Long = 1L << 21): DataFrame = {
+    val bucketed = events
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("_n"), round(sum(col(valueCol)), 4).as("v_sum"))
+    val stepMicros = unix_micros(timestamp_micros(lit(0L)) + expr(step))
+    val guardedHi =
+      when((unix_micros(col("_hi")) - unix_micros(col("_lo")))
+          >= lit(maxBucketsPerKey) * stepMicros,
+        raise_error(concat(lit("gapFill: key "), col(keyCol).cast("string"),
+          lit(s" spans more than $maxBucketsPerKey buckets — wrong " +
+            "unit/step or runaway series"))).cast("timestamp"))
+        .otherwise(col("_hi"))
+    val grid = bucketed
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("_lo"), max(col("bucket")).as("_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), guardedHi, expr(step))).as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(keyCol, "bucket"), "left_outer")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("_n"), lit(0L)).as("n"), col("v_sum"),
+        last(col("v_sum"), ignoreNulls = true).over(w).as("v_ffill"),
+        col("_n").isNull.as("is_gap"))
+  }
 }

@@ -1481,7 +1481,7 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
-    // W5 — time-series GAP FILL + forward fill (Timeseries.gapFill):
+    // W5 — time-series GAP FILL + forward fill (TimeSeries.gapFill):
     // events resample to a per-type daily grid with the EMPTY days
     // materialized as rows (count 0, is_gap true) and the last
     // non-null daily sum carried forward across them. Three
@@ -1490,7 +1490,7 @@ object RelationalQueries {
     // to 4 dp BEFORE the fill so both engines forward the identical
     // doubles.
     "w5_gapfill" -> ((s, dir) => {
-      graft.operators.Timeseries
+      graft.operators.TimeSeries
         .gapFill(t(s, dir, "events"), "event_type", "ts", "value")
         .select(col("event_type"), unix_micros(col("bucket")).as("bucket_us"),
           col("n"), col("v_sum"), col("v_ffill"), col("is_gap"))
