@@ -21,11 +21,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * Design, and why it holds at 100 TB:
   *  - One bloom PER BATCH per indexed column, persisted beside the
   *    data (`_bloomidx/<column>/batch_<id>.bloom`). Batch directories
-  *    are IMMUTABLE once published (the Snapshot contract), so a
-  *    batch's bloom is immutable too: cache it forever, never
-  *    invalidate. Folds/merges make NEW batch ids — their blooms
-  *    build on the next [[refresh]]; the retired ids' sidecars are
-  *    swept there as well.
+  *    are immutable WITHIN a manifest lineage (the Snapshot contract),
+  *    so a sidecar is cacheable — but the `build` lifecycle is a
+  *    table RESET that reuses ids at the same path, so both the cache
+  *    key and the read path validate against the sidecar/batch-dir
+  *    mtimes (see [[refresh]]/loadBloom). Folds/merges make NEW batch
+  *    ids — their blooms build on the next [[refresh]]; the retired
+  *    ids' sidecars are swept there as well.
   *  - A lookup consults the blooms (metadata-scale IO: ~1 MB per
   *    million rows at 1% fpp, loaded once into a process-wide cache
   *    keyed by immutable (path, column, batch)) and reads ONLY the
@@ -35,19 +37,26 @@ import org.apache.spark.util.sketch.BloomFilter
   *  - Batches WITHOUT a bloom (appended since the last refresh) are
   *    always read — conservatively correct, exactly like stats-less
   *    batches under zone maps. [[refresh]] is incremental: it builds
-  *    only the missing sidecars, each from one column-pruned scan of
-  *    its own batch.
-  *  - Build is distributed: `df.stat.bloomFilter` is a
-  *    partial-aggregated sketch merge (executors hash, driver ORs
+  *    only the missing/stale sidecars, ALL in one column-pruned
+  *    grouped pass (two jobs total, however many batches are new).
+  *  - Build is distributed: the per-batch bloom aggregation is a
+  *    partial-aggregated sketch merge (executors hash, reducers OR
   *    bitsets); nothing row-scale ever sits on the driver.
   */
 object BloomIndex {
 
-  /** Process-wide sidecar cache. Safe because batch content — and so
-    * its bloom — is immutable; entries for retired batches are merely
-    * unused. Tests may [[clearCache]]. */
+  /** Process-wide sidecar cache, keyed by (path, column, batch,
+    * SIDECAR MTIME). Batch directories are immutable WITHIN a manifest
+    * lineage, but the storage family's `build` lifecycle is a TABLE
+    * RESET that reuses batch -1 (and ingest retries overwrite
+    * `batch_id=N`) at the same path — a bloom from the previous life
+    * must never answer for the new one (it could wrongly EXCLUDE a
+    * batch that now holds the probed value: a missing row, not an
+    * over-read — r16 advice). The mtime in the key makes any rebuilt
+    * sidecar a cache miss; entries for retired batches or old lives
+    * are merely unused. Tests may [[clearCache]]. */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Long), BloomFilter]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long, Long), BloomFilter]
 
   private[graft] def clearCache(): Unit = cache.clear()
 
@@ -72,17 +81,101 @@ object BloomIndex {
         dt.simpleString)
   }
 
-  /** Build the missing per-batch blooms for `column` (one
-    * column-pruned scan per NEW batch — batches already indexed cost
-    * nothing), sweep sidecars of retired batches, return how many
-    * were built. `fpp` trades sidecar size for extra-batch-scan
-    * probability; the default 1% costs ~1.2 MB per million rows. */
+  /** Sidecar mtime, or None when absent. */
+  private def sidecarMtime(fs: FileSystem, f: Path): Option[Long] =
+    try Some(fs.getFileStatus(f).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** The batch data directory's mtime, or None when the directory is
+    * gone (physically pruned / vacuumed — a sidecar can't be stale
+    * against content that no longer exists). */
+  private def batchDirMtime(fs: FileSystem, path: String, b: Long): Option[Long] =
+    try Some(fs.getFileStatus(new Path(s"$path/batch_id=$b"))
+      .getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** A sidecar older than its batch directory is from a PREVIOUS LIFE
+    * of this path (`build` = table reset reuses batch -1; ingest
+    * retries overwrite `batch_id=N`): its bloom describes rows that
+    * are no longer there and could wrongly exclude the new content. */
+  private def sidecarStale(fs: FileSystem, path: String, column: String,
+                           b: Long): Boolean = {
+    val mt = sidecarMtime(fs, bloomFile(path, column, b))
+    mt.isEmpty ||
+      batchDirMtime(fs, path, b).exists(_ > mt.get)
+  }
+
+  /** Typed per-batch bloom aggregation: ONE distributed pass builds
+    * every missing batch's filter at once, each sized from the
+    * per-batch counts map (the buffer is created lazily on the first
+    * reduced row, so the key-independent `zero` stays null). Partials
+    * merge like any sketch — executors hash, reducers OR bitsets. */
+  private final class BatchBloomAgg[T](sizes: Map[Long, Long], fpp: Double,
+      put: (BloomFilter, T) => Unit)
+    extends org.apache.spark.sql.expressions.Aggregator[(Long, T), BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = null
+    def reduce(buf: BloomFilter, a: (Long, T)): BloomFilter = {
+      // 64-item floor: a filter sized for a near-empty batch is ~10
+      // bits and its EFFECTIVE fpp is far above the nominal one (7 of
+      // 10 bits set by a single element admit most probes); the floor
+      // costs ~80 bytes and keeps tiny batches genuinely prunable
+      val bf = if (buf == null)
+        BloomFilter.create(math.max(64L, sizes.getOrElse(a._1, 1L)), fpp)
+      else buf
+      put(bf, a._2)
+      bf
+    }
+    def merge(x: BloomFilter, y: BloomFilter): BloomFilter =
+      if (x == null) y else if (y == null) x else { x.mergeInPlace(y); x }
+    def finish(r: BloomFilter): Array[Byte] = {
+      val bf = if (r == null) BloomFilter.create(1L, fpp) else r
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization(classOf[BloomFilter])
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Crash-safe sidecar publish: write aside, rename into place. */
+  private def writeSidecar(fs: FileSystem, f: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(f.getParent, s".${f.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    // a STALE sidecar may already sit at f (rebuild-over-reset):
+    // rename does not overwrite, so clear it first — a crash between
+    // the delete and the rename leaves no sidecar, which reads
+    // conservatively (never the stale bloom)
+    if (fs.exists(f)) fs.delete(f, false)
+    if (!fs.rename(tmp, f)) {
+      fs.delete(tmp, false)
+      require(fs.exists(f), s"bloom sidecar publish failed for $f")
+    }
+  }
+
+  /** Build the per-batch blooms for `column` that are missing OR STALE
+    * (sidecar older than its batch directory — a previous life of the
+    * path), sweep sidecars of retired batches, return how many were
+    * built. `fpp` trades sidecar size for extra-batch-scan
+    * probability; the default 1% costs ~1.2 MB per million rows.
+    *
+    * TWO jobs regardless of how many batches need building (r16
+    * verdict #3 — was 2 driver-serial jobs PER batch): one grouped
+    * count sizes every filter, then one grouped [[BatchBloomAgg]]
+    * pass builds them all; `batch_id` stays the partition column so
+    * both group map-side within each batch's own files. The built
+    * bytes transit the driver (~1.2 MB per million rows each) only to
+    * be published with the crash-safe per-sidecar rename — a cold
+    * multi-thousand-batch build should refresh in manifest slices. */
   def refresh(spark: SparkSession, path: String, column: String,
               fpp: Double = 0.01): Int = {
     val m = Snapshot.latest(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$path is not snapshot-enabled — bloom sidecars key off manifest batches"))
-    requireSupported(columnType(spark, path, m, column), column)
+    val dt = columnType(spark, path, m, column)
+    requireSupported(dt, column)
     val fs = fsFor(spark, path)
     val live = m.batches.toSet
     // sweep sidecars for batches no longer live (folded/retired)
@@ -95,41 +188,71 @@ object BloomIndex {
           fs.delete(st.getPath, false)
       }
     }
-    var built = 0
-    m.batches.foreach { b =>
-      val f = bloomFile(path, column, b)
-      if (!fs.exists(f)) {
-        val one = Snapshot.readBatches(spark, path, m.copy(batches = Seq(b)))
-          .select(col(column)).filter(col(column).isNotNull)
-        val n = math.max(1L, one.count())
-        val bf = one.stat.bloomFilter(column, n, fpp)
-        // crash-safe sidecar publish: write aside, rename into place
-        val tmp = new Path(f.getParent, s".${f.getName}.tmp")
-        val out = fs.create(tmp, true)
-        try bf.writeTo(out) finally out.close()
-        if (!fs.rename(tmp, f)) {
-          fs.delete(tmp, false)
-          require(fs.exists(f), s"bloom sidecar publish failed for $f")
-        }
-        built += 1
-      }
+    val missing = m.batches.filter(b => sidecarStale(fs, path, column, b))
+    if (missing.isEmpty) return 0
+    import spark.implicits._
+    val rows = Snapshot.readBatches(spark, path, m.copy(batches = missing))
+      .select(col("batch_id").cast("long").as("_b"), col(column))
+      .filter(col(column).isNotNull)
+    // job 1: per-batch sizes (the manifest carries min/max zone stats,
+    // not row counts, so sizing is one grouped count — map-side
+    // combined, `missing.size` longs to the driver)
+    val sizes = rows.groupBy("_b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // job 2: every bloom in one grouped aggregation
+    val built: Map[Long, Array[Byte]] =
+      (if (dt == org.apache.spark.sql.types.StringType)
+        rows.select(col("_b"), col(column).cast("string").as("_v"))
+          .as[(Long, String)].groupByKey(_._1)
+          .agg(new BatchBloomAgg[String](sizes, fpp,
+            (bf, v) => bf.putString(v)).toColumn.name("bloom"))
+          .collect()
+      else
+        // integral types hash as longs — the same convention
+        // `df.stat.bloomFilter` used for the pre-r17 sidecars, so
+        // mightContain(value) stays compatible across both eras
+        rows.select(col("_b"), col(column).cast("long").as("_v"))
+          .as[(Long, Long)].groupByKey(_._1)
+          .agg(new BatchBloomAgg[Long](sizes, fpp,
+            (bf, v) => bf.putLong(v)).toColumn.name("bloom"))
+          .collect()).toMap
+    missing.foreach { b =>
+      // a batch with zero non-null values still gets a sidecar (an
+      // always-excluding empty bloom) so refresh stays idempotent
+      val bytes = built.getOrElse(b, {
+        val bos = new java.io.ByteArrayOutputStream()
+        BloomFilter.create(1L, fpp).writeTo(bos)
+        bos.toByteArray
+      })
+      writeSidecar(fs, bloomFile(path, column, b), bytes)
     }
-    built
+    missing.size
   }
 
   private def loadBloom(spark: SparkSession, path: String, column: String,
-                        b: Long): Option[BloomFilter] =
-    cache.get((path, column, b)).orElse {
-      val fs = fsFor(spark, path)
-      val f = bloomFile(path, column, b)
-      if (!fs.exists(f)) None
-      else {
-        val in = fs.open(f)
-        val bf = try BloomFilter.readFrom(in) finally in.close()
-        cache.putIfAbsent((path, column, b), bf)
-        Some(bf)
-      }
+                        b: Long): Option[BloomFilter] = {
+    val fs = fsFor(spark, path)
+    val f = bloomFile(path, column, b)
+    sidecarMtime(fs, f) match {
+      case None => None
+      case Some(mt) =>
+        // REBUILD SAFETY (r16 advice): a sidecar older than its batch
+        // directory describes a previous life of this path — treat it
+        // as absent (conservative full read of the batch) until
+        // refresh rebuilds it. The mtime rides the cache key, so a
+        // stale cached bloom can never be consulted either. Cost: two
+        // metadata stats per batch per lookup instead of a pure cache
+        // hit — namenode-scale IO, the price of never silently
+        // dropping rows after a `build` reset.
+        if (batchDirMtime(fs, path, b).exists(_ > mt)) None
+        else cache.get((path, column, b, mt)).orElse {
+          val in = fs.open(f)
+          val bf = try BloomFilter.readFrom(in) finally in.close()
+          cache.putIfAbsent((path, column, b, mt), bf)
+          Some(bf)
+        }
     }
+  }
 
   /** The lookup's batch decision, exposed for the physical-pruning
     * pins: (batches to read, batches the blooms excluded). No-bloom

@@ -98,6 +98,66 @@ class BloomIndexSpec extends SparkSpec {
     ex.getMessage should include("integral or string")
   }
 
+  test("refresh builds every missing sidecar in ONE distributed pass: " +
+      "job count ≤ k+1 for k new batches (r16 verdict #3 — was 2k)") {
+    BloomIndex.clearCache()
+    val path = governed("jobs",
+      Seq((1L, "a")), Seq((2L, "b")), Seq((3L, "c")), Seq((4L, "d")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      BloomIndex.refresh(spark, path, "id") shouldBe 4
+      // async listener bus: poll to quiescence before reading the count
+      var last = -1; var stable = 0; var polls = 0
+      while (stable < 2 && polls < 20) {
+        Thread.sleep(100)
+        val n = jobs.get
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        polls += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    jobs.get should be <= 5 // k=4 new batches; actual shape is 2 jobs
+    // and the index it built prunes correctly
+    val (_, pruned) = BloomIndex.candidateBatches(spark, path, "id", 3L)
+    pruned should contain allOf (0L, 1L, 3L)
+  }
+
+  test("a table RESET reusing batch ids at the same path cannot serve stale " +
+      "blooms: lookups read conservatively until refresh rebuilds (r16 advice)") {
+    BloomIndex.clearCache()
+    import spark.implicits._
+    val path = graft.TempDirs.path(
+      s"bloomidx/reset-${java.util.UUID.randomUUID()}")
+    Seq((1L, "old")).toDF("id", "k").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    BloomIndex.refresh(spark, path, "id") shouldBe 1
+    // warm both the on-disk sidecar and the in-process cache: 5 absent
+    BloomIndex.readPoint(spark, path, "id", 5L).count() shouldBe 0L
+    // RESET the batch in place with DIFFERENT content (the `build` =
+    // table-reset lifecycle reuses ids at the same path); the old
+    // sidecar survives on disk and the old bloom sits in the cache
+    Thread.sleep(10) // mtime resolution
+    Seq((5L, "new")).toDF("id", "k").write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    // NO clearCache, NO refresh: the stale sidecar must be detected
+    // (batch dir newer than sidecar) and the batch read conservatively
+    // — id=5 exists now and MUST come back
+    BloomIndex.readPoint(spark, path, "id", 5L)
+      .collect().map(_.getString(1)).toSeq shouldBe Seq("new")
+    // refresh sees the staleness and rebuilds exactly that sidecar
+    BloomIndex.refresh(spark, path, "id") shouldBe 1
+    BloomIndex.readPoint(spark, path, "id", 5L)
+      .collect().map(_.getString(1)).toSeq shouldBe Seq("new")
+    // and the rebuilt bloom prunes the OLD value now absent
+    val (_, pruned) = BloomIndex.candidateBatches(spark, path, "id", 1L)
+    pruned shouldBe Seq(0L)
+  }
+
   test("compaction folds re-index on refresh; retired sidecars are swept") {
     BloomIndex.clearCache()
     val path = governed("fold", Seq((1L, "a")), Seq((2L, "b")), Seq((3L, "c")))
