@@ -66,6 +66,50 @@ object MaterializedAgg {
     }
   }
 
+  /** Re-align the rollup after its BASE was FOLDED (compaction, COW
+    * delete / merge rewrote history into new batch ids — the one
+    * event [[appendBatch]]'s id-tracking cannot follow): rebuild
+    * partials for base batches the rollup lacks — each from one scan
+    * of that batch alone, committed under the shared stage-then-
+    * publish protocol — then drop rollup batches the base no longer
+    * lists via one manifest edit, leaving shared ids (and their
+    * partials) untouched. After resync the rollup's live set EQUALS
+    * the base's, so the [[graft.plans.MatAggRewrite]] freshness gate
+    * re-arms; between the delete and the resync that gate stands every
+    * query down (a fired rewrite could serve a min/max whose carrying
+    * row was deleted — MatAggRewriteSpec pins the sequence). Work is
+    * proportional to the folded batches, not base history. */
+  def resyncWithBase(spark: SparkSession, basePath: String, aggPath: String,
+      keys: Seq[String], values: Seq[String]): Unit = {
+    val bm = Snapshot.latest(spark, basePath).getOrElse(
+      throw new IllegalStateException(
+        s"$basePath is not snapshot-enabled — resync follows manifest ids"))
+    val baseLive = bm.batches.toSet
+    val aggLive = Snapshot.liveBatches(spark, aggPath).toSet
+    (baseLive -- aggLive).toSeq.sorted.foreach { b =>
+      Snapshot.stagedAppend(spark, aggPath, b) {
+        partialRows(
+          Snapshot.readBatches(spark, basePath, bm.copy(batches = Seq(b)))
+            .drop("batch_id"),
+          keys, values)
+          .write.mode("overwrite").parquet(s"$aggPath/batch_id=$b")
+      }
+    }
+    val toDrop = (aggLive -- baseLive).toSeq.sorted
+    if (toDrop.nonEmpty) Snapshot.latest(spark, aggPath) match {
+      case Some(am) => // enabled rollup: one manifest edit, no file IO
+        Snapshot.commitEdit(spark, aggPath, am, remove = toDrop,
+          tolerateConcurrentRemoves = true)
+      case None => // plain rollup resolves by directory listing — the
+        // superseded partials must physically go (they are REPLACED by
+        // the fold partials just written, not retired history)
+        val fs = new org.apache.hadoop.fs.Path(aggPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        toDrop.foreach(b => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$aggPath/batch_id=$b"), true))
+    }
+  }
+
   /** Full-history rollup from the stored partials alone: one scan of
     * the (tiny) materialized table, one merge aggregate. Key and value
     * columns are inferred from the stored schema, so a reader needs

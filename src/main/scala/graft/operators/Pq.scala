@@ -369,9 +369,14 @@ object Pq {
     // the cap binds the FINAL max — every term, including 10·k: a
     // k ≥ 1000 would otherwise return a shortlist at/over the fence
     // and the documented TakeOrderedAndProject plan would silently
-    // degrade to a full global sort of the scored corpus
-    math.min(cap, math.max(math.max(100L, 10L * k),
-      math.ceil(0.1 * nCorpus).toLong)).toInt
+    // degrade to a full global sort of the scored corpus. But the
+    // result must still FLOOR AT K (the Ann search paths' guard, r16
+    // advice): for k at/above the fence itself, a sub-k shortlist
+    // would fail topKReranked's require where the uncapped recipe
+    // merely planned the documented full-sort degradation — accept
+    // the full sort, never the crash.
+    math.max(k.toLong, math.min(cap, math.max(math.max(100L, 10L * k),
+      math.ceil(0.1 * nCorpus).toLong))).toInt
   }
 
   /** SHORTLIST-AND-RERANK — the production PQ recipe: ADC over the

@@ -212,9 +212,12 @@ class MatAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
         matchChild(session, child).flatMap { case (reg, conds, scanned) =>
           // a planning failure (agg table gone/corrupt) or a batch-set
-          // mismatch stands down — never fails the query
-          if (!fresh(reg, scanned)) None
-          else Try(tryRewrite(agg, groupExprs, aggExprs, conds, reg))
+          // mismatch stands down — never fails the query. The
+          // freshness gate's filesystem IO is DEFERRED inside
+          // tryRewrite, behind its pure shape checks (r16 advice): a
+          // query that stands down on grain/filter shape costs no
+          // manifest listing at optimization time.
+          Try(tryRewrite(agg, groupExprs, aggExprs, conds, reg, scanned))
             .toOption.flatten
         }.getOrElse(agg)
     }
@@ -245,7 +248,8 @@ class MatAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate, groupExprs: Seq[Expression],
                          aggExprs: Seq[NamedExpression],
                          conds: Seq[Expression],
-                         reg: Registration): Option[LogicalPlan] = {
+                         reg: Registration,
+                         scanned: Option[Set[Long]]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Divide, EqualTo, If}
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val keyNames = groupExprs.map {
@@ -257,6 +261,26 @@ class MatAggRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // filters must reference registered KEY columns only
     if (!conds.forall(_.references.forall(a => reg.keys.contains(a.name))))
       return None
+    // pure pre-screen of the aggregate shapes: the full rewrite needs
+    // the agg table's schema, but UNSUPPORTED shapes (DISTINCT,
+    // FILTER-clause aggs, functions outside the algebraic five) are
+    // knowable without it and must not pay any IO to stand down
+    val supportable = aggExprs.forall {
+      case a: AttributeReference => keyNames.contains(a.name)
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty &&
+          (ae.aggregateFunction match {
+            case _: Count | _: Sum | _: Min | _: Max | _: Average => true
+            case _ => false
+          })
+      case _ => false
+    }
+    if (!supportable) return None
+    // only NOW — after every pure shape check — pay the freshness
+    // gate's manifest/directory listing and the agg table's read
+    // analysis (r16 advice: on a remote object store these added
+    // per-query planning latency even for queries that stand down)
+    if (!fresh(reg, scanned)) return None
     val readPlan = graft.operators.MaterializedAgg
       .read(session, reg.aggPath).queryExecution.analyzed
     def outCol(name: String): Option[Attribute] =

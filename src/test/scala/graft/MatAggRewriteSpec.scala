@@ -271,4 +271,78 @@ class MatAggRewriteSpec extends SparkSpec {
       scanPaths(df).exists(_.contains("base5")) shouldBe true
     } finally MatAggRewrite.disable(spark, base)
   }
+
+  test("fire matrix under filters is a PINNED contract: DISTINCT under a key " +
+    "filter stands down; avg at subset grain under a filter fires (r16 #5)") {
+    val base = graft.TempDirs.path("matagg-rewrite/base5")
+    val aggT = graft.TempDirs.path("matagg-rewrite/agg5")
+    Seq(("a", "x", 10L), ("a", "y", 2L), ("b", "x", 5L), ("b", "y", 3L))
+      .toDF("k1", "k2", "v").write.mode("overwrite").parquet(base)
+    MaterializedAgg.build(spark.read.parquet(base), Seq("k1", "k2"),
+      Seq("v"), aggT)
+    MatAggRewrite.enable(spark, base, aggT, Seq("k1", "k2"), Seq("v"))
+    try {
+      // DISTINCT under a key-only filter: the filter alone is
+      // subsumable, but partials cannot answer DISTINCT — REQUIRED to
+      // stand down to the base scan (and be right)
+      val d = spark.read.parquet(base).filter(col("k1") === "a")
+        .groupBy("k1").agg(countDistinct("v").as("dv"))
+      scanPaths(d).exists(_.contains("base5")) shouldBe true
+      scanPaths(d).exists(_.contains("agg5")) shouldBe false
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("a", 2L))
+      // avg at SUBSET grain under a key filter: REQUIRED to fire —
+      // guarded Σsum/Σcnt over the filtered partials, values exact
+      val a = spark.read.parquet(base).filter(col("k2") === "y")
+        .groupBy("k1").agg(avg("v").as("va")).orderBy("k1")
+      scanPaths(a).exists(_.contains("agg5")) shouldBe true
+      scanPaths(a).exists(_.contains("base5")) shouldBe false
+      a.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq shouldBe
+        Seq(("a", 2.0), ("b", 3.0))
+    } finally MatAggRewrite.disable(spark, base)
+  }
+
+  test("COW delete invalidates a fired min/max: stand down until resync, " +
+    "then fire with the post-delete answer (r16 stretch #7)") {
+    val id = java.util.UUID.randomUUID()
+    val base = graft.TempDirs.path(s"matagg-rewrite/cow-base-$id")
+    val aggT = graft.TempDirs.path(s"matagg-rewrite/cow-agg-$id")
+    def batch(rows: (String, Long)*) = rows.toDF("k", "v")
+    // batch -1 carries key a's GLOBAL MIN (1): the dangerous partial
+    batch(("a", 1L), ("b", 50L)).write.mode("overwrite")
+      .parquet(s"$base/batch_id=-1")
+    Snapshot.enable(spark, base)
+    Snapshot.stagedAppend(spark, base, 0L) {
+      batch(("a", 10L), ("b", 7L)).write.mode("overwrite")
+        .parquet(s"$base/batch_id=0")
+    }
+    MaterializedAgg.build(batch(("a", 1L), ("b", 50L)), Seq("k"), Seq("v"), aggT)
+    MaterializedAgg.appendBatch(batch(("a", 10L), ("b", 7L)), Seq("k"),
+      Seq("v"), aggT, 0L)
+    MatAggRewrite.enable(spark, base, aggT, Seq("k"), Seq("v"))
+    try {
+      def q = Snapshot.read(spark, base).groupBy("k")
+        .agg(min("v").as("vmin"), max("v").as("vmax")).orderBy("k")
+      // armed: fires with min(a)=1
+      scanPaths(q).exists(_.contains("cow-agg")) shouldBe true
+      q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("a", 1L), ("b", 7L))
+      // COW DELETE the row carrying the min: the fold rewrites base
+      // history into new batch ids, so the freshness gate MUST stand
+      // down — a fired rewrite would still serve the deleted min(a)=1
+      Snapshot.deleteWhere(spark, base, col("v") === 1L)
+      scanPaths(q).exists(_.contains("cow-agg")) shouldBe false
+      scanPaths(q).exists(_.contains("cow-base")) shouldBe true
+      q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("a", 10L), ("b", 7L))
+      // resync rebuilds partials for the fold ids; the gate re-arms
+      // and the fired answer is the POST-DELETE one
+      MaterializedAgg.resyncWithBase(spark, base, aggT, Seq("k"), Seq("v"))
+      Snapshot.liveBatches(spark, aggT).toSet shouldBe
+        Snapshot.liveBatches(spark, base).toSet
+      scanPaths(q).exists(_.contains("cow-agg")) shouldBe true
+      q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("a", 10L), ("b", 7L))
+    } finally MatAggRewrite.disable(spark, base)
+  }
 }

@@ -244,4 +244,19 @@ class PqSpec extends SparkSpec {
       .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
     pq shouldBe brute
   }
+
+  test("rerankShortlist floors at k past the sort fence (r16 advice): a huge " +
+    "k degrades to the documented full sort, never a require crash") {
+    import graft.operators.Pq
+    val thr =
+      org.apache.spark.sql.internal.SQLConf.get.topKSortFallbackThreshold
+    // normal regime: 10·k and corpus-fraction terms, capped under thr
+    Pq.rerankShortlist(1000L, 10) shouldBe 100
+    Pq.rerankShortlist(1000000L, 10) should be < thr
+    // k at/above the fence: result must still be >= k (topKReranked
+    // requires shortlist >= k; the plan degrades to a full sort, which
+    // is the documented tradeoff — not an exception)
+    Pq.rerankShortlist(1000000L, thr) should be >= thr
+    Pq.rerankShortlist(100L, thr + 5) shouldBe thr + 5
+  }
 }
