@@ -279,7 +279,49 @@ object BloomIndex {
         s"$path is not snapshot-enabled — readPoint resolves through manifest batches"))
     requireSupported(columnType(spark, path, m, column), column)
     val (keep, _) = candidateBatches(spark, path, column, value)
-    val cond = col(column) === lit(value)
+    readKeepOrEmpty(spark, path, m, keep, col(column) === lit(value))
+  }
+
+  /** COMPOSED pruned lookup — every metadata structure the storage
+    * layer maintains for the predicate, intersected BEFORE any file
+    * IO: `pointCol = value` consults the per-batch bloom sidecars,
+    * each `(rangeCol, lo, hi)` consults the manifest zone maps
+    * ([[Snapshot.rangeScreen]]), and only batches surviving EVERY
+    * screen are read. The screens run cheapest-first: zone maps are
+    * pure manifest lookups, so bloom sidecars load only for
+    * zone-surviving batches. On a Z-ordered governed layout
+    * ([[ZOrder.writeZOrderedGoverned]]) the zone envelopes are tight
+    * on BOTH curve dimensions at once, so a 2-D box plus a point id
+    * reads ≈ the one batch that can hold the row — the `rt9` query
+    * pins the physical dir count. A structure that cannot decide
+    * (stats-less batch, unrefreshed bloom) keeps its batch readable:
+    * conservative, never wrong, like each screen alone. */
+  def readPointRanges(spark: SparkSession, path: String, pointCol: String,
+                      value: Any,
+                      ranges: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
+    val m = Snapshot.latest(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path is not snapshot-enabled — composed reads resolve through " +
+          "manifest batches"))
+    requireSupported(columnType(spark, path, m, pointCol), pointCol)
+    var keep = m.batches
+    var cond = col(pointCol) === lit(value)
+    ranges.foreach { case (c, lo, hi) =>
+      val (_, cand, rc) = Snapshot.rangeScreen(spark, path, c, lo, hi)
+      val candSet = cand.toSet
+      keep = keep.filter(candSet)
+      cond = cond && rc
+    }
+    val keepBloom = keep.filter(b =>
+      loadBloom(spark, path, pointCol, b).forall(_.mightContain(value)))
+    readKeepOrEmpty(spark, path, m, keepBloom, cond)
+  }
+
+  /** Read `keep` batches under `cond`, or the schema-only empty frame
+    * (zero file IO) when every batch was pruned. */
+  private def readKeepOrEmpty(spark: SparkSession, path: String,
+      m: Snapshot.Manifest, keep: Seq[Long],
+      cond: org.apache.spark.sql.Column): DataFrame =
     if (keep.isEmpty) m.schemaJson match {
       case Some(j) => // schema-only empty frame: zero file IO
         spark.createDataFrame(
@@ -290,5 +332,4 @@ object BloomIndex {
         Snapshot.readBatches(spark, path, m).limit(0).filter(cond)
     }
     else Snapshot.readBatches(spark, path, m.copy(batches = keep)).filter(cond)
-  }
 }

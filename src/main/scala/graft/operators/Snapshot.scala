@@ -1188,9 +1188,28 @@ object Snapshot {
     * are used. */
   def readRange(spark: SparkSession, path: String, column: String,
                 lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    val (m, candidates, cond) = rangeScreen(spark, path, column, lo, hi)
+    if (candidates.isEmpty) m.schemaJson match {
+      case Some(j) => // schema-only empty frame: zero file IO
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), structOf(j))
+          .withColumn("batch_id", lit(null).cast("int")).filter(cond)
+      case None => readBatches(spark, path, m).limit(0).filter(cond)
+    }
+    else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
+  }
+
+  /** The metadata-only half of [[readRange]], reusable by readers that
+    * COMPOSE prunings ([[BloomIndex.readPointRanges]]: bloom point ×
+    * zone range): the manifest, the live batch ids whose stats may
+    * overlap [lo, hi] (stats-less batches conservatively survive), and
+    * the exact row predicate both agree on. No file IO. */
+  private[graft] def rangeScreen(spark: SparkSession, path: String,
+      column: String, lo: BigDecimal, hi: BigDecimal)
+      : (Manifest, Seq[Long], org.apache.spark.sql.Column) = {
     require(lo <= hi, s"empty range: $lo > $hi")
     val m = latest(spark, path).getOrElse(throw new IllegalStateException(
-      s"$path is not snapshot-enabled — readRange resolves through manifest stats"))
+      s"$path is not snapshot-enabled — range reads resolve through manifest stats"))
     // resolve the column's type from the MANIFEST schema when it is
     // there — planning the full table just to learn a dtype would touch
     // (and demand the existence of) every live batch dir, defeating the
@@ -1205,14 +1224,7 @@ object Snapshot {
       if (nlo > nhi) Seq.empty[Long] // inward-rounded empty: zero IO
       else m.batches.filter(b =>
         mayOverlap(m.stats.getOrElse(b, Map.empty), column, nlo, nhi))
-    if (candidates.isEmpty) m.schemaJson match {
-      case Some(j) => // schema-only empty frame: zero file IO
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), structOf(j))
-          .withColumn("batch_id", lit(null).cast("int")).filter(cond)
-      case None => readBatches(spark, path, m).limit(0).filter(cond)
-    }
-    else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
+    (m, candidates, cond)
   }
 
   /** Normalize [lo,hi] to the column's value domain so the ROW

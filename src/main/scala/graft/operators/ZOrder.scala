@@ -71,6 +71,69 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order `df` INTO a snapshot-GOVERNED layout: quantize +
+    * interleave as [[writeZOrdered]], but split the curve into
+    * `nBatches` Z-CONTIGUOUS batches committed under the manifest
+    * protocol, so the MANIFEST zone maps (not just file footers) carry
+    * tight per-batch envelopes on BOTH dimensions — batch-level data
+    * skipping a reader gets before touching any footer, and the layout
+    * [[BloomIndex.readPointRanges]] intersects with bloom sidecars.
+    *
+    * Protocol: an empty schema-seed batch (-1) bootstraps the
+    * manifest, every Z-bucket then commits through
+    * [[Snapshot.stagedAppend]] (zone stats ride each commit), and the
+    * statless seed is retired — EVERY live batch ends up stat-ful,
+    * unlike an enable-listed layout whose first batch is forever
+    * blind (the rt5 contrast). Build step: one persist of the keyed
+    * rows, one exact-quantile pass for the curve split points
+    * (driver state: nBatches−1 longs), one column-pruned write per
+    * bucket. Returns the live batch ids. */
+  def writeZOrderedGoverned(df: DataFrame, aCol: String, bCol: String,
+                            aLo: Double, aHi: Double, bLo: Double, bHi: Double,
+                            bits: Int, nBatches: Int, path: String,
+                            filesPerBatch: Int = 1,
+                            splitPoints: Option[Seq[Long]] = None): Seq[Long] = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = df.sparkSession
+    val z = interleave(
+      quantize(col(aCol), aLo, aHi, bits),
+      quantize(col(bCol), bLo, bHi, bits), bits)
+    val keyed = df.withColumn("_z", z)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // curve split points: caller-pinned (deterministic layouts —
+      // e.g. quadrant-aligned cuts for a fixture oracle), else exact
+      // quantiles so batches balance on the observed z distribution
+      val cuts = splitPoints.map(_.distinct.sorted).getOrElse(
+        keyed.stat.approxQuantile("_z",
+          (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
+          .map(_.toLong).distinct.sorted.toSeq)
+      def bucket(i: Int): DataFrame = {
+        val inLo = if (i == 0) lit(true) else col("_z") >= lit(cuts(i - 1))
+        val inHi = if (i == cuts.length) lit(true) else col("_z") < lit(cuts(i))
+        keyed.filter(inLo && inHi)
+          .repartitionByRange(filesPerBatch, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+      }
+      // schema-only seed bootstraps the manifest so every DATA batch
+      // can commit via stagedAppend and carry zone stats (repartition
+      // forces one empty part file whose FOOTER carries the schema —
+      // a 0-partition write would leave enable() nothing to sweep)
+      df.limit(0).repartition(1).write.mode("overwrite")
+        .parquet(s"$path/batch_id=-1")
+      Snapshot.enable(spark, path)
+      val n = cuts.length + 1
+      (0 until n).foreach { i =>
+        Snapshot.stagedAppend(spark, path, i.toLong) {
+          bucket(i).write.mode("overwrite").parquet(s"$path/batch_id=$i")
+        }
+      }
+      Snapshot.retainFrom(spark, path, 0L, includeBuild = true)
+      (0 until n).map(_.toLong)
+    } finally keyed.unpersist(blocking = false)
+  }
+
   /** Per-file [min,max] envelopes of two columns for a written layout,
     * computed in ONE job via `input_file_name` — the exact information
     * a stats-pruning reader uses, measured from the outside. */

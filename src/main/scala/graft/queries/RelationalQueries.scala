@@ -1732,6 +1732,52 @@ object RelationalQueries {
       Seq(a, b, c).toDF("probe", "n_rows", "n_dirs_read").orderBy("probe")
     }),
 
+    // RT9 — COMPOSED STORAGE PRUNING (r16 stretch #8): ONE governed
+    // table carrying all three metadata structures at once — a
+    // Z-ordered batch layout (ZOrder.writeZOrderedGoverned: every
+    // batch a Z-contiguous curve segment, so the MANIFEST zone maps
+    // are tight on BOTH dimensions), plus bloom sidecars on the
+    // high-cardinality id — read through
+    // BloomIndex.readPointRanges, which INTERSECTS the screens before
+    // any file IO. The 16-point grid makes each batch one spatial
+    // quadrant (curve cuts pinned at 4/8/12). Probe a: id + its own
+    // quadrant box → the single right batch. Probe b: same id, the
+    // NEIGHBOR quadrant's box → zone maps keep that quadrant, the
+    // bloom kills it → zero file IO (each structure pruning what the
+    // other can't). Probe c: absent id under the full box → blooms
+    // exclude everything. Probe d: y-BAND (the non-leading dimension a
+    // linear layout could never prune) × id → two zone survivors,
+    // bloom narrows to one. n_dirs_read comes off inputFiles:
+    // physical, not declarative.
+    "rt9_composed_pruning" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.{BloomIndex, ZOrder}
+      val path = graft.TempDirs.path(
+        s"snapshot/rt9-${java.util.UUID.randomUUID()}")
+      val pts = (0L until 16L).map(i =>
+        (i, 5.0 + 10.0 * (i % 4), 5.0 + 10.0 * (i / 4)))
+        .toDF("id", "x", "y")
+      ZOrder.writeZOrderedGoverned(pts, "x", "y", 0.0, 40.0, 0.0, 40.0,
+        bits = 2, nBatches = 4, path = path,
+        splitPoints = Some(Seq(4L, 8L, 12L)))
+      BloomIndex.refresh(s, path, "id")
+      def probe(tag: String, id: Long,
+                xLo: Double, xHi: Double, yLo: Double, yHi: Double) = {
+        val r = BloomIndex.readPointRanges(s, path, "id", id,
+          Seq(("x", BigDecimal(xLo), BigDecimal(xHi)),
+            ("y", BigDecimal(yLo), BigDecimal(yHi))))
+        val dirs = r.inputFiles
+          .map(f => f.split("batch_id=")(1).split("/")(0)).distinct.length
+        (tag, r.count(), dirs)
+      }
+      Seq(
+        probe("a", 5L, 0.0, 20.0, 0.0, 20.0),
+        probe("b", 5L, 20.0, 40.0, 0.0, 20.0),
+        probe("c", 999L, 0.0, 40.0, 0.0, 40.0),
+        probe("d", 10L, 0.0, 40.0, 20.0, 40.0))
+        .toDF("probe", "n_rows", "n_dirs_read").orderBy("probe")
+    }),
+
     // TQ1 — the TPC-H Q1 pricing-summary shape: the classic wide
     // aggregate every OLAP engine is judged on. One pushed-filter scan
     // → partial hash agg → 4-group final. All money sums are exact
@@ -2825,6 +2871,11 @@ object RelationalQueries {
     "rt8_bloom_point" ->
       """SELECT * FROM (VALUES
            ('a', CAST(1 AS BIGINT), 2), ('b', 0, 1), ('c', 0, 0))
+         t(probe, n_rows, n_dirs_read) ORDER BY probe""",
+    "rt9_composed_pruning" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(1 AS BIGINT), 1), ('b', 0, 0), ('c', 0, 0),
+           ('d', 1, 1))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
     "rt6_delete_range" ->
       """SELECT * FROM (VALUES

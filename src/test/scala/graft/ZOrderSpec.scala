@@ -138,4 +138,53 @@ class ZOrderSpec extends SparkSpec {
     zf should be <= lf + 1.0 / 32 + 1e-9
     zf should be < 0.5
   }
+
+  test("governed Z layout: every live batch carries MANIFEST zone stats " +
+    "tight on both dims; composed bloom×zone reads are never wrong (rt9)") {
+    import graft.operators.{BloomIndex, Snapshot}
+    val path = graft.TempDirs.path(
+      s"zorder/gov-${java.util.UUID.randomUUID()}")
+    val pts = (0L until 16L).map(i =>
+      (i, 5.0 + 10.0 * (i % 4), 5.0 + 10.0 * (i / 4))).toDF("id", "x", "y")
+    val ids = ZOrder.writeZOrderedGoverned(pts, "x", "y", 0.0, 40.0, 0.0, 40.0,
+      bits = 2, nBatches = 4, path = path,
+      splitPoints = Some(Seq(4L, 8L, 12L)))
+    ids shouldBe Seq(0L, 1L, 2L, 3L)
+    val m = Snapshot.latest(spark, path).get
+    // the schema-seed batch is retired; every LIVE batch is stat-ful
+    m.batches.toSet shouldBe Set(0L, 1L, 2L, 3L)
+    for (b <- m.batches) {
+      val st = m.stats.getOrElse(b, Map.empty)
+      withClue(s"batch $b stats: ") {
+        st.contains("x") shouldBe true
+        st.contains("y") shouldBe true
+      }
+    }
+    // zone screen prunes on the SECOND dimension (y): the thing a
+    // linear x-sorted layout can never do — a y-band survives only in
+    // the two top quadrants
+    Snapshot.readRange(spark, path, "y", BigDecimal(20), BigDecimal(40))
+      .inputFiles.map(_.split("batch_id=")(1).split("/")(0))
+      .distinct.sorted.toSeq shouldBe Seq("2", "3")
+    // composed read parity with the full scan, for present and absent
+    // ids, inside and outside their boxes — over-read allowed, wrong
+    // rows never
+    BloomIndex.refresh(spark, path, "id")
+    val full = Snapshot.read(spark, path)
+    for ((id, xLo, xHi, yLo, yHi) <- Seq(
+        (5L, 0.0, 20.0, 0.0, 20.0), (5L, 20.0, 40.0, 0.0, 20.0),
+        (10L, 0.0, 40.0, 20.0, 40.0), (999L, 0.0, 40.0, 0.0, 40.0),
+        (0L, 0.0, 40.0, 0.0, 40.0), (15L, 30.0, 40.0, 30.0, 40.0))) {
+      val got = BloomIndex.readPointRanges(spark, path, "id", id,
+          Seq(("x", BigDecimal(xLo), BigDecimal(xHi)),
+            ("y", BigDecimal(yLo), BigDecimal(yHi))))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = full.filter(col("id") === id && col("x").between(xLo, xHi)
+          && col("y").between(yLo, yHi))
+        .select("id").collect().map(_.getLong(0)).toSet
+      withClue(s"probe id=$id box=[$xLo,$xHi]x[$yLo,$yHi]: ") {
+        got shouldBe want
+      }
+    }
+  }
 }
