@@ -74,10 +74,18 @@ object Bench {
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     defs.foreach { case (gname, thunk) =>
       val jg = s"gauge-$gname"
+      // each group gets its OWN single-thread executor: an abandoned
+      // hung group keeps its private thread, never a worker of the
+      // shared pool — on the global fork-join EC a few hung groups
+      // would exhaust parallelism and later groups would burn their
+      // budgets without their thunk ever STARTING (review r17)
+      val es = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, s"bench-$jg"); t.setDaemon(true); t
+      })
       val fut = Future {
         sc.setJobGroup(jg, jg, interruptOnCancel = true)
         try thunk() finally sc.clearJobGroup()
-      }
+      }(ExecutionContext.fromExecutorService(es))
       try acc ++= Await.result(fut, budget)
       catch {
         case _: TimeoutException =>
@@ -94,7 +102,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] gauge group $gname FAILED: ${e.getMessage}")
           acc(s"gauge_${gname}_error") = -1.0
-      }
+      } finally es.shutdown() // thread dies with the thunk; never reused
     }
     acc.toMap
   }
@@ -331,8 +339,18 @@ object Bench {
     // via runGauges — a hung group costs its budget, records its own
     // error entry, and never loses the rest (r16 lost every gauge to
     // one shared Await; BENCH_r02 lost the whole run the same way).
-    val gauges = runGauges(sc,
-      graft.queries.ScaleWorkloads.gaugeDefs(spark, sfDir), GaugeBudget)
+    val gauges =
+      // gaugeDefs construction itself reads table schemas (GaugeCtx) —
+      // guard it too, or a missing embeddings table would throw in
+      // main AFTER every timed query ran and lose the round's whole
+      // JSON line (the BENCH_r02 failure shape; review r17)
+      try runGauges(sc,
+        graft.queries.ScaleWorkloads.gaugeDefs(spark, sfDir), GaugeBudget)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] gauge defs FAILED: ${e.getMessage}")
+          Map("gauge_error" -> -1.0)
+      }
     val gs = gauges.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ev = evidence.map { case (k, e) => "\"" + k + "\":" + e.json }

@@ -46,15 +46,17 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomIndex {
 
   /** Process-wide sidecar cache, keyed by (path, column, batch,
-    * SIDECAR MTIME). Batch directories are immutable WITHIN a manifest
-    * lineage, but the storage family's `build` lifecycle is a TABLE
-    * RESET that reuses batch -1 (and ingest retries overwrite
-    * `batch_id=N`) at the same path — a bloom from the previous life
-    * must never answer for the new one (it could wrongly EXCLUDE a
-    * batch that now holds the probed value: a missing row, not an
-    * over-read — r16 advice). The mtime in the key makes any rebuilt
-    * sidecar a cache miss; entries for retired batches or old lives
-    * are merely unused. Tests may [[clearCache]]. */
+    * CONTENT STAMP — the batch-dir fingerprint the sidecar was built
+    * against, or the sidecar mtime for pre-stamp sidecars). Batch
+    * directories are immutable WITHIN a manifest lineage, but the
+    * storage family's `build` lifecycle is a TABLE RESET that reuses
+    * batch -1 (and ingest retries overwrite `batch_id=N`) at the same
+    * path — a bloom from the previous life must never answer for the
+    * new one (it could wrongly EXCLUDE a batch that now holds the
+    * probed value: a missing row, not an over-read — r16 advice). The
+    * stamp in the key makes any rebuilt sidecar a cache miss; entries
+    * for retired batches or old lives are merely unused. Tests may
+    * [[clearCache]]. */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long, Long), BloomFilter]
 
@@ -94,15 +96,59 @@ object BloomIndex {
       .getModificationTime)
     catch { case _: java.io.FileNotFoundException => None }
 
-  /** A sidecar older than its batch directory is from a PREVIOUS LIFE
-    * of this path (`build` = table reset reuses batch -1; ingest
-    * retries overwrite `batch_id=N`): its bloom describes rows that
-    * are no longer there and could wrongly exclude the new content. */
-  private def sidecarStale(fs: FileSystem, path: String, column: String,
+  /** CONTENT fingerprint of a batch directory: order-independent hash
+    * over every data file's (name, length, mtime). This — not the
+    * directory mtime — is what staleness compares against: part-file
+    * names carry per-write UUIDs, so ANY rewrite of the batch changes
+    * the fingerprint even within one mtime tick, and on object stores
+    * whose "directory" statuses are synthetic the FILE statuses are
+    * still real (review r17). None when the directory is gone. */
+  private def dirFingerprint(fs: FileSystem, path: String, b: Long): Option[Long] =
+    try {
+      val h = fs.listStatus(new Path(s"$path/batch_id=$b"))
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .map(st => scala.util.hashing.MurmurHash3.productHash(
+          (st.getPath.getName, st.getLen, st.getModificationTime)).toLong)
+        .foldLeft(0L)(_ ^ _)
+      Some(h)
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def fpFile(f: Path): Path = new Path(f.getParent, f.getName + ".fp")
+
+  /** The fingerprint the sidecar was built against, recorded beside it
+    * ([[refresh]] captures it BEFORE scanning, so a batch overwritten
+    * mid-refresh reads as stale on the next lookup instead of being
+    * trusted forever). None: pre-fingerprint sidecar or unreadable. */
+  private def readFp(fs: FileSystem, f: Path): Option[Long] =
+    try {
+      val in = fs.open(fpFile(f))
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      s.trim.toLongOption
+    } catch { case _: java.io.IOException => None }
+
+  private def writeFp(fs: FileSystem, f: Path, fp: Long): Unit = {
+    val out = fs.create(fpFile(f), true)
+    try out.write(fp.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Is the sidecar trustworthy for the batch's CURRENT content?
+    * Fingerprint-stamped sidecars compare content fingerprints; a
+    * legacy sidecar without a stamp falls back to the mtime ordering
+    * (a sidecar older than its batch dir is from a previous life of
+    * the path — `build` = table reset reuses ids). A gone batch dir
+    * can't contradict its sidecar. */
+  private def sidecarFresh(fs: FileSystem, path: String, column: String,
                            b: Long): Boolean = {
-    val mt = sidecarMtime(fs, bloomFile(path, column, b))
-    mt.isEmpty ||
-      batchDirMtime(fs, path, b).exists(_ > mt.get)
+    val f = bloomFile(path, column, b)
+    val mt = sidecarMtime(fs, f)
+    if (mt.isEmpty) return false // no sidecar at all
+    readFp(fs, f) match {
+      case Some(stamped) => dirFingerprint(fs, path, b).forall(_ == stamped)
+      case None => !batchDirMtime(fs, path, b).exists(_ > mt.get)
+    }
   }
 
   /** Typed per-batch bloom aggregation: ONE distributed pass builds
@@ -182,14 +228,20 @@ object BloomIndex {
     val dir = new Path(s"$path/_bloomidx/$column")
     if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("batch_") && n.endsWith(".bloom")) {
-        val id = n.stripPrefix("batch_").stripSuffix(".bloom")
+      if (n.startsWith("batch_") &&
+          (n.endsWith(".bloom") || n.endsWith(".bloom.fp"))) {
+        val id = n.stripPrefix("batch_").stripSuffix(".fp").stripSuffix(".bloom")
         if (id.toLongOption.exists(b => !live.contains(b)))
           fs.delete(st.getPath, false)
       }
     }
-    val missing = m.batches.filter(b => sidecarStale(fs, path, column, b))
+    val missing = m.batches.filterNot(b => sidecarFresh(fs, path, column, b))
     if (missing.isEmpty) return 0
+    // fingerprints captured BEFORE the scan: if a batch is overwritten
+    // while the build jobs run, the published stamp describes the OLD
+    // listing and the next lookup reads the sidecar as stale instead
+    // of trusting a bloom of rows that no longer exist (review r17)
+    val fps = missing.map(b => b -> dirFingerprint(fs, path, b)).toMap
     import spark.implicits._
     val rows = Snapshot.readBatches(spark, path, m.copy(batches = missing))
       .select(col("batch_id").cast("long").as("_b"), col(column))
@@ -224,7 +276,9 @@ object BloomIndex {
         BloomFilter.create(1L, fpp).writeTo(bos)
         bos.toByteArray
       })
-      writeSidecar(fs, bloomFile(path, column, b), bytes)
+      val f = bloomFile(path, column, b)
+      writeSidecar(fs, f, bytes)
+      fps.getOrElse(b, None).foreach(fp => writeFp(fs, f, fp))
     }
     missing.size
   }
@@ -233,22 +287,22 @@ object BloomIndex {
                         b: Long): Option[BloomFilter] = {
     val fs = fsFor(spark, path)
     val f = bloomFile(path, column, b)
-    sidecarMtime(fs, f) match {
+    // REBUILD SAFETY (r16 advice, hardened r17): a sidecar whose
+    // content stamp mismatches the batch directory's CURRENT listing
+    // describes a previous life of this path — treat it as absent
+    // (conservative full read of the batch) until refresh rebuilds it.
+    // The stamp rides the cache key, so a stale cached bloom can never
+    // be consulted either. Cost: a listing + a tiny stamp read per
+    // batch per lookup instead of a pure cache hit — namenode-scale
+    // IO, the price of never silently dropping rows after a reset.
+    if (!sidecarFresh(fs, path, column, b)) None
+    else readFp(fs, f).orElse(sidecarMtime(fs, f)) match {
       case None => None
-      case Some(mt) =>
-        // REBUILD SAFETY (r16 advice): a sidecar older than its batch
-        // directory describes a previous life of this path — treat it
-        // as absent (conservative full read of the batch) until
-        // refresh rebuilds it. The mtime rides the cache key, so a
-        // stale cached bloom can never be consulted either. Cost: two
-        // metadata stats per batch per lookup instead of a pure cache
-        // hit — namenode-scale IO, the price of never silently
-        // dropping rows after a `build` reset.
-        if (batchDirMtime(fs, path, b).exists(_ > mt)) None
-        else cache.get((path, column, b, mt)).orElse {
+      case Some(token) =>
+        cache.get((path, column, b, token)).orElse {
           val in = fs.open(f)
           val bf = try BloomFilter.readFrom(in) finally in.close()
-          cache.putIfAbsent((path, column, b, mt), bf)
+          cache.putIfAbsent((path, column, b, token), bf)
           Some(bf)
         }
     }
@@ -307,7 +361,10 @@ object BloomIndex {
     var keep = m.batches
     var cond = col(pointCol) === lit(value)
     ranges.foreach { case (c, lo, hi) =>
-      val (_, cand, rc) = Snapshot.rangeScreen(spark, path, c, lo, hi)
+      // every screen resolves against the SAME manifest snapshot — a
+      // concurrent fold between screens must not empty the intersection
+      val (_, cand, rc) = Snapshot.rangeScreen(spark, path, c, lo, hi,
+        within = Some(m))
       val candSet = cand.toSet
       keep = keep.filter(candSet)
       cond = cond && rc

@@ -1205,11 +1205,17 @@ object Snapshot {
     * overlap [lo, hi] (stats-less batches conservatively survive), and
     * the exact row predicate both agree on. No file IO. */
   private[graft] def rangeScreen(spark: SparkSession, path: String,
-      column: String, lo: BigDecimal, hi: BigDecimal)
+      column: String, lo: BigDecimal, hi: BigDecimal,
+      within: Option[Manifest] = None)
       : (Manifest, Seq[Long], org.apache.spark.sql.Column) = {
     require(lo <= hi, s"empty range: $lo > $hi")
-    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
-      s"$path is not snapshot-enabled — range reads resolve through manifest stats"))
+    // `within`: composed readers pass the manifest they already
+    // resolved so every screen sees ONE snapshot — re-reading latest()
+    // per screen would let a concurrent fold publish between screens
+    // and empty the intersection (silent missing rows; review r17)
+    val m = within.orElse(latest(spark, path)).getOrElse(
+      throw new IllegalStateException(
+        s"$path is not snapshot-enabled — range reads resolve through manifest stats"))
     // resolve the column's type from the MANIFEST schema when it is
     // there — planning the full table just to learn a dtype would touch
     // (and demand the existence of) every live batch dir, defeating the

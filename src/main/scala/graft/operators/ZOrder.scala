@@ -116,6 +116,15 @@ object ZOrder {
           .sortWithinPartitions("_z")
           .drop("_z")
       }
+      // build = TABLE RESET (the storage family's convention, and the
+      // review-r17 fix): a previous life at this path would otherwise
+      // make enable() adopt the OLD manifest and stagedAppend NO-OP on
+      // every already-committed id — silently returning without
+      // writing a single new row. Pinned readers do not survive a
+      // rebuild, exactly as for SketchTable.build.
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       // schema-only seed bootstraps the manifest so every DATA batch
       // can commit via stagedAppend and carry zone stats (repartition
       // forces one empty part file whose FOOTER carries the schema —

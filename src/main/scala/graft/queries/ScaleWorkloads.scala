@@ -130,21 +130,40 @@ object ScaleWorkloads {
       out
     })
 
-  /** Shared lazy state across gauge groups: corpus handle, size, and
-    * the exact top-10 truth for query vec_id=0 — computed once by
-    * whichever group first needs it (a failed init re-attempts on the
-    * next access, Scala lazy-val semantics, so one flaky truth job
-    * can't poison every later group). */
+  /** Monitor-free memo: Scala lazy vals hold the INSTANCE monitor for
+    * the whole computation, so a gauge group hung mid-`exact` (then
+    * abandoned by its budget) would block every later group touching
+    * any shared field — serially burning their budgets and recreating
+    * exactly the one-straggler-wipes-the-record failure the per-group
+    * harness exists to prevent (review r17). A volatile slot races
+    * benignly instead: two groups may duplicate an idempotent job,
+    * nobody ever waits on a lock. */
+  private final class Memo[T](compute: () => T) {
+    @volatile private var v: Option[T] = None
+    def get: T = v match {
+      case Some(x) => x
+      case None => val r = compute(); v = Some(r); r
+    }
+  }
+
+  /** Shared state across gauge groups: corpus handle, size, and the
+    * exact top-10 truth for query vec_id=0 — computed by whichever
+    * group first needs it (a failed computation re-attempts on the
+    * next access; a hung one blocks only its own group). */
   private final class GaugeCtx(val s: SparkSession, val dir: String) {
     val embs: DataFrame = Tables(s, dir, "embeddings")
     def q: DataFrame =
       embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    lazy val n: Double = embs.count().toDouble
-    lazy val exact: Set[Long] =
-      gaugeIds(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10))
-    lazy val q0vec: Seq[Double] = embs.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toSeq
+    private val nMemo = new Memo[Double](() => embs.count().toDouble)
+    def n: Double = nMemo.get
+    private val exactMemo = new Memo[Set[Long]](() =>
+      gaugeIds(Ann.bruteForceTopK(embs, "vec_id", "embedding", q, "qv", 10)))
+    def exact: Set[Long] = exactMemo.get
+    private val q0Memo = new Memo[Seq[Double]](() =>
+      embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq)
+    def q0vec: Seq[Double] = q0Memo.get
   }
 
   private def gaugeIds(df: DataFrame): Set[Long] =

@@ -140,8 +140,10 @@ class BloomIndexSpec extends SparkSpec {
     BloomIndex.readPoint(spark, path, "id", 5L).count() shouldBe 0L
     // RESET the batch in place with DIFFERENT content (the `build` =
     // table-reset lifecycle reuses ids at the same path); the old
-    // sidecar survives on disk and the old bloom sits in the cache
-    Thread.sleep(10) // mtime resolution
+    // sidecar survives on disk and the old bloom sits in the cache.
+    // NO sleep: staleness is detected by the CONTENT fingerprint
+    // (per-write UUID part names), not mtime ordering, so even a
+    // same-tick rewrite reads as stale.
     Seq((5L, "new")).toDF("id", "k").write.mode("overwrite")
       .parquet(s"$path/batch_id=0")
     // NO clearCache, NO refresh: the stale sidecar must be detected
@@ -172,8 +174,8 @@ class BloomIndexSpec extends SparkSpec {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val side = fs.listStatus(
       new org.apache.hadoop.fs.Path(s"$path/_bloomidx/id"))
-      .map(_.getPath.getName).toSeq
-    side shouldBe Seq(s"batch_$fold.bloom")
+      .map(_.getPath.getName).toSet
+    side shouldBe Set(s"batch_$fold.bloom", s"batch_$fold.bloom.fp")
     // and the fold now prunes like any other batch
     val (_, pruned) = BloomIndex.candidateBatches(spark, path, "id", 9999L)
     pruned shouldBe Seq(fold)

@@ -186,5 +186,14 @@ class ZOrderSpec extends SparkSpec {
         got shouldBe want
       }
     }
+    // re-run on the SAME path is a table reset (review r17): the new
+    // dataset replaces the old one — stagedAppend must not silently
+    // no-op on the previously-committed ids
+    val pts2 = (100L until 104L).map(i =>
+      (i, 5.0 + 10.0 * (i % 2), 5.0 + 10.0 * ((i / 2) % 2))).toDF("id", "x", "y")
+    ZOrder.writeZOrderedGoverned(pts2, "x", "y", 0.0, 40.0, 0.0, 40.0,
+      bits = 2, nBatches = 2, path = path)
+    Snapshot.read(spark, path).select("id").collect().map(_.getLong(0)).toSet shouldBe
+      (100L until 104L).toSet
   }
 }
