@@ -630,6 +630,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // QC2 — CHAR-LM PERPLEXITY (CharLm scaladoc): the CCNet/KenLM
+    // quality signal as an engine-native operator — train a character
+    // trigram model over the corpus (one explode + one groupBy),
+    // score every document as 2^(−mean log₂ p̂) through two broadcast
+    // joins and one keyed agg. Per-window logprobs snap to an integer
+    // micro grid BEFORE the sum, so the aggregate is exact integer
+    // addition and DuckDB's identical formula lands on the same 4-dp
+    // perplexity (no float-order drift). Self-scoring the training
+    // corpus here keeps the query oracle-able; production trains on a
+    // reference corpus and scores candidates.
+    "qc2_charlm_perplexity" -> ((s, dir) => {
+      import graft.operators.CharLm
+      val docs = t(s, dir, "documents")
+      CharLm.perplexity(docs, "doc_id", "text", CharLm.train(docs, "text"))
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -2357,6 +2374,31 @@ object PipelineQueries {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
                 CAST(CASE WHEN doc_id <= 12 THEN 1 ELSE 0 END AS INTEGER) AS pred
          FROM range(1, 25) AS t(doc_id) ORDER BY doc_id""",
+    "qc2_charlm_perplexity" ->
+      """WITH w AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri,
+                  substr(text, CAST(i AS INTEGER), 2) AS big
+           FROM documents, UNNEST(range(1, greatest(length(text) - 1, 1))) AS u(i)
+           WHERE length(text) >= 3
+         ),
+         c3 AS (SELECT tri, count(*) AS n3 FROM w GROUP BY tri),
+         c2 AS (SELECT big, count(*) AS n2 FROM w GROUP BY big),
+         lp AS (
+           SELECT w.doc_id,
+                  CAST(round(log2((coalesce(c3.n3, 0) + 1) /
+                       CAST(coalesce(c2.n2, 0) + 256 AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS l
+           FROM w LEFT JOIN c3 USING (tri) LEFT JOIN c2 USING (big)
+         ),
+         agg AS (SELECT doc_id, count(*) AS n_windows, sum(l) AS s
+                 FROM lp GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(agg.n_windows, 0) AS n_windows,
+                CASE WHEN agg.n_windows > 0
+                     THEN round(pow(2.0, -(CAST(s AS DOUBLE) / (n_windows * 1000000.0))), 4)
+                END AS ppl
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     "vq1_quantize_int8" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(0.015748 AS DOUBLE), CAST(127 AS INTEGER),
