@@ -630,6 +630,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ST12 — STREAMING ANN SERVING (AnnServe scaladoc): the query side
+    // of the ingest family — a stream of query vectors answered per
+    // micro-batch against the STANDING IVF-PQ index through the
+    // already-benched batch search path, landing batch-keyed in the
+    // idempotent sink. Full probe + full-cover shortlist on the
+    // lossless fixture ⇒ every served answer is exact cosine, so the
+    // oracle re-derives the results (with their micro-batch ids) from
+    // the planted VALUES with window math — the ann13 oracle, plus the
+    // batch column straight off the sink's partition layout.
+    "st12_streaming_ann" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.operators.Ann
+        val embs = PlantedFixtures.pqVectors(s)
+        val idx = graft.TempDirs.path("ivfpq-index/st12")
+        Ann.buildIvfPqIndex(embs, "vec_id", "embedding",
+          PlantedFixtures.PqFixtureDim, nCells = 2, m = 2, kCodes = 4,
+          outPath = idx, iters = 2, lloydIters = 2)
+        val qvecs = embs.filter(col("vec_id").isin(0L, 5L, 8L))
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+        val out = graft.TempDirs.path("sink/st12")
+        val in = MemoryStream[(Long, Seq[Float])]
+        val q = graft.streaming.AnnServe.streamingAnnServe(
+          in.toDF().toDF("qid", "qv"), "qid", "qv", idx, "vec_id",
+          "embedding", k = 5, nProbe = 2, shortlist = 16)(
+          graft.streaming.Windows.idempotentParquetSink(out))
+        try {
+          in.addData((0L, qvecs(0L)), (5L, qvecs(5L)))
+          q.processAllAvailable()
+          in.addData((8L, qvecs(8L)))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(out)
+          .select(col("batch_id").cast("long").as("batch"), col("query_id"),
+            col("vec_id"), round(col("sim"), 4).as("sim"))
+          .orderBy("batch", "query_id", "vec_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }),
+
     // QC2 — CHAR-LM PERPLEXITY (CharLm scaladoc): the CCNet/KenLM
     // quality signal as an engine-native operator — train a character
     // trigram model over the corpus (one explode + one groupBy),
@@ -2374,6 +2418,36 @@ object PipelineQueries {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
                 CAST(CASE WHEN doc_id <= 12 THEN 1 ELSE 0 END AS INTEGER) AS pred
          FROM range(1, 25) AS t(doc_id) ORDER BY doc_id""",
+    "st12_streaming_ann" ->
+      """WITH d AS (SELECT * FROM (VALUES
+           (0, [1.0, 0.0, 5.0, 0.0]), (1, [1.0, 0.0, 0.0, 7.0]),
+           (2, [1.0, 0.0, 1.0, 1.0]), (3, [1.0, 0.0, 4.0, 3.0]),
+           (4, [0.0, 1.0, 5.0, 0.0]), (5, [0.0, 1.0, 0.0, 7.0]),
+           (6, [0.0, 1.0, 1.0, 1.0]), (7, [0.0, 1.0, 4.0, 3.0]),
+           (8, [3.0, 4.0, 5.0, 0.0]), (9, [3.0, 4.0, 0.0, 7.0]),
+           (10, [3.0, 4.0, 1.0, 1.0]), (11, [3.0, 4.0, 4.0, 3.0]),
+           (12, [2.0, 2.0, 5.0, 0.0]), (13, [2.0, 2.0, 0.0, 7.0]),
+           (14, [2.0, 2.0, 1.0, 1.0]), (15, [2.0, 2.0, 4.0, 3.0])
+         ) AS v(vec_id, embedding)),
+         q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      CASE WHEN vec_id = 8 THEN 1 ELSE 0 END AS batch
+               FROM d WHERE vec_id IN (0, 5, 8)),
+         scored AS (
+           SELECT q.batch, q.query_id, d.vec_id,
+                  list_sum(list_transform(list_zip(d.embedding, q.qv),
+                           x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform(d.embedding, v -> v * v))) *
+                   sqrt(list_sum(list_transform(q.qv, v -> v * v)))) AS sim_raw
+           FROM d CROSS JOIN q)
+         SELECT CAST(batch AS BIGINT) AS batch,
+                CAST(query_id AS BIGINT) AS query_id,
+                CAST(vec_id AS BIGINT) AS vec_id, round(sim_raw, 4) AS sim
+         FROM (SELECT batch, query_id, vec_id, sim_raw,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim_raw DESC, vec_id) AS rn
+               FROM scored)
+         WHERE rn <= 5
+         ORDER BY batch, query_id, vec_id""",
     "qc2_charlm_perplexity" ->
       """WITH w AS (
            SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri,

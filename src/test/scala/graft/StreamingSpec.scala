@@ -967,4 +967,54 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(out).count() shouldBe before
     } finally fm.unpersist()
   }
+
+  test("streaming ANN serving: every served micro-batch equals the direct " +
+    "batch-path search; a non-index path fails the START, not batch N") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Ann
+    import graft.queries.PlantedFixtures
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val embs = PlantedFixtures.pqVectors(spark)
+    val idx = graft.TempDirs.path(
+      s"ivfpq-index/annserve-${java.util.UUID.randomUUID()}")
+    Ann.buildIvfPqIndex(embs, "vec_id", "embedding",
+      PlantedFixtures.PqFixtureDim, nCells = 2, m = 2, kCodes = 4,
+      outPath = idx, iters = 2, lloydIters = 2)
+    val qvecs = embs.filter(col("vec_id").isin(0L, 5L, 8L))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val out = graft.TempDirs.path(
+      s"sink/annserve-${java.util.UUID.randomUUID()}")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.AnnServe.streamingAnnServe(
+      in.toDF().toDF("qid", "qv"), "qid", "qv", idx, "vec_id",
+      "embedding", k = 3, nProbe = 2, shortlist = 16)(
+      graft.streaming.Windows.idempotentParquetSink(out))
+    try {
+      in.addData((0L, qvecs(0L)), (5L, qvecs(5L)))
+      q.processAllAvailable()
+      in.addData((8L, qvecs(8L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.read.parquet(out)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    val direct = Ann.searchIvfPqIndexBatch(spark, idx, "vec_id", "embedding",
+        embs.filter(col("vec_id").isin(0L, 5L, 8L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", 3, nProbe = 2, shortlist = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    served shouldBe direct
+    // malformed index: the stream must refuse to START
+    intercept[Exception] { // params read/validated at START, not batch N
+      graft.streaming.AnnServe.streamingAnnServe(
+        in.toDF().toDF("qid", "qv"), "qid", "qv",
+        graft.TempDirs.path("not-an-index"), "vec_id", "embedding", 3)(
+        graft.streaming.Windows.idempotentParquetSink(out))
+    }
+  }
 }
