@@ -69,8 +69,7 @@ object Bench {
     * BenchGaugeSpec can prove a planted slow group loses only itself. */
   def runGauges(sc: org.apache.spark.SparkContext,
                 defs: Seq[(String, () => Map[String, Double])],
-                budget: FiniteDuration)
-               (implicit ec: ExecutionContext): Map[String, Double] = {
+                budget: FiniteDuration): Map[String, Double] = {
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     defs.foreach { case (gname, thunk) =>
       val jg = s"gauge-$gname"

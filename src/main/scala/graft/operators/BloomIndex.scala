@@ -134,20 +134,28 @@ object BloomIndex {
     finally out.close()
   }
 
-  /** Is the sidecar trustworthy for the batch's CURRENT content?
-    * Fingerprint-stamped sidecars compare content fingerprints; a
-    * legacy sidecar without a stamp falls back to the mtime ordering
-    * (a sidecar older than its batch dir is from a previous life of
-    * the path — `build` = table reset reuses ids). A gone batch dir
-    * can't contradict its sidecar. */
-  private def sidecarFresh(fs: FileSystem, path: String, column: String,
-                           b: Long): Boolean = {
+  /** Is the sidecar trustworthy for the batch's CURRENT content — and
+    * if so, under which CACHE TOKEN? Fingerprint-stamped sidecars
+    * compare content fingerprints (token = the stamp); a legacy
+    * sidecar without a stamp falls back to the mtime ordering (token =
+    * its mtime; a sidecar older than its batch dir is from a previous
+    * life of the path — `build` = table reset reuses ids). A gone
+    * batch dir can't contradict its sidecar. None = absent or stale.
+    * One combined check: callers get freshness AND the token from a
+    * single metadata pass instead of re-reading the stamp (review
+    * r17 — the per-lookup IO is the feature's cost, pay it once). */
+  private def sidecarToken(fs: FileSystem, path: String, column: String,
+                           b: Long): Option[Long] = {
     val f = bloomFile(path, column, b)
     val mt = sidecarMtime(fs, f)
-    if (mt.isEmpty) return false // no sidecar at all
+    if (mt.isEmpty) return None // no sidecar at all
     readFp(fs, f) match {
-      case Some(stamped) => dirFingerprint(fs, path, b).forall(_ == stamped)
-      case None => !batchDirMtime(fs, path, b).exists(_ > mt.get)
+      case Some(stamped) =>
+        if (dirFingerprint(fs, path, b).forall(_ == stamped)) Some(stamped)
+        else None
+      case None =>
+        if (batchDirMtime(fs, path, b).exists(_ > mt.get)) None
+        else Some(mt.get)
     }
   }
 
@@ -235,7 +243,7 @@ object BloomIndex {
           fs.delete(st.getPath, false)
       }
     }
-    val missing = m.batches.filterNot(b => sidecarFresh(fs, path, column, b))
+    val missing = m.batches.filter(b => sidecarToken(fs, path, column, b).isEmpty)
     if (missing.isEmpty) return 0
     // fingerprints captured BEFORE the scan: if a batch is overwritten
     // while the build jobs run, the published stamp describes the OLD
@@ -295,15 +303,20 @@ object BloomIndex {
     // be consulted either. Cost: a listing + a tiny stamp read per
     // batch per lookup instead of a pure cache hit — namenode-scale
     // IO, the price of never silently dropping rows after a reset.
-    if (!sidecarFresh(fs, path, column, b)) None
-    else readFp(fs, f).orElse(sidecarMtime(fs, f)) match {
+    sidecarToken(fs, path, column, b) match {
       case None => None
       case Some(token) =>
         cache.get((path, column, b, token)).orElse {
-          val in = fs.open(f)
-          val bf = try BloomFilter.readFrom(in) finally in.close()
-          cache.putIfAbsent((path, column, b, token), bf)
-          Some(bf)
+          // a concurrent refresh republishing this sidecar can race
+          // the open into writeSidecar's delete→rename window: the
+          // contract everywhere in this file is "cannot decide → read
+          // the batch conservatively", never a query failure
+          try {
+            val in = fs.open(f)
+            val bf = try BloomFilter.readFrom(in) finally in.close()
+            cache.putIfAbsent((path, column, b, token), bf)
+            Some(bf)
+          } catch { case _: java.io.IOException => None }
         }
     }
   }
@@ -312,9 +325,14 @@ object BloomIndex {
     * pins: (batches to read, batches the blooms excluded). No-bloom
     * batches land on the read side. */
   private[graft] def candidateBatches(spark: SparkSession, path: String,
-                                      column: String,
-                                      value: Any): (Seq[Long], Seq[Long]) = {
-    val m = Snapshot.latest(spark, path).getOrElse(
+                                      column: String, value: Any,
+                                      within: Option[Snapshot.Manifest] = None)
+      : (Seq[Long], Seq[Long]) = {
+    // `within`: readers that already resolved a manifest pass it so
+    // the batch decision and the read use ONE snapshot — a concurrent
+    // reset/fold between two latest() calls would otherwise mix
+    // schemas/batch sets (the readPointRanges race, same fix)
+    val m = within.orElse(Snapshot.latest(spark, path)).getOrElse(
       throw new IllegalStateException(s"$path is not snapshot-enabled"))
     m.batches.partition { b =>
       loadBloom(spark, path, column, b).forall(_.mightContain(value))
@@ -332,7 +350,7 @@ object BloomIndex {
       throw new IllegalStateException(
         s"$path is not snapshot-enabled — readPoint resolves through manifest batches"))
     requireSupported(columnType(spark, path, m, column), column)
-    val (keep, _) = candidateBatches(spark, path, column, value)
+    val (keep, _) = candidateBatches(spark, path, column, value, Some(m))
     readKeepOrEmpty(spark, path, m, keep, col(column) === lit(value))
   }
 

@@ -116,29 +116,50 @@ object ZOrder {
           .sortWithinPartitions("_z")
           .drop("_z")
       }
-      // build = TABLE RESET (the storage family's convention, and the
-      // review-r17 fix): a previous life at this path would otherwise
-      // make enable() adopt the OLD manifest and stagedAppend NO-OP on
-      // every already-committed id — silently returning without
-      // writing a single new row. Pinned readers do not survive a
-      // rebuild, exactly as for SketchTable.build.
+      val n = cuts.length + 1
+      // STAGE FIRST (review r17): the source may BE this path (an
+      // in-place re-layout), so every bucket is FULLY WRITTEN to a
+      // sibling staging dir before anything is deleted — the reset can
+      // never destroy rows it has not yet copied (and a persisted-
+      // block loss can never recompute from deleted files). A crash
+      // before the flip leaves the original table untouched plus a
+      // sweepable stage dir.
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      // schema-only seed bootstraps the manifest so every DATA batch
-      // can commit via stagedAppend and carry zone stats (repartition
-      // forces one empty part file whose FOOTER carries the schema —
-      // a 0-partition write would leave enable() nothing to sweep)
-      df.limit(0).repartition(1).write.mode("overwrite")
-        .parquet(s"$path/batch_id=-1")
-      Snapshot.enable(spark, path)
-      val n = cuts.length + 1
-      (0 until n).foreach { i =>
-        Snapshot.stagedAppend(spark, path, i.toLong) {
-          bucket(i).write.mode("overwrite").parquet(s"$path/batch_id=$i")
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$path.__zstage-${java.util.UUID.randomUUID()}")
+      try {
+        (0 until n).foreach(i =>
+          bucket(i).write.mode("overwrite").parquet(s"$stage/batch_id=$i"))
+        val schema = df.schema // captured before the reset
+        // build = TABLE RESET (the storage family's convention): a
+        // previous life at this path would otherwise make enable()
+        // adopt the OLD manifest and stagedAppend NO-OP on every
+        // already-committed id — silently serving the old dataset.
+        // Pinned readers do not survive a rebuild (SketchTable.build).
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        // schema-only seed bootstraps the manifest so every DATA batch
+        // can commit via stagedAppend and carry zone stats
+        // (repartition forces one empty part file whose FOOTER
+        // carries the schema — a 0-partition write would leave
+        // enable() nothing to sweep)
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$path/batch_id=-1")
+        Snapshot.enable(spark, path)
+        (0 until n).foreach { i =>
+          Snapshot.stagedAppend(spark, path, i.toLong) {
+            // the staged bucket MOVES into place — zone stats compute
+            // from the renamed dir inside the commit; the data is read
+            // zero times after the reset
+            require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/batch_id=$i"),
+              new org.apache.hadoop.fs.Path(s"$path/batch_id=$i")),
+              s"stage flip failed for batch $i under $path")
+          }
         }
-      }
-      Snapshot.retainFrom(spark, path, 0L, includeBuild = true)
+        Snapshot.retainFrom(spark, path, 0L, includeBuild = true)
+      } finally fs.delete(stage, true)
       (0 until n).map(_.toLong)
     } finally keyed.unpersist(blocking = false)
   }

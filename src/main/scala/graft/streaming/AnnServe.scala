@@ -33,6 +33,15 @@ object AnnServe {
                        (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = queries.sparkSession
+    // EVERY start-knowable precondition validates here — the fail-at-
+    // start contract covers the search params too, not just the index
+    // record: a shortlist below k (or a non-positive k/nProbe, which
+    // would serve empty results while the stream reports healthy) must
+    // never surface as the Nth micro-batch dying mid-run (review r17)
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    require(shortlist == 0 || shortlist >= k,
+      s"shortlist $shortlist smaller than k=$k")
     val params = graft.operators.Dedup.readIndexParams(spark, indexPath)
     require(params.contains("pq_m") && params.contains("n_cells"),
       s"params/ under $indexPath is not an IVF-PQ index record")

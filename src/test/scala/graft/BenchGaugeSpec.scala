@@ -1,6 +1,5 @@
 package graft
 
-import scala.concurrent.ExecutionContext
 import scala.concurrent.duration._
 
 /** The gauge-harness contract (VERDICT r16 #1): gauge groups are
@@ -11,8 +10,6 @@ import scala.concurrent.duration._
   * that failure mode cannot come back silently.
   */
 class BenchGaugeSpec extends SparkSpec {
-  private implicit val ec: ExecutionContext = ExecutionContext.global
-
   test("a planted slow gauge group times out alone; every other group's " +
     "entries survive") {
     val defs: Seq[(String, () => Map[String, Double])] = Seq(

@@ -195,5 +195,19 @@ class ZOrderSpec extends SparkSpec {
       bits = 2, nBatches = 2, path = path)
     Snapshot.read(spark, path).select("id").collect().map(_.getLong(0)).toSet shouldBe
       (100L until 104L).toSet
+    // IN-PLACE re-layout: the source IS the table being rewritten —
+    // buckets must stage fully before the reset deletes anything
+    // (review r17: the pre-fix order destroyed the source mid-write)
+    ZOrder.writeZOrderedGoverned(Snapshot.read(spark, path), "x", "y",
+      0.0, 40.0, 0.0, 40.0, bits = 2, nBatches = 2, path = path,
+      splitPoints = Some(Seq(2L)))
+    Snapshot.read(spark, path).select("id").collect().map(_.getLong(0)).toSet shouldBe
+      (100L until 104L).toSet
+    // and no staging debris survives
+    val fs2 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    fs2.listStatus(parent).map(_.getPath.getName)
+      .count(_.contains("__zstage")) shouldBe 0
   }
 }
