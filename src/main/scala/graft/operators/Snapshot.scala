@@ -1199,6 +1199,44 @@ object Snapshot {
     else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
   }
 
+  /** Backfill ZONE-MAP stats for STAT-LESS live batches — the
+    * enable-listed first batch (the rt5 contrast's forever-blind
+    * batch 0) and any pre-stats lineage: one tiny min/max aggregate
+    * per blind batch, all published as ONE manifest edit; stat-ful
+    * batches are untouched (their entries carry forward verbatim).
+    * Afterwards every live batch prunes under [[readRange]] /
+    * [[deleteRange]] / merge exactly like a protocol-committed one.
+    * Rebases over concurrent appends/retirements like any protocol
+    * writer (computed stats are reused across retries — only the
+    * publish re-attempts). Returns the ids whose stats were
+    * published; an unstatable blind batch (all-null/empty) simply
+    * stays conservative. */
+  def backfillStats(spark: SparkSession, path: String,
+                    maxAttempts: Int = 5): Seq[Long] = {
+    val computed =
+      scala.collection.mutable.Map.empty[Long, Map[String, (String, String)]]
+    var attempt = 0
+    while (true) {
+      val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+        s"$path is not snapshot-enabled — zone stats live in the manifest"))
+      val blind = m.batches.filterNot(b => m.stats.get(b).exists(_.nonEmpty))
+      blind.filterNot(computed.contains)
+        .foreach(b => computed(b) = computeBatchStats(spark, path, b))
+      val publishable = blind.map(b => b -> computed(b))
+        .filter(_._2.nonEmpty).toMap
+      if (publishable.isEmpty) return Seq.empty
+      try {
+        publishAt(spark, path, Some(m), m.batches, None, publishable)
+        return publishable.keys.toSeq.sorted
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The metadata-only half of [[readRange]], reusable by readers that
     * COMPOSE prunings ([[BloomIndex.readPointRanges]]: bloom point ×
     * zone range): the manifest, the live batch ids whose stats may

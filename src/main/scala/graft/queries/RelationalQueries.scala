@@ -1657,12 +1657,15 @@ object RelationalQueries {
     // RT5 — ZONE-MAP DATA SKIPPING (Snapshot scaladoc): appends carry
     // per-batch min/max stats in the manifest; range reads prune
     // non-overlapping batches BEFORE any file IO. Batch 0 predates
-    // stats (enable-listed) so it is never prunable — probe a (its
+    // stats (enable-listed) so it starts blind — probe a (its
     // range empty there) still reads it plus the matching batch 1;
     // probe b overlaps nothing stat-ful and collapses to the one
     // blind batch; probe c's rows live in the blind batch itself and
-    // both stat-ful batches prune away. n_dirs_read comes off the
-    // actual inputFiles, so the pin is physical, not declarative.
+    // both stat-ful batches prune away. Then backfillStats publishes
+    // the blind batch's stats (one pass, one manifest edit) and the
+    // d/e re-probes show it pruning like any committed batch.
+    // n_dirs_read comes off the actual inputFiles, so the pin is
+    // physical, not declarative.
     "rt5_data_skipping" -> ((s, _) => {
       import s.implicits._
       import graft.operators.Snapshot
@@ -1684,8 +1687,15 @@ object RelationalQueries {
           .map(f => f.split("batch_id=")(1).split("/")(0)).distinct.length
         (tag, r.count(), dirs)
       }
-      Seq(probe("a", 1L, 10L), probe("b", 500L, 800L),
+      val abc = Seq(probe("a", 1L, 10L), probe("b", 500L, 800L),
         probe("c", 90L, 250L))
+      // BACKFILL (r17): one min/max pass over the blind enable-listed
+      // batch publishes its stats in one manifest edit — probe d
+      // re-runs a's range with batch 0 now PRUNED, and probe e's
+      // no-overlap range collapses to zero file IO (was: one blind
+      // dir read, probe b)
+      Snapshot.backfillStats(s, path)
+      (abc ++ Seq(probe("d", 1L, 10L), probe("e", 500L, 800L)))
         .toDF("probe", "n_rows", "n_dirs_read")
         .orderBy("probe")
     }),
@@ -2866,7 +2876,8 @@ object RelationalQueries {
          ORDER BY k""",
     "rt5_data_skipping" ->
       """SELECT * FROM (VALUES
-           ('a', CAST(2 AS BIGINT), 2), ('b', 0, 1), ('c', 2, 1))
+           ('a', CAST(2 AS BIGINT), 2), ('b', 0, 1), ('c', 2, 1),
+           ('d', 2, 1), ('e', 0, 0))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
     "rt8_bloom_point" ->
       """SELECT * FROM (VALUES

@@ -951,4 +951,33 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.commitEdit(spark, root, stale2, remove = Seq(2L),
       tolerateConcurrentRemoves = true).get.removed shouldBe Seq(2L)
   }
+
+  test("backfillStats: blind enable-listed batches gain zone stats in one " +
+    "manifest edit; idempotent; unstatable batches stay conservative") {
+    import spark.implicits._
+    val path = graft.TempDirs.path(
+      s"snapshot/backfill-${java.util.UUID.randomUUID()}")
+    Seq((100L, "x"), (200L, "y")).toDF("n", "k")
+      .write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // batch 0: enable-listed, stat-blind
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq((1L, "a")).toDF("n", "k").write.mode("overwrite")
+        .parquet(s"$path/batch_id=1")
+    }
+    Snapshot.latest(spark, path).get.stats.get(0L) shouldBe None
+    val v0 = Snapshot.latestVersion(spark, path).get
+    Snapshot.backfillStats(spark, path) shouldBe Seq(0L)
+    // exactly one publish; batch 1's protocol stats carried verbatim
+    Snapshot.latestVersion(spark, path).get shouldBe v0 + 1
+    val st = Snapshot.latest(spark, path).get.stats
+    st(0L)("n") shouldBe ("100", "200")
+    st(1L)("n") shouldBe ("1", "1")
+    // the formerly-blind batch now PRUNES
+    Snapshot.readRange(spark, path, "n", BigDecimal(1), BigDecimal(10))
+      .inputFiles.map(_.split("batch_id=")(1).split("/")(0))
+      .distinct.toSeq shouldBe Seq("1")
+    // idempotent: nothing blind left → no publish
+    Snapshot.backfillStats(spark, path) shouldBe Seq.empty
+    Snapshot.latestVersion(spark, path).get shouldBe v0 + 1
+  }
 }
