@@ -1237,6 +1237,37 @@ object Snapshot {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Multi-range zone-map read — the N-dimensional [[readRange]]: every
+    * `(column, lo, hi)` screen resolves against ONE manifest snapshot
+    * and the batch sets intersect before any file IO, with every row
+    * predicate applied to the survivors. On a Z-ordered governed
+    * layout ([[ZOrder.writeZOrderedGoverned]]) a 2-D box therefore
+    * reads ≈ the batches whose curve segment crosses the box — the
+    * pure-zone half of [[BloomIndex.readPointRanges]], for queries
+    * with no point predicate to bloom on. */
+  def readRanges(spark: SparkSession, path: String,
+                 ranges: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
+    require(ranges.nonEmpty, "readRanges needs at least one range")
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — readRanges resolves through manifest stats"))
+    var keep = m.batches
+    var cond: Option[org.apache.spark.sql.Column] = None
+    ranges.foreach { case (c, lo, hi) =>
+      val (_, cand, rc) = rangeScreen(spark, path, c, lo, hi, within = Some(m))
+      val candSet = cand.toSet
+      keep = keep.filter(candSet)
+      cond = Some(cond.map(_ && rc).getOrElse(rc))
+    }
+    if (keep.isEmpty) m.schemaJson match {
+      case Some(j) => // schema-only empty frame: zero file IO
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), structOf(j))
+          .withColumn("batch_id", lit(null).cast("int")).filter(cond.get)
+      case None => readBatches(spark, path, m).limit(0).filter(cond.get)
+    }
+    else readBatches(spark, path, m.copy(batches = keep)).filter(cond.get)
+  }
+
   /** The metadata-only half of [[readRange]], reusable by readers that
     * COMPOSE prunings ([[BloomIndex.readPointRanges]]: bloom point ×
     * zone range): the manifest, the live batch ids whose stats may

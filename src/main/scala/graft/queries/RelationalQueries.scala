@@ -1780,11 +1780,23 @@ object RelationalQueries {
           .map(f => f.split("batch_id=")(1).split("/")(0)).distinct.length
         (tag, r.count(), dirs)
       }
+      // probe e: the pure 2-D BOX (no point id to bloom on) through
+      // Snapshot.readRanges — both zone screens intersect to the one
+      // quadrant batch, all 4 of its rows come back from 1 dir
+      val e = {
+        val r = graft.operators.Snapshot.readRanges(s, path,
+          Seq(("x", BigDecimal(20.0), BigDecimal(40.0)),
+            ("y", BigDecimal(20.0), BigDecimal(40.0))))
+        val dirs = r.inputFiles
+          .map(f => f.split("batch_id=")(1).split("/")(0)).distinct.length
+        ("e", r.count(), dirs)
+      }
       Seq(
         probe("a", 5L, 0.0, 20.0, 0.0, 20.0),
         probe("b", 5L, 20.0, 40.0, 0.0, 20.0),
         probe("c", 999L, 0.0, 40.0, 0.0, 40.0),
-        probe("d", 10L, 0.0, 40.0, 20.0, 40.0))
+        probe("d", 10L, 0.0, 40.0, 20.0, 40.0),
+        e)
         .toDF("probe", "n_rows", "n_dirs_read").orderBy("probe")
     }),
 
@@ -2886,7 +2898,7 @@ object RelationalQueries {
     "rt9_composed_pruning" ->
       """SELECT * FROM (VALUES
            ('a', CAST(1 AS BIGINT), 1), ('b', 0, 0), ('c', 0, 0),
-           ('d', 1, 1))
+           ('d', 1, 1), ('e', 4, 1))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
     "rt6_delete_range" ->
       """SELECT * FROM (VALUES
