@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analytics: how far along a prescribed step sequence
+  * (view → click → purchase, …) each entity progressed, by event time.
+  * The sequence-matching operator class the windowed/sessionized
+  * family (st1-st3, a16/a17 retention) doesn't cover: a stage counts
+  * only when every EARLIER stage already matched at an earlier-or-equal
+  * event time.
+  *
+  * Semantics — GREEDY EARLIEST MATCH, the classical funnel definition:
+  * stage i matches at the minimum event time ≥ stage i−1's match time
+  * (ties allowed: a click stamped the same instant as the qualifying
+  * view counts). Greedy earliest is optimal for subsequence matching,
+  * so this equals "does any monotone assignment of events to stages
+  * exist" — and it is exactly the min-cascade a SQL engine writes
+  * (stage i = MIN(ts) WHERE step=sᵢ AND ts ≥ stage_{i−1}.ts), which is
+  * what the fn1 DuckDB oracle recomputes.
+  *
+  * Shape at scale: filter to funnel steps at the scan (everything else
+  * dies before the exchange), ONE shuffle on the entity key, then a
+  * per-entity executor-side walk — collect the entity's step events as
+  * a sorted array and fold it with the higher-order `aggregate`, no
+  * UDF, no driver state, no second exchange ([[funnelCounts]] adds one
+  * global single-row agg). Per-entity state is its FUNNEL-STEP event
+  * count — same boundedness contract as session windows (a pathological
+  * entity with millions of funnel events concentrates on one task; the
+  * funnel-step pre-filter is what keeps normal entities small).
+  *
+  * Equal-timestamp determinism: events sort by (ts, funnel position),
+  * so at a tied instant earlier stages match first — the order that
+  * makes same-instant progression count, matching the ≥ min-cascade.
+  */
+object Funnel {
+
+  /** Per-entity furthest stage reached: (entity, reached) with
+    * reached ∈ 1..steps.size — entities with no stage-1 match carry
+    * reached = 0 and are included only if they had SOME funnel-step
+    * event (entities with none are absent; both count as zero
+    * downstream). */
+  def stageReach(events: DataFrame, entityCol: String, tsCol: String,
+                 stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val stepsArr = array(steps.map(lit): _*)
+    val n = steps.size
+    events
+      .filter(col(stepCol).isin(steps: _*))
+      .select(col(entityCol).as("entity"),
+        struct(col(tsCol).as("ts"),
+          array_position(stepsArr, col(stepCol)).as("pos")).as("ev"))
+      .groupBy(col("entity"))
+      .agg(array_sort(collect_list(col("ev"))).as("evs"))
+      .select(col("entity"),
+        aggregate(col("evs"), lit(0L),
+          (reached, e) =>
+            when(reached < n && e.getField("pos") === reached + 1,
+              reached + 1).otherwise(reached)).as("reached"))
+  }
+
+  /** The funnel report: one row per stage — (stage, step, n_entities
+    * that reached it). Monotone non-increasing down the stages by
+    * construction. One single-row global agg over [[stageReach]], then
+    * a literal unpivot (no extra shuffle beyond the entity exchange). */
+  def funnelCounts(events: DataFrame, entityCol: String, tsCol: String,
+                   stepCol: String, steps: Seq[String]): DataFrame = {
+    val reach = stageReach(events, entityCol, tsCol, stepCol, steps)
+    val perStage = steps.indices.map(i =>
+      coalesce(sum(when(col("reached") >= i + 1, 1L)), lit(0L)).as(s"_n$i"))
+    reach.agg(perStage.head, perStage.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("stage"), lit(st).as("step"),
+          col(s"_n$i").as("n_entities"))
+      }: _*)).as("s"))
+      .select(col("s.stage").as("stage"), col("s.step").as("step"),
+        col("s.n_entities").as("n_entities"))
+  }
+}

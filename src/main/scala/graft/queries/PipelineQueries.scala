@@ -674,6 +674,45 @@ object PipelineQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }),
 
+    // ST13 — STREAMING DEDUP → AGG, engine-end-to-end like st4/st6:
+    // the events table arrives as a real file-source stream,
+    // dropDuplicates keeps the FIRST (user_id, event_type) arrival
+    // through the dedup state store, and the downstream complete-mode
+    // count per event_type must hash-match the batch COUNT(DISTINCT
+    // user_id) oracle. The new posture this pins is two stateful
+    // operators CHAINED in one streaming query — dedup state feeding
+    // agg state across micro-batches; the in-stream CONTENT dedup
+    // (watermark-bounded state, eviction, late re-emit) is
+    // Windows.streamingDedup, pinned in StreamingSpec where micro-batch
+    // boundaries are controlled. Whole-history dropDuplicates here
+    // because the parity oracle is whole-history (state ∝ distinct
+    // keys — the bounded-replay posture; unbounded streams take the
+    // watermarked variant).
+    "st13_streaming_dedup" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val qn = "graft_st13_sink"
+      s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+      val streamDir = {
+        import java.nio.file.{Files, Paths}
+        val d = Paths.get(
+          graft.TempDirs.path(s"st13-src/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"))
+        Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+        d.toString
+      }
+      val stream = graft.Tables.normalizeTs(
+        s.readStream.schema(raw.schema).parquet(streamDir))
+      val counts = stream.dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("dedup_users"))
+      val q = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy("event_type")
+    }),
+
     // QC2 — CHAR-LM PERPLEXITY (CharLm scaladoc): the CCNet/KenLM
     // quality signal as an engine-native operator — train a character
     // trigram model over the corpus (one explode + one groupBy),
@@ -1167,6 +1206,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TX11 — HTML MAIN-CONTENT EXTRACTION (HtmlExtract scaladoc): the
+    // WARC→WET stage upstream of the whole tx family — strip
+    // script/style/comments, split block tags to lines, keep lines by
+    // the jusText-style density gates (≥20 rendered chars, ≤0.5 link
+    // density). Pure native regexp + higher-order expressions: one
+    // codegen'd map inside the scan, no UDF/shuffle/driver state. The
+    // planted fixture's expected text is derivable by reading the
+    // markup (PlantedFixtures.htmlDocs scaladoc: script-with-bare-`<`,
+    // title/nav/footer chrome, entity decode, comment leak, link farm,
+    // plain-text passthrough).
+    "tx11_html_extract" -> ((s, _) => {
+      import graft.operators.HtmlExtract
+      PlantedFixtures.htmlDocs(s)
+        .select(col("doc_id"),
+          HtmlExtract.extractText(col("html")).as("text"),
+          size(HtmlExtract.contentLines(col("html"))).as("n_lines"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling-hash document fingerprint — order-SENSITIVITY pinned on
     // the planted corpus: docs 4/5 are byte-identical (equal rolling
     // hash), doc 8 is a token PERMUTATION of doc 4 (different rolling
@@ -1445,7 +1503,11 @@ object PipelineQueries {
     // risk: every constituent is individually benched at sf scale
     // (sx14/sx15 probes, sx13 star CC, sx16 compaction), and a future
     // st5 wall-clock move can be read off the gauge pair as execution
-    // (regression) or engine floor (not one). Knobs measured and
+    // (regression) or engine floor (not one). r17 re-measure: 160
+    // jobs, in-job time ~2× the driver gap — the floor is the
+    // scheduler/task side, NOT driver bookkeeping, so coarsening loop
+    // triggers (VERDICT r16 #4's "if the gap dominates" arm) does not
+    // apply. Knobs measured and
     // rejected (r10/r11 sweep): RocksDB state store ~30% slower on
     // KB-state; AQE off → fewer jobs but slower (loses runtime
     // broadcast conversion); codegen off → no change. The one kept:
@@ -2178,6 +2240,27 @@ object PipelineQueries {
            (2, 3, 0.75),
            (4, 5, 1.0)
          ) AS t(id1, id2, jaccard) ORDER BY id1, id2""",
+    // tx11: hand-derived extraction of PlantedFixtures.htmlDocs (see
+    // that scaladoc for the per-doc reasoning; doc 2's two lines join
+    // with a newline, doc 4's link farm extracts to the empty string)
+    "tx11_html_extract" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT),
+            'The quick brown fox jumps over the lazy dog near the river bank.',
+            CAST(1 AS INTEGER)),
+           (2, 'Fish & chips cost seven pounds at the old corner shop today.'
+               || chr(10) ||
+               'She said "hello there" and waved goodbye from the train platform.',
+            2),
+           (3, 'Read the full guide for details on the setup process.', 1),
+           (4, '', 0),
+           (5, 'Plain text documents pass through the extractor completely unchanged.', 1)
+         ) AS t(doc_id, text, n_lines) ORDER BY doc_id""",
+    // st13: whole-history streaming dedup on (user_id, event_type) then
+    // count per type ≡ batch COUNT(DISTINCT user_id)
+    "st13_streaming_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS dedup_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "dd9_incremental_neardup" ->
       """SELECT * FROM (VALUES
            (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0.931 AS DOUBLE)),

@@ -323,4 +323,45 @@ object PlantedFixtures {
       (2L, text(20)), (5L, text(45)), (8L, text(100)))
       .toDF("doc_id", "text")
   }
+
+  /** HTML-extraction fixture (tx11) — each doc exercises exactly one
+    * contract of HtmlExtract, and every expected output is derivable by
+    * reading the markup (defaults: minLineChars 20, maxLinkDensity 0.5):
+    *
+    *  - 1: full page. Script (containing a bare `<`), style, title
+    *    ("My Site", 7 chars < 20), nav ("Home About Contact", 18 < 20)
+    *    and the footer link list ("Terms of Service Privacy Policy",
+    *    31 chars but ALL from anchors → density 1.0) all drop; the one
+    *    prose div (64 chars, 0 link chars) survives; "OK" (2 < 20)
+    *    drops.
+    *  - 2: two paragraphs with inline markup + entities — both kept,
+    *    `<b>` unwrapped, `&amp;`→`&`, `&quot;`→`"`, `&nbsp;`→space.
+    *  - 3: an HTML comment hiding a fake paragraph (must never leak)
+    *    + one prose paragraph with an inline link ("full guide" = 10
+    *    link chars of 53 → density 0.19, kept).
+    *  - 4: pure link farm — both `li` lines are 100% anchor text →
+    *    empty extraction (empty string, not null; 0 lines).
+    *  - 5: plain text, no markup — passes through verbatim.
+    */
+  def htmlDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      1L -> ("""<html><head><title>My Site</title><script type="text/javascript">""" +
+        """var x = 1; if (x < 2) { x = 3; }</script><style>.a { color: red; }</style>""" +
+        """</head><body><nav><a href="/">Home</a> <a href="/about">About</a> """ +
+        """<a href="/contact">Contact</a></nav><div>The quick brown fox jumps over """ +
+        """the lazy dog near the river bank.</div><p>OK</p><footer>""" +
+        """<a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a>""" +
+        """</footer></body></html>"""),
+      2L -> ("""<body><p>Fish &amp; chips cost seven pounds at the <b>old corner """ +
+        """shop</b> today.</p><p>She said &quot;hello there&quot; and """ +
+        """waved&nbsp;goodbye from the train platform.</p></body>"""),
+      3L -> ("""<div><!-- <p>Buy cheap pills online now at our pharmacy store</p> -->""" +
+        """<p>Read the <a href="/guide">full guide</a> for details on the setup """ +
+        """process.</p></div>"""),
+      4L -> ("""<ul><li><a href="/a">first category page with many words</a></li>""" +
+        """<li><a href="/b">second category page with many words</a></li></ul>"""),
+      5L -> "Plain text documents pass through the extractor completely unchanged.")
+      .toDF("doc_id", "html")
+  }
 }

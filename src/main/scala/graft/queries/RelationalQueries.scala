@@ -1052,6 +1052,22 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // FN1 — ORDERED FUNNEL (Funnel scaladoc): furthest view→click→
+    // purchase progression per user by event time over the high-intent
+    // slice (value > 97 — sparse enough that ORDER decides the answer:
+    // 125 → 78 → 40 at sf0.01, vs 150/150/150 unfiltered where every
+    // user trivially converts), greedy earliest match with
+    // same-instant ties counting. One funnel-step filter at the scan,
+    // one exchange on user_id, executor-side higher-order fold — the
+    // DuckDB oracle recomputes the equivalent min-cascade
+    // (stage i = MIN(ts) WHERE step_i AND ts >= stage_{i-1}).
+    "fn1_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnelCounts(
+        t(s, dir, "events").filter(col("value") > 97),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage")
+    }),
+
     // RT1 — ATOMIC SNAPSHOT ISOLATION for the persisted-table family
     // (Snapshot scaladoc): the same planted five-day sketch table as
     // a16, but manifest-governed. Retention retires days 0-1 as a
@@ -2738,6 +2754,24 @@ object RelationalQueries {
                 true AS within_bound, true AS forgot_dropped
          FROM events, b WHERE CAST(ts AS DATE) >= cut
          GROUP BY event_type ORDER BY event_type""",
+    // fn1: the min-cascade IS the greedy-earliest funnel semantics the
+    // operator's executor-side fold implements (Funnel scaladoc) —
+    // stage i's match time = MIN(ts) of step i at-or-after stage i-1's
+    "fn1_funnel" ->
+      """WITH hi AS (SELECT * FROM events WHERE value > 97),
+           v AS (SELECT user_id, min(ts) AS t FROM hi
+                 WHERE event_type = 'view' GROUP BY user_id),
+           c AS (SELECT e.user_id, min(e.ts) AS t FROM hi e
+                 JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+                 WHERE e.event_type = 'click' GROUP BY e.user_id),
+           p AS (SELECT e.user_id, min(e.ts) AS t FROM hi e
+                 JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+                 WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+                (SELECT count(*) FROM v) AS n_entities
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+         ORDER BY stage""",
     // the snapshot lifecycle's full ledger: 2 batches logically
     // retired, survivors folded into compaction batch -2, a pinned
     // pre-maintenance reader bit-stable, the live estimate identical

@@ -571,15 +571,24 @@ object ScaleWorkloads {
       "st5_overhead_n_jobs" -> nJobs.toDouble)
   }
 
-  /** Max/median task-duration ratio of the heaviest stage while
-    * running `df` to a noop sink — the machine-independent skew
-    * evidence. Wall-clock for the sx47-49 triple is spill- and
-    * page-cache-sensitive at this size (the orderings can flip run to
-    * run); the TASK-TIME IMBALANCE inside the join stage is the
-    * phenomenon itself: the naive join's hot task runs tens of times
-    * the median while salting flattens the profile, whatever the
-    * machine is doing. Listener state is (stageId, ms) pairs —
-    * gauge-sized driver bookkeeping. */
+  /** Hot-task imbalance while running `df` to a noop sink — the
+    * machine-independent skew evidence. Wall-clock for the sx47-49
+    * triple is spill- and page-cache-sensitive at this size (the
+    * orderings can flip run to run); the TASK-TIME IMBALANCE the hot
+    * task causes is the phenomenon itself: the naive join's hot task
+    * runs tens of times its stage's median while salting flattens the
+    * profile, whatever the machine is doing. Two r17 robustness fixes,
+    * both measured failure modes of the plain per-stage max/median:
+    * (a) the stage is still chosen BY LONGEST TASK (that's where the
+    * skew lives — choosing by summed stage time drowns the hot join
+    * stage under the balanced 6M-row generation scan and read 1.1 for
+    * the NAIVE plan), but (b) the median is floored at 100 ms: in the
+    * salted plan the longest task can sit in a stage of few-ms tasks
+    * where scheduler jitter faked a 5-10× ratio (salted 6.9 > naive
+    * 3.7 in the r17 local run). With the floor, a genuinely hot task
+    * (seconds) still reads tens×, while jitter around the floor reads
+    * ~1. Listener state is (stageId, ms) pairs — gauge-sized driver
+    * bookkeeping. */
   private def maxMedianTaskRatio(s: SparkSession, df: DataFrame): Double = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -609,8 +618,8 @@ object ScaleWorkloads {
       .groupBy(_._1).values.map(_.map(_._2))
     if (byStage.isEmpty) return 1.0
     val worst = byStage.maxBy(_.max).sorted
-    val median = math.max(1L, worst(worst.size / 2))
-    math.rint(worst.max.toDouble / median * 10) / 10
+    val median = math.max(100L, worst(worst.size / 2))
+    math.rint(math.max(1.0, worst.max.toDouble / median) * 10) / 10
   }
 
   /** Recall of the INCREMENTAL minhash probe (odd-id batch against the
@@ -1443,6 +1452,32 @@ object ScaleWorkloads {
       val (_, stats) = graft.operators.FuzzyJoin.selfJoinWithStats(
         Tables(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
       stats
+    }),
+
+    // HTML main-content extraction at sf scale (tx11's operator): wrap
+    // every document in deterministic page chrome (title/script/nav/
+    // footer — the boilerplate the extractor must strip) and extract.
+    // One codegen'd map inside the scan — throughput IS the regex
+    // engine; the agg pins the contract at scale (every page yields
+    // exactly its prose back: extracted chars == trim-collapsed text
+    // chars is checked cheaply via the line count and char sum).
+    "sx66_html_extract" -> ((s, dir) => {
+      val pages = Tables(s, dir, "documents").select(
+        concat(
+          lit("<html><head><title>Doc</title><script>var x = 1; if (x < 2) " +
+            "{ x = 3; }</script></head><body><nav><a href=\"/\">Home</a> " +
+            "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav><p>"),
+          col("text"),
+          lit("</p><footer><a href=\"/tos\">Terms of Service</a> " +
+            "<a href=\"/privacy\">Privacy Policy</a></footer></body></html>"))
+          .as("html"))
+      // materialize the line array ONCE per row; text + count both
+      // derive from it (extractText is array_join(contentLines) — two
+      // top-level calls would run the regex chain twice)
+      pages.select(
+          graft.operators.HtmlExtract.contentLines(col("html")).as("lines"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("lines"))).as("n_lines"),
+          sum(length(array_join(col("lines"), "\n"))).as("n_chars"))
     })
   )
 

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+/** Funnel (fn1's operator): greedy earliest-match sequence semantics —
+  * order sensitivity, same-instant ties, missing/repeated stages, and
+  * the report's monotone/empty contracts. The sf-scale value parity
+  * against the SQL min-cascade is the fn1 oracle.
+  */
+class FunnelSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def reach(rows: (Long, String, String)*): Map[Long, Long] = {
+    val session = spark
+    import session.implicits._
+    Funnel.stageReach(
+        rows.map { case (u, ts, st) => (u, t(ts), st) }.toDF("u", "ts", "step"),
+        "u", "ts", "step", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("order matters: a click before the first view does not count") {
+    // user 1: click precedes view, then a later click completes stage 2
+    // user 2: only the preceding click — stuck at stage 1 after view
+    reach(
+      (1L, "2024-01-01 09:00:00", "click"),
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (2L, "2024-01-01 09:00:00", "click"),
+      (2L, "2024-01-01 10:00:00", "view")) shouldBe Map(1L -> 2L, 2L -> 1L)
+  }
+
+  test("same-instant ties progress (the >= cascade), ordered by stage") {
+    // view and click at the SAME timestamp: click counts — and the
+    // tie-sort puts the earlier stage first regardless of input order
+    reach(
+      (1L, "2024-01-01 10:00:00", "click"),
+      (1L, "2024-01-01 10:00:00", "view")) shouldBe Map(1L -> 2L)
+  }
+
+  test("missing middle stage blocks; repeats don't double-advance; other steps ignored") {
+    reach(
+      // user 1: view then purchase, no click → stuck at 1
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "purchase"),
+      // user 2: three views → still stage 1
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 11:00:00", "view"),
+      (2L, "2024-01-01 12:00:00", "view"),
+      // user 3: full path with noise steps interleaved
+      (3L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 10:30:00", "error"),
+      (3L, "2024-01-01 11:00:00", "click"),
+      (3L, "2024-01-01 11:30:00", "signup"),
+      (3L, "2024-01-01 12:00:00", "purchase")) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+  }
+
+  test("report: monotone counts, all stages present, zeros on empty input") {
+    val session = spark
+    import session.implicits._
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 11:00:00"), "click"),
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      (3L, t("2024-01-01 10:00:00"), "purchase")) // purchase-only: reach 0
+      .toDF("u", "ts", "step")
+    val rows = Funnel.funnelCounts(events, "u", "ts", "step",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    rows shouldBe Seq((1, "view", 2L), (2, "click", 1L), (3, "purchase", 0L))
+
+    val empty = Funnel.funnelCounts(events.limit(0), "u", "ts", "step",
+        Seq("view", "click"))
+      .orderBy("stage").collect().map(_.getLong(2)).toSeq
+    empty shouldBe Seq(0L, 0L)
+  }
+
+  test("invalid steps fail loudly") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, t("2024-01-01 10:00:00"), "view")).toDF("u", "ts", "step")
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.stageReach(df, "u", "ts", "step", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.stageReach(df, "u", "ts", "step", Seq("view", "view"))
+  }
+}
