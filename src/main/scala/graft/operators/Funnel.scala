@@ -39,25 +39,52 @@ object Funnel {
     * reached ∈ 1..steps.size — entities with no stage-1 match carry
     * reached = 0 and are included only if they had SOME funnel-step
     * event (entities with none are absent; both count as zero
-    * downstream). */
+    * downstream).
+    *
+    * `maxStepGapSeconds` adds the CONVERSION WINDOW every funnel tool
+    * ships: stage i must match within the window after stage i−1's
+    * match time (stage 1 is unconstrained). Still the greedy cascade —
+    * anchored at stage i−1's EARLIEST match, exactly the windowed SQL
+    * min-cascade (ts ≥ t_{i−1} AND ts ≤ t_{i−1} + gap), NOT the
+    * maximal-assignment variant (a later anchor that would convert
+    * where the earliest does not is deliberately not searched; that is
+    * how the analytics tools define it, and it keeps the oracle a
+    * cascade). */
   def stageReach(events: DataFrame, entityCol: String, tsCol: String,
-                 stepCol: String, steps: Seq[String]): DataFrame = {
+                 stepCol: String, steps: Seq[String],
+                 maxStepGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    require(maxStepGapSeconds.forall(_ > 0),
+      s"maxStepGapSeconds must be positive: $maxStepGapSeconds")
     val stepsArr = array(steps.map(lit): _*)
     val n = steps.size
+    // event time as epoch micros: integer compares inside the fold (and
+    // the +gap arithmetic) stay exact and codegen-simple
+    val zero = struct(lit(0L).as("reached"), lit(Long.MinValue).as("us"))
+    def inWindow(st: Column, e: Column): Column = maxStepGapSeconds match {
+      case None => lit(true)
+      case Some(gap) =>
+        st.getField("reached") === 0L ||
+          e.getField("us") <= st.getField("us") + gap * 1000000L
+    }
     events
       .filter(col(stepCol).isin(steps: _*))
       .select(col(entityCol).as("entity"),
-        struct(col(tsCol).as("ts"),
+        struct(unix_micros(col(tsCol)).as("us"),
           array_position(stepsArr, col(stepCol)).as("pos")).as("ev"))
       .groupBy(col("entity"))
       .agg(array_sort(collect_list(col("ev"))).as("evs"))
       .select(col("entity"),
-        aggregate(col("evs"), lit(0L),
-          (reached, e) =>
-            when(reached < n && e.getField("pos") === reached + 1,
-              reached + 1).otherwise(reached)).as("reached"))
+        aggregate(col("evs"), zero,
+          (st, e) =>
+            when(st.getField("reached") < n &&
+                e.getField("pos") === st.getField("reached") + 1 &&
+                inWindow(st, e),
+              struct((st.getField("reached") + 1).as("reached"),
+                e.getField("us").as("us")))
+              .otherwise(st),
+          _.getField("reached")).as("reached"))
   }
 
   /** The funnel report: one row per stage — (stage, step, n_entities
@@ -65,8 +92,10 @@ object Funnel {
     * construction. One single-row global agg over [[stageReach]], then
     * a literal unpivot (no extra shuffle beyond the entity exchange). */
   def funnelCounts(events: DataFrame, entityCol: String, tsCol: String,
-                   stepCol: String, steps: Seq[String]): DataFrame = {
-    val reach = stageReach(events, entityCol, tsCol, stepCol, steps)
+                   stepCol: String, steps: Seq[String],
+                   maxStepGapSeconds: Option[Long] = None): DataFrame = {
+    val reach = stageReach(events, entityCol, tsCol, stepCol, steps,
+      maxStepGapSeconds)
     val perStage = steps.indices.map(i =>
       coalesce(sum(when(col("reached") >= i + 1, 1L)), lit(0L)).as(s"_n$i"))
     reach.agg(perStage.head, perStage.tail: _*)

@@ -1068,6 +1068,19 @@ object RelationalQueries {
         .orderBy("stage")
     }),
 
+    // FN2 — fn1 with the CONVERSION WINDOW every funnel tool ships:
+    // each stage must land within 72 h of the previous stage's match.
+    // The window BINDS hard on this data (125→15→1 vs fn1's unwindowed
+    // 125→78→40 at sf0.01), so the oracle genuinely exercises the
+    // windowed cascade, not just the unconstrained walk again.
+    "fn2_funnel_window" -> ((s, dir) => {
+      graft.operators.Funnel.funnelCounts(
+        t(s, dir, "events").filter(col("value") > 97),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxStepGapSeconds = Some(72L * 3600))
+        .orderBy("stage")
+    }),
+
     // RT1 — ATOMIC SNAPSHOT ISOLATION for the persisted-table family
     // (Snapshot scaladoc): the same planted five-day sketch table as
     // a16, but manifest-governed. Retention retires days 0-1 as a
@@ -2766,6 +2779,25 @@ object RelationalQueries {
                  WHERE e.event_type = 'click' GROUP BY e.user_id),
            p AS (SELECT e.user_id, min(e.ts) AS t FROM hi e
                  JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+                 WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+                (SELECT count(*) FROM v) AS n_entities
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+         ORDER BY stage""",
+    // fn2: the same cascade with each stage bounded to 72 h after the
+    // previous stage's match (the conversion window)
+    "fn2_funnel_window" ->
+      """WITH hi AS (SELECT * FROM events WHERE value > 97),
+           v AS (SELECT user_id, min(ts) AS t FROM hi
+                 WHERE event_type = 'view' GROUP BY user_id),
+           c AS (SELECT e.user_id, min(e.ts) AS t FROM hi e
+                 JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+                       AND e.ts <= v.t + INTERVAL '72 hours'
+                 WHERE e.event_type = 'click' GROUP BY e.user_id),
+           p AS (SELECT e.user_id, min(e.ts) AS t FROM hi e
+                 JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+                       AND e.ts <= c.t + INTERVAL '72 hours'
                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
          SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
                 (SELECT count(*) FROM v) AS n_entities

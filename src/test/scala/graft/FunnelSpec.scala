@@ -81,6 +81,47 @@ class FunnelSpec extends SparkSpec {
     empty shouldBe Seq(0L, 0L)
   }
 
+  private def reachWin(gapS: Long, rows: (Long, String, String)*): Map[Long, Long] = {
+    val session = spark
+    import session.implicits._
+    Funnel.stageReach(
+        rows.map { case (u, ts, st) => (u, t(ts), st) }.toDF("u", "ts", "step"),
+        "u", "ts", "step", Seq("view", "click", "purchase"), Some(gapS))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("conversion window: in-window advances, out-of-window blocks, greedy anchor holds") {
+    // user 1: click 30 min after view — inside a 1 h window
+    // user 2: click 2 h after view — outside, stuck at stage 1
+    // user 3: the GREEDY anchor is the earliest view; the 2nd view
+    //         does not re-anchor, so the late click stays out of
+    //         window (the documented cascade semantics, not maximal
+    //         assignment — the oracle computes the same)
+    reachWin(3600,
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 12:00:00", "click"),
+      (3L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 11:30:00", "view"),
+      (3L, "2024-01-01 12:00:00", "click")) shouldBe
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+  }
+
+  test("conversion window: each stage re-opens the window; boundary instant counts") {
+    // click exactly AT the window edge counts (<=); purchase is timed
+    // from the CLICK, not the view
+    reachWin(3600,
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),      // edge: +1 h exactly
+      (1L, "2024-01-01 11:59:00", "purchase")) shouldBe Map(1L -> 3L)
+    // same events, purchase 61 min after click — blocked
+    reachWin(3600,
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:01:00", "purchase")) shouldBe Map(1L -> 2L)
+  }
+
   test("invalid steps fail loudly") {
     val session = spark
     import session.implicits._
@@ -89,5 +130,7 @@ class FunnelSpec extends SparkSpec {
       Funnel.stageReach(df, "u", "ts", "step", Seq.empty)
     an[IllegalArgumentException] should be thrownBy
       Funnel.stageReach(df, "u", "ts", "step", Seq("view", "view"))
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.stageReach(df, "u", "ts", "step", Seq("view"), Some(0L))
   }
 }

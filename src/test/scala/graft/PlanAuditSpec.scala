@@ -490,6 +490,33 @@ class PlanAuditSpec extends SparkSpec {
     "SortMergeJoin".r.findAllIn(p).size should be <= 1
   }
 
+  test("fn1: funnel-step + slice predicates reach the scan; one entity exchange") {
+    val p = plan("fn1_funnel")
+    // both the high-intent slice and the step membership die at the scan
+    p should include("GreaterThan(value,97.0)")
+    p should include("In(event_type")
+    // scan reads only the four referenced event columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("user_id")
+    readSchema should not include "event_id"
+    readSchema should not include "props"
+    // the entity groupBy is the operator's ONLY keyed shuffle (the
+    // 3-row report agg is a SinglePartition exchange, not a reshuffle)
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "Cartesian"
+  }
+
+  test("sx66: HTML extraction is a pure map over a text-only scan — no shuffle, no UDF") {
+    val p = graft.queries.ScaleWorkloads.defs("sx66_html_extract")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("text")
+    readSchema should not include "doc_id"
+    readSchema should not include "lang"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "UDF"
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
