@@ -730,6 +730,42 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // QC3 — CCNet PERPLEXITY BUCKETS: the selection step the CCNet
+    // pipeline runs on qc2's signal — corpus split into head/middle/
+    // tail by perplexity tertiles (head = lowest ppl = closest to the
+    // reference distribution). Cutoffs come from approx_percentile —
+    // the 100 TB path (a partial-aggregated sketch; EXACT order
+    // statistics would buffer one double per document on the final
+    // reducer) — so per-bucket counts are sketch-dependent and gated
+    // as BOUND FLAGS (the a13/a16 sketch-estimate convention: each
+    // tertile bucket must hold 25-42% of scored docs), while n_scored
+    // is exact. Driver state: two cutoff doubles.
+    "qc3_ppl_buckets" -> ((s, dir) => {
+      import graft.operators.CharLm
+      val docs = t(s, dir, "documents")
+      // persist: the cutoff agg and the bucketing pass both read the
+      // scored frame — without it the whole train+score DAG (qc2's
+      // ~6 s at sf0.1) executes twice. One (doc_id, n, ppl) row per
+      // doc: cache-sized at any corpus scale that scores in one job.
+      val ppl = CharLm.perplexity(docs, "doc_id", "text",
+          CharLm.train(docs, "text"))
+        .filter(col("ppl").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cuts = ppl.agg(percentile_approx(col("ppl"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("c"))
+        .head().getSeq[Double](0)
+      ppl.withColumn("bucket",
+          when(col("ppl") <= cuts(0), "head")
+            .when(col("ppl") <= cuts(1), "middle")
+            .otherwise("tail"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+        .withColumn("_total", sum(col("_n")).over())
+        .select(col("bucket"), col("_total").as("n_scored"),
+          (col("_n") >= col("_total") * 0.25 &&
+            col("_n") <= col("_total") * 0.42).as("frac_ok"))
+        .orderBy("bucket")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -2556,6 +2592,18 @@ object PipelineQueries {
                 END AS ppl
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY doc_id""",
+    // qc3: n_scored re-derives exactly (docs with at least one trigram
+    // window); the tertile-bucket fractions are sketch-cutoff-dependent
+    // and gated as flags (each bucket must hold 25-42% of scored docs —
+    // the a13/a16 sketch convention)
+    "qc3_ppl_buckets" ->
+      """WITH scored AS (
+           SELECT doc_id FROM documents WHERE length(text) >= 3
+         )
+         SELECT b.bucket, (SELECT count(*) FROM scored) AS n_scored,
+                true AS frac_ok
+         FROM (VALUES ('head'), ('middle'), ('tail')) AS b(bucket)
+         ORDER BY bucket""",
     "vq1_quantize_int8" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(0.015748 AS DOUBLE), CAST(127 AS INTEGER),
