@@ -314,6 +314,15 @@ object BloomIndex {
           try {
             val in = fs.open(f)
             val bf = try BloomFilter.readFrom(in) finally in.close()
+            // a NEW token for this (path, column, batch) supersedes
+            // every older life's entry — evict them, or a long-lived
+            // server over a periodically-rebuilt table accretes one
+            // ~MB bloom per rebuild forever (review r17 #4); eviction
+            // rides the rare miss path, never the hit path
+            cache.keysIterator
+              .filter { case (p, c, bb, t) =>
+                p == path && c == column && bb == b && t != token }
+              .foreach(cache.remove)
             cache.putIfAbsent((path, column, b, token), bf)
             Some(bf)
           } catch { case _: java.io.IOException => None }
@@ -351,7 +360,7 @@ object BloomIndex {
         s"$path is not snapshot-enabled — readPoint resolves through manifest batches"))
     requireSupported(columnType(spark, path, m, column), column)
     val (keep, _) = candidateBatches(spark, path, column, value, Some(m))
-    readKeepOrEmpty(spark, path, m, keep, col(column) === lit(value))
+    Snapshot.readKeepOrEmpty(spark, path, m, keep, col(column) === lit(value))
   }
 
   /** COMPOSED pruned lookup — every metadata structure the storage
@@ -376,35 +385,12 @@ object BloomIndex {
         s"$path is not snapshot-enabled — composed reads resolve through " +
           "manifest batches"))
     requireSupported(columnType(spark, path, m, pointCol), pointCol)
-    var keep = m.batches
-    var cond = col(pointCol) === lit(value)
-    ranges.foreach { case (c, lo, hi) =>
-      // every screen resolves against the SAME manifest snapshot — a
-      // concurrent fold between screens must not empty the intersection
-      val (_, cand, rc) = Snapshot.rangeScreen(spark, path, c, lo, hi,
-        within = Some(m))
-      val candSet = cand.toSet
-      keep = keep.filter(candSet)
-      cond = cond && rc
-    }
+    // every screen resolves against the SAME manifest snapshot — a
+    // concurrent fold between screens must not empty the intersection
+    val (keep, rangeCond) = Snapshot.screenAll(spark, path, m, ranges)
+    val cond = rangeCond.foldLeft(col(pointCol) === lit(value))(_ && _)
     val keepBloom = keep.filter(b =>
       loadBloom(spark, path, pointCol, b).forall(_.mightContain(value)))
-    readKeepOrEmpty(spark, path, m, keepBloom, cond)
+    Snapshot.readKeepOrEmpty(spark, path, m, keepBloom, cond)
   }
-
-  /** Read `keep` batches under `cond`, or the schema-only empty frame
-    * (zero file IO) when every batch was pruned. */
-  private def readKeepOrEmpty(spark: SparkSession, path: String,
-      m: Snapshot.Manifest, keep: Seq[Long],
-      cond: org.apache.spark.sql.Column): DataFrame =
-    if (keep.isEmpty) m.schemaJson match {
-      case Some(j) => // schema-only empty frame: zero file IO
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          Snapshot.structOf(j))
-          .withColumn("batch_id", lit(null).cast("int")).filter(cond)
-      case None =>
-        Snapshot.readBatches(spark, path, m).limit(0).filter(cond)
-    }
-    else Snapshot.readBatches(spark, path, m.copy(batches = keep)).filter(cond)
 }

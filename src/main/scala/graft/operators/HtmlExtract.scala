@@ -73,7 +73,15 @@ object HtmlExtract {
       s"maxLinkDensity must be in [0,1]: $maxLinkDensity")
     val noContainers = regexp_replace(
       regexp_replace(html, ContainerRe, " "), CommentRe, " ")
-    val rawLines = split(regexp_replace(noContainers, BlockRe, "\n"), "\n")
+    // SOURCE whitespace (the line-wrapping of the markup file) renders
+    // as plain spaces — only BLOCK TAGS break the text flow, exactly
+    // like a renderer. Collapse it BEFORE the block split, or a
+    // paragraph wrapped across source lines shreds into fragments that
+    // fail minLineChars one by one (review r17 #1). Heuristic cost:
+    // <pre> content loses its hard newlines, like the production
+    // line-density extractors.
+    val unwrapped = regexp_replace(noContainers, "[\\r\\n\\t]+", " ")
+    val rawLines = split(regexp_replace(unwrapped, BlockRe, "\n"), "\n")
     val scored = transform(rawLines, l =>
       struct(
         rendered(l).as("text"),

@@ -1189,14 +1189,40 @@ object Snapshot {
   def readRange(spark: SparkSession, path: String, column: String,
                 lo: BigDecimal, hi: BigDecimal): DataFrame = {
     val (m, candidates, cond) = rangeScreen(spark, path, column, lo, hi)
-    if (candidates.isEmpty) m.schemaJson match {
+    readKeepOrEmpty(spark, path, m, candidates, cond)
+  }
+
+  /** Read `keep` batches under `cond`, or the schema-only empty frame
+    * (ZERO file IO) when every batch was pruned — the shared tail of
+    * every pruning reader here and in [[BloomIndex]] (one copy, or the
+    * empty-frame shape drifts between them — review r17 #5). */
+  private[operators] def readKeepOrEmpty(spark: SparkSession, path: String,
+      m: Manifest, keep: Seq[Long],
+      cond: org.apache.spark.sql.Column): DataFrame =
+    if (keep.isEmpty) m.schemaJson match {
       case Some(j) => // schema-only empty frame: zero file IO
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), structOf(j))
           .withColumn("batch_id", lit(null).cast("int")).filter(cond)
       case None => readBatches(spark, path, m).limit(0).filter(cond)
     }
-    else readBatches(spark, path, m.copy(batches = candidates)).filter(cond)
+    else readBatches(spark, path, m.copy(batches = keep)).filter(cond)
+
+  /** Intersect every `(column, lo, hi)` screen against the ONE manifest
+    * snapshot `m`: surviving batch ids + the conjoined row predicate.
+    * Shared by [[readRanges]] and [[BloomIndex.readPointRanges]]. */
+  private[operators] def screenAll(spark: SparkSession, path: String,
+      m: Manifest, ranges: Seq[(String, BigDecimal, BigDecimal)])
+      : (Seq[Long], Option[org.apache.spark.sql.Column]) = {
+    var keep = m.batches
+    var cond: Option[org.apache.spark.sql.Column] = None
+    ranges.foreach { case (c, lo, hi) =>
+      val (_, cand, rc) = rangeScreen(spark, path, c, lo, hi, within = Some(m))
+      val candSet = cand.toSet
+      keep = keep.filter(candSet)
+      cond = Some(cond.map(_ && rc).getOrElse(rc))
+    }
+    (keep, cond)
   }
 
   /** Backfill ZONE-MAP stats for STAT-LESS live batches — the
@@ -1250,22 +1276,8 @@ object Snapshot {
     require(ranges.nonEmpty, "readRanges needs at least one range")
     val m = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — readRanges resolves through manifest stats"))
-    var keep = m.batches
-    var cond: Option[org.apache.spark.sql.Column] = None
-    ranges.foreach { case (c, lo, hi) =>
-      val (_, cand, rc) = rangeScreen(spark, path, c, lo, hi, within = Some(m))
-      val candSet = cand.toSet
-      keep = keep.filter(candSet)
-      cond = Some(cond.map(_ && rc).getOrElse(rc))
-    }
-    if (keep.isEmpty) m.schemaJson match {
-      case Some(j) => // schema-only empty frame: zero file IO
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), structOf(j))
-          .withColumn("batch_id", lit(null).cast("int")).filter(cond.get)
-      case None => readBatches(spark, path, m).limit(0).filter(cond.get)
-    }
-    else readBatches(spark, path, m.copy(batches = keep)).filter(cond.get)
+    val (keep, cond) = screenAll(spark, path, m, ranges)
+    readKeepOrEmpty(spark, path, m, keep, cond.get)
   }
 
   /** The metadata-only half of [[readRange]], reusable by readers that

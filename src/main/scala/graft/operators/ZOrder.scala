@@ -128,6 +128,7 @@ object ZOrder {
         .getFileSystem(spark.sessionState.newHadoopConf())
       val stage = new org.apache.hadoop.fs.Path(
         s"$path.__zstage-${java.util.UUID.randomUUID()}")
+      var resetDone = false
       try {
         (0 until n).foreach(i =>
           bucket(i).write.mode("overwrite").parquet(s"$stage/batch_id=$i"))
@@ -138,6 +139,7 @@ object ZOrder {
         // already-committed id — silently serving the old dataset.
         // Pinned readers do not survive a rebuild (SketchTable.build).
         fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        resetDone = true
         // schema-only seed bootstraps the manifest so every DATA batch
         // can commit via stagedAppend and carry zone stats
         // (repartition forces one empty part file whose FOOTER
@@ -159,7 +161,23 @@ object ZOrder {
           }
         }
         Snapshot.retainFrom(spark, path, 0L, includeBuild = true)
-      } finally fs.delete(stage, true)
+        // sweep the (now-empty) stage dir ONLY on success
+        fs.delete(stage, true)
+      } catch {
+        case e: Throwable =>
+          // before the reset the original table is intact and the
+          // stage is garbage — sweep it. AFTER the reset the staged
+          // buckets are the SOLE copy of every not-yet-renamed batch,
+          // so a flip failure (seed write, enable, a commit conflict,
+          // a failed rename) must LEAVE the stage dir for recovery —
+          // the previous finally-delete turned any flip failure into
+          // permanent row loss for an in-place re-layout (review r17)
+          if (!resetDone) fs.delete(stage, true)
+          else throw new IllegalStateException(
+            s"z-relayout of $path failed mid-flip; staged buckets " +
+              s"preserved for recovery at $stage", e)
+          throw e
+      }
       (0 until n).map(_.toLong)
     } finally keyed.unpersist(blocking = false)
   }

@@ -1254,10 +1254,14 @@ object PipelineQueries {
     // plain-text passthrough).
     "tx11_html_extract" -> ((s, _) => {
       import graft.operators.HtmlExtract
+      // line array materialized ONCE per row (sx66's pattern): text
+      // and count both derive from it — extractText + contentLines as
+      // two top-level calls would run the regex chain twice
       PlantedFixtures.htmlDocs(s)
+        .select(col("doc_id"), HtmlExtract.contentLines(col("html")).as("_l"))
         .select(col("doc_id"),
-          HtmlExtract.extractText(col("html")).as("text"),
-          size(HtmlExtract.contentLines(col("html"))).as("n_lines"))
+          array_join(col("_l"), "\n").as("text"),
+          size(col("_l")).as("n_lines"))
         .orderBy("doc_id")
     }),
 

@@ -151,7 +151,14 @@ object ScaleWorkloads {
     * group first needs it (a failed computation re-attempts on the
     * next access; a hung one blocks only its own group). */
   private final class GaugeCtx(val s: SparkSession, val dir: String) {
-    val embs: DataFrame = Tables(s, dir, "embeddings")
+    // lazy: Tables() reads the parquet footer at construction — eager,
+    // a missing/corrupt embeddings table would throw in gaugeDefs
+    // itself and wipe EVERY group (zorder, skew, st5, jaccard … none
+    // of which touch embeddings) — the exact all-or-nothing failure
+    // the per-group harness exists to prevent (review r17 #3). Lazy
+    // confines it to the embedding-dependent groups' own thunks.
+    private val embsMemo = new Memo[DataFrame](() => Tables(s, dir, "embeddings"))
+    def embs: DataFrame = embsMemo.get
     def q: DataFrame =
       embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     private val nMemo = new Memo[Double](() => embs.count().toDouble)

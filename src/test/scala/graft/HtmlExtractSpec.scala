@@ -34,6 +34,16 @@ class HtmlExtractSpec extends SparkSpec {
       "first block keeps its inline span\nsecond block is its own line entirely"
   }
 
+  test("source line-wrapping renders as spaces — only block tags break lines") {
+    // markup wrapped across source lines is ONE rendered paragraph: the
+    // fragments must not be density-gated one by one (review r17)
+    extract("<p>Great product overall.\nWould buy again without\nhesitation.</p>") shouldBe
+      "Great product overall. Would buy again without hesitation."
+    // tabs and CRLF are source whitespace too
+    extract("<p>Great product overall.\r\n\tWould buy again without hesitation.</p>") shouldBe
+      "Great product overall. Would buy again without hesitation."
+  }
+
   test("entity decode: after tag strip, &amp; last (no double decode)") {
     // &amp;lt; must yield the LITERAL text "&lt;", not "<"
     extract("<p>write &amp;lt; for a literal less-than sign</p>") shouldBe
