@@ -62,6 +62,13 @@ object BloomIndex {
 
   private[graft] def clearCache(): Unit = cache.clear()
 
+  /** Cache entries held for one (path, column, batch) — spec hook for
+    * the superseded-token eviction contract (must stay 1 across
+    * rebuild cycles, never accrete one bloom per table life). */
+  private[graft] def cachedTokens(path: String, column: String, b: Long): Int =
+    cache.keysIterator.count { case (p, c, bb, _) =>
+      p == path && c == column && bb == b }
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -44,4 +44,13 @@ class BenchGaugeSpec extends SparkSpec {
       "adc_fixture", "adc_grid", "skew", "st5_overhead")
       .subsetOf(names) shouldBe true
   }
+
+  test("gauge defs construct without touching any table: a missing table " +
+    "fails only the groups that need it, not the whole record") {
+    // construction against a nonexistent sf dir must NOT throw — an
+    // eager table read here would wipe every group in one shot (the
+    // r16 all-or-nothing failure, through the construction door)
+    noException should be thrownBy
+      graft.queries.ScaleWorkloads.gaugeDefs(spark, "/nonexistent/sf-dir")
+  }
 }

@@ -158,6 +158,9 @@ class BloomIndexSpec extends SparkSpec {
     // and the rebuilt bloom prunes the OLD value now absent
     val (_, pruned) = BloomIndex.candidateBatches(spark, path, "id", 1L)
     pruned shouldBe Seq(0L)
+    // the new life's bloom EVICTED the old life's cache entry — the
+    // token-keyed cache must not accrete one bloom per rebuild cycle
+    BloomIndex.cachedTokens(path, "id", 0L) shouldBe 1
   }
 
   test("compaction folds re-index on refresh; retired sidecars are swept") {
