@@ -99,7 +99,8 @@ object Snapshot {
                             schemaJson: Option[String] = None,
                             stats: Map[Long, Map[String, (String, String)]] =
                               Map.empty,
-                            folded: Seq[Long] = Seq.empty) {
+                            folded: Seq[Long] = Seq.empty,
+                            committedAtMs: Option[Long] = None) {
     /** Ids that left the live set as FOLD INPUTS (compaction / merge /
       * delete-with-survivors) — their ROWS SURVIVE inside a fold
       * output, unlike retired ids whose rows are logically gone. The
@@ -271,8 +272,11 @@ object Snapshot {
       if (node.hasNonNull("folded"))
         node.get("folded").elements().asScala.map(_.asLong()).toSeq
       else Seq.empty[Long] // pre-fold-field manifests
+    val committedAt =
+      if (node.hasNonNull("committedAtMs")) Some(node.get("committedAtMs").asLong())
+      else None // pre-timestamp manifests: readAsOf falls back to file mtime
     Manifest(node.get("version").asLong(), batches, committed, schema, stats,
-      folded)
+      folded, committedAt)
   }
 
   /** The newest manifest, if the table is enabled. */
@@ -373,6 +377,10 @@ object Snapshot {
     val out = fs.create(tmp, false)
     try out.write(
       (s"""{"version":$v,"batches":[${sorted.mkString(",")}],""" +
+        // writer-clock commit stamp: what [[readAsOf]] resolves
+        // against (the Delta/Iceberg convention — as-of semantics
+        // follow the writers' clocks, monotone per table in practice)
+        s""""committedAtMs":${System.currentTimeMillis()},""" +
         s""""committed":[${committed.mkString(",")}]""" +
         (if (foldedAll.isEmpty) ""
          else s""","folded":[${foldedAll.mkString(",")}]""") +
@@ -564,6 +572,37 @@ object Snapshot {
     * references. */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
     readBatches(spark, path, readManifest(spark, path, version))
+
+  /** A version's commit time: the manifest's writer-clock stamp, or —
+    * for manifests published before the field existed — the manifest
+    * FILE's modification time (same fallback lineage as the pre-schema
+    * / pre-fold fields; an object-store copy that rewrites mtimes
+    * makes only those legacy versions resolve later than they were). */
+  def commitTimeMs(spark: SparkSession, path: String, version: Long): Long =
+    readManifest(spark, path, version).committedAtMs.getOrElse(
+      fsFor(spark, path).getFileStatus(manifestFile(path, version))
+        .getModificationTime)
+
+  /** Newest version committed at or before `tsMs` (writer clock), if
+    * any — the timestamp half of time travel (Delta's `timestampAsOf`
+    * / Iceberg's as-of-timestamp). Scans the version list newest-first
+    * and stops at the first qualifying commit: per-table commit stamps
+    * are monotone in practice (single manifest dir, optimistic-append
+    * versions), and a skewed writer can only make its OWN commit
+    * resolve early/late. Manifest reads are metadata-only. */
+  def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Option[Long] =
+    listVersions(spark, path).reverseIterator
+      .find(v => commitTimeMs(spark, path, v) <= tsMs)
+
+  /** PINNED reader by TIMESTAMP: [[readAt]] of [[versionAsOf]] —
+    * fails loudly when `tsMs` precedes the first commit (there was no
+    * table then; silently serving the current one would be a wrong
+    * answer, the [[readManifest]] discipline). */
+  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame =
+    readAt(spark, path, versionAsOf(spark, path, tsMs).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot of $path existed at epoch-ms $tsMs — first commit " +
+          "is later (or the table is not snapshot-enabled)")))
 
   private[operators] def readBatches(spark: SparkSession, path: String,
                           m: Manifest): DataFrame = {

@@ -1340,6 +1340,34 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // RT10 — TIME TRAVEL BY TIMESTAMP (Snapshot.readAsOf): every
+    // protocol publish stamps its manifest with the writer clock, and
+    // a read "as of t" resolves to the newest version committed at or
+    // before t — Delta's timestampAsOf over this family's manifests,
+    // metadata-only resolution. The query pins the full surface: a
+    // between-commit timestamp serves version 1's exact rows while the
+    // live read serves both batches (SnapshotSpec covers the loud
+    // before-first-commit failure and the legacy mtime fallback).
+    "rt10_time_travel" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt10-${java.util.UUID.randomUUID()}")
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v")
+        .write.parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path) // v1: batch 0
+      val t1 = Snapshot.commitTimeMs(s, path, 1L)
+      Snapshot.stagedAppend(s, path, 1L) {
+        Seq((3L, "gamma")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=1")
+      } // v2: batches 0, 1
+      val asOf = Snapshot.readAsOf(s, path, t1)
+        .select(lit("asof_v1").as("view"), col("id"), col("v"))
+      val live = Snapshot.read(s, path)
+        .select(lit("live").as("view"), col("id"), col("v"))
+      asOf.unionByName(live).orderBy("view", "id")
+    }),
+
     // RT2 — CDC between pinned snapshots (Snapshot.diffVersions): a
     // planted three-batch table goes through retention (v1→v2), an
     // append (v2→v3), and a compaction (v3→v4). The row-level diffs
@@ -2966,6 +2994,14 @@ object RelationalQueries {
            ('a', CAST(1 AS BIGINT), 1), ('b', 0, 0), ('c', 0, 0),
            ('d', 1, 1), ('e', 4, 1))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
+    // rt10: an as-of read at version 1's commit instant serves exactly
+    // version 1's rows; the live read serves both batches
+    "rt10_time_travel" ->
+      """SELECT * FROM (VALUES
+           ('asof_v1', CAST(1 AS BIGINT), 'alpha'),
+           ('asof_v1', 2, 'beta'),
+           ('live', 1, 'alpha'), ('live', 2, 'beta'), ('live', 3, 'gamma'))
+         t(view, id, v) ORDER BY view, id""",
     "rt6_delete_range" ->
       """SELECT * FROM (VALUES
            ('a', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1),

@@ -43,8 +43,10 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.enable(spark, path) shouldBe 1L
     Snapshot.isEnabled(spark, path) shouldBe true
     val m1 = Snapshot.latest(spark, path).get
-    m1.copy(schemaJson = None) shouldBe
+    m1.copy(schemaJson = None, committedAtMs = None) shouldBe
       Snapshot.Manifest(1L, Seq(0L, 1L, 2L, 3L, 4L), Seq(0L, 1L, 2L, 3L, 4L))
+    // every protocol publish carries its writer-clock commit stamp
+    m1.committedAtMs.isDefined shouldBe true
     // enable captured the table schema (data columns only)
     m1.schemaJson.get should include("\"key\"")
     m1.schemaJson.get should not include "batch_id"
@@ -979,5 +981,50 @@ class SnapshotSpec extends SparkSpec {
     // idempotent: nothing blind left → no publish
     Snapshot.backfillStats(spark, path) shouldBe Seq.empty
     Snapshot.latestVersion(spark, path).get shouldBe v0 + 1
+  }
+
+  test("readAsOf resolves by writer-clock commit stamp: between-commit " +
+    "timestamps pin the earlier version; before-first fails loudly; " +
+    "pre-stamp manifests fall back to file mtime") {
+    import spark.implicits._
+    val path = graft.TempDirs.path(
+      s"snapshot/asof-${java.util.UUID.randomUUID()}")
+    Seq((1L, "a")).toDF("n", "k").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1: batch 0
+    val t1 = Snapshot.commitTimeMs(spark, path, 1L)
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq((2L, "b")).toDF("n", "k").write.mode("overwrite")
+        .parquet(s"$path/batch_id=1")
+    } // v2: batches 0, 1
+    val t2 = Snapshot.commitTimeMs(spark, path, 2L)
+    t2 should be >= t1
+    // at exactly t1 (and any instant before t2): version 1's view
+    Snapshot.versionAsOf(spark, path, t1) shouldBe Some(1L)
+    Snapshot.readAsOf(spark, path, t1)
+      .select("n").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // at/after the last commit: the live view
+    Snapshot.versionAsOf(spark, path, t2 + 60000) shouldBe Some(2L)
+    Snapshot.readAsOf(spark, path, t2 + 60000)
+      .select("n").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+    // before the first commit: there was no table then — loud, never
+    // a silent current-version read
+    an[IllegalStateException] should be thrownBy
+      Snapshot.readAsOf(spark, path, t1 - 60000)
+    // legacy manifest without the stamp field: mtime fallback — strip
+    // committedAtMs from v1's JSON in place and resolve again
+    val f = java.nio.file.Paths.get(
+      path, Snapshot.ManifestDir, "v%012d.json".format(1L))
+    val legacy = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .replaceFirst("\"committedAtMs\":\\d+,", "")
+    java.nio.file.Files.write(f, legacy.getBytes("UTF-8"))
+    // the out-of-band rewrite invalidates LocalFileSystem's checksum
+    // sidecar — drop it (real legacy files carry a matching crc)
+    java.nio.file.Files.deleteIfExists(
+      f.getParent.resolve(s".${f.getFileName}.crc"))
+    Snapshot.readManifest(spark, path, 1L).committedAtMs shouldBe None
+    // mtime is "now" (just rewritten) — far after t1, so v1 resolves
+    // for a NOW-ish timestamp; the ordering contract degrades exactly
+    // as documented for legacy files, it never throws
+    Snapshot.commitTimeMs(spark, path, 1L) should be > t2
   }
 }
