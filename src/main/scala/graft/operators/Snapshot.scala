@@ -113,7 +113,7 @@ object Snapshot {
     def foldedSet: Set[Long] = folded.toSet
   }
 
-  private[operators] def structOf(json: String): org.apache.spark.sql.types.StructType =
+  private[graft] def structOf(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 

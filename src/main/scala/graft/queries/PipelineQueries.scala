@@ -713,6 +713,47 @@ object PipelineQueries {
       s.table(qn).orderBy("event_type")
     }),
 
+    // ST14 — SNAPSHOT STREAM (SnapshotStream scaladoc): the
+    // table-as-stream half of the lakehouse loop — manifest versions
+    // as offsets, each micro-batch serving exactly the appends
+    // committed between versions. The query drives the full lifecycle
+    // against the real engine: history arrives in batch 0 (earliest),
+    // a post-start commit flows with its provenance, and a COMPACTION
+    // between triggers re-homes every row without the stream serving
+    // any of them twice (the appends-only contract — the pinned
+    // VALUES oracle would catch a re-emission as extra rows).
+    "st14_snapshot_stream" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val qn = "graft_st14_sink"
+      s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+      val path = graft.TempDirs.path(
+        s"snapstream/st14-${java.util.UUID.randomUUID()}")
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v")
+        .write.parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      val q = graft.sources.SnapshotStream.readStream(s, path)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Snapshot.stagedAppend(s, path, 1L) {
+          Seq((3L, "gamma")).toDF("id", "v").write.mode("overwrite")
+            .parquet(s"$path/batch_id=1")
+        }
+        q.processAllAvailable()
+        Snapshot.compactLive(s, path) // re-homes rows; must NOT re-emit
+        Snapshot.stagedAppend(s, path, 2L) {
+          Seq((4L, "delta")).toDF("id", "v").write.mode("overwrite")
+            .parquet(s"$path/batch_id=2")
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).select(col("batch_id").cast("int").as("batch"),
+          col("id"), col("v"))
+        .orderBy("batch", "id")
+    }),
+
     // QC2 — CHAR-LM PERPLEXITY (CharLm scaladoc): the CCNet/KenLM
     // quality signal as an engine-native operator — train a character
     // trigram model over the corpus (one explode + one groupBy),
@@ -2301,6 +2342,14 @@ object PipelineQueries {
     "st13_streaming_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS dedup_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // st14: each planted row arrives exactly once with its commit
+    // provenance; the mid-stream compaction adds NOTHING (a re-emitted
+    // fold would surface as extra rows here)
+    "st14_snapshot_stream" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS INTEGER), CAST(1 AS BIGINT), 'alpha'),
+           (0, 2, 'beta'), (1, 3, 'gamma'), (2, 4, 'delta'))
+         t(batch, id, v) ORDER BY batch, id""",
     "dd9_incremental_neardup" ->
       """SELECT * FROM (VALUES
            (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0.931 AS DOUBLE)),

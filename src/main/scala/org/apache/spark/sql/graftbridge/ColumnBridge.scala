@@ -44,4 +44,23 @@ object ColumnBridge {
     * were built under, then overrides only what it owns. */
   def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Flag a batch plan as STREAMING — what a V1 streaming `Source`'s
+    * `getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming=true` on the result). FileStreamSource does exactly
+    * this internally (`LogicalRelation(..., isStreaming = true)`); the
+    * bridge re-tags every leaf relation of an analyzed batch read so a
+    * manifest-resolved parquet DataFrame can be served as a
+    * micro-batch without hand-writing a DataSourceV2 PartitionReader. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val tagged = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case lv: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lv.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      tagged)
+  }
 }

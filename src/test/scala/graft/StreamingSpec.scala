@@ -291,6 +291,68 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("snapshot stream: manifest versions are offsets — commits flow in order, " +
+    "maintenance never re-emits, startingVersion=latest skips history") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    import graft.sources.SnapshotStream
+    val path = TempDirs.path(s"snapstream/${java.util.UUID.randomUUID()}")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1: batch 0 committed
+
+    def rows(table: String): Seq[(Int, Long)] =
+      spark.table(table).select("batch_id", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+
+    val q = SnapshotStream.readStream(spark, path)
+      .writeStream.format("memory").queryName("snapstream_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // earliest: history arrives in batch 0
+      rows("snapstream_sink") shouldBe Seq((0, 1L), (0, 2L))
+      // a new commit flows through with its provenance
+      Snapshot.stagedAppend(spark, path, 1L) {
+        Seq((3L, "c")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=1")
+      }
+      q.processAllAvailable()
+      rows("snapstream_sink") shouldBe Seq((0, 1L), (0, 2L), (1, 3L))
+      // compaction re-homes every row into a fold batch — the stream
+      // must NOT serve them again (appends-only contract)
+      Snapshot.compactLive(spark, path)
+      q.processAllAvailable()
+      rows("snapstream_sink") shouldBe Seq((0, 1L), (0, 2L), (1, 3L))
+      // and appends after maintenance still flow
+      Snapshot.stagedAppend(spark, path, 2L) {
+        Seq((4L, "d")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=2")
+      }
+      q.processAllAvailable()
+      rows("snapstream_sink") shouldBe
+        Seq((0, 1L), (0, 2L), (1, 3L), (2, 4L))
+    } finally q.stop()
+
+    // startingVersion=latest: only commits AFTER stream start
+    val q2 = SnapshotStream.readStream(spark, path, startingVersion = "latest")
+      .writeStream.format("memory").queryName("snapstream_sink2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      spark.table("snapstream_sink2").count() shouldBe 0L
+      Snapshot.stagedAppend(spark, path, 3L) {
+        Seq((5L, "e")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=3")
+      }
+      q2.processAllAvailable()
+      rows("snapstream_sink2") shouldBe Seq((3, 5L))
+    } finally q2.stop()
+
+    // fail at stream START on a non-governed path, not at first batch
+    an[Exception] should be thrownBy
+      SnapshotStream.readStream(spark, TempDirs.path("snapstream/none"))
+  }
+
   test("quality gates run unchanged on a stream: gopher + PII scrub at ingest") {
     val session = spark
     import session.implicits._
