@@ -754,6 +754,52 @@ object PipelineQueries {
         .orderBy("batch", "id")
     }),
 
+    // ST15 — MEDALLION HOP, end to end under the real engine: bronze
+    // (a governed table) streams THROUGH the manifest protocol
+    // (st14's source), the Gopher quality gate runs in-stream, and
+    // survivors land EXACTLY-ONCE in a governed silver table
+    // (Windows.governedSink — stagedAppend keyed by micro-batch id),
+    // which is itself immediately streamable/time-travelable: the
+    // full bronze→silver lakehouse hop as one composition of already-
+    // pinned parts. Fixture: gopherDocs (1 passes, 2-8 each fail one
+    // rule) + a re-keyed copy of the passing doc in the second bronze
+    // commit, so each silver batch holds exactly one hand-derivable
+    // survivor. The result reads silver THROUGH the protocol with its
+    // micro-batch provenance.
+    "st15_medallion" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val qn = "graft_st15_sink"
+      s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+      val bronze = graft.TempDirs.path(
+        s"medallion/bronze-${java.util.UUID.randomUUID()}")
+      val silver = graft.TempDirs.path(
+        s"medallion/silver-${java.util.UUID.randomUUID()}")
+      val docs = PlantedFixtures.gopherDocs(s)
+      docs.filter(col("doc_id") <= 4).write.parquet(s"$bronze/batch_id=0")
+      Snapshot.enable(s, bronze)
+      val gated = graft.sources.SnapshotStream.readStream(s, bronze)
+        .filter(T.gopherFlags(col("text")).getField("pass") === 1)
+        .select(col("doc_id"), col("text"))
+      val sink = graft.streaming.Windows.governedSink(silver)
+      val q = gated.writeStream.queryName(qn)
+        .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .start()
+      try {
+        q.processAllAvailable()
+        Snapshot.stagedAppend(s, bronze, 1L) {
+          docs.filter(col("doc_id") >= 5)
+            .unionByName(docs.filter(col("doc_id") === 1)
+              .select(lit(9L).as("doc_id"), col("text")))
+            .write.mode("overwrite").parquet(s"$bronze/batch_id=1")
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      Snapshot.read(s, silver)
+        .select(col("batch_id").cast("int").as("batch"), col("doc_id"))
+        .orderBy("batch", "doc_id")
+    }),
+
     // QC2 — CHAR-LM PERPLEXITY (CharLm scaladoc): the CCNet/KenLM
     // quality signal as an engine-native operator — train a character
     // trigram model over the corpus (one explode + one groupBy),
@@ -2350,6 +2396,13 @@ object PipelineQueries {
            (CAST(0 AS INTEGER), CAST(1 AS BIGINT), 'alpha'),
            (0, 2, 'beta'), (1, 3, 'gamma'), (2, 4, 'delta'))
          t(batch, id, v) ORDER BY batch, id""",
+    // st15: one hand-derived survivor per bronze commit (gopherDocs —
+    // doc 1 passes every gate, its re-keyed copy 9 arrives in commit 2)
+    "st15_medallion" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS INTEGER), CAST(1 AS BIGINT)),
+           (1, 9))
+         t(batch, doc_id) ORDER BY batch, doc_id""",
     "dd9_incremental_neardup" ->
       """SELECT * FROM (VALUES
            (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0.931 AS DOUBLE)),

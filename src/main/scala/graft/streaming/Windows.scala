@@ -288,6 +288,30 @@ object Windows {
     (batch, batchId) =>
       batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
+  /** Exactly-once sink INTO a snapshot-GOVERNED table: each
+    * micro-batch commits through the manifest protocol keyed by its
+    * micro-batch id, so a foreachBatch redelivery (the at-least-once
+    * crash window) is recognized in the committed history and NO-OPS —
+    * exactly-once-effective like [[idempotentParquetSink]], but the
+    * landing table is immediately a first-class governed table:
+    * streamable downstream ([[graft.sources.SnapshotStream]] — chained
+    * medallion hops), time-travelable (`readAsOf`), zone-stat'd,
+    * compactable, retainable, all without the stream stopping.
+    * Bootstrap: the first micro-batch at a fresh path writes then
+    * enables (a crash between the two replays the same dir and
+    * enables on the rerun — the write is an idempotent overwrite). */
+  def governedSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import graft.operators.Snapshot
+      val s = batch.sparkSession
+      if (!Snapshot.isEnabled(s, path)) {
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        Snapshot.enable(s, path)
+      } else Snapshot.stagedAppend(s, path, batchId) {
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+    }
+
   /** UNIFIED multimodal ingest loop — one stream maintaining BOTH
     * standing indexes: each micro-batch of (id, text, embedding) rows
     * probes the MinHash TEXT index and the hyperplane-LSH EMBEDDING
