@@ -33,6 +33,18 @@ class BenchGaugeSpec extends SparkSpec {
     out("ok") shouldBe 7.0
   }
 
+  test("per-group budget overrides: a known-heavy group runs under its own " +
+    "deadline while the default still bounds the rest") {
+    val defs: Seq[(String, () => Map[String, Double])] = Seq(
+      "heavy" -> (() => { Thread.sleep(3000); Map("h" -> 1.0) }),
+      "fast" -> (() => Map("f" -> 2.0)))
+    val out = Bench.runGauges(spark.sparkContext, defs, 1.second,
+      budgetOverrides = Map("heavy" -> 15.seconds))
+    out("h") shouldBe 1.0 // survived: its override outlasts the sleep
+    out("f") shouldBe 2.0
+    out.contains("gauge_heavy_error") shouldBe false
+  }
+
   test("gauge defs cover the full per-round evidence surface (the r16 " +
     "lost record, re-landed as independently-budgeted groups)") {
     // names only — no thunk is invoked, so this stays a fast contract
