@@ -325,7 +325,12 @@ object BloomIndex {
             // every older life's entry — evict them, or a long-lived
             // server over a periodically-rebuilt table accretes one
             // ~MB bloom per rebuild forever (review r17 #4); eviction
-            // rides the rare miss path, never the hit path
+            // rides the rare miss path, never the hit path. The token
+            // is always the CURRENT on-disk stamp read moments ago in
+            // sidecarToken (no reader holds a long-lived stale token),
+            // so the only way an old-token insert evicts a new-token
+            // entry is a lookup STRADDLING a refresh — one transient
+            // extra miss that the straggler's own next lookup heals.
             cache.keysIterator
               .filter { case (p, c, bb, t) =>
                 p == path && c == column && bb == b && t != token }

@@ -138,8 +138,13 @@ object ZOrder {
         // adopt the OLD manifest and stagedAppend NO-OP on every
         // already-committed id — silently serving the old dataset.
         // Pinned readers do not survive a rebuild (SketchTable.build).
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        // point of no return is the delete's START, not its return: a
+        // recursive delete failing PARTWAY leaves the original table
+        // half-destroyed, and sweeping the staged full copy then would
+        // be the exact row loss this flag exists to prevent (review
+        // r17 pass 2) — so flip the flag first
         resetDone = true
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
         // schema-only seed bootstraps the manifest so every DATA batch
         // can commit via stagedAppend and carry zone stats
         // (repartition forces one empty part file whose FOOTER

@@ -21,9 +21,16 @@ import graft.operators.Snapshot
   * breaking snapshot isolation for the reader).
   *
   * Semantics (the Delta appends-only streaming contract):
-  *  - emits batches with id ≥ 0 — the ingest appends. Maintenance
-  *    never re-emits: a compaction FOLD (ids ≤ -2) re-homes already-
-  *    served rows, retention only removes, and the build batch (-1) is
+  *  - the INITIAL micro-batch of an `earliest` stream is the LIVE SET
+  *    of the starting manifest (the Delta "initial snapshot"
+  *    convention) — NOT the cumulative committed history, which would
+  *    resurrect retention-retired rows and read fold-input dirs vacuum
+  *    may have swept; a pre-stream compaction's folds ARE the current
+  *    content and serve exactly once here.
+  *  - every LATER micro-batch emits only batches with id ≥ 0 — the
+  *    ingest appends. Maintenance never re-emits: a compaction FOLD
+  *    (ids ≤ -2) re-homes already-served rows, retention only removes
+  *    (appends-only: no retractions), and the build batch (-1) is
   *    schema scaffolding. A redelivered append id is already in the
   *    older committed set, so replays don't double-serve.
   *  - offsets are replayable while manifests + batch dirs survive:
@@ -31,6 +38,11 @@ import graft.operators.Snapshot
   *    `committed(v_b) − committed(v_a)` — deterministic from the
   *    manifests alone. [[Snapshot.vacuum]] expires old offsets the
   *    same way it expires pinned readers (documented there).
+  *  - the start horizon is PERSISTED under the stream's metadata dir
+  *    on first construction: a `latest` stream that crashes between
+  *    the offset WAL and the batch commit replays its first batch
+  *    from the ORIGINAL horizon, not from whatever is latest after
+  *    the restart (which would silently skip the commits in between).
   *  - schema is the manifest schema AT STREAM START (+ the `batch_id`
   *    provenance column); a mid-stream widening null-projects away
   *    until restart, the Delta convention.
@@ -92,21 +104,49 @@ final class SnapshotStreamProvider extends StreamSourceProvider {
         case other => throw new IllegalArgumentException(
           s"startingVersion must be 'earliest' or 'latest': $other")
       }
-    new SnapshotStreamSource(sqlContext.sparkSession, path, earliest)
+    new SnapshotStreamSource(sqlContext.sparkSession, path, earliest,
+      metadataPath)
   }
 }
 
 final class SnapshotStreamSource(spark: SparkSession, path: String,
-                                 earliest: Boolean) extends Source {
+                                 earliest: Boolean,
+                                 metadataPath: String) extends Source {
 
   override val schema: StructType = SnapshotStream.streamSchema(spark, path)
 
-  /** Version horizon for a fresh (checkpoint-less) stream: 0 serves
-    * the whole committed history in batch 0; `latest` pins to the
-    * version at construction so only later commits flow. */
-  private val initialVersion: Long =
-    if (earliest) 0L
-    else Snapshot.latestVersion(spark, path).getOrElse(0L)
+  /** Version horizon of the stream: 0 (earliest — batch 0 serves the
+    * live set) or the version at FIRST construction (latest). PINNED
+    * under the stream's metadata dir: recomputing "latest" after a
+    * crash-restart would silently skip every commit between the
+    * original horizon and the restart when the engine replays its
+    * WAL'd first offset (review r17 #2 — the FileStreamSource
+    * metadataLog discipline). Exclusive-create: a concurrent
+    * constructor loses the race and adopts the winner's horizon. */
+  private val initialVersion: Long = {
+    val fs = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val f = new org.apache.hadoop.fs.Path(metadataPath,
+      "graft-snapshot-initial-version")
+    def readPinned(): Long = {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(f)) readPinned()
+    else {
+      val v = if (earliest) 0L
+        else Snapshot.latestVersion(spark, path).getOrElse(0L)
+      try {
+        val out = fs.create(f, false) // exclusive: first writer wins
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        v
+      } catch { case _: java.io.IOException => readPinned() }
+    }
+  }
+
+  /** Spec hook: the horizon this source resolved (and pinned). */
+  private[graft] def pinnedInitialVersion: Long = initialVersion
 
   private def ver(o: Offset): Long = o.json.toLong
 
@@ -124,22 +164,35 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
     Snapshot.latestVersion(spark, path).map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(ver).getOrElse(initialVersion)
     val toV = ver(end)
-    // newly-committed APPENDS in (fromV, toV]: maintenance ids
-    // (build -1, folds ≤ -2) re-home rows this stream already served
-    val ids = (committedAt(toV) -- committedAt(fromV)).filter(_ >= 0).toSeq.sorted
     val data = StructType(schema.fields.dropRight(1))
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val batchDf = start match {
+      case None if earliest =>
+        // INITIAL SNAPSHOT: the end manifest's LIVE set — never the
+        // cumulative committed history, which would resurrect
+        // retention-retired rows and read fold-input dirs vacuum may
+        // have swept (review r17 #1). Folds (the current content
+        // after a pre-stream compaction) serve exactly once here.
+        val m = Snapshot.readManifest(spark, path, toV)
+        if (m.batches.isEmpty) empty // fully-retired table: no history
+        else Snapshot.readBatches(spark, path, m)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case _ =>
+        val fromV = start.map(ver).getOrElse(initialVersion)
+        // newly-committed APPENDS in (fromV, toV]: maintenance ids
+        // (build -1, folds ≤ -2) re-home rows this stream already served
+        val ids = (committedAt(toV) -- committedAt(fromV))
+          .filter(_ >= 0).toSeq.sorted
+        if (ids.isEmpty) empty
+        else spark.read.option("basePath", path).schema(data)
+          .parquet(ids.map(b => s"$path/batch_id=$b"): _*)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    }
     // getBatch's contract wants a STREAMING-flagged plan — the bridge
     // re-tags the batch relation the way FileStreamSource does
-    org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(
-      if (ids.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else
-        spark.read.option("basePath", path).schema(data)
-          .parquet(ids.map(b => s"$path/batch_id=$b"): _*)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(batchDf)
   }
 
   override def stop(): Unit = ()

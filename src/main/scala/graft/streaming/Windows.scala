@@ -299,7 +299,20 @@ object Windows {
     * compactable, retainable, all without the stream stopping.
     * Bootstrap: the first micro-batch at a fresh path writes then
     * enables (a crash between the two replays the same dir and
-    * enables on the rerun — the write is an idempotent overwrite). */
+    * enables on the rerun — the write is an idempotent overwrite).
+    *
+    * CONTINUITY GUARD: the exactly-once key is the bare micro-batch
+    * id, so a query restarted against a FRESH CHECKPOINT (ids restart
+    * at 0) over a non-empty table would silently no-op every batch
+    * whose id the table already committed — data loss wearing the
+    * redelivery contract (review r17 pass 2). The sink therefore
+    * REFUSES a batch id strictly BEHIND the table's committed head: a
+    * genuine redelivery replays exactly the head id (allowed, no-ops),
+    * anything older means the checkpoint and the table disagree. The
+    * one undetectable case — fresh checkpoint whose batch 0 collides
+    * with a table whose head IS 0 — needs a (appId, version) txn key
+    * to close fully; callers running multiple writers into one silver
+    * table should key paths per pipeline. */
   def governedSink(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       import graft.operators.Snapshot
@@ -307,8 +320,16 @@ object Windows {
       if (!Snapshot.isEnabled(s, path)) {
         batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
         Snapshot.enable(s, path)
-      } else Snapshot.stagedAppend(s, path, batchId) {
-        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      } else {
+        val head = Snapshot.committedBatches(s, path).filter(_ >= 0)
+        head.maxOption.foreach(mx => require(batchId >= mx,
+          s"governedSink checkpoint/table mismatch at $path: micro-batch " +
+            s"$batchId is behind the table's committed head $mx — a fresh " +
+            "checkpoint against a populated table would silently drop " +
+            "batches; use a new silver path or restore the checkpoint"))
+        Snapshot.stagedAppend(s, path, batchId) {
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
       }
     }
 

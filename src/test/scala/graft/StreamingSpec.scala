@@ -353,6 +353,77 @@ class StreamingSpec extends SparkSpec {
       SnapshotStream.readStream(spark, TempDirs.path("snapstream/none"))
   }
 
+  test("snapshot stream initial batch is the LIVE set: retired rows never " +
+    "resurrect, a pre-stream compaction's folds serve exactly once") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    import graft.sources.SnapshotStream
+    val path = TempDirs.path(s"snapstream/live-${java.util.UUID.randomUUID()}")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq((3L, "c")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$path/batch_id=1")
+    }
+    // retire batch 0 (rows 1, 2 logically deleted), then fold the rest
+    Snapshot.retainFrom(spark, path, keepFrom = 1L)
+    Snapshot.compactLive(spark, path)
+    // a stream started NOW must serve the live content (3) exactly
+    // once — the cumulative committed history would resurrect 1 and 2
+    // (and read dirs vacuum is free to sweep)
+    val q = SnapshotStream.readStream(spark, path)
+      .writeStream.format("memory").queryName("snapstream_live_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      spark.table("snapstream_live_sink").select("id")
+        .collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+      // and a post-start append still flows normally
+      Snapshot.stagedAppend(spark, path, 2L) {
+        Seq((4L, "d")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=2")
+      }
+      q.processAllAvailable()
+      spark.table("snapstream_live_sink").select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(3L, 4L)
+    } finally q.stop()
+  }
+
+  test("snapshot stream pins its start horizon in the metadata dir: a " +
+    "rebuilt latest-mode source replays the ORIGINAL horizon") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    val path = TempDirs.path(s"snapstream/pin-${java.util.UUID.randomUUID()}")
+    val meta = TempDirs.path(s"snapstream/pin-meta-${java.util.UUID.randomUUID()}")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1
+    val first = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = false, metadataPath = meta)
+    // a commit lands between the crash and the restart
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq((2L, "b")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$path/batch_id=1")
+    } // v2
+    // the REBUILT source (same metadata dir — the engine's restart)
+    // must replay from the pinned v1 horizon, not from "latest is now
+    // v2" (which would skip batch 1's rows in the WAL'd first batch)
+    val rebuilt = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = false, metadataPath = meta)
+    // the rebuilt source adopted the PINNED v1 horizon, so the WAL'd
+    // first batch (None, v2] re-covers batch 1's commit; a fresh
+    // metadata dir pins "latest is now v2" and that window is empty
+    first.pinnedInitialVersion shouldBe 1L
+    rebuilt.pinnedInitialVersion shouldBe 1L
+    val fresh = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = false,
+      metadataPath = TempDirs.path(
+        s"snapstream/pin-meta2-${java.util.UUID.randomUUID()}"))
+    fresh.pinnedInitialVersion shouldBe 2L
+    first.stop(); rebuilt.stop(); fresh.stop()
+  }
+
   test("quality gates run unchanged on a stream: gopher + PII scrub at ingest") {
     val session = spark
     import session.implicits._
