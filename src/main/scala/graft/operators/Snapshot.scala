@@ -686,7 +686,17 @@ object Snapshot {
     */
   def stagedAppend(spark: SparkSession, path: String, batchId: Long)
                   (write: => Unit): Boolean =
-    latest(spark, path) match { // ONE manifest read decides everything
+    stagedAppendFrom(spark, path, batchId, latest(spark, path))(write)
+
+  /** [[stagedAppend]] against a manifest the CALLER already read — so
+    * a caller that needs the manifest for its own pre-checks (the
+    * governed streaming sink's continuity guard) pays ONE metadata
+    * read per commit, not two. Semantics identical: the base is only
+    * the optimistic-commit starting point; [[commitEdit]] rebases on
+    * conflict as always. */
+  private[graft] def stagedAppendFrom(spark: SparkSession, path: String,
+      batchId: Long, base: Option[Manifest])(write: => Unit): Boolean =
+    base match { // ONE manifest read decides everything
       case None => write; true
       case Some(m) if (m.batches ++ m.committed).contains(batchId) => false
       case Some(m) =>

@@ -142,9 +142,17 @@ object ZOrder {
         // recursive delete failing PARTWAY leaves the original table
         // half-destroyed, and sweeping the staged full copy then would
         // be the exact row loss this flag exists to prevent (review
-        // r17 pass 2) — so flip the flag first
+        // r17 pass 2) — so flip the flag first. And partial failure is
+        // signalled by a FALSE RETURN as often as by a throw (the
+        // Hadoop FileSystem contract) — silently continuing would let
+        // enable() adopt a surviving old manifest, every stagedAppend
+        // no-op against its committed history, and the "success" path
+        // sweep the staged buckets: REQUIRE the delete.
         resetDone = true
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val target = new org.apache.hadoop.fs.Path(path)
+        require(fs.delete(target, true) || !fs.exists(target),
+          s"table reset could not fully delete $path — staged buckets " +
+            s"preserved at $stage")
         // schema-only seed bootstraps the manifest so every DATA batch
         // can commit via stagedAppend and carry zone stats
         // (repartition forces one empty part file whose FOOTER

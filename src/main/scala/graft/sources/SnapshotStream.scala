@@ -130,18 +130,30 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       "graft-snapshot-initial-version")
     def readPinned(): Long = {
       val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
+      try text.toLong
+      catch { case e: NumberFormatException =>
+        throw new IllegalStateException(
+          s"corrupt snapshot-stream horizon pin at $f: '$text'", e)
+      }
     }
     if (fs.exists(f)) readPinned()
     else {
       val v = if (earliest) 0L
         else Snapshot.latestVersion(spark, path).getOrElse(0L)
-      try {
-        val out = fs.create(f, false) // exclusive: first writer wins
-        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-        v
-      } catch { case _: java.io.IOException => readPinned() }
+      // TEMP + RENAME, never create-then-write at the final name: a
+      // crash mid-write (or a reader racing the winner's unflushed
+      // create) must never leave an empty/partial pin that bricks
+      // every later restart with a parse error (review r17 pass 3 —
+      // the HDFSMetadataLog discipline). Rename-to-existing fails, so
+      // a racing constructor loses cleanly and adopts the winner's.
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".graft-snapshot-initial-version.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, f)) v
+      else { fs.delete(tmp, false); readPinned() }
     }
   }
 
@@ -165,7 +177,6 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = ver(end)
-    val data = StructType(schema.fields.dropRight(1))
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val batchDf = start match {
@@ -178,7 +189,6 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
         val m = Snapshot.readManifest(spark, path, toV)
         if (m.batches.isEmpty) empty // fully-retired table: no history
         else Snapshot.readBatches(spark, path, m)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       case _ =>
         val fromV = start.map(ver).getOrElse(initialVersion)
         // newly-committed APPENDS in (fromV, toV]: maintenance ids
@@ -186,13 +196,16 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
         val ids = (committedAt(toV) -- committedAt(fromV))
           .filter(_ >= 0).toSeq.sorted
         if (ids.isEmpty) empty
-        else spark.read.option("basePath", path).schema(data)
+        else spark.read.option("basePath", path)
+          .schema(StructType(schema.fields.dropRight(1)))
           .parquet(ids.map(b => s"$path/batch_id=$b"): _*)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     }
-    // getBatch's contract wants a STREAMING-flagged plan — the bridge
-    // re-tags the batch relation the way FileStreamSource does
-    org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(batchDf)
+    // ONE shared projection to the declared column order, then the
+    // STREAMING re-tag getBatch's contract wants (the bridge does what
+    // FileStreamSource does internally)
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(
+      batchDf.select(
+        schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
   }
 
   override def stop(): Unit = ()

@@ -301,33 +301,66 @@ object Windows {
     * enables (a crash between the two replays the same dir and
     * enables on the rerun — the write is an idempotent overwrite).
     *
-    * CONTINUITY GUARD: the exactly-once key is the bare micro-batch
-    * id, so a query restarted against a FRESH CHECKPOINT (ids restart
-    * at 0) over a non-empty table would silently no-op every batch
-    * whose id the table already committed — data loss wearing the
-    * redelivery contract (review r17 pass 2). The sink therefore
-    * REFUSES a batch id strictly BEHIND the table's committed head: a
-    * genuine redelivery replays exactly the head id (allowed, no-ops),
-    * anything older means the checkpoint and the table disagree. The
-    * one undetectable case — fresh checkpoint whose batch 0 collides
-    * with a table whose head IS 0 — needs a (appId, version) txn key
-    * to close fully; callers running multiple writers into one silver
-    * table should key paths per pipeline. */
+    * CONTINUITY GUARD, keyed on QUERY LINEAGE (the Delta (appId,
+    * version) txn idea over this protocol): the exactly-once key is
+    * the bare micro-batch id, so a query restarted against a FRESH
+    * CHECKPOINT (ids restart at 0) over a non-empty table would
+    * silently no-op every batch the table already committed — data
+    * loss wearing the redelivery contract (review r17 pass 2). The
+    * sink records the streaming QUERY ID (stable across restarts of
+    * one checkpoint, new for a fresh one) beside the manifests; a
+    * batch id at-or-behind the committed head is a safe exactly-once
+    * drain WITHIN the recorded lineage (a checkpoint restored from an
+    * older backup replays and no-ops — review r17 pass 3 regression),
+    * but a DIFFERENT lineage must start strictly past the head or
+    * fail loudly. Lineage adoption: a new query appending past the
+    * head takes the record over. Metadata cost per commit: one
+    * manifest read (shared with the append via stagedAppendFrom) and
+    * one tiny lineage-file read. */
   def governedSink(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       import graft.operators.Snapshot
       val s = batch.sparkSession
+      val queryId = Option(
+        s.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val lineageFile = new org.apache.hadoop.fs.Path(path,
+        "_manifests/_sink_lineage") // rebuilt tables reset it with the manifests
+      def readLineage(): Option[String] =
+        if (!fs.exists(lineageFile)) None
+        else {
+          val in = fs.open(lineageFile)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          finally in.close()
+        }
+      def writeLineage(q: String): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          s"_manifests/._sink_lineage.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(q.getBytes("UTF-8")) finally out.close()
+        fs.delete(lineageFile, false)
+        if (!fs.rename(tmp, lineageFile)) fs.delete(tmp, false)
+      }
       if (!Snapshot.isEnabled(s, path)) {
         batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
         Snapshot.enable(s, path)
+        queryId.foreach(writeLineage)
       } else {
-        val head = Snapshot.committedBatches(s, path).filter(_ >= 0)
-        head.maxOption.foreach(mx => require(batchId >= mx,
-          s"governedSink checkpoint/table mismatch at $path: micro-batch " +
-            s"$batchId is behind the table's committed head $mx — a fresh " +
-            "checkpoint against a populated table would silently drop " +
-            "batches; use a new silver path or restore the checkpoint"))
-        Snapshot.stagedAppend(s, path, batchId) {
+        val m = Snapshot.latest(s, path)
+        val head = m.map(mm => (mm.batches ++ mm.committed).filter(_ >= 0))
+          .getOrElse(Seq.empty)
+        val sameLineage =
+          (for (q <- queryId; l <- readLineage()) yield q == l).getOrElse(false)
+        if (!sameLineage)
+          head.maxOption.foreach(mx => require(batchId >= mx,
+            s"governedSink checkpoint/table mismatch at $path: micro-batch " +
+              s"$batchId from a NEW query lineage is behind the table's " +
+              s"committed head $mx — a fresh checkpoint against a populated " +
+              "table would silently drop batches; use a new silver path " +
+              "(a restored checkpoint of the ORIGINAL query replays safely)"))
+        if (!sameLineage) queryId.foreach(writeLineage)
+        Snapshot.stagedAppendFrom(s, path, batchId, m) {
           batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
         }
       }

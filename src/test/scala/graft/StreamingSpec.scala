@@ -424,6 +424,41 @@ class StreamingSpec extends SparkSpec {
     first.stop(); rebuilt.stop(); fresh.stop()
   }
 
+  test("governedSink lineage guard: the same query drains behind-head " +
+    "replays; a NEW lineage behind the head fails loudly; appending past " +
+    "the head adopts the lineage") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    val path = TempDirs.path(s"govsink/${java.util.UUID.randomUUID()}")
+    val sink = graft.streaming.Windows.governedSink(path)
+    def df(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+    def liveIds(): Seq[Long] =
+      Snapshot.read(spark, path).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-one")
+      sink(df(1L), 0L) // bootstrap: enable + lineage record
+      sink(df(2L), 1L)
+      liveIds() shouldBe Seq(1L, 2L)
+      // checkpoint restored from an OLDER backup: the same query
+      // replays batch 0 — a safe exactly-once drain, NOT an error
+      // (and the original rows are untouched)
+      noException should be thrownBy sink(df(99L), 0L)
+      liveIds() shouldBe Seq(1L, 2L)
+      // a FRESH checkpoint (new query id) restarting at 0 over the
+      // populated table is the data-loss case — loud
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-two")
+      an[IllegalArgumentException] should be thrownBy sink(df(98L), 0L)
+      // but the new lineage appending PAST the head is legitimate —
+      // and adopts the lineage record, so ITS later replays drain too
+      sink(df(3L), 2L)
+      liveIds() shouldBe Seq(1L, 2L, 3L)
+      noException should be thrownBy sink(df(97L), 1L) // now same lineage
+      liveIds() shouldBe Seq(1L, 2L, 3L)
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("quality gates run unchanged on a stream: gopher + PII scrub at ingest") {
     val session = spark
     import session.implicits._
