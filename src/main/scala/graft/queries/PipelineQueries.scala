@@ -800,6 +800,43 @@ object PipelineQueries {
         .orderBy("batch", "doc_id")
     }),
 
+    // ST16 — CHANGE DATA FEED (SnapshotChangesSource scaladoc): the
+    // streaming face of diffVersions — per-commit row-level changes
+    // with _commit_version provenance, Delta-CDF shaped. One window
+    // covers an append (v2), a retention (v3) and a compaction (v4):
+    // the oracle pins per-commit granularity INSIDE the multi-version
+    // window, retention surfacing as deletes, and the compaction
+    // contributing zero rows (rows re-homed between batch dirs are not
+    // a table change).
+    "st16_change_feed" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val qn = "graft_st16_sink"
+      s.streams.active.filter(q => Option(q.name).contains(qn)).foreach(_.stop())
+      val path = graft.TempDirs.path(
+        s"cdf/st16-${java.util.UUID.randomUUID()}")
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v")
+        .write.parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path) // v1
+      val q = graft.sources.SnapshotStream
+        .readChanges(s, path, startingVersion = "earliest")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // v1 content as inserts
+        Snapshot.stagedAppend(s, path, 1L) {
+          Seq((3L, "gamma")).toDF("id", "v").write.mode("overwrite")
+            .parquet(s"$path/batch_id=1")
+        } // v2
+        Snapshot.retainFrom(s, path, keepFrom = 1L) // v3: retire batch 0
+        Snapshot.compactLive(s, path) // v4: re-home, NOT a change
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+        .select(col("change_type"), col("id"), col("v"), col("_commit_version"))
+        .orderBy("_commit_version", "change_type", "id")
+    }),
+
     // QC2 — CHAR-LM PERPLEXITY (CharLm scaladoc): the CCNet/KenLM
     // quality signal as an engine-native operator — train a character
     // trigram model over the corpus (one explode + one groupBy),
@@ -2403,6 +2440,17 @@ object PipelineQueries {
            (CAST(0 AS INTEGER), CAST(1 AS BIGINT)),
            (1, 9))
          t(batch, doc_id) ORDER BY batch, doc_id""",
+    // st16: v1's content as inserts@1, the append's row as insert@2,
+    // retention's retired rows as deletes@3, compaction (v4) NOTHING
+    "st16_change_feed" ->
+      """SELECT * FROM (VALUES
+           ('insert', CAST(1 AS BIGINT), 'alpha', CAST(1 AS BIGINT)),
+           ('insert', 2, 'beta', 1),
+           ('insert', 3, 'gamma', 2),
+           ('delete', 1, 'alpha', 3),
+           ('delete', 2, 'beta', 3))
+         t(change_type, id, v, _commit_version)
+         ORDER BY _commit_version, change_type, id""",
     "dd9_incremental_neardup" ->
       """SELECT * FROM (VALUES
            (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0.931 AS DOUBLE)),

@@ -72,6 +72,18 @@ object SnapshotStream {
     StructType(data.fields :+ StructField("batch_id", IntegerType, nullable = true))
   }
 
+  /** Schema of the CHANGES feed: change_type + data columns +
+    * _commit_version (Delta CDF's column naming). */
+  private[sources] def changesSchema(spark: SparkSession, path: String): StructType = {
+    val data = streamSchema(spark, path).fields.dropRight(1) // no batch_id
+    StructType(
+      StructField("change_type", org.apache.spark.sql.types.StringType,
+        nullable = false) +:
+        data :+
+        StructField("_commit_version", org.apache.spark.sql.types.LongType,
+          nullable = false))
+  }
+
   /** Reader-side entry point: a streaming DataFrame over the governed
     * table at `path`. */
   def readStream(spark: SparkSession, path: String,
@@ -80,50 +92,25 @@ object SnapshotStream {
       .option("path", path)
       .option("startingVersion", startingVersion)
       .load()
-}
 
-final class SnapshotStreamProvider extends StreamSourceProvider {
-  private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "snapshot stream needs .option(\"path\", <governed table root>)"))
+  /** CHANGE DATA FEED entry point: per-commit row-level changes
+    * (`change_type` delete/insert + `_commit_version`) — the streaming
+    * face of [[Snapshot.diffVersions]]. See [[SnapshotChangesSource]]. */
+  def readChanges(spark: SparkSession, path: String,
+                  startingVersion: String = "latest"): DataFrame =
+    spark.readStream.format(classOf[SnapshotStreamProvider].getName)
+      .option("path", path)
+      .option("startingVersion", startingVersion)
+      .option("mode", "changes")
+      .load()
 
-  override def sourceSchema(sqlContext: SQLContext,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    ("graft-snapshot",
-      SnapshotStream.streamSchema(sqlContext.sparkSession, pathOf(parameters)))
-
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    val path = pathOf(parameters)
-    val earliest =
-      parameters.getOrElse("startingVersion", "earliest") match {
-        case "earliest" => true
-        case "latest" => false
-        case other => throw new IllegalArgumentException(
-          s"startingVersion must be 'earliest' or 'latest': $other")
-      }
-    new SnapshotStreamSource(sqlContext.sparkSession, path, earliest,
-      metadataPath)
-  }
-}
-
-final class SnapshotStreamSource(spark: SparkSession, path: String,
-                                 earliest: Boolean,
-                                 metadataPath: String) extends Source {
-
-  override val schema: StructType = SnapshotStream.streamSchema(spark, path)
-
-  /** Version horizon of the stream: 0 (earliest — batch 0 serves the
-    * live set) or the version at FIRST construction (latest). PINNED
-    * under the stream's metadata dir: recomputing "latest" after a
-    * crash-restart would silently skip every commit between the
-    * original horizon and the restart when the engine replays its
-    * WAL'd first offset (review r17 #2 — the FileStreamSource
-    * metadataLog discipline). Exclusive-create: a concurrent
-    * constructor loses the race and adopts the winner's horizon. */
-  private val initialVersion: Long = {
+  /** The stream's start horizon, PINNED atomically (temp + rename)
+    * under its metadata dir on first construction — recomputing it
+    * after a crash-restart would silently skip in-between commits when
+    * the engine replays its WAL'd first offset (the FileStreamSource
+    * metadataLog discipline); shared by both source modes. */
+  private[sources] def pinnedHorizon(spark: SparkSession, metadataPath: String)
+                                    (compute: => Long): Long = {
     val fs = new org.apache.hadoop.fs.Path(metadataPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val f = new org.apache.hadoop.fs.Path(metadataPath,
@@ -140,14 +127,13 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
     }
     if (fs.exists(f)) readPinned()
     else {
-      val v = if (earliest) 0L
-        else Snapshot.latestVersion(spark, path).getOrElse(0L)
+      val v = compute
       // TEMP + RENAME, never create-then-write at the final name: a
       // crash mid-write (or a reader racing the winner's unflushed
       // create) must never leave an empty/partial pin that bricks
-      // every later restart with a parse error (review r17 pass 3 —
-      // the HDFSMetadataLog discipline). Rename-to-existing fails, so
-      // a racing constructor loses cleanly and adopts the winner's.
+      // every later restart with a parse error. Rename-to-existing
+      // fails, so a racing constructor loses cleanly and adopts the
+      // winner's.
       val tmp = new org.apache.hadoop.fs.Path(metadataPath,
         s".graft-snapshot-initial-version.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
@@ -156,6 +142,62 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       else { fs.delete(tmp, false); readPinned() }
     }
   }
+}
+
+final class SnapshotStreamProvider extends StreamSourceProvider {
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "snapshot stream needs .option(\"path\", <governed table root>)"))
+
+  private def isChanges(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("mode", "appends") match {
+      case "appends" => false
+      case "changes" => true
+      case other => throw new IllegalArgumentException(
+        s"mode must be 'appends' or 'changes': $other")
+    }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-snapshot",
+      if (isChanges(parameters))
+        SnapshotStream.changesSchema(sqlContext.sparkSession, pathOf(parameters))
+      else
+        SnapshotStream.streamSchema(sqlContext.sparkSession, pathOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val earliest =
+      parameters.getOrElse("startingVersion", "earliest") match {
+        case "earliest" => true
+        case "latest" => false
+        case other => throw new IllegalArgumentException(
+          s"startingVersion must be 'earliest' or 'latest': $other")
+      }
+    if (isChanges(parameters))
+      new SnapshotChangesSource(sqlContext.sparkSession, path, earliest,
+        metadataPath)
+    else
+      new SnapshotStreamSource(sqlContext.sparkSession, path, earliest,
+        metadataPath)
+  }
+}
+
+final class SnapshotStreamSource(spark: SparkSession, path: String,
+                                 earliest: Boolean,
+                                 metadataPath: String) extends Source {
+
+  override val schema: StructType = SnapshotStream.streamSchema(spark, path)
+
+  /** Version horizon of the stream: 0 (earliest — batch 0 serves the
+    * live set) or the version at FIRST construction (latest), pinned
+    * via [[SnapshotStream.pinnedHorizon]]. */
+  private val initialVersion: Long =
+    SnapshotStream.pinnedHorizon(spark, metadataPath)(
+      if (earliest) 0L else Snapshot.latestVersion(spark, path).getOrElse(0L))
 
   /** Spec hook: the horizon this source resolved (and pinned). */
   private[graft] def pinnedInitialVersion: Long = initialVersion
@@ -206,6 +248,79 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
     org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(
       batchDf.select(
         schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** CHANGE DATA FEED over a governed table — the streaming face of
+  * [[Snapshot.diffVersions]] (Delta's CDF / `readChangeFeed`): each
+  * micro-batch emits the PER-COMMIT row-level changes of every version
+  * in its offset window, tagged `change_type` (delete/insert) and
+  * `_commit_version`. Where the appends-mode source serves the table's
+  * CONTENT, this serves its HISTORY: retention emits its retired rows
+  * as deletes, an append emits its rows as inserts, a COW
+  * merge/delete emits exactly the changed rows — and a compaction
+  * emits NOTHING (diffVersions' flagship property: rows moved between
+  * batch dirs are not a table change).
+  *
+  * Each commit's diff reads only the symmetric difference of the two
+  * adjacent live sets (the diffVersions contract), so a window of k
+  * quiet-table commits costs k metadata reads and near-zero data IO.
+  * `startingVersion = earliest` prepends the v1 content as inserts
+  * tagged version 1 (Delta's startingVersion=0 semantics); `latest`
+  * (the [[SnapshotStream.readChanges]] default) serves only post-start
+  * commits. Replayability requires the window's manifests
+  * ([[Snapshot.expireManifests]] horizon) and their symmetric-
+  * difference dirs ([[Snapshot.vacuum]]) to survive — the pinned-
+  * reader contract applied to offsets.
+  */
+final class SnapshotChangesSource(spark: SparkSession, path: String,
+                                  earliest: Boolean,
+                                  metadataPath: String) extends Source {
+
+  override val schema: StructType = SnapshotStream.changesSchema(spark, path)
+
+  /** earliest → 0 (batch 0 starts at v1's content); latest → the
+    * version at first construction, pinned like the appends mode. */
+  private val initialVersion: Long =
+    SnapshotStream.pinnedHorizon(spark, metadataPath)(
+      if (earliest) 0L else Snapshot.latestVersion(spark, path).getOrElse(0L))
+
+  private[graft] def pinnedInitialVersion: Long = initialVersion
+
+  private def ver(o: Offset): Long = o.json.toLong
+
+  override def getOffset: Option[Offset] =
+    Snapshot.latestVersion(spark, path).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fromV = start.map(ver).getOrElse(initialVersion)
+    val toV = ver(end)
+    def tagged(df: DataFrame, v: Long): DataFrame =
+      df.withColumn("_commit_version", lit(v))
+        .select(schema.fieldNames.map(col): _*)
+    val parts = ((fromV + 1) to toV).map { v =>
+      if (v == 1L)
+        // the first commit has no predecessor to diff against: its
+        // content IS its insert set (earliest-mode only — latest mode
+        // never starts below the current version)
+        tagged(Snapshot.readAt(spark, path, 1L).drop("batch_id")
+          .select(lit("insert").as("change_type") +:
+            schema.fieldNames.filter(n =>
+              n != "change_type" && n != "_commit_version").map(col): _*), 1L)
+      else
+        tagged(Snapshot.diffVersions(spark, path, v - 1, v), v)
+    }
+    val batchDf = parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    // COMPUTED plan (diffVersions = exceptAll unions): must hide
+    // behind an RDD leaf — re-tagging its leaves streaming would make
+    // the planner turn the set ops into STATEFUL streaming operators
+    // (state-store load failures at the second micro-batch)
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreamingComputed(batchDf)
   }
 
   override def stop(): Unit = ()

@@ -52,6 +52,19 @@ object ColumnBridge {
     * bridge re-tags every leaf relation of an analyzed batch read so a
     * manifest-resolved parquet DataFrame can be served as a
     * micro-batch without hand-writing a DataSourceV2 PartitionReader. */
+  /** Flag a COMPUTED batch plan as streaming by hiding it behind an
+    * RDD leaf: the batch query executes distributed as an ordinary RDD
+    * lineage, and the streaming planner sees only an opaque streaming
+    * scan — so set operations / joins INSIDE the plan stay batch
+    * operators instead of being re-planned as stateful streaming ones
+    * (the Kafka-source `internalCreateDataFrame` pattern; [[asStreaming]]
+    * re-tags leaves in place, which is only safe for scan+project
+    * plans). Nothing materializes on the driver. */
+  def asStreamingComputed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val tagged = df.queryExecution.analyzed.transform {

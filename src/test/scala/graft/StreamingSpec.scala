@@ -424,6 +424,61 @@ class StreamingSpec extends SparkSpec {
     first.stop(); rebuilt.stop(); fresh.stop()
   }
 
+  test("change data feed stream: per-commit deletes/inserts in one window, " +
+    "compaction and COW folds emit only real changes, latest skips history") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    import graft.sources.SnapshotStream
+    val path = TempDirs.path(s"cdf/${java.util.UUID.randomUUID()}")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1
+    def rows(t: String): Seq[(String, Long, Long)] =
+      spark.table(t).select("change_type", "id", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val q = SnapshotStream.readChanges(spark, path, startingVersion = "earliest")
+      .writeStream.format("memory").queryName("cdf_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // v1 content as inserts tagged 1
+      rows("cdf_sink") shouldBe Seq(("insert", 1L, 1L), ("insert", 2L, 1L))
+      // ONE window covering append (v2), retention (v3), compaction
+      // (v4): per-commit granularity must survive the multi-version
+      // window, and the compaction must contribute NOTHING
+      Snapshot.stagedAppend(spark, path, 1L) {
+        Seq((3L, "c")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=1")
+      }
+      Snapshot.retainFrom(spark, path, keepFrom = 1L) // retire batch 0
+      Snapshot.compactLive(spark, path)
+      q.processAllAvailable()
+      rows("cdf_sink") shouldBe Seq(
+        ("delete", 1L, 3L), ("delete", 2L, 3L),
+        ("insert", 1L, 1L), ("insert", 2L, 1L), ("insert", 3L, 2L))
+      // a COW predicate delete emits exactly the removed row
+      Snapshot.deleteWhere(spark, path, col("id") === 3L)
+      q.processAllAvailable()
+      rows("cdf_sink").count(_ == ("delete", 3L, 5L)) shouldBe 1
+    } finally q.stop()
+
+    // latest mode: only post-start commits flow
+    val q2 = SnapshotStream.readChanges(spark, path) // default latest
+      .writeStream.format("memory").queryName("cdf_sink2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      spark.table("cdf_sink2").count() shouldBe 0L
+      Snapshot.stagedAppend(spark, path, 2L) {
+        Seq((4L, "d")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=2")
+      }
+      q2.processAllAvailable()
+      spark.table("cdf_sink2").select("change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("insert", 4L))
+    } finally q2.stop()
+  }
+
   test("governedSink lineage guard: the same query drains behind-head " +
     "replays; a NEW lineage behind the head fails loudly; appending past " +
     "the head adopts the lineage") {
