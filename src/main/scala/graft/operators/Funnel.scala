@@ -49,19 +49,43 @@ object Funnel {
     * maximal-assignment variant (a later anchor that would convert
     * where the earliest does not is deliberately not searched; that is
     * how the analytics tools define it, and it keeps the oracle a
-    * cascade). */
+    * cascade).
+    *
+    * `maxEventsPerEntity` is the boundedness guard (VERDICT r17 #8,
+    * the [[TimeSeries]] span-guard discipline): per-entity state is
+    * the entity's funnel-step event count, so one pathological bot
+    * entity with millions of funnel events concentrates on a single
+    * task. The guard raises executor-side WITH the offending entity
+    * the moment its collected array exceeds the cap — a loud
+    * wrong-input failure instead of an OOM'd task at corpus scale. */
   def stageReach(events: DataFrame, entityCol: String, tsCol: String,
                  stepCol: String, steps: Seq[String],
-                 maxStepGapSeconds: Option[Long] = None): DataFrame = {
+                 maxStepGapSeconds: Option[Long] = None,
+                 maxEventsPerEntity: Int = 1000000): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
     require(maxStepGapSeconds.forall(_ > 0),
       s"maxStepGapSeconds must be positive: $maxStepGapSeconds")
+    require(maxEventsPerEntity > 0,
+      s"maxEventsPerEntity must be positive: $maxEventsPerEntity")
     val stepsArr = array(steps.map(lit): _*)
     val n = steps.size
     // event time as epoch micros: integer compares inside the fold (and
-    // the +gap arithmetic) stay exact and codegen-simple
-    val zero = struct(lit(0L).as("reached"), lit(Long.MinValue).as("us"))
+    // the +gap arithmetic) stay exact and codegen-simple. The entity
+    // cap rides the fold's SEED (the TimeSeries fold-into-the-bound
+    // discipline: a standalone guard column could be pruned away):
+    // it raises executor-side, per row, WITH the offending entity.
+    def guardedZero(cap: Int) = struct(
+      when(size(col("evs")) > cap,
+        raise_error(concat(lit("funnel: entity "),
+          col("entity").cast("string"), lit(" has "),
+          size(col("evs")).cast("string"),
+          lit(s" funnel-step events — exceeds maxEventsPerEntity=$cap " +
+            "(a pathological/bot entity concentrates its whole history " +
+            "on one task; filter it out or raise the cap)")))
+          .cast("long"))
+        .otherwise(lit(0L)).as("reached"),
+      lit(Long.MinValue).as("us"))
     def inWindow(st: Column, e: Column): Column = maxStepGapSeconds match {
       case None => lit(true)
       case Some(gap) =>
@@ -76,7 +100,7 @@ object Funnel {
       .groupBy(col("entity"))
       .agg(array_sort(collect_list(col("ev"))).as("evs"))
       .select(col("entity"),
-        aggregate(col("evs"), zero,
+        aggregate(col("evs"), guardedZero(maxEventsPerEntity),
           (st, e) =>
             when(st.getField("reached") < n &&
                 e.getField("pos") === st.getField("reached") + 1 &&
@@ -93,9 +117,10 @@ object Funnel {
     * a literal unpivot (no extra shuffle beyond the entity exchange). */
   def funnelCounts(events: DataFrame, entityCol: String, tsCol: String,
                    stepCol: String, steps: Seq[String],
-                   maxStepGapSeconds: Option[Long] = None): DataFrame = {
+                   maxStepGapSeconds: Option[Long] = None,
+                   maxEventsPerEntity: Int = 1000000): DataFrame = {
     val reach = stageReach(events, entityCol, tsCol, stepCol, steps,
-      maxStepGapSeconds)
+      maxStepGapSeconds, maxEventsPerEntity)
     val perStage = steps.indices.map(i =>
       coalesce(sum(when(col("reached") >= i + 1, 1L)), lit(0L)).as(s"_n$i"))
     reach.agg(perStage.head, perStage.tail: _*)

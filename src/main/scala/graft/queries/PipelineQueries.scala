@@ -833,8 +833,8 @@ object PipelineQueries {
         q.processAllAvailable()
       } finally q.stop()
       s.table(qn)
-        .select(col("change_type"), col("id"), col("v"), col("_commit_version"))
-        .orderBy("_commit_version", "change_type", "id")
+        .select(col("_change_type"), col("id"), col("v"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "id")
     }),
 
     // QC2 — CHAR-LM PERPLEXITY (CharLm scaladoc): the CCNet/KenLM
@@ -875,19 +875,27 @@ object PipelineQueries {
           CharLm.train(docs, "text"))
         .filter(col("ppl").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cuts = ppl.agg(percentile_approx(col("ppl"),
-          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("c"))
-        .head().getSeq[Double](0)
-      ppl.withColumn("bucket",
-          when(col("ppl") <= cuts(0), "head")
-            .when(col("ppl") <= cuts(1), "middle")
-            .otherwise("tail"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
-        .withColumn("_total", sum(col("_n")).over())
-        .select(col("bucket"), col("_total").as("n_scored"),
-          (col("_n") >= col("_total") * 0.25 &&
-            col("_n") <= col("_total") * 0.42).as("frac_ok"))
-        .orderBy("bucket")
+      try {
+        val cuts = ppl.agg(percentile_approx(col("ppl"),
+            array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("c"))
+          .head().getSeq[Double](0)
+        val report = ppl.withColumn("bucket",
+            when(col("ppl") <= cuts(0), "head")
+              .when(col("ppl") <= cuts(1), "middle")
+              .otherwise("tail"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+          .withColumn("_total", sum(col("_n")).over())
+          .select(col("bucket"), col("_total").as("n_scored"),
+            (col("_n") >= col("_total") * 0.25 &&
+              col("_n") <= col("_total") * 0.42).as("frac_ok"))
+          .orderBy("bucket")
+        // the 3-row report materializes HERE so the scored-frame cache
+        // releases before the DataFrame is handed back (VERDICT r17 #3:
+        // the lazy form leaked one MEMORY_AND_DISK block per call in a
+        // long-lived session); the returned frame owns no cache.
+        val rows = report.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+      } finally ppl.unpersist(blocking = false)
     }),
 
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
@@ -2449,8 +2457,8 @@ object PipelineQueries {
            ('insert', 3, 'gamma', 2),
            ('delete', 1, 'alpha', 3),
            ('delete', 2, 'beta', 3))
-         t(change_type, id, v, _commit_version)
-         ORDER BY _commit_version, change_type, id""",
+         t(_change_type, id, v, _commit_version)
+         ORDER BY _commit_version, _change_type, id""",
     "dd9_incremental_neardup" ->
       """SELECT * FROM (VALUES
            (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0.931 AS DOUBLE)),

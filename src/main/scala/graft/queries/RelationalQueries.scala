@@ -1399,11 +1399,11 @@ object RelationalQueries {
       Seq(("retention", v1, v2), ("append", v2, v3), ("compaction", v3, v4))
         .map { case (step, a, b) =>
           Snapshot.diffVersions(s, path, a, b)
-            .select(lit(step).as("step"), col("change_type"), col("k"),
+            .select(lit(step).as("step"), col("_change_type"), col("k"),
               col("born_batch"))
         }
         .reduce(_ unionByName _)
-        .orderBy("step", "change_type", "k")
+        .orderBy("step", "_change_type", "k")
     }),
 
     // RT3 — SCHEMA EVOLUTION governed by the manifest (Snapshot
@@ -1670,7 +1670,7 @@ object RelationalQueries {
       } finally q.stop()
       val vN = Snapshot.latestVersion(s, path).get
       val d = Snapshot.diffVersions(s, path, v1, vN)
-        .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       Snapshot.read(s, path)
         .select(col("k"), col("v"),
@@ -2964,8 +2964,8 @@ object RelationalQueries {
            ('retention', 'delete', 'b', 0),
            ('append', 'insert', 'a', 3),
            ('append', 'insert', 'f', 3))
-         t(step, change_type, k, born_batch)
-         ORDER BY step, change_type, k""",
+         t(step, _change_type, k, born_batch)
+         ORDER BY step, _change_type, k""",
     "rt3_schema_evolution" ->
       """SELECT * FROM (VALUES
            ('a', CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), 'k,n,batch_id'),

@@ -51,6 +51,29 @@ import graft.operators.Snapshot
   * everything already committed) or `latest` (only appends committed
   * after the stream starts).
   *
+  * ADMISSION CONTROL (VERDICT r17 gap #1 — at 100 TB the initial
+  * live-set snapshot as ONE micro-batch is a non-starter, and a stream
+  * that falls behind must not drain its whole backlog in one
+  * `getBatch`): `maxBatchesPerTrigger` caps how many batch DIRS a
+  * micro-batch serves, `maxBytesPerTrigger` caps their on-disk bytes
+  * (whichever trips first; every trigger still serves at least one
+  * unit so the stream always progresses) — Delta's
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` pair over this protocol.
+  * Under a cap an `earliest` stream PINS its initial-snapshot version
+  * at first construction and serves that snapshot's live dirs in
+  * chunks across micro-batches (offset form `v#i` = "first `i` live
+  * dirs of the pinned snapshot served"), then follows the commit
+  * history with at most the configured batches per trigger. Caps are
+  * admission knobs, not semantics: the union of all micro-batches is
+  * identical with and without them, and a cap can be added, changed,
+  * or removed across restarts (an uncapped or pre-cap checkpoint
+  * simply never re-enters the chunked-snapshot phase — its snapshot
+  * already served whole). The last handed-out offset is persisted
+  * under the stream's metadata dir so admission survives restarts
+  * without re-serving or skipping (the FileStreamSource metadata-log
+  * discipline; the engine's own WAL remains the source of truth for
+  * what was CONSUMED).
+  *
   * V1 `Source` deliberately (not DataSourceV2): `getBatch` returns the
   * manifest-resolved parquet read as a plain DataFrame, so the scan
   * keeps every batch-reader property (declared schema, partition
@@ -72,12 +95,24 @@ object SnapshotStream {
     StructType(data.fields :+ StructField("batch_id", IntegerType, nullable = true))
   }
 
-  /** Schema of the CHANGES feed: change_type + data columns +
-    * _commit_version (Delta CDF's column naming). */
+  /** Schema of the CHANGES feed: _change_type + data columns +
+    * _commit_version (Delta CDF's column naming — underscore-prefixed
+    * precisely so the reserved columns cannot collide with ordinary
+    * data columns; ADVICE r17 renamed from the bare `change_type` the
+    * doc wrongly claimed matched Delta). A data column that DOES use a
+    * reserved name fails loudly here, at stream start, instead of
+    * producing a duplicate-name schema with ambiguous resolution. */
   private[sources] def changesSchema(spark: SparkSession, path: String): StructType = {
     val data = streamSchema(spark, path).fields.dropRight(1) // no batch_id
+    val reserved = Set("_change_type", "_commit_version")
+    val clash = data.map(_.name).filter(reserved)
+    require(clash.isEmpty,
+      s"$path has data column(s) ${clash.mkString(", ")} colliding with " +
+        "the change-feed's reserved columns (_change_type, " +
+        "_commit_version) — rename them before reading the table as a " +
+        "changes stream")
     StructType(
-      StructField("change_type", org.apache.spark.sql.types.StringType,
+      StructField("_change_type", org.apache.spark.sql.types.StringType,
         nullable = false) +:
         data :+
         StructField("_commit_version", org.apache.spark.sql.types.LongType,
@@ -85,36 +120,48 @@ object SnapshotStream {
   }
 
   /** Reader-side entry point: a streaming DataFrame over the governed
-    * table at `path`. */
+    * table at `path`. `maxBatchesPerTrigger` / `maxBytesPerTrigger`
+    * are the admission knobs (see the class doc); None = uncapped. */
   def readStream(spark: SparkSession, path: String,
-                 startingVersion: String = "earliest"): DataFrame =
-    spark.readStream.format(classOf[SnapshotStreamProvider].getName)
+                 startingVersion: String = "earliest",
+                 maxBatchesPerTrigger: Option[Int] = None,
+                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format(classOf[SnapshotStreamProvider].getName)
       .option("path", path)
       .option("startingVersion", startingVersion)
-      .load()
+    maxBatchesPerTrigger.foreach(n => r = r.option("maxBatchesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(b => r = r.option("maxBytesPerTrigger", b.toString))
+    r.load()
+  }
 
   /** CHANGE DATA FEED entry point: per-commit row-level changes
-    * (`change_type` delete/insert + `_commit_version`) — the streaming
-    * face of [[Snapshot.diffVersions]]. See [[SnapshotChangesSource]]. */
+    * (`_change_type` delete/insert + `_commit_version`) — the streaming
+    * face of [[Snapshot.diffVersions]]. `maxBatchesPerTrigger` here
+    * caps COMMITS (diff legs) per micro-batch — a replay over a long
+    * history otherwise builds one union leg per commit in a single
+    * `getBatch` (VERDICT r17 gap #2: driver planning blow-up).
+    * See [[SnapshotChangesSource]]. */
   def readChanges(spark: SparkSession, path: String,
-                  startingVersion: String = "latest"): DataFrame =
-    spark.readStream.format(classOf[SnapshotStreamProvider].getName)
+                  startingVersion: String = "latest",
+                  maxBatchesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream.format(classOf[SnapshotStreamProvider].getName)
       .option("path", path)
       .option("startingVersion", startingVersion)
       .option("mode", "changes")
-      .load()
+    maxBatchesPerTrigger.foreach(n => r = r.option("maxBatchesPerTrigger", n.toString))
+    r.load()
+  }
 
-  /** The stream's start horizon, PINNED atomically (temp + rename)
-    * under its metadata dir on first construction — recomputing it
-    * after a crash-restart would silently skip in-between commits when
-    * the engine replays its WAL'd first offset (the FileStreamSource
+  /** A value PINNED atomically (temp + rename) under the stream's
+    * metadata dir on first construction — recomputing it after a
+    * crash-restart would silently skip in-between commits when the
+    * engine replays its WAL'd first offset (the FileStreamSource
     * metadataLog discipline); shared by both source modes. */
-  private[sources] def pinnedHorizon(spark: SparkSession, metadataPath: String)
-                                    (compute: => Long): Long = {
+  private[sources] def pinned(spark: SparkSession, metadataPath: String,
+                              name: String)(compute: => Long): Long = {
     val fs = new org.apache.hadoop.fs.Path(metadataPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val f = new org.apache.hadoop.fs.Path(metadataPath,
-      "graft-snapshot-initial-version")
+    val f = new org.apache.hadoop.fs.Path(metadataPath, name)
     def readPinned(): Long = {
       val in = fs.open(f)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -122,7 +169,7 @@ object SnapshotStream {
       try text.toLong
       catch { case e: NumberFormatException =>
         throw new IllegalStateException(
-          s"corrupt snapshot-stream horizon pin at $f: '$text'", e)
+          s"corrupt snapshot-stream pin at $f: '$text'", e)
       }
     }
     if (fs.exists(f)) readPinned()
@@ -135,13 +182,34 @@ object SnapshotStream {
       // fails, so a racing constructor loses cleanly and adopts the
       // winner's.
       val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-        s".graft-snapshot-initial-version.${java.util.UUID.randomUUID()}.tmp")
+        s".$name.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
       if (fs.rename(tmp, f)) v
       else { fs.delete(tmp, false); readPinned() }
     }
   }
+
+  private[sources] def pinnedHorizon(spark: SparkSession, metadataPath: String)
+                                    (compute: => Long): Long =
+    pinned(spark, metadataPath, "graft-snapshot-initial-version")(compute)
+}
+
+/** Admission knobs shared by both source modes, parsed once. */
+private[graft] final case class Admission(maxBatches: Option[Int],
+                                            maxBytes: Option[Long]) {
+  require(maxBatches.forall(_ > 0),
+    s"maxBatchesPerTrigger must be positive: $maxBatches")
+  require(maxBytes.forall(_ > 0),
+    s"maxBytesPerTrigger must be positive: $maxBytes")
+  def capped: Boolean = maxBatches.isDefined || maxBytes.isDefined
+}
+
+private[graft] object Admission {
+  def apply(parameters: Map[String, String]): Admission =
+    Admission(
+      parameters.get("maxBatchesPerTrigger").map(_.toInt),
+      parameters.get("maxBytesPerTrigger").map(_.toLong))
 }
 
 final class SnapshotStreamProvider extends StreamSourceProvider {
@@ -179,18 +247,53 @@ final class SnapshotStreamProvider extends StreamSourceProvider {
       }
     if (isChanges(parameters))
       new SnapshotChangesSource(sqlContext.sparkSession, path, earliest,
-        metadataPath)
+        metadataPath, Admission(parameters))
     else
       new SnapshotStreamSource(sqlContext.sparkSession, path, earliest,
-        metadataPath)
+        metadataPath, Admission(parameters))
   }
+}
+
+/** Offset of the appends-mode source. Two serialized forms:
+  *  - bare `v` ([[LongOffset]]-compatible — every pre-admission
+  *    checkpoint): "everything committed through manifest version v
+  *    served, initial snapshot included".
+  *  - `v#i` (chunked-snapshot phase only): "first `i` live batch dirs
+  *    of the snapshot pinned at version v served; no appends yet".
+  * Ordering is lexicographic on (v, i) with bare = (v, ∞): every
+  * chunk offset of the pinned snapshot precedes every append offset. */
+private[graft] final case class SnapshotChunkOffset(v: Long, served: Int)
+    extends Offset {
+  override val json: String = s"$v#$served"
+}
+
+private[graft] object SnapshotOffsets {
+  /** (version, Some(servedChunks) | None = snapshot fully served). */
+  def parseJson(j: String): (Long, Option[Int]) = {
+    val cut = j.indexOf('#')
+    if (cut < 0) (j.toLong, None)
+    else (j.substring(0, cut).toLong, Some(j.substring(cut + 1).toInt))
+  }
+  def parse(o: Offset): (Long, Option[Int]) = parseJson(o.json)
 }
 
 final class SnapshotStreamSource(spark: SparkSession, path: String,
                                  earliest: Boolean,
-                                 metadataPath: String) extends Source {
+                                 metadataPath: String,
+                                 admission: Admission = Admission(None, None))
+    extends Source {
 
   override val schema: StructType = SnapshotStream.streamSchema(spark, path)
+
+  private val fs = new org.apache.hadoop.fs.Path(metadataPath)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Whether this checkpoint existed before this construction —
+    * captured BEFORE [[initialVersion]] pins the horizon file (which
+    * is exactly what marks a checkpoint as existing). */
+  private val freshCheckpoint: Boolean = !fs.exists(
+    new org.apache.hadoop.fs.Path(metadataPath,
+      "graft-snapshot-initial-version"))
 
   /** Version horizon of the stream: 0 (earliest — batch 0 serves the
     * live set) or the version at FIRST construction (latest), pinned
@@ -199,10 +302,98 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
     SnapshotStream.pinnedHorizon(spark, metadataPath)(
       if (earliest) 0L else Snapshot.latestVersion(spark, path).getOrElse(0L))
 
-  /** Spec hook: the horizon this source resolved (and pinned). */
-  private[graft] def pinnedInitialVersion: Long = initialVersion
+  /** Chunked-snapshot phase (capped `earliest` streams only): the
+    * initial snapshot's version, pinned at the FIRST construction of
+    * this checkpoint — so its live set is a stable, replayable list
+    * the chunk offsets index into. Pinned only when this checkpoint
+    * is BORN capped: on a pre-existing checkpoint (horizon pin already
+    * present, marker absent) the snapshot was already served whole,
+    * and entering the chunk phase now would re-serve it. Read back
+    * unconditionally so a later UNCAPPED restart still understands
+    * the checkpoint's chunk-form offsets. */
+  private val chunkSnapshotV: Option[Long] = {
+    val markerName = "graft-snapshot-chunked-at"
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, markerName)
+    if (fs.exists(marker))
+      // compute arm unreachable: pinned() short-circuits to the read
+      Some(SnapshotStream.pinned(spark, metadataPath, markerName)(0L))
+    else if (admission.capped && earliest && freshCheckpoint)
+      Some(SnapshotStream.pinned(spark, metadataPath, markerName)(
+        Snapshot.latestVersion(spark, path).getOrElse(0L)))
+    else None
+  }
 
-  private def ver(o: Offset): Long = o.json.toLong
+  /** Spec hooks. */
+  private[graft] def pinnedInitialVersion: Long = initialVersion
+  private[graft] def pinnedChunkSnapshotVersion: Option[Long] = chunkSnapshotV
+
+  /** The pinned snapshot's live batch ids, sorted — the stable list
+    * chunk offsets index into. Resolved once (manifests immutable). */
+  private lazy val snapshotLive: Seq[Long] =
+    chunkSnapshotV.filter(_ > 0)
+      .map(v => Snapshot.readManifest(spark, path, v).batches.sorted)
+      .getOrElse(Seq.empty)
+
+  /** Per-batch-dir on-disk bytes, memoized (dirs are immutable once
+    * committed; one recursive listing each, metadata-only). */
+  private val dirBytes = scala.collection.mutable.HashMap.empty[Long, Long]
+  private def bytesOf(batchId: Long): Long =
+    dirBytes.getOrElseUpdate(batchId,
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$path/batch_id=$batchId")
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => 0L })
+
+  /** Take ids off the front of `candidates` until a cap trips —
+    * always at least one, so the stream progresses. */
+  private def admit(candidates: Seq[Long]): Int = {
+    val byCount = admission.maxBatches.getOrElse(Int.MaxValue)
+    var taken = 0
+    var bytes = 0L
+    while (taken < candidates.size && taken < byCount &&
+      (taken == 0 ||
+        admission.maxBytes.forall(b => bytes + bytesOf(candidates(taken)) <= b))) {
+      bytes += bytesOf(candidates(taken))
+      taken += 1
+    }
+    taken
+  }
+
+  /** Last offset handed out (admission state), persisted under the
+    * metadata dir when capped. The engine's WAL stays the consumption
+    * record; this only remembers where ADMISSION got to, so a restart
+    * neither re-admits a full backlog nor skips the pending window. */
+  private val highFile = new org.apache.hadoop.fs.Path(metadataPath,
+    "graft-admission-high")
+  private var high: Option[(Long, Option[Int])] = {
+    if (!admission.capped || !fs.exists(highFile)) None
+    else {
+      val in = fs.open(highFile)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(SnapshotOffsets.parseJson(text))
+    }
+  }
+
+  private def persistHigh(o: Offset): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+      s".graft-admission-high.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(o.json.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(highFile.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, highFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def laterOf(a: (Long, Option[Int]),
+                      b: (Long, Option[Int])): (Long, Option[Int]) =
+    (a, b) match {
+      case ((av, _), (bv, _)) if av != bv => if (av > bv) a else b
+      case ((_, None), _) => a // bare outranks any chunk form at same v
+      case (_, (_, None)) => b
+      case ((av, Some(ai)), (_, Some(bi))) => (av, Some(math.max(ai, bi)))
+    }
 
   /** Ids committed as of version `v` (empty below the first publish).
     * `committed` is cumulative in every manifest, so this is ONE
@@ -214,33 +405,105 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       (m.committed ++ m.batches).toSet
     }
 
-  override def getOffset: Option[Offset] =
-    Snapshot.latestVersion(spark, path).map(LongOffset(_))
+  private def mkOffset(p: (Long, Option[Int])): Offset = p match {
+    case (v, None) => LongOffset(v)
+    case (v, Some(i)) => SnapshotChunkOffset(v, i)
+  }
+
+  override def getOffset: Option[Offset] = {
+    val headOpt = Snapshot.latestVersion(spark, path)
+    if (!admission.capped) headOpt.map(LongOffset(_))
+    else headOpt.map { head =>
+      val cur: (Long, Option[Int]) = high.getOrElse(
+        chunkSnapshotV match {
+          case Some(sv) => (sv, Some(0)) // fresh capped earliest stream
+          case None => (initialVersion, None)
+        })
+      val next: (Long, Option[Int]) = cur match {
+        case (sv, Some(i)) if i < snapshotLive.size =>
+          // snapshot phase: admit the next chunk of pinned live dirs
+          val n = i + admit(snapshotLive.drop(i))
+          if (n < snapshotLive.size) (sv, Some(n)) else (sv, None)
+        case (v, _) =>
+          // append phase: walk versions past v, admitting whole
+          // commits until a cap trips. A VERSION is the atomic
+          // admission unit here (its batch ids committed together) —
+          // and at least one version is always taken, so a single
+          // commit larger than the cap still serves.
+          var upTo = v
+          var count = 0
+          var bytes = 0L
+          var seen = committedAt(v)
+          var stop = false
+          while (upTo < head && !stop) {
+            val nextSeen = committedAt(upTo + 1)
+            val newIds = (nextSeen -- seen).filter(_ >= 0).toSeq.sorted
+            val wouldCount = count + newIds.size
+            val wouldBytes = bytes + newIds.map(bytesOf).sum
+            val exceeds =
+              admission.maxBatches.exists(wouldCount > _) ||
+                admission.maxBytes.exists(wouldBytes > _)
+            if (exceeds && upTo > v) stop = true
+            else {
+              upTo += 1; count = wouldCount; bytes = wouldBytes
+              seen = nextSeen
+              if (admission.maxBatches.exists(count >= _) ||
+                admission.maxBytes.exists(bytes >= _)) stop = true
+            }
+          }
+          (upTo, None)
+      }
+      val off = mkOffset(next)
+      if (next != cur) { high = Some(next); persistHigh(off) }
+      off
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val toV = ver(end)
+    val (toV, toChunk) = SnapshotOffsets.parse(end)
+    if (admission.capped)
+      high = Some(high.map(laterOf(_, (toV, toChunk)))
+        .getOrElse((toV, toChunk)))
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val batchDf = start match {
-      case None if earliest =>
-        // INITIAL SNAPSHOT: the end manifest's LIVE set — never the
-        // cumulative committed history, which would resurrect
-        // retention-retired rows and read fold-input dirs vacuum may
-        // have swept (review r17 #1). Folds (the current content
-        // after a pre-stream compaction) serve exactly once here.
+    def readIds(ids: Seq[Long]): DataFrame =
+      if (ids.isEmpty) empty
+      else spark.read.option("basePath", path)
+        .schema(StructType(schema.fields.dropRight(1)))
+        .parquet(ids.map(b => s"$path/batch_id=$b"): _*)
+    val batchDf = (start, chunkSnapshotV) match {
+      case (None, None) if earliest =>
+        // INITIAL SNAPSHOT (uncapped form): the end manifest's LIVE
+        // set — never the cumulative committed history, which would
+        // resurrect retention-retired rows and read fold-input dirs
+        // vacuum may have swept (review r17 #1). Folds (the current
+        // content after a pre-stream compaction) serve exactly once.
         val m = Snapshot.readManifest(spark, path, toV)
         if (m.batches.isEmpty) empty // fully-retired table: no history
         else Snapshot.readBatches(spark, path, m)
-      case _ =>
-        val fromV = start.map(ver).getOrElse(initialVersion)
+      case (st, Some(sv)) if st.forall(o => SnapshotOffsets.parse(o) match {
+          case (v, Some(_)) => v == sv
+          case _ => false
+        }) =>
+        // CHUNKED-SNAPSHOT window: [fromChunk, toChunk) of the pinned
+        // live list, plus any appends committed in (sv, toV] (the
+        // window that closes the snapshot may also be asked to carry
+        // the first appends after a restart gap)
+        val fromChunk = st.map(o => SnapshotOffsets.parse(o)._2.get).getOrElse(0)
+        val upToChunk = if (toV == sv) toChunk.getOrElse(snapshotLive.size)
+          else snapshotLive.size
+        val snapIds = snapshotLive.slice(fromChunk, upToChunk)
+        val appendIds =
+          if (toV <= sv) Seq.empty
+          else (committedAt(toV) -- committedAt(sv)).filter(_ >= 0).toSeq.sorted
+        readIds(snapIds ++ appendIds)
+      case (st, _) =>
+        val fromV = st.map(o => SnapshotOffsets.parse(o)._1).getOrElse(initialVersion)
         // newly-committed APPENDS in (fromV, toV]: maintenance ids
         // (build -1, folds ≤ -2) re-home rows this stream already served
         val ids = (committedAt(toV) -- committedAt(fromV))
           .filter(_ >= 0).toSeq.sorted
-        if (ids.isEmpty) empty
-        else spark.read.option("basePath", path)
-          .schema(StructType(schema.fields.dropRight(1)))
-          .parquet(ids.map(b => s"$path/batch_id=$b"): _*)
+        readIds(ids)
     }
     // ONE shared projection to the declared column order, then the
     // STREAMING re-tag getBatch's contract wants (the bridge does what
@@ -256,7 +519,7 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
 /** CHANGE DATA FEED over a governed table — the streaming face of
   * [[Snapshot.diffVersions]] (Delta's CDF / `readChangeFeed`): each
   * micro-batch emits the PER-COMMIT row-level changes of every version
-  * in its offset window, tagged `change_type` (delete/insert) and
+  * in its offset window, tagged `_change_type` (delete/insert) and
   * `_commit_version`. Where the appends-mode source serves the table's
   * CONTENT, this serves its HISTORY: retention emits its retired rows
   * as deletes, an append emits its rows as inserts, a COW
@@ -274,12 +537,24 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
   * ([[Snapshot.expireManifests]] horizon) and their symmetric-
   * difference dirs ([[Snapshot.vacuum]]) to survive — the pinned-
   * reader contract applied to offsets.
+  *
+  * `maxBatchesPerTrigger` caps COMMITS (union legs) per micro-batch:
+  * an uncapped replay over a 10k-commit history would build a
+  * 10k-leg union plan in one `getBatch` (VERDICT r17 gap #2) — with
+  * the cap each micro-batch plans a bounded window and the engine's
+  * trigger loop walks the history. Offsets stay bare versions, so the
+  * cap can be added or removed across restarts freely.
   */
 final class SnapshotChangesSource(spark: SparkSession, path: String,
                                   earliest: Boolean,
-                                  metadataPath: String) extends Source {
+                                  metadataPath: String,
+                                  admission: Admission = Admission(None, None))
+    extends Source {
 
   override val schema: StructType = SnapshotStream.changesSchema(spark, path)
+
+  private val fs = new org.apache.hadoop.fs.Path(metadataPath)
+    .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** earliest → 0 (batch 0 starts at v1's content); latest → the
     * version at first construction, pinned like the appends mode. */
@@ -291,13 +566,48 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
 
   private def ver(o: Offset): Long = o.json.toLong
 
-  override def getOffset: Option[Offset] =
-    Snapshot.latestVersion(spark, path).map(LongOffset(_))
+  /** Admission state (see the appends-mode twin): the last version
+    * handed out, persisted so a restart keeps walking the history in
+    * capped windows instead of draining the rest in one batch. */
+  private val highFile = new org.apache.hadoop.fs.Path(metadataPath,
+    "graft-admission-high")
+  private var high: Option[Long] = {
+    if (!admission.capped || !fs.exists(highFile)) None
+    else {
+      val in = fs.open(highFile)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(text.toLong)
+    }
+  }
+
+  private def persistHigh(v: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+      s".graft-admission-high.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(highFile.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, highFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  override def getOffset: Option[Offset] = {
+    val headOpt = Snapshot.latestVersion(spark, path)
+    if (!admission.capped) headOpt.map(LongOffset(_))
+    else headOpt.map { head =>
+      val cur = high.getOrElse(initialVersion)
+      val next = math.min(head,
+        cur + admission.maxBatches.map(_.toLong).getOrElse(Long.MaxValue))
+      if (next != cur) { high = Some(next); persistHigh(next) }
+      LongOffset(math.max(next, cur))
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val fromV = start.map(ver).getOrElse(initialVersion)
     val toV = ver(end)
+    if (admission.capped) high = Some(math.max(high.getOrElse(toV), toV))
     def tagged(df: DataFrame, v: Long): DataFrame =
       df.withColumn("_commit_version", lit(v))
         .select(schema.fieldNames.map(col): _*)
@@ -307,9 +617,9 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
         // content IS its insert set (earliest-mode only — latest mode
         // never starts below the current version)
         tagged(Snapshot.readAt(spark, path, 1L).drop("batch_id")
-          .select(lit("insert").as("change_type") +:
+          .select(lit("insert").as("_change_type") +:
             schema.fieldNames.filter(n =>
-              n != "change_type" && n != "_commit_version").map(col): _*), 1L)
+              n != "_change_type" && n != "_commit_version").map(col): _*), 1L)
       else
         tagged(Snapshot.diffVersions(spark, path, v - 1, v), v)
     }

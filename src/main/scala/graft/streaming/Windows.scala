@@ -312,11 +312,26 @@ object Windows {
     * batch id at-or-behind the committed head is a safe exactly-once
     * drain WITHIN the recorded lineage (a checkpoint restored from an
     * older backup replays and no-ops — review r17 pass 3 regression),
-    * but a DIFFERENT lineage must start strictly past the head or
-    * fail loudly. Lineage adoption: a new query appending past the
-    * head takes the record over. Metadata cost per commit: one
-    * manifest read (shared with the append via stagedAppendFrom) and
-    * one tiny lineage-file read. */
+    * but a DIFFERENT lineage must start STRICTLY past the head or
+    * fail loudly — strictly, because at equality (fresh checkpoint's
+    * batch 0 against a table whose head is 0) stagedAppendFrom would
+    * see the id already committed and no-op, silently DROPPING the
+    * new query's batch (ADVICE r17: the data-loss-wearing-the-
+    * redelivery-contract failure the guard exists to prevent; within
+    * the recorded lineage equality stays a safe no-op replay).
+    *
+    * SINGLE-WRITER contract (VERDICT r17 #4): the guard makes a
+    * second LIVE query on the same table fail loudly at its first
+    * commit — its batch ids restart at 0 and a populated table's head
+    * is ≥ 0, so the strict-> check rejects it instead of adopting its
+    * lineage per batch (per-batch adoption made exactly-once
+    * last-writer-wins under concurrent writers: each query flipped
+    * the record and the loser's redelivered batches failed the head
+    * check instead of no-op'ing). Lineage takeover remains only where
+    * it is unambiguous: a table with NO committed appends yet, or a
+    * new query genuinely strictly past the head. Metadata cost per
+    * commit: one manifest read (shared with the append via
+    * stagedAppendFrom) and one tiny lineage-file read. */
   def governedSink(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       import graft.operators.Snapshot
@@ -339,8 +354,22 @@ object Windows {
           s"_manifests/._sink_lineage.${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, false)
         try out.write(q.getBytes("UTF-8")) finally out.close()
-        fs.delete(lineageFile, false)
-        if (!fs.rename(tmp, lineageFile)) fs.delete(tmp, false)
+        // ATOMIC overwrite-rename (ADVICE r17): the delete-then-rename
+        // form left a crash window with NO lineage record, after which
+        // the ORIGINAL query's behind-head replay read sameLineage=false
+        // and wedged on every restart. FileContext rename with OVERWRITE
+        // swaps the record in one step — a record always survives.
+        try org.apache.hadoop.fs.FileContext
+          .getFileContext(lineageFile.toUri, s.sessionState.newHadoopConf())
+          .rename(tmp, lineageFile,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch { case e: Throwable =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"governedSink could not record its query lineage at " +
+              s"$lineageFile — failing the batch rather than committing " +
+              "under a stale lineage record", e)
+        }
       }
       if (!Snapshot.isEnabled(s, path)) {
         batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
@@ -353,12 +382,18 @@ object Windows {
         val sameLineage =
           (for (q <- queryId; l <- readLineage()) yield q == l).getOrElse(false)
         if (!sameLineage)
-          head.maxOption.foreach(mx => require(batchId >= mx,
+          // STRICTLY past the head: at equality the append below would
+          // see the id already committed and no-op — the new query's
+          // batch silently dropped (ADVICE r17). This is also the
+          // single-writer fence: a second live query's ids restart at 0
+          // and fail here at its first commit (VERDICT r17 #4).
+          head.maxOption.foreach(mx => require(batchId > mx,
             s"governedSink checkpoint/table mismatch at $path: micro-batch " +
-              s"$batchId from a NEW query lineage is behind the table's " +
-              s"committed head $mx — a fresh checkpoint against a populated " +
-              "table would silently drop batches; use a new silver path " +
-              "(a restored checkpoint of the ORIGINAL query replays safely)"))
+              s"$batchId from a NEW query lineage is at or behind the " +
+              s"table's committed head $mx — a fresh checkpoint (or a " +
+              "second concurrent writer) against a populated table would " +
+              "silently drop batches; use a new silver path (a restored " +
+              "checkpoint of the ORIGINAL query replays safely)"))
         if (!sameLineage) queryId.foreach(writeLineage)
         Snapshot.stagedAppendFrom(s, path, batchId, m) {
           batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")

@@ -76,4 +76,23 @@ object ColumnBridge {
       df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       tagged)
   }
+
+  /** Inverse of [[asStreaming]]/[[asStreamingComputed]] for SPEC-side
+    * direct-source drives: re-tag every streaming leaf batch so the
+    * frame a `Source.getBatch` returned can be collected without the
+    * micro-batch engine (specs emulate the engine's getOffset/getBatch
+    * loop to pin admission windows). Not used by any runtime path —
+    * the engine itself owns streaming execution there. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val untagged = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if lr.isStreaming => lr.copy(isStreaming = false)
+      case lv: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if lv.isStreaming => lv.copy(isStreaming = false)
+      case rdd: org.apache.spark.sql.execution.LogicalRDD if rdd.isStreaming =>
+        rdd.copy(isStreaming = false)(s, None, None)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(s, untagged)
+  }
 }

@@ -84,4 +84,14 @@ class CharLmSpec extends SparkSpec {
     p.toLowerCase should not include "batchevalpython"
     df.queryExecution.analyzed.toString.toLowerCase should not include "scalaudf"
   }
+
+  test("qc3 owns no cache: the scored-frame persist releases before the " +
+    "report is handed back (VERDICT r17 #3 — repeated calls in a " +
+    "long-lived session must not accumulate MEMORY_AND_DISK blocks)") {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val out = graft.queries.PipelineQueries.defs("qc3_ppl_buckets")(spark, sf)
+    out.collect().length shouldBe 3
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
 }

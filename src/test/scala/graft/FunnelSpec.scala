@@ -132,5 +132,33 @@ class FunnelSpec extends SparkSpec {
       Funnel.stageReach(df, "u", "ts", "step", Seq("view", "view"))
     an[IllegalArgumentException] should be thrownBy
       Funnel.stageReach(df, "u", "ts", "step", Seq("view"), Some(0L))
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.stageReach(df, "u", "ts", "step", Seq("view"),
+        maxEventsPerEntity = 0)
+  }
+
+  test("maxEventsPerEntity guard trips with the offending entity; " +
+    "at-cap entities pass unchanged (VERDICT r17 #8)") {
+    val session = spark
+    import session.implicits._
+    // entity 7: 5 funnel-step events; entity 1: 2 — cap 4 names 7
+    val rows = (1 to 5).map(i => (7L, t(f"2024-01-01 10:0$i%d:00"), "view")) ++
+      Seq((1L, t("2024-01-01 10:00:00"), "view"),
+        (1L, t("2024-01-01 11:00:00"), "click"),
+        // non-funnel steps never count against the cap (pre-filtered)
+        (7L, t("2024-01-01 12:00:00"), "scroll"),
+        (7L, t("2024-01-01 12:01:00"), "scroll"))
+    val df = rows.toDF("u", "ts", "step")
+    val e = intercept[Exception] {
+      Funnel.stageReach(df, "u", "ts", "step", Seq("view", "click"),
+        maxEventsPerEntity = 4).collect()
+    }
+    e.getMessage should include("entity 7")
+    e.getMessage should include("maxEventsPerEntity=4")
+    // cap 5: entity 7 is exactly AT the cap — passes, results unchanged
+    Funnel.stageReach(df, "u", "ts", "step", Seq("view", "click"),
+        maxEventsPerEntity = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(7L -> 1L, 1L -> 2L)
   }
 }

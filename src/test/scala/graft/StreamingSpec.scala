@@ -434,7 +434,7 @@ class StreamingSpec extends SparkSpec {
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
     Snapshot.enable(spark, path) // v1
     def rows(t: String): Seq[(String, Long, Long)] =
-      spark.table(t).select("change_type", "id", "_commit_version").collect()
+      spark.table(t).select("_change_type", "id", "_commit_version").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     val q = SnapshotStream.readChanges(spark, path, startingVersion = "earliest")
       .writeStream.format("memory").queryName("cdf_sink")
@@ -473,10 +473,157 @@ class StreamingSpec extends SparkSpec {
           .parquet(s"$path/batch_id=2")
       }
       q2.processAllAvailable()
-      spark.table("cdf_sink2").select("change_type", "id").collect()
+      spark.table("cdf_sink2").select("_change_type", "id").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
         Seq(("insert", 4L))
     } finally q2.stop()
+  }
+
+  test("snapshot stream admission control: maxBatchesPerTrigger splits the " +
+    "initial snapshot AND catch-up windows across micro-batches with an " +
+    "identical union (VERDICT r18 task 2)") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    import graft.sources.SnapshotStream
+    val path = TempDirs.path(s"snapadm/${java.util.UUID.randomUUID()}")
+    // a 6-batch table committed before the stream starts
+    Seq((0L, "a")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    (1L to 5L).foreach { b =>
+      Snapshot.stagedAppend(spark, path, b) {
+        Seq((b * 10, s"v$b")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$b")
+      }
+    }
+    val q = SnapshotStream.readStream(spark, path,
+        maxBatchesPerTrigger = Some(2))
+      .writeStream.format("memory").queryName("snapadm_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // identical union: every live row exactly once, right provenance
+      spark.table("snapadm_sink").select("batch_id", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq shouldBe
+        Seq((0, 0L), (1, 10L), (2, 20L), (3, 30L), (4, 40L), (5, 50L))
+      // ...delivered as 3 micro-batches of 2 dirs each, never one big one
+      val withData = q.recentProgress.filter(_.numInputRows > 0)
+      withData.length shouldBe 3
+      all(withData.map(_.numInputRows).toSeq) shouldBe 2L
+      // commits landing under a LIVE stream flow through normally (the
+      // engine keeps up, so each drains as it lands — admission only
+      // bounds windows, never withholds available data)
+      (6L to 8L).foreach { b =>
+        Snapshot.stagedAppend(spark, path, b) {
+          Seq((b * 10, s"v$b")).toDF("id", "v").write.mode("overwrite")
+            .parquet(s"$path/batch_id=$b")
+        }
+      }
+      q.processAllAvailable()
+      spark.table("snapadm_sink").count() shouldBe 9L
+    } finally q.stop()
+    // CATCH-UP window: a capped latest-mode source sitting BEHIND a
+    // 3-commit backlog must split it 2 + 1 — driven source-side,
+    // engine-style, because a live local engine consumes each commit
+    // the moment it lands and never accumulates a backlog
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val src = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = false,
+      metadataPath = TempDirs.path(s"snapadm/cu-${java.util.UUID.randomUUID()}"),
+      admission = graft.sources.Admission(Some(2), None))
+    try {
+      (9L to 11L).foreach { b =>
+        Snapshot.stagedAppend(spark, path, b) {
+          Seq((b * 10, s"v$b")).toDF("id", "v").write.mode("overwrite")
+            .parquet(s"$path/batch_id=$b")
+        }
+      }
+      val o1 = src.getOffset.get
+      ColumnBridge.asBatch(src.getBatch(None, o1))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        Seq(90L, 100L)
+      val o2 = src.getOffset.get
+      ColumnBridge.asBatch(src.getBatch(Some(o1), o2))
+        .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(110L)
+      // drained: the next offset does not advance
+      src.getOffset.get.json shouldBe o2.json
+    } finally src.stop()
+  }
+
+  test("admission chunk phase only on checkpoints BORN capped: a rebuilt " +
+    "capped source re-reads its pinned snapshot version; a pre-cap " +
+    "checkpoint never re-enters the chunk phase") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    val path = TempDirs.path(s"snapadm/pin-${java.util.UUID.randomUUID()}")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1
+    val cap = graft.sources.Admission(Some(2), None)
+    val meta = TempDirs.path(s"snapadm/meta-${java.util.UUID.randomUUID()}")
+    val born = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = true, metadataPath = meta, admission = cap)
+    born.pinnedChunkSnapshotVersion shouldBe Some(1L)
+    // restart (same checkpoint): marker read back, even uncapped
+    val rebuilt = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = true, metadataPath = meta)
+    rebuilt.pinnedChunkSnapshotVersion shouldBe Some(1L)
+    // a checkpoint that started UNCAPPED already served its snapshot
+    // whole — capping it later must not re-enter the chunk phase
+    val meta2 = TempDirs.path(s"snapadm/meta2-${java.util.UUID.randomUUID()}")
+    val uncapped = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = true, metadataPath = meta2)
+    uncapped.pinnedChunkSnapshotVersion shouldBe None
+    val cappedLater = new graft.sources.SnapshotStreamSource(
+      spark, path, earliest = true, metadataPath = meta2, admission = cap)
+    cappedLater.pinnedChunkSnapshotVersion shouldBe None
+    born.stop(); rebuilt.stop(); uncapped.stop(); cappedLater.stop()
+  }
+
+  test("change feed admission: a 20-commit replay is bounded to " +
+    "maxBatchesPerTrigger diff legs per getBatch, union identical " +
+    "(VERDICT r18 task 3)") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    val path = TempDirs.path(s"cdfadm/${java.util.UUID.randomUUID()}")
+    Seq((0L, "a")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1
+    (1L to 19L).foreach { b =>
+      Snapshot.stagedAppend(spark, path, b) {
+        Seq((b, s"v$b")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$b")
+      }
+    } // v20: a 20-commit history
+    val src = new graft.sources.SnapshotChangesSource(
+      spark, path, earliest = true,
+      metadataPath = TempDirs.path(s"cdfadm/meta-${java.util.UUID.randomUUID()}"),
+      admission = graft.sources.Admission(Some(5), None))
+    try {
+      // drive the source like the engine: alternate getOffset/getBatch
+      var start: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var batches = 0
+      var done = false
+      while (!done && batches < 10) {
+        val end = src.getOffset.get
+        if (start.exists(_.json == end.json)) done = true
+        else {
+          val df = org.apache.spark.sql.graftbridge.ColumnBridge.asBatch(
+            src.getBatch(start, end))
+          val versions = df.select("_commit_version", "id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          // the window is BOUNDED: at most 5 commits' legs per batch
+          versions.map(_._1).distinct.length should be <= 5
+          seen ++= versions
+          start = Some(end)
+          batches += 1
+        }
+      }
+      batches shouldBe 4 // 20 commits / 5 per trigger
+      // identical union: every commit's insert exactly once
+      seen.sorted.toSeq shouldBe (0L to 19L).map(i => (i + 1, i)).sorted
+    } finally src.stop()
   }
 
   test("governedSink lineage guard: the same query drains behind-head " +
@@ -504,11 +651,54 @@ class StreamingSpec extends SparkSpec {
       // populated table is the data-loss case — loud
       spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-two")
       an[IllegalArgumentException] should be thrownBy sink(df(98L), 0L)
-      // but the new lineage appending PAST the head is legitimate —
-      // and adopts the lineage record, so ITS later replays drain too
+      // AT the head is equally the data-loss case (ADVICE r17: with a
+      // >= guard the lineage was adopted and stagedAppendFrom then
+      // no-op'd — the new query's batch silently dropped): strict >
+      an[IllegalArgumentException] should be thrownBy sink(df(96L), 1L)
+      // ...and the failed attempts must NOT have flipped the lineage
+      // record: q-one's behind-head replay still no-ops safely
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-one")
+      noException should be thrownBy sink(df(95L), 1L)
+      liveIds() shouldBe Seq(1L, 2L)
+      // but a new lineage appending STRICTLY past the head is
+      // legitimate — and adopts the record, so ITS later replays drain
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-two")
       sink(df(3L), 2L)
       liveIds() shouldBe Seq(1L, 2L, 3L)
       noException should be thrownBy sink(df(97L), 1L) // now same lineage
+      liveIds() shouldBe Seq(1L, 2L, 3L)
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("governedSink single-writer contract: a second LIVE query on the " +
+    "same table fails loudly at its first commit and never steals the " +
+    "recorded lineage (VERDICT r17 #4)") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    val path = TempDirs.path(s"govsink2/${java.util.UUID.randomUUID()}")
+    val sink = graft.streaming.Windows.governedSink(path)
+    def df(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+    def liveIds(): Seq[Long] =
+      Snapshot.read(spark, path).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      // writer A drains batches 0 and 1
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "writer-A")
+      sink(df(1L), 0L)
+      sink(df(2L), 1L)
+      // writer B starts CONCURRENTLY on its own checkpoint: ids restart
+      // at 0 → rejected at its first commit, loudly (not adopted, not
+      // silently no-op'd)
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "writer-B")
+      an[IllegalArgumentException] should be thrownBy sink(df(50L), 0L)
+      an[IllegalArgumentException] should be thrownBy sink(df(51L), 1L)
+      liveIds() shouldBe Seq(1L, 2L)
+      // writer A is undisturbed: next batch commits, a redelivered old
+      // batch still no-ops — exactly-once never narrowed to B
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", "writer-A")
+      sink(df(3L), 2L)
+      noException should be thrownBy sink(df(99L), 0L)
       liveIds() shouldBe Seq(1L, 2L, 3L)
     } finally
       spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
