@@ -163,16 +163,22 @@ object Bench {
   private val ExtCpuContended =
     sys.env.get("SPARK_GRAFT_EXT_CPU_MAX").map(_.toDouble).getOrElse(0.15)
 
-  /** One evidence record per query, rendered straight to JSON. */
+  /** One evidence record per query, rendered straight to JSON.
+    * `warmupS` is the wall of the one UNTIMED warmup execution
+    * (ScaleWorkloads.warmupWorkloads) — recorded beside, never inside,
+    * the reps array, so the recorded min and spread stay warm-only
+    * while the cold cost remains auditable. */
   private final case class Evidence(reps: Seq[Double], gcMs: Long, jitMs: Long,
                                     rddBlocksBefore: Int, storageMbBefore: Long,
                                     load1: Double, tOffsetS: Double,
-                                    repExtCpu: Seq[Double]) {
+                                    repExtCpu: Seq[Double],
+                                    warmupS: Option[Double] = None) {
     def json: String =
       s"""{"reps":[${reps.map(t => f"$t%.4f").mkString(",")}],""" +
         s""""gc_ms":$gcMs,"jit_ms":$jitMs,"rdds_cached":$rddBlocksBefore,""" +
         s""""storage_mb":$storageMbBefore,"load1":$load1,""" +
         f""""t_offset_s":$tOffsetS%.1f,""" +
+        warmupS.map(w => f""""warmup_s":$w%.4f,""").getOrElse("") +
         s""""rep_ext_cpu":[${repExtCpu.map(e => f"$e%.3f").mkString(",")}]}"""
   }
 
@@ -287,6 +293,13 @@ object Bench {
       // steady-state (ScaleWorkloads.extraReps scaladoc)
       val nReps = math.max(Reps,
         graft.queries.ScaleWorkloads.extraReps.getOrElse(name, 0))
+      // untimed warmup (ScaleWorkloads.warmupWorkloads): pays the cold
+      // codegen/JIT/page-cache costs OUTSIDE the recorded reps so the
+      // reps array reads as steady-state spread evidence
+      val warmup =
+        if (graft.queries.ScaleWorkloads.warmupWorkloads(name))
+          Some(oneRep(-1)._1)
+        else None
       val repTimes = scala.collection.mutable.ListBuffer.empty[Double]
       val repExt = scala.collection.mutable.ListBuffer.empty[Double]
       var rep = 0
@@ -317,7 +330,7 @@ object Bench {
       evidence(name) = Evidence(repTimes.toSeq,
         gcMillis() - gc0, if (jit0 < 0) -1 else jitMillis() - jit0,
         storage0.length, storage0.map(i => i.memSize + i.diskSize).sum >> 20,
-        load0, tOffset, repExt.toSeq)
+        load0, tOffset, repExt.toSeq, warmup)
       // only BASE reps can fail the query: a bought self-heal rep that
       // times out (more likely on exactly the contended box that
       // triggered it) is dropped, keeping the already-valid base min —
