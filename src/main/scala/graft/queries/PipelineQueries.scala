@@ -1681,17 +1681,25 @@ object PipelineQueries {
     // triggers (VERDICT r16 #4's "if the gap dominates" arm) does not
     // apply. Knobs measured and
     // rejected (r10/r11 sweep): RocksDB state store ~30% slower on
-    // KB-state; AQE off → fewer jobs but slower (loses runtime
-    // broadcast conversion); codegen off → no change. The one kept:
-    // shuffle partitions scoped DOWN to the micro-batch volume for the
-    // query's lifetime (restored after) — sizing partitions to batch
-    // size is the knob any streaming pipeline tunes; 32-task shuffles
-    // on 5-row batches were pure scheduler tax (~20% of wall-clock).
+    // KB-state; codegen off → no change; partitions below 4 → no
+    // change (re-measured r18). TWO kept: shuffle partitions scoped
+    // DOWN to the micro-batch volume for the query's lifetime
+    // (restored after) — sizing partitions to batch size is the knob
+    // any streaming pipeline tunes; 32-task shuffles on 5-row batches
+    // were pure scheduler tax (~20% of wall-clock) — and AQE OFF for
+    // the loop (r18, VERDICT task 4): the r10/r11 "AQE off is slower"
+    // finding inverted after r15 gave every probe explicit broadcast
+    // hints — runtime broadcast conversion no longer buys anything,
+    // so AQE's stage-by-stage materialization was pure job-count tax
+    // (St5Probe: 160 → 82 jobs, min-rep 9.9 → 9.0 s on a 4-rep A/B;
+    // a production loop with planned broadcasts wants the same).
     "st5_unified_ingest" -> ((s, _) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
@@ -1734,7 +1742,10 @@ object PipelineQueries {
       s.read.parquet(out)
         .select(col("batch_id").cast("long").as("batch"), col("doc_id"))
         .orderBy("batch", "doc_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      }
     }),
 
     // STREAMING FUZZY MATCH (the st5 family's short-key entity-

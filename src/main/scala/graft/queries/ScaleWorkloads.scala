@@ -547,8 +547,15 @@ object ScaleWorkloads {
     * st5 wall-clock move was execution (a data-path regression: the
     * constituents are individually benched at sf scale as
     * sx13/sx14/sx15/sx16) or the micro-batch engine floor (not one).
-    * Listener state is one (start) + one (duration) long per job. */
+    * The instrumented pass runs WARM — one untimed execution first —
+    * so the recorded split decomposes a wall comparable to the
+    * benched min-rep, not a cold outlier (VERDICT r18 task 4: r17's
+    * cold-run split summed to ~3× the benched wall, leaving the
+    * ratio usable but the absolutes unanchored). Listener state is
+    * one (start) + one (duration) long per job. */
   private def st5OverheadGauges(s: SparkSession): Map[String, Double] = {
+    // warmup execution, not instrumented: pays codegen/JIT/page-cache
+    graft.queries.PipelineQueries.defs("st5_unified_ingest")(s, "").collect()
     val starts = scala.collection.mutable.HashMap.empty[Int, Long]
     val durs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val listener = new org.apache.spark.scheduler.SparkListener {
