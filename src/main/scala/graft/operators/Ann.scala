@@ -271,12 +271,49 @@ object Ann {
       .orderBy("query_id", idCol)
   }
 
+  /** Expected fraction of an (isotropic) corpus that reaches full
+    * cosine under the bucketed multiprobe path: each of `tables`
+    * independent tables collides a random row with probability
+    * ≈ (bits+1)/2^bits (its bucket plus the `bits` radius-1 probes of
+    * a uniform 2^bits-bucket table), so the union touches
+    * 1 − (1 − (bits+1)/2^bits)^tables of the rows. This is the
+    * ADMISSION predicate for the bucketed path: when it predicts a
+    * scan at or past the ranking default's shortlist fraction, the
+    * bucketed work cannot be cheaper than the default AND its recall
+    * is capped below the default's, so the config is dominated
+    * (measured on the bench corpus: bits=6/tables=8 predicts 0.595,
+    * recorded 0.574 scan for 0.9 recall vs the default's 0.15 scan
+    * at 1.0 — VERDICT r18 task 9). Clustered corpora collide MORE
+    * than the isotropic estimate, never less, so the prediction is a
+    * lower bound and the fallback is conservative in the safe
+    * direction. */
+  private[graft] def predictedLshScanFrac(bits: Int, tables: Int): Double = {
+    val perTable = math.min(1.0,
+      (bits + 1).toDouble / (1L << math.min(bits, 62)).toDouble)
+    1.0 - math.pow(1.0 - perTable, tables)
+  }
+
+  /** True when [[lshTopK]]'s default admission would reject this
+    * bucketed config in favor of the ranking path. */
+  private[graft] def lshConfigDominated(bits: Int, tables: Int): Boolean =
+    predictedLshScanFrac(bits, tables) >= RankShortlistFrac
+
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
               query: DataFrame, queryVecCol: String, k: Int,
-              bits: Int = 0, tables: Int = 0): DataFrame = {
+              bits: Int = 0, tables: Int = 0,
+              fallbackToRanking: Boolean = true): DataFrame = {
     if (bits == 0 && tables == 0)
       return signatureRankTopK(embs, idCol, vecCol, dim, query, queryVecCol, k)
     val (autoBits, autoTables) = lshAutoSize(embs, bits, tables)
+    // AUTO-FALLBACK (VERDICT r18 task 9): an explicit bits/tables
+    // config whose PREDICTED scan fraction meets or exceeds the
+    // ranking default's shortlist fraction is dominated — fall back so
+    // the explicit path can never record a worse (recall, scan) pair
+    // than the default. `fallbackToRanking = false` pins the bucketed
+    // operator regardless (fixture specs, crossover gauges, and the
+    // clustered-corpus regime where buckets genuinely prune).
+    if (fallbackToRanking && lshConfigDominated(autoBits, autoTables))
+      return signatureRankTopK(embs, idCol, vecCol, dim, query, queryVecCol, k)
     def sigArr(vec: Column) = hyperplaneSigArr(vec, autoBits, autoTables, dim)
     val withSig = embs
       .select(col(idCol), col(vecCol), explode(sigArr(col(vecCol))).as("_ts"))
@@ -310,13 +347,18 @@ object Ann {
     * matches the single-query path. */
   def lshTopKBatch(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                    queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-                   bits: Int = 0, tables: Int = 0): DataFrame = {
+                   bits: Int = 0, tables: Int = 0,
+                   fallbackToRanking: Boolean = true): DataFrame = {
     if (bits == 0 && tables == 0)
       return signatureRankTopKBatch(embs, idCol, vecCol, dim,
         queries, qidCol, qvecCol, k)
     val spark = embs.sparkSession
     import spark.implicits._
     val (autoBits, autoTables) = lshAutoSize(embs, bits, tables)
+    // same dominated-config admission as [[lshTopK]]
+    if (fallbackToRanking && lshConfigDominated(autoBits, autoTables))
+      return signatureRankTopKBatch(embs, idCol, vecCol, dim,
+        queries, qidCol, qvecCol, k)
     val withSig = embs
       .select(col(idCol), col(vecCol),
         explode(hyperplaneSigArr(col(vecCol), autoBits, autoTables, dim)).as("_ts"))

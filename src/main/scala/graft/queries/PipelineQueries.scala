@@ -1197,8 +1197,12 @@ object PipelineQueries {
     "ann2_lsh_topk" -> ((s, _) => {
       val embs = PlantedFixtures.embs(s)
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // fallbackToRanking = false: this query's oracle pins the
+      // BUCKETED operator's hand-derived result on the 16-row planted
+      // fixture, where the dominated-config admission (calibrated for
+      // corpus-scale economics) would otherwise re-route to ranking
       Ann.lshTopK(embs, "vec_id", "embedding", PlantedFixtures.EmbFixtureDim,
-          q, "qv", 5, bits = 4, tables = 1)
+          q, "qv", 5, bits = 4, tables = 1, fallbackToRanking = false)
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
     }),

@@ -308,8 +308,15 @@ object ScaleWorkloads {
       try (gaugeIds(dflt.orderBy(desc("sim"), col("vec_id")).limit(10)),
         dflt.count().toDouble)
       finally dflt.unpersist(blocking = false)
+    // fallbackToRanking = false: these two gauges RECORD the bucketed
+    // crossover evidence (0.9 recall at ~0.57 scan on this isotropic
+    // corpus) that justifies the r18 dominated-config admission; the
+    // third gauge records that the admission is live — a user calling
+    // this config without the pin gets the default's (1.0, 0.15) pair,
+    // so the tuned path can no longer record a worse pair than the
+    // default outside this deliberately-pinned measurement.
     val tuned = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, ctx.q, "qv",
-      n.toInt, bits = 6, tables = 8)
+      n.toInt, bits = 6, tables = 8, fallbackToRanking = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (tunedTop10, tunedScanned) =
       try (gaugeIds(tuned.orderBy(desc("sim"), col("vec_id")).limit(10)),
@@ -319,7 +326,9 @@ object ScaleWorkloads {
       "lsh_recall_at_10" -> (ctx.exact & lsh1).size / 10.0,
       "lsh_default_scan_frac" -> math.rint(dfltScanned / n * 1000) / 1000,
       "lsh_tuned_recall_at_10" -> (ctx.exact & tunedTop10).size / 10.0,
-      "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000)
+      "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
+      "lsh_tuned_fallback_active" ->
+        (if (Ann.lshConfigDominated(6, 8)) 1.0 else 0.0))
   }
 
   /** Query ids for the mean-recall gauges that need more resolution
@@ -837,10 +846,15 @@ object ScaleWorkloads {
     "sx4_ann_lsh" -> ((s, dir) => {
       val embs = Tables(s, dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      // the recall-bearing config (lsh_tuned_recall_at_10 gauge ≈0.9):
-      // bench tracks ITS cost, not the cheaper low-recall single table
+      // the recall-bearing BUCKETED config (lsh_tuned_recall_at_10
+      // gauge ≈0.9): bench tracks the bucketed operator's own cost.
+      // fallbackToRanking = false because this config is dominated on
+      // the isotropic bench corpus and the r18 admission would
+      // re-route it to the ranking path (whose cost sx3-family
+      // workloads already carry) — the bucketed path stays the right
+      // tool on clustered corpora and must stay benched.
       Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, q, "qv", 10, bits = 6,
-          tables = 8)
+          tables = 8, fallbackToRanking = false)
         .agg(count(lit(1)).as("n_results"), round(max(col("sim")), 4).as("best_sim"))
     }),
 

@@ -35,7 +35,11 @@ class AnnSpec extends SparkSpec {
   // suffices) the per-neighbor hit probability is ≈ 0.85. On real
   // clustered embeddings (θ small) the same operator's recall → 1.
   test("LSH top-k: recall tracks the hyperplane-LSH math; self always found") {
-    val got = Ann.lshTopK(embs, "vec_id", "embedding", dim, query, "qv", 10, bits = 2)
+    // fallbackToRanking = false: this test pins the BUCKETED path's
+    // math — bits=2 predicts a 0.75 scan fraction, which the r18
+    // dominated-config admission would re-route to ranking
+    val got = Ann.lshTopK(embs, "vec_id", "embedding", dim, query, "qv", 10,
+        bits = 2, fallbackToRanking = false)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))
     val truth = exactTop20.take(10).toSet
     val recall = got.map(_._1).toSet.intersect(truth).size.toDouble / truth.size
@@ -64,6 +68,37 @@ class AnnSpec extends SparkSpec {
     withClue(s"got=${got.map(_._1).toSeq} truth=$truth: ") { recall should be >= 0.9 }
     got.head._1 shouldBe 0L
     got.head._2 shouldBe 1.0 +- 1e-9
+  }
+
+  test("dominated LSH configs auto-fall back to ranking; adequate configs " +
+    "stay bucketed (VERDICT r18 task 9)") {
+    // the admission predicate itself: the bench's 0.9-recall config
+    // predicts ~0.60 scan (measured 0.574) — dominated; a corpus-sized
+    // config predicts ~1.3% — kept
+    Ann.predictedLshScanFrac(6, 8) shouldBe 0.604 +- 0.005
+    Ann.lshConfigDominated(6, 8) shouldBe true
+    Ann.predictedLshScanFrac(12, 4) shouldBe 0.0127 +- 0.001
+    Ann.lshConfigDominated(12, 4) shouldBe false
+    // end-to-end: the dominated config's DEFAULT call returns exactly
+    // the ranking default's neighbors — never a worse (recall, scan)
+    // pair than out-of-box
+    val viaFallback = Ann.lshTopK(embs, "vec_id", "embedding", dim,
+      query, "qv", 10, bits = 2, tables = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ranking = Ann.lshTopK(embs, "vec_id", "embedding", dim,
+      query, "qv", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    viaFallback shouldBe ranking
+    // an adequate config keeps the bucketed plan (the multiprobe join
+    // column is its signature)
+    val bucketedPlan = Ann.lshTopK(embs, "vec_id", "embedding", dim,
+      query, "qv", 10, bits = 12, tables = 4)
+      .queryExecution.analyzed.toString
+    bucketedPlan should include("_probe")
+    val fallbackPlan = Ann.lshTopK(embs, "vec_id", "embedding", dim,
+      query, "qv", 10, bits = 2, tables = 2)
+      .queryExecution.analyzed.toString
+    fallbackPlan should not include "_probe"
   }
 
   test("IVF top-k: k results, all from probed cells, sims exact") {
