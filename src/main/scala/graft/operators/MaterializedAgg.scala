@@ -29,10 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedAgg {
 
-  private val RowsCol = "__rows"
-  private val Suffixes = Seq("__cnt", "__sum", "__min", "__max")
+  private[operators] val RowsCol = "__rows"
+  private[operators] val Suffixes = Seq("__cnt", "__sum", "__min", "__max")
 
-  private def partialRows(df: DataFrame, keys: Seq[String],
+  private[operators] def partialRows(df: DataFrame, keys: Seq[String],
       values: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
     require(values.nonEmpty, "at least one value column")

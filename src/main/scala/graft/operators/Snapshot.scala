@@ -175,7 +175,7 @@ object Snapshot {
     }
 
   /** One-pass min/max of a freshly written batch directory. */
-  private def computeBatchStats(spark: SparkSession, path: String,
+  private[operators] def computeBatchStats(spark: SparkSession, path: String,
       batchId: Long): Map[String, (String, String)] = {
     val df = spark.read.parquet(s"$path/batch_id=$batchId")
     val fields = df.schema.fields.filter(f => statable(f.dataType))

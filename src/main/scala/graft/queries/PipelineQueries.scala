@@ -1080,6 +1080,41 @@ object PipelineQueries {
       } finally MatAggRewrite.disable(s, base)
     }),
 
+    // DELETE-AWARE INCREMENTAL VIEW MAINTENANCE (IncrementalView
+    // scaladoc): a consolidated per-group view over a governed base,
+    // refreshed through ONE diffVersions window — append (group b
+    // grows, group d appears), COW full-group delete (c vanishes),
+    // COW partial delete (a's min-carrying row goes — the
+    // non-invertible case that forces group recomputation). The view
+    // after refresh must equal the aggregate of the base's final live
+    // rows, which the hand-derived oracle pins; the def REQUIREs the
+    // refresh actually ran incrementally (3 recomputed + 1 dropped
+    // group) so a silent full rebuild can't pass as maintenance.
+    "ma5_incremental_view" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.{IncrementalView, Snapshot}
+      val id = java.util.UUID.randomUUID()
+      val base = graft.TempDirs.path(s"ivm/base-$id")
+      val view = graft.TempDirs.path(s"ivm/view-$id")
+      Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L), ("c", 7L))
+        .toDF("k", "v").write.parquet(s"$base/batch_id=0")
+      Snapshot.enable(s, base)
+      IncrementalView.build(s, base, view, Seq("k"), Seq("v"))
+      Snapshot.stagedAppend(s, base, 1L) {
+        Seq(("b", 20L), ("d", 3L)).toDF("k", "v")
+          .write.mode("overwrite").parquet(s"$base/batch_id=1")
+      }
+      Snapshot.deleteWhere(s, base, col("k") === "c")
+      Snapshot.deleteWhere(s, base, col("k") === "a" && col("v") === 1L)
+      val stats = IncrementalView.refresh(s, base, view)
+      require(stats.refreshedGroups == 3L && stats.droppedGroups == 1L,
+        s"refresh was not the expected incremental window: $stats")
+      IncrementalView.read(s, view)
+        .select(col("k"), col("n_rows"), col("v_cnt"), col("v_sum"),
+          col("v_min"), col("v_max"), col("v_avg"))
+        .orderBy("k")
+    }),
+
     // The STANDING-CORPUS PQ lifecycle end-to-end: train → publish the
     // codebooks through the ModelRegistry (atomic, versioned, time-
     // travelable like every other trainable) → load the spec back →
@@ -2921,6 +2956,16 @@ object PipelineQueries {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 avg(n_chars) AS avg_chars
          FROM documents WHERE lang <> 'en' GROUP BY source ORDER BY source""",
+    // the base's final live rows after append + the two COW deletes
+    // are a:(2) b:(10,20) d:(3); the refreshed view must equal their
+    // direct aggregate (c vanished with its last row)
+    "ma5_incremental_view" ->
+      """SELECT k, count(*) AS n_rows, count(v) AS v_cnt,
+                CAST(sum(v) AS BIGINT) AS v_sum, min(v) AS v_min,
+                max(v) AS v_max, avg(v) AS v_avg
+         FROM (VALUES ('a', CAST(2 AS BIGINT)), ('b', 10), ('b', 20),
+                      ('d', 3)) AS t(k, v)
+         GROUP BY k ORDER BY k""",
     // full-probe + full-cover shortlist batched IVF-PQ = exact cosine
     // per query over the lossless planted vectors
     "ann13_ivfpq_batch" ->

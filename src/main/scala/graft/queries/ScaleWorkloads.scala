@@ -458,14 +458,13 @@ object ScaleWorkloads {
       "linear_band_scan_frac" -> math.rint(linFrac * 1000) / 1000)
   }
 
-  /** Skew task-imbalance pair on the HALF-size fixture: the
-    * max/median ratio is what the gauge reports and it is
-    * size-independent (hot share and partition fan-out don't change
-    * with rows), so the gauges don't re-pay sx47/sx48's full joins —
-    * and the group stays far inside its per-group budget. Ratio
-    * measured at the join's shuffle-read stage in BOTH postures
-    * ([[skewRatioFromTasks]], VERDICT r18 task 1a): naive must read
-    * well above salted or the mitigation isn't demonstrated. */
+  /** Skew task-imbalance pair on the sx47/48 fixture size: the ratio
+    * is size-independent (hot share and partition fan-out don't change
+    * with rows) and the 6M joins fit the gauge group's budget with
+    * room. Ratio measured at the join's shuffle-read stage in BOTH
+    * postures ([[skewRatioFromTasks]], VERDICT r18 task 1a): naive
+    * must read well above salted or the mitigation isn't
+    * demonstrated. */
   private def skewGauges(s: SparkSession): Map[String, Double] = {
     val c = skewScopedSession(s, skewJoin = false)
     // keep the FULL task profile: AQE's partition coalescing would
@@ -1628,8 +1627,8 @@ object ScaleWorkloads {
 
   /** Planted-skew join sides for the sx47/48/49 gauge triple,
     * generated (not read) so the skew is deliberate and identical at
-    * every sf: 12M big-side rows with 90% landing on key 0 (hot
-    * partition ≈ 10.8M rows ≈ 175 MB in ONE serial task), and a
+    * every sf: 6M big-side rows with 90% landing on key 0 (hot
+    * partition ≈ 5.4M rows ≈ 90 MB in ONE serial task), and a
     * 600k-key small side whose size rules broadcast out.
     *
     * SIZE HISTORY (VERDICT r18 task 1b): r11-r17 ran 24M rows so the
@@ -1637,10 +1636,15 @@ object ScaleWorkloads {
     * but the spill made the recorded wall-clock a page-cache lottery
     * (r17 reps [37.9, 23.5, 25.6] s on byte-identical plans; two
     * rounds of rep-floor/self-heal hardening could not stabilize it,
-    * and the triple twice read as a regression that wasn't one). At
-    * 12M the hot task sorts in memory, so min-rep is steady-state and
-    * the recorded reps are comparable round over round. The division
-    * of evidence is now explicit: the WALL-CLOCK triple pins what each
+    * and the triple twice read as a regression that wasn't one). A
+    * 12M half-size was measured next: no spill, steady in isolation —
+    * but INSIDE a full bench run its ~200 MB shuffle writes still hit
+    * a churned page cache's writeback throttling (r18 full-run reps
+    * [14.5, 7.8, 5.4] with rep_ext_cpu ≈ 0: internal machine state,
+    * not contention). At 6M — the same size the imbalance gauges run —
+    * the hot task sorts in memory and the shuffle is small enough that
+    * min-rep is steady-state in full-run context too. The division of
+    * evidence is explicit: the WALL-CLOCK triple pins what each
     * posture costs at a non-spilling size (and that salting/AQE never
     * cost MORE), while the hot-key PHENOMENON itself is carried by the
     * skew_{naive,salted}_task_imbalance gauge pair — task-time
@@ -1649,7 +1653,7 @@ object ScaleWorkloads {
     * The hot partition still exceeds the 64 MB scoped skew threshold,
     * so sx49 keeps demonstrating AQE's split mechanism. */
   private def skewSides(s: SparkSession,
-                        rows: Long = 12L * 1000 * 1000): (DataFrame, DataFrame) = {
+                        rows: Long = 6L * 1000 * 1000): (DataFrame, DataFrame) = {
     val big = s.range(0, rows, 1, 32)
       .select(
         when(col("id") % 10 < 9, 0L).otherwise(col("id") % 600000L).as("key"),
@@ -1684,14 +1688,14 @@ object ScaleWorkloads {
     if (skewJoin) {
       // the default 256 MB threshold is calibrated against COMPRESSED
       // shuffle sizes of executor-scale partitions; the fixture's hot
-      // partition lands ~125 MB on the wire at the 12M-row size, under
+      // partition lands ~60 MB on the wire at the 6M-row size, under
       // the default. Scope the threshold so the gauge demonstrates the
       // split MECHANISM (debug-verified at the original 24M size:
       // "partition 29 (249.5 MiB) is skewed, split it into 16 parts",
       // SortMergeJoin(skew=true)) — at real scale the hot partition
       // dwarfs any threshold.
-      c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64MB")
-      c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+      c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32MB")
+      c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
     }
     c
   }
