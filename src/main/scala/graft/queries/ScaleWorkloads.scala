@@ -1482,6 +1482,39 @@ object ScaleWorkloads {
         .agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n_rows"))
     }),
 
+    // Delete-aware INCREMENTAL VIEW lifecycle at sf scale (ma5's
+    // operator on real volume): governed base of orders → consolidated
+    // (status, priority) view → one append commit + one COW
+    // group-delete commit → ONE diff-window refresh. The result frame
+    // carries the refresh's work-proportionality evidence: groups
+    // recomputed / dropped vs the view's total — at 100 TB the whole
+    // point is that the refresh touches CHANGED groups, not history.
+    "sx70_ivm_lifecycle" -> ((s, dir) => {
+      import graft.operators.{IncrementalView, Snapshot}
+      val ord = Tables(s, dir, "orders").select(col("o_orderstatus"),
+        col("o_orderpriority"),
+        (col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderkey"))
+      val id = java.util.UUID.randomUUID()
+      val base = graft.TempDirs.path(s"ivm-sx/base-$id")
+      val view = graft.TempDirs.path(s"ivm-sx/view-$id")
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      ord.filter(col("o_orderkey") % 4 =!= 0).drop("o_orderkey")
+        .write.parquet(s"$base/batch_id=0")
+      Snapshot.enable(s, base)
+      IncrementalView.build(s, base, view, keys, Seq("price_cents"))
+      Snapshot.stagedAppend(s, base, 1L) {
+        ord.filter(col("o_orderkey") % 4 === 0).drop("o_orderkey")
+          .write.mode("overwrite").parquet(s"$base/batch_id=1")
+      }
+      Snapshot.deleteWhere(s, base, col("o_orderpriority") === "1-URGENT")
+      val stats = IncrementalView.refresh(s, base, view)
+      IncrementalView.read(s, view)
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n_rows"))
+        .withColumn("refreshed_groups", lit(stats.refreshedGroups))
+        .withColumn("dropped_groups", lit(stats.droppedGroups))
+    }),
+
     // Expectations suite at sf scale: 5 fused row-local checks + 2
     // uniqueness aggregates + the lineitem→orders FK anti join — the
     // per-ingest data-quality gate a 100 TB pipeline runs on every
