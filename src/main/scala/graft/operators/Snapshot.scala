@@ -1044,6 +1044,39 @@ object Snapshot {
     * in any order. The version column must be part of the row schema
     * and monotonic per key at the source (a CDC log sequence number,
     * an event timestamp). */
+  /** Zone-map prune BEFORE any scan: live batches whose key-column
+    * range cannot overlap `df`'s key range (one tiny agg over `df`)
+    * are excluded even from the keys-only find-affected scan — for
+    * time- or id-ordered ingest this reduces the only full-table touch
+    * of [[merge]] / [[deleteMatching]] to the handful of overlapping
+    * batches. Numeric/timestamp keys only; anything else keeps every
+    * batch a candidate (pruning is only ever an optimization). */
+  private def keyBoundCandidates(m: Manifest, df: DataFrame,
+                                 keyCols: Seq[String]): Seq[Long] = {
+    val numericKeys = keyCols.filter(k =>
+      df.schema.fields.exists(f => f.name == k && statable(f.dataType)))
+    val keyBounds: Seq[(String, BigDecimal, BigDecimal)] =
+      if (numericKeys.isEmpty) Seq.empty
+      else {
+        val aggs = numericKeys.flatMap(k => Seq(
+          org.apache.spark.sql.functions.min(statCol(df.schema(k)))
+            .cast("string").as(s"__mn_$k"),
+          org.apache.spark.sql.functions.max(statCol(df.schema(k)))
+            .cast("string").as(s"__mx_$k")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        numericKeys.zipWithIndex.flatMap { case (k, i) =>
+          (Option(row.getString(2 * i)), Option(row.getString(2 * i + 1))) match {
+            case (Some(mn), Some(mx)) =>
+              scala.util.Try((k, BigDecimal(mn), BigDecimal(mx))).toOption
+            case _ => None
+          }
+        }
+      }
+    m.batches.filter(b => keyBounds.forall {
+      case (c, lo, hi) => mayOverlap(m.stats.getOrElse(b, Map.empty), c, lo, hi)
+    })
+  }
+
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String],
             versionCol: Option[String] = None): MergeStats = {
@@ -1069,34 +1102,7 @@ object Snapshot {
       "duplicate keys in updates — which copy wins would be partition-order " +
         "nondeterminism; dedupe upstream")
 
-    // zone-map prune BEFORE any scan: a live batch whose key-column
-    // range cannot overlap the updates' key range (one tiny agg over
-    // the updates) is excluded even from the keys-only scan — for
-    // time- or id-ordered ingest this reduces merge's only full-table
-    // touch to the handful of overlapping batches. Numeric/timestamp
-    // keys only; anything else keeps every batch a candidate.
-    val numericKeys = keyCols.filter(k =>
-      updates.schema.fields.exists(f => f.name == k && statable(f.dataType)))
-    val keyBounds: Seq[(String, BigDecimal, BigDecimal)] =
-      if (numericKeys.isEmpty) Seq.empty
-      else {
-        val aggs = numericKeys.flatMap(k => Seq(
-          org.apache.spark.sql.functions.min(statCol(updates.schema(k)))
-            .cast("string").as(s"__mn_$k"),
-          org.apache.spark.sql.functions.max(statCol(updates.schema(k)))
-            .cast("string").as(s"__mx_$k")))
-        val row = updates.agg(aggs.head, aggs.tail: _*).head()
-        numericKeys.zipWithIndex.flatMap { case (k, i) =>
-          (Option(row.getString(2 * i)), Option(row.getString(2 * i + 1))) match {
-            case (Some(mn), Some(mx)) =>
-              scala.util.Try((k, BigDecimal(mn), BigDecimal(mx))).toOption
-            case _ => None
-          }
-        }
-      }
-    val candidates = m.batches.filter(b => keyBounds.forall {
-      case (c, lo, hi) => mayOverlap(m.stats.getOrElse(b, Map.empty), c, lo, hi)
-    })
+    val candidates = keyBoundCandidates(m, updates, keyCols)
     val keys = updates.select(keyCols.map(col): _*)
     // 1. keys-only scan of the CANDIDATE batches to find affected ones
     //    (bounded driver state: one row per batch id)
@@ -1183,6 +1189,56 @@ object Snapshot {
     val m = latest(spark, path).getOrElse(throw new IllegalStateException(
       s"$path is not snapshot-enabled — deleteWhere needs a manifest to flip"))
     deleteFrom(spark, path, m, m.batches, predicate)
+  }
+
+  /** KEYED COPY-ON-WRITE DELETE — remove every row whose key tuple
+    * appears in the `keys` TABLE, as one distributed anti-join fold:
+    * the right-to-be-forgotten / opt-out erasure shape of a training
+    * corpus, where the doomed ids arrive as a dataset of MILLIONS of
+    * keys — far past what a [[deleteWhere]] `isin` literal can carry
+    * through the driver, and exactly what a predicate cannot express
+    * without collecting. Zone maps screen the find-affected scan by
+    * the keys' min/max (shared with [[merge]]'s pruning: an id-ordered
+    * corpus erasing a bounded id range never even scans the rest);
+    * only batches actually holding matches rewrite; the fold+flip
+    * commit is atomic exactly like merge/deleteWhere. `keys` may carry
+    * duplicates and extra columns (only `keyCols` join); NULL keys
+    * match nothing (SQL IN semantics). Returns matched = rows removed.
+    */
+  def deleteMatching(spark: SparkSession, path: String, keys: DataFrame,
+                     keyCols: Seq[String]): MergeStats = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val missing = keyCols.filterNot(keys.columns.contains)
+    require(missing.isEmpty, s"keys lack key columns: ${missing.mkString(",")}")
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — deleteMatching needs a manifest " +
+        "to flip"))
+    val keyTab = keys.select(keyCols.map(col): _*)
+    val candidates = keyBoundCandidates(m, keyTab, keyCols)
+    if (candidates.isEmpty) return MergeStats(0L, 0L, Seq.empty, None)
+    val cand = readBatches(spark, path, m.copy(batches = candidates))
+    val affected = cand.join(keyTab, keyCols, "left_semi")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.isEmpty) return MergeStats(0L, 0L, Seq.empty, None)
+    val inAffected = cand.filter(col("batch_id").isin(affected: _*))
+    val deleted = inAffected.join(keyTab, keyCols, "left_semi").count()
+    val survivors = inAffected.join(keyTab, keyCols, "left_anti")
+      .drop("batch_id")
+    val v =
+      if (survivors.isEmpty && m.batches.size > affected.size)
+        // pure removal (every row of the affected batches matched):
+        // manifest-only edit, same as deleteFrom's fast path
+        commitEdit(spark, path, m, remove = affected,
+          allowConcurrentAdds = false).get.version
+      else {
+        val foldId = freshFoldId(spark, path, m)
+        survivors.write.mode("overwrite").parquet(s"$path/batch_id=$foldId")
+        commitEdit(spark, path, m, add = Seq(foldId), remove = affected,
+          newStats = Map(foldId -> computeBatchStats(spark, path, foldId)),
+          allowConcurrentAdds = false, removeIsFold = true).get.version
+      }
+    MergeStats(deleted, 0L, affected, Some(v))
   }
 
   /** Zone-map-pruned DELETE: remove rows with `column` in [lo, hi]

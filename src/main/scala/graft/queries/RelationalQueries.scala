@@ -1368,6 +1368,33 @@ object RelationalQueries {
       asOf.unionByName(live).orderBy("view", "id")
     }),
 
+    // RT11 — KEYED COW DELETE (Snapshot.deleteMatching): erase every
+    // row whose key appears in a DOOMED-KEYS TABLE — the
+    // right-to-be-forgotten shape, where millions of opt-out ids
+    // arrive as a dataset and an isin() literal predicate cannot carry
+    // them through the driver. The erasure list spans both batches,
+    // carries a no-match key and a duplicate (semi/anti-join
+    // semantics absorb both); the def REQUIREs matched == 3 so the
+    // oracle gates the erasure accounting, not just the survivors.
+    "rt11_delete_keys" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt11-${java.util.UUID.randomUUID()}")
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+        .write.parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      Snapshot.stagedAppend(s, path, 1L) {
+        Seq((5L, "e"), (6L, "f"), (7L, "g"), (8L, "h")).toDF("k", "v")
+          .write.mode("overwrite").parquet(s"$path/batch_id=1")
+      }
+      val doomed = Seq(2L, 5L, 6L, 6L, 99L).toDF("k")
+      val stats = Snapshot.deleteMatching(s, path, doomed, Seq("k"))
+      require(stats.matched == 3L && stats.rewrittenBatches == Seq(0L, 1L),
+        s"keyed delete did not erase the expected rows: $stats")
+      Snapshot.read(s, path).select(col("k"), col("v")).orderBy("k")
+    }),
+
     // RT2 — CDC between pinned snapshots (Snapshot.diffVersions): a
     // planted three-batch table goes through retention (v1→v2), an
     // append (v2→v3), and a compaction (v3→v4). The row-level diffs
@@ -3007,6 +3034,13 @@ object RelationalQueries {
            ('a', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1),
            ('b', 5, 1, 1), ('c', 100, 1, 1), ('e', 1000, 1, 1))
          t(k, n, n_deleted, n_rewritten) ORDER BY k""",
+    // survivors after erasing keys {2, 5, 6} (99 matches nothing, the
+    // duplicate 6 counts once)
+    "rt11_delete_keys" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'a'), (3, 'c'), (4, 'd'),
+           (7, 'g'), (8, 'h'))
+         t(k, v) ORDER BY k""",
     "rt7_concurrent_commit" ->
       """SELECT * FROM (VALUES
            ('r1', CAST(1 AS BIGINT), true, '1,2'),

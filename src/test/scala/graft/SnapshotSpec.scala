@@ -471,6 +471,54 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.deleteWhere(spark, path, col("n") >= 9999L).version shouldBe None
   }
 
+  test("deleteMatching: keyed COW erase — anti-join fold; zone maps prune " +
+    "the find-affected scan; full-batch erase is a manifest-only removal; " +
+    "NULL keys and no-matches erase nothing") {
+    val path = TempDirs.path(s"snapshot-spec/delkeys-${java.util.UUID.randomUUID()}")
+    def batch(id: Long, rows: (Long, String)*): Unit =
+      Snapshot.stagedAppend(spark, path, id) {
+        rows.toDF("n", "k").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$id")
+      }
+    Seq((1L, "a"), (10L, "b")).toDF("n", "k").write
+      .mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // batch 0: no stats (never prunable)
+    batch(1L, (100L, "c"), (200L, "d"))
+    batch(2L, (1000L, "e"), (2000L, "f"))
+    // no-match erase: zero work, no version published
+    val none = Snapshot.deleteMatching(spark, path,
+      Seq(777L).toDF("n"), Seq("n"))
+    (none.matched, none.version) shouldBe ((0L, None))
+    // NULL keys match nothing (SQL IN semantics): only 100 goes
+    val withNull = Seq(Some(100L), None).toDF("n")
+    // decisive prune pin first: physically delete batch 2's files — if
+    // the keys' [100,100] bounds failed to exclude batch 2 from even
+    // the find-affected scan, the erase would crash on missing files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "batch_id=2"), true)
+    val st = Snapshot.deleteMatching(spark, path, withNull, Seq("n"))
+    st.matched shouldBe 1L
+    st.rewrittenBatches shouldBe Seq(1L)
+
+    // full-batch erase on a fresh table: every row of batch 1 matches →
+    // pure manifest removal, no fold directory appears
+    val p2 = TempDirs.path(s"snapshot-spec/delkeys2-${java.util.UUID.randomUUID()}")
+    Seq((1L, "a"), (2L, "b")).toDF("n", "k").write
+      .mode("overwrite").parquet(s"$p2/batch_id=0")
+    Snapshot.enable(spark, p2)
+    Snapshot.stagedAppend(spark, p2, 1L) {
+      Seq((5L, "e"), (6L, "f")).toDF("n", "k").write.mode("overwrite")
+        .parquet(s"$p2/batch_id=1")
+    }
+    val full = Snapshot.deleteMatching(spark, p2,
+      Seq(5L, 6L, 6L).toDF("n"), Seq("n")) // dup key counts once per row
+    full.matched shouldBe 2L
+    Snapshot.liveBatches(spark, p2) shouldBe Seq(0L) // no fold id
+    Snapshot.read(spark, p2).select("n").collect().map(_.getLong(0))
+      .sorted shouldBe Array(1L, 2L)
+  }
+
   test("zone maps: readRange and merge prune non-overlapping batches by metadata alone") {
     val path = TempDirs.path(s"snapshot-spec/zone-${java.util.UUID.randomUUID()}")
     def batch(id: Long, rows: (Long, String)*): Unit =
