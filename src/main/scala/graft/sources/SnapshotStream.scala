@@ -48,8 +48,13 @@ import graft.operators.Snapshot
   *    until restart, the Delta convention.
   *
   * `startingVersion`: `earliest` (default — first micro-batch serves
-  * everything already committed) or `latest` (only appends committed
-  * after the stream starts).
+  * everything already committed, as the live-set snapshot), `latest`
+  * (only appends committed after the stream starts), or a NUMERIC
+  * manifest version (Delta's convention: inclusive — version v's own
+  * commits are the first served; the raw append history from v
+  * onward, NOT a live-set snapshot, so rows retired after v appear;
+  * manifests back to v−1 must survive or the first window fails
+  * loudly).
   *
   * ADMISSION CONTROL (VERDICT r17 gap #1 — at 100 TB the initial
   * live-set snapshot as ONE micro-batch is a non-starter, and a stream
@@ -120,8 +125,12 @@ object SnapshotStream {
   }
 
   /** Reader-side entry point: a streaming DataFrame over the governed
-    * table at `path`. `maxBatchesPerTrigger` / `maxBytesPerTrigger`
-    * are the admission knobs (see the class doc); None = uncapped. */
+    * table at `path`. `startingVersion` is `earliest` / `latest` / a
+    * numeric manifest version (Delta's convention — inclusive, serves
+    * the raw append history from that commit onward rather than an
+    * initial-snapshot live set). `maxBatchesPerTrigger` /
+    * `maxBytesPerTrigger` are the admission knobs (see the class
+    * doc); None = uncapped. */
   def readStream(spark: SparkSession, path: String,
                  startingVersion: String = "earliest",
                  maxBatchesPerTrigger: Option[Int] = None,
@@ -238,19 +247,25 @@ final class SnapshotStreamProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
-    val earliest =
+    val (earliest, startAt) =
       parameters.getOrElse("startingVersion", "earliest") match {
-        case "earliest" => true
-        case "latest" => false
+        case "earliest" => (true, None)
+        case "latest" => (false, None)
+        case n if n.forall(_.isDigit) && n.nonEmpty =>
+          val v = n.toLong
+          require(v >= 1, s"startingVersion must be >= 1 (v1 is the " +
+            s"first commit): $v")
+          (false, Some(v))
         case other => throw new IllegalArgumentException(
-          s"startingVersion must be 'earliest' or 'latest': $other")
+          s"startingVersion must be 'earliest', 'latest', or a numeric " +
+            s"manifest version: $other")
       }
     if (isChanges(parameters))
       new SnapshotChangesSource(sqlContext.sparkSession, path, earliest,
-        metadataPath, Admission(parameters))
+        metadataPath, Admission(parameters), startAt)
     else
       new SnapshotStreamSource(sqlContext.sparkSession, path, earliest,
-        metadataPath, Admission(parameters))
+        metadataPath, Admission(parameters), startAt)
   }
 }
 
@@ -280,7 +295,8 @@ private[graft] object SnapshotOffsets {
 final class SnapshotStreamSource(spark: SparkSession, path: String,
                                  earliest: Boolean,
                                  metadataPath: String,
-                                 admission: Admission = Admission(None, None))
+                                 admission: Admission = Admission(None, None),
+                                 startAtVersion: Option[Long] = None)
     extends Source {
 
   override val schema: StructType = SnapshotStream.streamSchema(spark, path)
@@ -296,11 +312,17 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       "graft-snapshot-initial-version"))
 
   /** Version horizon of the stream: 0 (earliest — batch 0 serves the
-    * live set) or the version at FIRST construction (latest), pinned
-    * via [[SnapshotStream.pinnedHorizon]]. */
+    * live set), an explicit numeric startingVersion minus one (the
+    * Delta convention: version v's OWN commits are served — and like
+    * Delta, a numeric start serves the raw append history from v
+    * onward, NOT a live-set snapshot, so rows retired after v DO
+    * appear; manifests back to v-1 must still exist or the first
+    * window fails loudly), or the version at FIRST construction
+    * (latest) — pinned via [[SnapshotStream.pinnedHorizon]]. */
   private val initialVersion: Long =
     SnapshotStream.pinnedHorizon(spark, metadataPath)(
-      if (earliest) 0L else Snapshot.latestVersion(spark, path).getOrElse(0L))
+      startAtVersion.map(_ - 1).getOrElse(
+        if (earliest) 0L else Snapshot.latestVersion(spark, path).getOrElse(0L)))
 
   /** Chunked-snapshot phase (capped `earliest` streams only): the
     * initial snapshot's version, pinned at the FIRST construction of
@@ -548,7 +570,8 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
 final class SnapshotChangesSource(spark: SparkSession, path: String,
                                   earliest: Boolean,
                                   metadataPath: String,
-                                  admission: Admission = Admission(None, None))
+                                  admission: Admission = Admission(None, None),
+                                  startAtVersion: Option[Long] = None)
     extends Source {
 
   override val schema: StructType = SnapshotStream.changesSchema(spark, path)
@@ -556,11 +579,15 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
   private val fs = new org.apache.hadoop.fs.Path(metadataPath)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** earliest → 0 (batch 0 starts at v1's content); latest → the
-    * version at first construction, pinned like the appends mode. */
+  /** earliest → 0 (batch 0 starts at v1's content); a numeric
+    * startingVersion → v−1 (v's own changes are the first served,
+    * Delta's inclusive convention; the window's manifests must
+    * survive); latest → the version at first construction — pinned
+    * like the appends mode. */
   private val initialVersion: Long =
     SnapshotStream.pinnedHorizon(spark, metadataPath)(
-      if (earliest) 0L else Snapshot.latestVersion(spark, path).getOrElse(0L))
+      startAtVersion.map(_ - 1).getOrElse(
+        if (earliest) 0L else Snapshot.latestVersion(spark, path).getOrElse(0L)))
 
   private[graft] def pinnedInitialVersion: Long = initialVersion
 

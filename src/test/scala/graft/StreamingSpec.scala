@@ -580,6 +580,53 @@ class StreamingSpec extends SparkSpec {
     born.stop(); rebuilt.stop(); uncapped.stop(); cappedLater.stop()
   }
 
+  test("numeric startingVersion: both stream modes serve from the named " +
+    "commit INCLUSIVE (the Delta convention), raw history not a snapshot") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    import graft.sources.SnapshotStream
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val path = TempDirs.path(s"snapver/${java.util.UUID.randomUUID()}")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1: batch 0
+    (1L to 2L).foreach { b =>
+      Snapshot.stagedAppend(spark, path, b) {
+        Seq((b * 10, s"v$b")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$b")
+      }
+    } // v2: batch 1, v3: batch 2
+    // appends mode from v2: batches 1 and 2, NOT the snapshot (batch 0)
+    val q = SnapshotStream.readStream(spark, path, startingVersion = "2")
+      .writeStream.format("memory").queryName("snapver_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      spark.table("snapver_sink").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(10L, 20L)
+    } finally q.stop()
+    // changes mode from v3: only the last commit's inserts
+    val src = new graft.sources.SnapshotChangesSource(
+      spark, path, earliest = false,
+      metadataPath = TempDirs.path(s"snapver/meta-${java.util.UUID.randomUUID()}"),
+      startAtVersion = Some(3L))
+    try {
+      val end = src.getOffset.get
+      ColumnBridge.asBatch(src.getBatch(None, end))
+        .select("_change_type", "id", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+        Seq(("insert", 20L, 3L))
+    } finally src.stop()
+    // invalid numerics fail at stream construction (the engine wraps
+    // the provider's require into its query exception)
+    val e = intercept[Exception] {
+      val bad = SnapshotStream.readStream(spark, path, startingVersion = "0")
+        .writeStream.format("noop").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    e.getMessage should include("startingVersion must be >= 1")
+  }
+
   test("admission byte budget: maxBytesPerTrigger serves one batch dir " +
     "per trigger when the budget fits exactly one; union identical") {
     val session = spark
