@@ -574,6 +574,11 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
                                   startAtVersion: Option[Long] = None)
     extends Source {
 
+  require(admission.maxBytes.isEmpty,
+    "maxBytesPerTrigger is an appends-mode knob (batch dirs have sizes; " +
+      "a commit's DIFF does not) — cap a changes stream with " +
+      "maxBatchesPerTrigger, which bounds commits per micro-batch")
+
   override val schema: StructType = SnapshotStream.changesSchema(spark, path)
 
   private val fs = new org.apache.hadoop.fs.Path(metadataPath)

@@ -764,6 +764,13 @@ class StreamingSpec extends SparkSpec {
       // identical union: every commit's insert exactly once
       seen.sorted.toSeq shouldBe (0L to 19L).map(i => (i + 1, i)).sorted
     } finally src.stop()
+    // the byte budget has no meaning for commit diffs — loud, not
+    // silently ignored
+    an[IllegalArgumentException] should be thrownBy
+      new graft.sources.SnapshotChangesSource(
+        spark, path, earliest = true,
+        metadataPath = TempDirs.path(s"cdfadm/m2-${java.util.UUID.randomUUID()}"),
+        admission = graft.sources.Admission(None, Some(1024L)))
   }
 
   test("governedSink lineage guard: the same query drains behind-head " +
