@@ -86,6 +86,46 @@ class IncrementalViewSpec extends SparkSpec {
     viewRows(view) shouldBe rebuiltRows(base)
   }
 
+  test("refresh == rebuild under three interleaved mutation rounds on a " +
+    "generated 500-row table (group accounting at width the hand fixture " +
+    "can't reach)") {
+    val session = spark
+    import session.implicits._
+    val (base, view) = freshPaths()
+    def rows(ids: Range) = ids.map(i =>
+      (s"g${i % 37}", (i.toLong * 31) % 1000)).toDF("k", "v")
+    rows(0 until 300).write.parquet(s"$base/batch_id=0")
+    Snapshot.enable(spark, base)
+    IncrementalView.build(spark, base, view, Seq("k"), Seq("v"))
+    def full(): Seq[org.apache.spark.sql.Row] = {
+      val (_, scratch) = freshPaths()
+      IncrementalView.build(spark, base, scratch, Seq("k"), Seq("v"))
+      IncrementalView.read(spark, scratch).orderBy("k").collect().toSeq
+    }
+    def incr(): Seq[org.apache.spark.sql.Row] = {
+      IncrementalView.refresh(spark, base, view)
+      IncrementalView.read(spark, view).orderBy("k").collect().toSeq
+    }
+    // round 1: append + value-predicate COW delete
+    Snapshot.stagedAppend(spark, base, 1L) {
+      rows(300 until 400).write.mode("overwrite").parquet(s"$base/batch_id=1")
+    }
+    Snapshot.deleteWhere(spark, base, col("v") % 7 === 0)
+    incr() shouldBe full()
+    // round 2: append + keyed erase spanning many groups
+    Snapshot.stagedAppend(spark, base, 2L) {
+      rows(400 until 500).write.mode("overwrite").parquet(s"$base/batch_id=2")
+    }
+    Snapshot.deleteMatching(spark, base,
+      (0 until 500 by 3).map(i => (s"g${i % 37}", (i.toLong * 31) % 1000))
+        .toDF("k", "v"), Seq("k", "v"))
+    incr() shouldBe full()
+    // round 3: compaction (content no-op) then one more delete
+    Snapshot.compactLive(spark, base)
+    Snapshot.deleteWhere(spark, base, col("k") === "g0")
+    incr() shouldBe full()
+  }
+
   test("replayed refresh window converges (crash between view commit and " +
     "sync-pointer write): same values, no double counting") {
     val session = spark
