@@ -282,12 +282,6 @@ object Bench {
             (-1.0, -1.0)
         }
       }
-      // min over reps; a failing/timing-out rep short-circuits the
-      // rest (a deterministic failure shouldn't cost reps × budget)
-      val gc0 = gcMillis(); val jit0 = jitMillis()
-      val storage0 = sc.getRDDStorageInfo
-      val tOffset = (System.nanoTime() - runStartNanos) / 1e9
-      val load0 = loadAvg1()
       // per-workload rep floor: spill-bound workloads whose first rep
       // is page-cache-sensitive run extra reps so the recorded min is
       // steady-state (ScaleWorkloads.extraReps scaladoc)
@@ -295,11 +289,20 @@ object Bench {
         graft.queries.ScaleWorkloads.extraReps.getOrElse(name, 0))
       // untimed warmup (ScaleWorkloads.warmupWorkloads): pays the cold
       // codegen/JIT/page-cache costs OUTSIDE the recorded reps so the
-      // reps array reads as steady-state spread evidence
+      // reps array reads as steady-state spread evidence. Runs BEFORE
+      // the gc/jit baselines below, so the evidence deltas describe
+      // the recorded reps only — not the warmup's deliberately-cold
+      // compilation storm (review r18 #5).
       val warmup =
         if (graft.queries.ScaleWorkloads.warmupWorkloads(name))
           Some(oneRep(-1)._1)
         else None
+      // min over reps; a failing/timing-out rep short-circuits the
+      // rest (a deterministic failure shouldn't cost reps × budget)
+      val gc0 = gcMillis(); val jit0 = jitMillis()
+      val storage0 = sc.getRDDStorageInfo
+      val tOffset = (System.nanoTime() - runStartNanos) / 1e9
+      val load0 = loadAvg1()
       val repTimes = scala.collection.mutable.ListBuffer.empty[Double]
       val repExt = scala.collection.mutable.ListBuffer.empty[Double]
       var rep = 0

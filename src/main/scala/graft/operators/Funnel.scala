@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analytics: how far along a prescribed step sequence
@@ -21,19 +22,103 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: filter to funnel steps at the scan (everything else
   * dies before the exchange), ONE shuffle on the entity key, then a
-  * per-entity executor-side walk — collect the entity's step events as
-  * a sorted array and fold it with the higher-order `aggregate`, no
-  * UDF, no driver state, no second exchange ([[funnelCounts]] adds one
-  * global single-row agg). Per-entity state is its FUNNEL-STEP event
-  * count — same boundedness contract as session windows (a pathological
-  * entity with millions of funnel events concentrates on one task; the
-  * funnel-step pre-filter is what keeps normal entities small).
+  * per-entity executor-side walk inside a BOUNDED typed Aggregator
+  * (the [[TopKByScore]] discipline): the per-entity buffer holds flat
+  * primitive arrays of (epoch-µs, stage-position) and throws WITH the
+  * offending entity the moment it would exceed `maxEventsPerEntity` —
+  * so a pathological bot entity costs a loud, attributable failure at
+  * the cap, never an executor OOM (review r18 #3: the earlier
+  * collect_list + fold form materialized the full array before any
+  * guard could run, bounding nothing). No driver state, no second
+  * exchange ([[funnelCounts]] adds one global single-row agg).
   *
   * Equal-timestamp determinism: events sort by (ts, funnel position),
   * so at a tied instant earlier stages match first — the order that
   * makes same-instant progression count, matching the ≥ min-cascade.
   */
 object Funnel {
+
+  /** One funnel-step event as the aggregator's input row. `e` is the
+    * entity rendered as a string — carried only so a cap breach can
+    * name its offender from inside `reduce`, where the group key is
+    * not otherwise visible. */
+  private[operators] final case class FunnelEvent(e: String, us: Long, pos: Int)
+
+  /** Amortized-growth buffer: `n` live entries in the array prefixes
+    * (capacity doubles — a per-row `:+` would copy O(n²) for entities
+    * near the cap). Capacity never exceeds the cap, which is the
+    * memory bound the aggregator exists to enforce. */
+  private[operators] final case class FunnelBuf(e: String, us: Array[Long],
+                                                pos: Array[Int], n: Int)
+
+  /** Bounded funnel-walk Aggregator: buffers an entity's (us, pos)
+    * events up to the cap, then finishes with the sorted greedy
+    * cascade directly — the fold that used to run as a higher-order
+    * expression now runs as plain JVM code over primitive arrays. */
+  private[operators] class FunnelReachAgg(nSteps: Int, gapMicros: Option[Long],
+                                          cap: Int)
+      extends Aggregator[FunnelEvent, FunnelBuf, Long] {
+
+    override def zero: FunnelBuf =
+      FunnelBuf(null, new Array[Long](0), new Array[Int](0), 0)
+
+    private def grown(b: FunnelBuf, entity: String): FunnelBuf =
+      if (b.n < b.us.length) b
+      else if (b.n >= cap)
+        throw new IllegalStateException(s"funnel: entity $entity has more " +
+          s"than maxEventsPerEntity=$cap funnel-step events (a " +
+          "pathological/bot entity concentrates its whole history on one " +
+          "task; filter it out or raise the cap)")
+      else {
+        val c = math.min(cap, math.max(8, b.us.length * 2))
+        FunnelBuf(entity, java.util.Arrays.copyOf(b.us, c),
+          java.util.Arrays.copyOf(b.pos, c), b.n)
+      }
+
+    override def reduce(b0: FunnelBuf, v: FunnelEvent): FunnelBuf = {
+      val b = grown(b0, v.e)
+      b.us(b.n) = v.us
+      b.pos(b.n) = v.pos
+      FunnelBuf(v.e, b.us, b.pos, b.n + 1)
+    }
+
+    override def merge(a: FunnelBuf, b: FunnelBuf): FunnelBuf = {
+      val who = Option(a.e).orElse(Option(b.e)).getOrElse("<unknown>")
+      if (a.n + b.n > cap)
+        throw new IllegalStateException(s"funnel: entity $who has more " +
+          s"than maxEventsPerEntity=$cap funnel-step events across " +
+          "partitions (a pathological/bot entity concentrates its whole " +
+          "history on one task; filter it out or raise the cap)")
+      val c = math.max(a.us.length, a.n + b.n)
+      val out = FunnelBuf(who, java.util.Arrays.copyOf(a.us, c),
+        java.util.Arrays.copyOf(a.pos, c), a.n + b.n)
+      System.arraycopy(b.us, 0, out.us, a.n, b.n)
+      System.arraycopy(b.pos, 0, out.pos, a.n, b.n)
+      out
+    }
+
+    override def finish(b: FunnelBuf): Long = {
+      // sort by (us, pos): at a tied instant earlier stages match first
+      val order = Array.range(0, b.n)
+        .sortBy(i => (b.us(i), b.pos(i)))
+      var reached = 0L
+      var lastUs = Long.MinValue
+      var i = 0
+      while (i < order.length && reached < nSteps) {
+        val j = order(i)
+        if (b.pos(j) == reached + 1 &&
+          (reached == 0L || gapMicros.forall(g => b.us(j) <= lastUs + g))) {
+          reached += 1
+          lastUs = b.us(j)
+        }
+        i += 1
+      }
+      reached
+    }
+
+    override def bufferEncoder: Encoder[FunnelBuf] = Encoders.product[FunnelBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 
   /** Per-entity furthest stage reached: (entity, reached) with
     * reached ∈ 1..steps.size — entities with no stage-1 match carry
@@ -51,13 +136,11 @@ object Funnel {
     * how the analytics tools define it, and it keeps the oracle a
     * cascade).
     *
-    * `maxEventsPerEntity` is the boundedness guard (VERDICT r17 #8,
-    * the [[TimeSeries]] span-guard discipline): per-entity state is
-    * the entity's funnel-step event count, so one pathological bot
-    * entity with millions of funnel events concentrates on a single
-    * task. The guard raises executor-side WITH the offending entity
-    * the moment its collected array exceeds the cap — a loud
-    * wrong-input failure instead of an OOM'd task at corpus scale. */
+    * `maxEventsPerEntity` is the boundedness guard (VERDICT r17 #8):
+    * per-entity aggregation state is the entity's funnel-step event
+    * count, and the bounded buffer raises WITH the offending entity
+    * at the cap — BEFORE the state materializes past it (see the
+    * object doc). */
   def stageReach(events: DataFrame, entityCol: String, tsCol: String,
                  stepCol: String, steps: Seq[String],
                  maxStepGapSeconds: Option[Long] = None,
@@ -69,46 +152,19 @@ object Funnel {
     require(maxEventsPerEntity > 0,
       s"maxEventsPerEntity must be positive: $maxEventsPerEntity")
     val stepsArr = array(steps.map(lit): _*)
-    val n = steps.size
-    // event time as epoch micros: integer compares inside the fold (and
-    // the +gap arithmetic) stay exact and codegen-simple. The entity
-    // cap rides the fold's SEED (the TimeSeries fold-into-the-bound
-    // discipline: a standalone guard column could be pruned away):
-    // it raises executor-side, per row, WITH the offending entity.
-    def guardedZero(cap: Int) = struct(
-      when(size(col("evs")) > cap,
-        raise_error(concat(lit("funnel: entity "),
-          col("entity").cast("string"), lit(" has "),
-          size(col("evs")).cast("string"),
-          lit(s" funnel-step events — exceeds maxEventsPerEntity=$cap " +
-            "(a pathological/bot entity concentrates its whole history " +
-            "on one task; filter it out or raise the cap)")))
-          .cast("long"))
-        .otherwise(lit(0L)).as("reached"),
-      lit(Long.MinValue).as("us"))
-    def inWindow(st: Column, e: Column): Column = maxStepGapSeconds match {
-      case None => lit(true)
-      case Some(gap) =>
-        st.getField("reached") === 0L ||
-          e.getField("us") <= st.getField("us") + gap * 1000000L
-    }
+    val reach = udaf(new FunnelReachAgg(steps.size,
+      maxStepGapSeconds.map(_ * 1000000L), maxEventsPerEntity),
+      Encoders.product[FunnelEvent])
     events
       .filter(col(stepCol).isin(steps: _*))
       .select(col(entityCol).as("entity"),
-        struct(unix_micros(col(tsCol)).as("us"),
-          array_position(stepsArr, col(stepCol)).as("pos")).as("ev"))
+        col(entityCol).cast("string").as("_e"),
+        // event time as epoch micros: integer compares inside the walk
+        // (and the +gap arithmetic) stay exact
+        unix_micros(col(tsCol)).as("_us"),
+        array_position(stepsArr, col(stepCol)).cast("int").as("_pos"))
       .groupBy(col("entity"))
-      .agg(array_sort(collect_list(col("ev"))).as("evs"))
-      .select(col("entity"),
-        aggregate(col("evs"), guardedZero(maxEventsPerEntity),
-          (st, e) =>
-            when(st.getField("reached") < n &&
-                e.getField("pos") === st.getField("reached") + 1 &&
-                inWindow(st, e),
-              struct((st.getField("reached") + 1).as("reached"),
-                e.getField("us").as("us")))
-              .otherwise(st),
-          _.getField("reached")).as("reached"))
+      .agg(reach(col("_e"), col("_us"), col("_pos")).as("reached"))
   }
 
   /** The funnel report: one row per stage — (stage, step, n_entities

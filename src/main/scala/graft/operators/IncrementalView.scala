@@ -72,19 +72,11 @@ object IncrementalView {
     val ks = root.putArray("keys"); d.keys.foreach(ks.add)
     val vs = root.putArray("values"); d.values.foreach(vs.add)
     root.put("syncedVersion", d.syncedVersion)
-    val f = defFile(viewPath)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = f.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(viewPath,
-      s"._view_def.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
-    // atomic overwrite-swap (the governedSink lineage discipline): a
-    // crash mid-update must leave SOME def readable — the sync pointer
-    // is allowed to lag (refresh is idempotent), never to vanish
-    org.apache.hadoop.fs.FileContext.getFileContext(f.toUri, conf)
-      .rename(tmp, f, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // atomic overwrite-swap: a crash mid-update must leave SOME def
+    // readable — the sync pointer is allowed to lag (refresh is
+    // idempotent), never to vanish
+    Snapshot.atomicOverwrite(spark.sessionState.newHadoopConf(),
+      defFile(viewPath), mapper.writeValueAsString(root))
   }
 
   private def readDef(spark: SparkSession, viewPath: String): ViewDef = {

@@ -207,6 +207,28 @@ object Snapshot {
       case None => true
     }
 
+  /** ATOMIC OVERWRITE of a small metadata file: write a temp sibling,
+    * rename over the target with FileContext's OVERWRITE rename — one
+    * step, so a crash anywhere leaves either the old record or the new
+    * one, never nothing and never a partial file. The shared helper
+    * behind every overwrite-swapped pin in the family (sink lineage,
+    * admission high-water, view sync pointer); create-once pins use
+    * [[graft.sources.SnapshotStream.pinned]]'s rename-fails-if-exists
+    * discipline instead. Throws on failure — callers decide whether a
+    * stale record is safe to keep (review r18: four hand-rolled copies
+    * of this block had already started to drift). */
+  private[graft] def atomicOverwrite(conf: org.apache.hadoop.conf.Configuration,
+                                     target: Path, content: String): Unit = {
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+  }
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

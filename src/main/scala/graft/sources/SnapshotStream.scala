@@ -73,9 +73,13 @@ import graft.operators.Snapshot
   * identical with and without them, and a cap can be added, changed,
   * or removed across restarts (an uncapped or pre-cap checkpoint
   * simply never re-enters the chunked-snapshot phase — its snapshot
-  * already served whole). The last handed-out offset is persisted
-  * under the stream's metadata dir so admission survives restarts
-  * without re-serving or skipping (the FileStreamSource metadata-log
+  * already served whole). The admission HIGH-WATER (last offset
+  * handed out) is persisted under the stream's metadata dir and kept
+  * fresh by getBatch through UNCAPPED stretches too, so re-capping a
+  * checkpoint resumes from where the stream actually is; a legacy
+  * checkpoint with no high-water at all gets one uncapped catch-up
+  * window from the engine's committed offset to the current head —
+  * never a horizon replay (the FileStreamSource metadata-log
   * discipline; the engine's own WAL remains the source of truth for
   * what was CONSUMED).
   *
@@ -356,16 +360,32 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       .map(v => Snapshot.readManifest(spark, path, v).batches.sorted)
       .getOrElse(Seq.empty)
 
-  /** Per-batch-dir on-disk bytes, memoized (dirs are immutable once
-    * committed; one recursive listing each, metadata-only). */
+  /** Per-batch-dir on-disk bytes, memoized on SUCCESS only (dirs are
+    * immutable once committed; one recursive listing each,
+    * metadata-only). A listing failure reports UNKNOWN — treated as
+    * cap-tripping by the admission arithmetic, so a transient
+    * object-store error shrinks the window to its floor of one unit
+    * instead of silently disabling the byte budget and serving the
+    * whole backlog in one micro-batch (review r18 #2); nothing sticks,
+    * the next trigger retries the listing. */
   private val dirBytes = scala.collection.mutable.HashMap.empty[Long, Long]
   private def bytesOf(batchId: Long): Long =
-    dirBytes.getOrElseUpdate(batchId,
+    dirBytes.get(batchId).getOrElse {
       try {
         val p = new org.apache.hadoop.fs.Path(s"$path/batch_id=$batchId")
-        p.getFileSystem(spark.sessionState.newHadoopConf())
+        val n = p.getFileSystem(spark.sessionState.newHadoopConf())
           .getContentSummary(p).getLength
-      } catch { case scala.util.control.NonFatal(_) => 0L })
+        dirBytes(batchId) = n
+        n
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    }
+
+  /** Saturating add: UNKNOWN (MaxValue) sizes poison the sum instead
+    * of wrapping negative past a real cap. */
+  private def addSat(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0) Long.MaxValue else s
+  }
 
   /** Take ids off the front of `candidates` until a cap trips —
     * always at least one, so the stream progresses. */
@@ -375,21 +395,32 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
     var bytes = 0L
     while (taken < candidates.size && taken < byCount &&
       (taken == 0 ||
-        admission.maxBytes.forall(b => bytes + bytesOf(candidates(taken)) <= b))) {
-      bytes += bytesOf(candidates(taken))
+        admission.maxBytes.forall(b =>
+          addSat(bytes, bytesOf(candidates(taken))) <= b))) {
+      bytes = addSat(bytes, bytesOf(candidates(taken)))
       taken += 1
     }
     taken
   }
 
   /** Last offset handed out (admission state), persisted under the
-    * metadata dir when capped. The engine's WAL stays the consumption
-    * record; this only remembers where ADMISSION got to, so a restart
-    * neither re-admits a full backlog nor skips the pending window. */
+    * metadata dir. The engine's WAL stays the consumption record; this
+    * only remembers where ADMISSION got to, so a restart neither
+    * re-admits a full backlog nor skips the pending window. Read AND
+    * written regardless of the current cap — getBatch keeps it fresh
+    * through uncapped stretches too, so ADDING a cap to an existing
+    * checkpoint resumes from where the stream actually is instead of
+    * replaying from the horizon (review r18 #1: a re-capped checkpoint
+    * whose high state sat behind the engine's committed offset
+    * re-served already-delivered versions). A legacy checkpoint with
+    * no high file at all gets ONE final uncapped catch-up window
+    * (cur falls back to the CURRENT head — the stream's real position
+    * is at most that, and the engine's own committed offset bounds the
+    * window), never a replay. */
   private val highFile = new org.apache.hadoop.fs.Path(metadataPath,
     "graft-admission-high")
   private var high: Option[(Long, Option[Int])] = {
-    if (!admission.capped || !fs.exists(highFile)) None
+    if (!fs.exists(highFile)) None
     else {
       val in = fs.open(highFile)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -397,15 +428,20 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
       Some(SnapshotOffsets.parseJson(text))
     }
   }
+  private var persistedHigh: Option[(Long, Option[Int])] = high
 
-  private def persistHigh(o: Offset): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-      s".graft-admission-high.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(o.json.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(highFile.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmp, highFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  private def persistHigh(p: (Long, Option[Int])): Unit =
+    if (!persistedHigh.contains(p)) {
+      Snapshot.atomicOverwrite(spark.sessionState.newHadoopConf(), highFile,
+        mkOffset(p).json)
+      persistedHigh = Some(p)
+    }
+
+  /** Raise the high-water to at least `p` (in memory + on disk). */
+  private def raiseHigh(p: (Long, Option[Int])): Unit = {
+    val merged = high.map(laterOf(_, p)).getOrElse(p)
+    high = Some(merged)
+    persistHigh(merged)
   }
 
   private def laterOf(a: (Long, Option[Int]),
@@ -438,7 +474,18 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
     else headOpt.map { head =>
       val cur: (Long, Option[Int]) = high.getOrElse(
         chunkSnapshotV match {
-          case Some(sv) => (sv, Some(0)) // fresh capped earliest stream
+          // born-capped earliest checkpoint: snapshot phase. Safe on a
+          // restart too — an absent high file means no capped offset
+          // was ever handed out AND no batch ever ran (both persist),
+          // so chunk 0 is genuinely where this checkpoint is.
+          case Some(sv) => (sv, Some(0))
+          // pre-admission/legacy checkpoint: ONE uncapped catch-up
+          // window from wherever the engine's committed offset is to
+          // the current head — never a horizon replay (review r18 #1).
+          // A legacy earliest checkpoint that never ran batch 0 still
+          // serves its initial snapshot: getBatch(None, head) takes
+          // the uncapped live-set branch.
+          case None if !freshCheckpoint => (head, None)
           case None => (initialVersion, None)
         })
       val next: (Long, Option[Int]) = cur match {
@@ -446,6 +493,8 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
           // snapshot phase: admit the next chunk of pinned live dirs
           val n = i + admit(snapshotLive.drop(i))
           if (n < snapshotLive.size) (sv, Some(n)) else (sv, None)
+        case (v, _) if v >= head =>
+          cur // caught up: zero manifest reads on the idle steady state
         case (v, _) =>
           // append phase: walk versions past v, admitting whole
           // commits until a cap trips. A VERSION is the atomic
@@ -461,7 +510,7 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
             val nextSeen = committedAt(upTo + 1)
             val newIds = (nextSeen -- seen).filter(_ >= 0).toSeq.sorted
             val wouldCount = count + newIds.size
-            val wouldBytes = bytes + newIds.map(bytesOf).sum
+            val wouldBytes = newIds.map(bytesOf).foldLeft(bytes)(addSat)
             val exceeds =
               admission.maxBatches.exists(wouldCount > _) ||
                 admission.maxBytes.exists(wouldBytes > _)
@@ -475,17 +524,17 @@ final class SnapshotStreamSource(spark: SparkSession, path: String,
           }
           (upTo, None)
       }
-      val off = mkOffset(next)
-      if (next != cur) { high = Some(next); persistHigh(off) }
-      off
+      if (next != cur) raiseHigh(next)
+      mkOffset(high.getOrElse(next))
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val (toV, toChunk) = SnapshotOffsets.parse(end)
-    if (admission.capped)
-      high = Some(high.map(laterOf(_, (toV, toChunk)))
-        .getOrElse((toV, toChunk)))
+    // keep the admission high-water fresh through UNCAPPED stretches
+    // too: the engine's consumed offsets are the stream's real
+    // position, and a later re-cap must resume from them (review r18)
+    raiseHigh((toV, toChunk))
     def empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     def readIds(ids: Seq[Long]): DataFrame =
@@ -584,6 +633,14 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
   private val fs = new org.apache.hadoop.fs.Path(metadataPath)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Whether this checkpoint existed before this construction —
+    * captured BEFORE [[initialVersion]] pins the horizon file (the
+    * pin is exactly what marks a checkpoint as existing, so field
+    * ORDER is load-bearing here — same as the appends twin). */
+  private val freshCheckpoint: Boolean = !fs.exists(
+    new org.apache.hadoop.fs.Path(metadataPath,
+      "graft-snapshot-initial-version"))
+
   /** earliest → 0 (batch 0 starts at v1's content); a numeric
     * startingVersion → v−1 (v's own changes are the first served,
     * Delta's inclusive convention; the window's manifests must
@@ -598,13 +655,18 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
 
   private def ver(o: Offset): Long = o.json.toLong
 
-  /** Admission state (see the appends-mode twin): the last version
-    * handed out, persisted so a restart keeps walking the history in
-    * capped windows instead of draining the rest in one batch. */
+  /** Admission state (see the appends-mode twin's scaladoc for the
+    * full restart/re-cap contract): the last version handed out,
+    * persisted so a restart keeps walking the history in capped
+    * windows. Read AND written regardless of the current cap —
+    * getBatch keeps it fresh through uncapped stretches, and a legacy
+    * pre-admission checkpoint falls back to the CURRENT head for one
+    * uncapped catch-up window, never a horizon replay (review r18 #1:
+    * re-capping a checkpoint must not re-serve delivered commits). */
   private val highFile = new org.apache.hadoop.fs.Path(metadataPath,
     "graft-admission-high")
   private var high: Option[Long] = {
-    if (!admission.capped || !fs.exists(highFile)) None
+    if (!fs.exists(highFile)) None
     else {
       val in = fs.open(highFile)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -612,25 +674,27 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
       Some(text.toLong)
     }
   }
+  private var persistedHigh: Option[Long] = high
 
-  private def persistHigh(v: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-      s".graft-admission-high.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(highFile.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmp, highFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  private def raiseHigh(v: Long): Unit = {
+    val merged = math.max(high.getOrElse(v), v)
+    high = Some(merged)
+    if (!persistedHigh.contains(merged)) {
+      Snapshot.atomicOverwrite(spark.sessionState.newHadoopConf(), highFile,
+        merged.toString)
+      persistedHigh = Some(merged)
+    }
   }
 
   override def getOffset: Option[Offset] = {
     val headOpt = Snapshot.latestVersion(spark, path)
     if (!admission.capped) headOpt.map(LongOffset(_))
     else headOpt.map { head =>
-      val cur = high.getOrElse(initialVersion)
+      val cur = high.getOrElse(
+        if (!freshCheckpoint) head else initialVersion)
       val next = math.min(head,
         cur + admission.maxBatches.map(_.toLong).getOrElse(Long.MaxValue))
-      if (next != cur) { high = Some(next); persistHigh(next) }
+      if (next > cur) raiseHigh(next)
       LongOffset(math.max(next, cur))
     }
   }
@@ -639,7 +703,7 @@ final class SnapshotChangesSource(spark: SparkSession, path: String,
     import org.apache.spark.sql.functions.{col, lit}
     val fromV = start.map(ver).getOrElse(initialVersion)
     val toV = ver(end)
-    if (admission.capped) high = Some(math.max(high.getOrElse(toV), toV))
+    raiseHigh(toV) // fresh through uncapped stretches too (review r18)
     def tagged(df: DataFrame, v: Long): DataFrame =
       df.withColumn("_commit_version", lit(v))
         .select(schema.fieldNames.map(col): _*)

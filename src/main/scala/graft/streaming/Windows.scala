@@ -349,28 +349,20 @@ object Windows {
           try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
           finally in.close()
         }
-      def writeLineage(q: String): Unit = {
-        val tmp = new org.apache.hadoop.fs.Path(path,
-          s"_manifests/._sink_lineage.${java.util.UUID.randomUUID()}.tmp")
-        val out = fs.create(tmp, false)
-        try out.write(q.getBytes("UTF-8")) finally out.close()
+      def writeLineage(q: String): Unit =
         // ATOMIC overwrite-rename (ADVICE r17): the delete-then-rename
         // form left a crash window with NO lineage record, after which
         // the ORIGINAL query's behind-head replay read sameLineage=false
-        // and wedged on every restart. FileContext rename with OVERWRITE
-        // swaps the record in one step — a record always survives.
-        try org.apache.hadoop.fs.FileContext
-          .getFileContext(lineageFile.toUri, s.sessionState.newHadoopConf())
-          .rename(tmp, lineageFile,
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // and wedged on every restart. One-step swap — a record always
+        // survives.
+        try Snapshot.atomicOverwrite(
+          s.sessionState.newHadoopConf(), lineageFile, q)
         catch { case e: Throwable =>
-          fs.delete(tmp, false)
           throw new IllegalStateException(
             s"governedSink could not record its query lineage at " +
               s"$lineageFile — failing the batch rather than committing " +
               "under a stale lineage record", e)
         }
-      }
       if (!Snapshot.isEnabled(s, path)) {
         batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
         Snapshot.enable(s, path)

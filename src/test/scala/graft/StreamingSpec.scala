@@ -580,6 +580,68 @@ class StreamingSpec extends SparkSpec {
     born.stop(); rebuilt.stop(); uncapped.stop(); cappedLater.stop()
   }
 
+  test("re-capping an existing checkpoint never re-serves: the admission " +
+    "high-water stays fresh through uncapped stretches, and a legacy " +
+    "checkpoint without one gets a single catch-up window (review r18 #1)") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    import graft.sources.SnapshotStream
+    val path = TempDirs.path(s"recap/${java.util.UUID.randomUUID()}")
+    Seq((0L, "a")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    (1L to 2L).foreach { b =>
+      Snapshot.stagedAppend(spark, path, b) {
+        Seq((b * 10, s"v$b")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$b")
+      }
+    }
+    val out = TempDirs.path(s"recap/out-${java.util.UUID.randomUUID()}")
+    val ckpt = TempDirs.path(s"recap/ckpt-${java.util.UUID.randomUUID()}")
+    def run(cap: Option[Int]): Unit = {
+      val q = SnapshotStream.readStream(spark, path, maxBatchesPerTrigger = cap)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(graft.streaming.Windows.idempotentParquetSink(out))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def servedIds(): Seq[Long] = spark.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    run(cap = None) // uncapped: snapshot serves whole
+    servedIds() shouldBe Seq(0L, 10L, 20L)
+    // two commits land while stopped; the restart ADDS a cap — it must
+    // serve exactly the backlog (1 commit per trigger), never replay
+    // the already-delivered history from the horizon
+    (3L to 4L).foreach { b =>
+      Snapshot.stagedAppend(spark, path, b) {
+        Seq((b * 10, s"v$b")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$b")
+      }
+    }
+    run(cap = Some(1))
+    servedIds() shouldBe Seq(0L, 10L, 20L, 30L, 40L)
+    // LEGACY shape: a pre-admission checkpoint has no high-water file
+    // at all — delete it, land one more commit, re-cap again: one
+    // catch-up window from the committed offset, still no re-serve
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val status = fs.listFiles(new org.apache.hadoop.fs.Path(ckpt), true)
+    var deleted = false
+    while (status.hasNext) {
+      val f = status.next().getPath
+      if (f.getName == "graft-admission-high") {
+        fs.delete(f, false); deleted = true
+      }
+    }
+    deleted shouldBe true
+    Snapshot.stagedAppend(spark, path, 5L) {
+      Seq((50L, "v5")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$path/batch_id=5")
+    }
+    run(cap = Some(1))
+    servedIds() shouldBe Seq(0L, 10L, 20L, 30L, 40L, 50L)
+  }
+
   test("capped stream crash-restart: a planted failure mid-snapshot " +
     "resumes from the checkpoint — every row exactly once, every " +
     "micro-batch within the cap") {
