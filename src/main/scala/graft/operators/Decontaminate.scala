@@ -1,0 +1,168 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import graft.functions.{TextFunctions => T}
+
+/** Benchmark decontamination: find (and remove) training documents that
+  * share a word n-gram with an evaluation/benchmark set — the published
+  * train-test-overlap procedure (Brown et al. 2020, "Language Models are
+  * Few-Shot Learners", appendix C: 13-gram overlap; Chowdhery et al.
+  * 2022 PaLM §8 and Touvron et al. 2023 use the same n-gram-collision
+  * shape at n=8..13). Without it, eval scores measure memorization.
+  *
+  * Scale shape (the asymmetry IS the design): the corpus is huge
+  * (100 TB) but the eval side is small by premise — a benchmark is at
+  * most a few million n-grams. So:
+  *
+  *   - Stage 1, SCREEN (zero shuffle): the eval n-gram set collapses to
+  *     a bloom filter (one partial-aggregated pass over the tiny side),
+  *     and every corpus document is probed map-side — one UDF call per
+  *     row over its distinct-shingle array. A bloom has NO false
+  *     negatives, so the survivors are a strict superset of the truly
+  *     contaminated docs; the fpp controls how much collateral reaches
+  *     stage 2 (at fpp=0.001, ~0.1% of clean grams false-alarm).
+  *   - Stage 2, CONFIRM (exact, tiny): only the screened candidates
+  *     explode their n-grams and broadcast-join the exact eval n-gram
+  *     set. The expensive explode+join runs over the bloom-flagged
+  *     fraction, not the corpus — and the final answer is EXACT, so the
+  *     same SQL oracle gates both the screened and unscreened paths.
+  *
+  * Removal at 100 TB is then a metadata operation, not a rewrite-the-
+  * world scan: the contaminated-id table is tiny — persist it and apply
+  * with [[Snapshot.deleteMatching]] (keyed copy-on-write) on a governed
+  * corpus, or broadcast anti-join on a raw one ([[decontaminate]]).
+  *
+  * Matching normalizes both sides with [[T.normalizeForDedup]]
+  * (lowercase, collapse whitespace) before shingling — the same
+  * normalization the exact-dedup family uses, so "The Quick  Brown" and
+  * "the quick brown" collide, as the published procedures intend.
+  * Documents shorter than n tokens contribute their full token sequence
+  * as one under-length gram ([[Dedup.shingles]]' greatest(...,1)
+  * convention) — a short eval answer string still screens.
+  */
+object Decontaminate {
+
+  /** Normalized distinct word n-grams — the collision key. */
+  private[graft] def grams(text: Column, n: Int): Column =
+    Dedup.shingles(T.normalizeForDedup(text), n)
+
+  /** Distinct n-grams of the eval set, one row per gram. Small by
+    * premise; every downstream use broadcasts or sketches it. */
+  def evalNgrams(evals: DataFrame, evalTextCol: String, n: Int): DataFrame =
+    evals.select(explode(grams(col(evalTextCol), n)).as("gram")).distinct()
+
+  /** Serialized-once, deserialized-lazily-per-executor probe (the
+    * [[BloomDedup]] pattern): the filter rides the closure as bytes,
+    * reconstructed once per JVM. Takes the whole shingle ARRAY — Spark
+    * disallows UDF calls inside higher-order-function lambdas, and one
+    * call per row beats one per gram anyway. */
+  private class AnyHit(bytes: Array[Byte])
+      extends (scala.collection.Seq[String] => Boolean) with Serializable {
+    @transient private lazy val bf =
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    def apply(gs: scala.collection.Seq[String]): Boolean =
+      gs != null && gs.exists(g => g != null && bf.mightContain(g))
+  }
+
+  private def anyHitProbe(bf: BloomFilter): Column => Column = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val f = udf(new AnyHit(bos.toByteArray))
+    (c: Column) => f(c)
+  }
+
+  /** Eval-side preparation shared by the public entry points: the
+    * distinct gram table, its exact count (also the bloom's sizing and
+    * the boundedness gate), and the screen probe. The gram table is
+    * deliberately NOT cached — it is tiny by premise and recomputing it
+    * for the confirm join is cheaper than owning cache state in a
+    * long-lived session (the qc3 lesson). `maxEvalNgrams` is the loud
+    * guard on the "eval side is small" premise — a caller who feeds the
+    * corpus in as `evals` gets an error naming the knob, not an
+    * executor OOM. */
+  private def prepared(evals: DataFrame, evalTextCol: String, n: Int,
+                       fpp: Double, maxEvalNgrams: Long)
+      : (DataFrame, Column => Column) = {
+    val eg = evalNgrams(evals, evalTextCol, n)
+    val nEval = eg.count()
+    require(nEval <= maxEvalNgrams,
+      s"eval set produced $nEval distinct $n-grams > maxEvalNgrams=" +
+        s"$maxEvalNgrams; decontamination broadcasts the eval side — " +
+        "raise the cap only if executors hold it, or swap the sides")
+    val bf = eg.stat.bloomFilter(col("gram"), math.max(nEval, 1L), fpp)
+    (eg, anyHitProbe(bf))
+  }
+
+  /** Contaminated documents with evidence: (idCol, n_hits) where
+    * n_hits = how many of the doc's DISTINCT n-grams appear in the eval
+    * set. Only contaminated docs appear (n_hits >= 1). */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          evals: DataFrame, evalTextCol: String,
+                          n: Int = 8, fpp: Double = 0.001,
+                          maxEvalNgrams: Long = 50L * 1000 * 1000)
+      : DataFrame = {
+    val (eg, probe) = prepared(evals, evalTextCol, n, fpp, maxEvalNgrams)
+    val cands = docs
+      .select(col(idCol), grams(col(textCol), n).as("_grams"))
+      .filter(probe(col("_grams")))
+    cands
+      .select(col(idCol), explode(col("_grams")).as("gram"))
+      .join(broadcast(eg), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Just the contaminated ids (exact). */
+  def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+                      evals: DataFrame, evalTextCol: String,
+                      n: Int = 8, fpp: Double = 0.001,
+                      maxEvalNgrams: Long = 50L * 1000 * 1000): DataFrame =
+    contaminationReport(docs, idCol, textCol, evals, evalTextCol, n, fpp,
+      maxEvalNgrams).select(col(idCol))
+
+  /** The cleaned corpus: `docs` minus every contaminated row, exact.
+    * The contaminated-id side is tiny (it was bloom-screened then
+    * confirmed), so the anti-join broadcasts — the removal pass is one
+    * map-side scan. On a snapshot-governed corpus prefer
+    * [[Snapshot.deleteMatching]] with [[contaminatedIds]] as the doomed
+    * keys: same semantics, but only affected files rewrite. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    evals: DataFrame, evalTextCol: String,
+                    n: Int = 8, fpp: Double = 0.001,
+                    maxEvalNgrams: Long = 50L * 1000 * 1000): DataFrame = {
+    val bad = contaminatedIds(docs, idCol, textCol, evals, evalTextCol,
+      n, fpp, maxEvalNgrams)
+    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
+  /** The report read from the benchmark's side: for each eval row,
+    * how many corpus documents collide with it — the "which benchmarks
+    * are burned" table a lab publishes next to its eval scores.
+    * (eval id, n_docs); only leaked eval rows appear. */
+  def evalLeakage(docs: DataFrame, docIdCol: String, textCol: String,
+                  evals: DataFrame, evalIdCol: String, evalTextCol: String,
+                  n: Int = 8, fpp: Double = 0.001,
+                  maxEvalNgrams: Long = 50L * 1000 * 1000): DataFrame = {
+    val egById = evals
+      .select(col(evalIdCol), explode(grams(col(evalTextCol), n)).as("gram"))
+      .distinct()
+    val nEval = egById.count()
+    require(nEval <= maxEvalNgrams,
+      s"eval set produced $nEval (id, $n-gram) rows > maxEvalNgrams=" +
+        s"$maxEvalNgrams — the eval side must broadcast")
+    val bf = egById.stat.bloomFilter(col("gram"), math.max(nEval, 1L), fpp)
+    val probe = anyHitProbe(bf)
+    val cands = docs
+      .select(col(docIdCol), grams(col(textCol), n).as("_grams"))
+      .filter(probe(col("_grams")))
+    cands
+      .select(col(docIdCol), explode(col("_grams")).as("gram"))
+      .join(broadcast(egById), "gram")
+      .groupBy(col(evalIdCol))
+      .agg(countDistinct(col(docIdCol)).as("n_docs"))
+  }
+}

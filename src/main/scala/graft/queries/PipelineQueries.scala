@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Chunking, Curation, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
+import graft.operators.{Ann, BloomDedup, Chunking, Curation, Decontaminate, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -2432,8 +2432,55 @@ object PipelineQueries {
           concat_ws("|", Bpe.encode(col("word"), pinned)).as("v1_tokens"),
           concat_ws("|", Bpe.encode(col("word"), latest)).as("v2_tokens"))
         .orderBy("word")
+    }),
+
+    // ---- Benchmark decontamination (Brown et al. 2020 appendix C:
+    // train-test n-gram overlap; n=8 here). The eval "benchmark" is
+    // derived deterministically FROM the corpus — every 40th doc
+    // contributes a 12-token snippet (tokens 3..14 of its normalized
+    // text) — so contamination is guaranteed non-empty at every SF and
+    // the oracle rebuilds the identical eval set in SQL. Bloom screen
+    // has no false negatives and stage 2 confirms exactly, so the
+    // screened pipeline is hash-equal to the oracle's exact join. ----
+    "dc1_contamination_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.contaminationReport(
+          d, "doc_id", "text", dcEvalFixture(d), "eval_text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // The cleaned corpus (ids): bloom screen -> exact confirm ->
+    // broadcast anti-join. At 100 TB the confirmed-id table feeds
+    // Snapshot.deleteMatching instead (metadata-pruned COW rewrite).
+    "dc2_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.decontaminate(
+          d, "doc_id", "text", dcEvalFixture(d), "eval_text", n = 8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // Leakage read from the benchmark's side: per eval row, how many
+    // corpus docs collide — the "which benchmarks are burned" report.
+    "dc3_eval_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.evalLeakage(
+          d, "doc_id", "text", dcEvalFixture(d), "eval_id", "eval_text",
+          n = 8)
+        .orderBy("eval_id")
     })
   )
+
+  /** The dc* eval-set fixture: a 12-token snippet (normalized tokens
+    * 3..14) of every 40th document — small, deterministic, and
+    * rebuildable in the DuckDB oracle. Token rule mirrors
+    * [[Decontaminate]]'s matching normalization exactly. */
+  private def dcEvalFixture(docs: DataFrame): DataFrame = {
+    val toks = split(T.normalizeForDedup(col("text")), " ")
+    docs.select(col("doc_id").as("eval_id"), toks.as("_toks"))
+      .filter(col("eval_id") % 40 === 1 && size(col("_toks")) >= 14)
+      .select(col("eval_id"),
+        concat_ws(" ", slice(col("_toks"), 3, 12)).as("eval_text"))
+  }
 
   val oracles: Map[String, String] =
     oraclesBase +
@@ -3700,6 +3747,44 @@ object PipelineQueries {
            ('aaab', 'aa|ab', 'aa|ab'),
            ('aab', 'aa|b', 'a|ab'),
            ('ab', 'ab', 'ab'))
-         t(word, v1_tokens, v2_tokens) ORDER BY word"""
+         t(word, v1_tokens, v2_tokens) ORDER BY word""",
+    "dc1_contamination_report" ->
+      s"""$dcOracleCtes
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM dg JOIN eg USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "dc2_decontaminate" ->
+      s"""$dcOracleCtes
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN
+           (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram))
+         ORDER BY doc_id""",
+    "dc3_eval_leakage" ->
+      s"""$dcOracleCtes
+         SELECT eval_id, CAST(count(DISTINCT dg.doc_id) AS BIGINT) AS n_docs
+         FROM egid JOIN dg USING (gram)
+         GROUP BY eval_id ORDER BY eval_id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+
+  /** Shared CTE prefix for the dc* oracles: normalized tokens, distinct
+    * doc 8-grams, the derived eval fixture, and its gram set (with and
+    * without eval ids). Mirrors [[graft.operators.Decontaminate]]'s
+    * normalizeForDedup + distinct-shingle semantics — note DuckDB's
+    * regexp_replace needs the 'g' flag to collapse ALL whitespace runs
+    * the way Spark's does by default. */
+  private lazy val dcOracleCtes: String =
+    """WITH d AS (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents),
+       dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+                    FROM d)),
+       e AS (SELECT doc_id AS eval_id, toks[3:14] AS etoks FROM d
+             WHERE doc_id % 40 = 1 AND len(toks) >= 14),
+       egid AS (SELECT DISTINCT eval_id, array_to_string(etoks[i:i+7], ' ') AS gram
+                FROM (SELECT eval_id, etoks,
+                             unnest(generate_series(1, greatest(len(etoks) - 7, 1))) AS i
+                      FROM e)),
+       eg AS (SELECT DISTINCT gram FROM egid)"""
 }

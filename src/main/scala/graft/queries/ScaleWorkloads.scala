@@ -1598,6 +1598,23 @@ object ScaleWorkloads {
           graft.operators.HtmlExtract.contentLines(col("html")).as("lines"))
         .agg(count(lit(1)).as("n_docs"), sum(size(col("lines"))).as("n_lines"),
           sum(length(array_join(col("lines"), "\n"))).as("n_chars"))
+    }),
+
+    // Benchmark decontamination at sf: eval side = 12-token snippets of
+    // every 10th document (small by premise), corpus = all documents.
+    // Times the full bloom-screen -> exact-confirm pipeline (the GPT-3
+    // appendix-C shape) plus the report rollup.
+    "sx71_decontaminate" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(
+        graft.functions.TextFunctions.normalizeForDedup(col("text")), " ")
+      val evals = d.select(col("doc_id").as("eval_id"), toks.as("_toks"))
+        .filter(col("eval_id") % 10 === 1 && size(col("_toks")) >= 14)
+        .select(col("eval_id"),
+          concat_ws(" ", slice(col("_toks"), 3, 12)).as("eval_text"))
+      graft.operators.Decontaminate
+        .contaminationReport(d, "doc_id", "text", evals, "eval_text", n = 8)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("sum_hits"))
     })
   )
 

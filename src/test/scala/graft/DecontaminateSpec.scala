@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontaminate
+
+/** Benchmark decontamination: planted-overlap semantics, bloom-screen
+  * exactness (false positives never change the answer), normalization,
+  * boundedness guard, and the broadcast plan shape. */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus: doc 1 contains the benchmark answer verbatim mid-text; doc
+  // 2 contains the SAME 8-gram (cross-doc contamination); docs 3-4 are
+  // clean; doc 5 shares only a 7-gram prefix (below n) — clean at n=8.
+  private val secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+  private def corpus = Seq(
+    (1L, s"intro words $secret trailing tail"),
+    (2L, s"$secret completely different continuation here"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "the quick brown fox jumps over the lazy dog again"),
+    (5L, "alpha bravo charlie delta echo foxtrot golf INDIA nine ten"))
+    .toDF("doc_id", "text")
+
+  private def evals = Seq(
+    (100L, s"question stem $secret answer choice"),
+    (101L, "totally unleaked benchmark row with its own wording"))
+    .toDF("eval_id", "eval_text")
+
+  test("contaminationReport flags exactly the docs sharing an n-gram") {
+    val r = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", evals, "eval_text", n = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    // docs 1 and 2 each contain exactly the one shared 8-gram (their
+    // surrounding words differ from the eval row's stem/choice words)
+    r shouldBe Array((1L, 1L), (2L, 1L))
+  }
+
+  test("decontaminate keeps the clean docs, drops the contaminated, exact") {
+    val kept = Decontaminate
+      .decontaminate(corpus, "doc_id", "text", evals, "eval_text", n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(3L, 4L, 5L)
+  }
+
+  test("bloom false positives never change the answer (fpp ~ 0.5)") {
+    // An absurd fpp floods stage 2 with candidates; the exact confirm
+    // join must still produce the identical report.
+    val loose = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", evals, "eval_text",
+        n = 8, fpp = 0.5)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    loose shouldBe Array((1L, 1L), (2L, 1L))
+  }
+
+  test("matching is case/whitespace-normalized on both sides") {
+    val shouting = Seq((9L, s"x y ${secret.toUpperCase}  z")).toDF("doc_id", "text")
+    val r = Decontaminate
+      .contaminatedIds(shouting, "doc_id", "text", evals, "eval_text", n = 8)
+      .as[Long].collect()
+    r shouldBe Array(9L)
+  }
+
+  test("short eval rows screen via the under-length-gram convention") {
+    // A 3-token eval answer (< n) becomes one under-length gram; a doc
+    // that IS exactly that 3-token sequence collides, per
+    // Dedup.shingles' greatest(len-n+1, 1) rule.
+    val shortEval = Seq((1L, "zulu yankee xray")).toDF("eval_id", "eval_text")
+    val shortDocs = Seq((7L, "zulu yankee xray"), (8L, "zulu yankee whiskey"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate
+      .contaminatedIds(shortDocs, "doc_id", "text", shortEval, "eval_text", n = 8)
+      .as[Long].collect()
+    r shouldBe Array(7L)
+  }
+
+  test("evalLeakage counts distinct contaminated docs per eval row") {
+    val r = Decontaminate
+      .evalLeakage(corpus, "doc_id", "text", evals, "eval_id", "eval_text", n = 8)
+      .orderBy("eval_id").as[(Long, Long)].collect()
+    r shouldBe Array((100L, 2L)) // eval 101 never leaked -> absent
+  }
+
+  test("maxEvalNgrams guard fails loudly when the eval side is too big") {
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.contaminationReport(corpus, "doc_id", "text",
+        evals, "eval_text", n = 8, maxEvalNgrams = 1L)
+    }
+    e.getMessage should include("maxEvalNgrams")
+  }
+
+  test("plan shape: confirm and removal joins broadcast (no shuffle join)") {
+    val rep = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", evals, "eval_text", n = 8)
+    val p1 = rep.queryExecution.executedPlan.toString
+    p1 should include("BroadcastHashJoin")
+    p1 should not include "SortMergeJoin"
+    val clean = Decontaminate
+      .decontaminate(corpus, "doc_id", "text", evals, "eval_text", n = 8)
+    val p2 = clean.queryExecution.executedPlan.toString
+    p2 should include("LeftAnti")
+    p2 should not include "SortMergeJoin"
+  }
+}
