@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Data Selection via Importance Resampling (DSIR) — pick the subset
+  * of a huge raw corpus that looks most like a small high-quality
+  * TARGET corpus (Xie et al. 2023, "Data Selection for Language Models
+  * via Importance Resampling"; the same bag-of-ngrams importance-weight
+  * idea underlies GPT-3's and PaLM's quality classifiers). Per
+  * document, the importance weight is the log-likelihood ratio of its
+  * tokens under two bag-of-words models, log p_target(x) − log p_raw(x);
+  * selection is either deterministic top-k by weight or Gumbel-top-k
+  * resampling (one Gumbel draw per doc added to its weight — the
+  * classic exponential-race trick that turns weighted sampling WITHOUT
+  * replacement into a single distributed top-k).
+  *
+  * Feature space: the paper hashes n-grams into buckets to bound the
+  * model; here the bound comes from a top-K TARGET vocabulary plus one
+  * out-of-vocabulary bucket — same boundedness (the model is K+1 rows,
+  * broadcast-class), but exactly reproducible by any engine (no
+  * hash-function coupling), which is what lets a SQL oracle gate the
+  * whole pipeline.
+  *
+  * Execution shape at 100 TB:
+  *  - [[fit]]: two explode+groupBy passes (target is small; raw's pass
+  *    is one partial-aggregated shuffle of (token, count) — vocab-sized
+  *    after the map-side combine). Two scalar totals to the driver.
+  *  - [[score]]: explode the raw corpus once, ONE broadcast join
+  *    against the (K+1)-row model, one keyed sum back to doc grain.
+  *    Nothing wider than (doc_id, long) shuffles.
+  *  - [[selectTopK]] / [[gumbelTopK]]: a global sort+limit fuses to
+  *    TakeOrderedAndProject — no full sort materializes.
+  *
+  * Determinism (the oracle-gate discipline, [[CharLm]]'s micro-grid):
+  * each token's log-ratio is snapped to an integer micro grid
+  * (round(lr·10⁶) as long) BEFORE the per-doc sum, so document weights
+  * are exact integer sums — immune to float addition order. The Gumbel
+  * draw uses a Knuth multiplicative hash of (doc id, seed) — plain
+  * integer arithmetic any engine reproduces — and is itself
+  * micro-snapped before the addition.
+  */
+object Dsir {
+
+  /** The out-of-vocabulary bucket's token key. The \\u0001 prefix cannot appear in
+    * whitespace-normalized text, so it never collides with a real
+    * token (SQL side: chr(1) || 'oov'). */
+  val Oov = "\u0001oov"
+
+  /** The matching token rule shared with the dedup family. */
+  private def toks(text: Column): Column =
+    split(T.normalizeForDedup(text), " ")
+
+  /** Top-K target tokens by (count desc, token asc) — the bounded
+    * feature space. Deterministic: the tie-break is total. */
+  def vocab(target: DataFrame, textCol: String, k: Int): DataFrame =
+    target.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(k)
+      .select("tok")
+
+  /** Per-bucket token counts of `df` under vocabulary `v`: one row per
+    * vocab token (absent → 0) plus the OOV bucket. */
+  private def bucketCounts(df: DataFrame, textCol: String,
+                           v: DataFrame): DataFrame = {
+    val counted = df.select(explode(toks(col(textCol))).as("tok0"))
+      .join(broadcast(v), col("tok0") === col("tok"), "left")
+      .select(coalesce(col("tok"), lit(Oov)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    v.select(col("tok"))
+      .union(v.sparkSession.range(1).select(lit(Oov).as("tok")))
+      .join(counted, Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** Fit the importance-weight model: (tok, lr_micro) over the top-K
+    * target vocabulary plus OOV, where
+    * lr = ln p̂_target(tok) − ln p̂_raw(tok) with add-one smoothing over
+    * the K+1 buckets, snapped to the integer micro grid. K+2 driver
+    * values total (two corpus token totals); the model broadcasts. */
+  def fit(target: DataFrame, raw: DataFrame, textCol: String,
+          k: Int): DataFrame = {
+    val v = vocab(target, textCol, k)
+    val ct = bucketCounts(target, textCol, v)
+      .withColumnRenamed("c", "ct")
+    val cr = bucketCounts(raw, textCol, v)
+      .withColumnRenamed("c", "cr")
+    // totals including OOV = total token count of each corpus
+    val nt = target.select(coalesce(sum(size(toks(col(textCol)))), lit(0L)))
+      .first().getLong(0)
+    val nr = raw.select(coalesce(sum(size(toks(col(textCol)))), lit(0L)))
+      .first().getLong(0)
+    val buckets = k + 1
+    ct.join(cr, "tok")
+      .select(col("tok"),
+        round((log(col("ct") + 1.0) - log(lit((nt + buckets).toDouble))
+          - log(col("cr") + 1.0) + log(lit((nr + buckets).toDouble)))
+          * 1e6).cast("long").as("lr_micro"))
+  }
+
+  /** Per-document importance weight under a [[fit]]ed model:
+    * (idCol, n_tokens, logw_micro), logw = Σ_tokens lr(bucket(token))
+    * — exact integer addition on the micro grid. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: DataFrame): DataFrame = {
+    val oovLr = model.filter(col("tok") === Oov)
+      .select(col("lr_micro")).first().getLong(0)
+    docs.select(col(idCol), explode(toks(col(textCol))).as("tok0"))
+      .join(broadcast(model), col("tok0") === col("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lr_micro"), lit(oovLr))).as("logw_micro"))
+  }
+
+  /** Deterministic selection: the n highest-weight documents
+    * (ties broken by id — the ordering is total, so the selected SET
+    * is reproducible). Sort+limit fuses to TakeOrderedAndProject. */
+  def selectTopK(scored: DataFrame, idCol: String, n: Int): DataFrame =
+    scored.orderBy(col("logw_micro").desc, col(idCol).asc).limit(n)
+
+  /** Gumbel noise for (id, seed) on the micro grid: u ∈ (0,1) from a
+    * Knuth multiplicative hash (pure integer arithmetic — exactly
+    * reproducible in any engine), g = −ln(−ln u). The hash is
+    * ANSI-overflow-safe: (id mod M)·2654435761 + seed ≤ 5.7e18 < 2⁶³. */
+  private val M = 2147483647L // 2^31 − 1
+  def gumbelMicro(id: Column, seed: Long): Column = {
+    val h = pmod(pmod(id.cast("long"), lit(M)) * lit(2654435761L)
+      + lit(seed), lit(M))
+    val u = (h + 1.0) / (M + 2.0) // strictly inside (0,1)
+    round(-log(-log(u)) * 1e6).cast("long")
+  }
+
+  /** Gumbel-top-k importance RESAMPLING: rank by
+    * logw_micro + gumbel_micro and keep the top n — distributionally,
+    * weighted sampling without replacement ∝ exp(logw) (Gumbel-max),
+    * in one distributed top-k pass. Same (id, seed) → same sample. */
+  def gumbelTopK(scored: DataFrame, idCol: String, n: Int,
+                 seed: Long): DataFrame =
+    scored
+      .withColumn("key_micro",
+        col("logw_micro") + gumbelMicro(col(idCol), seed))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(n)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Chunking, Curation, Decontaminate, Dedup, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
+import graft.operators.{Ann, BloomDedup, Chunking, Curation, Decontaminate, Dedup, Dsir, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -2467,6 +2467,38 @@ object PipelineQueries {
           d, "doc_id", "text", dcEvalFixture(d), "eval_id", "eval_text",
           n = 8)
         .orderBy("eval_id")
+    }),
+
+    // ---- DSIR importance resampling (Xie et al. 2023): score every
+    // doc by its bag-of-words log-likelihood ratio under target
+    // (lang='en') vs raw models over a top-30 target vocabulary + OOV
+    // bucket; micro-grid integer weights make the whole pipeline
+    // float-order-free, so DuckDB recomputes it end to end. ----
+    "ds1_importance_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", k = 30)
+      Dsir.score(d, "doc_id", "text", model).orderBy("doc_id")
+    }),
+
+    // Deterministic selection: the 50 highest-weight docs (total order
+    // via the id tie-break — the selected SET is reproducible).
+    "ds2_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", k = 30)
+      Dsir.selectTopK(Dsir.score(d, "doc_id", "text", model), "doc_id", 50)
+        .orderBy("doc_id")
+    }),
+
+    // Gumbel-top-k RESAMPLING: weighted sampling without replacement
+    // ∝ exp(logw) via one distributed top-k; the Gumbel draw is a
+    // Knuth-hash uniform on the micro grid, so the oracle reproduces
+    // the exact sample.
+    "ds3_dsir_gumbel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", k = 30)
+      Dsir.gumbelTopK(Dsir.score(d, "doc_id", "text", model), "doc_id",
+          n = 50, seed = 7L)
+        .orderBy("doc_id")
     })
   )
 
@@ -3763,8 +3795,62 @@ object PipelineQueries {
       s"""$dcOracleCtes
          SELECT eval_id, CAST(count(DISTINCT dg.doc_id) AS BIGINT) AS n_docs
          FROM egid JOIN dg USING (gram)
-         GROUP BY eval_id ORDER BY eval_id"""
+         GROUP BY eval_id ORDER BY eval_id""",
+    "ds1_importance_weights" ->
+      s"""$dsOracleCtes
+         SELECT doc_id, n_tokens, logw_micro FROM scored ORDER BY doc_id""",
+    "ds2_dsir_select" ->
+      s"""$dsOracleCtes
+         SELECT * FROM (SELECT doc_id, n_tokens, logw_micro FROM scored
+                        ORDER BY logw_micro DESC, doc_id LIMIT 50)
+         ORDER BY doc_id""",
+    "ds3_dsir_gumbel" ->
+      s"""$dsOracleCtes
+         SELECT * FROM (
+           SELECT doc_id, n_tokens, logw_micro,
+                  logw_micro + CAST(round(-ln(-ln(
+                    (((doc_id % 2147483647) * 2654435761 + 7) % 2147483647
+                      + 1.0) / 2147483649.0)) * 1e6) AS BIGINT) AS key_micro
+           FROM scored ORDER BY key_micro DESC, doc_id LIMIT 50)
+         ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+
+  /** Shared CTE prefix for the ds* oracles: the DSIR pipeline
+    * recomputed in SQL — top-30 target (lang='en') vocabulary with the
+    * (count desc, token asc) tie-break, per-bucket add-one-smoothed
+    * counts, micro-grid log-ratios, per-doc integer sums. Mirrors
+    * [[graft.operators.Dsir]] exactly; chr(1)||'oov' is the OOV
+    * bucket's sentinel key. */
+  private lazy val dsOracleCtes: String =
+    """WITH d AS (SELECT doc_id, lang,
+              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents),
+       ttok AS (SELECT unnest(toks) AS tok FROM d WHERE lang = 'en'),
+       rtok AS (SELECT unnest(toks) AS tok FROM d),
+       voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM ttok GROUP BY 1)
+               ORDER BY c DESC, tok ASC LIMIT 30),
+       vocp AS (SELECT tok FROM voc UNION ALL SELECT chr(1) || 'oov' AS tok),
+       tb AS (SELECT CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                          ELSE chr(1) || 'oov' END AS tok FROM ttok),
+       rb AS (SELECT CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                          ELSE chr(1) || 'oov' END AS tok FROM rtok),
+       model AS (SELECT v.tok,
+              CAST(round((ln(coalesce(tc.c, 0) + 1)
+                          - ln((SELECT count(*) FROM ttok) + 31)
+                          - ln(coalesce(rc.c, 0) + 1)
+                          + ln((SELECT count(*) FROM rtok) + 31)) * 1e6)
+                   AS BIGINT) AS lr_micro
+            FROM vocp v
+            LEFT JOIN (SELECT tok, count(*) AS c FROM tb GROUP BY 1) tc
+              ON tc.tok = v.tok
+            LEFT JOIN (SELECT tok, count(*) AS c FROM rb GROUP BY 1) rc
+              ON rc.tok = v.tok),
+       db AS (SELECT doc_id, CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                                  ELSE chr(1) || 'oov' END AS tok
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+       scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
+                  FROM db JOIN model m USING (tok) GROUP BY doc_id)"""
 
   /** Shared CTE prefix for the dc* oracles: normalized tokens, distinct
     * doc 8-grams, the derived eval fixture, and its gram set (with and

@@ -1615,6 +1615,20 @@ object ScaleWorkloads {
       graft.operators.Decontaminate
         .contaminationReport(d, "doc_id", "text", evals, "eval_text", n = 8)
         .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("sum_hits"))
+    }),
+
+    // DSIR at sf: fit target(lang='en')-vs-raw bag-of-words models,
+    // score every doc, Gumbel-resample 10% — the full data-selection
+    // pipeline (two fit passes + one scoring pass + fused top-k).
+    "sx72_dsir_resample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val model = graft.operators.Dsir.fit(
+        d.filter(col("lang") === "en"), d, "text", k = 200)
+      val n = math.max((d.count() / 10).toInt, 10)
+      graft.operators.Dsir.gumbelTopK(
+          graft.operators.Dsir.score(d, "doc_id", "text", model),
+          "doc_id", n = n, seed = 7L)
+        .agg(count(lit(1)).as("n_sel"), sum(col("logw_micro")).as("w_sel"))
     })
   )
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** DSIR importance resampling: hand-derived planted arithmetic,
+  * OOV handling, Gumbel reproducibility, the target-enrichment
+  * property on the sf corpus, and the top-k plan shape. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target: one doc "a a b"; raw adds "c c c" (all-OOV).
+  // vocab(k=2) = {a, b}; buckets = 3; Nt = 3, Nr = 6.
+  // lr(a) = ln3 − ln6 − ln3 + ln9 = ln 1.5  → 405465 micro
+  // lr(b) = ln2 − ln6 − ln2 + ln9 = ln 1.5  → 405465
+  // lr(oov) = ln1 − ln6 − ln4 + ln9 = ln 0.375 → −980829
+  private def target = Seq((1L, "a a b")).toDF("doc_id", "text")
+  private def raw = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
+
+  test("fit: hand-derived micro-grid log-ratios (add-one, K+1 buckets)") {
+    val m = Dsir.fit(target, raw, "text", k = 2)
+      .orderBy("tok").as[(String, Long)].collect()
+    m shouldBe Array(
+      (Dsir.Oov, -980829L), ("a", 405465L), ("b", 405465L))
+  }
+
+  test("score: exact integer sums; OOV tokens take the OOV ratio") {
+    val m = Dsir.fit(target, raw, "text", k = 2)
+    val s = Dsir.score(raw, "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    s shouldBe Array(
+      (1L, 3L, 2 * 405465L + 405465L),  // a a b
+      (2L, 3L, 3 * -980829L))           // c c c, all OOV
+  }
+
+  test("selectTopK picks the target-like doc; plan fuses sort+limit") {
+    val m = Dsir.fit(target, raw, "text", k = 2)
+    val top = Dsir.selectTopK(
+      Dsir.score(raw, "doc_id", "text", m), "doc_id", n = 1)
+    top.select("doc_id").as[Long].collect() shouldBe Array(1L)
+    top.queryExecution.executedPlan.toString should
+      include("TakeOrderedAndProject")
+  }
+
+  test("gumbelTopK: same seed → same sample; n respected; keys shift") {
+    val m = Dsir.fit(target, raw, "text", k = 2)
+    val scored = Dsir.score(raw, "doc_id", "text", m)
+    def sample(seed: Long) =
+      Dsir.gumbelTopK(scored, "doc_id", n = 1, seed = seed)
+        .select("doc_id").as[Long].collect().toSeq
+    sample(7L) shouldBe sample(7L)
+    // key = logw + gumbel: doc 1's weight advantage (4.2M micro) dwarfs
+    // any Gumbel draw from a 2-value hash, so the sample is stable
+    sample(7L) shouldBe Seq(1L)
+    sample(12345L) shouldBe Seq(1L)
+  }
+
+  test("target enrichment on the sf corpus: selected set skews to lang='en'") {
+    val d = Tables(spark, sf, "documents")
+    val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", k = 30)
+    val sel = Dsir.selectTopK(
+      Dsir.score(d, "doc_id", "text", model), "doc_id", n = 20)
+      .join(d.select("doc_id", "lang"), "doc_id")
+    val enFrac = sel.filter(col("lang") === "en").count().toDouble / 20
+    val baseFrac = d.filter(col("lang") === "en").count().toDouble /
+      d.count()
+    enFrac should be > baseFrac
+  }
+
+  test("score plan: model joins broadcast; no shuffle join") {
+    val m = Dsir.fit(target, raw, "text", k = 2)
+    val p = Dsir.score(raw, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+}
