@@ -68,11 +68,26 @@ object Decontaminate {
       gs != null && gs.exists(g => g != null && bf.mightContain(g))
   }
 
-  private def anyHitProbe(bf: BloomFilter): Column => Column = {
+  private[graft] def anyHitProbe(bf: BloomFilter): Column => Column = {
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     val f = udf(new AnyHit(bos.toByteArray))
     (c: Column) => f(c)
+  }
+
+  /** Build the bloom screen over an (already materialized-or-cached)
+    * eval gram table: size check, one sketch pass, probe closure. The
+    * batch entry points call this per invocation; the STREAMING loop
+    * ([[graft.streaming.Windows.streamingDecontaminate]]) calls it once
+    * at stream start and reuses the probe every micro-batch. */
+  private[graft] def buildScreen(eg: DataFrame, fpp: Double,
+                                 maxEvalNgrams: Long): Column => Column = {
+    val nEval = eg.count()
+    require(nEval <= maxEvalNgrams,
+      s"eval set produced $nEval distinct n-grams > maxEvalNgrams=" +
+        s"$maxEvalNgrams; decontamination broadcasts the eval side — " +
+        "raise the cap only if executors hold it, or swap the sides")
+    anyHitProbe(eg.stat.bloomFilter(col("gram"), math.max(nEval, 1L), fpp))
   }
 
   /** Eval-side preparation shared by the public entry points: the
@@ -88,14 +103,23 @@ object Decontaminate {
                        fpp: Double, maxEvalNgrams: Long)
       : (DataFrame, Column => Column) = {
     val eg = evalNgrams(evals, evalTextCol, n)
-    val nEval = eg.count()
-    require(nEval <= maxEvalNgrams,
-      s"eval set produced $nEval distinct $n-grams > maxEvalNgrams=" +
-        s"$maxEvalNgrams; decontamination broadcasts the eval side — " +
-        "raise the cap only if executors hold it, or swap the sides")
-    val bf = eg.stat.bloomFilter(col("gram"), math.max(nEval, 1L), fpp)
-    (eg, anyHitProbe(bf))
+    (eg, buildScreen(eg, fpp, maxEvalNgrams))
   }
+
+  /** The screen→confirm hit table for one document frame against a
+    * PREPARED eval side (gram table + probe): (idCol, n_hits), only
+    * contaminated docs appear. Shared by the batch report and the
+    * per-micro-batch streaming loop. */
+  private[graft] def hitsAgainst(docs: DataFrame, idCol: String,
+                                 textCol: String, eg: DataFrame,
+                                 probe: Column => Column,
+                                 n: Int): DataFrame =
+    docs.select(col(idCol), grams(col(textCol), n).as("_grams"))
+      .filter(probe(col("_grams")))
+      .select(col(idCol), explode(col("_grams")).as("gram"))
+      .join(broadcast(eg), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
 
   /** Contaminated documents with evidence: (idCol, n_hits) where
     * n_hits = how many of the doc's DISTINCT n-grams appear in the eval
@@ -106,14 +130,7 @@ object Decontaminate {
                           maxEvalNgrams: Long = 50L * 1000 * 1000)
       : DataFrame = {
     val (eg, probe) = prepared(evals, evalTextCol, n, fpp, maxEvalNgrams)
-    val cands = docs
-      .select(col(idCol), grams(col(textCol), n).as("_grams"))
-      .filter(probe(col("_grams")))
-    cands
-      .select(col(idCol), explode(col("_grams")).as("gram"))
-      .join(broadcast(eg), "gram")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+    hitsAgainst(docs, idCol, textCol, eg, probe, n)
   }
 
   /** Just the contaminated ids (exact). */

@@ -2499,6 +2499,44 @@ object PipelineQueries {
       Dsir.gumbelTopK(Dsir.score(d, "doc_id", "text", model), "doc_id",
           n = 50, seed = 7L)
         .orderBy("doc_id")
+    }),
+
+    // STREAMING decontamination (st11's standing-dictionary pattern ×
+    // the dc* pipeline): the eval gram table + bloom screen build once
+    // at stream start; each micro-batch is tagged with its exact
+    // n_eval_hits on the way in. Docs 1/2 carry the planted 8-gram
+    // (one hit each — DecontaminateSpec derives it), 3/4 are clean.
+    "st17_streaming_decontam" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val out = graft.TempDirs.path("sink/st17")
+        val secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+        val evals = Seq((100L, s"question stem $secret answer choice"))
+          .toDF("eval_id", "eval_text")
+        val in = MemoryStream[(Long, String)]
+        val dq = graft.streaming.Windows.streamingDecontaminate(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          evals, "eval_text", n = 8)(
+          graft.streaming.Windows.idempotentParquetSink(out))
+        try {
+          in.addData(
+            (1L, s"intro words $secret trailing tail"),
+            (3L, "one two three four five six seven eight nine ten"))
+          dq.query.processAllAvailable()
+          in.addData(
+            (2L, s"$secret completely different continuation here"),
+            (4L, "the quick brown fox jumps over the lazy dog again"))
+          dq.query.processAllAvailable()
+        } finally { dq.query.stop(); dq.unpersist() }
+        s.read.parquet(out)
+          .select(col("batch_id").cast("long").as("batch"), col("doc_id"),
+            col("n_eval_hits"))
+          .orderBy("batch", "doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     })
   )
 
@@ -3812,7 +3850,14 @@ object PipelineQueries {
                     (((doc_id % 2147483647) * 2654435761 + 7) % 2147483647
                       + 1.0) / 2147483649.0)) * 1e6) AS BIGINT) AS key_micro
            FROM scored ORDER BY key_micro DESC, doc_id LIMIT 50)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "st17_streaming_decontam" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+           (0, 3, 0),
+           (1, 2, 1),
+           (1, 4, 0)
+         ) AS t(batch, doc_id, n_eval_hits) ORDER BY batch, doc_id"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 
   /** Shared CTE prefix for the ds* oracles: the DSIR pipeline

@@ -735,7 +735,13 @@ object ScaleWorkloads {
     // the same 3-rep floor so the recorded min is steady-state signal
     // before anyone chases a phantom regression (r14 verdict).
     "vb2_oov_rate" -> 3,
-    "vb3_bpe_pairs" -> 3)
+    "vb3_bpe_pairs" -> 3,
+    // st5 runs ~30 streaming operators per micro-batch, each with its
+    // own codegen family — its rep sequence is still strictly
+    // descending at rep 2 (r18 in-context: 12.7 → 10.0; isolated:
+    // 14.7 → 12.1 → 11.3), so min-of-2 records JIT warm-up, not the
+    // loop's steady-state engine floor. Same rationale as vb2/vb3.
+    "st5_unified_ingest" -> 3)
 
   /** Workloads that get ONE UNTIMED warmup execution before their
     * recorded reps (Bench runs it and reports its wall under

@@ -547,4 +547,53 @@ object Windows {
     }.start()
     FuzzyMatchStream(q, prep)
   }
+
+  /** Handle for [[streamingDecontaminate]]: stopping the stream leaves
+    * the prepared eval gram table cached; `unpersist()` releases it. */
+  final case class DecontaminateStream(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      private val evalGrams: DataFrame) {
+    def unpersist(): Unit = { evalGrams.unpersist(); () }
+  }
+
+  /** STREAMING benchmark decontamination — the st11 standing-dictionary
+    * pattern applied to [[graft.operators.Decontaminate]]: an ingest
+    * stream is screened per micro-batch against a STATIC eval/benchmark
+    * set, so contaminated documents are tagged before they ever land in
+    * the corpus (the 100 TB posture: decontaminate on the way IN, not
+    * as a corpus-wide rewrite later).
+    *
+    * Built ONCE at stream start (the eval side is small by premise):
+    * the distinct eval n-gram table (persisted — it re-enters the
+    * confirm join every batch) and its bloom screen, with the same
+    * `maxEvalNgrams` loud guard as the batch path. Each micro-batch
+    * then pays exactly the batch pipeline's cost: a map-side bloom
+    * screen over its own rows, an exact confirm join for the screened
+    * few, and ONE left join back — no state store, no shuffle wider
+    * than the batch. The sink receives the full batch with
+    * `n_eval_hits` appended (0 = clean — EXACT, not at-fpp: bloom
+    * false positives die in the confirm join), so routing
+    * clean/contaminated is the sink's one filter, mirroring the
+    * quarantine stream's route column. */
+  def streamingDecontaminate(stream: DataFrame, idCol: String,
+                             textCol: String, evals: DataFrame,
+                             evalTextCol: String, n: Int = 8,
+                             fpp: Double = 0.001,
+                             maxEvalNgrams: Long = 50L * 1000 * 1000)
+                            (sink: (DataFrame, Long) => Unit)
+      : DecontaminateStream = {
+    import graft.operators.Decontaminate
+    val eg = Decontaminate.evalNgrams(evals, evalTextCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = Decontaminate.buildScreen(eg, fpp, maxEvalNgrams)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val hits = Decontaminate.hitsAgainst(
+        batch, idCol, textCol, eg, probe, n)
+      val tagged = batch.join(broadcast(hits), Seq(idCol), "left")
+        .withColumn("n_eval_hits", coalesce(col("n_hits"), lit(0L)))
+        .drop("n_hits")
+      sink(tagged, batchId)
+    }.start()
+    DecontaminateStream(q, eg)
+  }
 }

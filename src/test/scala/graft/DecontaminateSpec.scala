@@ -88,6 +88,29 @@ class DecontaminateSpec extends SparkSpec {
     e.getMessage should include("maxEvalNgrams")
   }
 
+  test("streaming twin: per-batch tagging matches the batch report") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = TempDirs.path("sink/decontam-spec")
+    val in = MemoryStream[(Long, String)]
+    val dq = graft.streaming.Windows.streamingDecontaminate(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      evals, "eval_text", n = 8)(
+      graft.streaming.Windows.idempotentParquetSink(out))
+    try {
+      in.addData(corpus.as[(Long, String)].collect().toSeq: _*)
+      dq.query.processAllAvailable()
+    } finally { dq.query.stop(); dq.unpersist() }
+    val tagged = spark.read.parquet(out)
+      .select("doc_id", "n_eval_hits").as[(Long, Long)].collect().sorted
+    // contaminated docs carry the exact batch-path hit counts; clean 0
+    val rep = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", evals, "eval_text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    tagged shouldBe corpus.as[(Long, String)].collect()
+      .map { case (id, _) => (id, rep.getOrElse(id, 0L)) }.sorted
+  }
+
   test("plan shape: confirm and removal joins broadcast (no shuffle join)") {
     val rep = Decontaminate
       .contaminationReport(corpus, "doc_id", "text", evals, "eval_text", n = 8)
