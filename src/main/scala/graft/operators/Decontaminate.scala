@@ -167,12 +167,11 @@ object Decontaminate {
     val egById = evals
       .select(col(evalIdCol), explode(grams(col(evalTextCol), n)).as("gram"))
       .distinct()
-    val nEval = egById.count()
-    require(nEval <= maxEvalNgrams,
-      s"eval set produced $nEval (id, $n-gram) rows > maxEvalNgrams=" +
-        s"$maxEvalNgrams — the eval side must broadcast")
-    val bf = egById.stat.bloomFilter(col("gram"), math.max(nEval, 1L), fpp)
-    val probe = anyHitProbe(bf)
+    // guard + sketch via the shared screen builder, sized on DISTINCT
+    // grams (what the bloom actually inserts); the (id, gram) broadcast
+    // below is bounded by the same small-eval-side premise
+    val probe = buildScreen(egById.select(col("gram")).distinct(), fpp,
+      maxEvalNgrams)
     val cands = docs
       .select(col(docIdCol), grams(col(textCol), n).as("_grams"))
       .filter(probe(col("_grams")))

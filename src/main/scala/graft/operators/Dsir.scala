@@ -26,7 +26,9 @@ import graft.functions.{TextFunctions => T}
   * Execution shape at 100 TB:
   *  - [[fit]]: two explode+groupBy passes (target is small; raw's pass
   *    is one partial-aggregated shuffle of (token, count) — vocab-sized
-  *    after the map-side combine). Two scalar totals to the driver.
+  *    after the map-side combine). The K+1 bucket rows collect to the
+  *    driver (bounded, the centroids/codebooks class) and the corpus
+  *    totals derive from them — no dedicated counting pass.
   *  - [[score]]: explode the raw corpus once, ONE broadcast join
   *    against the (K+1)-row model, one keyed sum back to doc grain.
   *    Nothing wider than (doc_id, long) shuffles.
@@ -56,6 +58,10 @@ object Dsir {
     * feature space. Deterministic: the tie-break is total. */
   def vocab(target: DataFrame, textCol: String, k: Int): DataFrame =
     target.select(explode(toks(col(textCol))).as("tok"))
+      // a corpus token BYTE-EQUAL to the sentinel (binary-garbage
+      // crawl text) must not enter the vocab — it would duplicate the
+      // OOV key and fan out every downstream model join
+      .filter(col("tok") =!= Oov)
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc)
       .limit(k)
@@ -78,26 +84,38 @@ object Dsir {
   /** Fit the importance-weight model: (tok, lr_micro) over the top-K
     * target vocabulary plus OOV, where
     * lr = ln p̂_target(tok) − ln p̂_raw(tok) with add-one smoothing over
-    * the K+1 buckets, snapped to the integer micro grid. K+2 driver
-    * values total (two corpus token totals); the model broadcasts. */
+    * the K+1 buckets, snapped to the integer micro grid.
+    *
+    * The model MATERIALIZES here — K+1 rows of bounded driver state
+    * (the centroids/codebooks class) returned as a local relation.
+    * Collecting is load-bearing, not convenience: [[score]] consumes
+    * the model twice (the OOV scalar + the broadcast join), and a lazy
+    * plan would re-execute both full-corpus bucket passes per use.
+    * The corpus token totals also fall out of the collected buckets
+    * (Σc over vocab+OOV = every token, bucketed), saving the two
+    * dedicated corpus passes they previously cost. */
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
           k: Int): DataFrame = {
     val v = vocab(target, textCol, k)
-    val ct = bucketCounts(target, textCol, v)
-      .withColumnRenamed("c", "ct")
-    val cr = bucketCounts(raw, textCol, v)
-      .withColumnRenamed("c", "cr")
-    // totals including OOV = total token count of each corpus
-    val nt = target.select(coalesce(sum(size(toks(col(textCol)))), lit(0L)))
-      .first().getLong(0)
-    val nr = raw.select(coalesce(sum(size(toks(col(textCol)))), lit(0L)))
-      .first().getLong(0)
+    val ct = bucketCounts(target, textCol, v).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val cr = bucketCounts(raw, textCol, v).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nt = ct.map(_._2).sum
+    val nr = cr.values.sum
     val buckets = k + 1
-    ct.join(cr, "tok")
-      .select(col("tok"),
-        round((log(col("ct") + 1.0) - log(lit((nt + buckets).toDouble))
-          - log(col("cr") + 1.0) + log(lit((nr + buckets).toDouble)))
-          * 1e6).cast("long").as("lr_micro"))
+    // HALF_UP on the micro grid — the same rounding Spark's round()
+    // expression and DuckDB's round() apply, so the collected model is
+    // bit-equal to the previous expression-built one
+    def micro(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = ct.map { case (tok, c) =>
+      (tok, micro((math.log(c + 1.0) - math.log((nt + buckets).toDouble)
+        - math.log(cr(tok) + 1.0) + math.log((nr + buckets).toDouble))
+        * 1e6))
+    }
+    target.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("tok", "lr_micro")
   }
 
   /** Per-document importance weight under a [[fit]]ed model:
@@ -126,8 +144,12 @@ object Dsir {
     * ANSI-overflow-safe: (id mod M)·2654435761 + seed ≤ 5.7e18 < 2⁶³. */
   private val M = 2147483647L // 2^31 − 1
   def gumbelMicro(id: Column, seed: Long): Column = {
+    // seed folded into [0, M) on the driver, so the executor-side sum
+    // (M−1)·2654435761 + seed' stays < 2⁶³ for EVERY caller seed —
+    // the raw seed would overflow ANSI arithmetic above ~3.5e18
+    val seedM = ((seed % M) + M) % M
     val h = pmod(pmod(id.cast("long"), lit(M)) * lit(2654435761L)
-      + lit(seed), lit(M))
+      + lit(seedM), lit(M))
     val u = (h + 1.0) / (M + 2.0) // strictly inside (0,1)
     round(-log(-log(u)) * 1e6).cast("long")
   }

@@ -3872,7 +3872,8 @@ object PipelineQueries {
             FROM documents),
        ttok AS (SELECT unnest(toks) AS tok FROM d WHERE lang = 'en'),
        rtok AS (SELECT unnest(toks) AS tok FROM d),
-       voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM ttok GROUP BY 1)
+       voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM ttok
+                                WHERE tok <> chr(1) || 'oov' GROUP BY 1)
                ORDER BY c DESC, tok ASC LIMIT 30),
        vocp AS (SELECT tok FROM voc UNION ALL SELECT chr(1) || 'oov' AS tok),
        tb AS (SELECT CASE WHEN tok IN (SELECT tok FROM voc) THEN tok

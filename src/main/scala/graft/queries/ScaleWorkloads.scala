@@ -1607,15 +1607,19 @@ object ScaleWorkloads {
     }),
 
     // Benchmark decontamination at sf: eval side = 12-token snippets of
-    // every 10th document (small by premise), corpus = all documents.
-    // Times the full bloom-screen -> exact-confirm pipeline (the GPT-3
-    // appendix-C shape) plus the report rollup.
+    // every 10th document with id < 20000 — the id ceiling keeps the
+    // eval side CORPUS-SIZE-INDEPENDENT (an eval set growing with the
+    // corpus would violate the operator's small-side premise and trip
+    // its maxEvalNgrams guard at large sf, aborting the bench instead
+    // of measuring it). Times the full bloom-screen -> exact-confirm
+    // pipeline (the GPT-3 appendix-C shape) plus the report rollup.
     "sx71_decontaminate" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val toks = split(
         graft.functions.TextFunctions.normalizeForDedup(col("text")), " ")
       val evals = d.select(col("doc_id").as("eval_id"), toks.as("_toks"))
-        .filter(col("eval_id") % 10 === 1 && size(col("_toks")) >= 14)
+        .filter(col("eval_id") % 10 === 1 && col("eval_id") < 20000 &&
+          size(col("_toks")) >= 14)
         .select(col("eval_id"),
           concat_ws(" ", slice(col("_toks"), 3, 12)).as("eval_text"))
       graft.operators.Decontaminate
@@ -1624,16 +1628,16 @@ object ScaleWorkloads {
     }),
 
     // DSIR at sf: fit target(lang='en')-vs-raw bag-of-words models,
-    // score every doc, Gumbel-resample 10% — the full data-selection
-    // pipeline (two fit passes + one scoring pass + fused top-k).
+    // score every doc, Gumbel-resample a fixed 500 (≈10% of the sf0.1
+    // corpus; FIXED so the bench measures fit+score+top-k, not an
+    // extra count pass to size n) — the full data-selection pipeline.
     "sx72_dsir_resample" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val model = graft.operators.Dsir.fit(
         d.filter(col("lang") === "en"), d, "text", k = 200)
-      val n = math.max((d.count() / 10).toInt, 10)
       graft.operators.Dsir.gumbelTopK(
           graft.operators.Dsir.score(d, "doc_id", "text", model),
-          "doc_id", n = n, seed = 7L)
+          "doc_id", n = 500, seed = 7L)
         .agg(count(lit(1)).as("n_sel"), sum(col("logw_micro")).as("w_sel"))
     })
   )

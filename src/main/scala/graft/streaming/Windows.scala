@@ -583,16 +583,27 @@ object Windows {
                             (sink: (DataFrame, Long) => Unit)
       : DecontaminateStream = {
     import graft.operators.Decontaminate
-    val eg = Decontaminate.evalNgrams(evals, evalTextCol, n)
+    // guard + sketch BEFORE the persist: an over-cap eval set must
+    // throw without leaving the oversized gram table cached behind an
+    // exception (the caller never gets the unpersist handle)
+    val eg0 = Decontaminate.evalNgrams(evals, evalTextCol, n)
+    val probe = Decontaminate.buildScreen(eg0, fpp, maxEvalNgrams)
+    val eg = eg0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probe = Decontaminate.buildScreen(eg, fpp, maxEvalNgrams)
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val hits = Decontaminate.hitsAgainst(
-        batch, idCol, textCol, eg, probe, n)
-      val tagged = batch.join(broadcast(hits), Seq(idCol), "left")
-        .withColumn("n_eval_hits", coalesce(col("n_hits"), lit(0L)))
-        .drop("n_hits")
-      sink(tagged, batchId)
+      // the batch enters twice (probe scan + tag-back join): persist so
+      // a file/Kafka-backed source is read once per trigger (the
+      // in-file foreachBatch convention)
+      val cached = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hits = Decontaminate.hitsAgainst(
+          cached, idCol, textCol, eg, probe, n)
+        val tagged = cached.join(broadcast(hits), Seq(idCol), "left")
+          .withColumn("n_eval_hits", coalesce(col("n_hits"), lit(0L)))
+          .drop("n_hits")
+        sink(tagged, batchId)
+      } finally cached.unpersist(blocking = false)
     }.start()
     DecontaminateStream(q, eg)
   }
