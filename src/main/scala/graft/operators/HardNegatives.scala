@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Hard-negative mining — the training-data op behind every modern
+  * embedding/reranker model (DPR's mined negatives, Karpukhin et al.
+  * 2020; SBERT triplet mining; the RocketQA/ANCE denoised-negative
+  * loop): for each ANCHOR, the corpus items most similar to it with a
+  * DIFFERENT label are the near-misses the contrastive loss learns the
+  * most from, and the most similar SAME-label item is its positive.
+  *
+  * Scale shape: the anchor set is the small side (a training batch, a
+  * query sample), so mining is the [[Ann.bruteForceTopKBatch]] shape
+  * with the label predicate fused BEFORE the reduction — one corpus
+  * scan serves every anchor, the per-anchor top-k is the bounded
+  * [[TopKByScore]] Aggregator (k rows per anchor × partition cross the
+  * shuffle, never the anchors × corpus cross product), and the label
+  * filter prunes at scoring time, not after a wasted top-k. At corpus
+  * scale the exact scan swaps for the IVF-pruned shortlist
+  * ([[mineShortlisted]]), the same trade every ANN serving path makes:
+  * scan fraction for recall, with the shortlist bounding how much the
+  * label filter can starve k (a shortlist must exceed k by the
+  * anchor-label's local density to fill all k slots — the spec gauges
+  * it; full probe + covering shortlist is lossless and oracle-equal
+  * to [[mineExact]]).
+  */
+object HardNegatives {
+
+  import org.apache.spark.sql.{Dataset, SparkSession}
+
+  /** One broadcast anchor frame: (aid, avec, albl). */
+  private def anchorSide(anchors: DataFrame, aidCol: String,
+                         avecCol: String, alabelCol: String): DataFrame =
+    broadcast(anchors.select(col(aidCol).cast("long").as("_aid"),
+      col(avecCol).as("_avec"), col(alabelCol).as("_albl")))
+
+  private def topKPerAnchor(spark: SparkSession,
+                            scored: Dataset[QueryScored], k: Int,
+                            idCol: String): DataFrame = {
+    import spark.implicits._
+    scored.groupByKey(_.qid)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
+      .toDF("anchor_id", idCol, "sim")
+  }
+
+  /** Exact hard negatives: per anchor, the k most-similar corpus rows
+    * whose label DIFFERS. Output (anchor_id, idCol, sim), rows ordered
+    * (anchor_id, id); best-first recoverable by (sim desc, id). */
+  def mineExact(corpus: DataFrame, idCol: String, vecCol: String,
+                labelCol: String, anchors: DataFrame, aidCol: String,
+                avecCol: String, alabelCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus
+      .crossJoin(anchorSide(anchors, aidCol, avecCol, alabelCol))
+      .filter(col(labelCol) =!= col("_albl"))
+      .select(col("_aid").as("qid"), col(idCol).cast("long").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_avec")).as("sim"))
+      .as[QueryScored]
+    topKPerAnchor(spark, scored, k, idCol).orderBy("anchor_id", idCol)
+  }
+
+  /** Exact positives: per anchor, the k most-similar SAME-label rows,
+    * the anchor itself excluded. */
+  def minePositives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame, aidCol: String,
+                    avecCol: String, alabelCol: String,
+                    k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus
+      .crossJoin(anchorSide(anchors, aidCol, avecCol, alabelCol))
+      .filter(col(labelCol) === col("_albl") &&
+        col(idCol).cast("long") =!= col("_aid"))
+      .select(col("_aid").as("qid"), col(idCol).cast("long").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_avec")).as("sim"))
+      .as[QueryScored]
+    topKPerAnchor(spark, scored, k, idCol).orderBy("anchor_id", idCol)
+  }
+
+  /** Contrastive TRIPLETS: (anchor_id, pos_id, pos_sim, neg_id,
+    * neg_sim, neg_rank) — the single most-similar positive paired with
+    * each of the k hardest negatives (rank 1 = hardest). Anchors with
+    * no same-label neighbor produce no triplet (nothing to contrast).
+    * Both sides come from the same one-scan mining pass shape; the
+    * final join is anchor-keyed and broadcast-sized. */
+  def triplets(corpus: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, anchors: DataFrame, aidCol: String,
+               avecCol: String, alabelCol: String, k: Int): DataFrame = {
+    val pos = minePositives(corpus, idCol, vecCol, labelCol, anchors,
+        aidCol, avecCol, alabelCol, k = 1)
+      .select(col("anchor_id"), col(idCol).as("pos_id"),
+        col("sim").as("pos_sim"))
+    val neg = mineExact(corpus, idCol, vecCol, labelCol, anchors,
+        aidCol, avecCol, alabelCol, k)
+      .withColumn("neg_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor_id")
+          .orderBy(col("sim").desc, col(idCol).asc)))
+      .select(col("anchor_id"), col(idCol).as("neg_id"),
+        col("sim").as("neg_sim"), col("neg_rank"))
+    pos.join(neg, "anchor_id")
+      .orderBy("anchor_id", "neg_rank")
+  }
+
+  /** IVF-pruned mining for corpus scale: each anchor scores only its
+    * nProbe nearest cells ([[Ann.ivfSearchBatch]]) down to a
+    * `shortlist`-sized candidate set, labels join on the (tiny)
+    * shortlist, and the k hardest mismatches survive. Recall contract:
+    * lossy at serving settings exactly like every IVF path (gauged in
+    * the spec); with nProbe = #cells and a shortlist covering the
+    * corpus it is LOSSLESS and equals [[mineExact]] — the full-probe
+    * oracle convention. `shortlist` must exceed k by the anchor
+    * label's local density or slots go unfilled (reported, not
+    * silently padded). */
+  def mineShortlisted(corpus: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, anchors: DataFrame, aidCol: String,
+                      avecCol: String, alabelCol: String, k: Int,
+                      dim: Int, cents: Seq[Seq[Double]], nProbe: Int,
+                      shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist=$shortlist < k=$k can never fill the negative slots")
+    val short = Ann.ivfSearchBatch(corpus, idCol, vecCol, dim,
+      anchors.select(col(aidCol).as("_aid"), col(avecCol).as("_avec")),
+      "_aid", "_avec", k = shortlist, cents = cents, nProbe = nProbe)
+    val lbl = anchors.select(col(aidCol).cast("long").as("query_id"),
+      col(alabelCol).as("_albl"))
+    // corpus streams, the (anchors × shortlist)-sized candidate set
+    // broadcasts: the label attach is map-side at any corpus size
+    corpus.select(col(idCol), col(labelCol))
+      .join(broadcast(short.join(broadcast(lbl), "query_id")), Seq(idCol))
+      .filter(col(labelCol) =!= col("_albl"))
+      .withColumn("_rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("_rk") <= k)
+      .select(col("query_id").as("anchor_id"), col(idCol), col("sim"))
+      .orderBy("anchor_id", idCol)
+  }
+}

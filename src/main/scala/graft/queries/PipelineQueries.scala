@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, BloomDedup, Chunking, Curation, Decontaminate, Dedup, Dsir, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
+import graft.operators.{Ann, BloomDedup, Chunking, Curation, Decontaminate, Dedup, Dsir, HardNegatives, IntervalJoin, Mixing, Multimodal, Packing, Profile, Retrieval, Sampling, SemanticDedup, SpanDedup, Vocab}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -2537,6 +2537,50 @@ object PipelineQueries {
             col("n_eval_hits"))
           .orderBy("batch", "doc_id")
       } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }),
+
+    // ---- Hard-negative mining (DPR/SBERT contrastive training data):
+    // per anchor, the most-similar corpus vectors with a DIFFERENT
+    // label. One corpus scan serves every anchor; label filter fused
+    // before the bounded TopKByScore reduction. Exact → SQL oracle. ----
+    "hn1_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") % 50 === 0)
+      HardNegatives.mineExact(e, "vec_id", "embedding", "label",
+          anchors, "vec_id", "embedding", "label", k = 5)
+        .select(col("anchor_id"), col("vec_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("anchor_id", "vec_id")
+    }),
+
+    // Contrastive triplets: hardest positive (top same-label, self
+    // excluded) × the 3 hardest negatives per anchor, rank-numbered.
+    "hn2_triplets" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") % 100 === 0)
+      HardNegatives.triplets(e, "vec_id", "embedding", "label",
+          anchors, "vec_id", "embedding", "label", k = 3)
+        .select(col("anchor_id"), col("pos_id"),
+          round(col("pos_sim"), 4).as("pos_sim"), col("neg_id"),
+          round(col("neg_sim"), 4).as("neg_sim"), col("neg_rank"))
+        .orderBy("anchor_id", "neg_rank")
+    }),
+
+    // The IVF-shortlisted serving path at its LOSSLESS setting (full
+    // probe + covering shortlist — the ann12 oracle convention): label
+    // attach is map-side (candidates broadcast), result equals the
+    // exact scan, so hn1's oracle derivation gates the pruned path.
+    "hn3_shortlisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") % 100 === 0)
+      val cents = Ann.trainIvfCells(e, "vec_id", "embedding", EmbDim,
+        nCells = 8, iters = 5)
+      HardNegatives.mineShortlisted(e, "vec_id", "embedding", "label",
+          anchors, "vec_id", "embedding", "label", k = 5, dim = EmbDim,
+          cents = cents, nProbe = 8, shortlist = 100000)
+        .select(col("anchor_id"), col("vec_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("anchor_id", "vec_id")
     })
   )
 
@@ -3857,8 +3901,60 @@ object PipelineQueries {
            (0, 3, 0),
            (1, 2, 1),
            (1, 4, 0)
-         ) AS t(batch, doc_id, n_eval_hits) ORDER BY batch, doc_id"""
+         ) AS t(batch, doc_id, n_eval_hits) ORDER BY batch, doc_id""",
+    "hn1_hard_negatives" -> hnTopKOracle(anchorMod = 50, k = 5),
+    // hn3 is hn1's derivation at the %100 anchors: full probe +
+    // covering shortlist makes the IVF path lossless (ann12 convention)
+    "hn3_shortlisted" -> hnTopKOracle(anchorMod = 100, k = 5),
+    "hn2_triplets" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id,
+                CAST(embedding AS DOUBLE[]) AS av, label AS albl
+              FROM embeddings WHERE vec_id % 100 = 0),
+         sc AS (SELECT a.anchor_id, a.albl, e.vec_id, e.label,
+                       $hnCosineSql AS sim_raw
+                FROM embeddings e CROSS JOIN a),
+         pos AS (SELECT anchor_id, vec_id AS pos_id,
+                        round(sim_raw, 4) AS pos_sim
+                 FROM (SELECT anchor_id, vec_id, sim_raw,
+                              row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim_raw DESC, vec_id) AS rn
+                       FROM sc WHERE label = albl AND vec_id <> anchor_id)
+                 WHERE rn = 1),
+         neg AS (SELECT anchor_id, vec_id AS neg_id,
+                        round(sim_raw, 4) AS neg_sim,
+                        CAST(rn AS INTEGER) AS neg_rank
+                 FROM (SELECT anchor_id, vec_id, sim_raw,
+                              row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim_raw DESC, vec_id) AS rn
+                       FROM sc WHERE label <> albl)
+                 WHERE rn <= 3)
+         SELECT p.anchor_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank
+         FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+         ORDER BY p.anchor_id, neg_rank"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
+
+  /** Exact cosine between a corpus row and a broadcast anchor in
+    * DuckDB list arithmetic (the ann7 oracle's formula). */
+  private lazy val hnCosineSql: String =
+    """list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), a.av),
+         x -> x[1] * x[2])) /
+       (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), v -> v * v))) *
+        sqrt(list_sum(list_transform(a.av, v -> v * v))))"""
+
+  /** hn1/hn3 oracle: exact per-anchor top-k over label-mismatched
+    * corpus rows. */
+  private def hnTopKOracle(anchorMod: Int, k: Int): String =
+    s"""WITH a AS (SELECT vec_id AS anchor_id,
+              CAST(embedding AS DOUBLE[]) AS av, label AS albl
+            FROM embeddings WHERE vec_id % $anchorMod = 0),
+       scored AS (SELECT a.anchor_id, e.vec_id, $hnCosineSql AS sim_raw
+                  FROM embeddings e CROSS JOIN a WHERE e.label <> a.albl)
+       SELECT anchor_id, vec_id, round(sim_raw, 4) AS sim
+       FROM (SELECT anchor_id, vec_id, sim_raw,
+                    row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY sim_raw DESC, vec_id) AS rn
+             FROM scored)
+       WHERE rn <= $k ORDER BY anchor_id, vec_id"""
 
   /** Shared CTE prefix for the ds* oracles: the DSIR pipeline
     * recomputed in SQL — top-30 target (lang='en') vocabulary with the

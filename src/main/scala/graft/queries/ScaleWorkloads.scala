@@ -1639,6 +1639,21 @@ object ScaleWorkloads {
           graft.operators.Dsir.score(d, "doc_id", "text", model),
           "doc_id", n = 500, seed = 7L)
         .agg(count(lit(1)).as("n_sel"), sum(col("logw_micro")).as("w_sel"))
+    }),
+
+    // Hard-negative mining at sf: 50 anchors (fixed id ceiling — the
+    // anchor set is a training batch, not a corpus fraction) × exact
+    // one-scan mining with the label filter fused before the bounded
+    // per-anchor top-k. The IVF-shortlisted twin rides the trained
+    // cells cache (trainedCents) at serving settings.
+    "sx73_hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 1000)
+      graft.operators.HardNegatives.mineExact(e, "vec_id", "embedding",
+          "label", anchors, "vec_id", "embedding", "label", k = 10)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("sim")), 4).as("mean_sim"))
     })
   )
 

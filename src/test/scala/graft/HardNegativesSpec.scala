@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, HardNegatives}
+
+/** Hard-negative mining: planted cosine geometry, triplet composition,
+  * the lossless-shortlist equivalence, lossy-shortlist recall, the
+  * shortlist guard, and the broadcast plan shape. */
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  // anchor 0 (label 0): positive twin 1 (cos 1.0), same-label 4
+  // (cos .98); negatives 2 (label 1, cos ≈ .995) and 3 (label 1,
+  // cos 0). id 5 is the only label-9 row — an anchor with no positive.
+  private def embs = Seq(
+    (0L, v(1, 0), 0), (1L, v(1, 0), 0), (2L, v(1, 0.1), 1),
+    (3L, v(0, 1), 1), (4L, v(1, 0.2), 0), (5L, v(1, 1), 9))
+    .toDF("vec_id", "embedding", "label")
+
+  test("mineExact: hardest mismatched labels, best-first by (sim, id)") {
+    val anchors = embs.filter(col("vec_id") === 0)
+    val r = HardNegatives.mineExact(embs, "vec_id", "embedding", "label",
+        anchors, "vec_id", "embedding", "label", k = 2)
+      .select(col("anchor_id"), col("vec_id"), round(col("sim"), 3))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    // mismatched-label candidates: 2 (cos 1/√1.01 ≈ .995), 5 (cos
+    // 1/√2 ≈ .707), 3 (cos 0) → top-2 = {2, 5}; the label-0 twins
+    // 1/4 never appear however similar
+    r shouldBe Array((0L, 2L, 0.995), (0L, 5L, 0.707))
+  }
+
+  test("minePositives: same label only, self excluded") {
+    val anchors = embs.filter(col("vec_id") === 0)
+    val r = HardNegatives.minePositives(embs, "vec_id", "embedding",
+        "label", anchors, "vec_id", "embedding", "label", k = 2)
+      .select(col("anchor_id"), col("vec_id"), round(col("sim"), 3))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    r shouldBe Array((0L, 1L, 1.0), (0L, 4L, 0.981))
+  }
+
+  test("triplets: hardest positive × ranked negatives; no-positive anchors drop") {
+    val anchors = embs.filter(col("vec_id").isin(0L, 5L))
+    val r = HardNegatives.triplets(embs, "vec_id", "embedding", "label",
+        anchors, "vec_id", "embedding", "label", k = 2)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_rank"))
+      .as[(Long, Long, Long, Int)].collect()
+    // anchor 5 has no second label-9 row -> no triplet; anchor 0 pairs
+    // its exact twin with negatives ranked 2 (hardest) then 5
+    r shouldBe Array((0L, 1L, 2L, 1), (0L, 1L, 5L, 2))
+  }
+
+  test("lossless shortlist (full probe + cover) equals mineExact") {
+    val d = Tables(spark, sf, "embeddings")
+    val anchors = d.filter(col("vec_id") % 20 === 0)
+    val cents = Ann.trainIvfCells(d, "vec_id", "embedding",
+      graft.queries.PipelineQueries.EmbDim, nCells = 4, iters = 3)
+    val exact = HardNegatives.mineExact(d, "vec_id", "embedding", "label",
+      anchors, "vec_id", "embedding", "label", k = 5)
+    val short = HardNegatives.mineShortlisted(d, "vec_id", "embedding",
+      "label", anchors, "vec_id", "embedding", "label", k = 5,
+      dim = graft.queries.PipelineQueries.EmbDim, cents = cents,
+      nProbe = 4, shortlist = 100000)
+    val a = exact.select("anchor_id", "vec_id").as[(Long, Long)]
+      .collect().sorted
+    val b = short.select("anchor_id", "vec_id").as[(Long, Long)]
+      .collect().sorted
+    b shouldBe a
+  }
+
+  test("lossy shortlist keeps useful recall at serving settings") {
+    val d = Tables(spark, sf, "embeddings")
+    val anchors = d.filter(col("vec_id") % 20 === 0)
+    val cents = Ann.trainIvfCells(d, "vec_id", "embedding",
+      graft.queries.PipelineQueries.EmbDim, nCells = 4, iters = 3)
+    val exact = HardNegatives.mineExact(d, "vec_id", "embedding", "label",
+        anchors, "vec_id", "embedding", "label", k = 5)
+      .select("anchor_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lossy = HardNegatives.mineShortlisted(d, "vec_id", "embedding",
+        "label", anchors, "vec_id", "embedding", "label", k = 5,
+        dim = graft.queries.PipelineQueries.EmbDim, cents = cents,
+        nProbe = 2, shortlist = 50)
+      .select("anchor_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & lossy).size.toDouble / exact.size
+    recall should be >= 0.5
+  }
+
+  test("shortlist below k fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      HardNegatives.mineShortlisted(embs, "vec_id", "embedding", "label",
+        embs, "vec_id", "embedding", "label", k = 5, dim = 2,
+        cents = Seq(Seq(1.0, 0.0)), nProbe = 1, shortlist = 3)
+    }
+    e.getMessage should include("shortlist")
+  }
+
+  test("plan shape: anchor side broadcasts; no shuffle join in mineExact") {
+    val anchors = embs.filter(col("vec_id") === 0)
+    val p = HardNegatives.mineExact(embs, "vec_id", "embedding", "label",
+        anchors, "vec_id", "embedding", "label", k = 2)
+      .queryExecution.executedPlan.toString
+    p should include("Broadcast")
+    p should not include "SortMergeJoin"
+  }
+}
