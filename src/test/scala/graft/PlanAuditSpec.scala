@@ -517,6 +517,41 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "UDF"
   }
 
+  test("dc1: decontamination screens on a two-column scan; confirm join broadcasts") {
+    val p = plan("dc1_contamination_report")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    // the corpus scan reads only (doc_id, text) — never lang/source
+    readSchema should include("doc_id")
+    readSchema should include("text")
+    readSchema should not include "lang"
+    readSchema should not include "n_chars"
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("ds1: DSIR scoring is one broadcast model join + one keyed sum") {
+    val p = plan("ds1_importance_weights")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // partial & final HashAggregate pair around one id exchange
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  test("ds2: DSIR selection fuses to TakeOrderedAndProject (no full sort)") {
+    // the outer orderBy is presentation; the inner top-k must fuse
+    val scored = graft.operators.Dsir.score(
+      Tables(spark, sf, "documents"), "doc_id", "text",
+      graft.operators.Dsir.fit(
+        Tables(spark, sf, "documents").filter(
+          org.apache.spark.sql.functions.col("lang") === "en"),
+        Tables(spark, sf, "documents"), "text", k = 30))
+    val p = graft.operators.Dsir.selectTopK(scored, "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    p should include("TakeOrderedAndProject")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect
