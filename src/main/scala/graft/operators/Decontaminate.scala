@@ -7,12 +7,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 import graft.functions.{TextFunctions => T}
 
-/** Benchmark decontamination: find (and remove) training documents that
-  * share a word n-gram with an evaluation/benchmark set — the published
-  * train-test-overlap procedure (Brown et al. 2020, "Language Models are
-  * Few-Shot Learners", appendix C: 13-gram overlap; Chowdhery et al.
-  * 2022 PaLM §8 and Touvron et al. 2023 use the same n-gram-collision
-  * shape at n=8..13). Without it, eval scores measure memorization.
+/** Benchmark decontamination by N-GRAM COLLISION: find (and remove)
+  * training documents that share a word n-gram with an
+  * evaluation/benchmark set — the published train-test-overlap
+  * procedure (Brown et al. 2020, "Language Models are Few-Shot
+  * Learners", appendix C: 13-gram overlap; Chowdhery et al. 2022 PaLM
+  * §8 and Touvron et al. 2023 use the same n-gram-collision shape at
+  * n=8..13). Without it, eval scores measure memorization.
+  *
+  * Complement, not duplicate, of [[Dedup.decontaminate]]: that one is
+  * MinHash-Jaccard SIMILARITY decontamination — it catches training
+  * docs that are near-duplicates of a whole benchmark document (the
+  * pl5 prep stage). This one catches a verbatim answer string embedded
+  * in an otherwise-unrelated document, which doc-level Jaccard at any
+  * sane threshold cannot see (8 shared tokens in a 10k-token doc is
+  * Jaccard ≈ 0). A thorough pipeline runs both.
   *
   * Scale shape (the asymmetry IS the design): the corpus is huge
   * (100 TB) but the eval side is small by premise — a benchmark is at

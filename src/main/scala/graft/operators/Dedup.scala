@@ -1377,7 +1377,13 @@ object Dedup {
     * [[contaminationReport]] flags. Two passes over `train` (the sweep
     * and the output scan) — inherent to any filter whose predicate is a
     * global property of the corpus; the flagged-id table between them
-    * is small and broadcasts into the anti-join. */
+    * is small and broadcasts into the anti-join.
+    *
+    * This is SIMILARITY decontamination (doc-level near-dup of a
+    * benchmark doc); its complement is
+    * [[Decontaminate.decontaminate]]'s n-gram COLLISION sweep, which
+    * catches a short answer string leaked inside an otherwise-unrelated
+    * document — invisible to whole-doc Jaccard. Run both. */
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchIdCol: String, benchTextCol: String,
                     threshold: Double = 0.7, shingleK: Int = 3,

@@ -2566,6 +2566,28 @@ object PipelineQueries {
         .orderBy("anchor_id", "neg_rank")
     }),
 
+    // The END-TO-END curation pipeline on the REAL corpus, one oracle:
+    // token-count gate → exact dedup (min-id per normalized text) →
+    // n-gram decontamination vs the derived eval fixture → DSIR
+    // selection of the 100 most target-like survivors. Every stage is
+    // the operator the standalone queries gate (dd1/dc2/ds2 shapes);
+    // composing them here pins that the stages COMPOSE — column
+    // contracts, normalization conventions, and determinism hold
+    // through the whole chain, not just in isolation.
+    "pl8_curation_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nToks = size(split(T.normalizeForDedup(col("text")), " "))
+      val gated = d.filter(nToks.between(20, 2000))
+      val deduped = Dedup.dropExactDups(gated, "doc_id", col("text"))
+      val clean = Decontaminate.decontaminate(deduped, "doc_id", "text",
+        dcEvalFixture(d), "eval_text", n = 8)
+      val model = Dsir.fit(clean.filter(col("lang") === "en"), clean,
+        "text", k = 30)
+      Dsir.selectTopK(Dsir.score(clean, "doc_id", "text", model),
+          "doc_id", 100)
+        .orderBy("doc_id")
+    }),
+
     // The IVF-shortlisted serving path at its LOSSLESS setting (full
     // probe + covering shortlist — the ann12 oracle convention): label
     // attach is map-side (candidates broadcast), result equals the
@@ -3902,6 +3924,58 @@ object PipelineQueries {
            (1, 2, 1),
            (1, 4, 0)
          ) AS t(batch, doc_id, n_eval_hits) ORDER BY batch, doc_id""",
+    "pl8_curation_pipeline" ->
+      """WITH d0 AS (SELECT doc_id, lang,
+              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+            FROM documents),
+       gated AS (SELECT * FROM d0 WHERE len(toks) BETWEEN 20 AND 2000),
+       dedup AS (SELECT * FROM (SELECT *, row_number() OVER
+                   (PARTITION BY norm ORDER BY doc_id) AS rn FROM gated)
+                 WHERE rn = 1),
+       dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+                    FROM dedup)),
+       e AS (SELECT doc_id AS eval_id, toks[3:14] AS etoks FROM d0
+             WHERE doc_id % 40 = 1 AND len(toks) >= 14),
+       eg AS (SELECT DISTINCT array_to_string(etoks[i:i+7], ' ') AS gram
+              FROM (SELECT etoks,
+                           unnest(generate_series(1, greatest(len(etoks) - 7, 1))) AS i
+                    FROM e)),
+       bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram)),
+       clean AS (SELECT * FROM dedup
+                 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       ttok AS (SELECT unnest(toks) AS tok FROM clean WHERE lang = 'en'),
+       rtok AS (SELECT unnest(toks) AS tok FROM clean),
+       voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM ttok
+                                WHERE tok <> chr(1) || 'oov' GROUP BY 1)
+               ORDER BY c DESC, tok ASC LIMIT 30),
+       vocp AS (SELECT tok FROM voc UNION ALL SELECT chr(1) || 'oov' AS tok),
+       tb AS (SELECT CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                          ELSE chr(1) || 'oov' END AS tok FROM ttok),
+       rb AS (SELECT CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                          ELSE chr(1) || 'oov' END AS tok FROM rtok),
+       model AS (SELECT v.tok,
+              CAST(round((ln(coalesce(tc.c, 0) + 1)
+                          - ln((SELECT count(*) FROM ttok) + 31)
+                          - ln(coalesce(rc.c, 0) + 1)
+                          + ln((SELECT count(*) FROM rtok) + 31)) * 1e6)
+                   AS BIGINT) AS lr_micro
+            FROM vocp v
+            LEFT JOIN (SELECT tok, count(*) AS c FROM tb GROUP BY 1) tc
+              ON tc.tok = v.tok
+            LEFT JOIN (SELECT tok, count(*) AS c FROM rb GROUP BY 1) rc
+              ON rc.tok = v.tok),
+       db AS (SELECT doc_id, CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                                  ELSE chr(1) || 'oov' END AS tok
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM clean)),
+       scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
+                  FROM db JOIN model m USING (tok) GROUP BY doc_id)
+       SELECT * FROM (SELECT doc_id, n_tokens, logw_micro FROM scored
+                      ORDER BY logw_micro DESC, doc_id LIMIT 100)
+       ORDER BY doc_id""",
     "hn1_hard_negatives" -> hnTopKOracle(anchorMod = 50, k = 5),
     // hn3 is hn1's derivation at the %100 anchors: full probe +
     // covering shortlist makes the IVF path lossless (ann12 convention)
