@@ -2579,8 +2579,13 @@ object PipelineQueries {
       val nToks = size(split(T.normalizeForDedup(col("text")), " "))
       val gated = d.filter(nToks.between(20, 2000))
       val deduped = Dedup.dropExactDups(gated, "doc_id", col("text"))
+      // stage boundary MATERIALIZES (the sx1 convention): fit + score
+      // consume `clean` four times, and re-executing the gate → dedup
+      // window → decontamination anti-join lineage per pass is exactly
+      // what a 100 TB pipeline checkpoints between stages
       val clean = Decontaminate.decontaminate(deduped, "doc_id", "text",
-        dcEvalFixture(d), "eval_text", n = 8)
+          dcEvalFixture(d), "eval_text", n = 8)
+        .localCheckpoint(true)
       val model = Dsir.fit(clean.filter(col("lang") === "en"), clean,
         "text", k = 30)
       Dsir.selectTopK(Dsir.score(clean, "doc_id", "text", model),
