@@ -32,8 +32,13 @@ import graft.functions.{TextFunctions => T}
   *     and every corpus document is probed map-side — one UDF call per
   *     row over its distinct-shingle array. A bloom has NO false
   *     negatives, so the survivors are a strict superset of the truly
-  *     contaminated docs; the fpp controls how much collateral reaches
-  *     stage 2 (at fpp=0.001, ~0.1% of clean grams false-alarm).
+  *     contaminated docs. fpp is a PER-GRAM rate, and a clean doc
+  *     false-alarms if ANY of its grams does — the doc-level screen
+  *     leak is ≈ n_grams·fpp (measured by the
+  *     decontam_screen_frac − decontam_confirmed_frac gauge pair), so
+  *     size fpp ≪ 1/avg_grams_per_doc. The 1e-4 default leaks ~1% of
+  *     clean 100-gram docs into stage 2 at ~19 bits per eval gram;
+  *     bits are cheap on the tiny side, collateral explodes aren't.
   *   - Stage 2, CONFIRM (exact, tiny): only the screened candidates
   *     explode their n-grams and broadcast-join the exact eval n-gram
   *     set. The expensive explode+join runs over the bloom-flagged
@@ -135,7 +140,7 @@ object Decontaminate {
     * set. Only contaminated docs appear (n_hits >= 1). */
   def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
                           evals: DataFrame, evalTextCol: String,
-                          n: Int = 8, fpp: Double = 0.001,
+                          n: Int = 8, fpp: Double = 1e-4,
                           maxEvalNgrams: Long = 50L * 1000 * 1000)
       : DataFrame = {
     val (eg, probe) = prepared(evals, evalTextCol, n, fpp, maxEvalNgrams)
@@ -145,7 +150,7 @@ object Decontaminate {
   /** Just the contaminated ids (exact). */
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       evals: DataFrame, evalTextCol: String,
-                      n: Int = 8, fpp: Double = 0.001,
+                      n: Int = 8, fpp: Double = 1e-4,
                       maxEvalNgrams: Long = 50L * 1000 * 1000): DataFrame =
     contaminationReport(docs, idCol, textCol, evals, evalTextCol, n, fpp,
       maxEvalNgrams).select(col(idCol))
@@ -158,7 +163,7 @@ object Decontaminate {
     * keys: same semantics, but only affected files rewrite. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     evals: DataFrame, evalTextCol: String,
-                    n: Int = 8, fpp: Double = 0.001,
+                    n: Int = 8, fpp: Double = 1e-4,
                     maxEvalNgrams: Long = 50L * 1000 * 1000): DataFrame = {
     val bad = contaminatedIds(docs, idCol, textCol, evals, evalTextCol,
       n, fpp, maxEvalNgrams)
@@ -171,7 +176,7 @@ object Decontaminate {
     * (eval id, n_docs); only leaked eval rows appear. */
   def evalLeakage(docs: DataFrame, docIdCol: String, textCol: String,
                   evals: DataFrame, evalIdCol: String, evalTextCol: String,
-                  n: Int = 8, fpp: Double = 0.001,
+                  n: Int = 8, fpp: Double = 1e-4,
                   maxEvalNgrams: Long = 50L * 1000 * 1000): DataFrame = {
     val egById = evals
       .select(col(evalIdCol), explode(grams(col(evalTextCol), n)).as("gram"))

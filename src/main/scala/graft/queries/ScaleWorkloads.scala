@@ -230,6 +230,7 @@ object ScaleWorkloads {
       "zorder" -> (() => zorderGauges(ctx)),
       "minhash" -> (() => Map(
         "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir))),
+      "curation" -> (() => curationGauges(s, dir)),
       // Prefix-filter pruning power at sf scale: fraction of the
       // quadratic pair space the exact Jaccard join verified (1.0
       // would mean the filter bought nothing and the join is
@@ -299,6 +300,66 @@ object ScaleWorkloads {
     * ONE pipeline run each (k=n ranking, persisted for the scope): the
     * candidate count aggregates distributedly and only the top-10 ids
     * come back to the driver. */
+  /** Quality evidence for the r18 curation additions, machine-recorded
+    * per round:
+    *  - decontam_screen_frac / decontam_confirmed_frac: what share of
+    *    the corpus the bloom screen flags vs what the exact confirm
+    *    keeps, at the sx71 eval fixture — the screen's whole value is
+    *    the gap to 1.0 (everything NOT flagged skips the explode+join),
+    *    and confirmed ≤ screened by construction (no false negatives).
+    *  - dsir_en_enrichment: lang='en' share of the DSIR top-10%
+    *    selection ÷ the corpus share — the selection must MOVE the
+    *    mixture toward the target (> 1.0) or the weights are noise.
+    *  - hard_negative_recall_serving: mineShortlisted at serving
+    *    settings (nProbe 2 of 8 cells, shortlist 50) vs the exact scan
+    *    — the same knob-vs-recall evidence the ANN paths record. */
+  private def curationGauges(s: SparkSession, dir: String): Map[String, Double] = {
+    import graft.operators.{Decontaminate, Dsir, HardNegatives}
+    val d = Tables(s, dir, "documents")
+    val nDocs = d.count().toDouble
+    // --- decontamination screen selectivity (sx71's fixture) ---
+    val toks = split(
+      graft.functions.TextFunctions.normalizeForDedup(col("text")), " ")
+    val evals = d.select(col("doc_id").as("eval_id"), toks.as("_toks"))
+      .filter(col("eval_id") % 10 === 1 && col("eval_id") < 20000 &&
+        size(col("_toks")) >= 14)
+      .select(concat_ws(" ", slice(col("_toks"), 3, 12)).as("eval_text"))
+    val probe = Decontaminate.buildScreen(
+      Decontaminate.evalNgrams(evals, "eval_text", 8), 1e-4, 50000000L)
+    val screened = d
+      .filter(probe(Decontaminate.grams(col("text"), 8))).count().toDouble
+    val confirmed = Decontaminate.contaminatedIds(
+      d, "doc_id", "text", evals, "eval_text", n = 8).count().toDouble
+    // --- DSIR target enrichment (top 10% by weight) ---
+    val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", k = 200)
+    val nSel = math.max((nDocs / 10).toInt, 10)
+    val sel = Dsir.selectTopK(
+      Dsir.score(d, "doc_id", "text", model), "doc_id", nSel)
+    val selEn = sel.join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("lang") === "en").count().toDouble
+    val baseEn = d.filter(col("lang") === "en").count().toDouble / nDocs
+    // --- hard-negative shortlist recall at serving settings ---
+    val e = Tables(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("anchor_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(HardNegatives.mineExact(e, "vec_id", "embedding",
+      "label", anchors, "vec_id", "embedding", "label", k = 10))
+    val lossy = pairs(HardNegatives.mineShortlisted(e, "vec_id",
+      "embedding", "label", anchors, "vec_id", "embedding", "label",
+      k = 10, dim = EmbDim, cents = trainedCents(s, dir), nProbe = 2,
+      shortlist = 50))
+    Map(
+      "decontam_screen_frac" -> math.rint(screened / nDocs * 10000) / 10000,
+      "decontam_confirmed_frac" ->
+        math.rint(confirmed / nDocs * 10000) / 10000,
+      "dsir_en_enrichment" ->
+        math.rint(selEn / nSel / baseEn * 1000) / 1000,
+      "hard_negative_recall_serving" ->
+        math.rint((exact & lossy).size.toDouble / exact.size * 1000) / 1000)
+  }
+
   private def lshGauges(ctx: GaugeCtx): Map[String, Double] = {
     val embs = ctx.embs
     val n = ctx.n

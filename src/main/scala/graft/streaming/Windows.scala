@@ -578,7 +578,7 @@ object Windows {
   def streamingDecontaminate(stream: DataFrame, idCol: String,
                              textCol: String, evals: DataFrame,
                              evalTextCol: String, n: Int = 8,
-                             fpp: Double = 0.001,
+                             fpp: Double = 1e-4,
                              maxEvalNgrams: Long = 50L * 1000 * 1000)
                             (sink: (DataFrame, Long) => Unit)
       : DecontaminateStream = {
