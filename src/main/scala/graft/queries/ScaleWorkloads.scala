@@ -346,18 +346,28 @@ object ScaleWorkloads {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(HardNegatives.mineExact(e, "vec_id", "embedding",
       "label", anchors, "vec_id", "embedding", "label", k = 10))
-    val lossy = pairs(HardNegatives.mineShortlisted(e, "vec_id",
-      "embedding", "label", anchors, "vec_id", "embedding", "label",
-      k = 10, dim = EmbDim, cents = trainedCents(s, dir), nProbe = 2,
-      shortlist = 50))
+    // the serving KNOB CURVE (the ivfpq_recall_nprobe precedent). The
+    // binding knob here is nProbe, NOT shortlist: a first sweep over
+    // shortlist 50/100/200 at nProbe=2 was FLAT at 0.492 — the lost
+    // negatives live in un-probed cells, so buying shortlist buys
+    // nothing until the probe reaches their cells. Recorded over
+    // nProbe at a comfortably-covering shortlist instead.
+    def recallAt(nProbe: Int): Double = {
+      val lossy = pairs(HardNegatives.mineShortlisted(e, "vec_id",
+        "embedding", "label", anchors, "vec_id", "embedding", "label",
+        k = 10, dim = EmbDim, cents = trainedCents(s, dir),
+        nProbe = nProbe, shortlist = 200))
+      math.rint((exact & lossy).size.toDouble / exact.size * 1000) / 1000
+    }
     Map(
       "decontam_screen_frac" -> math.rint(screened / nDocs * 10000) / 10000,
       "decontam_confirmed_frac" ->
         math.rint(confirmed / nDocs * 10000) / 10000,
       "dsir_en_enrichment" ->
         math.rint(selEn / nSel / baseEn * 1000) / 1000,
-      "hard_negative_recall_serving" ->
-        math.rint((exact & lossy).size.toDouble / exact.size * 1000) / 1000)
+      "hard_negative_recall_nprobe_2" -> recallAt(2),
+      "hard_negative_recall_nprobe_4" -> recallAt(4),
+      "hard_negative_recall_nprobe_8" -> recallAt(8))
   }
 
   private def lshGauges(ctx: GaugeCtx): Map[String, Double] = {
