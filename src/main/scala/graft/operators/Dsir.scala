@@ -21,7 +21,9 @@ import graft.functions.{TextFunctions => T}
   * out-of-vocabulary bucket — same boundedness (the model is K+1 rows,
   * broadcast-class), but exactly reproducible by any engine (no
   * hash-function coupling), which is what lets a SQL oracle gate the
-  * whole pipeline.
+  * whole pipeline. `featN` picks the n-gram order: 1 = unigram tokens,
+  * 2 = the paper's word bigrams (WITH repeats — multiplicity is part
+  * of the bag-of-ngrams likelihood).
   *
   * Execution shape at 100 TB:
   *  - [[fit]]: two explode+groupBy passes (target is small; raw's pass
@@ -54,10 +56,24 @@ object Dsir {
   private def toks(text: Column): Column =
     split(T.normalizeForDedup(text), " ")
 
-  /** Top-K target tokens by (count desc, token asc) — the bounded
+  /** The feature stream: unigrams (featN=1) or word n-grams WITH
+    * repeats (featN≥2 — the paper's hashed-ngram features use
+    * multiplicity, so no distinct here, unlike [[Dedup.shingles]]).
+    * Documents shorter than featN contribute their full token run as
+    * one under-length feature, the shingle family's convention. */
+  private def feats(text: Column, featN: Int): Column = {
+    val t = toks(text)
+    if (featN == 1) t
+    else transform(
+      sequence(lit(1), greatest(size(t) - (featN - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(featN))))
+  }
+
+  /** Top-K target features by (count desc, feature asc) — the bounded
     * feature space. Deterministic: the tie-break is total. */
-  def vocab(target: DataFrame, textCol: String, k: Int): DataFrame =
-    target.select(explode(toks(col(textCol))).as("tok"))
+  def vocab(target: DataFrame, textCol: String, k: Int,
+            featN: Int = 1): DataFrame =
+    target.select(explode(feats(col(textCol), featN)).as("tok"))
       // a corpus token BYTE-EQUAL to the sentinel (binary-garbage
       // crawl text) must not enter the vocab — it would duplicate the
       // OOV key and fan out every downstream model join
@@ -70,8 +86,8 @@ object Dsir {
   /** Per-bucket token counts of `df` under vocabulary `v`: one row per
     * vocab token (absent → 0) plus the OOV bucket. */
   private def bucketCounts(df: DataFrame, textCol: String,
-                           v: DataFrame): DataFrame = {
-    val counted = df.select(explode(toks(col(textCol))).as("tok0"))
+                           v: DataFrame, featN: Int): DataFrame = {
+    val counted = df.select(explode(feats(col(textCol), featN)).as("tok0"))
       .join(broadcast(v), col("tok0") === col("tok"), "left")
       .select(coalesce(col("tok"), lit(Oov)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -95,11 +111,11 @@ object Dsir {
     * (Σc over vocab+OOV = every token, bucketed), saving the two
     * dedicated corpus passes they previously cost. */
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
-          k: Int): DataFrame = {
-    val v = vocab(target, textCol, k)
-    val ct = bucketCounts(target, textCol, v).collect()
+          k: Int, featN: Int = 1): DataFrame = {
+    val v = vocab(target, textCol, k, featN)
+    val ct = bucketCounts(target, textCol, v, featN).collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    val cr = bucketCounts(raw, textCol, v).collect()
+    val cr = bucketCounts(raw, textCol, v, featN).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nt = ct.map(_._2).sum
     val nr = cr.values.sum
@@ -122,10 +138,10 @@ object Dsir {
     * (idCol, n_tokens, logw_micro), logw = Σ_tokens lr(bucket(token))
     * — exact integer addition on the micro grid. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            model: DataFrame): DataFrame = {
+            model: DataFrame, featN: Int = 1): DataFrame = {
     val oovLr = model.filter(col("tok") === Oov)
       .select(col("lr_micro")).first().getLong(0)
-    docs.select(col(idCol), explode(toks(col(textCol))).as("tok0"))
+    docs.select(col(idCol), explode(feats(col(textCol), featN)).as("tok0"))
       .join(broadcast(model), col("tok0") === col("tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

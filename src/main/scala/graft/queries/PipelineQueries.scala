@@ -2501,6 +2501,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The paper's actual feature space: word BIGRAMS (with repeats —
+    // multiplicity is part of the bag-of-ngrams likelihood), same
+    // bounded top-K+OOV model and micro-grid arithmetic.
+    "ds4_dsir_bigram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text",
+        k = 30, featN = 2)
+      Dsir.score(d, "doc_id", "text", model, featN = 2).orderBy("doc_id")
+    }),
+
     // STREAMING decontamination (st11's standing-dictionary pattern ×
     // the dc* pipeline): the eval gram table + bloom screen build once
     // at stream start; each micro-batch is tagged with its exact
@@ -3908,6 +3918,9 @@ object PipelineQueries {
     "ds1_importance_weights" ->
       s"""$dsOracleCtes
          SELECT doc_id, n_tokens, logw_micro FROM scored ORDER BY doc_id""",
+    "ds4_dsir_bigram" ->
+      s"""${dsOracleCtesN(2)}
+         SELECT doc_id, n_tokens, logw_micro FROM scored ORDER BY doc_id""",
     "ds2_dsir_select" ->
       s"""$dsOracleCtes
          SELECT * FROM (SELECT doc_id, n_tokens, logw_micro FROM scored
@@ -4035,18 +4048,24 @@ object PipelineQueries {
              FROM scored)
        WHERE rn <= $k ORDER BY anchor_id, vec_id"""
 
-  /** Shared CTE prefix for the ds* oracles: the DSIR pipeline
-    * recomputed in SQL — top-30 target (lang='en') vocabulary with the
-    * (count desc, token asc) tie-break, per-bucket add-one-smoothed
-    * counts, micro-grid log-ratios, per-doc integer sums. Mirrors
-    * [[graft.operators.Dsir]] exactly; chr(1)||'oov' is the OOV
-    * bucket's sentinel key. */
-  private lazy val dsOracleCtes: String =
-    """WITH d AS (SELECT doc_id, lang,
-              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  /** Shared CTE prefix for the ds* oracles, parameterized by the
+    * FEATURE n-gram size: the DSIR pipeline recomputed in SQL — top-30
+    * target (lang='en') vocabulary with the (count desc, feature asc)
+    * tie-break, per-bucket add-one-smoothed counts, micro-grid
+    * log-ratios, per-doc integer sums. n=1 features are the tokens
+    * themselves (the window form `toks[i:i]` is value-identical);
+    * n≥2 are word n-grams WITH repeats, mirroring [[Dsir]]'s feats.
+    * chr(1)||'oov' is the OOV bucket's sentinel key. */
+  private def dsOracleCtesN(n: Int): String = {
+    val w =
+      s"unnest(generate_series(1, greatest(len(toks) - ${n - 1}, 1))) AS i"
+    val g = s"array_to_string(toks[i:i+${n - 1}], ' ')"
+    s"""WITH d AS (SELECT doc_id, lang,
+              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
             FROM documents),
-       ttok AS (SELECT unnest(toks) AS tok FROM d WHERE lang = 'en'),
-       rtok AS (SELECT unnest(toks) AS tok FROM d),
+       ttok AS (SELECT $g AS tok
+                FROM (SELECT toks, $w FROM d WHERE lang = 'en')),
+       rtok AS (SELECT $g AS tok FROM (SELECT toks, $w FROM d)),
        voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM ttok
                                 WHERE tok <> chr(1) || 'oov' GROUP BY 1)
                ORDER BY c DESC, tok ASC LIMIT 30),
@@ -4068,10 +4087,14 @@ object PipelineQueries {
               ON rc.tok = v.tok),
        db AS (SELECT doc_id, CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
                                   ELSE chr(1) || 'oov' END AS tok
-              FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+              FROM (SELECT doc_id, $g AS tok
+                    FROM (SELECT doc_id, toks, $w FROM d))),
        scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                          CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
                   FROM db JOIN model m USING (tok) GROUP BY doc_id)"""
+  }
+
+  private lazy val dsOracleCtes: String = dsOracleCtesN(1)
 
   /** Shared CTE prefix for the dc* oracles: normalized tokens, distinct
     * doc 8-grams, the derived eval fixture, and its gram set (with and

@@ -55,6 +55,23 @@ class DsirSpec extends SparkSpec {
     sample(12345L) shouldBe Seq(1L)
   }
 
+  test("bigram features (featN=2): hand-derived windows with repeats") {
+    // target "a a b" → windows ["a a","a b"]; raw adds "c c c" →
+    // ["c c","c c"]. vocab(k=2) = {a a, a b}; buckets 3; Nt=2, Nr=4.
+    // lr(a a) = lr(a b) = ln2−ln5−ln2+ln7 = ln(7/5)  → 336472
+    // lr(oov) = ln1−ln5−ln3+ln7 = ln(7/15)           → −762140
+    val m = Dsir.fit(target, raw, "text", k = 2, featN = 2)
+      .orderBy("tok").as[(String, Long)].collect()
+    m shouldBe Array(
+      (Dsir.Oov, -762140L), ("a a", 336472L), ("a b", 336472L))
+    val sc = Dsir.score(raw, "doc_id", "text", m2df(m), featN = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    sc shouldBe Array((1L, 2L, 672944L), (2L, 2L, -1524280L))
+  }
+
+  private def m2df(m: Array[(String, Long)]) =
+    m.toSeq.toDF("tok", "lr_micro")
+
   test("target enrichment on the sf corpus: selected set skews to lang='en'") {
     val d = Tables(spark, sf, "documents")
     val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", k = 30)
