@@ -60,13 +60,19 @@ object Dsir {
     * repeats (featN≥2 — the paper's hashed-ngram features use
     * multiplicity, so no distinct here, unlike [[Dedup.shingles]]).
     * Documents shorter than featN contribute their full token run as
-    * one under-length feature, the shingle family's convention. */
+    * one under-length feature, the shingle family's convention.
+    * Native one-pass expression: the Column-chain form
+    * (transform(sequence, slice) over the token array) re-evaluates
+    * the split per window under Catalyst's project-collapse —
+    * measured 12× on ds4 before this. */
   private def feats(text: Column, featN: Int): Column = {
-    val t = toks(text)
-    if (featN == 1) t
-    else transform(
-      sequence(lit(1), greatest(size(t) - (featN - 1), lit(1))),
-      i => concat_ws(" ", slice(t, i, lit(featN))))
+    if (featN == 1) toks(text)
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.plans.ShinglesExpr(
+        ColumnBridge.expression(T.normalizeForDedup(text)), featN,
+        distinct = false))
+    }
   }
 
   /** Top-K target features by (count desc, feature asc) — the bounded

@@ -151,8 +151,16 @@ case class HyperplaneSignatureExpr(child: Expression, bits: Int, dim: Int,
   * CodegenFallback: the per-row work is real string processing — a
   * tight JVM loop, nothing for Janino to improve — and shingling runs
   * once per doc into a materialized table, so breaking the projection
-  * out of whole-stage codegen costs one boxed row pass. */
-case class ShinglesExpr(child: Expression, k: Int)
+  * out of whole-stage codegen costs one boxed row pass.
+  *
+  * `distinct = false` keeps every window WITH multiplicity (insertion
+  * order) — the bag-of-ngrams form DSIR's likelihood needs. The
+  * Column-chain spec form of THAT variant is the
+  * transform(sequence(...), slice) chain, whose double reference to
+  * the token array makes Catalyst's project-collapse re-evaluate the
+  * split per window (O(windows × tokens) — the Dedup.scala lesson);
+  * this one-pass loop is the reason Dsir's bigram scoring is linear. */
+case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, "k must be >= 1")
@@ -174,7 +182,11 @@ case class ShinglesExpr(child: Expression, k: Int)
     while (from < to && s.charAt(from) == ' ') from += 1
     while (to > from && s.charAt(to - 1) == ' ') to -= 1
     val toks = s.substring(from, to).split("\\s+", -1)
-    val out = new java.util.LinkedHashSet[String]()
+    // LinkedHashSet dedups preserving first occurrence; ArrayList keeps
+    // multiplicity — both emit insertion order
+    val out: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String]()
+      else new java.util.ArrayList[String]()
     if (toks.length <= k) {
       out.add(toks.mkString(" "))
     } else {
