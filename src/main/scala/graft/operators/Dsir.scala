@@ -103,21 +103,34 @@ object Dsir {
       .select(col("tok"), coalesce(col("c"), lit(0L)).as("c"))
   }
 
-  /** Fit the importance-weight model: (tok, lr_micro) over the top-K
-    * target vocabulary plus OOV, where
-    * lr = ln p̂_target(tok) − ln p̂_raw(tok) with add-one smoothing over
+  /** A fitted importance-weight model: the K+1 (feature, lr_micro)
+    * rows PLUS the feature order they were built with. featN rides the
+    * model, not [[score]]'s parameter list — a fit/score n-gram
+    * mismatch would silently map every token to the OOV bucket
+    * (uniformly wrong ranking, no error), so the API makes it
+    * unrepresentable. Bounded driver state, the centroids/codebooks
+    * class. */
+  final case class Model(feats: Seq[(String, Long)], featN: Int) {
+    private[Dsir] def df(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.createDataFrame(feats).toDF("tok", "lr_micro")
+    private[Dsir] def oovLr: Long =
+      feats.find(_._1 == Oov).map(_._2).getOrElse(0L)
+  }
+
+  /** Fit the importance-weight model: (feature, lr_micro) over the
+    * top-K target vocabulary plus OOV, where
+    * lr = ln p̂_target(f) − ln p̂_raw(f) with add-one smoothing over
     * the K+1 buckets, snapped to the integer micro grid.
     *
-    * The model MATERIALIZES here — K+1 rows of bounded driver state
-    * (the centroids/codebooks class) returned as a local relation.
+    * The model MATERIALIZES here — K+1 rows of bounded driver state.
     * Collecting is load-bearing, not convenience: [[score]] consumes
     * the model twice (the OOV scalar + the broadcast join), and a lazy
     * plan would re-execute both full-corpus bucket passes per use.
-    * The corpus token totals also fall out of the collected buckets
-    * (Σc over vocab+OOV = every token, bucketed), saving the two
+    * The corpus feature totals also fall out of the collected buckets
+    * (Σc over vocab+OOV = every feature, bucketed), saving the two
     * dedicated corpus passes they previously cost. */
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
-          k: Int, featN: Int = 1): DataFrame = {
+          k: Int, featN: Int = 1): Model = {
     val v = vocab(target, textCol, k, featN)
     val ct = bucketCounts(target, textCol, v, featN).collect()
       .map(r => r.getString(0) -> r.getLong(1))
@@ -131,27 +144,26 @@ object Dsir {
     // bit-equal to the previous expression-built one
     def micro(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val rows = ct.map { case (tok, c) =>
+    Model(ct.toSeq.map { case (tok, c) =>
       (tok, micro((math.log(c + 1.0) - math.log((nt + buckets).toDouble)
         - math.log(cr(tok) + 1.0) + math.log((nr + buckets).toDouble))
         * 1e6))
-    }
-    target.sparkSession.createDataFrame(rows.toSeq)
-      .toDF("tok", "lr_micro")
+    }, featN)
   }
 
   /** Per-document importance weight under a [[fit]]ed model:
-    * (idCol, n_tokens, logw_micro), logw = Σ_tokens lr(bucket(token))
-    * — exact integer addition on the micro grid. */
+    * (idCol, n_tokens, logw_micro), logw = Σ_feats lr(bucket(feat))
+    * — exact integer addition on the micro grid. The feature order
+    * comes from the model itself. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            model: DataFrame, featN: Int = 1): DataFrame = {
-    val oovLr = model.filter(col("tok") === Oov)
-      .select(col("lr_micro")).first().getLong(0)
-    docs.select(col(idCol), explode(feats(col(textCol), featN)).as("tok0"))
-      .join(broadcast(model), col("tok0") === col("tok"), "left")
+            model: Model): DataFrame = {
+    val m = model.df(docs.sparkSession)
+    docs.select(col(idCol),
+        explode(feats(col(textCol), model.featN)).as("tok0"))
+      .join(broadcast(m), col("tok0") === col("tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("lr_micro"), lit(oovLr))).as("logw_micro"))
+        sum(coalesce(col("lr_micro"), lit(model.oovLr))).as("logw_micro"))
   }
 
   /** Deterministic selection: the n highest-weight documents

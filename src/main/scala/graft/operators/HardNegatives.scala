@@ -28,7 +28,6 @@ import graft.functions.{VectorFunctions => V}
   */
 object HardNegatives {
 
-  import org.apache.spark.sql.{Dataset, SparkSession}
 
   /** One broadcast anchor frame: (aid, avec, albl). */
   private def anchorSide(anchors: DataFrame, aidCol: String,
@@ -36,14 +35,42 @@ object HardNegatives {
     broadcast(anchors.select(col(aidCol).cast("long").as("_aid"),
       col(avecCol).as("_avec"), col(alabelCol).as("_albl")))
 
-  private def topKPerAnchor(spark: SparkSession,
-                            scored: Dataset[QueryScored], k: Int,
-                            idCol: String): DataFrame = {
+  /** The one-scan mining pass shared by both label polarities: the
+    * [[Ann.bruteForceTopKBatch]] shape with a label predicate fused
+    * before the bounded reduction. `ranked = true` also emits each
+    * hit's 1-based rank — FREE from the aggregator ([[TopKByScore]]'s
+    * finish is already best-first by (sim desc, id)), where a
+    * `row_number()` window would re-shuffle and re-sort the
+    * anchors × k rows just to recompute indices the buffer had. */
+  private def mineWith(corpus: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, anchors: DataFrame, aidCol: String,
+                       avecCol: String, alabelCol: String, k: Int,
+                       sameLabel: Boolean, ranked: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    scored.groupByKey(_.qid)
+    val labelPred =
+      if (sameLabel) col(labelCol) === col("_albl") &&
+        col(idCol).cast("long") =!= col("_aid") // positives exclude self
+      else col(labelCol) =!= col("_albl")
+    val scored = corpus
+      .crossJoin(anchorSide(anchors, aidCol, avecCol, alabelCol))
+      .filter(labelPred)
+      .select(col("_aid").as("qid"), col(idCol).cast("long").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_avec")).as("sim"))
+      .as[QueryScored]
+    val agg = scored.groupByKey(_.qid)
       .agg(new TopKByScore(k).toColumn.name("hits"))
-      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
-      .toDF("anchor_id", idCol, "sim")
+    val out =
+      if (ranked)
+        agg.flatMap { case (qid, hits) =>
+          hits.iterator.zipWithIndex.map { case (h, i) =>
+            (qid, h.id, h.sim, i + 1)
+          }
+        }.toDF("anchor_id", idCol, "sim", "rank")
+      else
+        agg.flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
+          .toDF("anchor_id", idCol, "sim")
+    out.orderBy("anchor_id", idCol)
   }
 
   /** Exact hard negatives: per anchor, the k most-similar corpus rows
@@ -51,35 +78,18 @@ object HardNegatives {
     * (anchor_id, id); best-first recoverable by (sim desc, id). */
   def mineExact(corpus: DataFrame, idCol: String, vecCol: String,
                 labelCol: String, anchors: DataFrame, aidCol: String,
-                avecCol: String, alabelCol: String, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val scored = corpus
-      .crossJoin(anchorSide(anchors, aidCol, avecCol, alabelCol))
-      .filter(col(labelCol) =!= col("_albl"))
-      .select(col("_aid").as("qid"), col(idCol).cast("long").as("id"),
-        V.cosineSimilarityNative(col(vecCol), col("_avec")).as("sim"))
-      .as[QueryScored]
-    topKPerAnchor(spark, scored, k, idCol).orderBy("anchor_id", idCol)
-  }
+                avecCol: String, alabelCol: String, k: Int): DataFrame =
+    mineWith(corpus, idCol, vecCol, labelCol, anchors, aidCol, avecCol,
+      alabelCol, k, sameLabel = false, ranked = false)
 
   /** Exact positives: per anchor, the k most-similar SAME-label rows,
     * the anchor itself excluded. */
   def minePositives(corpus: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, anchors: DataFrame, aidCol: String,
                     avecCol: String, alabelCol: String,
-                    k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val scored = corpus
-      .crossJoin(anchorSide(anchors, aidCol, avecCol, alabelCol))
-      .filter(col(labelCol) === col("_albl") &&
-        col(idCol).cast("long") =!= col("_aid"))
-      .select(col("_aid").as("qid"), col(idCol).cast("long").as("id"),
-        V.cosineSimilarityNative(col(vecCol), col("_avec")).as("sim"))
-      .as[QueryScored]
-    topKPerAnchor(spark, scored, k, idCol).orderBy("anchor_id", idCol)
-  }
+                    k: Int): DataFrame =
+    mineWith(corpus, idCol, vecCol, labelCol, anchors, aidCol, avecCol,
+      alabelCol, k, sameLabel = true, ranked = false)
 
   /** Contrastive TRIPLETS: (anchor_id, pos_id, pos_sim, neg_id,
     * neg_sim, neg_rank) — the single most-similar positive paired with
@@ -90,18 +100,15 @@ object HardNegatives {
   def triplets(corpus: DataFrame, idCol: String, vecCol: String,
                labelCol: String, anchors: DataFrame, aidCol: String,
                avecCol: String, alabelCol: String, k: Int): DataFrame = {
-    val pos = minePositives(corpus, idCol, vecCol, labelCol, anchors,
-        aidCol, avecCol, alabelCol, k = 1)
+    val pos = mineWith(corpus, idCol, vecCol, labelCol, anchors,
+        aidCol, avecCol, alabelCol, k = 1, sameLabel = true,
+        ranked = false)
       .select(col("anchor_id"), col(idCol).as("pos_id"),
         col("sim").as("pos_sim"))
-    val neg = mineExact(corpus, idCol, vecCol, labelCol, anchors,
-        aidCol, avecCol, alabelCol, k)
-      .withColumn("neg_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("anchor_id")
-          .orderBy(col("sim").desc, col(idCol).asc)))
+    val neg = mineWith(corpus, idCol, vecCol, labelCol, anchors,
+        aidCol, avecCol, alabelCol, k, sameLabel = false, ranked = true)
       .select(col("anchor_id"), col(idCol).as("neg_id"),
-        col("sim").as("neg_sim"), col("neg_rank"))
+        col("sim").as("neg_sim"), col("rank").as("neg_rank"))
     pos.join(neg, "anchor_id")
       .orderBy("anchor_id", "neg_rank")
   }

@@ -19,17 +19,18 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Ordering: better = higher score, ties to the smaller id — matching
   * the single-query operators' `orderBy(desc("sim"), col(id))`.
-  * `finish` emits hits best-first. Insertion is O(k) per row against a
-  * flat pair of primitive arrays (no heap allocation per row); k is a
-  * serving-side constant (10..100), so the linear scan beats heap
-  * bookkeeping at this size.
+  * `finish` emits hits best-first. Flat primitive arrays, geometric
+  * growth while filling, and a cached worst-index once full: the
+  * common full-buffer reject is one compare, a replacing insert is one
+  * O(k) rescan. Safe for serving-sized k (10..100) AND the
+  * covering-shortlist callers that pass k ≈ corpus.
   */
 class TopKByScore(k: Int)
     extends Aggregator[QueryScored, TopKByScore.Buf, Seq[TopHit]] {
   import TopKByScore.Buf
   require(k > 0, "k must be > 0")
 
-  override def zero: Buf = Buf(new Array[Long](0), new Array[Double](0))
+  override def zero: Buf = Buf(new Array[Long](0), new Array[Double](0), 0, -1)
   override def reduce(b: Buf, v: QueryScored): Buf =
     TopKByScore.insert(b, v.id, v.sim, k)
   override def merge(a: Buf, b: Buf): Buf = TopKByScore.mergeBufs(a, b, k)
@@ -41,14 +42,20 @@ class TopKByScore(k: Int)
 }
 
 object TopKByScore {
-  case class Buf(ids: Array[Long], scores: Array[Double])
+  /** `n` held entries in the first n slots (capacity grows
+    * GEOMETRICALLY toward k — the old `:+`-per-insert form copied the
+    * whole array per element, O(k²) while filling, a real cost once
+    * covering-shortlist callers pass k ≈ corpus); `wIdx` caches the
+    * worst-entry index once the buffer is full (−1 = unknown), making
+    * the common full-buffer REJECT an O(1) compare instead of a scan. */
+  case class Buf(ids: Array[Long], scores: Array[Double], n: Int, wIdx: Int)
 
   /** Index of the worst held entry: lowest score, ties to the LARGER
     * id (the first evicted among equals, keeping smaller ids). */
   private def worst(b: Buf): Int = {
     var w = 0
     var i = 1
-    while (i < b.ids.length) {
+    while (i < b.n) {
       if (b.scores(i) < b.scores(w) ||
         (b.scores(i) == b.scores(w) && b.ids(i) > b.ids(w))) w = i
       i += 1
@@ -57,26 +64,36 @@ object TopKByScore {
   }
 
   private[operators] def insert(b: Buf, id: Long, score: Double, k: Int): Buf =
-    if (b.ids.length < k)
-      Buf(b.ids :+ id, b.scores :+ score)
-    else {
-      val w = worst(b)
+    if (b.n < k) {
+      var ids = b.ids
+      var sc = b.scores
+      if (b.n == ids.length) {
+        val cap = math.min(k, math.max(4, ids.length * 2))
+        ids = java.util.Arrays.copyOf(ids, cap)
+        sc = java.util.Arrays.copyOf(sc, cap)
+      }
+      ids(b.n) = id
+      sc(b.n) = score
+      Buf(ids, sc, b.n + 1, -1)
+    } else {
+      val w = if (b.wIdx >= 0) b.wIdx else worst(b)
       if (score > b.scores(w) || (score == b.scores(w) && id < b.ids(w))) {
         b.ids(w) = id
         b.scores(w) = score
-      }
-      b
+        // the replaced slot may no longer be the worst — recompute
+        Buf(b.ids, b.scores, b.n, worst(Buf(b.ids, b.scores, b.n, -1)))
+      } else Buf(b.ids, b.scores, b.n, w)
     }
 
   private[operators] def mergeBufs(a: Buf, b: Buf, k: Int): Buf = {
     var out = a
     var i = 0
-    while (i < b.ids.length) { out = insert(out, b.ids(i), b.scores(i), k); i += 1 }
+    while (i < b.n) { out = insert(out, b.ids(i), b.scores(i), k); i += 1 }
     out
   }
 
   private[operators] def finishSorted(b: Buf): Seq[TopHit] =
-    b.ids.indices
+    (0 until b.n)
       .sortBy(i => (-b.scores(i), b.ids(i)))
       .map(i => TopHit(b.ids(i), b.scores(i)))
 }
@@ -90,7 +107,7 @@ class TopKByScoreAny(k: Int)
   import TopKByScore.Buf
   require(k > 0, "k must be > 0")
 
-  override def zero: Buf = Buf(new Array[Long](0), new Array[Double](0))
+  override def zero: Buf = Buf(new Array[Long](0), new Array[Double](0), 0, -1)
   override def reduce(b: Buf, v: (String, Long, Double)): Buf =
     TopKByScore.insert(b, v._2, v._3, k)
   override def merge(a: Buf, b: Buf): Buf = TopKByScore.mergeBufs(a, b, k)

@@ -2508,7 +2508,7 @@ object PipelineQueries {
       val d = t(s, dir, "documents")
       val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text",
         k = 30, featN = 2)
-      Dsir.score(d, "doc_id", "text", model, featN = 2).orderBy("doc_id")
+      Dsir.score(d, "doc_id", "text", model).orderBy("doc_id")
     }),
 
     // STREAMING decontamination (st11's standing-dictionary pattern ×

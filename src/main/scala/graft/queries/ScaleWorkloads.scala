@@ -300,6 +300,38 @@ object ScaleWorkloads {
     * ONE pipeline run each (k=n ranking, persisted for the scope): the
     * candidate count aggregates distributedly and only the top-10 ids
     * come back to the driver. */
+  private def lshGauges(ctx: GaugeCtx): Map[String, Double] = {
+    val embs = ctx.embs
+    val n = ctx.n
+    val dflt = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, ctx.q, "qv", n.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (lsh1, dfltScanned) =
+      try (gaugeIds(dflt.orderBy(desc("sim"), col("vec_id")).limit(10)),
+        dflt.count().toDouble)
+      finally dflt.unpersist(blocking = false)
+    // fallbackToRanking = false: these two gauges RECORD the bucketed
+    // crossover evidence (0.9 recall at ~0.57 scan on this isotropic
+    // corpus) that justifies the r18 dominated-config admission; the
+    // third gauge records that the admission is live — a user calling
+    // this config without the pin gets the default's (1.0, 0.15) pair,
+    // so the tuned path can no longer record a worse pair than the
+    // default outside this deliberately-pinned measurement.
+    val tuned = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, ctx.q, "qv",
+      n.toInt, bits = 6, tables = 8, fallbackToRanking = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (tunedTop10, tunedScanned) =
+      try (gaugeIds(tuned.orderBy(desc("sim"), col("vec_id")).limit(10)),
+        tuned.count().toDouble)
+      finally tuned.unpersist(blocking = false)
+    Map(
+      "lsh_recall_at_10" -> (ctx.exact & lsh1).size / 10.0,
+      "lsh_default_scan_frac" -> math.rint(dfltScanned / n * 1000) / 1000,
+      "lsh_tuned_recall_at_10" -> (ctx.exact & tunedTop10).size / 10.0,
+      "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
+      "lsh_tuned_fallback_active" ->
+        (if (Ann.lshConfigDominated(6, 8)) 1.0 else 0.0))
+  }
+
   /** Quality evidence for the r18 curation additions, machine-recorded
     * per round:
     *  - decontam_screen_frac / decontam_confirmed_frac: what share of
@@ -310,20 +342,35 @@ object ScaleWorkloads {
     *  - dsir_en_enrichment: lang='en' share of the DSIR top-10%
     *    selection ÷ the corpus share — the selection must MOVE the
     *    mixture toward the target (> 1.0) or the weights are noise.
-    *  - hard_negative_recall_serving: mineShortlisted at serving
-    *    settings (nProbe 2 of 8 cells, shortlist 50) vs the exact scan
-    *    — the same knob-vs-recall evidence the ANN paths record. */
+    *  - hard_negative_recall_nprobe_{2,4,8}: mineShortlisted at a
+    *    covering shortlist (200) over the nProbe sweep vs the exact
+    *    scan — the same knob-vs-recall curve the ANN paths record;
+    *    full probe must read 1.0 (the lossless contract). */
+  /** The sx71/curation-gauge eval fixture: 12-token snippets (normalized
+    * tokens 3..14) of every 10th document with id < 20000 — the id
+    * ceiling keeps the eval side CORPUS-SIZE-INDEPENDENT (an eval set
+    * growing with the corpus would violate the decontamination
+    * operator's small-side premise and trip its maxEvalNgrams guard at
+    * large sf, aborting the bench instead of measuring it). ONE
+    * definition shared by the bench workload and the gauge so the
+    * gauge can never silently measure a different fixture. */
+  private[graft] def sx71EvalFixture(d: DataFrame): DataFrame = {
+    val toks = split(
+      graft.functions.TextFunctions.normalizeForDedup(col("text")), " ")
+    d.select(col("doc_id").as("eval_id"), toks.as("_toks"))
+      .filter(col("eval_id") % 10 === 1 && col("eval_id") < 20000 &&
+        size(col("_toks")) >= 14)
+      .select(col("eval_id"),
+        concat_ws(" ", slice(col("_toks"), 3, 12)).as("eval_text"))
+  }
+
   private def curationGauges(s: SparkSession, dir: String): Map[String, Double] = {
     import graft.operators.{Decontaminate, Dsir, HardNegatives}
     val d = Tables(s, dir, "documents")
     val nDocs = d.count().toDouble
-    // --- decontamination screen selectivity (sx71's fixture) ---
-    val toks = split(
-      graft.functions.TextFunctions.normalizeForDedup(col("text")), " ")
-    val evals = d.select(col("doc_id").as("eval_id"), toks.as("_toks"))
-      .filter(col("eval_id") % 10 === 1 && col("eval_id") < 20000 &&
-        size(col("_toks")) >= 14)
-      .select(concat_ws(" ", slice(col("_toks"), 3, 12)).as("eval_text"))
+    // --- decontamination screen selectivity (sx71's fixture — the
+    // SAME helper, so the gauge can never drift from the bench) ---
+    val evals = sx71EvalFixture(d)
     val probe = Decontaminate.buildScreen(
       Decontaminate.evalNgrams(evals, "eval_text", 8), 1e-4, 50000000L)
     val screened = d
@@ -370,37 +417,6 @@ object ScaleWorkloads {
       "hard_negative_recall_nprobe_8" -> recallAt(8))
   }
 
-  private def lshGauges(ctx: GaugeCtx): Map[String, Double] = {
-    val embs = ctx.embs
-    val n = ctx.n
-    val dflt = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, ctx.q, "qv", n.toInt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (lsh1, dfltScanned) =
-      try (gaugeIds(dflt.orderBy(desc("sim"), col("vec_id")).limit(10)),
-        dflt.count().toDouble)
-      finally dflt.unpersist(blocking = false)
-    // fallbackToRanking = false: these two gauges RECORD the bucketed
-    // crossover evidence (0.9 recall at ~0.57 scan on this isotropic
-    // corpus) that justifies the r18 dominated-config admission; the
-    // third gauge records that the admission is live — a user calling
-    // this config without the pin gets the default's (1.0, 0.15) pair,
-    // so the tuned path can no longer record a worse pair than the
-    // default outside this deliberately-pinned measurement.
-    val tuned = Ann.lshTopK(embs, "vec_id", "embedding", EmbDim, ctx.q, "qv",
-      n.toInt, bits = 6, tables = 8, fallbackToRanking = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (tunedTop10, tunedScanned) =
-      try (gaugeIds(tuned.orderBy(desc("sim"), col("vec_id")).limit(10)),
-        tuned.count().toDouble)
-      finally tuned.unpersist(blocking = false)
-    Map(
-      "lsh_recall_at_10" -> (ctx.exact & lsh1).size / 10.0,
-      "lsh_default_scan_frac" -> math.rint(dfltScanned / n * 1000) / 1000,
-      "lsh_tuned_recall_at_10" -> (ctx.exact & tunedTop10).size / 10.0,
-      "lsh_tuned_scan_frac" -> math.rint(tunedScanned / n * 1000) / 1000,
-      "lsh_tuned_fallback_active" ->
-        (if (Ann.lshConfigDominated(6, 8)) 1.0 else 0.0))
-  }
 
   /** Query ids for the mean-recall gauges that need more resolution
     * than a single query (recall@10 of ONE query moves in 0.1 steps —
@@ -1677,24 +1693,15 @@ object ScaleWorkloads {
           sum(length(array_join(col("lines"), "\n"))).as("n_chars"))
     }),
 
-    // Benchmark decontamination at sf: eval side = 12-token snippets of
-    // every 10th document with id < 20000 — the id ceiling keeps the
-    // eval side CORPUS-SIZE-INDEPENDENT (an eval set growing with the
-    // corpus would violate the operator's small-side premise and trip
-    // its maxEvalNgrams guard at large sf, aborting the bench instead
-    // of measuring it). Times the full bloom-screen -> exact-confirm
-    // pipeline (the GPT-3 appendix-C shape) plus the report rollup.
+    // Benchmark decontamination at sf: eval side = the shared
+    // [[sx71EvalFixture]] (12-token snippets, corpus-size-independent).
+    // Times the full bloom-screen -> exact-confirm pipeline (the GPT-3
+    // appendix-C shape) plus the report rollup.
     "sx71_decontaminate" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val toks = split(
-        graft.functions.TextFunctions.normalizeForDedup(col("text")), " ")
-      val evals = d.select(col("doc_id").as("eval_id"), toks.as("_toks"))
-        .filter(col("eval_id") % 10 === 1 && col("eval_id") < 20000 &&
-          size(col("_toks")) >= 14)
-        .select(col("eval_id"),
-          concat_ws(" ", slice(col("_toks"), 3, 12)).as("eval_text"))
       graft.operators.Decontaminate
-        .contaminationReport(d, "doc_id", "text", evals, "eval_text", n = 8)
+        .contaminationReport(d, "doc_id", "text", sx71EvalFixture(d),
+          "eval_text", n = 8)
         .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("sum_hits"))
     }),
 

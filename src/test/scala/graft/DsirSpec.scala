@@ -19,8 +19,8 @@ class DsirSpec extends SparkSpec {
 
   test("fit: hand-derived micro-grid log-ratios (add-one, K+1 buckets)") {
     val m = Dsir.fit(target, raw, "text", k = 2)
-      .orderBy("tok").as[(String, Long)].collect()
-    m shouldBe Array(
+    m.featN shouldBe 1
+    m.feats.sortBy(_._1) shouldBe Seq(
       (Dsir.Oov, -980829L), ("a", 405465L), ("b", 405465L))
   }
 
@@ -61,16 +61,13 @@ class DsirSpec extends SparkSpec {
     // lr(a a) = lr(a b) = ln2−ln5−ln2+ln7 = ln(7/5)  → 336472
     // lr(oov) = ln1−ln5−ln3+ln7 = ln(7/15)           → −762140
     val m = Dsir.fit(target, raw, "text", k = 2, featN = 2)
-      .orderBy("tok").as[(String, Long)].collect()
-    m shouldBe Array(
+    m.featN shouldBe 2 // rides the model: fit/score n-gram mismatch unrepresentable
+    m.feats.sortBy(_._1) shouldBe Seq(
       (Dsir.Oov, -762140L), ("a a", 336472L), ("a b", 336472L))
-    val sc = Dsir.score(raw, "doc_id", "text", m2df(m), featN = 2)
+    val sc = Dsir.score(raw, "doc_id", "text", m)
       .orderBy("doc_id").as[(Long, Long, Long)].collect()
     sc shouldBe Array((1L, 2L, 672944L), (2L, 2L, -1524280L))
   }
-
-  private def m2df(m: Array[(String, Long)]) =
-    m.toSeq.toDF("tok", "lr_micro")
 
   test("target enrichment on the sf corpus: selected set skews to lang='en'") {
     val d = Tables(spark, sf, "documents")
