@@ -2549,6 +2549,41 @@ object PipelineQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }),
 
+    // STREAMING DSIR scoring against a STANDING model (the st17
+    // standing-asset pattern): model fit once on the planted
+    // target/raw pair (lr: a=b=405465, oov=−980829 — DsirSpec derives
+    // it), then two micro-batches score at ingest.
+    // b0: doc 1 "a a b" → 2·405465+405465 = 1216395; doc 3 all-OOV
+    // → 3·−980829. b1: doc 2 "a b z" → 405465+405465−980829 =
+    // −169899; doc 4 "b" → 405465.
+    "st18_streaming_dsir" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val out = graft.TempDirs.path("sink/st18")
+        val target = Seq((1L, "a a b")).toDF("doc_id", "text")
+        val raw = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
+        val model = Dsir.fit(target, raw, "text", k = 2)
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.Windows.streamingDsirScore(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)(
+          graft.streaming.Windows.idempotentParquetSink(out))
+        try {
+          in.addData((1L, "a a b"), (3L, "one two three"))
+          q.processAllAvailable()
+          in.addData((2L, "a b z"), (4L, "b"))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(out)
+          .select(col("batch_id").cast("long").as("batch"), col("doc_id"),
+            col("n_tokens"), col("logw_micro"))
+          .orderBy("batch", "doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }),
+
     // ---- Hard-negative mining (DPR/SBERT contrastive training data):
     // per anchor, the most-similar corpus vectors with a DIFFERENT
     // label. One corpus scan serves every anchor; label filter fused
@@ -3942,6 +3977,15 @@ object PipelineQueries {
            (1, 2, 1),
            (1, 4, 0)
          ) AS t(batch, doc_id, n_eval_hits) ORDER BY batch, doc_id""",
+    "st18_streaming_dsir" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+            CAST(1216395 AS BIGINT)),
+           (0, 3, 3, -2942487),
+           (1, 2, 3, -169899),
+           (1, 4, 1, 405465)
+         ) AS t(batch, doc_id, n_tokens, logw_micro)
+         ORDER BY batch, doc_id""",
     "pl8_curation_pipeline" ->
       """WITH d0 AS (SELECT doc_id, lang,
               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,

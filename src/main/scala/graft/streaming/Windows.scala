@@ -556,6 +556,28 @@ object Windows {
     def unpersist(): Unit = { evalGrams.unpersist(); () }
   }
 
+  /** STREAMING DSIR scoring — rank ingest documents against a STANDING
+    * fitted importance model ([[graft.operators.Dsir.Model]] — K+1
+    * rows of plain driver state riding the closure, no per-batch
+    * refit): every micro-batch gets (idCol, n_tokens, logw_micro)
+    * appended by the same one-explode + broadcast-join + integer-sum
+    * pass the batch path uses, so a quality-gate sink can route or
+    * weight documents AT INGEST. The model's feature order travels
+    * inside it — a fit/serve n-gram mismatch is unrepresentable. */
+  def streamingDsirScore(stream: DataFrame, idCol: String, textCol: String,
+                         model: graft.operators.Dsir.Model)
+                        (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // batch enters twice (scoring scan + attach-back join)
+      val cached = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sink(cached.join(
+        broadcast(graft.operators.Dsir.score(cached, idCol, textCol, model)),
+        Seq(idCol), "left"), batchId)
+      finally cached.unpersist(blocking = false)
+    }.start()
+
   /** STREAMING benchmark decontamination — the st11 standing-dictionary
     * pattern applied to [[graft.operators.Decontaminate]]: an ingest
     * stream is screened per micro-batch against a STATIC eval/benchmark

@@ -81,6 +81,27 @@ class DsirSpec extends SparkSpec {
     enFrac should be > baseFrac
   }
 
+  test("streaming twin: per-batch scoring matches the batch score") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val m = Dsir.fit(target, raw, "text", k = 2)
+    val out = TempDirs.path("sink/dsir-spec")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingDsirScore(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", m)(
+      graft.streaming.Windows.idempotentParquetSink(out))
+    try {
+      in.addData(raw.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "logw_micro")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val batch = Dsir.score(raw, "doc_id", "text", m)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    streamed shouldBe batch
+  }
+
   test("score plan: model joins broadcast; no shuffle join") {
     val m = Dsir.fit(target, raw, "text", k = 2)
     val p = Dsir.score(raw, "doc_id", "text", m)
