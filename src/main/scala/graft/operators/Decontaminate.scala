@@ -181,9 +181,17 @@ object Decontaminate {
     val egById = evals
       .select(col(evalIdCol), explode(grams(col(evalTextCol), n)).as("gram"))
       .distinct()
+    // the structure that actually BROADCASTS below is the (eval id,
+    // gram) PAIR table — larger than the distinct-gram set when grams
+    // recur across eval rows — so the loud guard covers it directly,
+    // same knob, before the distinct-gram screen sizing
+    val nPairs = egById.count()
+    require(nPairs <= maxEvalNgrams,
+      s"eval set produced $nPairs (eval id, n-gram) pairs > " +
+        s"maxEvalNgrams=$maxEvalNgrams; evalLeakage broadcasts the " +
+        "pair table — raise the cap only if executors hold it")
     // guard + sketch via the shared screen builder, sized on DISTINCT
-    // grams (what the bloom actually inserts); the (id, gram) broadcast
-    // below is bounded by the same small-eval-side premise
+    // grams (what the bloom actually inserts)
     val probe = buildScreen(egById.select(col("gram")).distinct(), fpp,
       maxEvalNgrams)
     val cands = docs

@@ -138,7 +138,12 @@ object Dsir {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nt = ct.map(_._2).sum
     val nr = cr.values.sum
-    val buckets = k + 1
+    // smoothing denominator = the ACTUAL bucket count (vocab rows +
+    // OOV), not the requested k+1: a target with fewer than k distinct
+    // features would otherwise overstate the bucket count and the
+    // smoothed probabilities would no longer sum to 1 over real
+    // buckets. Equal to k+1 whenever the vocabulary fills.
+    val buckets = ct.length
     // HALF_UP on the micro grid — the same rounding Spark's round()
     // expression and DuckDB's round() apply, so the collected model is
     // bit-equal to the previous expression-built one
@@ -173,18 +178,26 @@ object Dsir {
     scored.orderBy(col("logw_micro").desc, col(idCol).asc).limit(n)
 
   /** Gumbel noise for (id, seed) on the micro grid: u ∈ (0,1) from a
-    * Knuth multiplicative hash (pure integer arithmetic — exactly
-    * reproducible in any engine), g = −ln(−ln u). The hash is
-    * ANSI-overflow-safe: (id mod M)·2654435761 + seed ≤ 5.7e18 < 2⁶³. */
+    * three-round integer hash (affine → quadratic → affine, pure
+    * integer arithmetic — exactly reproducible in any engine),
+    * g = −ln(−ln u). The quadratic round h → h² + h (mod M) breaks the
+    * affine lattice a single Knuth step leaves (consecutive ids would
+    * otherwise receive constant-increment uniforms mod 1); the result
+    * is deterministic pseudo-noise adequate for reproducible
+    * resampling, NOT i.i.d. randomness. Every intermediate is
+    * ANSI-overflow-safe: (M−1)² + (M−1) ≈ 4.6e18 and
+    * (M−1)·2654435761 + seed' ≈ 5.7e18, both < 2⁶³. */
   private val M = 2147483647L // 2^31 − 1
   def gumbelMicro(id: Column, seed: Long): Column = {
-    // seed folded into [0, M) on the driver, so the executor-side sum
-    // (M−1)·2654435761 + seed' stays < 2⁶³ for EVERY caller seed —
-    // the raw seed would overflow ANSI arithmetic above ~3.5e18
+    // seed folded into [0, M) on the driver, so the executor-side sums
+    // stay < 2⁶³ for EVERY caller seed — the raw seed would overflow
+    // ANSI arithmetic above ~3.5e18
     val seedM = ((seed % M) + M) % M
-    val h = pmod(pmod(id.cast("long"), lit(M)) * lit(2654435761L)
+    val h1 = pmod(pmod(id.cast("long"), lit(M)) * lit(2654435761L)
       + lit(seedM), lit(M))
-    val u = (h + 1.0) / (M + 2.0) // strictly inside (0,1)
+    val h2 = pmod(h1 * h1 + h1, lit(M))
+    val h3 = pmod(h2 * lit(2246822519L) + lit(seedM), lit(M))
+    val u = (h3 + 1.0) / (M + 2.0) // strictly inside (0,1)
     round(-log(-log(u)) * 1e6).cast("long")
   }
 

@@ -95,21 +95,39 @@ object HardNegatives {
     * neg_sim, neg_rank) — the single most-similar positive paired with
     * each of the k hardest negatives (rank 1 = hardest). Anchors with
     * no same-label neighbor produce no triplet (nothing to contrast).
-    * Both sides come from the same one-scan mining pass shape; the
-    * final join is anchor-keyed and broadcast-sized. */
+    *
+    * ONE corpus scan serves both polarities: each scored row carries
+    * its label polarity and feeds a [[TwoPoleTopK]] two-buffer
+    * aggregator (pos top-1, neg top-k) per anchor — the previous
+    * two-`mineWith` form re-scanned the corpus for each side, 2× the
+    * dominant IO. Ranks fall out of the aggregator's best-first
+    * finish; the triplet rows assemble in the same flatMap, so there
+    * is no post-aggregation join at all. */
   def triplets(corpus: DataFrame, idCol: String, vecCol: String,
                labelCol: String, anchors: DataFrame, aidCol: String,
                avecCol: String, alabelCol: String, k: Int): DataFrame = {
-    val pos = mineWith(corpus, idCol, vecCol, labelCol, anchors,
-        aidCol, avecCol, alabelCol, k = 1, sameLabel = true,
-        ranked = false)
-      .select(col("anchor_id"), col(idCol).as("pos_id"),
-        col("sim").as("pos_sim"))
-    val neg = mineWith(corpus, idCol, vecCol, labelCol, anchors,
-        aidCol, avecCol, alabelCol, k, sameLabel = false, ranked = true)
-      .select(col("anchor_id"), col(idCol).as("neg_id"),
-        col("sim").as("neg_sim"), col("rank").as("neg_rank"))
-    pos.join(neg, "anchor_id")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val isPos = col(labelCol) === col("_albl")
+    val scored = corpus
+      .crossJoin(anchorSide(anchors, aidCol, avecCol, alabelCol))
+      // positives exclude self; every different-label row qualifies
+      .filter(!isPos || col(idCol).cast("long") =!= col("_aid"))
+      .select(col("_aid").as("qid"), col(idCol).cast("long").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_avec")).as("sim"),
+        isPos.as("pos"))
+      .as[PolarScored]
+    scored.groupByKey(_.qid)
+      .agg(new TwoPoleTopK(posK = 1, negK = k).toColumn.name("hits"))
+      .flatMap { case (qid, (pos, neg)) =>
+        pos.headOption.toSeq.flatMap { p =>
+          neg.iterator.zipWithIndex.map { case (h, i) =>
+            (qid, p.id, p.sim, h.id, h.sim, i + 1)
+          }
+        }
+      }
+      .toDF("anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim",
+        "neg_rank")
       .orderBy("anchor_id", "neg_rank")
   }
 

@@ -52,12 +52,12 @@ object TopKByScore {
 
   /** Index of the worst held entry: lowest score, ties to the LARGER
     * id (the first evicted among equals, keeping smaller ids). */
-  private def worst(b: Buf): Int = {
+  private def worst(ids: Array[Long], scores: Array[Double], n: Int): Int = {
     var w = 0
     var i = 1
-    while (i < b.n) {
-      if (b.scores(i) < b.scores(w) ||
-        (b.scores(i) == b.scores(w) && b.ids(i) > b.ids(w))) w = i
+    while (i < n) {
+      if (scores(i) < scores(w) ||
+        (scores(i) == scores(w) && ids(i) > ids(w))) w = i
       i += 1
     }
     w
@@ -75,13 +75,23 @@ object TopKByScore {
       ids(b.n) = id
       sc(b.n) = score
       Buf(ids, sc, b.n + 1, -1)
-    } else {
-      val w = if (b.wIdx >= 0) b.wIdx else worst(b)
+    } else if (b.wIdx >= 0) {
+      // hot path: worst already cached — a reject is one compare and
+      // returns the SAME Buf (zero allocation per rejected row)
+      val w = b.wIdx
       if (score > b.scores(w) || (score == b.scores(w) && id < b.ids(w))) {
         b.ids(w) = id
         b.scores(w) = score
         // the replaced slot may no longer be the worst — recompute
-        Buf(b.ids, b.scores, b.n, worst(Buf(b.ids, b.scores, b.n, -1)))
+        Buf(b.ids, b.scores, b.n, worst(b.ids, b.scores, b.n))
+      } else b
+    } else {
+      // worst unknown: compute once and allocate ONE Buf caching it
+      val w = worst(b.ids, b.scores, b.n)
+      if (score > b.scores(w) || (score == b.scores(w) && id < b.ids(w))) {
+        b.ids(w) = id
+        b.scores(w) = score
+        Buf(b.ids, b.scores, b.n, worst(b.ids, b.scores, b.n))
       } else Buf(b.ids, b.scores, b.n, w)
     }
 
@@ -123,3 +133,46 @@ case class QueryScored(qid: Long, id: Long, sim: Double)
 
 /** One ranked hit of a batched top-k result. */
 case class TopHit(id: Long, sim: Double)
+
+/** A scored candidate carrying its label POLARITY relative to the
+  * anchor (pos = same label). The triplet-mining value type — polarity
+  * rides the row so ONE corpus scan feeds both buffers. */
+case class PolarScored(qid: Long, id: Long, sim: Double, pos: Boolean)
+
+/** Two [[TopKByScore]] buffers in one Aggregator — top-`posK`
+  * same-label hits AND top-`negK` different-label hits per group, fed
+  * by polarity-tagged rows from a SINGLE pass. This is what lets
+  * [[HardNegatives.triplets]] mine positives and negatives in one
+  * corpus scan: two separate `mineWith` calls would each re-scan the
+  * corpus (two branches of an unpersisted plan re-execute upstream),
+  * doubling the dominant IO at scale. Same per-buffer bounds and
+  * (sim desc, id asc) ordering as the single-pole aggregator — the
+  * shuffle carries at most posK + negK entries per group × partition. */
+class TwoPoleTopK(posK: Int, negK: Int)
+    extends Aggregator[PolarScored, TwoPoleTopK.Buf2,
+      (Seq[TopHit], Seq[TopHit])] {
+  import TopKByScore.Buf
+  import TwoPoleTopK.Buf2
+  require(posK > 0 && negK > 0, "posK and negK must be > 0")
+
+  private def emptyBuf = Buf(new Array[Long](0), new Array[Double](0), 0, -1)
+  override def zero: Buf2 = Buf2(emptyBuf, emptyBuf)
+  override def reduce(b: Buf2, v: PolarScored): Buf2 =
+    if (v.pos) Buf2(TopKByScore.insert(b.pos, v.id, v.sim, posK), b.neg)
+    else Buf2(b.pos, TopKByScore.insert(b.neg, v.id, v.sim, negK))
+  override def merge(a: Buf2, b: Buf2): Buf2 =
+    Buf2(TopKByScore.mergeBufs(a.pos, b.pos, posK),
+      TopKByScore.mergeBufs(a.neg, b.neg, negK))
+  override def finish(b: Buf2): (Seq[TopHit], Seq[TopHit]) =
+    (TopKByScore.finishSorted(b.pos), TopKByScore.finishSorted(b.neg))
+
+  override def bufferEncoder: Encoder[Buf2] = Encoders.product[Buf2]
+  override def outputEncoder: Encoder[(Seq[TopHit], Seq[TopHit])] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Seq[TopHit], Seq[TopHit])]()
+}
+
+object TwoPoleTopK {
+  /** Positive-pole and negative-pole buffers, side by side. */
+  case class Buf2(pos: TopKByScore.Buf, neg: TopKByScore.Buf)
+}

@@ -3962,13 +3962,17 @@ object PipelineQueries {
                         ORDER BY logw_micro DESC, doc_id LIMIT 50)
          ORDER BY doc_id""",
     "ds3_dsir_gumbel" ->
-      s"""$dsOracleCtes
+      s"""$dsOracleCtes,
+         hs AS (SELECT doc_id, n_tokens, logw_micro,
+                  ((doc_id % 2147483647) * 2654435761 + 7) % 2147483647 AS h1
+                FROM scored),
+         hs2 AS (SELECT *, (h1 * h1 + h1) % 2147483647 AS h2 FROM hs),
+         hs3 AS (SELECT *, (h2 * 2246822519 + 7) % 2147483647 AS h3 FROM hs2)
          SELECT * FROM (
            SELECT doc_id, n_tokens, logw_micro,
                   logw_micro + CAST(round(-ln(-ln(
-                    (((doc_id % 2147483647) * 2654435761 + 7) % 2147483647
-                      + 1.0) / 2147483649.0)) * 1e6) AS BIGINT) AS key_micro
-           FROM scored ORDER BY key_micro DESC, doc_id LIMIT 50)
+                    (h3 + 1.0) / 2147483649.0)) * 1e6) AS BIGINT) AS key_micro
+           FROM hs3 ORDER BY key_micro DESC, doc_id LIMIT 50)
          ORDER BY doc_id""",
     "st17_streaming_decontam" ->
       """SELECT * FROM (VALUES
@@ -4020,9 +4024,11 @@ object PipelineQueries {
                           ELSE chr(1) || 'oov' END AS tok FROM rtok),
        model AS (SELECT v.tok,
               CAST(round((ln(coalesce(tc.c, 0) + 1)
-                          - ln((SELECT count(*) FROM ttok) + 31)
+                          - ln((SELECT count(*) FROM ttok)
+                               + (SELECT count(*) FROM vocp))
                           - ln(coalesce(rc.c, 0) + 1)
-                          + ln((SELECT count(*) FROM rtok) + 31)) * 1e6)
+                          + ln((SELECT count(*) FROM rtok)
+                               + (SELECT count(*) FROM vocp))) * 1e6)
                    AS BIGINT) AS lr_micro
             FROM vocp v
             LEFT JOIN (SELECT tok, count(*) AS c FROM tb GROUP BY 1) tc
@@ -4120,9 +4126,11 @@ object PipelineQueries {
                           ELSE chr(1) || 'oov' END AS tok FROM rtok),
        model AS (SELECT v.tok,
               CAST(round((ln(coalesce(tc.c, 0) + 1)
-                          - ln((SELECT count(*) FROM ttok) + 31)
+                          - ln((SELECT count(*) FROM ttok)
+                               + (SELECT count(*) FROM vocp))
                           - ln(coalesce(rc.c, 0) + 1)
-                          + ln((SELECT count(*) FROM rtok) + 31)) * 1e6)
+                          + ln((SELECT count(*) FROM rtok)
+                               + (SELECT count(*) FROM vocp))) * 1e6)
                    AS BIGINT) AS lr_micro
             FROM vocp v
             LEFT JOIN (SELECT tok, count(*) AS c FROM tb GROUP BY 1) tc

@@ -612,21 +612,30 @@ object Windows {
     val probe = Decontaminate.buildScreen(eg0, fpp, maxEvalNgrams)
     val eg = eg0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      // the batch enters twice (probe scan + tag-back join): persist so
-      // a file/Kafka-backed source is read once per trigger (the
-      // in-file foreachBatch convention)
-      val cached = batch.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val hits = Decontaminate.hitsAgainst(
-          cached, idCol, textCol, eg, probe, n)
-        val tagged = cached.join(broadcast(hits), Seq(idCol), "left")
-          .withColumn("n_eval_hits", coalesce(col("n_hits"), lit(0L)))
-          .drop("n_hits")
-        sink(tagged, batchId)
-      } finally cached.unpersist(blocking = false)
-    }.start()
+    // start() itself can throw (bad checkpoint dir, sink setup); the
+    // caller then never receives the DecontaminateStream handle, so
+    // release the cached gram table before rethrowing
+    val q = try {
+      stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch enters twice (probe scan + tag-back join): persist
+        // so a file/Kafka-backed source is read once per trigger (the
+        // in-file foreachBatch convention)
+        val cached = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val hits = Decontaminate.hitsAgainst(
+            cached, idCol, textCol, eg, probe, n)
+          val tagged = cached.join(broadcast(hits), Seq(idCol), "left")
+            .withColumn("n_eval_hits", coalesce(col("n_hits"), lit(0L)))
+            .drop("n_hits")
+          sink(tagged, batchId)
+        } finally cached.unpersist(blocking = false)
+      }.start()
+    } catch {
+      case t: Throwable =>
+        eg.unpersist(blocking = false)
+        throw t
+    }
     DecontaminateStream(q, eg)
   }
 }

@@ -24,6 +24,18 @@ class DsirSpec extends SparkSpec {
       (Dsir.Oov, -980829L), ("a", 405465L), ("b", 405465L))
   }
 
+  test("fit: under-filled vocab smooths over ACTUAL buckets, not k+1") {
+    // target "a a a" has ONE distinct token; k=5 must not inflate the
+    // smoothing denominator to 6 — real buckets are {a, oov} = 2.
+    // Nt=3, Nr=5:  lr(a)  = ln4 − ln5 − ln4 + ln7 = ln(7/5) → 336472
+    //              lr(oov)= ln1 − ln5 − ln3 + ln7 = ln(7/15) → −762140
+    val t = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val r = Seq((1L, "a a a"), (2L, "c c")).toDF("doc_id", "text")
+    val m = Dsir.fit(t, r, "text", k = 5)
+    m.feats.sortBy(_._1) shouldBe Seq(
+      (Dsir.Oov, -762140L), ("a", 336472L))
+  }
+
   test("score: exact integer sums; OOV tokens take the OOV ratio") {
     val m = Dsir.fit(target, raw, "text", k = 2)
     val s = Dsir.score(raw, "doc_id", "text", m)

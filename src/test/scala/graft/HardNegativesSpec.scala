@@ -96,6 +96,17 @@ class HardNegativesSpec extends SparkSpec {
     e.getMessage should include("shortlist")
   }
 
+  test("triplets: ONE corpus scan serves both polarities (plan pin)") {
+    // corpus from parquet, anchors in-memory — every "Scan parquet" in
+    // the plan IS a corpus scan. The two-mineWith form scanned twice.
+    val d = Tables(spark, sf, "embeddings")
+    val anchors = embs.filter(col("vec_id") === 0)
+    val p = HardNegatives.triplets(d, "vec_id", "embedding", "label",
+        anchors, "vec_id", "embedding", "label", k = 2)
+      .queryExecution.executedPlan.toString
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
   test("plan shape: anchor side broadcasts; no shuffle join in mineExact") {
     val anchors = embs.filter(col("vec_id") === 0)
     val p = HardNegatives.mineExact(embs, "vec_id", "embedding", "label",
