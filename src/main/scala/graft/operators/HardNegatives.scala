@@ -131,6 +131,116 @@ object HardNegatives {
       .orderBy("anchor_id", "neg_rank")
   }
 
+  /** AUTO-SIZED serving path: exact hard negatives at IVF cost with NO
+    * recall knob to mis-set. The static `nProbe` of [[mineShortlisted]]
+    * is a trap (the bench gauge measured recall 0.492 at the cheap
+    * setting — silently soft negatives); here the probe depth derives
+    * from the data per anchor, with a GEOMETRIC CERTIFICATE instead of
+    * a hope:
+    *
+    *  1. One bounded pass records each cell's angular radius θ_c =
+    *     arccos(min member-to-centroid cosine) — at scale an
+    *     index-build artifact next to the centroids themselves.
+    *  2. Phase 1 probes each anchor's `initProbe` nearest cells and
+    *     takes the running k-th negative similarity s_k.
+    *  3. Any unprobed cell can only beat s_k if its best-possible
+    *     member similarity bound(a,c) = cos(max(0, ∠(a,μ_c) − θ_c))
+    *     (spherical triangle inequality) reaches s_k — phase 2 probes
+    *     exactly those cells and only for the anchors that need them.
+    *
+    * Rows in never-probed cells satisfy sim ≤ bound < s_k, so the
+    * final top-k EQUALS [[mineExact]] — recall 1.0 by construction,
+    * gauged per round next to the probed-cell fraction it actually
+    * paid. Anchors whose probed cells can't fill k slots (label
+    * starvation) get the sentinel threshold −2, escalating them to a
+    * full probe rather than silently under-filling. Driver state is
+    * the nCells radii; both phases are cell-join-pruned corpus scans
+    * and the phase-1 reduction is the bounded [[TopKByScore]]. */
+  def mineAuto(corpus: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, anchors: DataFrame, aidCol: String,
+               avecCol: String, alabelCol: String, k: Int,
+               cents: Seq[Seq[Double]], initProbe: Int = 2): DataFrame =
+    mineAutoWithDiag(corpus, idCol, vecCol, labelCol, anchors, aidCol,
+      avecCol, alabelCol, k, cents, initProbe)._1
+
+  /** [[mineAuto]] plus its probed (anchor, cell) pair table — the
+    * diagnostic the probe-fraction gauge records. */
+  private[graft] def mineAutoWithDiag(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, anchors: DataFrame, aidCol: String,
+      avecCol: String, alabelCol: String, k: Int, cents: Seq[Seq[Double]],
+      initProbe: Int): (DataFrame, DataFrame) = {
+    require(cents.size >= 2, "mineAuto needs at least 2 cells")
+    require(initProbe >= 1 && initProbe <= cents.size,
+      s"initProbe=$initProbe outside 1..${cents.size}")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withCell = corpus
+      .withColumn("_cell", Ann.nearestCell(col(vecCol), cents))
+    // cell angular radii: one bounded aggregate (cos to the ASSIGNED
+    // cell = max cos over cells, since assignment is cosine-nearest)
+    val cosOwn = greatest(cents.map(c =>
+      V.cosineSimilarityNative(col(vecCol), typedLit(c))): _*)
+    val theta: Map[Int, Double] = withCell
+      .groupBy(col("_cell")).agg(min(cosOwn).as("m")).collect()
+      .map(r => r.getAs[Number]("_cell").intValue() ->
+        math.acos(math.max(-1.0, math.min(1.0,
+          r.getAs[Number]("m").doubleValue())))).toMap
+    // anchors × cells (bounded): per-cell anchor-centroid cosine, the
+    // probe rank, and the certificate bound
+    val cellArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("c"),
+        V.cosineSimilarityNative(col("_qvec"), typedLit(c)).as("cosac"),
+        lit(theta.getOrElse(i, 0.0)).as("theta"))
+    }: _*)
+    val ex = anchors
+      .select(col(aidCol).cast("long").as("_qid"), col(avecCol).as("_qvec"),
+        col(alabelCol).as("_albl"))
+      .select(col("_qid"), col("_qvec"), col("_albl"),
+        explode(cellArr).as("e"))
+      .select(col("_qid"), col("_qvec"), col("_albl"),
+        col("e.c").as("_probe_cell"), col("e.cosac").as("_cosac"),
+        col("e.theta").as("_theta"))
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_qid")
+          .orderBy(col("_cosac").desc, col("_probe_cell").desc)))
+      .withColumn("_bound", cos(greatest(lit(0.0),
+        acos(least(greatest(col("_cosac"), lit(-1.0)), lit(1.0)))
+          - col("_theta"))))
+    def scoreCells(pairs: DataFrame) = withCell
+      .join(broadcast(pairs.select(col("_qid"), col("_qvec"), col("_albl"),
+        col("_probe_cell"))), col("_cell") === col("_probe_cell"))
+      .filter(col(labelCol) =!= col("_albl"))
+      .select(col("_qid").as("qid"), col(idCol).cast("long").as("id"),
+        V.cosineSimilarityNative(col(vecCol), col("_qvec")).as("sim"))
+      .as[QueryScored]
+    val p1 = ex.filter(col("_rank") <= initProbe)
+    // phase-1 hits + per-anchor running threshold, MATERIALIZED once
+    // (bounded: anchors × k rows) — both consumers below reuse it
+    val agg1 = scoreCells(p1).groupByKey(_.qid)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .map { case (qid, hits) =>
+        (qid, hits, if (hits.size >= k) hits.last.sim else -2.0)
+      }
+      .localCheckpoint()
+    val thr = agg1.map { case (q, _, s) => (q, s) }.toDF("_tqid", "_sk")
+    // escalation: unprobed cells whose certificate can still beat s_k;
+    // anchors with NO phase-1 group (starved) coalesce to the sentinel
+    val p2 = ex.filter(col("_rank") > initProbe)
+      .join(broadcast(thr), col("_qid") === col("_tqid"), "left")
+      .filter(col("_bound") >= coalesce(col("_sk"), lit(-2.0)))
+    val flat1 = agg1.flatMap { case (q, hits, _) =>
+      hits.map(h => QueryScored(q, h.id, h.sim))
+    }
+    val out = flat1.union(scoreCells(p2)).groupByKey(_.qid)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.sim)) }
+      .toDF("anchor_id", idCol, "sim")
+      .orderBy("anchor_id", idCol)
+    val probedPairs = p1.select(col("_qid"), col("_probe_cell"))
+      .union(p2.select(col("_qid"), col("_probe_cell")))
+    (out, probedPairs)
+  }
+
   /** IVF-pruned mining for corpus scale: each anchor scores only its
     * nProbe nearest cells ([[Ann.ivfSearchBatch]]) down to a
     * `shortlist`-sized candidate set, labels join on the (tiny)

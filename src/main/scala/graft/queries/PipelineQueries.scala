@@ -2469,6 +2469,58 @@ object PipelineQueries {
         .orderBy("eval_id")
     }),
 
+    // DC4 — the composition Decontaminate's scaladoc promises:
+    // contamination screening feeding the GOVERNED delete. The corpus
+    // lives in a snapshot table (four doc_id-range batches plus one
+    // PLANTED clean batch whose key range sits above every real id);
+    // contaminatedIds screens the governed read, the doomed-id table
+    // persists (deleteMatching consumes it for key-bound pruning, the
+    // find-affected scan, AND the anti-join fold — an unpersisted plan
+    // would re-run the whole bloom+confirm pipeline three times), and
+    // the COW delete erases the rows. The def REQUIREs the erasure
+    // accounting (every contaminated id matched, found batches only)
+    // and that the clean batch was PRUNED from the rewrite by its zone
+    // maps — at 100 TB that pruning is what makes benchmark removal a
+    // metadata-scale operation instead of a corpus rewrite.
+    "dc4_decontaminate_governed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = graft.TempDirs.path(
+        s"snapshot/dc4-${java.util.UUID.randomUUID()}")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val width = maxId / 4 + 1
+      d.filter(col("doc_id") < width).write.parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      (1 to 3).foreach { i =>
+        Snapshot.stagedAppend(s, path, i.toLong) {
+          d.filter(col("doc_id") >= i * width &&
+              col("doc_id") < (i + 1) * width)
+            .write.mode("overwrite").parquet(s"$path/batch_id=$i")
+        }
+      }
+      // the clean batch: ids above every real doc; each row is one
+      // under-length gram of row-unique tokens — no 8-gram collision
+      Snapshot.stagedAppend(s, path, 4L) {
+        (1 to 3).map(i => (maxId + 1000L + i, s"zzclean${i}a zzclean${i}b"))
+          .toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$path/batch_id=4")
+      }
+      val gov = Snapshot.read(s, path).select(col("doc_id"), col("text"))
+      val bad = Decontaminate.contaminatedIds(gov, "doc_id", "text",
+        dcEvalFixture(d), "eval_text", n = 8).persist()
+      try {
+        val nBad = bad.count()
+        val stats = Snapshot.deleteMatching(s, path, bad, Seq("doc_id"))
+        require(nBad > 0 && stats.matched == nBad,
+          s"governed decontamination erased ${stats.matched} of $nBad")
+        require(stats.rewrittenBatches.nonEmpty &&
+            !stats.rewrittenBatches.contains(4L),
+          s"clean batch must be pruned from the COW fold: $stats")
+      } finally bad.unpersist(blocking = false)
+      Snapshot.read(s, path).select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- DSIR importance resampling (Xie et al. 2023): score every
     // doc by its bag-of-words log-likelihood ratio under target
     // (lang='en') vs raw models over a top-30 target vocabulary + OOV
@@ -2650,6 +2702,23 @@ object PipelineQueries {
       HardNegatives.mineShortlisted(e, "vec_id", "embedding", "label",
           anchors, "vec_id", "embedding", "label", k = 5, dim = EmbDim,
           cents = cents, nProbe = 8, shortlist = 100000)
+        .select(col("anchor_id"), col("vec_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("anchor_id", "vec_id")
+    }),
+
+    // The AUTO-SIZED serving path: no nProbe/shortlist knobs — phase-1
+    // probe + per-anchor certificate escalation. The answer is EXACT by
+    // the spherical-triangle bound, so hn1's oracle derivation gates it
+    // at hn1's own anchors (the ann11→ann9 convention).
+    "hn4_auto_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") % 50 === 0)
+      val cents = Ann.trainIvfCells(e, "vec_id", "embedding", EmbDim,
+        nCells = 8, iters = 5)
+      HardNegatives.mineAuto(e, "vec_id", "embedding", "label",
+          anchors, "vec_id", "embedding", "label", k = 5, cents = cents,
+          initProbe = 2)
         .select(col("anchor_id"), col("vec_id"),
           round(col("sim"), 4).as("sim"))
         .orderBy("anchor_id", "vec_id")
@@ -3950,6 +4019,18 @@ object PipelineQueries {
          SELECT eval_id, CAST(count(DISTINCT dg.doc_id) AS BIGINT) AS n_docs
          FROM egid JOIN dg USING (gram)
          GROUP BY eval_id ORDER BY eval_id""",
+    // survivors of the governed erase = dc2's clean set plus the three
+    // planted clean-batch rows (ids max+1001..1003, never contaminated)
+    "dc4_decontaminate_governed" ->
+      s"""$dcOracleCtes
+         SELECT doc_id FROM (
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN
+             (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram))
+           UNION ALL
+           SELECT (SELECT max(doc_id) FROM documents) + 1000 + i AS doc_id
+           FROM (SELECT unnest(generate_series(1, 3)) AS i))
+         ORDER BY doc_id""",
     "ds1_importance_weights" ->
       s"""$dsOracleCtes
          SELECT doc_id, n_tokens, logw_micro FROM scored ORDER BY doc_id""",
@@ -4048,6 +4129,9 @@ object PipelineQueries {
     // hn3 is hn1's derivation at the %100 anchors: full probe +
     // covering shortlist makes the IVF path lossless (ann12 convention)
     "hn3_shortlisted" -> hnTopKOracle(anchorMod = 100, k = 5),
+    // hn4 is exact by its escalation certificate — same derivation as
+    // hn1 at hn1's anchors
+    "hn4_auto_negatives" -> hnTopKOracle(anchorMod = 50, k = 5),
     "hn2_triplets" ->
       s"""WITH a AS (SELECT vec_id AS anchor_id,
                 CAST(embedding AS DOUBLE[]) AS av, label AS albl

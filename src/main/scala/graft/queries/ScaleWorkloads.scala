@@ -406,6 +406,22 @@ object ScaleWorkloads {
         nProbe = nProbe, shortlist = 200))
       math.rint((exact & lossy).size.toDouble / exact.size * 1000) / 1000
     }
+    // --- the AUTO-SIZED path: recall must read 1.0 (certificate), and
+    // the probed-cell fraction records what that exactness cost — the
+    // honest replacement for copying a static nProbe off the bench ---
+    val cents = trainedCents(s, dir)
+    val (auto, probed) = HardNegatives.mineAutoWithDiag(e, "vec_id",
+      "embedding", "label", anchors, "vec_id", "embedding", "label",
+      k = 10, cents = cents, initProbe = 2)
+    val autoRecall = {
+      val got = pairs(auto)
+      math.rint((exact & got).size.toDouble / exact.size * 1000) / 1000
+    }
+    val probeFrac = {
+      val nAnchors = anchors.count().toDouble
+      math.rint(probed.count().toDouble /
+        (nAnchors * cents.size) * 1000) / 1000
+    }
     Map(
       "decontam_screen_frac" -> math.rint(screened / nDocs * 10000) / 10000,
       "decontam_confirmed_frac" ->
@@ -414,7 +430,9 @@ object ScaleWorkloads {
         math.rint(selEn / nSel / baseEn * 1000) / 1000,
       "hard_negative_recall_nprobe_2" -> recallAt(2),
       "hard_negative_recall_nprobe_4" -> recallAt(4),
-      "hard_negative_recall_nprobe_8" -> recallAt(8))
+      "hard_negative_recall_nprobe_8" -> recallAt(8),
+      "hard_negative_auto_recall" -> autoRecall,
+      "hard_negative_auto_probe_frac" -> probeFrac)
   }
 
 

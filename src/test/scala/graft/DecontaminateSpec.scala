@@ -111,6 +111,48 @@ class DecontaminateSpec extends SparkSpec {
       .map { case (id, _) => (id, rep.getOrElse(id, 0L)) }.sorted
   }
 
+  test("decontaminate → governed delete: contaminated ids erase COW; " +
+    "only affected batches rewrite, clean batch files untouched") {
+    import graft.operators.Snapshot
+    import org.apache.hadoop.fs.Path
+    val path = TempDirs.path(
+      s"decontam/gov-${java.util.UUID.randomUUID()}")
+    // batch 0 holds contaminated doc 1; batch 1 contaminated doc 4;
+    // batch 2 is clean AND its id range [100,101] sits above the
+    // doomed keys' bounds — zone maps must keep it out of the fold
+    Seq((1L, "a b c d e f g h x1"), (2L, "m n o p q r s t u"))
+      .toDF("doc_id", "text").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq((3L, "aa bb cc dd"), (4L, "z a b c d e f g h"))
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$path/batch_id=1")
+    }
+    Snapshot.stagedAppend(spark, path, 2L) {
+      Seq((100L, "zzcleana zzcleanb"), (101L, "zzcleanc zzcleand"))
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$path/batch_id=2")
+    }
+    val evals = Seq("a b c d e f g h").toDF("eval_text")
+    val gov = Snapshot.read(spark, path).select(col("doc_id"), col("text"))
+    val bad = Decontaminate.contaminatedIds(
+      gov, "doc_id", "text", evals, "eval_text", n = 8).persist()
+    try {
+      bad.as[Long].collect().sorted shouldBe Array(1L, 4L)
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def cleanFiles = fs.listStatus(new Path(path, "batch_id=2"))
+        .map(f => (f.getPath.toString, f.getModificationTime)).toSet
+      val before = cleanFiles
+      val st = Snapshot.deleteMatching(spark, path, bad, Seq("doc_id"))
+      st.matched shouldBe 2L
+      st.rewrittenBatches shouldBe Seq(0L, 1L) // batch 2 pruned
+      cleanFiles shouldBe before // physically untouched
+      Snapshot.read(spark, path).select("doc_id").as[Long]
+        .collect().sorted shouldBe Array(2L, 3L, 100L, 101L)
+    } finally bad.unpersist(blocking = false)
+  }
+
   test("plan shape: confirm and removal joins broadcast (no shuffle join)") {
     val rep = Decontaminate
       .contaminationReport(corpus, "doc_id", "text", evals, "eval_text", n = 8)

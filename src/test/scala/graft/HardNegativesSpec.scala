@@ -96,6 +96,41 @@ class HardNegativesSpec extends SparkSpec {
     e.getMessage should include("shortlist")
   }
 
+  test("mineAuto: certificate escalation equals mineExact with no knobs") {
+    val d = Tables(spark, sf, "embeddings")
+    val anchors = d.filter(col("vec_id") % 20 === 0)
+    val cents = Ann.trainIvfCells(d, "vec_id", "embedding",
+      graft.queries.PipelineQueries.EmbDim, nCells = 4, iters = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("anchor_id"), col("vec_id"), round(col("sim"), 6))
+      .as[(Long, Long, Double)].collect().sorted
+    val exact = rows(HardNegatives.mineExact(d, "vec_id", "embedding",
+      "label", anchors, "vec_id", "embedding", "label", k = 5))
+    // initProbe=1 stresses the escalation: most of the answer must
+    // come from certificate-triggered phase-2 cells
+    val auto = rows(HardNegatives.mineAuto(d, "vec_id", "embedding",
+      "label", anchors, "vec_id", "embedding", "label", k = 5,
+      cents = cents, initProbe = 1))
+    auto shouldBe exact
+  }
+
+  test("mineAuto: label starvation escalates to a full probe") {
+    // anchor's own cell is pure label-0; the ONLY negative lives in
+    // the far cell. Phase 1 (initProbe=1) finds nothing → sentinel
+    // threshold → phase 2 probes everything → the negative surfaces.
+    val data = Seq(
+      (0L, v(1, 0), 0), (1L, v(0.99, 0.1), 0), (2L, v(0.98, 0.05), 0),
+      (3L, v(0, 1), 1)).toDF("vec_id", "embedding", "label")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val anchors = data.filter(col("vec_id") === 0)
+    val (res, probed) = HardNegatives.mineAutoWithDiag(data, "vec_id",
+      "embedding", "label", anchors, "vec_id", "embedding", "label",
+      k = 2, cents = cents, initProbe = 1)
+    res.select(col("anchor_id"), col("vec_id"), round(col("sim"), 3))
+      .as[(Long, Long, Double)].collect() shouldBe Array((0L, 3L, 0.0))
+    probed.count() shouldBe 2L // both cells paid — loudly, not silently
+  }
+
   test("triplets: ONE corpus scan serves both polarities (plan pin)") {
     // corpus from parquet, anchors in-memory — every "Scan parquet" in
     // the plan IS a corpus scan. The two-mineWith form scanned twice.

@@ -826,13 +826,56 @@ class StreamingSpec extends SparkSpec {
       // identical union: every commit's insert exactly once
       seen.sorted.toSeq shouldBe (0L to 19L).map(i => (i + 1, i)).sorted
     } finally src.stop()
-    // the byte budget has no meaning for commit diffs — loud, not
-    // silently ignored
-    an[IllegalArgumentException] should be thrownBy
-      new graft.sources.SnapshotChangesSource(
-        spark, path, earliest = true,
-        metadataPath = TempDirs.path(s"cdfadm/m2-${java.util.UUID.randomUUID()}"),
-        admission = graft.sources.Admission(None, Some(1024L)))
+  }
+
+  test("change feed byte budget: maxBytesPerTrigger splits a fat-commit " +
+    "replay by diff cost, one commit per trigger; union identical " +
+    "(VERDICT r18 missing #2)") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Snapshot
+    val path = TempDirs.path(s"cdfbytes/${java.util.UUID.randomUUID()}")
+    Seq((0L, "a")).toDF("id", "v").write.parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // v1
+    (1L to 3L).foreach { b =>
+      Snapshot.stagedAppend(spark, path, b) {
+        Seq((b, s"v$b")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$path/batch_id=$b")
+      }
+    } // v4: a 4-commit history, maxBatchesPerTrigger alone would
+      // admit them all — the byte cap must split the window instead
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val smallest = (0L to 3L).map(b => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$path/batch_id=$b")).getLength).min
+    val src = new graft.sources.SnapshotChangesSource(
+      spark, path, earliest = true,
+      metadataPath = TempDirs.path(s"cdfbytes/meta-${java.util.UUID.randomUUID()}"),
+      admission = graft.sources.Admission(None, Some(smallest)))
+    try {
+      var start: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var triggers = 0
+      var done = false
+      while (!done && triggers < 8) {
+        val end = src.getOffset.get
+        if (start.exists(_.json == end.json)) done = true
+        else {
+          val df = org.apache.spark.sql.graftbridge.ColumnBridge.asBatch(
+            src.getBatch(start, end))
+          val versions = df.select("_commit_version", "id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          // each commit's diff dir meets the budget alone → one
+          // commit per micro-batch
+          versions.map(_._1).distinct.length shouldBe 1
+          seen ++= versions
+          start = Some(end)
+          triggers += 1
+        }
+      }
+      triggers shouldBe 4
+      seen.sorted.toSeq shouldBe (0L to 3L).map(i => (i + 1, i)).sorted
+    } finally src.stop()
   }
 
   test("governedSink lineage guard: the same query drains behind-head " +
