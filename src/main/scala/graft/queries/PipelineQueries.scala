@@ -518,21 +518,11 @@ object PipelineQueries {
       import graft.operators.Mixing
       val docs = t(s, dir, "documents")
         .withColumn("toks", T.tokenCount(col("text")).cast("long"))
-      def weightOf(src: String): Double = {
-        // the oracle CASTs the suffix and lands in a CASE arm — any
-        // naming drift must fail HERE, loudly, not diverge silently
-        val k = src.drop(3).toIntOption
-        require(src.startsWith("src") && k.exists(_ >= 0),
-          s"unexpected source name '$src' (oracle derives weights from srcK)")
-        k.get % 4 match {
-          case 0 => 1.0; case 1 => 2.0; case 2 => 6.0; case _ => 8.0
-        }
-      }
       val avail = docs.groupBy(col("source"))
         .agg(sum(col("toks")).cast("long").as("avail"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val budget = math.floor(0.5 * avail.values.sum.toDouble).toLong
-      val weights = avail.keys.map(src => src -> weightOf(src)).toMap
+      val weights = avail.keys.map(src => src -> mixWeightOf(src)).toMap
       val plan = Mixing.tokenBudgetSample(docs, "doc_id", "source", "toks",
         weights, budget, seed = 7L, redistribute = false,
         precomputedAvail = Some(avail))
@@ -1742,16 +1732,16 @@ object PipelineQueries {
       try {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
-      val textIdx = graft.TempDirs.path("minhash-index/st5")
-      val embIdx = graft.TempDirs.path("embedding-index/st5")
+      // the standing SEED indexes build once per JVM and each rep
+      // CLONES the few-KB dirs ([[st5FreshIndexes]]): the workload's
+      // own scaladoc says its bench cost is the micro-batch ENGINE
+      // overhead, and index construction is dd12/dd13's separately-
+      // benched cost — ~3 s of per-rep setup that drowned the number
+      // the st5 bar actually tracks
+      val (textIdx, embIdx) = st5FreshIndexes(s)
       val out = graft.TempDirs.path("sink/st5")
-      val seedText = "unrelated corpus seed document with entirely distinct words"
+      val seedText = St5SeedText
       val base = "the quick brown fox jumps over the lazy dog tonight again and again"
-      Dedup.buildMinhashIndex(Seq(1L -> seedText).toDF("doc_id", "text"),
-        "doc_id", "text", textIdx)
-      Dedup.buildEmbeddingIndex(
-        Seq((1L, v(2, 1, 0, 0, 0, 0, 0, 0))).toDF("doc_id", "vec"),
-        "doc_id", "vec", 8, embIdx)
       val in = MemoryStream[(Long, String, Seq[Float])]
       // compactEvery = None HERE: compacting every 2 micro-batches on
       // an 8-document demo is maintenance tax no operational trigger
@@ -2563,6 +2553,37 @@ object PipelineQueries {
       Dsir.score(d, "doc_id", "text", model).orderBy("doc_id")
     }),
 
+    // DS5 — the paper's actual END USE: select THEN mix. DSIR picks
+    // the 200 most target-like docs, and THAT set (not the raw corpus)
+    // feeds the token-budget mixer — availability, weights, budget and
+    // the capped rates all recompute over the selected distribution.
+    // The selected set localCheckpoints at the stage boundary (the pl8
+    // discipline: avail + the sampling gate consume it twice). toks
+    // rides DSIR's own n_tokens so both stages share one tokenization.
+    "ds5_dsir_then_mix" -> ((s, dir) => {
+      import graft.operators.{Dsir, Mixing}
+      val d = t(s, dir, "documents")
+      val model = Dsir.fit(d.filter(col("lang") === "en"), d, "text", k = 30)
+      val sel = Dsir.selectTopK(
+          Dsir.score(d, "doc_id", "text", model), "doc_id", 200)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("toks", col("n_tokens"))
+        .localCheckpoint()
+      val avail = sel.groupBy(col("source"))
+        .agg(sum(col("toks")).cast("long").as("avail"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budget = math.floor(0.5 * avail.values.sum.toDouble).toLong
+      val weights = avail.keys.map(src => src -> mixWeightOf(src)).toMap
+      val plan = Mixing.tokenBudgetSample(sel, "doc_id", "source", "toks",
+        weights, budget, seed = 7L, redistribute = false,
+        precomputedAvail = Some(avail))
+      plan.sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+        .withColumn("rate_ppm",
+          floor(element_at(typedLit(plan.rates), col("source")) * 1e6).cast("long"))
+        .orderBy("source")
+    }),
+
     // STREAMING decontamination (st11's standing-dictionary pattern ×
     // the dc* pipeline): the eval gram table + bloom screen build once
     // at stream start; each micro-batch is tagged with its exact
@@ -2729,6 +2750,56 @@ object PipelineQueries {
     * 3..14) of every 40th document — small, deterministic, and
     * rebuildable in the DuckDB oracle. Token rule mirrors
     * [[Decontaminate]]'s matching normalization exactly. */
+  private val St5SeedText =
+    "unrelated corpus seed document with entirely distinct words"
+
+  /** st5's standing seed indexes, built ONCE per JVM; each call clones
+    * the few-KB dirs to fresh paths so every rep's ingest loop appends
+    * to its own mutable standing indexes. Seed construction is the
+    * dd12/dd13 cost, benched there at sf scale — st5 measures the
+    * LOOP (its st5_overhead_* gauges decompose exactly that), and the
+    * per-rep rebuild was ~3 s of setup noise on top of it. The index
+    * layout is directory-relative (params file, buckets/vectors
+    * subdirs, manifests), so a dir copy is probe-equivalent. */
+  private val st5SeedIdx =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+  private def st5FreshIndexes(s: SparkSession): (String, String) = {
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    if (st5SeedIdx.get() == null) {
+      val t = graft.TempDirs.path("minhash-index/st5-seed")
+      val e = graft.TempDirs.path("embedding-index/st5-seed")
+      Dedup.buildMinhashIndex(Seq(1L -> St5SeedText).toDF("doc_id", "text"),
+        "doc_id", "text", t)
+      Dedup.buildEmbeddingIndex(
+        Seq((1L, v(2, 1, 0, 0, 0, 0, 0, 0))).toDF("doc_id", "vec"),
+        "doc_id", "vec", 8, e)
+      st5SeedIdx.compareAndSet(null, (t, e))
+    }
+    val (bt, be) = st5SeedIdx.get()
+    val id = java.util.UUID.randomUUID()
+    val t2 = graft.TempDirs.path(s"minhash-index/st5-$id")
+    val e2 = graft.TempDirs.path(s"embedding-index/st5-$id")
+    val conf = s.sessionState.newHadoopConf()
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val fs = new HPath(bt).getFileSystem(conf)
+    FileUtil.copy(fs, new HPath(bt), fs, new HPath(t2), false, conf)
+    FileUtil.copy(fs, new HPath(be), fs, new HPath(e2), false, conf)
+    (t2, e2)
+  }
+
+  /** The mixing-weight rule shared by mx1 and ds5: weights derive from
+    * the srcK suffix so the oracle can CAST it into a CASE arm — any
+    * naming drift must fail HERE, loudly, not diverge silently. */
+  private def mixWeightOf(src: String): Double = {
+    val k = src.drop(3).toIntOption
+    require(src.startsWith("src") && k.exists(_ >= 0),
+      s"unexpected source name '$src' (oracle derives weights from srcK)")
+    k.get % 4 match {
+      case 0 => 1.0; case 1 => 2.0; case 2 => 6.0; case _ => 8.0
+    }
+  }
+
   private def dcEvalFixture(docs: DataFrame): DataFrame = {
     val toks = split(T.normalizeForDedup(col("text")), " ")
     docs.select(col("doc_id").as("eval_id"), toks.as("_toks"))
@@ -4055,6 +4126,31 @@ object PipelineQueries {
                     (h3 + 1.0) / 2147483649.0)) * 1e6) AS BIGINT) AS key_micro
            FROM hs3 ORDER BY key_micro DESC, doc_id LIMIT 50)
          ORDER BY doc_id""",
+    // select-then-mix: the ds2 selection (top-200) re-derived, then
+    // mx1's budget arithmetic + idHash gate over the SELECTED set
+    "ds5_dsir_then_mix" ->
+      s"""$dsOracleCtes,
+         sel AS (SELECT s.doc_id, s.n_tokens AS toks, d2.source
+                 FROM (SELECT doc_id, n_tokens FROM scored
+                       ORDER BY logw_micro DESC, doc_id LIMIT 200) s
+                 JOIN documents d2 USING (doc_id)),
+         a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail,
+                CAST(CASE CAST(substr(source, 4) AS INTEGER) % 4
+                     WHEN 0 THEN 1.0 WHEN 1 THEN 2.0
+                     WHEN 2 THEN 6.0 ELSE 8.0 END AS DOUBLE) AS w
+              FROM sel GROUP BY source),
+         t2 AS (SELECT CAST(floor(0.5 * sum(avail)) AS BIGINT) AS budget,
+                       sum(w) AS sumw FROM a),
+         r AS (SELECT source, least(1.0, budget * w / sumw / avail) AS rate
+              FROM a, t2),
+         k AS (SELECT sel.source, sel.toks, r.rate
+               FROM sel JOIN r ON sel.source = r.source
+               WHERE ${graft.operators.Sampling.idHashSql("doc_id", 7)}
+                     < rate * 4294967296.0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(toks) AS BIGINT) AS tokens_kept,
+                CAST(floor(min(rate) * 1e6) AS BIGINT) AS rate_ppm
+         FROM k GROUP BY source ORDER BY source""",
     "st17_streaming_decontam" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),

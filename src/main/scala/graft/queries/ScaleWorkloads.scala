@@ -422,6 +422,32 @@ object ScaleWorkloads {
       math.rint(probed.count().toDouble /
         (nAnchors * cents.size) * 1000) / 1000
     }
+    // Clustered-geometry twin: the (measured isotropic) bench corpus
+    // CORRECTLY degrades to a full probe — probe_frac 1.0 above is the
+    // certificate refusing to lie where no sub-full probe is exact
+    // (the static nProbe=2 knob's 0.492 recall proves the true
+    // negatives really spread across cells). The PRUNING mechanism is
+    // therefore gauged on an arc-planted clustered variant of the same
+    // table (labels at 18° steps, the label-clustered shape real
+    // embedding corpora have): here the spherical bound must cut most
+    // cells while the answer stays certificate-exact.
+    val clusteredProbeFrac = {
+      val arc = e.select(col("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          (when(i === 0, cos(col("label") * math.Pi / 10))
+            .when(i === 1, sin(col("label") * math.Pi / 10))
+            .otherwise(lit(0.0)) + x * lit(0.1)).cast("float"))
+          .as("embedding"))
+      val arcCents = graft.operators.Ann.trainIvfCells(
+        arc, "vec_id", "embedding", EmbDim, nCells = 8, iters = 3)
+      val arcAnchors = arc.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 1000)
+      val (_, probedArc) = HardNegatives.mineAutoWithDiag(arc, "vec_id",
+        "embedding", "label", arcAnchors, "vec_id", "embedding", "label",
+        k = 10, cents = arcCents, initProbe = 2)
+      val nA = arcAnchors.count().toDouble
+      math.rint(probedArc.count().toDouble / (nA * arcCents.size) * 1000) / 1000
+    }
     Map(
       "decontam_screen_frac" -> math.rint(screened / nDocs * 10000) / 10000,
       "decontam_confirmed_frac" ->
@@ -432,7 +458,8 @@ object ScaleWorkloads {
       "hard_negative_recall_nprobe_4" -> recallAt(4),
       "hard_negative_recall_nprobe_8" -> recallAt(8),
       "hard_negative_auto_recall" -> autoRecall,
-      "hard_negative_auto_probe_frac" -> probeFrac)
+      "hard_negative_auto_probe_frac" -> probeFrac,
+      "hard_negative_auto_probe_frac_clustered" -> clusteredProbeFrac)
   }
 
 

@@ -114,6 +114,34 @@ class HardNegativesSpec extends SparkSpec {
     auto shouldBe exact
   }
 
+  test("mineAuto: certificate PRUNES far cells on clustered geometry") {
+    // three tight clusters on the unit circle at 0°/30°/90°, one label
+    // each; the anchor (label 0, at 0°) mines k=2 negatives — all in
+    // the 30° cluster. The 90° cell's bound cos(90°−θ_C) ≈ 0.07 can
+    // never beat s_k = cos(30°), so it is NEVER probed, and the answer
+    // still equals the exact scan.
+    def p(deg: Double, id: Long, lbl: Int) = {
+      val r = math.toRadians(deg)
+      (id, v(math.cos(r), math.sin(r)), lbl)
+    }
+    val data = Seq(
+      p(0, 0, 0), p(2, 1, 0), p(-2, 2, 0),
+      p(30, 10, 1), p(32, 11, 1), p(28, 12, 1),
+      p(90, 20, 2), p(88, 21, 2), p(92, 22, 2))
+      .toDF("vec_id", "embedding", "label")
+    val c30 = math.toRadians(30)
+    val cents = Seq(Seq(1.0, 0.0), Seq(math.cos(c30), math.sin(c30)),
+      Seq(0.0, 1.0))
+    val anchors = data.filter(col("vec_id") === 0)
+    val (res, probed) = HardNegatives.mineAutoWithDiag(data, "vec_id",
+      "embedding", "label", anchors, "vec_id", "embedding", "label",
+      k = 2, cents = cents, initProbe = 2)
+    res.select(col("anchor_id"), col("vec_id"), round(col("sim"), 3))
+      .as[(Long, Long, Double)].collect().sortBy(_._2) shouldBe
+      Array((0L, 10L, 0.866), (0L, 12L, 0.883))
+    probed.count() shouldBe 2L // phase-1 cells only; 90° cell pruned
+  }
+
   test("mineAuto: label starvation escalates to a full probe") {
     // anchor's own cell is pure label-0; the ONLY negative lives in
     // the far cell. Phase 1 (initProbe=1) finds nothing → sentinel

@@ -186,4 +186,47 @@ class IncrementalViewSpec extends SparkSpec {
     IncrementalView.refresh(spark, base, view)
     viewRows(view) shouldBe Seq(("a", 3L, 3L, 7L, 1L))
   }
+
+  test("chained lakehouse: the view's base is ITSELF a governedSink " +
+    "landing table — sink replays and a refresh crash-replay in the " +
+    "middle hop both stay exactly-once (bronze → silver → gold)") {
+    val session = spark
+    import session.implicits._
+    val id = java.util.UUID.randomUUID()
+    val silver = TempDirs.path(s"ivchain/silver-$id")
+    val gold = TempDirs.path(s"ivchain/gold-$id")
+    val sink = graft.streaming.Windows.governedSink(silver)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", s"q-$id")
+    try {
+      def df(rows: (String, Long)*) = rows.toDF("k", "v")
+      sink(df(("a", 1L), ("b", 2L)), 0L)
+      sink(df(("a", 3L)), 1L)
+      IncrementalView.build(spark, silver, gold, Seq("k"), Seq("v"))
+      viewRows(gold) shouldBe Seq(("a", 2L, 2L, 4L, 1L), ("b", 1L, 1L, 2L, 2L))
+      // MIDDLE-HOP crash-replay: the sink re-receives an already-
+      // committed batch id (at-least-once redelivery after a
+      // checkpoint restore) — exactly-once no-op; the silver version
+      // must not move, so the view has nothing to re-apply
+      val vSilver = Snapshot.latestVersion(spark, silver).get
+      sink(df(("a", 999L)), 1L)
+      Snapshot.latestVersion(spark, silver).get shouldBe vSilver
+      IncrementalView.refresh(spark, silver, gold)
+        .refreshedGroups shouldBe 0L
+      viewRows(gold) shouldBe Seq(("a", 2L, 2L, 4L, 1L), ("b", 1L, 1L, 2L, 2L))
+      // a REAL batch lands; the refresh window is exactly its commit
+      sink(df(("b", 5L), ("c", 7L)), 2L)
+      val st = IncrementalView.refresh(spark, silver, gold)
+      (st.refreshedGroups, st.droppedGroups) shouldBe ((2L, 0L))
+      val want = Seq(("a", 2L, 2L, 4L, 1L), ("b", 2L, 2L, 7L, 2L),
+        ("c", 1L, 1L, 7L, 7L))
+      viewRows(gold) shouldBe want
+      // crash between the gold commit and the sync pointer: replaying
+      // the same window converges (no double counting)
+      IncrementalView.rollbackSync(spark, gold, st.fromVersion)
+      IncrementalView.refresh(spark, silver, gold)
+      viewRows(gold) shouldBe want
+      viewRows(gold) shouldBe rebuiltRows(silver)
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
 }
