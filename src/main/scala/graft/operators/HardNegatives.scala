@@ -176,10 +176,17 @@ object HardNegatives {
     import spark.implicits._
     val withCell = corpus
       .withColumn("_cell", Ann.nearestCell(col(vecCol), cents))
-    // cell angular radii: one bounded aggregate (cos to the ASSIGNED
-    // cell = max cos over cells, since assignment is cosine-nearest)
-    val cosOwn = greatest(cents.map(c =>
-      V.cosineSimilarityNative(col(vecCol), typedLit(c))): _*)
+    // cell angular radii: one bounded aggregate. The member-to-own-
+    // centroid cosine indexes the per-cell cos array by the ASSIGNED
+    // id rather than re-deriving it as max-over-cells — assignment
+    // (NearestCellExpr) and cosine run different float paths, and an
+    // ULP disagreement between their argmaxes would UNDERSTATE the
+    // radius (an inflated bound could then prune a cell holding a
+    // true top-k row); indexing by the assignment is exact-or-
+    // conservative by construction
+    val cosOwn = element_at(array(cents.map(c =>
+      V.cosineSimilarityNative(col(vecCol), typedLit(c))): _*),
+      col("_cell") + 1)
     val theta: Map[Int, Double] = withCell
       .groupBy(col("_cell")).agg(min(cosOwn).as("m")).collect()
       .map(r => r.getAs[Number]("_cell").intValue() ->

@@ -888,6 +888,35 @@ object PipelineQueries {
       } finally ppl.unpersist(blocking = false)
     }),
 
+    // QC4 — TRAINED quality classifier (the fastText/NBSVM filter
+    // shape): NB log-count-ratio weights over a top-20 positive-class
+    // vocabulary + OOV, plus the prior-log-odds intercept — closed
+    // form, every weight an exact micro-grid integer, so the DuckDB
+    // oracle re-derives the ENTIRE training run. The supervised label
+    // is the planted 'dup' marker token (doc-frequency ~5% at every
+    // SF — the one learnable minority class this synthetic corpus
+    // has; lang labels share one token distribution and are
+    // UNLEARNABLE from bag-of-words, measured: every honest
+    // classifier collapses to the prior on them).
+    "qc4_quality_classifier" -> ((s, dir) => {
+      import graft.operators.QualityLr
+      val d = t(s, dir, "documents")
+      val model = QualityLr.fit(d, "doc_id", "text", qlrLabel, k = 40)
+      s.createDataFrame(model.weights).toDF("tok", "w_micro")
+        .orderBy("tok")
+    }),
+
+    // QC5 — the classifier as a GATE: per-doc margin (exact integer —
+    // p > 0.5 ⇔ margin > 0, no σ at inference) + the flag decision.
+    "qc5_quality_gate" -> ((s, dir) => {
+      import graft.operators.QualityLr
+      val d = t(s, dir, "documents")
+      val model = QualityLr.fit(d, "doc_id", "text", qlrLabel, k = 40)
+      QualityLr.score(d, "doc_id", "text", model)
+        .withColumn("keep", col("margin_micro") > 0)
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -2750,6 +2779,12 @@ object PipelineQueries {
     * 3..14) of every 40th document — small, deterministic, and
     * rebuildable in the DuckDB oracle. Token rule mirrors
     * [[Decontaminate]]'s matching normalization exactly. */
+  /** The qc4/qc5 supervised label: the doc carries the planted 'dup'
+    * marker TOKEN (exact token match on the normalized split — the
+    * oracle's list_contains twin). */
+  private def qlrLabel: org.apache.spark.sql.Column =
+    array_contains(split(T.normalizeForDedup(col("text")), " "), "dup")
+
   private val St5SeedText =
     "unrelated corpus seed document with entirely distinct words"
 
@@ -2767,8 +2802,12 @@ object PipelineQueries {
     import s.implicits._
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     if (st5SeedIdx.get() == null) {
-      val t = graft.TempDirs.path("minhash-index/st5-seed")
-      val e = graft.TempDirs.path("embedding-index/st5-seed")
+      // UUID seed paths: two racing first callers build DISJOINT seed
+      // dirs and CAS decides whose becomes canonical (the loser's few
+      // KB are orphaned temp files, not a torn shared build)
+      val uid = java.util.UUID.randomUUID()
+      val t = graft.TempDirs.path(s"minhash-index/st5-seed-$uid")
+      val e = graft.TempDirs.path(s"embedding-index/st5-seed-$uid")
       Dedup.buildMinhashIndex(Seq(1L -> St5SeedText).toDF("doc_id", "text"),
         "doc_id", "text", t)
       Dedup.buildEmbeddingIndex(
@@ -3189,6 +3228,19 @@ object PipelineQueries {
                 true AS frac_ok
          FROM (VALUES ('head'), ('middle'), ('tail')) AS b(bucket)
          ORDER BY bucket""",
+    "qc4_quality_classifier" ->
+      s"""${qlrOracleCtes(k = 40)}
+         SELECT tok, w_micro FROM wb ORDER BY tok""",
+    "qc5_quality_gate" ->
+      s"""${qlrOracleCtes(k = 40)},
+         sc AS (SELECT bt.doc_id,
+                  CAST(sum(w.w_micro)
+                       + (SELECT w_micro FROM wb
+                          WHERE tok = chr(1) || 'bias') AS BIGINT)
+                    AS margin_micro
+                FROM bt JOIN w ON w.tok = bt.tok GROUP BY bt.doc_id)
+         SELECT doc_id, margin_micro, margin_micro > 0 AS keep
+         FROM sc ORDER BY doc_id""",
     "vq1_quantize_int8" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(0.015748 AS DOUBLE), CAST(127 AS INTEGER),
@@ -4327,6 +4379,55 @@ object PipelineQueries {
   }
 
   private lazy val dsOracleCtes: String = dsOracleCtesN(1)
+
+  /** Shared CTE prefix for the qc4/qc5 oracles: the closed-form NB
+    * log-count-ratio training run re-derived in SQL — label =
+    * list_contains(toks, 'dup'), top-k positive vocab + OOV, per-class
+    * counts, add-one-smoothed micro-grid ratios over the ACTUAL bucket
+    * count, prior-log-odds intercept. Ends with `wb` = (tok, w_micro)
+    * incl. the bias row, and the bucketed token table `bt`. Mirrors
+    * [[graft.operators.QualityLr.fit]] term for term. */
+  private def qlrOracleCtes(k: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents),
+       dl AS (SELECT doc_id, toks,
+                CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END AS y
+              FROM d),
+       dt AS (SELECT doc_id, y, unnest(toks) AS tok FROM dl),
+       voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM dt
+                                WHERE y = 1 AND tok <> chr(1) || 'oov'
+                                GROUP BY 1)
+               ORDER BY c DESC, tok ASC LIMIT $k),
+       vocp AS (SELECT tok FROM voc UNION ALL SELECT chr(1) || 'oov' AS tok),
+       bt AS (SELECT doc_id, y, CASE WHEN tok IN (SELECT tok FROM voc)
+                                     THEN tok ELSE chr(1) || 'oov' END AS tok
+              FROM dt),
+       cls AS (SELECT tok, y, CAST(count(*) AS BIGINT) AS c
+               FROM bt GROUP BY 1, 2),
+       np AS (SELECT CAST(sum(y) AS BIGINT) AS npos,
+                     CAST(count(*) AS BIGINT) AS n FROM dl),
+       tot AS (SELECT
+           CAST(coalesce(sum(CASE WHEN y = 1 THEN c END), 0) AS BIGINT) AS tpos,
+           CAST(coalesce(sum(CASE WHEN y = 0 THEN c END), 0) AS BIGINT) AS tneg
+         FROM cls),
+       w AS (SELECT v.tok,
+              CAST(round((ln(coalesce(cp.c, 0) + 1)
+                          - ln(tpos + (SELECT count(*) FROM vocp))
+                          - ln(coalesce(cn.c, 0) + 1)
+                          + ln(tneg + (SELECT count(*) FROM vocp))) * 1e6)
+                   AS BIGINT) AS w_micro
+             FROM vocp v
+             LEFT JOIN (SELECT tok, c FROM cls WHERE y = 1) cp
+               ON cp.tok = v.tok
+             LEFT JOIN (SELECT tok, c FROM cls WHERE y = 0) cn
+               ON cn.tok = v.tok, tot),
+       wb AS (SELECT tok, w_micro FROM w
+              UNION ALL
+              SELECT chr(1) || 'bias',
+                     CAST(round(ln(npos * 1.0 / (n - npos)) * 1e6)
+                          AS BIGINT)
+              FROM np)"""
 
   /** Shared CTE prefix for the dc* oracles: normalized tokens, distinct
     * doc 8-grams, the derived eval fixture, and its gram set (with and

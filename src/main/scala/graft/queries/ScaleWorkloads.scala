@@ -231,6 +231,36 @@ object ScaleWorkloads {
       "minhash" -> (() => Map(
         "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir))),
       "curation" -> (() => curationGauges(s, dir)),
+      // the trained classifier must actually SEPARATE its label at sf
+      // scale: precision/recall of the margin>0 gate on the planted
+      // 'dup' marker class (5% prior — the corpus's one learnable
+      // bag-of-words label; the synthetic lang labels share a single
+      // token distribution and any honest classifier sits at their
+      // prior, measured). The gauge pair any lab reads before
+      // trusting a filter.
+      "quality_clf" -> (() => {
+        import graft.operators.QualityLr
+        import graft.functions.{TextFunctions => TF}
+        val d = Tables(s, dir, "documents")
+        val lbl = array_contains(
+          split(TF.normalizeForDedup(col("text")), " "), "dup")
+        val model = QualityLr.fit(d, "doc_id", "text", lbl, k = 40)
+        val row = QualityLr.score(d, "doc_id", "text", model)
+          .join(d.select(col("doc_id"), lbl.as("_y")), "doc_id")
+          .agg(
+            count(when(col("margin_micro") > 0, 1)).as("kept"),
+            count(when(col("margin_micro") > 0 && col("_y"), 1))
+              .as("kept_pos"),
+            count(when(col("_y"), 1)).as("pos")).head()
+        val (kept, keptPos, pos) =
+          (row.getLong(0).toDouble, row.getLong(1).toDouble,
+            row.getLong(2).toDouble)
+        Map(
+          "quality_clf_dup_precision" ->
+            math.rint(keptPos / math.max(kept, 1.0) * 1000) / 1000,
+          "quality_clf_dup_recall" ->
+            math.rint(keptPos / math.max(pos, 1.0) * 1000) / 1000)
+      }),
       // Prefix-filter pruning power at sf scale: fraction of the
       // quadratic pair space the exact Jaccard join verified (1.0
       // would mean the filter bought nothing and the join is

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dsir, QualityLr}
+
+/** NB log-count-ratio quality classifier: hand-derived closed-form
+  * weights, exact-integer margins, the gate, and null-label
+  * semantics. The sf-scale training-run parity is the qc4/qc5 oracle
+  * (DuckDB re-derives the whole closed form). */
+class QualityLrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // d1 (pos) "a a dup"; d2 "a b"; d3 "b b". k=2 → vocab = {a, dup}
+  // (counts 2, 1); buckets B=3. cPos: a=2, dup=1; cNeg: a=1, oov=3;
+  // tPos=3, tNeg=4; nPos=1, n=3.
+  //   w(a)   = ln3 − ln6 − ln2 + ln7 = ln(21/12) → 559616
+  //   w(dup) = ln2 − ln6 − ln1 + ln7 = ln(14/6)  → 847298
+  //   w(oov) = ln1 − ln6 − ln4 + ln7 = ln(7/24)  → −1232144
+  //   bias   = ln(1/2)                            → −693147
+  private def docs = Seq(
+    (1L, "a a dup"), (2L, "a b"), (3L, "b b")).toDF("doc_id", "text")
+  private def lbl = array_contains(split(col("text"), " "), "dup")
+
+  test("fit: hand-derived closed-form log-count-ratio weights") {
+    val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
+    m.weights.sortBy(_._1) shouldBe Seq(
+      (QualityLr.Bias, -693147L), (Dsir.Oov, -1232144L),
+      ("a", 559616L), ("dup", 847298L))
+  }
+
+  test("score is the exact integer NB margin; gate flags margin > 0") {
+    val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
+    QualityLr.score(docs, "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Long)].collect() shouldBe Array(
+      (1L, 1273383L),   // 2·559616 + 847298 − 693147
+      (2L, -1365675L),  // 559616 − 1232144 − 693147
+      (3L, -3157435L))  // 2·(−1232144) − 693147
+    QualityLr.gate(docs, "doc_id", "text", m)
+      .select("doc_id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("NULL label is the negative class, not a poisoned count") {
+    val d = Seq((1L, "a a dup", "x"), (2L, "a b", null), (3L, "b b", null))
+      .toDF("doc_id", "text", "tag")
+    // label via the nullable tag column: NULL → negative, same model
+    val m = QualityLr.fit(d, "doc_id", "text", col("tag") === "x", k = 2)
+    m.weights.sortBy(_._1) shouldBe Seq(
+      (QualityLr.Bias, -693147L), (Dsir.Oov, -1232144L),
+      ("a", 559616L), ("dup", 847298L))
+  }
+
+  test("single-class corpora fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      QualityLr.fit(docs, "doc_id", "text", lit(true), k = 2)
+    }
+    e.getMessage should include("both classes")
+  }
+
+  test("plan shape: scoring joins broadcast; no shuffle join") {
+    val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
+    val p = QualityLr.score(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+}
