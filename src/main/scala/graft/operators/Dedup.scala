@@ -43,6 +43,33 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** QUALITY-AWARE canonicalization: each exact-duplicate cluster
+    * keeps its BEST member — max `quality`, ties to the smaller id —
+    * instead of [[dropExactDups]]'s first-seen convention. This is the
+    * form production dedup actually ships: among N crawls of the same
+    * page, the longest/cleanest copy survives, not whichever arrived
+    * first.
+    *
+    * Scale shape: the winner per cluster is ONE aggregate — max of an
+    * ordered struct keyed by the 32-byte normalization hash (struct
+    * max lowers to SortAggregate with a map-side partial_max,
+    * spec-pinned), so only (hash, quality, id) triples move and
+    * map-side combine collapses dup-heavy partitions before the
+    * shuffle — followed by an id semi-join to recover the full rows.
+    * No window: the window form sorts EVERY row of every cluster
+    * inside a full-width shuffle just to discard all but one. */
+  def keepBestExact(docs: DataFrame, idCol: String, text: Column,
+                    quality: Column): DataFrame = {
+    val winners = docs
+      .select(sha2(T.normalizeForDedup(text), 256).as("_h"),
+        struct(quality.as("q"), (-col(idCol).cast("long")).as("nid"),
+          col(idCol).cast("long").as("id")).as("_cand"))
+      .groupBy(col("_h")).agg(max(col("_cand")).as("_w"))
+      .select(col("_w.id").as("_win_id"))
+    docs.join(winners, col(idCol).cast("long") === col("_win_id"),
+      "left_semi")
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------

@@ -79,6 +79,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DD19 — QUALITY-AWARE canonical dedup: each exact-dup cluster
+    // keeps its BEST member (max n_chars, ties min id) — production
+    // dedup's convention (the longest/cleanest crawl of a page
+    // survives), vs the min-id form. One argmax hash-aggregate, no
+    // window sort.
+    "dd19_canonical_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.keepBestExact(d, "doc_id", col("text"), col("n_chars"))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup PAIRS on the planted corpus: the exact
     // Jaccard values are hand-derivable fractions (27/29, 25/31, 24/32,
     // 1.0 — PlantedFixtures scaladoc), so the VALUES oracle checks the
@@ -564,6 +575,39 @@ object PipelineQueries {
         .withColumn("rate_ppm",
           floor(element_at(typedLit(plan.rates), col("source")) * 1e6).cast("long"))
         .orderBy("source")
+    }),
+
+    // MX3 — CLUSTER-BALANCED mixing (the domain-balanced curation
+    // shape, DoReMi-lite): vectors assign to FIXED one-hot centroids
+    // (the assignment is pure per-row arithmetic the oracle re-derives
+    // — argmax of four components, ties to the HIGHEST index, the
+    // NearestCellExpr convention), then the row budget rebalances
+    // across clusters at planted weights through the same capped-rate
+    // + idHash gate as mx1 — availability per CLUSTER, not source.
+    "mx3_cluster_balance" -> ((s, dir) => {
+      import graft.operators.{Ann, Mixing}
+      val e = t(s, dir, "embeddings")
+      val cents: Seq[Seq[Double]] = (0 until 4).map(i =>
+        Seq.tabulate(EmbDim)(j => if (j == i) 1.0 else 0.0))
+      val clustered = e.select(col("vec_id"),
+          Ann.nearestCell(col("embedding"), cents).cast("string")
+            .as("cluster"))
+        .withColumn("one", lit(1L))
+      val avail = clustered.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("avail"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budget = math.floor(0.5 * avail.values.sum.toDouble).toLong
+      val weights =
+        Map("0" -> 4.0, "1" -> 2.0, "2" -> 1.0, "3" -> 1.0)
+      val plan = Mixing.tokenBudgetSample(clustered, "vec_id", "cluster",
+        "one", weights, budget, seed = 7L, redistribute = false,
+        precomputedAvail = Some(avail))
+      plan.sampled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_kept"))
+        .withColumn("rate_ppm",
+          floor(element_at(typedLit(plan.rates), col("cluster")) * 1e6)
+            .cast("long"))
+        .orderBy("cluster")
     }),
 
     // Generic small-files compaction (Compaction scaladoc): a planted
@@ -3570,6 +3614,40 @@ object PipelineQueries {
       """SELECT doc_id,
                 sha256(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    // cluster = argmax of the first four embedding components (one-hot
+    // centroids make the dot a single component read), ties to the
+    // HIGHEST index — then mx1's budget arithmetic per cluster
+    "mx3_cluster_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+          dd AS (SELECT vec_id, v[1] AS d0, v[2] AS d1, v[3] AS d2,
+                        v[4] AS d3 FROM e),
+          cl AS (SELECT vec_id,
+                   CASE WHEN d3 >= d0 AND d3 >= d1 AND d3 >= d2 THEN '3'
+                        WHEN d2 >= d0 AND d2 >= d1 THEN '2'
+                        WHEN d1 >= d0 THEN '1' ELSE '0' END AS cluster
+                 FROM dd),
+          a AS (SELECT cluster, CAST(count(*) AS BIGINT) AS avail,
+                 CAST(CASE cluster WHEN '0' THEN 4.0 WHEN '1' THEN 2.0
+                      ELSE 1.0 END AS DOUBLE) AS w
+               FROM cl GROUP BY cluster),
+          t2 AS (SELECT CAST(floor(0.5 * sum(avail)) AS BIGINT) AS budget,
+                        sum(w) AS sumw FROM a),
+          r AS (SELECT cluster, least(1.0, budget * w / sumw / avail) AS rate
+               FROM a, t2),
+          k AS (SELECT cl.cluster, r.rate FROM cl JOIN r USING (cluster)
+               WHERE ${graft.operators.Sampling.idHashSql("vec_id", 7)}
+                     < rate * 4294967296.0)
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(floor(min(rate) * 1e6) AS BIGINT) AS rate_ppm
+          FROM k GROUP BY cluster ORDER BY cluster""",
+    "dd19_canonical_dedup" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (
+               PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
     // EXACT cosine over the lossless PQ fixture VALUES: integer
     // components make the trained reconstruction exact, so the PQ
     // path's ADC score must equal true-cosine list math double for

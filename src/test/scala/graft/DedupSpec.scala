@@ -48,6 +48,26 @@ class DedupSpec extends SparkSpec {
     kept.filter(col("doc_id").isin(2, 7, 8)).count() shouldBe 0
   }
 
+  test("keepBestExact: the HIGHEST-quality cluster member survives, " +
+    "ties to min id; the plan is an argmax aggregate, not a window") {
+    val session = spark
+    import session.implicits._
+    val d = Seq(
+      (1L, "The Quick Fox", 9L), (2L, "the  quick   fox", 12L), // cluster: 2 wins on quality
+      (3L, "entirely different", 5L),
+      (4L, "tie text", 7L), (5L, "tie  TEXT", 7L))              // tie: min id 4 wins
+      .toDF("doc_id", "text", "q")
+    val kept = Dedup.keepBestExact(d, "doc_id", col("text"), col("q"))
+    kept.select("doc_id").as[Long].collect().sorted shouldBe
+      Array(2L, 3L, 4L)
+    val p = kept.queryExecution.executedPlan.toString
+    p should not include "Window"
+    // struct-max lowers to SortAggregate WITH a map-side partial_max —
+    // only (hash, quality, id) triples cross the shuffle
+    p should include("SortAggregate")
+    p should include("partial_max")
+  }
+
   test("MinHash-LSH finds every true near-dup pair (recall vs exact Jaccard)") {
     // ground truth: all-pairs exact Jaccard (fine at test scale)
     val sh = corpus.select(col("doc_id").as("gid"),
