@@ -2784,6 +2784,47 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PL9 — the CLASSIFIER-GATED pipeline, exercising this round's new
+    // stages end to end under one oracle: the trained NB gate drops
+    // the flagged (dup-marker) class, canonical dedup keeps each
+    // cluster's highest-quality member, DSIR selects the 100 most
+    // target-like survivors, and the token-budget mixer rebalances the
+    // SELECTED set by source — gate → dedup → select → mix, each stage
+    // boundary a localCheckpoint where the next stage fans out.
+    "pl9_classifier_pipeline" -> ((s, dir) => {
+      import graft.operators.{Dsir, Mixing, QualityLr}
+      val d = t(s, dir, "documents")
+      val cmodel = QualityLr.fit(d, "doc_id", "text", qlrLabel, k = 40)
+      val unflagged = d.join(
+        QualityLr.score(d, "doc_id", "text", cmodel)
+          .filter(col("margin_micro") <= 0).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val clean = Dedup
+        .keepBestExact(unflagged, "doc_id", col("text"), col("n_chars"))
+        .localCheckpoint(true)
+      val dmodel = Dsir.fit(clean.filter(col("lang") === "en"), clean,
+        "text", k = 30)
+      val sel = Dsir.selectTopK(
+          Dsir.score(clean, "doc_id", "text", dmodel), "doc_id", 100)
+        .join(clean.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("toks", col("n_tokens"))
+        .localCheckpoint(true)
+      val avail = sel.groupBy(col("source"))
+        .agg(sum(col("toks")).cast("long").as("avail"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budget = math.floor(0.5 * avail.values.sum.toDouble).toLong
+      val weights = avail.keys.map(src => src -> mixWeightOf(src)).toMap
+      val plan = Mixing.tokenBudgetSample(sel, "doc_id", "source", "toks",
+        weights, budget, seed = 7L, redistribute = false,
+        precomputedAvail = Some(avail))
+      plan.sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+        .withColumn("rate_ppm",
+          floor(element_at(typedLit(plan.rates), col("source")) * 1e6)
+            .cast("long"))
+        .orderBy("source")
+    }),
+
     // The IVF-shortlisted serving path at its LOSSLESS setting (full
     // probe + covering shortlist — the ann12 oracle convention): label
     // attach is map-side (candidates broadcast), result equals the
@@ -4297,6 +4338,79 @@ object PipelineQueries {
            (1, 4, 1, 405465)
          ) AS t(batch, doc_id, n_tokens, logw_micro)
          ORDER BY batch, doc_id""",
+    // pl9: the qc4/qc5 classifier CTEs → margin gate → canonical dedup
+    // → DSIR (suffix-2 CTEs over the survivor set) → mx1's budget
+    // arithmetic per source
+    "pl9_classifier_pipeline" ->
+      s"""${qlrOracleCtes(k = 40)},
+         sc AS (SELECT bt.doc_id,
+                  CAST(sum(w.w_micro)
+                       + (SELECT w_micro FROM wb
+                          WHERE tok = chr(1) || 'bias') AS BIGINT)
+                    AS margin_micro
+                FROM bt JOIN w ON w.tok = bt.tok GROUP BY bt.doc_id),
+         kept AS (SELECT doc_id FROM sc WHERE margin_micro <= 0),
+         kd0 AS (SELECT dx.doc_id, dx.lang, dx.source,
+                   row_number() OVER (
+                     PARTITION BY trim(regexp_replace(lower(dx.text),
+                                                      '\\s+', ' ', 'g'))
+                     ORDER BY dx.n_chars DESC, dx.doc_id) AS rn
+                 FROM documents dx JOIN kept USING (doc_id)),
+         dk AS (SELECT kd0.doc_id, kd0.lang, kd0.source, d.toks
+                FROM kd0 JOIN d ON d.doc_id = kd0.doc_id WHERE kd0.rn = 1),
+         ttok2 AS (SELECT unnest(toks) AS tok FROM dk WHERE lang = 'en'),
+         rtok2 AS (SELECT unnest(toks) AS tok FROM dk),
+         voc2 AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM ttok2
+                                   WHERE tok <> chr(1) || 'oov' GROUP BY 1)
+                  ORDER BY c DESC, tok ASC LIMIT 30),
+         vocp2 AS (SELECT tok FROM voc2
+                   UNION ALL SELECT chr(1) || 'oov' AS tok),
+         tb2 AS (SELECT CASE WHEN tok IN (SELECT tok FROM voc2) THEN tok
+                             ELSE chr(1) || 'oov' END AS tok FROM ttok2),
+         rb2 AS (SELECT CASE WHEN tok IN (SELECT tok FROM voc2) THEN tok
+                             ELSE chr(1) || 'oov' END AS tok FROM rtok2),
+         model2 AS (SELECT v.tok,
+                CAST(round((ln(coalesce(tc.c, 0) + 1)
+                            - ln((SELECT count(*) FROM ttok2)
+                                 + (SELECT count(*) FROM vocp2))
+                            - ln(coalesce(rc.c, 0) + 1)
+                            + ln((SELECT count(*) FROM rtok2)
+                                 + (SELECT count(*) FROM vocp2))) * 1e6)
+                     AS BIGINT) AS lr_micro
+              FROM vocp2 v
+              LEFT JOIN (SELECT tok, count(*) AS c FROM tb2 GROUP BY 1) tc
+                ON tc.tok = v.tok
+              LEFT JOIN (SELECT tok, count(*) AS c FROM rb2 GROUP BY 1) rc
+                ON rc.tok = v.tok),
+         db2 AS (SELECT doc_id, CASE WHEN tok IN (SELECT tok FROM voc2)
+                                     THEN tok
+                                     ELSE chr(1) || 'oov' END AS tok
+                 FROM (SELECT doc_id, unnest(toks) AS tok FROM dk)),
+         scored2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
+                     FROM db2 JOIN model2 m USING (tok) GROUP BY doc_id),
+         sel AS (SELECT s2.doc_id, s2.n_tokens AS toks, dk.source
+                 FROM (SELECT doc_id, n_tokens FROM scored2
+                       ORDER BY logw_micro DESC, doc_id LIMIT 100) s2
+                 JOIN dk USING (doc_id)),
+         am AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail,
+                 CAST(CASE CAST(substr(source, 4) AS INTEGER) % 4
+                      WHEN 0 THEN 1.0 WHEN 1 THEN 2.0
+                      WHEN 2 THEN 6.0 ELSE 8.0 END AS DOUBLE) AS wgt
+               FROM sel GROUP BY source),
+         tm AS (SELECT CAST(floor(0.5 * sum(avail)) AS BIGINT) AS budget,
+                       sum(wgt) AS sumw FROM am),
+         rm AS (SELECT source, least(1.0, budget * wgt / sumw / avail)
+                  AS rate
+               FROM am, tm),
+         km AS (SELECT sel.source, sel.toks, rm.rate
+                FROM sel JOIN rm ON rm.source = sel.source
+                WHERE ${graft.operators.Sampling.idHashSql("doc_id", 7)}
+                      < rate * 4294967296.0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(toks) AS BIGINT) AS tokens_kept,
+                CAST(floor(min(rate) * 1e6) AS BIGINT) AS rate_ppm
+         FROM km GROUP BY source ORDER BY source""",
     "pl8_curation_pipeline" ->
       """WITH d0 AS (SELECT doc_id, lang,
               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
