@@ -2730,6 +2730,42 @@ object PipelineQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }),
 
+    // STREAMING quality gating (the st18 standing-model pattern for
+    // the trained classifier): the NB model fits ONCE on the labeled
+    // seed set (QualityLrSpec's hand-derived fixture — w(a)=559616,
+    // w(dup)=847298, w(oov)=−1232144, bias=−693147), then each ingest
+    // micro-batch is gated by exact integer margins. The VALUES oracle
+    // is hand-derived margin arithmetic per planted doc.
+    "st19_streaming_quality_gate" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.operators.QualityLr
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val out = graft.TempDirs.path("sink/st19")
+        val seed = Seq((1L, "a a dup"), (2L, "a b"), (3L, "b b"))
+          .toDF("doc_id", "text")
+        val model = QualityLr.fit(seed, "doc_id", "text",
+          array_contains(split(col("text"), " "), "dup"), k = 2)
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.Windows.streamingQualityGate(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)(
+          graft.streaming.Windows.idempotentParquetSink(out))
+        try {
+          in.addData((10L, "dup a"), (11L, "b b b"))
+          q.processAllAvailable()
+          in.addData((12L, "a a a"), (13L, "zzz"))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(out)
+          .select(col("batch_id").cast("long").as("batch"), col("doc_id"),
+            col("margin_micro"), col("keep"))
+          .orderBy("batch", "doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }),
+
     // ---- Hard-negative mining (DPR/SBERT contrastive training data):
     // per anchor, the most-similar corpus vectors with a DIFFERENT
     // label. One corpus scan serves every anchor; label filter fused
@@ -4329,6 +4365,18 @@ object PipelineQueries {
            (1, 2, 1),
            (1, 4, 0)
          ) AS t(batch, doc_id, n_eval_hits) ORDER BY batch, doc_id""",
+    // hand-derived margins under the QualityLrSpec fixture weights:
+    // (10) w(dup)+w(a)+bias = 847298+559616−693147; (11) 3·w(oov)+bias;
+    // (12) 3·w(a)+bias; (13) w(oov)+bias
+    "st19_streaming_quality_gate" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(10 AS BIGINT),
+            CAST(713767 AS BIGINT), true),
+           (0, 11, -4389579, false),
+           (1, 12, 985701, true),
+           (1, 13, -1925291, false)
+         ) AS t(batch, doc_id, margin_micro, keep)
+         ORDER BY batch, doc_id""",
     "st18_streaming_dsir" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT),

@@ -578,6 +578,35 @@ object Windows {
       finally cached.unpersist(blocking = false)
     }.start()
 
+  /** STREAMING quality gating — the standing-model pattern applied to
+    * the trained [[graft.operators.QualityLr]] classifier: the model
+    * (K+2 weights of plain driver state riding the closure, no
+    * per-batch refit) gates every ingest micro-batch with the same
+    * one-explode + broadcast-join + exact-integer-margin pass the
+    * batch path uses, so documents are kept or dropped AT INGEST,
+    * before they ever land in the corpus. The sink receives the full
+    * batch with (margin_micro, keep) appended — routing is the sink's
+    * one filter, the quarantine-stream convention. A row whose text
+    * yields no score row (NULL text) gates to keep = false, never to
+    * a silent NULL. */
+  def streamingQualityGate(stream: DataFrame, idCol: String,
+                           textCol: String,
+                           model: graft.operators.QualityLr.Model)
+                          (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // batch enters twice (scoring scan + attach-back join)
+      val cached = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sink(cached.join(
+          broadcast(graft.operators.QualityLr.score(
+            cached, idCol, textCol, model)),
+          Seq(idCol), "left")
+        .withColumn("keep",
+          coalesce(col("margin_micro") > 0, lit(false))), batchId)
+      finally cached.unpersist(blocking = false)
+    }.start()
+
   /** STREAMING benchmark decontamination — the st11 standing-dictionary
     * pattern applied to [[graft.operators.Decontaminate]]: an ingest
     * stream is screened per micro-batch against a STATIC eval/benchmark

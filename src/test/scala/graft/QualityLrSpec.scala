@@ -56,6 +56,28 @@ class QualityLrSpec extends SparkSpec {
     e.getMessage should include("both classes")
   }
 
+  test("streaming twin: per-batch gating matches the batch margins") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
+    val out = TempDirs.path("sink/qlr-spec")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingQualityGate(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", m)(
+      graft.streaming.Windows.idempotentParquetSink(out))
+    try {
+      in.addData(docs.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "margin_micro", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val batch = QualityLr.score(docs, "doc_id", "text", m)
+      .withColumn("keep", col("margin_micro") > 0)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    streamed shouldBe batch
+  }
+
   test("plan shape: scoring joins broadcast; no shuffle join") {
     val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
     val p = QualityLr.score(docs, "doc_id", "text", m)
