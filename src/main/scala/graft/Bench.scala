@@ -163,6 +163,22 @@ object Bench {
   private val ExtCpuContended =
     sys.env.get("SPARK_GRAFT_EXT_CPU_MAX").map(_.toDouble).getOrElse(0.15)
 
+  /** Valid-rep max/min ratio above which the spread self-heal buys
+    * extra reps (when no rep was externally contended — contended
+    * variance already has a named cause in the evidence). 1.5× is the
+    * adjudication bar three verdicts applied by hand. */
+  private val SpreadMax =
+    sys.env.get("SPARK_GRAFT_SPREAD_MAX").map(_.toDouble).getOrElse(1.5)
+
+  /** Spread self-heal floor: queries whose fastest clean rep is under
+    * this many seconds are exempt — at sub-second scale a 2× "spread"
+    * is the ~100-300 ms scheduling-jitter noise floor, not a cost
+    * question anyone adjudicates, and healing it would buy hundreds of
+    * extra reps across the suite for nothing. The verdicts' drift
+    * arguments were all about the multi-second tail. */
+  private val SpreadMinSec =
+    sys.env.get("SPARK_GRAFT_SPREAD_MIN_S").map(_.toDouble).getOrElse(2.0)
+
   /** One evidence record per query, rendered straight to JSON.
     * `warmupS` is the wall of the one UNTIMED warmup execution
     * (ScaleWorkloads.warmupWorkloads) — recorded beside, never inside,
@@ -326,6 +342,30 @@ object Bench {
       while (repTimes.last >= 0 && minRepContended && rep < nReps + 2) {
         System.err.println(f"[bench] $name rerun: fastest rep contended " +
           f"(ext cpu ${repTimes.zip(repExt).filter(_._1 >= 0).minBy(_._1)._2}%.2f)")
+        val (t, e) = oneRep(rep)
+        repTimes += t; repExt += e
+        rep += 1
+      }
+      // SPREAD SELF-HEAL: reps that disagree by more than SpreadMax
+      // with CLEAN ext_cpu on every valid rep are unexplained variance
+      // — the contention heal above can't fire (nothing was
+      // co-scheduled) yet the min is not yet a settled plan cost.
+      // Three consecutive verdicts burned their #1 slot adjudicating
+      // exactly this shape by hand (r17 ann15, r18 drift cluster, r19
+      // sx49); buy up to 2 extra reps so the record self-settles. A
+      // rep that IS contended is excluded from the spread test — its
+      // variance has a named cause already in rep_ext_cpu.
+      def cleanSpread: Double = {
+        val clean = repTimes.zip(repExt)
+          .filter { case (t, e) => t >= 0 && e >= 0 && e <= ExtCpuContended }
+          .map(_._1)
+        if (clean.size < 2 || clean.min < SpreadMinSec) 1.0
+        else clean.max / clean.min
+      }
+      val spreadCap = rep + 2
+      while (repTimes.last >= 0 && cleanSpread > SpreadMax && rep < spreadCap) {
+        System.err.println(f"[bench] $name rerun: clean-rep spread " +
+          f"$cleanSpread%.2fx > $SpreadMax%.2fx with ext cpu clean")
         val (t, e) = oneRep(rep)
         repTimes += t; repExt += e
         rep += 1

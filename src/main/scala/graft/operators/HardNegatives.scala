@@ -111,8 +111,13 @@ object HardNegatives {
     val isPos = col(labelCol) === col("_albl")
     val scored = corpus
       .crossJoin(anchorSide(anchors, aidCol, avecCol, alabelCol))
-      // positives exclude self; every different-label row qualifies
-      .filter(!isPos || col(idCol).cast("long") =!= col("_aid"))
+      // positives exclude self; every different-label row qualifies.
+      // isNotNull guard: an unlabeled row makes isPos NULL, and
+      // NULL || true = true would let it through with an undecidable
+      // polarity (crashing the primitive-Boolean deserializer) — drop
+      // it, as the old two-mineWith form did via its equi-predicates
+      .filter(isPos.isNotNull &&
+        (!isPos || col(idCol).cast("long") =!= col("_aid")))
       .select(col("_aid").as("qid"), col(idCol).cast("long").as("id"),
         V.cosineSimilarityNative(col(vecCol), col("_avec")).as("sim"),
         isPos.as("pos"))
@@ -169,6 +174,45 @@ object HardNegatives {
       vecCol: String, labelCol: String, anchors: DataFrame, aidCol: String,
       avecCol: String, alabelCol: String, k: Int, cents: Seq[Seq[Double]],
       initProbe: Int): (DataFrame, DataFrame) = {
+    val (out, probed, _) = mineAutoCore(corpus, idCol, vecCol, labelCol,
+      anchors, aidCol, avecCol, alabelCol, k, cents, initProbe,
+      maxProbeFrac = 1.0)
+    (out, probed)
+  }
+
+  /** BUDGETED [[mineAuto]]: caps the probed-cell fraction per anchor at
+    * `maxProbeFrac` and REPORTS which anchors lost their certificate
+    * instead of silently paying a full-scan probe on unprunable
+    * geometry (an isotropic corpus certifies every cell — correct, but
+    * at 100 TB the caller must get to CHOOSE between exactness and a
+    * probe budget, with the incompleteness machine-readable either
+    * way). Phase 2's certificate-qualified cells are ranked per anchor
+    * by their bound (most promising first) and cut at the budget;
+    * returns (results, status) where status is one row per anchor —
+    * `certified = true` means every qualifying cell was probed and the
+    * result EQUALS [[mineExact]] for that anchor; `false` means at
+    * least one qualifying cell was cut, so its rows are a lower-recall
+    * shortlist (the gauge pair hard_negative_budget_{recall,frac}
+    * measures what the cut actually cost). maxProbeFrac = 1.0
+    * degenerates to the exact path with every anchor certified. */
+  def mineAutoBudgeted(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, aidCol: String,
+      avecCol: String, alabelCol: String, k: Int, cents: Seq[Seq[Double]],
+      initProbe: Int = 2, maxProbeFrac: Double = 1.0)
+      : (DataFrame, DataFrame) = {
+    val (out, _, status) = mineAutoCore(corpus, idCol, vecCol, labelCol,
+      anchors, aidCol, avecCol, alabelCol, k, cents, initProbe,
+      maxProbeFrac)
+    (out, status)
+  }
+
+  private[graft] def mineAutoCore(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, anchors: DataFrame, aidCol: String,
+      avecCol: String, alabelCol: String, k: Int, cents: Seq[Seq[Double]],
+      initProbe: Int, maxProbeFrac: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(maxProbeFrac > 0.0 && maxProbeFrac <= 1.0,
+      s"maxProbeFrac=$maxProbeFrac outside (0, 1]")
     require(cents.size >= 2, "mineAuto needs at least 2 cells")
     require(initProbe >= 1 && initProbe <= cents.size,
       s"initProbe=$initProbe outside 1..${cents.size}")
@@ -232,9 +276,34 @@ object HardNegatives {
     val thr = agg1.map { case (q, _, s) => (q, s) }.toDF("_tqid", "_sk")
     // escalation: unprobed cells whose certificate can still beat s_k;
     // anchors with NO phase-1 group (starved) coalesce to the sentinel
-    val p2 = ex.filter(col("_rank") > initProbe)
+    val p2q = ex.filter(col("_rank") > initProbe)
       .join(broadcast(thr), col("_qid") === col("_tqid"), "left")
-      .filter(col("_bound") >= coalesce(col("_sk"), lit(-2.0)))
+      // epsilon slack: _bound is a double-rounded acos/cos chain, so a
+      // few-ULP under-rounding near the spherical-triangle equality
+      // case could prune a cell whose true best sim ties/exceeds s_k.
+      // Probing at >= s_k − 1e-9 keeps the certificate conservative
+      // under FP while still pruning essentially everything
+      .filter(col("_bound") >= coalesce(col("_sk"), lit(-2.0)) - lit(1e-9))
+    // probe budget: rank the qualifying cells per anchor by bound
+    // (most promising first — the cells that can move the top-k most)
+    // and cut at maxProbeFrac × nCells total probes counting phase 1.
+    // The window runs over the bounded anchors × cells table, never
+    // the corpus. Anchors with a cut cell are the UNCERTIFIED set —
+    // reported, not silently degraded.
+    val cellBudget = math.max(0,
+      math.floor(maxProbeFrac * cents.size).toInt - initProbe)
+    val (p2, cutAnchors) =
+      if (maxProbeFrac >= 1.0)
+        (p2q, spark.emptyDataset[Long].toDF("_cut_qid"))
+      else {
+        val ranked = p2q.withColumn("_erank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("_qid")
+            .orderBy(col("_bound").desc, col("_probe_cell"))))
+          .localCheckpoint() // both branches below read it once
+        (ranked.filter(col("_erank") <= cellBudget).drop("_erank"),
+          ranked.filter(col("_erank") > cellBudget)
+            .select(col("_qid").as("_cut_qid")).distinct())
+      }
     val flat1 = agg1.flatMap { case (q, hits, _) =>
       hits.map(h => QueryScored(q, h.id, h.sim))
     }
@@ -245,7 +314,16 @@ object HardNegatives {
       .orderBy("anchor_id", idCol)
     val probedPairs = p1.select(col("_qid"), col("_probe_cell"))
       .union(p2.select(col("_qid"), col("_probe_cell")))
-    (out, probedPairs)
+    // per-anchor certificate status: certified anchors got EVERY
+    // qualifying cell probed (result = mineExact for them); anchors in
+    // the cut set are the budget's honest cost report
+    val status = anchors
+      .select(col(aidCol).cast("long").as("anchor_id")).distinct()
+      .join(cutAnchors.withColumn("_cut", lit(true)),
+        col("anchor_id") === col("_cut_qid"), "left")
+      .select(col("anchor_id"),
+        coalesce(!col("_cut"), lit(true)).as("certified"))
+    (out, probedPairs, status)
   }
 
   /** IVF-pruned mining for corpus scale: each anchor scores only its

@@ -158,8 +158,16 @@ class TwoPoleTopK(posK: Int, negK: Int)
   private def emptyBuf = Buf(new Array[Long](0), new Array[Double](0), 0, -1)
   override def zero: Buf2 = Buf2(emptyBuf, emptyBuf)
   override def reduce(b: Buf2, v: PolarScored): Buf2 =
-    if (v.pos) Buf2(TopKByScore.insert(b.pos, v.id, v.sim, posK), b.neg)
-    else Buf2(b.pos, TopKByScore.insert(b.neg, v.id, v.sim, negK))
+    // reference-equal insert result = rejected row: return the Buf2
+    // unchanged so the hot reject path stays zero-allocation (the
+    // single-pole buffer's own guarantee, preserved through the pair)
+    if (v.pos) {
+      val nb = TopKByScore.insert(b.pos, v.id, v.sim, posK)
+      if (nb eq b.pos) b else Buf2(nb, b.neg)
+    } else {
+      val nb = TopKByScore.insert(b.neg, v.id, v.sim, negK)
+      if (nb eq b.neg) b else Buf2(b.pos, nb)
+    }
   override def merge(a: Buf2, b: Buf2): Buf2 =
     Buf2(TopKByScore.mergeBufs(a.pos, b.pos, posK),
       TopKByScore.mergeBufs(a.neg, b.neg, negK))

@@ -284,6 +284,32 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
+    // VARIABLE-LENGTH maximal-repeat spans — the true suffix-array
+    // shape (Lee et al. 2022 ExactSubstr) that dd15's fixed-n windows
+    // approximate, on a fixture where fixed-n provably can't tell the
+    // story: doc 1 holds two OVERLAPPING repeats of DIFFERENT lengths
+    // (r1..r6 shared with doc 2, r4..r10 shared with doc 3 — rep_len
+    // 6 and 7, lengths no fixed n reports) merging into one 10-token
+    // span although no 10-token substring repeats anywhere; doc 4
+    // repeats p1..p5 twice WITHIN itself (distinct-doc window counting
+    // is blind to self-repeats); doc 5 is clean. minLen=4, cap=16.
+    // The oracle re-derives everything brute-force in DuckDB: all
+    // (position, position, length) triples, slice equality, max per
+    // position, coverage explode, gaps-and-islands merge.
+    "dd20_maximal_repeat_spans" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "u1 u2 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 u3"),
+        (2L, "v1 r1 r2 r3 r4 r5 r6 v2"),
+        (3L, "r4 r5 r6 r7 r8 r9 r10 w1 w2"),
+        (4L, "x1 p1 p2 p3 p4 p5 x2 p1 p2 p3 p4 p5 x3"),
+        (5L, "z1 z2 z3 z4 z5"))
+        .toDF("doc_id", "text")
+      graft.operators.MaximalRepeats.repeatSpans(docs, "doc_id", "text",
+          minLen = 4, cap = 16)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Benchmark-contamination sweep on the planted corpus: benchmark =
     // re-keyed copies of cluster representatives 1/4/6 (ids
     // 901/904/906); train = the full planted corpus. At the 0.7 gate
@@ -3109,6 +3135,36 @@ object PipelineQueries {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id
          FROM (VALUES (2), (3), (8)) AS t(doc_id)
          ORDER BY doc_id""",
+    "dd20_maximal_repeat_spans" ->
+      """WITH docs(doc_id, text) AS (VALUES
+           (1, 'u1 u2 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 u3'),
+           (2, 'v1 r1 r2 r3 r4 r5 r6 v2'),
+           (3, 'r4 r5 r6 r7 r8 r9 r10 w1 w2'),
+           (4, 'x1 p1 p2 p3 p4 p5 x2 p1 p2 p3 p4 p5 x3'),
+           (5, 'z1 z2 z3 z4 z5')),
+         t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM docs),
+         pos AS (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks))) AS p
+                 FROM t),
+         lens AS (
+           SELECT a.doc_id AS d, a.p AS p, max(l.l) AS rep_len
+           FROM pos a, pos b, (SELECT unnest(generate_series(4, 16)) AS l) l
+           WHERE NOT (b.doc_id = a.doc_id AND b.p = a.p)
+             AND a.p + l.l - 1 <= len(a.toks)
+             AND b.p + l.l - 1 <= len(b.toks)
+             AND a.toks[a.p : a.p + l.l - 1] = b.toks[b.p : b.p + l.l - 1]
+           GROUP BY 1, 2),
+         cov AS (SELECT DISTINCT d,
+                        p + unnest(generate_series(0, CAST(rep_len AS INT) - 1)) AS tp
+                 FROM lens),
+         runs AS (SELECT d, tp,
+                         tp - row_number() OVER (PARTITION BY d ORDER BY tp) AS r
+                  FROM cov)
+         SELECT CAST(d AS BIGINT) AS doc_id,
+                CAST(min(tp) - 1 AS BIGINT) AS span_start,
+                CAST(count(*) AS BIGINT) AS span_len
+         FROM runs GROUP BY d, r ORDER BY doc_id, span_start""",
     "dd18_exact_jaccard_join" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
                      FROM ${PlantedFixtures.docsValuesSql}),

@@ -560,7 +560,7 @@ object Windows {
     * fitted importance model ([[graft.operators.Dsir.Model]] — K+1
     * rows of plain driver state riding the closure, no per-batch
     * refit): every micro-batch gets (idCol, n_tokens, logw_micro)
-    * appended by the same one-explode + broadcast-join + integer-sum
+    * appended by the same one-explode + model-join + integer-sum
     * pass the batch path uses, so a quality-gate sink can route or
     * weight documents AT INGEST. The model's feature order travels
     * inside it — a fit/serve n-gram mismatch is unrepresentable. */
@@ -572,8 +572,11 @@ object Windows {
       // batch enters twice (scoring scan + attach-back join)
       val cached = batch.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // no broadcast hint: the score side is one row per document in
+      // the micro-batch — a fat ingest batch would blow the broadcast
+      // limit. AQE sizes the attach-back join from the actual batch
       try sink(cached.join(
-        broadcast(graft.operators.Dsir.score(cached, idCol, textCol, model)),
+        graft.operators.Dsir.score(cached, idCol, textCol, model),
         Seq(idCol), "left"), batchId)
       finally cached.unpersist(blocking = false)
     }.start()
@@ -582,8 +585,10 @@ object Windows {
     * the trained [[graft.operators.QualityLr]] classifier: the model
     * (K+2 weights of plain driver state riding the closure, no
     * per-batch refit) gates every ingest micro-batch with the same
-    * one-explode + broadcast-join + exact-integer-margin pass the
-    * batch path uses, so documents are kept or dropped AT INGEST,
+    * fused zero-shuffle exact-integer-margin scoring pass the batch
+    * path uses (the attach-back join is UNHINTED — the score side is
+    * one row per document, so its strategy must scale with the batch),
+    * so documents are kept or dropped AT INGEST,
     * before they ever land in the corpus. The sink receives the full
     * batch with (margin_micro, keep) appended — routing is the sink's
     * one filter, the quarantine-stream convention. A row whose text
@@ -598,9 +603,14 @@ object Windows {
       // batch enters twice (scoring scan + attach-back join)
       val cached = batch.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NO broadcast hint on the attach-back join: the score side is
+      // one row PER DOCUMENT in the micro-batch (not a small hits
+      // subset like the decontaminate path) — hinting it broadcast
+      // would blow the 8GB/512M-row limit on a fat ingest batch. The
+      // planner/AQE picks the strategy from the batch's actual size
       try sink(cached.join(
-          broadcast(graft.operators.QualityLr.score(
-            cached, idCol, textCol, model)),
+          graft.operators.QualityLr.score(
+            cached, idCol, textCol, model),
           Seq(idCol), "left")
         .withColumn("keep",
           coalesce(col("margin_micro") > 0, lit(false))), batchId)

@@ -159,6 +159,41 @@ class HardNegativesSpec extends SparkSpec {
     probed.count() shouldBe 2L // both cells paid — loudly, not silently
   }
 
+  test("mineAutoBudgeted: probe cap cuts cells, incompleteness is REPORTED") {
+    // four single-label cells on the unit circle; the anchor (label 0,
+    // 0°) has negatives at 40°/70°/90°. Phase 1 (initProbe=1) probes
+    // the own cell and starves → every other cell qualifies. At
+    // maxProbeFrac=0.5 the per-anchor budget is floor(0.5·4)−1 = 1
+    // phase-2 cell, so only the best-bound 40° cell is probed: the
+    // result holds just that negative and the anchor is reported
+    // UNCERTIFIED — never a silent full scan, never a silent miss.
+    def p(deg: Double, id: Long, lbl: Int) = {
+      val r = math.toRadians(deg)
+      (id, v(math.cos(r), math.sin(r)), lbl)
+    }
+    val data = Seq(p(0, 0, 0), p(2, 1, 0),
+      p(40, 10, 1), p(70, 20, 1), p(90, 30, 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Seq(0.0, 40.0, 70.0, 90.0).map { deg =>
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val anchors = data.filter(col("vec_id") === 0)
+    val (res, status) = HardNegatives.mineAutoBudgeted(data, "vec_id",
+      "embedding", "label", anchors, "vec_id", "embedding", "label",
+      k = 2, cents = cents, initProbe = 1, maxProbeFrac = 0.5)
+    res.select(col("anchor_id"), col("vec_id"), round(col("sim"), 3))
+      .as[(Long, Long, Double)].collect() shouldBe Array((0L, 10L, 0.766))
+    status.as[(Long, Boolean)].collect() shouldBe Array((0L, false))
+    // full budget degenerates to the exact path, every anchor certified
+    val (resFull, statusFull) = HardNegatives.mineAutoBudgeted(data,
+      "vec_id", "embedding", "label", anchors, "vec_id", "embedding",
+      "label", k = 2, cents = cents, initProbe = 1, maxProbeFrac = 1.0)
+    resFull.select(col("anchor_id"), col("vec_id"), round(col("sim"), 3))
+      .as[(Long, Long, Double)].collect().sortBy(_._2) shouldBe
+      Array((0L, 10L, 0.766), (0L, 20L, 0.342))
+    statusFull.as[(Long, Boolean)].collect() shouldBe Array((0L, true))
+  }
+
   test("triplets: ONE corpus scan serves both polarities (plan pin)") {
     // corpus from parquet, anchors in-memory — every "Scan parquet" in
     // the plan IS a corpus scan. The two-mineWith form scanned twice.
@@ -168,6 +203,40 @@ class HardNegativesSpec extends SparkSpec {
         anchors, "vec_id", "embedding", "label", k = 2)
       .queryExecution.executedPlan.toString
     "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("triplets: NULL-label corpus rows are dropped, not crashed on") {
+    // an unlabeled row makes the polarity predicate NULL; before the
+    // isNotNull guard, NULL || (id =!= aid) = true let it through and
+    // the primitive-Boolean deserializer threw at runtime
+    val withNull = Seq(
+      (0L, v(1, 0), Some(0)), (1L, v(1, 0), Some(0)),
+      (2L, v(1, 0.1), Some(1)), (6L, v(1, 0.05), None))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = withNull.filter(col("vec_id") === 0)
+    val r = HardNegatives.triplets(withNull, "vec_id", "embedding",
+        "label", anchors, "vec_id", "embedding", "label", k = 3)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"))
+      .as[(Long, Long, Long)].collect()
+    // id 6 (cos ≈ .9988, would out-rank 2 if it survived) must be
+    // absent from BOTH polarities
+    r shouldBe Array((0L, 1L, 2L))
+  }
+
+  test("TwoPoleTopK: full-buffer reject returns the SAME Buf2 (zero alloc)") {
+    import graft.operators.{PolarScored, TwoPoleTopK}
+    val agg = new TwoPoleTopK(posK = 1, negK = 1)
+    var b = agg.zero
+    b = agg.reduce(b, PolarScored(0L, 1L, 0.9, pos = true))
+    b = agg.reduce(b, PolarScored(0L, 2L, 0.8, pos = false))
+    // prime the worst-index caches (first full-buffer touch computes
+    // them, allocating once); then rejects must be reference-equal
+    b = agg.reduce(b, PolarScored(0L, 3L, 0.1, pos = true))
+    b = agg.reduce(b, PolarScored(0L, 4L, 0.1, pos = false))
+    val afterPosReject = agg.reduce(b, PolarScored(0L, 5L, 0.2, pos = true))
+    assert(afterPosReject eq b)
+    val afterNegReject = agg.reduce(b, PolarScored(0L, 6L, 0.2, pos = false))
+    assert(afterNegReject eq b)
   }
 
   test("plan shape: anchor side broadcasts; no shuffle join in mineExact") {
