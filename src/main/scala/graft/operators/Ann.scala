@@ -618,6 +618,91 @@ object Ann {
       "n_cells" -> params("n_cells"), "dim" -> params("dim"))
   }
 
+  /** Per-cell OCCUPANCY IMBALANCE of a persisted IVF/IVF-PQ index:
+    * max cell size over mean cell size (mean over the TRAINED cell
+    * count, so emptied cells count — 1.0 = perfectly balanced,
+    * ≈ nCells = everything collapsed into one cell). The standing-index
+    * drift signal: appends assign to FROZEN centroids, so a corpus
+    * whose distribution moves piles rows into few cells — probe cost
+    * and recall both degrade long before anyone re-reads a recall
+    * gauge. One keyed count over the index's own rows; gauged per
+    * round (`ivf_index_imbalance`) next to the recall it predicts. */
+  def ivfCellImbalance(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Double = {
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("n_cells"),
+      s"params/ under $indexPath is not an IVF index record")
+    val counts = Snapshot.read(spark, s"$indexPath/vectors")
+      .groupBy(col("_cell")).agg(count(lit(1)).as("n"))
+      .select(col("n")).collect().map(_.getLong(0))
+    if (counts.isEmpty) 1.0
+    else counts.max / (counts.sum.toDouble / params("n_cells"))
+  }
+
+  /** DRIFT MAINTENANCE for a standing [[buildIvfIndex]] index: retrain
+    * the centroids FROM THE INDEX'S OWN CURRENT ROWS (build + appends
+    * — no corpus re-read, the compaction sourcing convention) and
+    * re-partition every stored vector under the new cells. Appends
+    * keep ingest flowing between rebuilds but assign to frozen
+    * centroids; once the appended mass moves the distribution (gauge:
+    * [[ivfCellImbalance]]), probes split drifted clusters across stale
+    * cell boundaries and nProbe-bounded recall drops — retraining
+    * gives the new mass its own cells (AnnSpec pins the degrade →
+    * restore cycle).
+    *
+    * Same atomicity as [[compactIvfIndex]]: stage vectors AND
+    * centroids under `_maintain_tmp/`, drop the commit marker, swap,
+    * rewrite params LAST — an interrupted swap fails
+    * [[searchIvfIndex]]'s validation loudly instead of probing mixed
+    * old/new state. The rewritten params carry `retrain_version`
+    * (monotone counter, like the codebook registry's versions) so
+    * serving code can detect that cell ids changed meaning. IVF-PQ
+    * indexes refuse loudly: their codes derive from the centroids
+    * (residual) or rotated basis — retrain those via a
+    * [[buildIvfPqIndex]] rebuild so codes and cells move together. */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, idCol: String, vecCol: String,
+                       iters: Int = 3): Unit = {
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("n_cells") && params.contains("dim"),
+      s"params/ under $indexPath is not an IVF index record")
+    require(!params.contains("pq_m"),
+      s"$indexPath is an IVF-PQ index — its codes derive from the " +
+        "centroids; maintain it with a buildIvfPqIndex rebuild instead")
+    val nCells = params("n_cells").toInt
+    val dim = params("dim").toInt
+    val fs = ivfFs(spark, indexPath)
+    val tmp = s"$indexPath/_maintain_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // current contents, deduplicated like compaction (a no-batchId
+    // retry may have double-landed rows); localCheckpoint: retrain
+    // iterates over it AND the rewrite scans it again
+    val rows = Snapshot.read(spark, s"$indexPath/vectors")
+      .drop("batch_id", "_cell").dropDuplicates().localCheckpoint()
+    val cents = trainIvfCells(rows, idCol, vecCol, dim, nCells, iters)
+    rows.withColumn("_cell", nearestCell(col(vecCol), cents))
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$tmp/vectors/batch_id=-1")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    Dedup.clearIndexCommitMarker(spark, indexPath) // probes fail loudly
+    val wasEnabled = Snapshot.isEnabled(spark, s"$indexPath/vectors")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/vectors"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/vectors"),
+      new org.apache.hadoop.fs.Path(s"$indexPath/vectors"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/centroids"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/centroids"),
+      new org.apache.hadoop.fs.Path(s"$indexPath/centroids"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    if (wasEnabled) Snapshot.enable(spark, s"$indexPath/vectors")
+    Dedup.writeIndexParams(spark, indexPath,
+      "n_cells" -> params("n_cells"), "dim" -> params("dim"),
+      "retrain_version" -> (params.getOrElse("retrain_version", 0L) + 1L))
+  }
+
   /** Search a [[buildIvfIndex]] index: pick the nProbe cells whose
     * centroids are nearest the query DRIVER-side (centroids are the
     * only driver state — nCells×dim doubles), then push `_cell IN

@@ -126,4 +126,55 @@ object QualityLr {
       score(docs, idCol, textCol, model).filter(col("margin_micro") > 0)
         .select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** CALIBRATED gate threshold — the production pattern: instead of
+    * gating at margin 0 (p = 0.5), derive the threshold from a
+    * HELD-OUT precision target: the LOWEST margin t such that, among
+    * held-out docs with margin ≥ t, the positive fraction reaches the
+    * target — i.e. maximum recall subject to precision ≥ target.
+    * Deterministic and exact: margins are integer micros, the
+    * precision test is pure integer arithmetic (cp·10⁶ ≥ target·cn),
+    * and the threshold is itself a kept margin — so a DuckDB oracle
+    * re-derives calibration end to end on the micro grid (qc6).
+    * Returns a DRIVER-SIDE SCALAR, the Model-rider shape.
+    *
+    * Shape: one [[score]] pass over the held-out set, then a
+    * cumulative window over its DISTINCT margins — unpartitioned, and
+    * deliberately so: the held-out set is a labeled evaluation sample,
+    * bounded by premise (the [[Dsir.fit]] target-sample convention),
+    * never the corpus. Fails loudly when no threshold reaches the
+    * target (even the single best-margin doc is a false positive) —
+    * a silent fallback would ship an uncalibrated gate. */
+  def calibrateThreshold(held: DataFrame, idCol: String, textCol: String,
+                         label: Column, model: Model,
+                         precisionTargetMicro: Long): Long = {
+    require(precisionTargetMicro > 0 && precisionTargetMicro <= 1000000L,
+      s"precisionTargetMicro=$precisionTargetMicro outside (0, 1e6]")
+    val y = coalesce(label.cast("int"), lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("margin_micro").desc)
+    val best = score(held, idCol, textCol, model)
+      .join(held.select(col(idCol), y.as("_y")), Seq(idCol))
+      .groupBy(col("margin_micro"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).cast("long").as("_p"))
+      .select(col("margin_micro"),
+        sum(col("_n")).over(w).as("_cn"), sum(col("_p")).over(w).as("_cp"))
+      .filter(col("_cp") * lit(1000000L) >=
+        lit(precisionTargetMicro) * col("_cn"))
+      .agg(min(col("margin_micro"))).head()
+    require(!best.isNullAt(0),
+      s"no margin threshold reaches precision " +
+        s"${precisionTargetMicro / 1e6} on the held-out set")
+    best.getLong(0)
+  }
+
+  /** [[gate]] at a calibrated threshold: keep docs with margin ≥ t
+    * (inclusive — the calibrated bound is itself a kept margin by
+    * construction). */
+  def gateAt(docs: DataFrame, idCol: String, textCol: String,
+             model: Model, thresholdMicro: Long): DataFrame =
+    docs.join(
+      score(docs, idCol, textCol, model)
+        .filter(col("margin_micro") >= thresholdMicro).select(col(idCol)),
+      Seq(idCol), "left_semi")
 }

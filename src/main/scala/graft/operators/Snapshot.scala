@@ -174,21 +174,49 @@ object Snapshot {
       case _ => col(f.name)
     }
 
-  /** One-pass min/max of a freshly written batch directory. */
+  /** Reserved stats key carrying the batch's ROW COUNT as a
+    * pseudo-column entry (count as both bounds): it rides the existing
+    * per-batch stats map and its JSON unchanged, is inert for zone-map
+    * pruning ([[mayOverlap]] looks up real query columns only), and
+    * feeds [[graft.plans.ManifestStatsRule]]'s Catalyst statistics so
+    * governed joins pick their strategy from true row counts instead
+    * of compressed file bytes. A data column with this name is
+    * excluded from stats capture rather than clobbering it. */
+  private[graft] val RowsStatKey = "__rows"
+
+  /** Reserved stats-key prefix for a column's NON-NULL row count
+    * (count as both bounds, like [[RowsStatKey]]): what [[readTopK]]'s
+    * skip certificate needs — "every row of batch b' outranks batch
+    * b's best" is only sound counted over rows where the order column
+    * IS a value (min/max ignore nulls; the total row count would
+    * overcount). Inert for pruning, rides the same stats JSON. */
+  private[graft] val NonNullStatPrefix = "__nn_"
+
+  /** One-pass min/max + row count + per-column non-null counts of a
+    * freshly written batch directory (all shares of the same single
+    * aggregate — no extra jobs). Empty batches record no stats at
+    * all, the historical behavior. Columns named like the reserved
+    * `__…` stat keys are excluded from capture rather than clobbering
+    * the bookkeeping. */
   private[operators] def computeBatchStats(spark: SparkSession, path: String,
       batchId: Long): Map[String, (String, String)] = {
     val df = spark.read.parquet(s"$path/batch_id=$batchId")
-    val fields = df.schema.fields.filter(f => statable(f.dataType))
-    if (fields.isEmpty || df.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
-    val aggs = fields.flatMap(f => Seq(
+    val fields = df.schema.fields
+      .filter(f => statable(f.dataType) && !f.name.startsWith("__"))
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, count}
+    val aggs = count(lit(1)).cast("string").as("__n") +: fields.flatMap(f => Seq(
       fmin(statCol(f)).cast("string").as(s"__mn_${f.name}"),
-      fmax(statCol(f)).cast("string").as(s"__mx_${f.name}")))
+      fmax(statCol(f)).cast("string").as(s"__mx_${f.name}"),
+      count(col(f.name)).cast("string").as(s"__nc_${f.name}")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    fields.zipWithIndex.flatMap { case (f, i) =>
-      (Option(row.getString(2 * i)), Option(row.getString(2 * i + 1))) match {
-        case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
-        case _ => None // all-null column: no stat, never pruned
+    val n = row.getString(0)
+    if (n == "0") return Map.empty
+    Map(RowsStatKey -> (n, n)) ++ fields.zipWithIndex.flatMap { case (f, i) =>
+      val nn = row.getString(3 * i + 3)
+      (Option(row.getString(3 * i + 1)), Option(row.getString(3 * i + 2))) match {
+        case (Some(mn), Some(mx)) =>
+          Seq(f.name -> (mn, mx), s"$NonNullStatPrefix${f.name}" -> (nn, nn))
+        case _ => Nil // all-null column: no stat, never pruned
       }
     }.toMap
   }
@@ -659,11 +687,29 @@ object Snapshot {
     require(m.batches.nonEmpty,
       s"manifest v${m.version} of $path lists no live batches — fully " +
         "retired table; re-build or append before reading")
+    val dirs = batchDirs(path, m.batches)
+    // manifest stats → Catalyst statistics: when EVERY batch being
+    // read carries a row count, register (exact dir set → row sum) so
+    // ManifestStatsRule lets the planner pick join strategies from
+    // true row counts instead of compressed file bytes. Metadata-only;
+    // a batch without the stat (pre-row-count lineage) just skips
+    // registration — never a wrong statistic from a partial sum.
+    val rowCounts = m.batches
+      .map(b => m.stats.getOrElse(b, Map.empty).get(RowsStatKey)
+        .flatMap(s => scala.util.Try(s._1.toLong).toOption))
+    if (rowCounts.forall(_.isDefined)) {
+      val conf = spark.sessionState.newHadoopConf()
+      val qualified = dirs.map { d =>
+        val p = new Path(d); p.getFileSystem(conf).makeQualified(p).toString
+      }.toSet
+      graft.plans.ManifestStatsRule.register(qualified,
+        rowCounts.flatten.sum)
+    }
     val rdr = spark.read.option("basePath", path)
     // manifest-governed schema: batches written before a column
     // existed null-fill it; `batch_id` re-appends as partition column
     m.schemaJson.map(j => rdr.schema(structOf(j))).getOrElse(rdr)
-      .parquet(batchDirs(path, m.batches): _*)
+      .parquet(dirs: _*)
   }
 
   /** Logical retention — the manifest edit behind
@@ -1400,7 +1446,11 @@ object Snapshot {
     while (true) {
       val m = latest(spark, path).getOrElse(throw new IllegalStateException(
         s"$path is not snapshot-enabled — zone stats live in the manifest"))
-      val blind = m.batches.filterNot(b => m.stats.get(b).exists(_.nonEmpty))
+      // "blind" includes pre-row-count lineages: a batch with min/max
+      // zone maps but no __rows entry re-aggregates once here, so an
+      // old table upgrades to stats-driven join planning with one call
+      val blind = m.batches.filterNot(b =>
+        m.stats.get(b).exists(st => st.nonEmpty && st.contains(RowsStatKey)))
       blind.filterNot(computed.contains)
         .foreach(b => computed(b) = computeBatchStats(spark, path, b))
       val publishable = blind.map(b => b -> computed(b))
@@ -1433,6 +1483,67 @@ object Snapshot {
       s"$path is not snapshot-enabled — readRanges resolves through manifest stats"))
     val (keep, cond) = screenAll(spark, path, m, ranges)
     readKeepOrEmpty(spark, path, m, keep, cond.get)
+  }
+
+  /** ORDER-BY-LIMIT ZONE-MAP PRUNING — the metadata top-k read: skip
+    * every live batch whose best possible `column` value provably
+    * cannot reach the top `k`, then let `TakeOrderedAndProject` fuse
+    * the order-limit over the survivors. The certificate is
+    * manifest-only and null-safe: batch b is skippable iff the OTHER
+    * batches hold ≥ k rows GUARANTEED to outrank every row of b —
+    * guaranteed means the other batch's WORST stat bound (min for
+    * descending) strictly beats b's BEST (its max), counted over that
+    * batch's NON-NULL rows for the column ([[NonNullStatPrefix]];
+    * min/max ignore nulls, and desc/asc ordering puts nulls last, so
+    * null rows can never outrank a value). Batches missing any needed
+    * stat are always read and never certify — pruning stays an
+    * optimization, exactly the [[readRange]] discipline. Strict
+    * inequality keeps boundary ties readable: if b's max EQUALS the
+    * k-th bound, b's copies of that value are legitimate top-k
+    * candidates and b survives.
+    *
+    * At 100 TB this is the "latest/largest k" dashboard read: on a
+    * time-ordered append lineage the certificate keeps only the last
+    * few batches' files — O(k) IO on a million-batch table, the
+    * TakeOrderedAndProject bound applied to STORAGE instead of the
+    * shuffle. */
+  def readTopK(spark: SparkSession, path: String, column: String, k: Int,
+               ascending: Boolean = false): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val m = latest(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path is not snapshot-enabled — readTopK resolves through manifest stats"))
+    val dt = m.schemaJson.map(j => structOf(j)(column).dataType)
+      .getOrElse(readBatches(spark, path, m).schema(column).dataType)
+    require(statable(dt), s"readTopK needs a numeric/timestamp column; " +
+      s"'$column' is ${dt.simpleString}")
+    def dec(s: String): Option[BigDecimal] =
+      scala.util.Try(BigDecimal(s)).toOption
+    // per batch: (best possible value, worst guaranteed value,
+    // non-null rows) — None on any missing/unparsable stat
+    val info: Seq[(Long, Option[(BigDecimal, BigDecimal, Long)])] =
+      m.batches.map { b =>
+        val st = m.stats.getOrElse(b, Map.empty)
+        val parsed = for {
+          (mnS, mxS) <- st.get(column)
+          mn <- dec(mnS); mx <- dec(mxS)
+          (nnS, _) <- st.get(s"$NonNullStatPrefix$column")
+          nn <- scala.util.Try(nnS.toLong).toOption
+        } yield if (ascending) (mn, mx, nn) else (mx, mn, nn)
+        b -> parsed
+      }
+    def outranks(a: BigDecimal, b: BigDecimal): Boolean =
+      if (ascending) a < b else a > b
+    val keep = info.collect {
+      case (b, None) => b // stat-less: never skipped
+      case (b, Some((best, _, _)))
+          if info.collect {
+            case (b2, Some((_, worst2, nn2))) if b2 != b &&
+              outranks(worst2, best) => nn2
+          }.sum < k => b
+    }
+    readBatches(spark, path, m.copy(batches = keep))
+      .orderBy(if (ascending) col(column).asc else col(column).desc)
+      .limit(k)
   }
 
   /** The metadata-only half of [[readRange]], reusable by readers that

@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BoxPipRewrite)
+    ext.injectOptimizerRule(_ => ManifestStatsRule)
     ext.injectFunction(GraftExtensions.pipDescriptor)
     ext.injectFunction(GraftExtensions.haversineDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)

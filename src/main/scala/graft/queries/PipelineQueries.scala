@@ -987,6 +987,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // QC6 — CALIBRATED gate threshold (the production pattern): the
+    // gate's cut derives from a held-out precision target instead of
+    // the raw margin-0 default — lowest margin whose held-out prefix
+    // precision reaches 0.95, i.e. max recall subject to precision.
+    // Every step lives on the integer micro grid (margins are exact
+    // integer sums, the precision test is cp·10⁶ ≥ 95·10⁴·cn), so the
+    // DuckDB oracle re-derives train → score → calibrate → gate-count
+    // end to end. Held-out = doc_id % 3 = 1.
+    "qc6_calibrated_gate" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.QualityLr
+      val d = t(s, dir, "documents")
+      val model = QualityLr.fit(d, "doc_id", "text", qlrLabel, k = 40)
+      val thr = QualityLr.calibrateThreshold(
+        d.filter(col("doc_id") % 3 === 1), "doc_id", "text", qlrLabel,
+        model, precisionTargetMicro = 950000L)
+      val kept = QualityLr.gateAt(d, "doc_id", "text", model, thr).count()
+      Seq((thr, kept)).toDF("threshold_micro", "n_kept")
+    }),
+
     // Brute-force cosine top-k (exact baseline). Oracle-checked against
     // DuckDB list math in double precision.
     "ann1_brute_topk" -> ((s, dir) => {
@@ -2792,6 +2812,51 @@ object PipelineQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }),
 
+    // ST20 — the CONTINUOUS MEDALLION, gold hop included: bronze
+    // commits stream through the manifest protocol into a governed
+    // silver (st15's hop), and silver's OWN commits stream into a
+    // standing IncrementalView refresh (Windows.streamingGoldRefresh)
+    // — bronze→silver→gold fully continuous, no scheduled refresh
+    // anywhere. The result reads the GOLD view's aggregate totals
+    // after two bronze commits flow the whole way; exactly-once across
+    // replays/crashes in the gold hop is StreamingSpec's pin (the
+    // refresh's sync pointer), this oracle pins end-to-end arithmetic.
+    "st20_streaming_gold_hop" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.{IncrementalView, Snapshot}
+      val id = java.util.UUID.randomUUID()
+      val bronze = graft.TempDirs.path(s"medallion/st20-bronze-$id")
+      val silver = graft.TempDirs.path(s"medallion/st20-silver-$id")
+      val gold = graft.TempDirs.path(s"medallion/st20-gold-$id")
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+        .write.parquet(s"$bronze/batch_id=0")
+      Snapshot.enable(s, bronze)
+      val sink = graft.streaming.Windows.governedSink(silver)
+      val qSilver = graft.sources.SnapshotStream.readStream(s, bronze)
+        .select(col("k"), col("v")).writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, i: Long) =>
+          sink(b, i))
+        .start()
+      try {
+        qSilver.processAllAvailable() // bronze history lands in silver
+        IncrementalView.build(s, silver, gold, Seq("k"), Seq("v"))
+        val qGold = graft.streaming.Windows.streamingGoldRefresh(
+          s, silver, gold)
+        try {
+          Snapshot.stagedAppend(s, bronze, 1L) {
+            Seq(("a", 3L), ("c", 7L)).toDF("k", "v")
+              .write.mode("overwrite").parquet(s"$bronze/batch_id=1")
+          }
+          qSilver.processAllAvailable() // bronze → silver
+          qGold.processAllAvailable()   // silver commit → gold refresh
+        } finally qGold.stop()
+      } finally qSilver.stop()
+      IncrementalView.read(s, gold)
+        .select(col("k"), col("n_rows"), col("v_cnt"), col("v_sum"),
+          col("v_min"))
+        .orderBy("k")
+    }),
+
     // ---- Hard-negative mining (DPR/SBERT contrastive training data):
     // per anchor, the most-similar corpus vectors with a DIFFERENT
     // label. One corpus scan serves every anchor; label filter fused
@@ -3418,6 +3483,31 @@ object PipelineQueries {
                 FROM bt JOIN w ON w.tok = bt.tok GROUP BY bt.doc_id)
          SELECT doc_id, margin_micro, margin_micro > 0 AS keep
          FROM sc ORDER BY doc_id""",
+    "qc6_calibrated_gate" ->
+      s"""${qlrOracleCtes(k = 40)},
+         sc AS (SELECT bt.doc_id,
+                  CAST(sum(w.w_micro)
+                       + (SELECT w_micro FROM wb
+                          WHERE tok = chr(1) || 'bias') AS BIGINT)
+                    AS margin_micro
+                FROM bt JOIN w ON w.tok = bt.tok GROUP BY bt.doc_id),
+         hs AS (SELECT sc.margin_micro AS m, dl.y
+                FROM sc JOIN dl ON dl.doc_id = sc.doc_id
+                WHERE sc.doc_id % 3 = 1),
+         agg AS (SELECT m, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(y) AS BIGINT) AS p
+                 FROM hs GROUP BY m),
+         cum AS (SELECT m,
+                        CAST(sum(n) OVER (ORDER BY m DESC) AS BIGINT) AS cn,
+                        CAST(sum(p) OVER (ORDER BY m DESC) AS BIGINT) AS cp
+                 FROM agg),
+         thr AS (SELECT CAST(min(m) AS BIGINT) AS threshold_micro
+                 FROM cum WHERE cp * 1000000 >= 950000 * cn)
+         SELECT thr.threshold_micro,
+                CAST((SELECT count(*) FROM sc
+                      WHERE margin_micro >= thr.threshold_micro) AS BIGINT)
+                  AS n_kept
+         FROM thr""",
     "vq1_quantize_int8" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(0.015748 AS DOUBLE), CAST(127 AS INTEGER),
@@ -4433,6 +4523,16 @@ object PipelineQueries {
            (1, 13, -1925291, false)
          ) AS t(batch, doc_id, margin_micro, keep)
          ORDER BY batch, doc_id""",
+    // st20: gold totals after ("a",1),("b",2) then ("a",3),("c",7)
+    // flow bronze → silver → gold through the two standing streams
+    "st20_streaming_gold_hop" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
+           ('b', 1, 1, 2, 2),
+           ('c', 1, 1, 7, 7)
+         ) AS t(k, n_rows, v_cnt, v_sum, v_min)
+         ORDER BY k""",
     "st18_streaming_dsir" ->
       """SELECT * FROM (VALUES
            (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT),

@@ -1884,6 +1884,48 @@ object RelationalQueries {
         .toDF("probe", "n_rows", "n_dirs_read").orderBy("probe")
     }),
 
+    // RT12 — ZONE-MAP ORDER-BY-LIMIT pruning (Snapshot.readTopK):
+    // four governed batches with stacked value ranges (1-4 | 10-19 |
+    // 20-29 | 30-39, the time-ordered append lineage shape). The
+    // manifest certificate skips every batch whose best value can't
+    // reach the top k: top-5 desc reads ONE dir (batch 3 alone — the
+    // other 30 rows are provably outranked), top-15 desc reads two
+    // (batch 2 survives because only 10 rows are guaranteed above its
+    // max), bottom-3 asc reads one (the enable-listed batch 0, made
+    // stat-ful by backfillStats — which here also upgrades it to the
+    // row-count stats the certificate needs). n_dirs_read comes off
+    // inputFiles: physical, not declarative; v_sum pins the VALUES so
+    // a wrong-batch read can't hide behind a right count.
+    "rt12_topk_pruning" -> ((s, _) => {
+      import s.implicits._
+      import graft.operators.Snapshot
+      val path = graft.TempDirs.path(
+        s"snapshot/rt12-${java.util.UUID.randomUUID()}")
+      (1L to 4L).map(v => (v, v)).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      Snapshot.enable(s, path)
+      def batch(bid: Long, vs: Range): Unit =
+        Snapshot.stagedAppend(s, path, bid) {
+          vs.map(v => (v.toLong, v.toLong)).toDF("id", "v")
+            .write.mode("overwrite").parquet(s"$path/batch_id=$bid")
+        }
+      batch(1L, 10 to 19)
+      batch(2L, 20 to 29)
+      batch(3L, 30 to 39)
+      Snapshot.backfillStats(s, path) // batch 0: enable-listed, blind
+      def probe(tag: String, k: Int, asc: Boolean) = {
+        val r = Snapshot.readTopK(s, path, "v", k, ascending = asc)
+        val dirs = r.inputFiles
+          .map(f => f.split("batch_id=")(1).split("/")(0)).distinct.length
+        val vs = r.select(col("v")).as[Long].collect()
+        (tag, vs.length.toLong, dirs.toLong, vs.sum)
+      }
+      Seq(probe("a", 5, asc = false),
+        probe("b", 15, asc = false),
+        probe("c", 3, asc = true))
+        .toDF("probe", "n_rows", "n_dirs_read", "v_sum").orderBy("probe")
+    }),
+
     // TQ1 — the TPC-H Q1 pricing-summary shape: the classic wide
     // aggregate every OLAP engine is judged on. One pushed-filter scan
     // → partial hash agg → 4-group final. All money sums are exact
@@ -3021,6 +3063,15 @@ object RelationalQueries {
            ('a', CAST(1 AS BIGINT), 1), ('b', 0, 0), ('c', 0, 0),
            ('d', 1, 1), ('e', 4, 1))
          t(probe, n_rows, n_dirs_read) ORDER BY probe""",
+    // rt12: top-5 desc = 39..35 from batch 3 alone (sum 185); top-15
+    // desc = 39..25 from batches 3+2 (sum 480); bottom-3 asc = 1+2+3
+    // from batch 0 alone
+    "rt12_topk_pruning" ->
+      """SELECT * FROM (VALUES
+           ('a', CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(185 AS BIGINT)),
+           ('b', 15, 2, 480),
+           ('c', 3, 1, 6))
+         t(probe, n_rows, n_dirs_read, v_sum) ORDER BY probe""",
     // rt10: an as-of read at version 1's commit instant serves exactly
     // version 1's rows; the live read serves both batches
     "rt10_time_travel" ->

@@ -216,7 +216,14 @@ object ScaleWorkloads {
       "lsh" -> (() => lshGauges(ctx)),
       "ivf" -> (() => Map("ivf_recall_at_10" ->
         (ctx.exact & gaugeIds(Ann.ivfSearch(ctx.embs, "vec_id", "embedding",
-          EmbDim, ctx.q, "qv", 10, trainedCents(s, dir), nProbe = 2))).size / 10.0)),
+          EmbDim, ctx.q, "qv", 10, trainedCents(s, dir), nProbe = 2))).size / 10.0,
+        // standing-index drift signal: per-cell occupancy imbalance of
+        // the JVM's persisted IVF index (max/mean over trained cells).
+        // Rises as appends pile onto frozen centroids — the trigger
+        // for Ann.maintainIvfIndex's retrain (AnnSpec pins the
+        // degrade → restore cycle)
+        "ivf_index_imbalance" -> math.rint(
+          Ann.ivfCellImbalance(s, indexPath(s, dir)) * 1000) / 1000)),
       // the composite path: BOTH prunings + rerank — recall must hold
       // through cell pruning AND code compression together
       "ivfpq" -> (() => Map("ivfpq_recall_at_10" ->

@@ -617,6 +617,32 @@ object Windows {
       finally cached.unpersist(blocking = false)
     }.start()
 
+  /** STREAMING GOLD HOP — the [[graft.operators.IncrementalView]]
+    * refresh as a STANDING stream, closing the continuous
+    * bronze→silver→gold medallion: bronze lands in silver through
+    * [[governedSink]] (exactly-once by micro-batch id), silver's
+    * manifest commits flow as a [[graft.sources.SnapshotStream]], and
+    * every micro-batch triggers `IncrementalView.refresh` on the gold
+    * view. The micro-batch CONTENT is deliberately unused — it is the
+    * change SIGNAL, while refresh reads the silver delta itself
+    * through its version-pinned sync pointer. That makes the gold hop
+    * exactly-once under every at-least-once failure mode for free:
+    * a replayed trigger (or a crash between the gold commit and the
+    * sync-pointer move) re-applies a window the pointer already
+    * covers, which refresh converges over instead of double-counting
+    * (the IncrementalViewSpec crash-replay contract, now standing).
+    * The view must be `build(...)`-ed first — a refresh on an unbuilt
+    * view fails loudly by design. */
+  def streamingGoldRefresh(spark: org.apache.spark.sql.SparkSession,
+                           silverPath: String, goldPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.SnapshotStream.readStream(spark, silverPath)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.operators.IncrementalView.refresh(spark, silverPath, goldPath)
+        ()
+      }.start()
+
   /** STREAMING benchmark decontamination — the st11 standing-dictionary
     * pattern applied to [[graft.operators.Decontaminate]]: an ingest
     * stream is screened per micro-batch against a STATIC eval/benchmark

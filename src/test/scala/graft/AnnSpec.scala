@@ -356,6 +356,70 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF drift maintenance: skewing appends degrade nProbe recall, retrain restores it", Slow) {
+    import spark.implicits._
+    val dimS = 4
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // four tight axis clusters, one per cell: the id-stride init seeds
+    // one member of each, so the trained centroids ARE the clusters
+    val base = (0 until 4).flatMap { c =>
+      (0 until 8).map { t =>
+        val e = Array.fill(dimS)(0.0); e(c) = 1.0; e((c + 1) % 4) = 0.03 * t
+        ((c * 8 + t).toLong, v(e.toSeq: _*))
+      }
+    }.toDF("vec_id", "embedding")
+    val idx = TempDirs.path(s"ann-drift-${java.util.UUID.randomUUID()}")
+    Ann.buildIvfIndex(base, "vec_id", "embedding", dimS, nCells = 4,
+      outPath = idx, iters = 3)
+    val imbalance0 = Ann.ivfCellImbalance(spark, idx)
+    // DRIFT: a new 12-vector cluster on the e1/e2 BISECTOR — frozen
+    // centroids split it across the two stale cells (the ±0.08 jitter
+    // straddles the assignment boundary ≈ −0.039 that centroid 0's
+    // jitter-axis component shifts off center), so a 1-probe query
+    // sees only part of its true neighborhood
+    val s2 = 1.0 / math.sqrt(2)
+    val drift = (0 until 12).map { t =>
+      val j = 0.08 * ((t % 3) - 1)
+      (100L + t, v(s2 + j, s2 - j, 0.0, 0.0))
+    }.toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(drift, "vec_id", "embedding", idx,
+      batchId = Some(1L))
+    val q = Seq(s2, s2, 0.0, 0.0)
+    // exact top-12 = the drift cluster BY CONSTRUCTION: its cosines to
+    // q are ≥ 0.997 while the best base member reads ≈ 0.84 — no float
+    // ties to adjudicate
+    val driftIds = (100L until 112L).toSet
+    def recallAt1: Double = {
+      val got = Ann.searchIvfIndex(spark, idx, "vec_id", "embedding", q,
+        k = 12, nProbe = 1).select("vec_id").collect().map(_.getLong(0)).toSet
+      (driftIds & got).size.toDouble / 12
+    }
+    val degraded = recallAt1
+    degraded should be < 0.8 // the drifted cluster straddles two cells
+    val imbalanceDrifted = Ann.ivfCellImbalance(spark, idx)
+    imbalanceDrifted should be > imbalance0
+    // maintenance: retrain from the index's own rows, atomic swap
+    Ann.maintainIvfIndex(spark, idx, "vec_id", "embedding", iters = 3)
+    recallAt1 shouldBe 1.0 // the drift cluster owns a cell now
+    // occupancy never worsens (five natural clusters in four cells
+    // legitimately keep one doubled cell — the RECALL restore above is
+    // the pinned deliverable, the gauge is the trigger signal)
+    Ann.ivfCellImbalance(spark, idx) should be <= imbalanceDrifted
+    graft.operators.Dedup.readIndexParams(spark, idx)("retrain_version") shouldBe 1L
+    // a second maintenance bumps the version again (monotone registry)
+    Ann.maintainIvfIndex(spark, idx, "vec_id", "embedding", iters = 2)
+    graft.operators.Dedup.readIndexParams(spark, idx)("retrain_version") shouldBe 2L
+    // IVF-PQ indexes refuse: codes derive from centroids
+    val pqIdx = TempDirs.path(s"ann-drift-pq-${java.util.UUID.randomUUID()}")
+    Ann.buildIvfPqIndex(graft.queries.PlantedFixtures.pqVectors(spark),
+      "vec_id", "embedding", graft.queries.PlantedFixtures.PqFixtureDim,
+      nCells = 2, m = 2, kCodes = 4, outPath = pqIdx, iters = 2,
+      lloydIters = 2)
+    intercept[IllegalArgumentException] {
+      Ann.maintainIvfIndex(spark, pqIdx, "vec_id", "embedding")
+    }
+  }
+
   test("IVF-PQ index: partition + column pruning compose; appends carry codes; plain append rejected", Slow) {
     import org.apache.spark.sql.functions.col
     val fix = graft.queries.PlantedFixtures.pqVectors(spark)

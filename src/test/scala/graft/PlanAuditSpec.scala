@@ -552,6 +552,72 @@ class PlanAuditSpec extends SparkSpec {
     p should include("TakeOrderedAndProject")
   }
 
+  test("governed-dim join strategy is MANIFEST-stats-driven: true row counts flip broadcast on and off") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Snapshot
+    def governed(tag: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = graft.TempDirs.path(
+        s"snapshot/pa-$tag-${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(s"$p/batch_id=0")
+      Snapshot.enable(spark, p)
+      Snapshot.backfillStats(spark, p) // row-count stats for batch 0
+      p
+    }
+    // SMALL dim: 100 true rows → manifest statistics read well under
+    // the broadcast threshold → broadcasts with NO hint
+    val small = governed("small",
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("dv")))
+    // LARGE dim: 2M true rows of 8 DISTINCT values — parquet
+    // dictionary-compresses it to a few hundred KB on disk (under the
+    // 10MB threshold: the classic broadcast-OOM trap), while the
+    // deserialized size is ~50MB. Manifest row counts must say NO.
+    val big = governed("big",
+      spark.range(2000000).select((col("id") % 8).as("k"),
+        (col("id") % 8 * 2).as("dv")))
+    // fact side big enough that IT never broadcasts — the strategy
+    // question is entirely about the dim side's statistics
+    val fact = spark.range(3000000).select((col("id") % 8).as("k"))
+    val pSmall = fact.join(Snapshot.read(spark, small), "k")
+      .queryExecution.executedPlan.toString
+    pSmall should include("BroadcastHashJoin")
+    val pBig = fact.join(Snapshot.read(spark, big), "k")
+      .queryExecution.executedPlan.toString
+    pBig should include("graft_governed_scan") // the rule fired
+    pBig should not include "BroadcastHashJoin"
+    // the CONTRAST that proves it's the manifest talking: the same
+    // 2M rows in an UNREGISTERED copy look tiny on disk and (wrongly)
+    // broadcast — file bytes are the lying statistic. (Reading the
+    // governed dir itself raw picks up the registered stats too — the
+    // registry keys on the dir set, and same files = same true rows.)
+    val rawCopy = graft.TempDirs.path(
+      s"snapshot/pa-rawcopy-${java.util.UUID.randomUUID()}")
+    spark.read.parquet(s"$big/batch_id=0").write.parquet(rawCopy)
+    val pRaw = fact.join(spark.read.parquet(rawCopy), "k")
+      .queryExecution.executedPlan.toString
+    pRaw should include("BroadcastHashJoin")
+  }
+
+  test("readTopK: order-limit fuses to TakeOrderedAndProject over the pruned scan") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val path = graft.TempDirs.path(
+      s"snapshot/pa-topk-${java.util.UUID.randomUUID()}")
+    (1L to 4L).map(v => (v, v)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    Snapshot.stagedAppend(spark, path, 1L) {
+      (10L to 19L).map(v => (v, v)).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$path/batch_id=1")
+    }
+    Snapshot.backfillStats(spark, path)
+    val r = Snapshot.readTopK(spark, path, "v", 3)
+    r.queryExecution.executedPlan.toString should
+      include("TakeOrderedAndProject")
+    // losing batch 0's files are never opened: certificate, not filter
+    r.inputFiles.foreach(f => f should include("batch_id=1"))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // under AQE the codegen stages only materialize in the FINAL plan,
     // so execute first, then inspect

@@ -56,6 +56,33 @@ class QualityLrSpec extends SparkSpec {
     e.getMessage should include("both classes")
   }
 
+  test("calibrateThreshold: max recall subject to held-out precision; gateAt applies it") {
+    val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
+    // held-out margins (exact, from the hand-derived weights):
+    //   h1 "dup dup" pos → 1001449   h3 "a a a" NEG → 985701 (the
+    //   high-margin false positive)  h2 "a dup" pos → 713767
+    //   h4 "dup"     pos → 154151    h5 "b"     neg → −1925291
+    // prefix precision walking margins down: 1.0, 0.5, 0.667, 0.75, 0.6
+    val held = Seq((10L, "dup dup"), (11L, "a dup"), (12L, "a a a"),
+      (13L, "dup"), (14L, "b")).toDF("doc_id", "text")
+    // target 0.75: the LOWEST qualifying margin wins → max recall
+    QualityLr.calibrateThreshold(held, "doc_id", "text", lbl, m,
+      precisionTargetMicro = 750000L) shouldBe 154151L
+    // target 0.8: only the top-1 prefix qualifies
+    QualityLr.calibrateThreshold(held, "doc_id", "text", lbl, m,
+      precisionTargetMicro = 800000L) shouldBe 1001449L
+    // gateAt keeps margins ≥ threshold (inclusive)
+    QualityLr.gateAt(held, "doc_id", "text", m, 154151L)
+      .select("doc_id").as[Long].collect().sorted shouldBe
+      Array(10L, 11L, 12L, 13L)
+    // unreachable target fails loudly, never a silent fallback
+    val onlyNeg = Seq((20L, "b b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      QualityLr.calibrateThreshold(onlyNeg, "doc_id", "text", lbl, m,
+        precisionTargetMicro = 1000000L)
+    }.getMessage should include("no margin threshold")
+  }
+
   test("streaming twin: per-batch gating matches the batch margins") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1115,4 +1115,53 @@ class SnapshotSpec extends SparkSpec {
         Snapshot.commitTimeMs(spark, path, v)) shouldBe Some(v)
     }
   }
+
+  test("readTopK: boundary ties survive, null rows never certify a skip") {
+    val path = TempDirs.path("snapshot-spec/topk")
+    Seq((1L, Some(5L)), (2L, Some(5L))).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path)
+    // batch 1: max 5 TIES batch 0's values; its copies are legitimate
+    // top-k candidates, so strict-inequality must keep it readable
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq((3L, Some(5L)), (4L, Some(4L))).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$path/batch_id=1")
+    }
+    // batch 2: TWO non-null values (10, 9) padded with nulls — its
+    // row count is 5 but only 2 rows can outrank anything; a k=3 read
+    // must therefore still read the tied 5s below
+    Snapshot.stagedAppend(spark, path, 2L) {
+      Seq((5L, Some(10L)), (6L, Some(9L)), (7L, None), (8L, None),
+        (9L, None)).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$path/batch_id=2")
+    }
+    Snapshot.backfillStats(spark, path)
+    val top3 = Snapshot.readTopK(spark, path, "v", 3)
+      .select(col("v")).as[Long].collect()
+    top3 shouldBe Array(10L, 9L, 5L)
+    // k=2 IS certified by batch 2's two non-null rows: both other
+    // batches (max 5 < 9) prune physically
+    val top2 = Snapshot.readTopK(spark, path, "v", 2)
+    top2.inputFiles.foreach(f => f should include("batch_id=2"))
+    top2.select(col("v")).as[Long].collect() shouldBe Array(10L, 9L)
+    // ascending: bottom-2 = the 4 and one of the 5s; the null batch
+    // can never win an ascending read either (nulls sort last)
+    Snapshot.readTopK(spark, path, "v", 2, ascending = true)
+      .select(col("v")).as[Long].collect() shouldBe Array(4L, 5L)
+  }
+
+  test("readTopK: stat-less batches are always read, never certify") {
+    val path = TempDirs.path("snapshot-spec/topk-blind")
+    Seq((1L, 100L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$path/batch_id=0")
+    Snapshot.enable(spark, path) // batch 0 stays BLIND: no backfill
+    Snapshot.stagedAppend(spark, path, 1L) {
+      Seq((2L, 1L), (3L, 2L)).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$path/batch_id=1")
+    }
+    // blind batch 0 holds the true max — it must be read despite
+    // having no stats to argue with
+    Snapshot.readTopK(spark, path, "v", 1)
+      .select(col("v")).as[Long].collect() shouldBe Array(100L)
+  }
 }

@@ -1682,4 +1682,54 @@ class StreamingSpec extends SparkSpec {
         graft.streaming.Windows.idempotentParquetSink(out))
     }
   }
+
+  test("streaming gold hop: standing refresh stays exactly-once across " +
+    "sink redelivery AND a gold-hop crash replay", Slow) {
+    val session = spark
+    import session.implicits._
+    import graft.operators.{IncrementalView, Snapshot}
+    val id = java.util.UUID.randomUUID()
+    val silver = TempDirs.path(s"goldhop/silver-$id")
+    val gold = TempDirs.path(s"goldhop/gold-$id")
+    val sink = graft.streaming.Windows.governedSink(silver)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", s"q-$id")
+    def goldRows: Seq[(String, Long, Long)] =
+      IncrementalView.read(spark, gold).select("k", "n_rows", "v_sum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    try {
+      sink(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), 0L)
+      IncrementalView.build(spark, silver, gold, Seq("k"), Seq("v"))
+      val q = graft.streaming.Windows.streamingGoldRefresh(
+        spark, silver, gold)
+      try {
+        sink(Seq(("a", 3L), ("c", 7L)).toDF("k", "v"), 1L)
+        q.processAllAvailable()
+        val want = Seq(("a", 2L, 4L), ("b", 1L, 2L), ("c", 1L, 7L))
+        goldRows shouldBe want
+        // SINK REDELIVERY (at-least-once upstream): batch 1 re-arrives,
+        // silver's version must not move, the standing refresh has
+        // nothing to apply — totals unchanged
+        val vSilver = Snapshot.latestVersion(spark, silver).get
+        sink(Seq(("a", 999L)).toDF("k", "v"), 1L)
+        Snapshot.latestVersion(spark, silver).get shouldBe vSilver
+        q.processAllAvailable()
+        goldRows shouldBe want
+        // GOLD-HOP CRASH: the gold commit landed but the sync pointer
+        // didn't move (rollbackSync simulates dying in the window).
+        // The standing stream's next trigger replays the same window
+        // and must CONVERGE, not double-count
+        sink(Seq(("b", 5L)).toDF("k", "v"), 2L)
+        q.processAllAvailable()
+        val want2 = Seq(("a", 2L, 4L), ("b", 2L, 7L), ("c", 1L, 7L))
+        goldRows shouldBe want2
+        IncrementalView.rollbackSync(spark, gold,
+          Snapshot.latestVersion(spark, silver).get - 1)
+        sink(Seq(("d", 9L)).toDF("k", "v"), 3L) // new commit wakes the stream
+        q.processAllAvailable()
+        goldRows shouldBe (want2 :+ ("d", 1L, 9L))
+      } finally q.stop()
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
 }
