@@ -703,6 +703,43 @@ object Ann {
       "retrain_version" -> (params.getOrElse("retrain_version", 0L) + 1L))
   }
 
+  /** [[maintainIvfIndex]] for IVF-PQ indexes: drift maintenance must
+    * retrain cells AND codebooks AND rotation TOGETHER — residual
+    * codes quantize x − cent(cell) and rotated indexes encode in the
+    * trained basis, so new centroids silently invalidate old codes.
+    * Sourced from the index's OWN current rows (raw floats are stored
+    * alongside the codes precisely so re-encoding never needs the
+    * corpus — the compaction sourcing convention), then rebuilt
+    * through [[buildIvfPqIndex]] with the index's recorded geometry
+    * params, bumping the same monotone `retrain_version`. Atomicity is
+    * the build's marker-first rebuild discipline: probes fail loudly
+    * mid-rebuild rather than reading mixed cells/codes. */
+  def maintainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, idCol: String, vecCol: String,
+                         iters: Int = 3, lloydIters: Int = 3): Unit = {
+    val params = Dedup.readIndexParams(spark, indexPath)
+    require(params.contains("pq_m"),
+      s"params/ under $indexPath is not an IVF-PQ index record — use " +
+        "maintainIvfIndex for plain IVF")
+    // eager localCheckpoint: the rebuild DELETES vectors/ before its
+    // rewrite, so the source rows must be materialized off the files
+    val rows = Snapshot.read(spark, s"$indexPath/vectors")
+      .drop("batch_id", "_cell", "pq_code").dropDuplicates()
+      .localCheckpoint()
+    buildIvfPqIndex(rows, idCol, vecCol, params("dim").toInt,
+      params("n_cells").toInt, m = params("pq_m").toInt,
+      kCodes = params("pq_k").toInt, outPath = indexPath, iters = iters,
+      lloydIters = lloydIters,
+      residual = params.getOrElse("pq_residual", 0L) == 1L,
+      rotate = params.getOrElse("pq_rotate", 0L) == 1L)
+    Dedup.writeIndexParams(spark, indexPath,
+      "n_cells" -> params("n_cells"), "dim" -> params("dim"),
+      "pq_m" -> params("pq_m"), "pq_k" -> params("pq_k"),
+      "pq_residual" -> params.getOrElse("pq_residual", 0L),
+      "pq_rotate" -> params.getOrElse("pq_rotate", 0L),
+      "retrain_version" -> (params.getOrElse("retrain_version", 0L) + 1L))
+  }
+
   /** Search a [[buildIvfIndex]] index: pick the nProbe cells whose
     * centroids are nearest the query DRIVER-side (centroids are the
     * only driver state — nCells×dim doubles), then push `_cell IN

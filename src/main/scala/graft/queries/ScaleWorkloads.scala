@@ -962,7 +962,9 @@ object ScaleWorkloads {
     "dd12_compact_minhash" -> 3,
     "dd13_compact_embedding" -> 3,
     "st12_streaming_ann" -> 3,
-    "ret4_snapshot_index" -> 3)
+    "ret4_snapshot_index" -> 3,
+    // new this round and lands in the ≥4 s tail on arrival
+    "sx74_maximal_repeats" -> 3)
 
   /** Workloads that get ONE UNTIMED warmup execution before their
     * recorded reps (Bench runs it and reports its wall under

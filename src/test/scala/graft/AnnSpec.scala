@@ -409,15 +409,29 @@ class AnnSpec extends SparkSpec {
     // a second maintenance bumps the version again (monotone registry)
     Ann.maintainIvfIndex(spark, idx, "vec_id", "embedding", iters = 2)
     graft.operators.Dedup.readIndexParams(spark, idx)("retrain_version") shouldBe 2L
-    // IVF-PQ indexes refuse: codes derive from centroids
+    // IVF-PQ indexes refuse the plain path: codes derive from centroids
     val pqIdx = TempDirs.path(s"ann-drift-pq-${java.util.UUID.randomUUID()}")
     Ann.buildIvfPqIndex(graft.queries.PlantedFixtures.pqVectors(spark),
       "vec_id", "embedding", graft.queries.PlantedFixtures.PqFixtureDim,
       nCells = 2, m = 2, kCodes = 4, outPath = pqIdx, iters = 2,
-      lloydIters = 2)
+      lloydIters = 2, residual = true)
     intercept[IllegalArgumentException] {
       Ann.maintainIvfIndex(spark, pqIdx, "vec_id", "embedding")
     }
+    // ...and maintain through the PQ path instead: cells, residual
+    // codebooks and codes retrain together from the index's own rows,
+    // the version bumps, and a full-probe covered search still equals
+    // the lossless fixture contract (ann14's oracle shape)
+    def pqTop = Ann.searchIvfPqIndex(spark, pqIdx, "vec_id", "embedding",
+        Seq(1.0, 0.0, 5.0, 0.0), 8, nProbe = 2, shortlist = 16)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4)))
+      .toSeq
+    val before = pqTop
+    Ann.maintainIvfPqIndex(spark, pqIdx, "vec_id", "embedding",
+      iters = 2, lloydIters = 2)
+    graft.operators.Dedup.readIndexParams(spark, pqIdx)("retrain_version") shouldBe 1L
+    graft.operators.Dedup.readIndexParams(spark, pqIdx)("pq_residual") shouldBe 1L
+    pqTop shouldBe before // full-probe covered search: exact before and after
   }
 
   test("IVF-PQ index: partition + column pruning compose; appends carry codes; plain append rejected", Slow) {
