@@ -171,13 +171,14 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SPREAD_MAX").map(_.toDouble).getOrElse(1.5)
 
   /** Spread self-heal floor: queries whose fastest clean rep is under
-    * this many seconds are exempt — at sub-second scale a 2× "spread"
-    * is the ~100-300 ms scheduling-jitter noise floor, not a cost
-    * question anyone adjudicates, and healing it would buy hundreds of
-    * extra reps across the suite for nothing. The verdicts' drift
-    * arguments were all about the multi-second tail. */
+    * this many seconds are exempt — at small scale a 2× "spread" is
+    * scheduling-jitter / AQE plan-flip noise, not a cost question
+    * anyone adjudicates (sx49's sub-2s reps legitimately span 1.8-5 s
+    * as AQE picks per-run plans), and healing it buys minutes of
+    * full-run wall for nothing. The verdicts' drift arguments were all
+    * about the ≥4 s tail; 3 s keeps a margin below it. */
   private val SpreadMinSec =
-    sys.env.get("SPARK_GRAFT_SPREAD_MIN_S").map(_.toDouble).getOrElse(2.0)
+    sys.env.get("SPARK_GRAFT_SPREAD_MIN_S").map(_.toDouble).getOrElse(3.0)
 
   /** One evidence record per query, rendered straight to JSON.
     * `warmupS` is the wall of the one UNTIMED warmup execution

@@ -596,13 +596,21 @@ object Windows {
     * a silent NULL. */
   def streamingQualityGate(stream: DataFrame, idCol: String,
                            textCol: String,
-                           model: graft.operators.QualityLr.Model)
+                           model: graft.operators.QualityLr.Model,
+                           thresholdMicro: Option[Long] = None)
                           (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       // batch enters twice (scoring scan + attach-back join)
       val cached = batch.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the gate: margin > 0 (the NB MAP rule) by default, or
+      // margin ≥ t when a CALIBRATED threshold rides the stream
+      // (QualityLr.calibrateThreshold — inclusive, like gateAt: the
+      // calibrated bound is itself a kept margin by construction)
+      val keep = thresholdMicro
+        .map(t => col("margin_micro") >= t)
+        .getOrElse(col("margin_micro") > 0)
       // NO broadcast hint on the attach-back join: the score side is
       // one row PER DOCUMENT in the micro-batch (not a small hits
       // subset like the decontaminate path) — hinting it broadcast
@@ -612,8 +620,7 @@ object Windows {
           graft.operators.QualityLr.score(
             cached, idCol, textCol, model),
           Seq(idCol), "left")
-        .withColumn("keep",
-          coalesce(col("margin_micro") > 0, lit(false))), batchId)
+        .withColumn("keep", coalesce(keep, lit(false))), batchId)
       finally cached.unpersist(blocking = false)
     }.start()
 

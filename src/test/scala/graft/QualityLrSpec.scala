@@ -105,6 +105,33 @@ class QualityLrSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming twin at a CALIBRATED threshold: keep matches gateAt") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
+    // held-out calibration (see the calibrateThreshold case: 154151
+    // keeps h1/h2/h3/h4, the 0.75-precision max-recall cut)
+    val held = Seq((10L, "dup dup"), (11L, "a dup"), (12L, "a a a"),
+      (13L, "dup"), (14L, "b")).toDF("doc_id", "text")
+    val thr = QualityLr.calibrateThreshold(held, "doc_id", "text", lbl, m,
+      precisionTargetMicro = 750000L)
+    val out = TempDirs.path("sink/qlr-spec-cal")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Windows.streamingQualityGate(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", m,
+      thresholdMicro = Some(thr))(
+      graft.streaming.Windows.idempotentParquetSink(out))
+    try {
+      in.addData(held.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).filter(col("keep"))
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe QualityLr.gateAt(held, "doc_id", "text", m, thr)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(10L, 11L, 12L, 13L)
+  }
+
   test("plan shape: scoring joins broadcast; no shuffle join") {
     val m = QualityLr.fit(docs, "doc_id", "text", lbl, k = 2)
     val p = QualityLr.score(docs, "doc_id", "text", m)
