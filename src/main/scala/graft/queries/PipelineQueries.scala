@@ -310,6 +310,26 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // DD21 — the REMOVAL surface of dd20's operator: the same fixture
+    // through spanDedupVar, so the cleaned text (surviving tokens in
+    // order), per-doc token counts and covered counts are all
+    // oracle-gated, not just the span report. The DuckDB twin
+    // re-derives coverage brute-force and reassembles survivors with
+    // an ordered string_agg.
+    "dd21_variable_span_dedup" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "u1 u2 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 u3"),
+        (2L, "v1 r1 r2 r3 r4 r5 r6 v2"),
+        (3L, "r4 r5 r6 r7 r8 r9 r10 w1 w2"),
+        (4L, "x1 p1 p2 p3 p4 p5 x2 p1 p2 p3 p4 p5 x3"),
+        (5L, "z1 z2 z3 z4 z5"))
+        .toDF("doc_id", "text")
+      graft.operators.MaximalRepeats.spanDedupVar(docs, "doc_id", "text",
+          minLen = 4, cap = 16)
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination sweep on the planted corpus: benchmark =
     // re-keyed copies of cluster representatives 1/4/6 (ids
     // 901/904/906); train = the full planted corpus. At the 0.7 gate
@@ -3230,6 +3250,44 @@ object PipelineQueries {
                 CAST(min(tp) - 1 AS BIGINT) AS span_start,
                 CAST(count(*) AS BIGINT) AS span_len
          FROM runs GROUP BY d, r ORDER BY doc_id, span_start""",
+    "dd21_variable_span_dedup" ->
+      """WITH docs(doc_id, text) AS (VALUES
+           (1, 'u1 u2 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 u3'),
+           (2, 'v1 r1 r2 r3 r4 r5 r6 v2'),
+           (3, 'r4 r5 r6 r7 r8 r9 r10 w1 w2'),
+           (4, 'x1 p1 p2 p3 p4 p5 x2 p1 p2 p3 p4 p5 x3'),
+           (5, 'z1 z2 z3 z4 z5')),
+         t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM docs),
+         pos AS (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks))) AS p
+                 FROM t),
+         lens AS (
+           SELECT a.doc_id AS d, a.p AS p, max(l.l) AS rep_len
+           FROM pos a, pos b, (SELECT unnest(generate_series(4, 16)) AS l) l
+           WHERE NOT (b.doc_id = a.doc_id AND b.p = a.p)
+             AND a.p + l.l - 1 <= len(a.toks)
+             AND b.p + l.l - 1 <= len(b.toks)
+             AND a.toks[a.p : a.p + l.l - 1] = b.toks[b.p : b.p + l.l - 1]
+           GROUP BY 1, 2),
+         cov AS (SELECT DISTINCT d,
+                        p + unnest(generate_series(0, CAST(rep_len AS INT) - 1)) AS tp
+                 FROM lens),
+         surv AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok
+                  FROM pos LEFT JOIN cov
+                    ON cov.d = pos.doc_id AND cov.tp = pos.p
+                  WHERE cov.d IS NULL),
+         txt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+                 FROM surv GROUP BY doc_id),
+         covn AS (SELECT d, CAST(count(*) AS BIGINT) AS ndup
+                  FROM cov GROUP BY d)
+         SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                CAST(coalesce(covn.ndup, 0) AS BIGINT) AS n_dup_tokens,
+                coalesce(txt.text, '') AS text
+         FROM t LEFT JOIN covn ON covn.d = t.doc_id
+         LEFT JOIN txt ON txt.doc_id = t.doc_id
+         ORDER BY doc_id""",
     "dd18_exact_jaccard_join" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
                      FROM ${PlantedFixtures.docsValuesSql}),

@@ -237,6 +237,24 @@ object ScaleWorkloads {
       "zorder" -> (() => zorderGauges(ctx)),
       "minhash" -> (() => Map(
         "minhash_incremental_recall" -> minhashIncrementalRecall(s, dir))),
+      // variable-length repeat structure of the real corpus (the
+      // Lee et al. duplication artifact every lab reports): fraction
+      // of tokens inside a ≥8-token repeat, and the longest maximal
+      // span — sx74 times the sweep, this records what it FOUND
+      "maxrepeat" -> (() => {
+        val d = Tables(s, dir, "documents")
+        val spans = graft.operators.MaximalRepeats.repeatSpans(
+            d, "doc_id", "text", minLen = 8, cap = 16)
+          .agg(coalesce(sum(col("span_len")), lit(0L)).cast("long"),
+            coalesce(max(col("span_len")), lit(0L)).cast("long"))
+          .head()
+        val nTok = d.select(
+          sum(size(split(trim(col("text")), "\\s+"))).cast("long")).head().getLong(0)
+        Map(
+          "maxrepeat_covered_frac" -> math.rint(
+            spans.getLong(0).toDouble / math.max(nTok, 1L) * 10000) / 10000,
+          "maxrepeat_longest_span" -> spans.getLong(1).toDouble)
+      }),
       "curation" -> (() => curationGauges(s, dir)),
       // the trained classifier must actually SEPARATE its label at sf
       // scale: precision/recall of the margin>0 gate on the planted
